@@ -1,13 +1,358 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.query.{EventQueries, RelationalQueries}
+import graft.ext.ExtQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator registry (one entry per SURVEY §2 row /
+  * extension operator); `oracleSql` carries the DuckDB-equivalent ANSI SQL
+  * the driver hash-compares against at sf0.01. Column names and rounded
+  * numeric values are aligned engine-to-engine (see the per-module
+  * Scaladoc for the portability rules: md5-derived hashing, explicit
+  * casts to BIGINT where Spark returns int, round() on every float that
+  * crosses the boundary).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the jetstream replay scan (SURVEY §3.3) — cursor range scan, ordered,
+    * limited.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    EventQueries.replayScan(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- jetstream core surface (SURVEY §2.1) over the events log
+    "replay_scan"        -> EventQueries.replayScan _,
+    "collection_filter"  -> EventQueries.collectionFilter _,
+    "did_filter"         -> EventQueries.didFilter _,
+    "subscribe_filter"   -> EventQueries.subscribeFilter _,
+    "seq_assign"         -> EventQueries.seqAssign _,
+    "router_counts"      -> EventQueries.routerCounts _,
+    "op_counts"          -> EventQueries.opCounts _,
+    "value_histogram"    -> EventQueries.valueHistogram _,
+    "histogram_quantiles" -> EventQueries.histogramQuantiles _,
+    "lag_gauge"          -> EventQueries.lagGauge _,
+    "json_extract"       -> EventQueries.jsonExtract _,
+    "overlap_dedup"      -> EventQueries.overlapDedup _,
+    "ttl_retention"      -> EventQueries.ttlRetention _,
+    "latest_per_user"    -> EventQueries.latestPerUser _,
+    "type_share"         -> EventQueries.typeShare _,
+    // --- general relational surface (SURVEY §2.2) over TPC-H fixtures
+    "q1_pricing_summary" -> RelationalQueries.q1PricingSummary _,
+    "q3_top_revenue"     -> RelationalQueries.q3TopRevenue _,
+    "q5_local_supplier"  -> RelationalQueries.q5LocalSupplier _,
+    "join_left_outer"    -> RelationalQueries.joinLeftOuter _,
+    "join_semi"          -> RelationalQueries.joinSemi _,
+    "join_anti"          -> RelationalQueries.joinAnti _,
+    "window_running_total" -> RelationalQueries.windowRunningTotal _,
+    "window_top_per_key" -> RelationalQueries.windowTopPerKey _,
+    "window_order_gap"   -> RelationalQueries.windowOrderGap _,
+    "set_intersect"      -> RelationalQueries.setIntersect _,
+    "set_except"         -> RelationalQueries.setExcept _,
+    "set_union"          -> RelationalQueries.setUnion _,
+    "rollup_pricing"     -> RelationalQueries.rollupPricing _,
+    "topk_parts"         -> RelationalQueries.topkParts _,
+    "distinct_users"     -> RelationalQueries.distinctUsers _,
+    "asof_join"          -> RelationalQueries.asofJoin _,
+    // --- LLM-pipeline extensions (E1-E3)
+    "text_stats"         -> ExtQueries.textStats _,
+    "token_counts"       -> ExtQueries.tokenCounts _,
+    "lang_id"            -> ExtQueries.langId _,
+    "quality_score"      -> ExtQueries.qualityScore _,
+    "doc_fingerprint"    -> ExtQueries.docFingerprint _,
+    "dedup_exact"        -> ExtQueries.dedupExact _,
+    "dedup_ngram_jaccard" -> ExtQueries.dedupNgramJaccard _,
+    "dedup_minhash_lsh"  -> ExtQueries.dedupMinhashLsh _,
+    "simhash"            -> ExtQueries.simhash _,
+    "knn_brute"          -> ExtQueries.knnBrute _,
+    "embed_norms"        -> ExtQueries.embedNorms _,
+    "ann_lsh_buckets"    -> ExtQueries.annLshBuckets _,
+    "embed_centroids"    -> ExtQueries.embedCentroids _,
+    "multimodal_meta"    -> ExtQueries.multimodalMeta _,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "replay_scan" ->
+      s"""SELECT event_id, epoch_us(ts) AS time_us, user_id, event_type
+         |FROM events WHERE epoch_us(ts) >= ${EventQueries.CursorUs}
+         |ORDER BY time_us, event_id LIMIT 5000""".stripMargin,
+    "collection_filter" ->
+      """SELECT event_id, event_type, user_id FROM events
+        |WHERE event_type IN ('click', 'purchase')""".stripMargin,
+    "did_filter" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE user_id IN (1, 3, 5, 7)""".stripMargin,
+    "subscribe_filter" ->
+      s"""SELECT event_id, epoch_us(ts) AS time_us, user_id, event_type
+         |FROM events
+         |WHERE event_type IN ('click', 'view', 'purchase')
+         |  AND user_id IN (0, 2, 4, 6, 8, 10, 12, 14)
+         |  AND epoch_us(ts) > ${EventQueries.HwmUs}""".stripMargin,
+    "seq_assign" ->
+      """SELECT event_id, epoch_us(ts) AS time_us,
+        |       row_number() OVER (ORDER BY epoch_us(ts), event_id) AS seq
+        |FROM events""".stripMargin,
+    "router_counts" ->
+      "SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type",
+    "op_counts" ->
+      """SELECT event_type, user_id, count(*) AS n_events,
+        |       floor((sum(value)) * 1e2 + 0.5) / 1e2 AS sum_value
+        |FROM events GROUP BY event_type, user_id""".stripMargin,
+    "value_histogram" ->
+      """SELECT floor(value / 10)::BIGINT AS bucket, count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    "histogram_quantiles" ->
+      """SELECT event_type,
+        |       floor((quantile_cont(value, 0.5)) * 1e4 + 0.5) / 1e4 AS p50,
+        |       floor((quantile_cont(value, 0.95)) * 1e4 + 0.5) / 1e4 AS p95,
+        |       floor((quantile_cont(value, 0.99)) * 1e4 + 0.5) / 1e4 AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+    "lag_gauge" ->
+      """SELECT event_type,
+        |       (SELECT max(epoch_us(ts)) FROM events) - max(epoch_us(ts)) AS lag_us
+        |FROM events GROUP BY event_type""".stripMargin,
+    "json_extract" ->
+      """SELECT json_extract_string(props, '$.k')::BIGINT AS k, count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    "overlap_dedup" ->
+      s"""WITH e AS (SELECT event_id, epoch_us(ts) AS time_us, event_type FROM events),
+         |u AS (
+         |  SELECT * FROM e WHERE time_us >= ${EventQueries.CursorUs}
+         |                    AND time_us < ${EventQueries.HwmUs + 86400000000L}
+         |  UNION ALL
+         |  SELECT * FROM e WHERE time_us > ${EventQueries.HwmUs})
+         |SELECT event_id, min(time_us) AS time_us, min(event_type) AS event_type
+         |FROM u GROUP BY event_id""".stripMargin,
+    "ttl_retention" ->
+      """SELECT ts::DATE AS event_date, count(*) AS n_events
+        |FROM events
+        |WHERE epoch_us(ts) >= (SELECT max(epoch_us(ts)) FROM events) - 604800000000
+        |GROUP BY 1""".stripMargin,
+    "latest_per_user" ->
+      """SELECT event_id, time_us, user_id, event_type FROM (
+        |  SELECT event_id, epoch_us(ts) AS time_us, user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "type_share" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       floor((count(*) / (SELECT count(*) FROM events)) * 1e6 + 0.5) / 1e6 AS share
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,
+        |       floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_base_price,
+        |       floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS sum_disc_price,
+        |       floor((avg(l_quantity)) * 1e4 + 0.5) / 1e4 AS avg_qty,
+        |       floor((avg(l_discount)) * 1e4 + 0.5) / 1e4 AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |       floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+        |       floor((coalesce(sum(o_totalprice), 0)) * 1e2 + 0.5) / 1e2 AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_mktsegment""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "window_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       floor((sum(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e2 + 0.5) / 1e2 AS running_spend
+        |FROM orders""".stripMargin,
+    "window_top_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 3""".stripMargin,
+    "window_order_gap" ->
+      """SELECT o_custkey, o_orderkey,
+        |       date_diff('day',
+        |         lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_orderdate, o_orderkey),
+        |         o_orderdate)::BIGINT AS gap_days
+        |FROM orders""".stripMargin,
+    "set_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "set_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "set_union" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |UNION
+        |SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "rollup_pricing" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |       floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "topk_parts" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |ORDER BY p_retailprice DESC, p_partkey LIMIT 10""".stripMargin,
+    "distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+    "asof_join" ->
+      """SELECT event_id, user_id, max(o_orderdate) AS asof_orderdate
+        |FROM events LEFT JOIN orders
+        |  ON user_id = o_custkey AND o_orderdate <= ts
+        |GROUP BY event_id, user_id""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |       len(string_split(text, ' ')) AS n_words,
+        |       floor((length(replace(text, ' ', ''))::DOUBLE /
+        |             len(string_split(text, ' '))) * 1e4 + 0.5) / 1e4 AS avg_word_len
+        |FROM documents""".stripMargin,
+    "token_counts" ->
+      """SELECT source, count(*) AS n_tokens,
+        |       count(DISTINCT token) AS n_distinct_tokens
+        |FROM (SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY source""".stripMargin,
+    "lang_id" ->
+      """SELECT doc_id, stop_ratio,
+        |       CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS pred_lang
+        |FROM (
+        |  SELECT doc_id,
+        |         floor((len(list_filter(string_split(text, ' '),
+        |           w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and' OR w = 'is'))::DOUBLE
+        |           / len(string_split(text, ' '))) * 1e4 + 0.5) / 1e4 AS stop_ratio
+        |  FROM documents)""".stripMargin,
+    "quality_score" ->
+      """SELECT doc_id,
+        |  floor((0.4 * least(1.0, len(string_split(text, ' ')) / 100.0)
+        |      + 0.4 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |               / len(string_split(text, ' ')))
+        |      + 0.2 * (len(list_filter(string_split(text, ' '),
+        |           w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and' OR w = 'is'))::DOUBLE
+        |               / len(string_split(text, ' ')))) * 1e4 + 0.5) / 1e4 AS quality
+        |FROM documents""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS canonical_doc_id, md5(text) AS fingerprint,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+        |       FROM words, (SELECT unnest(range(1, 1000)) AS i) n
+        |       WHERE i + 2 <= len(l)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       floor((c::DOUBLE / (sa.n + sb.n - c)) * 1e4 + 0.5) / 1e4 AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE floor((c::DOUBLE / (sa.n + sb.n - c)) * 1e4 + 0.5) / 1e4 >= 0.8""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+        |       FROM words, (SELECT unnest(range(1, 1000)) AS i) n
+        |       WHERE i + 2 <= len(l)),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+        |mh AS (SELECT doc_id, j,
+        |              min(((2*j+1) * h + j*7919 + 1) % 2147483647) AS mh
+        |       FROM h, (SELECT unnest(range(0, 16)) AS j) js
+        |       GROUP BY doc_id, j),
+        |bands AS (SELECT doc_id, j // 4 AS band,
+        |                 string_agg(mh::VARCHAR, ',' ORDER BY j) AS sig
+        |          FROM mh GROUP BY doc_id, j // 4)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+    "simhash" ->
+      """WITH wc AS (SELECT doc_id, word, count(*) AS cnt FROM
+        |              (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |               FROM documents)
+        |            GROUP BY doc_id, word),
+        |h AS (SELECT doc_id, cnt, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h
+        |      FROM wc),
+        |bits AS (SELECT doc_id, b, sum(cnt * (((h >> b) % 2) * 2 - 1)) AS s
+        |         FROM h, (SELECT unnest(range(0, 32)) AS b) bs
+        |         GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+    "knn_brute" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |dims AS (SELECT e.vec_id, e.embedding[i]::DOUBLE AS x, q.qe[i]::DOUBLE AS y
+        |         FROM embeddings e, q, (SELECT unnest(range(1, 65)) AS i) i
+        |         WHERE e.vec_id != 0)
+        |SELECT vec_id,
+        |       floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 AS cos
+        |FROM dims GROUP BY vec_id
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "embed_norms" ->
+      """SELECT vec_id, label,
+        |       floor((sqrt(sv)) * 1e6 + 0.5) / 1e6 AS l2_norm
+        |FROM (SELECT vec_id, label,
+        |             (SELECT sum(x*x) FROM
+        |               (SELECT unnest(embedding)::DOUBLE AS x)) AS sv
+        |      FROM embeddings)""".stripMargin,
+    "ann_lsh_buckets" ->
+      """WITH dims AS (
+        |  SELECT e.vec_id, p.p, i.i,
+        |         e.embedding[i.i + 1]::DOUBLE *
+        |         ((('0x' || substr(md5(p.p::VARCHAR || '_' || i.i::VARCHAR), 1, 8))::BIGINT
+        |           % 1000 - 500)::DOUBLE) AS term
+        |  FROM embeddings e,
+        |       (SELECT unnest(range(0, 8)) AS p) p,
+        |       (SELECT unnest(range(0, 64)) AS i) i),
+        |dots AS (SELECT vec_id, p, sum(term) AS dot FROM dims GROUP BY vec_id, p),
+        |sigs AS (SELECT vec_id,
+        |                sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT
+        |                  AS bucket
+        |         FROM dots GROUP BY vec_id)
+        |SELECT bucket, count(*) AS n_vecs FROM sigs GROUP BY bucket""".stripMargin,
+    "embed_centroids" ->
+      """WITH dims AS (SELECT label, i.i, e.embedding[i.i]::DOUBLE AS v
+        |              FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) i),
+        |cent AS (SELECT label, i, avg(v) AS c FROM dims GROUP BY label, i)
+        |SELECT label, floor((sqrt(sum(c*c))) * 1e6 + 0.5) / 1e6 AS centroid_norm
+        |FROM cent GROUP BY label""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |       md5(text) AS content_digest,
+        |       substr(text, 1, 8) AS head
+        |FROM documents""".stripMargin,
+  )
 }

@@ -1,0 +1,231 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.util.Portable.pround
+
+/** Batch twins of the jetstream serving-path operators (SURVEY.md §2.1),
+  * expressed over the `events` fixture table, which stands in for the
+  * reference's time-keyed event log. Column mapping:
+  *
+  *   - `ts`        ≙ `time_us`   (reference `pkg/models/models.go:11`) — the
+  *                    monotonic sort key / cursor domain; we derive
+  *                    `time_us = unix_micros(ts)`.
+  *   - `user_id`   ≙ `did`       (`models.go:10`)
+  *   - `event_type`≙ `commit.collection` (`models.go:21`)
+  *   - `props`     ≙ `commit.record` raw-JSON payload (`models.go:23`)
+  *
+  * Every query is a pure DataFrame expression: filters and projections reach
+  * the parquet scan (pushdown + column pruning), aggregations get map-side
+  * partial aggregation, and nothing collects to the driver — so each plan
+  * scales from the 10k-row fixture to a partitioned 100 TB log unchanged.
+  */
+object EventQueries {
+
+  /** Deterministic "cursor" used by the replay queries: 10 days past the
+    * fixture epoch (events span 2024-01). At cluster scale the cursor is a
+    * caller-supplied µs value; the plan shape is identical.
+    */
+  val CursorUs: Long = 1704067200000000L + 10L * 24 * 3600 * 1000000 // 2024-01-11T00:00:00Z
+
+  /** High-water mark for the dedup/overlap queries: 20 days past epoch. */
+  val HwmUs: Long = 1704067200000000L + 20L * 24 * 3600 * 1000000
+
+  /** `ts` arrives as LongType nanoseconds (see [[graft.Tables.load]]). */
+  private def timeUs: Column = expr("ts div 1000")
+
+  /** S13 — cursor replay: ordered range scan from a time cursor.
+    * Reference: pkg/consumer/persist.go:143-204 (LSM LowerBound iterator).
+    * Spark: the `time_us >= cursor` predicate is pushed to parquet
+    * row-group min/max; on a `hour(ts)`-partitioned production table it
+    * also prunes partitions. Total order (time_us, event_id) mirrors the
+    * reference key `{time_us}_{did}_{collection}` and makes LIMIT
+    * deterministic; Catalyst plans orderBy+limit as TakeOrderedAndProject
+    * (no global sort materialization).
+    */
+  def replayScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), timeUs.as("time_us"), col("user_id"), col("event_type"))
+      .filter(col("time_us") >= CursorUs)
+      .orderBy(col("time_us"), col("event_id"))
+      .limit(5000)
+
+  /** S14 — collection (event_type) semi-filter against a wanted set.
+    * Reference: cmd/jetstream/server.go:119-123. Small literal set → `isin`
+    * (codegen'd); a large subscriber set would be a broadcast left-semi join.
+    */
+  def collectionFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("event_type"), col("user_id"))
+
+  /** S15 — DID (user_id) filter. Reference: cmd/jetstream/server.go:125-129. */
+  def didFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id").isin(1L, 3L, 5L, 7L))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
+  /** S14+S15+S16 — the full emitToSubscriber predicate chain: collection
+    * set ∧ did set ∧ time_us > hwm. Reference: cmd/jetstream/server.go:118-136.
+    * One conjunctive filter — Catalyst orders the conjuncts and pushes all
+    * three to the scan.
+    */
+  def subscribeFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), timeUs.as("time_us"), col("user_id"), col("event_type"))
+      .filter(
+        col("event_type").isin("click", "view", "purchase") &&
+          col("user_id").isin(0L, 2L, 4L, 6L, 8L, 10L, 12L, 14L) &&
+          col("time_us") > HwmUs)
+
+  /** S9 — monotonic sequencer, batch twin: assign a strictly increasing,
+    * gap-free seq over the (ts, event_id) total order.
+    * Reference: pkg/monotonic/clock.go:34-56 + consumer.go:311-342 — all
+    * parallelism collapses into one stamping stage; the Spark analog is an
+    * unpartitioned window, which is likewise a deliberate single-task stage
+    * (SURVEY §7.4). The streaming sequencer (graft.ingest.Sequencer) does
+    * this per-microbatch with carried state instead.
+    */
+  def seqAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), timeUs.as("time_us"))
+      .withColumn("seq", row_number().over(Window.orderBy(col("time_us"), col("event_id"))).cast("long"))
+
+  /** S25 — running operational counters: events by type.
+    * Reference: pkg/consumer/metrics.go:8-11 (Prometheus counter vec).
+    * Partial aggregation happens map-side; only 5 groups shuffle.
+    */
+  def routerCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** S25 — ops by (kind, collection): counter with two label dimensions.
+    * Reference: pkg/consumer/metrics.go:13-16 fed at consumer.go:201.
+    */
+  def opCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        pround(sum(col("value")), 2).as("sum_value"))
+
+  /** S26 — histogram aggregate: bucketed distribution of `value`.
+    * Reference: pkg/consumer/metrics.go:18-22 (exponential duration
+    * buckets). Fixed-width bucketing keeps the oracle exact; the
+    * percentile view the Grafana dashboard derives is `histogramQuantiles`
+    * below.
+    */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(floor(col("value") / 10.0).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** S27 — lag/gap derivation: distance of each group's newest event from
+    * the global head, i.e. `head_time - last_seen(type)` — the per-label
+    * staleness gauge. Reference: pkg/consumer/consumer.go:129-132,152-155
+    * (lastEvtCreatedAtGauge etc.). Uses max(ts) as the deterministic "now".
+    */
+  def lagGauge(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_type"), timeUs.as("time_us"))
+    val head = e.agg(max(col("time_us")).as("head_us"))
+    e.groupBy(col("event_type"))
+      .agg(max(col("time_us")).as("last_us"))
+      .crossJoin(broadcast(head))
+      .select(
+        col("event_type"),
+        (col("head_us") - col("last_us")).as("lag_us"))
+  }
+
+  /** S8 — JSON payload projection: extract a field from the schemaless
+    * `record` JSON and aggregate on it.
+    * Reference: consumer.go:234-243 (CBOR→JSON passthrough); payload stays
+    * a JSON string and is parsed per-query, exactly like jetstream
+    * consumers do.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** S16/S19 — replay∪live overlap dedup: two overlapping time slices of
+    * the log unioned, duplicates collapsed by key. Reference:
+    * cmd/jetstream/server.go:131-134 (per-subscriber high-water mark skip).
+    * Batch form: union + dropDuplicates(event_id); streaming form is
+    * dropDuplicatesWithinWatermark (graft.streaming).
+    */
+  def overlapDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), timeUs.as("time_us"), col("event_type"))
+    val replay = e.filter(col("time_us") >= CursorUs && col("time_us") < HwmUs + 86400000000L)
+    val live   = e.filter(col("time_us") > HwmUs)
+    replay.union(live)
+      .groupBy(col("event_id"))
+      .agg(min(col("time_us")).as("time_us"), min(col("event_type")).as("event_type"))
+  }
+
+  /** S12 — TTL retention: the survivor set after trimming everything older
+    * than head − TTL, summarized per day. Reference:
+    * pkg/consumer/persist.go:120-137 (range-delete by key prefix); on a
+    * date-partitioned table this is a partition drop — the per-day
+    * grouping here mirrors exactly the partitions a production trim would
+    * drop vs keep.
+    */
+  def ttlRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(timeUs.as("time_us"))
+    val ttlUs = 7L * 24 * 3600 * 1000000 // 7-day TTL against the fixture's 30-day span
+    val head = e.agg(max(col("time_us")).as("head_us"))
+    e.crossJoin(broadcast(head))
+      .filter(col("time_us") >= col("head_us") - ttlUs)
+      .select(to_date(timestamp_micros(col("time_us"))).as("event_date"))
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  /** S10 — keyed upsert materialization: latest event per user, i.e. the
+    * "current state" view a keyed KV persist implies. Reference:
+    * pkg/consumer/persist.go:90-117 (write under `{time_us}_{did}_…`).
+    * Window row_number desc over (user_id) — shuffles once on the key.
+    */
+  def latestPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("time_us").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .select(col("event_id"), timeUs.as("time_us"), col("user_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** S26 dashboard view — p50/p95/p99 of `value` per event_type, the
+    * Grafana percentile panels (grafana-dashboard.json "Event Processing
+    * Time"). percentile_approx is deterministic for exact accuracy on
+    * small groups; rounded for oracle stability.
+    */
+  def histogramQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        pround(expr("percentile(value, 0.5)"), 4).as("p50"),
+        pround(expr("percentile(value, 0.95)"), 4).as("p95"),
+        pround(expr("percentile(value, 0.99)"), 4).as("p99"))
+
+  /** S17 — fan-out share: each type's share of total traffic (the
+    * per-subscriber delivery-rate view, cmd/jetstream/metrics.go:23-31).
+    * Ratio of a grouped count to the global count via a broadcast scalar.
+    */
+  def typeShare(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_type"))
+    val total = e.agg(count(lit(1)).as("total"))
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("event_type"), col("n_events"),
+        pround(col("n_events") / col("total"), 6).as("share"))
+  }
+}

@@ -1,0 +1,222 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.util.Portable.pround
+
+/** The general relational surface (SURVEY.md §2.2 "absent in reference"
+  * rows): joins, window functions, set ops, top-k, grouping sets — the
+  * capabilities a real analytics engine must expose beyond jetstream's
+  * filter/scan/count surface, exercised over the TPC-H-ish fixtures.
+  *
+  * Scale notes (the plans, not the row counts, are what matters):
+  *   - Dimension joins (`nation`, `region`, `supplier`, small `customer`
+  *     slices) are explicitly `broadcast()` — no shuffle of the fact side.
+  *   - Fact-fact joins (orders⋈lineitem) shuffle on the join key once; at
+  *     cluster scale the same plan benefits from bucketing both tables on
+  *     the key, and AQE handles skew.
+  *   - All aggregates are partial-aggregated map-side before the shuffle.
+  *   - Top-k is orderBy+limit ⇒ TakeOrderedAndProject (per-partition heap,
+  *     no global sort).
+  *   - Doubles that cross the oracle boundary are rounded: Spark and
+  *     DuckDB sum doubles in different orders, so raw sums differ in the
+  *     last ulp; rounding collapses both to the same value.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1-shaped pricing summary: the canonical wide aggregate.
+    * groupBy two low-cardinality keys → 4-6 groups; map-side partial agg
+    * means the shuffle moves only group states, never rows.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        pround(sum(col("l_quantity")), 2).as("sum_qty"),
+        pround(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        pround(avg(col("l_quantity")), 4).as("avg_qty"),
+        pround(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-shaped top-k revenue: fact⋈fact⋈dim with a broadcast
+    * customer-segment filter, grouped, top-10. The customer side is
+    * filtered to one segment before the join, so it broadcasts; the
+    * orders⋈lineitem join shuffles on orderkey.
+    */
+  def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped local-supplier revenue: the 6-way star join.
+    * region→nation are tiny broadcasts; supplier broadcasts; the only
+    * shuffles are the two fact joins. Group on nation name.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** Left outer join: order count + total spend per customer, keeping
+    * customers with no orders (null-safe aggregation over the outer side).
+    */
+  def joinLeftOuter(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        pround(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+
+  /** Left-semi join: customers with ≥1 urgent order. This is jetstream's
+    * S14/S15 set-membership filter generalized to a real table-vs-table
+    * semi join (SURVEY §2.2: "degenerate broadcast semi joins"). The
+    * filtered orders side broadcasts.
+    */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(broadcast(urgent), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** Left-anti join: customers with no orders at all. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val ordered = Tables.orders(spark, dir).select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(broadcast(ordered), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Window / running total: cumulative spend per customer over order
+    * time. One shuffle on custkey; in-partition sort; rows-unbounded-
+    * preceding frame. Deterministic tie-break on orderkey.
+    */
+  def windowRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("running_spend", pround(sum(col("o_totalprice")).over(w), 2))
+  }
+
+  /** Window / top-N per group: each customer's 3 largest orders by price
+    * (row_number desc, orderkey tie-break for determinism).
+    */
+  def windowTopPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+  }
+
+  /** Window / lag: days between consecutive orders of a customer —
+    * jetstream's S27 inter-event-gap derivation generalized per key.
+    */
+  def windowOrderGap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("gap_days", datediff(col("o_orderdate"), col("prev_date")).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("gap_days"))
+  }
+
+  /** Set ops — INTERSECT: users who both clicked and purchased. */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.filter(col("event_type") === "click").select(col("user_id"))
+      .intersect(e.filter(col("event_type") === "purchase").select(col("user_id")))
+  }
+
+  /** Set ops — EXCEPT: users who viewed but never purchased. */
+  def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.filter(col("event_type") === "view").select(col("user_id"))
+      .except(e.filter(col("event_type") === "purchase").select(col("user_id")))
+  }
+
+  /** Set ops — UNION ALL + distinct aggregation across two sources. */
+  def setUnion(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey").as("custkey"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    big.union(urgent).distinct()
+  }
+
+  /** ROLLUP grouping sets over (returnflag, linestatus) — subtotal rows
+    * carry nulls exactly as ANSI ROLLUP defines, matching DuckDB.
+    */
+  def rollupPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        pround(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  /** Top-k: 10 priciest parts — planned as TakeOrderedAndProject. */
+  def topkParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      .limit(10)
+
+  /** Exact distinct cardinality per group (the oracle-checkable twin of
+    * approx_count_distinct; the HLL variant is benched but not
+    * oracle-gated since sketches aren't bit-identical across engines).
+    */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+
+  /** As-of join: for each event, the customer's most recent order at or
+    * before the event time (event enrichment against a slowly-changing
+    * fact — SURVEY §2.2 joins row: "as-of join for event↔dimension
+    * enrichment"). Composed from an inequality join + max aggregation —
+    * built-ins only, no custom strategy needed; at scale the same shape
+    * benefits from bucketing both sides on the key.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(max(col("o_orderdate")).as("asof_orderdate"))
+  }
+}
