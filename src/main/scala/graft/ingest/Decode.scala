@@ -1,0 +1,87 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.Event
+
+/** Ingest-side decode: raw firehose commit frames → flat event rows
+  * (reference pipeline: pkg/consumer/consumer.go:99-305, SURVEY §2.1
+  * S3-S8). All steps are narrow (no shuffle) — the whole decode chain is
+  * one map-side stage that fuses into a single WholeStageCodegen span, so
+  * it scales linearly with input splits.
+  *
+  * Steps, each cited to the reference behavior it reproduces:
+  *   1. too-big drop          (consumer.go:106-109)        → filter
+  *   2. op explode, 1→N       (consumer.go:194, `for _, op`) → explode
+  *   3. path split            (consumer.go:195-196)        → split '/'
+  *   4. op-kind switch        (consumer.go:215-301):
+  *        create/update keep record, verify CID; delete has no record;
+  *        unknown kinds dropped                            → when/filter
+  *   5. CID-mismatch drop     (consumer.go:227-231)        → filter
+  *   6. envelope build        (consumer.go:210-213,245-297) → struct()
+  */
+object Decode {
+
+  /** Raw JSON lines of commit frames → parsed frames. */
+  def parseFrames(raw: DataFrame, jsonCol: String = "value"): DataFrame =
+    raw.select(from_json(col(jsonCol), Event.rawCommitSchema).as("f"))
+      .select(col("f.*"))
+
+  private def opKindToType: Column =
+    when(col("op.action") === "create", Event.CommitCreate)
+      .when(col("op.action") === "update", Event.CommitUpdate)
+      .when(col("op.action") === "delete", Event.CommitDelete)
+
+  /** Parsed frames → one row per op, with the jetstream commit-event
+    * envelope columns. Deletes carry null record/cid; creates/updates
+    * with a CID mismatch between the op and the fetched record are
+    * dropped (at-least-once upstream ⇒ safe to drop corrupt frames).
+    */
+  def explodeOps(frames: DataFrame): DataFrame =
+    frames
+      .filter(!coalesce(col("tooBig"), lit(false))) // S4
+      .select(col("did"), col("rev"), col("time"), explode(col("ops")).as("op")) // S6
+      .withColumn("opType", opKindToType) // S7
+      .filter(col("opType").isNotNull) // unknown kind → drop (consumer.go:298-301)
+      .filter( // CID check only applies when a record was fetched (consumer.go:227-231)
+        col("opType") === Event.CommitDelete ||
+          col("op.cid") === col("op.recordCid"))
+      .select(
+        col("did"),
+        col("time"),
+        lit(Event.TypeCommit).as("type"),
+        struct(
+          col("rev"),
+          col("opType").as("type"),
+          split(col("op.path"), "/").getItem(0).as("collection"), // S6 path split
+          split(col("op.path"), "/").getItem(1).as("rkey"),
+          when(col("opType") =!= Event.CommitDelete, col("op.record")).as("record"), // S8
+          when(col("opType") =!= Event.CommitDelete, col("op.cid")).as("cid"))
+          .as("commit"))
+
+  /** Wire-format serialization: one event row → one JSON text column,
+    * field order/naming per the reference examples (README.md:60-129).
+    * `to_json` drops null struct fields like Go's `omitempty`, and the
+    * raw-JSON `record` payload is re-inlined as a nested object (not an
+    * escaped string) via Spark 4's variant type — the `json.RawMessage`
+    * passthrough on the way out. This is the serialize-once half of S17 —
+    * callers fan the single `wire` column out to N subscribers.
+    * Storage-layout columns (`event_hour`) are excluded from the wire.
+    */
+  def toWire(events: DataFrame, exclude: Set[String] = Set("event_hour")): DataFrame = {
+    val withInlineRecord = events.columns.filterNot(exclude).toIndexedSeq.map {
+      case "commit" =>
+        when(col("commit").isNotNull, struct(
+          col("commit.rev").as("rev"),
+          col("commit.type").as("type"),
+          col("commit.collection").as("collection"),
+          col("commit.rkey").as("rkey"),
+          try_parse_json(col("commit.record")).as("record"),
+          col("commit.cid").as("cid"))).as("commit")
+      case name => col(name)
+    }
+    events.withColumn("wire", to_json(struct(withInlineRecord: _*),
+      Map("ignoreNullFields" -> "true")))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ingest
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.store.EventsTable
+
+/** S1+S9+S10+S11 — the ingest job: streaming source → per-batch monotonic
+  * sequencing → append to the events table (reference pipeline §3.1:
+  * firehose → decode workers → single sequencer goroutine → pebble).
+  *
+  * Durability/recovery contract mirrors the reference exactly
+  * (SURVEY §7.4.5): event writes are at-least-once (reference uses
+  * pebble.NoSync, persist.go:110), the resume point is checkpointed
+  * (reference: cursor write every 5 s, persist.go:41-63; here: the
+  * Structured Streaming offset/commit log at `checkpointDir`), and the
+  * sequencer high-water mark is recovered from the table itself on
+  * restart (`max(time_us)`), reproducing the reference's
+  * read-cursor-then-resume startup (cmd/jetstream/main.go:280-297).
+  */
+object IngestJob {
+
+  /** Recover the sequencer position from the persisted log. */
+  def recoverMaxTimeUs(events: DataFrame): Long = {
+    val row = events.agg(max(col("time_us"))).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  /** Start the ingest stream. `decoded` is a streaming DataFrame of
+    * event rows (post-Decode, pre-sequencing); `orderCols` give the
+    * deterministic intra-batch order.
+    */
+  def start(
+      decoded: DataFrame,
+      orderCols: Seq[String],
+      tablePath: String,
+      checkpointDir: String,
+      prevMaxUs: Long = 0L,
+      nowUs: () => Long = () => System.currentTimeMillis() * 1000L): StreamingQuery = {
+    val hwm = new AtomicLong(prevMaxUs)
+    decoded.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val seq = Sequencer.stamp(batch, orderCols, hwm.get(), nowUs)
+        if (seq.maxTimeUs > hwm.get()) {
+          EventsTable.append(seq.df, tablePath)
+          hwm.set(seq.maxTimeUs)
+        }
+      }
+      .start()
+  }
+}

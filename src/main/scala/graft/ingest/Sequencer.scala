@@ -1,0 +1,45 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Monotonic sequencer — the reference's single hard invariant (SURVEY
+  * §7.4.1): every persisted event gets a strictly-increasing `time_us`
+  * that doubles as the global sort key and the subscriber cursor domain.
+  *
+  * Reference: pkg/monotonic/clock.go:34-56 (wall-clock µs, bumped +1 on
+  * collision) funneled through ONE goroutine (consumer.go:76,304,311-342)
+  * — i.e. the reference also serializes all parallelism at this stage.
+  *
+  * Spark translation: per micro-batch, order the batch deterministically,
+  * stamp `time_us = base + row_number - 1` where
+  * `base = max(prevMax + 1, wallClockUs)` — the same
+  * max(last+1, now) rule as clock.go:45-53, applied batch-wise. The
+  * unpartitioned row_number is a deliberate single-task stage, exactly
+  * the bottleneck the reference accepted; everything before and after it
+  * is fully parallel. `prevMax` is carried across batches by the caller
+  * (checkpointed in streaming, see IngestJob).
+  */
+object Sequencer {
+
+  final case class Sequenced(df: DataFrame, maxTimeUs: Long)
+
+  /** Stamp a batch. `orderCols` defines the intra-batch total order
+    * (arrival order proxy — must be deterministic and unique).
+    * `nowUs` is injectable for tests.
+    */
+  def stamp(
+      batch: DataFrame,
+      orderCols: Seq[String],
+      prevMaxUs: Long,
+      nowUs: () => Long = () => System.currentTimeMillis() * 1000L): Sequenced = {
+    val n = batch.count()
+    if (n == 0) return Sequenced(batch.sparkSession.emptyDataFrame, prevMaxUs)
+    val base = math.max(prevMaxUs + 1, nowUs())
+    val w = Window.orderBy(orderCols.map(col): _*)
+    val stamped = batch.withColumn("time_us",
+      lit(base) + row_number().over(w).cast("long") - 1L)
+    Sequenced(stamped, base + n - 1)
+  }
+}

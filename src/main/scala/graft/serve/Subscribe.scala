@@ -1,0 +1,73 @@
+package graft.serve
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The serving-layer predicate model (reference:
+  * cmd/jetstream/server.go:118-136 `emitToSubscriber`, and the parameter
+  * validation at server.go:250-287).
+  *
+  * A subscription is three independent predicates ANDed, each with
+  * "empty ⇒ pass-all" semantics:
+  *   - wantedCollections (S14, server.go:119-123)
+  *   - wantedDids        (S15, server.go:125-129)
+  *   - time_us > hwm     (S16, server.go:131-134 — the per-subscriber
+  *                        high-water mark that dedups the replay/live
+  *                        overlap)
+  *
+  * `filterFor` builds one Column so Catalyst can reorder/push all
+  * conjuncts into the scan; for very large wanted-sets callers should
+  * join a broadcast keyed DataFrame instead (same semantics, hash lookup
+  * instead of linear isin).
+  */
+object Subscribe {
+
+  /** NSID syntax per the reference's validation of wantedCollections
+    * (server.go:253-259, indigo `syntax.ParseNSID`): dotted, ≥3 segments,
+    * last segment a name. Conservative approximation of the atproto spec.
+    */
+  val NsidRegex = "^[a-zA-Z]([a-zA-Z0-9-]*)(\\.[a-zA-Z0-9-]+)+\\.[a-zA-Z]([a-zA-Z0-9]*)$"
+
+  /** DID syntax per server.go:265-271 (indigo `syntax.ParseDID`). */
+  val DidRegex = "^did:[a-z]+:[a-zA-Z0-9._:%-]*[a-zA-Z0-9._-]$"
+
+  final case class SubscriberSpec(
+      wantedCollections: Seq[String] = Nil,
+      wantedDids: Seq[String] = Nil,
+      hwmUs: Long = Long.MinValue)
+
+  /** S2 — parameter validation at the query boundary. */
+  def validate(spec: SubscriberSpec): Either[String, SubscriberSpec] = {
+    val badNsid = spec.wantedCollections.filterNot(_.matches(NsidRegex))
+    val badDid = spec.wantedDids.filterNot(_.matches(DidRegex))
+    if (badNsid.nonEmpty) Left(s"invalid NSIDs: ${badNsid.mkString(",")}")
+    else if (badDid.nonEmpty) Left(s"invalid DIDs: ${badDid.mkString(",")}")
+    else Right(spec)
+  }
+
+  /** The compound subscriber predicate (empty set ⇒ pass-all). */
+  def filterFor(spec: SubscriberSpec,
+      collectionCol: String = "collection",
+      didCol: String = "did",
+      timeCol: String = "time_us"): Column = {
+    val collOk: Column =
+      if (spec.wantedCollections.isEmpty) lit(true)
+      else col(collectionCol).isin(spec.wantedCollections: _*)
+    val didOk: Column =
+      if (spec.wantedDids.isEmpty) lit(true)
+      else col(didCol).isin(spec.wantedDids: _*)
+    collOk && didOk && (col(timeCol) > spec.hwmUs)
+  }
+
+  /** S17 — serialize-once fan-out: one upstream batch, N subscriber
+    * views. The wire JSON is materialized once (caller passes a batch
+    * already carrying a `wire` column, see Decode.toWire, and should
+    * `persist()` it — the Spark analog of marshaling once at
+    * server.go:73 before the semaphore fan-out at :87-111); each
+    * subscriber then only filters + selects.
+    */
+  def fanOut(wireBatch: DataFrame, specs: Map[String, SubscriberSpec]): Map[String, DataFrame] =
+    specs.map { case (name, spec) =>
+      name -> wireBatch.filter(filterFor(spec)).select(col("wire"))
+    }
+}

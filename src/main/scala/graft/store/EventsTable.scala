@@ -1,0 +1,51 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The persisted event log: a time-partitioned, time-sorted parquet table
+  * — the Spark-native layout reproducing what the reference gets from its
+  * LSM key `{time_us}_{did}_{collection}` (pkg/consumer/persist.go:101-108):
+  *
+  *   - partition column `event_hour` (hours since epoch) ⇒ cursor replay
+  *     prunes whole partitions (≙ pebble iterator LowerBound skipping,
+  *     persist.go:152-155);
+  *   - `sortWithinPartitions(time_us)` before write ⇒ parquet row-group
+  *     min/max statistics are tight, so the `time_us >= cursor` residual
+  *     predicate skips row groups inside the boundary hour;
+  *   - did/collection stay ordinary columns with dictionary-encoded pages
+  *     — predicate pushdown gives the "filter before materializing the
+  *     value" behavior of the reference's key-only scan (persist.go:174-194).
+  *
+  * At 100 TB: hour granularity × ~1-4 GB/partition is the target; the
+  * layout is append-only per hour so ingest never rewrites history, and
+  * TTL trim (Retention) is a partition drop, not a data rewrite.
+  */
+object EventsTable {
+
+  val PartitionCol = "event_hour"
+
+  /** Add the derived partition column. */
+  def withLayoutCols(events: DataFrame): DataFrame =
+    events.withColumn(PartitionCol, (col("time_us") / 3600000000L).cast("long"))
+
+  /** Append a (sequenced) batch of events to the table. */
+  def append(events: DataFrame, path: String): Unit =
+    withLayoutCols(events)
+      .sortWithinPartitions(col("time_us"))
+      .write
+      .mode(SaveMode.Append)
+      .partitionBy(PartitionCol)
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S13 — cursor replay: ordered scan of `[cursorUs, ∞)`. The hour
+    * predicate prunes partitions; the µs predicate prunes row groups.
+    */
+  def replay(spark: SparkSession, path: String, cursorUs: Long): DataFrame =
+    read(spark, path)
+      .filter(col(PartitionCol) >= cursorUs / 3600000000L && col("time_us") >= cursorUs)
+      .orderBy(col("time_us"))
+}

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** S22 — keyed ordered parallelism (reference:
+  * pkg/client/schedulers/parallel/parallel.go:92-152 — events for the
+  * same repo DID process sequentially, different DIDs concurrently, with
+  * a per-key FIFO).
+  *
+  * Spark-native form: `groupByKey(did)` hash-partitions the stream
+  * (different keys run on different tasks = the worker pool) and
+  * `flatMapGroupsWithState` holds the per-key high-water mark, emitting
+  * events in per-key order and flagging regressions — per-key FIFO with
+  * cross-key parallelism, state bounded at one long per live key.
+  */
+object KeyedOrder {
+
+  final case class KeyedEvent(did: String, time_us: Long, payload: String)
+  final case class OrderedEvent(did: String, time_us: Long, payload: String, inOrder: Boolean)
+  final case class KeyState(maxTimeUs: Long)
+
+  def process(events: Dataset[KeyedEvent]): Dataset[OrderedEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.did)
+      .flatMapGroupsWithState[KeyState, OrderedEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (did: String, batch: Iterator[KeyedEvent], state: GroupState[KeyState]) =>
+          val prev = state.getOption.map(_.maxTimeUs).getOrElse(Long.MinValue)
+          // per-key order within the batch; state carries order across batches
+          val sorted = batch.toSeq.sortBy(_.time_us)
+          var hwm = prev
+          val out = sorted.map { e =>
+            val ok = e.time_us > hwm
+            if (ok) hwm = e.time_us
+            OrderedEvent(e.did, e.time_us, e.payload, ok)
+          }
+          state.update(KeyState(hwm))
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming-side operators over the live event tail (SURVEY §2.2
+  * streaming rows): watermarked dedup for the replay/live overlap and
+  * the windowed aggregations that replace the reference's Prometheus
+  * counters + Grafana `rate()` panels.
+  *
+  * All transforms here take and return streaming DataFrames; sinks and
+  * triggers belong to the caller (tests use MemoryStream + memory sink).
+  */
+object LiveTail {
+
+  /** Event-time column derived from the µs sequence domain. */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time", timestamp_micros(col("time_us")))
+
+  /** S16 streaming twin — overlap dedup with bounded state: duplicates
+    * can only occur within the replay/live handoff window, so a
+    * watermark bounds the dedup state (vs the reference's per-subscriber
+    * scalar hwm, server.go:131-134 — same guarantee, bounded memory).
+    */
+  def dedupOverlap(events: DataFrame, watermark: String = "10 seconds"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("time_us")
+
+  /** S25 streaming — per-collection event counts over tumbling windows
+    * (the Grafana `rate(jetstream_events_processed[1m])` panel as a
+    * first-class streaming aggregation; partial aggregation happens
+    * per-microbatch map-side, state is one row per (window, collection)).
+    */
+  def windowedCounts(events: DataFrame,
+      window_ : String = "1 minute",
+      watermark: String = "10 seconds"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("collection"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("collection"), col("n_events"))
+}

@@ -1,0 +1,62 @@
+package graft.ingest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Event
+
+/** Op-explode / op-kind-switch semantics (reference
+  * pkg/consumer/consumer.go:106-109,194-305).
+  */
+class DecodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val frames = Seq(
+    // 3 ops in one frame: create (cid ok), delete, update with CID mismatch
+    """{"did":"did:plc:alice","rev":"r1","seq":1,"time":"2024-09-05T06:11:04.870Z","tooBig":false,
+       "ops":[
+         {"action":"create","path":"app.bsky.feed.post/k1","cid":"c1","recordCid":"c1","record":{"text":"hi"}},
+         {"action":"delete","path":"app.bsky.graph.follow/k2"},
+         {"action":"update","path":"app.bsky.feed.post/k3","cid":"c3","recordCid":"DIFFERENT","record":{"text":"nope"}}
+       ]}""".replaceAll("\n\\s*", ""),
+    // tooBig frame: dropped entirely (consumer.go:106-109)
+    """{"did":"did:plc:bob","rev":"r2","seq":2,"time":"2024-09-05T06:12:00.000Z","tooBig":true,
+       "ops":[{"action":"create","path":"app.bsky.feed.post/k4","cid":"c4","recordCid":"c4","record":{}}]}"""
+      .replaceAll("\n\\s*", ""),
+    // unknown op kind: dropped (consumer.go:298-301)
+    """{"did":"did:plc:carol","rev":"r3","seq":3,"time":"2024-09-05T06:13:00.000Z","tooBig":false,
+       "ops":[{"action":"frobnicate","path":"app.bsky.feed.post/k5"}]}""".replaceAll("\n\\s*", ""))
+
+  private lazy val decoded =
+    Decode.explodeOps(Decode.parseFrames(frames.toDF("value"))).cache()
+
+  test("op explode emits one event per valid op; invalid ops dropped") {
+    // of 5 ops total: create ok, delete ok; cid-mismatch, tooBig, unknown → dropped
+    assert(decoded.count() == 2)
+  }
+
+  test("create op keeps raw record JSON and splits path") {
+    val create = decoded.filter(col("commit.type") === Event.CommitCreate).head()
+    val commit = create.getStruct(create.fieldIndex("commit"))
+    assert(commit.getAs[String]("collection") == "app.bsky.feed.post")
+    assert(commit.getAs[String]("rkey") == "k1")
+    assert(commit.getAs[String]("record").contains("\"text\":\"hi\""))
+    assert(commit.getAs[String]("cid") == "c1")
+  }
+
+  test("delete op carries no record or cid") {
+    val del = decoded.filter(col("commit.type") === Event.CommitDelete).head()
+    val commit = del.getStruct(del.fieldIndex("commit"))
+    assert(commit.getAs[String]("collection") == "app.bsky.graph.follow")
+    assert(commit.getAs[String]("record") == null)
+    assert(commit.getAs[String]("cid") == null)
+  }
+
+  test("wire serialization omits null fields like Go omitempty") {
+    val wire = Decode.toWire(decoded.filter(col("commit.type") === Event.CommitDelete))
+      .select("wire").as[String].head()
+    assert(!wire.contains("\"record\""))
+    assert(wire.contains("\"type\":\"com\""))
+    assert(wire.contains("\"collection\":\"app.bsky.graph.follow\""))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ingest.IngestJob
+import graft.store.EventsTable
+
+/** Streaming end-to-end: MemoryStream-driven micro-batches through the
+  * ingest job (sequencer + append + checkpoint resume) and the
+  * watermarked operators.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  final case class Raw(arrival: Long, did: String, collection: String)
+
+  test("ingest job: sequenced append across micro-batches, resume from table (main.go:280-297)") {
+    implicit val ctx = spark.sqlContext
+    val table = tmpDir("ingest-table")
+    val ckpt = tmpDir("ingest-ckpt")
+
+    val in = MemoryStream[Raw]
+    in.addData((1 to 50).map(i => Raw(i.toLong, s"did${i % 3}", "app.c")))
+    val q1 = IngestJob.start(in.toDF(), Seq("arrival"), table, ckpt,
+      prevMaxUs = 0L, nowUs = () => 1000000L)
+    q1.awaitTermination()
+
+    val t1 = EventsTable.read(spark, table).select("time_us").as[Long].collect().sorted
+    assert(t1.length == 50)
+    assert(t1.toSeq == (1000000L until 1000050L))
+
+    // restart: recover hwm from the table (reference cursor-resume), new data
+    val in2 = MemoryStream[Raw]
+    in2.addData((51 to 80).map(i => Raw(i.toLong, s"did${i % 3}", "app.c")))
+    val recovered = IngestJob.recoverMaxTimeUs(EventsTable.read(spark, table))
+    assert(recovered == 1000049L)
+    val q2 = IngestJob.start(in2.toDF(), Seq("arrival"), table, tmpDir("ingest-ckpt2"),
+      prevMaxUs = recovered, nowUs = () => 500L) // stuck clock → prevMax+1 path
+    q2.awaitTermination()
+
+    val t2 = EventsTable.read(spark, table).select("time_us").as[Long].collect().sorted
+    assert(t2.length == 80)
+    assert(t2.toSeq == t2.distinct.sorted.toSeq) // still strictly monotonic, no overlap
+    assert(t2.max == 1000079L)
+  }
+
+  test("dedupOverlap drops replay/live duplicates within watermark") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val deduped = LiveTail.dedupOverlap(in.toDF().toDF("time_us", "did"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    // replay tail and live head overlap on 100..104
+    in.addData((100L to 104L).map(t => (t * 1000000, "a")))
+    q.processAllAvailable()
+    in.addData((102L to 107L).map(t => (t * 1000000, "a")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").select("time_us").as[Long].collect().sorted
+    assert(out.length == 8) // 100..107 exactly once
+    assert(out.toSeq == (100L to 107L).map(_ * 1000000))
+  }
+
+  test("windowedCounts aggregates per tumbling window and collection") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val counts = LiveTail.windowedCounts(
+      in.toDF().toDF("time_us", "collection"), "1 minute", "0 seconds")
+    val q = counts.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    // 90 events in minute 0, 30 in minute 1, two collections
+    in.addData((0 until 120).map(i => (i.toLong * 1000000, s"c${i % 2}")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("win_out")
+      .select("window_start", "collection", "n_events")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    def ts(min: Int) = java.sql.Timestamp.valueOf(s"1970-01-01 00:0$min:00")
+    assert(out == Set(
+      (ts(0), "c0", 30L), (ts(0), "c1", 30L),
+      (ts(1), "c0", 30L), (ts(1), "c1", 30L)))
+  }
+}
