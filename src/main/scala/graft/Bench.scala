@@ -1,5 +1,16 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every registered query at the SF dir in
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * A warmup pass at sf0.001 runs first so the timings measure steady-state
+  * engine throughput (scan/join/agg codepaths JIT-compiled, parquet
+  * footers cached) rather than first-query JVM warmup — the same
+  * methodology as the reference's operational steady-state metrics
+  * (BASELINE.md: sustained events/s, not cold-start).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,9 +18,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Warmup: every query once at the smallest SF (JIT + codegen + footer
+    // cache), result discarded.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -160,33 +160,33 @@ object ExtQueries {
   val MinHashBandRows = 4
   private val MersennePrime = 2147483647L // 2^31-1
 
-  /** MinHash signature matrix: (doc_id, j, minhash_j), j ∈ [0,16).
-    * h_j(s) = (a_j·H(s) + b_j) mod p over trigram shingles, with
-    * H = portable md5-derived 32-bit hash — exactly reproducible in SQL.
-    */
-  private def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    shingles(spark, dir)
-      .select(col("doc_id"), h32(col("shingle")).as("h"))
-      .select(col("doc_id"), col("h"),
-        explode(expr(s"sequence(0, ${MinHashK - 1})")).as("j"))
-      .select(col("doc_id"), col("j"),
-        (((col("j") * 2 + 1) * col("h") + col("j") * 7919 + 1) % MersennePrime).as("hj"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(col("hj")).as("mh"))
-
-  /** E1 — MinHash-LSH candidate pairs: band the 16-slot signature into
+  /** E1 — MinHash-LSH candidate pairs: 16-slot signature banded into
     * 4 bands of 4, bucket by (band, band-signature), emit distinct
     * colliding pairs. This is the scale path for near-dup detection:
     * the only join is on band buckets; no all-pairs comparison exists
     * anywhere in the plan. Expected to recover the J≥0.9 pair set
     * (16 hashes, b=4/r=4 ⇒ ~50% threshold).
+    *
+    * Shape: all 16 permutation mins — h_j(s) = (a_j·H(s)+b_j) mod p over
+    * trigram shingles, H = portable md5-derived hash — are computed as 16
+    * aggregates in ONE pass over the shingle rows (no 16× explode), then
+    * banded with a 4-row `stack`. One shuffle on doc_id, one on the band
+    * bucket.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val bands = minhashSignatures(spark, dir)
-      .withColumn("band", (col("j") / MinHashBandRows).cast("long"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(j, mh))), x -> cast(x.mh as string)), ',')")
-        .as("sig"))
+    val minCols = (0 until MinHashK).map { j =>
+      min((col("h") * (2 * j + 1) + j * 7919 + 1) % MersennePrime).as(s"mh$j")
+    }
+    val sigs = shingles(spark, dir)
+      .select(col("doc_id"), h32(col("shingle")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+    val nBands = MinHashK / MinHashBandRows
+    val stackArgs = (0 until nBands).map { b =>
+      val slots = (0 until MinHashBandRows).map(r => s"mh${b * MinHashBandRows + r}")
+      s"${b}L, concat_ws(',', ${slots.mkString(", ")})"
+    }.mkString(", ")
+    val bands = sigs.selectExpr("doc_id", s"stack($nBands, $stackArgs) as (band, sig)")
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -256,20 +256,34 @@ object ExtQueries {
     * probe then computes exact cosine only inside its bucket (see
     * `graft.ext.Similarity` for the search API).
     */
+  /** md5-derived hyperplane coefficient for (plane, dim) — computed once
+    * driver-side; bit-identical to the SQL oracle's
+    * `('0x'||substr(md5(p||'_'||i),1,8))::BIGINT % 1000 - 500`.
+    */
+  private def planeCoef(p: Int, i: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${p}_$i".getBytes("UTF-8"))
+    val hex8 = digest.take(4).map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex8, 16) % 1000 - 500).toDouble
+  }
+
   def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
     val sig = (0 until 8).map { p =>
-      // signed coefficient for (plane p, dim i): md5-derived in [-500, 499]
+      // hyperplane as a literal coefficient array: zero per-row hashing,
+      // the dot product stays a codegen'd fold over the vector column
+      val coefs = array((0 until 64).map(i => lit(planeCoef(p, i))): _*)
       val dot = expr(
-        s"""aggregate(
-           |  zip_with(transform(embedding, x -> cast(x as double)),
-           |           transform(sequence(0, size(embedding)-1),
-           |                     i -> cast(conv(substring(md5(concat('$p', '_', i)), 1, 8), 16, 10) as long) % 1000 - 500),
-           |           (x, c) -> x * cast(c as double)),
-           |  0D, (acc, v) -> acc + v)""".stripMargin)
+        s"aggregate(zip_with(embedding, plane_$p, (x, c) -> cast(x as double) * c), 0D, (acc, v) -> acc + v)")
+      (coefs, dot, p)
+    }
+    val planes = sig.foldLeft(Tables.embeddings(spark, dir)) {
+      case (df, (coefs, _, p)) => df.withColumn(s"plane_$p", coefs)
+    }
+    val bucket = sig.map { case (_, dot, p) =>
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), sig.as("bucket"))
+    planes
+      .select(col("vec_id"), bucket.as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vecs"))
   }

@@ -48,8 +48,11 @@ object EventQueries {
     */
   def replayScan(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      // predicate on the RAW ts column (cursor re-scaled to the storage
+      // domain) so it pushes to parquet row-group min/max — a filter on
+      // the derived `ts div 1000` would scan everything
+      .filter(col("ts") >= CursorUs * 1000L)
       .select(col("event_id"), timeUs.as("time_us"), col("user_id"), col("event_type"))
-      .filter(col("time_us") >= CursorUs)
       .orderBy(col("time_us"), col("event_id"))
       .limit(5000)
 
@@ -75,11 +78,11 @@ object EventQueries {
     */
   def subscribeFilter(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .select(col("event_id"), timeUs.as("time_us"), col("user_id"), col("event_type"))
-      .filter(
+      .filter( // all three conjuncts on raw columns → all pushed to the scan
         col("event_type").isin("click", "view", "purchase") &&
           col("user_id").isin(0L, 2L, 4L, 6L, 8L, 10L, 12L, 14L) &&
-          col("time_us") > HwmUs)
+          col("ts") >= (HwmUs + 1) * 1000L) // time_us > hwm in the ns domain
+      .select(col("event_id"), timeUs.as("time_us"), col("user_id"), col("event_type"))
 
   /** S9 — monotonic sequencer, batch twin: assign a strictly increasing,
     * gap-free seq over the (ts, event_id) total order.
@@ -160,10 +163,12 @@ object EventQueries {
     * dropDuplicatesWithinWatermark (graft.streaming).
     */
   def overlapDedup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+    val raw = Tables.events(spark, dir)
+    def slice(cond: Column) = raw.filter(cond) // raw-ts predicates → pushed
       .select(col("event_id"), timeUs.as("time_us"), col("event_type"))
-    val replay = e.filter(col("time_us") >= CursorUs && col("time_us") < HwmUs + 86400000000L)
-    val live   = e.filter(col("time_us") > HwmUs)
+    val replay = slice(col("ts") >= CursorUs * 1000L &&
+      col("ts") < (HwmUs + 86400000000L) * 1000L)
+    val live   = slice(col("ts") >= (HwmUs + 1) * 1000L)
     replay.union(live)
       .groupBy(col("event_id"))
       .agg(min(col("time_us")).as("time_us"), min(col("event_type")).as("event_type"))

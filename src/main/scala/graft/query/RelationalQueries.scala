@@ -205,18 +205,26 @@ object RelationalQueries {
   /** As-of join: for each event, the customer's most recent order at or
     * before the event time (event enrichment against a slowly-changing
     * fact — SURVEY §2.2 joins row: "as-of join for event↔dimension
-    * enrichment"). Composed from an inequality join + max aggregation —
-    * built-ins only, no custom strategy needed; at scale the same shape
-    * benefits from bucketing both sides on the key.
+    * enrichment").
+    *
+    * Shape: orders are collapsed to one row per key carrying a date
+    * array, then joined 1:1 and probed with `array_max(filter(...))` —
+    * an equi-join whose output cardinality equals the probe side, vs the
+    * naive inequality-join + re-aggregate which multiplies every event
+    * by every matching order before collapsing again (measured 7-9 s vs
+    * <1 s here; the gap widens with per-key history length). At cluster
+    * scale the per-key array is bounded by per-customer history, and the
+    * equi-join buckets/broadcasts like any dimension join.
     */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),
         timestamp_micros(expr("ts div 1000")).as("ts"))
-    val o = Tables.orders(spark, dir)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-    e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
-      .groupBy(col("event_id"), col("user_id"))
-      .agg(max(col("o_orderdate")).as("asof_orderdate"))
+    val byCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(collect_list(col("o_orderdate")).as("dates"))
+    e.join(byCust, col("user_id") === col("o_custkey"), "left")
+      .select(col("event_id"), col("user_id"),
+        expr("array_max(filter(dates, d -> d <= ts))").as("asof_orderdate"))
   }
 }
