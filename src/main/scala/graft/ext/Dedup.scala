@@ -1,0 +1,134 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.util.Portable.pround
+
+/** Deduplication operators for large text corpora (build brief E1):
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard — each a reusable
+  * DataFrame→DataFrame operator parameterized on the id/text columns.
+  *
+  * Hashing is md5-derived throughout (see ExtQueries scaladoc) so every
+  * operator is exactly reproducible in ANSI SQL for oracle testing —
+  * and deterministic across runs/cluster sizes, which production dedup
+  * pipelines need for idempotent re-runs.
+  *
+  * Scale design:
+  *   - exact/fingerprint shuffle 32-byte digests, never document bodies;
+  *   - MinHash-LSH is the candidate generator (join on band buckets
+  *     only — no all-pairs stage exists in any plan here);
+  *   - `ngramJaccardPairs` is the exact verifier: run it on everything
+  *     at fixture scale, or on LSH candidates at corpus scale
+  *     (`verifyCandidates`).
+  */
+object Dedup {
+
+  /** Portable 32-bit string hash (md5-hex prefix as long). */
+  def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Exact dedup on a content digest: one row per distinct content with
+    * the minimum id as canonical and the copy count.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as(s"canonical_$idCol"), count(lit(1)).as("n_copies"))
+
+  /** Normalized content fingerprint (lower + whitespace collapse). */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      md5(lower(regexp_replace(col(textCol), "\\s+", " "))).as("fingerprint"))
+
+  /** Distinct word n-gram shingles: (id, shingle). Narrow + distinct —
+    * the input to both MinHash and exact-Jaccard.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', ${(0 until n).map(k => s"w[i+$k]").mkString(", ")}))"))
+        .as("shingle"))
+      .distinct()
+
+  private val MersennePrime = 2147483647L
+
+  /** MinHash-LSH candidate pairs (id_a < id_b, distinct). `k` hashes in
+    * `bands` bands of k/bands rows; banding threshold ≈ (1/b)^(1/r).
+    * One pass over shingles (k parallel min-aggregates), one band-bucket
+    * join.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val minCols = (0 until k).map { j =>
+      min((col("h") * (2 * j + 1) + j * 7919 + 1) % MersennePrime).as(s"mh$j")
+    }
+    val sigs = shingles(df, idCol, textCol, shingleN)
+      .select(col(idCol), h32(col("shingle")).as("h"))
+      .groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+    val stackArgs = (0 until bands).map { b =>
+      val slots = (0 until rows).map(r => s"mh${b * rows + r}")
+      s"${b}L, concat_ws(',', ${slots.mkString(", ")})"
+    }.mkString(", ")
+    val banded = sigs.selectExpr(idCol, s"stack($bands, $stackArgs) as (band, sig)")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as(s"${idCol}_a"), col(s"b.$idCol").as(s"${idCol}_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similar pairs at `threshold` (on the pround-ed
+    * value), via the shingle-collision join.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleN).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as(s"${idCol}_a"), col(s"b.$idCol").as(s"${idCol}_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed(idCol, s"${idCol}_a").withColumnRenamed("n", "n_a"), s"${idCol}_a")
+      .join(sizes.withColumnRenamed(idCol, s"${idCol}_b").withColumnRenamed("n", "n_b"), s"${idCol}_b")
+      .withColumn("jaccard",
+        pround(col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
+  }
+
+  /** Scale-path composition: exact-verify only the LSH candidates.
+    * Returns candidate pairs annotated with exact Jaccard, filtered at
+    * `threshold` — the production near-dup pipeline in one call.
+    */
+  def verifyCandidates(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, k: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val cands = minhashLshPairs(df, idCol, textCol, k, bands, shingleN)
+    val ids = cands.select(col(s"${idCol}_a").as(idCol))
+      .union(cands.select(col(s"${idCol}_b").as(idCol))).distinct()
+    val subset = df.join(ids, Seq(idCol), "left_semi")
+    ngramJaccardPairs(subset, idCol, textCol, threshold, shingleN)
+      .join(cands, Seq(s"${idCol}_a", s"${idCol}_b"), "left_semi")
+  }
+
+  /** 32-bit SimHash signature per document (word-count weighted). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(idCol), col("cnt"), h32(col("word")).as("h"),
+        explode(expr("sequence(0, 31)")).as("b"))
+      .select(col(idCol), col("b"),
+        (col("cnt") * (expr("shiftright(h, b) % 2") * 2 - 1)).as("contrib"))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("s") > 0, expr("cast(pow(2, b) as long)")).otherwise(lit(0L)))
+        .as("simhash"))
+}

@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (build brief): image/audio/video payloads
+  * as opaque `binary` columns with typed metadata, plus a feature-extract
+  * stage whose Spark-side shape (schema, batching, partition parallelism)
+  * is real while the codec itself is stubbed — the image/audio libraries
+  * are not available in this environment, so `decodeStub` derives a
+  * deterministic fake feature vector from the bytes. Swapping in a real
+  * codec changes ONE function body, not the pipeline.
+  *
+  * Scale notes: binary payloads never shuffle — metadata extraction is a
+  * narrow projection, and downstream joins/aggregations use the digest or
+  * the (small) feature vector. Real decode belongs in `mapPartitions`
+  * over batched rows (amortizing codec init per partition, exactly like
+  * a Pandas-UDF batch on the PySpark side); `decodeFeatures` shows that
+  * structure.
+  */
+object Multimodal {
+
+  /** Typed metadata over an opaque binary column: byte length, digest,
+    * magic-prefix hex. Pure projection — codegen'd, no shuffle.
+    */
+  def withMetadata(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("n_bytes", octet_length(col(binCol)).cast("long"))
+      .withColumn("content_digest", md5(col(binCol)))
+      .withColumn("magic", hex(expr(s"substring($binCol, 1, 4)")))
+
+  /** Feature dimension of the stub decoder. */
+  val StubDims = 8
+
+  /** STUB — deterministic fake "decode + feature extract": derives
+    * `StubDims` floats from the content digest. A real implementation
+    * replaces this body with an actual codec (e.g. JPEG decode + pooled
+    * embedding); signature and pipeline stay identical.
+    */
+  private[ext] def stubFeatures(bytes: Array[Byte]): Array[Float] = {
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    (0 until StubDims).map { i =>
+      // two digest bytes per dim → [-1, 1)
+      (((digest(2 * i) & 0xff) << 8 | (digest(2 * i + 1) & 0xff)) - 32768) / 32768.0f
+    }.toArray
+  }
+
+  /** Batched per-partition decode: the production shape for codec work —
+    * one codec context per partition, rows streamed through it. Returns
+    * (passthrough columns..., features array<float>).
+    */
+  def decodeFeatures(df: DataFrame, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "features",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      // (real codec init would happen once, here)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ stubFeatures(bytes).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}

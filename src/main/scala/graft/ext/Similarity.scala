@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.util.Portable.pround
+
+/** Embedding similarity-search operators (build brief E2): brute-force
+  * cosine top-k as the exact baseline, random-hyperplane LSH bucketing as
+  * the scale path, and per-cluster centroid reduction (the IVF build
+  * step).
+  *
+  * The dot/norm folds are Spark higher-order functions over the raw
+  * `array<float>` column — no UDF, no serialization off the columnar
+  * path. Hyperplane coefficients are md5-derived and materialized
+  * driver-side as literals (deterministic across engines + runs; zero
+  * per-row hashing).
+  *
+  * Scale notes: brute-force is one scan + TakeOrderedAndProject (per-
+  * partition top-k heaps, no global sort); LSH probe touches only the
+  * query's bucket — at 100 TB the bucketed table is partitioned by
+  * `bucket`, so a probe is a partition-pruned scan.
+  */
+object Similarity {
+
+  /** Fold-based dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+
+  def toDoubleArr(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Cosine similarity of every row's `vecCol` against a fixed query
+    * vector, rounded for determinism.
+    */
+  def cosineTo(query: Seq[Double], vecCol: String, digits: Int = 6): Column = {
+    val q = array(query.map(lit): _*)
+    pround(dot(toDoubleArr(col(vecCol)), q) / (l2Norm(toDoubleArr(col(vecCol))) * l2Norm(q)), digits)
+  }
+
+  /** Exact top-k nearest neighbors of `query` by cosine. */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int = 10): DataFrame =
+    df.select(col(idCol), cosineTo(query, vecCol).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+
+  /** Per-row L2 norms (the scalar an IVF/LSH index precomputes). */
+  def norms(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), pround(l2Norm(toDoubleArr(col(vecCol))), 6).as("l2_norm"))
+
+  /** md5-derived hyperplane coefficient — bit-identical to the SQL
+    * `('0x'||substr(md5(p||'_'||i),1,8))::BIGINT % 1000 - 500`.
+    */
+  def planeCoef(p: Int, i: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${p}_$i".getBytes("UTF-8"))
+    val hex8 = digest.take(4).map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex8, 16) % 1000 - 500).toDouble
+  }
+
+  /** Sign-signature bucket id from `nPlanes` deterministic hyperplanes. */
+  def bucketCol(vecCol: String, dims: Int, nPlanes: Int = 8): Column =
+    (0 until nPlanes).map { p =>
+      val coefs = array((0 until dims).map(i => lit(planeCoef(p, i))): _*)
+      val d = aggregate(zip_with(col(vecCol), coefs, (x, c) => x.cast("double") * c),
+        lit(0.0d), (acc, v) => acc + v)
+      when(d > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Assign every vector to its LSH bucket. */
+  def withBuckets(df: DataFrame, vecCol: String, dims: Int, nPlanes: Int = 8): DataFrame =
+    df.withColumn("bucket", bucketCol(vecCol, dims, nPlanes))
+
+  /** ANN probe: exact cosine top-k computed only within the query's
+    * bucket (plus optionally neighboring buckets via `probes` —
+    * multi-probe LSH flips one sign bit per extra probe).
+    */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], dims: Int, k: Int = 10, nPlanes: Int = 8,
+      probes: Int = 1): DataFrame = {
+    val bucketed = withBuckets(df, vecCol, dims, nPlanes)
+    val qBucket = (0 until nPlanes).map { p =>
+      val d = (0 until dims).map(i => query(i) * planeCoef(p, i)).sum
+      if (d > 0) 1L << p else 0L
+    }.sum
+    val wanted = (Seq(qBucket) ++ (0 until nPlanes).map(p => qBucket ^ (1L << p)))
+      .take(math.max(1, probes))
+    bucketed.filter(col("bucket").isin(wanted: _*))
+      .select(col(idCol), cosineTo(query, vecCol).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Per-label centroid norm (the IVF cluster-reduce). */
+  def centroidNorms(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(toDoubleArr(col(vecCol))).as(Seq("i", "v")))
+      .groupBy(col(labelCol), col("i"))
+      .agg(avg(col("v")).as("c"))
+      .groupBy(col(labelCol))
+      .agg(pround(sqrt(sum(col("c") * col("c"))), 6).as("centroid_norm"))
+}

@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.util.Portable.pround
+
+/** Text-analysis operators (build brief E3): per-document statistics,
+  * corpus token counts, heuristic language ID, and quality scoring —
+  * reusable over any (id, text) DataFrame. All are narrow projections or
+  * single-shuffle aggregations; nothing leaves codegen.
+  */
+object TextStats {
+
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "is")
+
+  private def words(textCol: String): Column = split(col(textCol), " ")
+
+  private def stopCount(textCol: String, stops: Seq[String]): Column =
+    size(filter(words(textCol), w => stops.foldLeft(lit(false))((acc, s) => acc || (w === s))))
+
+  /** Per-document stats: chars, words, average word length. */
+  def stats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(words(textCol)).cast("long").as("n_words"),
+      pround(length(regexp_replace(col(textCol), " ", "")).cast("double") /
+        size(words(textCol)), 4).as("avg_word_len"))
+
+  /** Whitespace-token counts per group column (total + distinct). */
+  def tokenCounts(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.select(col(groupCol), explode(split(col(textCol), "\\s+")).as("token"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("n_distinct_tokens"))
+
+  /** Stopword-ratio language heuristic: `pred_lang` = markerLang when the
+    * stopword ratio clears `threshold`, else "unknown".
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String,
+      stops: Seq[String] = DefaultStopwords,
+      markerLang: String = "en", threshold: Double = 0.05): DataFrame =
+    df.select(col(idCol),
+      pround(stopCount(textCol, stops).cast("double") / size(words(textCol)), 4)
+        .as("stop_ratio"))
+      .withColumn("pred_lang",
+        when(col("stop_ratio") >= threshold, lit(markerLang)).otherwise(lit("unknown")))
+
+  /** Blended quality score in [0,1]: length, lexical diversity, stopword
+    * naturalness — the standard cheap pre-filter before expensive
+    * pipeline stages.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+      stops: Seq[String] = DefaultStopwords): DataFrame = {
+    val nWords = size(words(textCol)).cast("double")
+    val distinctRatio = size(array_distinct(words(textCol))) / nWords
+    val stopRatio = stopCount(textCol, stops) / nWords
+    val lengthScore = least(lit(1.0), nWords / 100.0)
+    df.select(col(idCol),
+      pround(lit(0.4) * lengthScore + lit(0.4) * distinctRatio + lit(0.2) * stopRatio, 4)
+        .as("quality"))
+  }
+}

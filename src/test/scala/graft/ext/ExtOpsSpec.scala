@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Library-API tests for the operators not covered by the oracle gate:
+  * ANN bucket probing, LSH-candidates→exact-verify composition, and the
+  * multimodal binary plumbing.
+  */
+class ExtOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("annTopK probe agrees with brute force on its own bucket members") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toDoubleArr(col("embedding")))
+      .head().getSeq[Double](0).toSeq
+    val ann = Similarity.annTopK(emb.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", q, dims = 64, k = 5, probes = 1)
+      .as[(Long, Double)].collect()
+    assert(ann.nonEmpty && ann.length <= 5)
+    // probe results must be a subset of brute-force cosine ranking order
+    val brute = Similarity.cosineTopK(emb.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", q, k = 500).as[(Long, Double)].collect().toMap
+    ann.foreach { case (id, cos) => assert(brute(id) == cos) }
+    // ann scores descend
+    assert(ann.map(_._2).toSeq == ann.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("verifyCandidates = LSH candidates ∩ exact pairs at threshold") {
+    val docs = graft.Tables.documents(spark, sf)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.8)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    val verified = Dedup.verifyCandidates(docs, "doc_id", "text", 0.8)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    // verified ⊆ exact, and with 16 hashes the J≥0.9 injected dups are found
+    assert(verified.subsetOf(exact))
+    assert(verified.nonEmpty)
+  }
+
+  test("multimodal metadata + stubbed batch decode plumbing") {
+    val df = Seq(
+      (1L, Array[Byte](0x42, 0x4d, 1, 2, 3)), // "BM" magic
+      (2L, Array[Byte](0891.toByte))).toDF("id", "payload")
+    val meta = Multimodal.withMetadata(df, "payload")
+    val m1 = meta.filter(col("id") === 1).head()
+    assert(m1.getAs[Long]("n_bytes") == 5)
+    assert(m1.getAs[String]("magic") == "424D0102")
+    assert(m1.getAs[String]("content_digest").length == 32)
+
+    val feats = Multimodal.decodeFeatures(df, "payload")
+    val rows = feats.select("id", "features").as[(Long, Seq[Float])].collect().toMap
+    assert(rows(1L).length == Multimodal.StubDims)
+    assert(rows(1L).forall(f => f >= -1f && f < 1f))
+    // deterministic: same bytes → same features
+    val again = Multimodal.decodeFeatures(df, "payload")
+      .select("id", "features").as[(Long, Seq[Float])].collect().toMap
+    assert(again == rows)
+  }
+}
