@@ -41,6 +41,7 @@ object SparkEntry {
     "ttl_retention"      -> EventQueries.ttlRetention _,
     "latest_per_user"    -> EventQueries.latestPerUser _,
     "type_share"         -> EventQueries.typeShare _,
+    "syntax_validate"    -> EventQueries.syntaxValidate _,
     // --- general relational surface (SURVEY §2.2) over TPC-H fixtures
     "q1_pricing_summary" -> RelationalQueries.q1PricingSummary _,
     "q3_top_revenue"     -> RelationalQueries.q3TopRevenue _,
@@ -208,9 +209,22 @@ object SparkEntry {
         |INTERSECT
         |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
     "set_except" ->
-      """SELECT user_id FROM events WHERE event_type = 'view'
+      """SELECT user_id, ts::DATE AS event_date FROM events WHERE event_type = 'view'
         |EXCEPT
-        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+        |SELECT user_id, ts::DATE AS event_date FROM events
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "syntax_validate" ->
+      """SELECT regexp_full_match(
+        |         CASE WHEN event_id % 7 = 0 THEN 'not a nsid'
+        |              ELSE 'app.bsky.' || event_type || '.rec' END,
+        |         '[a-zA-Z]([a-zA-Z0-9-]*)(\.[a-zA-Z0-9-]+)+\.[a-zA-Z]([a-zA-Z0-9]*)')
+        |         AS nsid_ok,
+        |       regexp_full_match(
+        |         CASE WHEN event_id % 11 = 0 THEN 'bogus'
+        |              ELSE 'did:plc:u' || user_id::VARCHAR END,
+        |         'did:[a-z]+:[a-zA-Z0-9._:%-]*[a-zA-Z0-9._-]') AS did_ok,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "set_union" ->
       """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
         |UNION

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of graft's native expressions.
+  *
+  * Two entry points:
+  *   - `spark.sql.extensions=graft.functions.GraftExtensions` at session
+  *     build time (the standard deployment path);
+  *   - `GraftFunctions.register(spark)` for an already-running session
+  *     (idempotent; used by the test/verify harness).
+  *
+  * Column-API wrappers are provided so Scala callers don't need SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private[functions] val descriptors: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("nsid_valid",
+      new ExpressionInfo(classOf[NsidValid].getName, "nsid_valid"),
+      (args: Seq[Expression]) => NsidValid(args.head)),
+    ("did_valid",
+      new ExpressionInfo(classOf[DidValid].getName, "did_valid"),
+      (args: Seq[Expression]) => DidValid(args.head)))
+
+  /** Idempotently register all graft functions on a live session. */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info, builder)
+    }
+
+  // Column-API wrappers (classic-mode Column↔Expression bridge)
+  import org.apache.spark.sql.graft.Bridge.{column, expression}
+  def nsid_valid(c: Column): Column = column(NsidValid(expression(c)))
+  def did_valid(c: Column): Column = column(DidValid(expression(c)))
+}

@@ -219,6 +219,26 @@ object EventQueries {
         pround(expr("percentile(value, 0.95)"), 4).as("p95"),
         pround(expr("percentile(value, 0.99)"), 4).as("p99"))
 
+  /** S2 — syntax validation at the query boundary via the native
+    * codegen expressions (graft.functions.NsidValid/DidValid; reference
+    * server.go:250-287). Events are mapped onto NSID/DID-shaped strings
+    * (with deterministic invalid cases mixed in) and bucketed by
+    * validity.
+    */
+  def syntaxValidate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val nsid = when(col("event_id") % 7 === 0, lit("not a nsid"))
+      .otherwise(concat(lit("app.bsky."), col("event_type"), lit(".rec")))
+    val did = when(col("event_id") % 11 === 0, lit("bogus"))
+      .otherwise(concat(lit("did:plc:u"), col("user_id")))
+    Tables.events(spark, dir)
+      .select(
+        graft.functions.GraftFunctions.nsid_valid(nsid).as("nsid_ok"),
+        graft.functions.GraftFunctions.did_valid(did).as("did_ok"))
+      .groupBy(col("nsid_ok"), col("did_ok"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   /** S17 — fan-out share: each type's share of total traffic (the
     * per-subscriber delivery-rate view, cmd/jetstream/metrics.go:23-31).
     * Ratio of a grouped count to the global count via a broadcast scalar.

@@ -158,11 +158,15 @@ object RelationalQueries {
       .intersect(e.filter(col("event_type") === "purchase").select(col("user_id")))
   }
 
-  /** Set ops — EXCEPT: users who viewed but never purchased. */
+  /** Set ops — EXCEPT at (user, day) granularity: days a user viewed but
+    * didn't purchase.
+    */
   def setExcept(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-    e.filter(col("event_type") === "view").select(col("user_id"))
-      .except(e.filter(col("event_type") === "purchase").select(col("user_id")))
+    def slice(t: String) = e.filter(col("event_type") === t)
+      .select(col("user_id"),
+        to_date(timestamp_micros(expr("ts div 1000"))).as("event_date"))
+    slice("view").except(slice("purchase"))
   }
 
   /** Set ops — UNION ALL + distinct aggregation across two sources. */
