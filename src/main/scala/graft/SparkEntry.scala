@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.query.{EventQueries, RelationalQueries}
+import graft.query.{EventQueries, RelationalQueries, ScalarQueries}
 import graft.ext.ExtQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -59,6 +59,14 @@ object SparkEntry {
     "topk_parts"         -> RelationalQueries.topkParts _,
     "distinct_users"     -> RelationalQueries.distinctUsers _,
     "asof_join"          -> RelationalQueries.asofJoin _,
+    "date_funcs"         -> ScalarQueries.dateFuncs _,
+    "string_funcs"       -> ScalarQueries.stringFuncs _,
+    "array_funcs"        -> ScalarQueries.arrayFuncs _,
+    "cube_pricing"       -> ScalarQueries.cubePricing _,
+    // sketch aggregates: registered without oracle (rows-only check) —
+    // approximate results are engine-specific; exact twins are gated above
+    "hll_distinct_users" -> ScalarQueries.hllDistinctUsers _,
+    "approx_quantiles"   -> ScalarQueries.approxQuantiles _,
     // --- LLM-pipeline extensions (E1-E3)
     "text_stats"         -> ExtQueries.textStats _,
     "token_counts"       -> ExtQueries.tokenCounts _,
@@ -245,6 +253,28 @@ object SparkEntry {
         |FROM events LEFT JOIN orders
         |  ON user_id = o_custkey AND o_orderdate <= ts
         |GROUP BY event_id, user_id""".stripMargin,
+    "date_funcs" ->
+      """SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS order_month,
+        |       year(o_orderdate) AS order_year,
+        |       count(*) AS n_orders,
+        |       min(o_orderdate + INTERVAL 30 DAY) AS min_due
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "string_funcs" ->
+      """SELECT p_partkey, upper(substr(p_name, 1, 5)) AS head,
+        |       length(p_name) AS name_len,
+        |       p_brand || '/' || p_type AS brand_type,
+        |       regexp_replace(p_name, 'a', '@', 'g') AS masked
+        |FROM part""".stripMargin,
+    "array_funcs" ->
+      """SELECT doc_id,
+        |       list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |       array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
+        |       list_sort(string_split(text, ' '))[1] AS first_sorted,
+        |       len(list_distinct(string_split(text, ' '))) AS n_distinct
+        |FROM documents""".stripMargin,
+    "cube_pricing" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |       len(string_split(text, ' ')) AS n_words,

@@ -1,0 +1,77 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Scalar-function surface (SURVEY §2.2 rows "Scalar funcs:
+  * string/date/json/array") — each family exercised in an oracle-gated
+  * query, plus the sketch aggregates (HLL) that ship without an oracle
+  * (approximate results are engine-specific; the driver records the
+  * rows-only check, and the exact twins in RelationalQueries gate
+  * correctness).
+  */
+object ScalarQueries {
+
+  /** Date/time functions: truncation, field extraction, interval
+    * arithmetic (reference time handling: RFC3339 parse at
+    * consumer.go:115,138,184; µs epoch math §S27; TTL cutoff
+    * persist.go:126).
+    */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        date_trunc("month", col("o_orderdate")).as("order_month"),
+        year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("min_due"))
+
+  /** String functions over part names/types. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 5)).as("head"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "a", "@").as("masked"))
+
+  /** Array functions over tokenized documents. */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        array_contains(col("w"), "spark").as("has_spark"),
+        array_join(slice(col("w"), 1, 3), " ").as("first3"),
+        element_at(sort_array(col("w")), 1).as("first_sorted"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"))
+
+  /** CUBE grouping sets (both dims + each margin + grand total). */
+  def cubePricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"))
+
+  /** HLL sketch: approx distinct users per type — registered WITHOUT an
+    * oracle (sketch internals are engine-specific; `distinct_users` is
+    * the exact gate). At scale this is the right default for "distinct
+    * DIDs seen": constant memory per group vs a full distinct shuffle.
+    */
+  def hllDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+
+  /** Approximate quantile sketch (no oracle — same reasoning). */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, array(0.5, 0.95, 0.99))").as("p"))
+      .select(col("event_type"),
+        col("p").getItem(0).as("p50"),
+        col("p").getItem(1).as("p95"),
+        col("p").getItem(2).as("p99"))
+}
