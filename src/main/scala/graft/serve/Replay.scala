@@ -41,6 +41,29 @@ object Replay {
   def caughtUp(replayTailUs: Long, liveHeadUs: Long): Boolean =
     replayTailUs > liveHeadUs - CutoverThresholdUs / 2
 
+  /** S20 — rate-limited replay chunk: at most `maxEvents` events from
+    * the cursor, in order (reference: playback limiter at 10× the
+    * 5,000 ev/s sub rate, persist.go:147-149 + server.go:307; the
+    * reference's replay loop is exactly repeated calls of this with the
+    * returned next-cursor, server.go:305-337). Ingest-side caps are the
+    * streaming source options (`maxFilesPerTrigger` /
+    * `maxOffsetsPerTrigger`) set by the IngestJob caller; per-consumer
+    * egress pacing beyond this stays in the serving layer (SURVEY §4:
+    * not a Catalyst concept).
+    */
+  def replayChunk(spark: SparkSession, path: String, cursorUs: Long,
+      maxEvents: Int): DataFrame =
+    graft.store.EventsTable.replay(spark, path, cursorUs).limit(maxEvents)
+
+  /** Next cursor after a replay chunk: max(time_us)+1, or the original
+    * cursor when the chunk was empty (persist.go:199-203).
+    */
+  def nextCursor(chunk: DataFrame, cursorUs: Long): Long = {
+    val row = chunk.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.col("time_us"))).head()
+    if (row.isNullAt(0)) cursorUs else row.getLong(0) + 1
+  }
+
   /** Batch twin of the full replay∪live subscription: cursor range scan
     * unioned with the live slice, deduped by event identity via the hwm
     * rule — every event delivered exactly once, in time_us order.
