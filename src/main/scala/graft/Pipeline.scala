@@ -60,6 +60,17 @@ object Pipeline {
     // replay∪live exactly-once check
     val union = Replay.replayUnionLive(spark, table, cursorUs = 0L, liveFromUs = seq.maxTimeUs - 1)
     println(s"[pipeline] replay∪live rows=${union.count()} (exactly-once over overlap)")
+
+    // the same subscription as a live streaming query via the custom source
+    val q = spark.readStream.format("graft-replay")
+      .option("path", table).option("cursor", 0L)
+      .load()
+      .writeStream.format("memory").queryName("pipeline_tail")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    println(s"[pipeline] graft-replay streaming tail delivered " +
+      s"${spark.table("pipeline_tail").count()} events")
     spark.stop()
   }
 }

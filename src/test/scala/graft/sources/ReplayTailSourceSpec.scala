@@ -1,0 +1,92 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.store.EventsTable
+
+/** The graft-replay streaming source: cursor replay, live tailing of new
+  * appends, rate caps, and checkpoint cursor-resume — jetstream's
+  * subscription semantics (§3.2/§3.3) as one `readStream`.
+  */
+class ReplayTailSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeEvents(path: String, range: Range): Unit =
+    EventsTable.append(
+      range.map(t => (t.toLong * 1000, s"did${t % 3}", "c"))
+        .toDF("time_us", "did", "collection"),
+      path)
+
+  private def readTail(path: String, cursorUs: Long, extra: Map[String, String] = Map.empty) = {
+    var r = spark.readStream.format("graft-replay")
+      .option("path", path).option("cursor", cursorUs)
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  test("replay from cursor, then live-tail new appends, in order, exactly once") {
+    val path = tmpDir("replay-src")
+    writeEvents(path, 1 to 100)
+    val q = readTail(path, cursorUs = 50 * 1000)
+      .writeStream.format("memory").queryName("tail_out").outputMode("append").start()
+    q.processAllAvailable()
+    val afterReplay = spark.table("tail_out").select("time_us").as[Long].collect().sorted
+    assert(afterReplay.toSeq == (50 to 100).map(_.toLong * 1000)) // replay half
+
+    writeEvents(path, 101 to 130) // live appends
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("tail_out").select("time_us").as[Long].collect().sorted
+    assert(all.toSeq == (50 to 130).map(_.toLong * 1000)) // cutover seamless, no dupes
+  }
+
+  test("future cursor waits for live events (server.go:283-286)") {
+    val path = tmpDir("replay-future")
+    writeEvents(path, 1 to 10)
+    val q = readTail(path, cursorUs = 1000 * 1000)
+      .writeStream.format("memory").queryName("future_out").outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("future_out").count() == 0) // nothing yet
+    writeEvents(path, 2000 to 2004)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("future_out").select("time_us").as[Long].collect().sorted.toSeq ==
+      (2000 to 2004).map(_.toLong * 1000))
+  }
+
+  test("maxEventsPerBatch caps each micro-batch (S20 rate limit)") {
+    val path = tmpDir("replay-capped")
+    writeEvents(path, 1 to 90)
+    val q = readTail(path, 0, Map("maxEventsPerBatch" -> "40"))
+      .writeStream.format("memory").queryName("capped_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    // all delivered, but across ≥3 batches of ≤40
+    assert(spark.table("capped_out").count() == 90)
+    val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(batches.forall(_ <= 40))
+    assert(batches.length >= 3)
+  }
+
+  test("checkpoint resume continues from the committed cursor (persist.go:41-87)") {
+    val path = tmpDir("replay-resume")
+    val ckpt = tmpDir("replay-resume-ckpt")
+    val out = tmpDir("replay-resume-out")
+    writeEvents(path, 1 to 50)
+    val q1 = readTail(path, 0)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(out).count() == 50)
+
+    writeEvents(path, 51 to 80)
+    val q2 = readTail(path, 0)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q2.processAllAvailable()
+    q2.stop()
+    // exactly once across the restart — the offset log carried the cursor
+    assert(spark.read.parquet(out).select("time_us").as[Long].collect().sorted.toSeq ==
+      (1 to 80).map(_.toLong * 1000))
+  }
+}
