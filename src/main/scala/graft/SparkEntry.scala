@@ -77,6 +77,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ExtQueries.dedupNgramJaccard _,
     "dedup_minhash_lsh"  -> ExtQueries.dedupMinhashLsh _,
     "simhash"            -> ExtQueries.simhash _,
+    "dedup_embed_cosine" -> ExtQueries.dedupEmbedCosine _,
+    "bpe_token_vocab"    -> ExtQueries.bpeTokenVocab _,
+    "rolling_fingerprint" -> ExtQueries.rollingFingerprint _,
     "knn_brute"          -> ExtQueries.knnBrute _,
     "embed_norms"        -> ExtQueries.embedNorms _,
     "ann_lsh_buckets"    -> ExtQueries.annLshBuckets _,
@@ -356,6 +359,27 @@ object SparkEntry {
         |SELECT doc_id,
         |       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
+    "dedup_embed_cosine" ->
+      """WITH dims AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         a.embedding[i.i]::DOUBLE AS x, b.embedding[i.i]::DOUBLE AS y
+        |  FROM embeddings a
+        |  JOIN embeddings b ON a.vec_id < b.vec_id,
+        |       (SELECT unnest(range(1, 65)) AS i) i)
+        |SELECT vec_a, vec_b,
+        |       floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 AS cos
+        |FROM dims GROUP BY vec_a, vec_b
+        |HAVING floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 >= 0.45""".stripMargin,
+    "bpe_token_vocab" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(regexp_extract_all(text, '([a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s])')) AS token
+        |  FROM documents)
+        |GROUP BY token""".stripMargin,
+    "rolling_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce(list_transform(string_split(text, ''), c -> unicode(c)::BIGINT),
+        |                   (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash
+        |FROM documents""".stripMargin,
     "knn_brute" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |dims AS (SELECT e.vec_id, e.embedding[i]::DOUBLE AS x, q.qe[i]::DOUBLE AS y

@@ -68,6 +68,24 @@ object ExtQueries {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** E1 — embedding-cosine near-dup pairs (exact verifier form; the
+    * fixture embeddings have no planted near-dups, so the threshold sits
+    * at the observed tail of the similarity distribution).
+    */
+  def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      threshold = 0.45)
+      .withColumnRenamed("vec_id_a", "vec_a")
+      .withColumnRenamed("vec_id_b", "vec_b")
+
+  /** E3 — BPE-ish regex token vocabulary. */
+  def bpeTokenVocab(spark: SparkSession, dir: String): DataFrame =
+    TextStats.bpeTokenVocab(Tables.documents(spark, dir), "text")
+
+  /** E3 — rolling polynomial content hash. */
+  def rollingFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextStats.rollingFingerprint(Tables.documents(spark, dir), "doc_id", "text")
+
   // ---------------------------------------------------------- similarity
 
   /** The query vector for the kNN fixtures: embedding of vec_id = 0,

@@ -94,6 +94,25 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
+    * rounded cosine ≥ threshold. This is the EXACT form (the verifier);
+    * at corpus scale generate candidates with the LSH bucket join
+    * (`withBuckets` → self-join on bucket) and verify only those —
+    * same composition as Dedup.verifyCandidates.
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, digits: Int = 6): DataFrame = {
+    val e = df.select(col(idCol), toDoubleArr(col(vecCol)).as("__v"))
+    val joined = e.select(col(idCol).as(s"${idCol}_a"), col("__v").as("va"))
+      .join(e.select(col(idCol).as(s"${idCol}_b"), col("__v").as("vb")),
+        col(s"${idCol}_a") < col(s"${idCol}_b"))
+    joined
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"),
+        pround(dot(col("va"), col("vb")) / (l2Norm(col("va")) * l2Norm(col("vb"))), digits)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Per-label centroid norm (the IVF cluster-reduce). */
   def centroidNorms(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
     df.select(col(labelCol), posexplode(toDoubleArr(col(vecCol))).as(Seq("i", "v")))

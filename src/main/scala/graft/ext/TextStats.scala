@@ -47,6 +47,29 @@ object TextStats {
       .withColumn("pred_lang",
         when(col("stop_ratio") >= threshold, lit(markerLang)).otherwise(lit("unknown")))
 
+  /** BPE-ish regex tokenizer: letter runs, single digits, or any other
+    * non-space symbol — the pre-tokenization split BPE vocabularies use.
+    * Returns (token, n) corpus vocabulary counts.
+    */
+  def bpeTokenVocab(df: DataFrame, textCol: String,
+      pattern: String = "([a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s])"): DataFrame =
+    df.select(explode(regexp_extract_all(col(textCol), lit(pattern), lit(0))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Rolling polynomial (Rabin-Karp-style) content hash over the
+    * codepoint sequence: fold (acc·31 + code) mod 1e9+7, seeded with the
+    * first codepoint. Sequential left-fold inside codegen — and exactly
+    * reproducible in SQL (`list_reduce` seeds with the head element,
+    * hence the slice).
+    */
+  def rollingFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__codes", expr(s"transform(split($textCol, ''), c -> ascii(c))"))
+      .select(col(idCol),
+        expr("aggregate(slice(__codes, 2, size(__codes) - 1), " +
+          "cast(element_at(__codes, 1) as bigint), " +
+          "(acc, c) -> (acc * 31 + c) % 1000000007)").as("rolling_hash"))
+
   /** Blended quality score in [0,1]: length, lexical diversity, stopword
     * naturalness — the standard cheap pre-filter before expensive
     * pipeline stages.

@@ -60,6 +60,17 @@ object Decode {
           when(col("opType") =!= Event.CommitDelete, col("op.cid")).as("cid"))
           .as("commit"))
 
+  /** S3 — event-type router: split a mixed event stream into the three
+    * payload branches (reference: the `switch` in `HandleStreamEvent`,
+    * pkg/consumer/consumer.go:99-161). Each branch is a filtered view of
+    * the same scan — Catalyst reuses the source; unknown types fall into
+    * no branch (the reference logs-and-drops them).
+    */
+  def route(events: DataFrame): Map[String, DataFrame] = Map(
+    Event.TypeCommit   -> events.filter(col("type") === Event.TypeCommit),
+    Event.TypeAccount  -> events.filter(col("type") === Event.TypeAccount),
+    Event.TypeIdentity -> events.filter(col("type") === Event.TypeIdentity))
+
   /** Wire-format serialization: one event row → one JSON text column,
     * field order/naming per the reference examples (README.md:60-129).
     * `to_json` drops null struct fields like Go's `omitempty`, and the

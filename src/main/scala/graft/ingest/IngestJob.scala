@@ -23,6 +23,13 @@ import graft.store.EventsTable
   */
 object IngestJob {
 
+  /** S29 — start-cursor resolution precedence (reference:
+    * cmd/jetstream/main.go:280-297): explicit override if ≥0, else the
+    * stored cursor if ≥0, else live (None = start at the head / empty).
+    */
+  def resolveStartCursor(overrideUs: Option[Long], storedUs: Option[Long]): Option[Long] =
+    overrideUs.filter(_ >= 0).orElse(storedUs.filter(_ >= 0))
+
   /** Recover the sequencer position from the persisted log. */
   def recoverMaxTimeUs(events: DataFrame): Long = {
     val row = events.agg(max(col("time_us"))).head()

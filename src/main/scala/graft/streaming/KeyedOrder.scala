@@ -20,6 +20,17 @@ object KeyedOrder {
   final case class OrderedEvent(did: String, time_us: Long, payload: String, inOrder: Boolean)
   final case class KeyState(maxTimeUs: Long)
 
+  /** S23 — sequential scheduler: the degenerate 1-worker variant with a
+    * strict TOTAL order (reference:
+    * pkg/client/schedulers/sequential/sequential.go:49-55) — one
+    * partition, sorted; the deliberate single-task trade for global
+    * ordering, same as the reference's single goroutine.
+    */
+  def sequential(events: Dataset[KeyedEvent]): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    events.coalesce(1).sortWithinPartitions($"time_us")
+  }
+
   def process(events: Dataset[KeyedEvent]): Dataset[OrderedEvent] = {
     import events.sparkSession.implicits._
     events
