@@ -360,16 +360,33 @@ object SparkEntry {
         |       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
     "dedup_embed_cosine" ->
-      """WITH dims AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |         a.embedding[i.i]::DOUBLE AS x, b.embedding[i.i]::DOUBLE AS y
-        |  FROM embeddings a
-        |  JOIN embeddings b ON a.vec_id < b.vec_id,
+      """WITH pdims AS (
+        |  SELECT e.vec_id, p.p, i.i,
+        |         e.embedding[i.i + 1]::DOUBLE *
+        |         ((('0x' || substr(md5(p.p::VARCHAR || '_' || i.i::VARCHAR), 1, 8))::BIGINT
+        |           % 1000 - 500)::DOUBLE) AS term
+        |  FROM embeddings e,
+        |       (SELECT unnest(range(0, 8)) AS p) p,
+        |       (SELECT unnest(range(0, 64)) AS i) i),
+        |dots AS (SELECT vec_id, p, sum(term) AS dot FROM pdims GROUP BY vec_id, p),
+        |sigs AS (SELECT vec_id,
+        |                sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT
+        |                  AS bucket
+        |         FROM dots GROUP BY vec_id),
+        |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |         FROM sigs a JOIN sigs b
+        |           ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |cdims AS (
+        |  SELECT c.vec_a, c.vec_b,
+        |         ea.embedding[i.i]::DOUBLE AS x, eb.embedding[i.i]::DOUBLE AS y
+        |  FROM cand c
+        |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+        |  JOIN embeddings eb ON eb.vec_id = c.vec_b,
         |       (SELECT unnest(range(1, 65)) AS i) i)
         |SELECT vec_a, vec_b,
         |       floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 AS cos
-        |FROM dims GROUP BY vec_a, vec_b
-        |HAVING floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 >= 0.45""".stripMargin,
+        |FROM cdims GROUP BY vec_a, vec_b
+        |HAVING floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 >= 0.3""".stripMargin,
     "bpe_token_vocab" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(regexp_extract_all(text, '([a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s])')) AS token

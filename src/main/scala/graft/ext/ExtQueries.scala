@@ -68,13 +68,16 @@ object ExtQueries {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
 
-  /** E1 — embedding-cosine near-dup pairs (exact verifier form; the
-    * fixture embeddings have no planted near-dups, so the threshold sits
-    * at the observed tail of the similarity distribution).
+  /** E1 — embedding-cosine near-dup pairs, LSH-bucketed: same-bucket
+    * candidates verified with exact cosine (the scale form — Σn_b²
+    * instead of n² pairs — and still oracle-exact since the buckets are
+    * md5-deterministic). The fixture embeddings have no planted
+    * near-dups, so the threshold sits in the similarity tail.
+    * [[Similarity.cosinePairs]] is the exhaustive-verifier variant.
     */
   def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame =
-    Similarity.cosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      threshold = 0.45)
+    Similarity.lshCosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      dims = 64, threshold = 0.3)
       .withColumnRenamed("vec_id_a", "vec_a")
       .withColumnRenamed("vec_id_b", "vec_b")
 

@@ -113,6 +113,28 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Embedding-cosine near-dup pairs, LSH-bucketed (the scale form):
+    * candidates are same-bucket pairs under the deterministic hyperplane
+    * signature, verified with exact cosine at `threshold`. Complexity is
+    * Σ_bucket n_b² instead of n² — and because the buckets are
+    * md5-deterministic, the whole pipeline (bucketing included) is still
+    * exactly oracle-reproducible. Unit-normalizes each side once before
+    * the join so the verify is one dot-fold per candidate pair.
+    */
+  def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+      threshold: Double, nPlanes: Int = 8, digits: Int = 6): DataFrame = {
+    val bucketed = withBuckets(df, vecCol, dims, nPlanes)
+      .select(col(idCol), col("bucket"), toDoubleArr(col(vecCol)).as("__v"))
+    val a = bucketed.select(col(idCol).as(s"${idCol}_a"), col("bucket"), col("__v").as("va"))
+    val b = bucketed.select(col(idCol).as(s"${idCol}_b"), col("bucket"), col("__v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"),
+        pround(dot(col("va"), col("vb")) / (l2Norm(col("va")) * l2Norm(col("vb"))), digits)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Per-label centroid norm (the IVF cluster-reduce). */
   def centroidNorms(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
     df.select(col(labelCol), posexplode(toDoubleArr(col(vecCol))).as(Seq("i", "v")))
