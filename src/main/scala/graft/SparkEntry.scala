@@ -42,6 +42,7 @@ object SparkEntry {
     "latest_per_user"    -> EventQueries.latestPerUser _,
     "type_share"         -> EventQueries.typeShare _,
     "syntax_validate"    -> EventQueries.syntaxValidate _,
+    "variant_extract"    -> EventQueries.variantExtract _,
     // --- general relational surface (SURVEY §2.2) over TPC-H fixtures
     "q1_pricing_summary" -> RelationalQueries.q1PricingSummary _,
     "q3_top_revenue"     -> RelationalQueries.q3TopRevenue _,
@@ -130,6 +131,12 @@ object SparkEntry {
     "json_extract" ->
       """SELECT json_extract_string(props, '$.k')::BIGINT AS k, count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+    "variant_extract" ->
+      """SELECT event_type,
+        |       min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+        |       max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
+        |       count(json_extract_string(props, '$.k')) AS n_with_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "overlap_dedup" ->
       s"""WITH e AS (SELECT event_id, epoch_us(ts) AS time_us, event_type FROM events),
          |u AS (
@@ -317,9 +324,11 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+        |sh0 AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s0
         |       FROM words, (SELECT unnest(range(1, 1000)) AS i) n
         |       WHERE i + 2 <= len(l)),
+        |sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s0), 1, 8))::BIGINT AS s
+        |       FROM sh0),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

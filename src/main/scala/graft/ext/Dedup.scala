@@ -83,11 +83,18 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similar pairs at `threshold` (on the pround-ed
-    * value), via the shingle-collision join.
+    * value), via the shingle-collision join. The join key is the 32-bit
+    * shingle hash, not the shingle text — an 8-byte shuffle/compare key
+    * instead of a ~20-char string; the oracle applies the identical
+    * hash, so results (including any hash-collision effects on set
+    * sizes) match exactly.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleN).cache()
+    val sh = shingles(df, idCol, textCol, shingleN)
+      .select(col(idCol), h32(col("shingle")).as("shingle"))
+      .distinct()
+      .cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"),

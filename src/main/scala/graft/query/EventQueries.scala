@@ -239,6 +239,21 @@ object EventQueries {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  /** §1.2 — open-schema payload access via Spark 4's VARIANT type:
+    * `parse_json` the schemaless record once, then typed `variant_get`
+    * paths — the indexed alternative to per-query string JSON parsing
+    * for hot fields (reference keeps payloads opaque JSON, models.go:23).
+    */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(col("k")).as("n_with_k"))
+
   /** S17 — fan-out share: each type's share of total traffic (the
     * per-subscriber delivery-rate view, cmd/jetstream/metrics.go:23-31).
     * Ratio of a grouped count to the global count via a broadcast scalar.

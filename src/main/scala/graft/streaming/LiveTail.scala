@@ -27,6 +27,22 @@ object LiveTail {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("time_us")
 
+  /** Session windows: activity bursts per key separated by ≥`gap` of
+    * silence (SURVEY §2.2 streaming-windows row) — e.g. per-DID posting
+    * sessions. State is one open session per live key, closed by the
+    * watermark.
+    */
+  def sessionCounts(events: DataFrame, keyCol: String,
+      gap: String = "5 minutes", watermark: String = "10 seconds"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(keyCol), col("n_events"))
+
   /** S25 streaming — per-collection event counts over tumbling windows
     * (the Grafana `rate(jetstream_events_processed[1m])` panel as a
     * first-class streaming aggregation; partial aggregation happens

@@ -63,6 +63,23 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == (100L to 107L).map(_ * 1000000))
   }
 
+  test("sessionCounts groups activity bursts split by the gap") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val sessions = LiveTail.sessionCounts(
+      in.toDF().toDF("time_us", "did"), keyCol = "did",
+      gap = "10 seconds", watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    // did a: burst at 0-4s (5 events), silence, burst at 60-61s (2 events)
+    in.addData((0L to 4L).map(s => (s * 1000000, "a")) ++ Seq((60000000L, "a"), (61000000L, "a")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_out")
+      .select("did", "n_events").as[(String, Long)].collect().sorted.toSeq
+    assert(out == Seq(("a", 2L), ("a", 5L)))
+  }
+
   test("windowedCounts aggregates per tumbling window and collection") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
