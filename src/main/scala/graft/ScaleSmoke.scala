@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{Decode, Sequencer}
+import graft.serve.Subscribe
+import graft.store.EventsTable
+
+/** Scale smoke: generates a multi-hour synthetic event log (default 20M
+  * rows — ~200× the sf0.1 fixture) in the EventsTable layout and
+  * measures the hot paths against the reference's engineered capacity
+  * numbers (BASELINE.md): replay throughput vs the 50k events/s playback
+  * cap, live filter throughput vs the 5k events/s sub cap, sequencer
+  * stamp rate vs the single-goroutine fan-in, and partition pruning
+  * effectiveness of the cursor range scan.
+  *
+  * Usage: runMain graft.ScaleSmoke [nEvents]
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(20000000L)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
+    val table = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    val spanUs = 48L * 3600 * 1000000 // 48 hours of log
+    val stepUs = spanUs / n
+
+    timed(s"write $n events across 48 hourly partitions") {
+      val events = spark.range(n).select(
+        (col("id") * stepUs).as("time_us"),
+        concat(lit("did:plc:u"), pmod(hash(col("id")), lit(100000))).as("did"),
+        element_at(
+          array(lit("app.bsky.feed.post"), lit("app.bsky.feed.like"),
+            lit("app.bsky.graph.follow"), lit("app.bsky.feed.repost"),
+            lit("app.bsky.actor.profile")),
+          (pmod(hash(col("id") + 7), lit(5)) + 1).cast("int")).as("collection"),
+        (col("id") % 1000).cast("double").as("value"))
+      EventsTable.append(events, table)
+    }
+
+    val full = timed("full scan count") {
+      EventsTable.read(spark, table).count()
+    }
+
+    // cursor at 95% of the span → pruning should skip ~95% of partitions
+    val cursor = (spanUs * 95) / 100
+    val t0 = System.nanoTime()
+    val replayed = EventsTable.replay(spark, table, cursor).count()
+    val replaySec = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] replay from 95%% cursor: $replayed rows in $replaySec%.2fs = " +
+      f"${replayed / replaySec / 1000}%.0fk events/s (reference playback cap: 50k/s)")
+
+    val t1 = System.nanoTime()
+    val filtered = EventsTable.read(spark, table)
+      .filter(Subscribe.filterFor(
+        Subscribe.SubscriberSpec(
+          wantedCollections = Seq("app.bsky.feed.post", "app.bsky.feed.like"),
+          wantedDids = (0 until 1000).map(i => s"did:plc:u$i"),
+          hwmUs = spanUs / 2)))
+      .count()
+    val filterSec = (System.nanoTime() - t1) / 1e9
+    println(f"[scale] subscriber filter over $full rows: $filtered match in $filterSec%.2fs = " +
+      f"${full / filterSec / 1000}%.0fk events/s scanned (reference live cap: 5k/s/sub)")
+
+    val batch = spark.range(1000000).select(
+      col("id").as("arrival"), concat(lit("d"), col("id") % 97).as("did"))
+    batch.cache().count()
+    val t2 = System.nanoTime()
+    val seq = Sequencer.stamp(batch, Seq("arrival"), prevMaxUs = 0L)
+    val stamped = seq.df.count()
+    val seqSec = (System.nanoTime() - t2) / 1e9
+    println(f"[scale] sequencer stamp (single-task stage): $stamped rows in $seqSec%.2fs = " +
+      f"${stamped / seqSec / 1000}%.0fk events/s (reference: one goroutine fan-in)")
+
+    spark.stop()
+  }
+}
