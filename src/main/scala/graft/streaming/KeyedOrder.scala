@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** S22 — keyed ordered parallelism (reference:
   * pkg/client/schedulers/parallel/parallel.go:92-152 — events for the
@@ -29,6 +29,39 @@ object KeyedOrder {
   def sequential(events: Dataset[KeyedEvent]): Dataset[KeyedEvent] = {
     import events.sparkSession.implicits._
     events.coalesce(1).sortWithinPartitions($"time_us")
+  }
+
+  /** transformWithState form of the per-key hwm processor (Spark 4's
+    * successor API to flatMapGroupsWithState — typed ValueState, state
+    * TTL support, RocksDB-backed). Same semantics as [[process]].
+    */
+  class PerKeyHwmProcessor extends StatefulProcessor[String, KeyedEvent, OrderedEvent] {
+    @transient private var hwm: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hwm = getHandle.getValueState[Long]("hwm", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedEvent],
+        timers: TimerValues): Iterator[OrderedEvent] = {
+      var cur = if (hwm.exists()) hwm.get() else Long.MinValue
+      val out = rows.toSeq.sortBy(_.time_us).map { e =>
+        val ok = e.time_us > cur
+        if (ok) cur = e.time_us
+        OrderedEvent(e.did, e.time_us, e.payload, ok)
+      }
+      hwm.update(cur)
+      out.iterator
+    }
+  }
+
+  /** [[process]] via transformWithState (requires the RocksDB state
+    * store provider, which transformWithState mandates).
+    */
+  def processTws(events: Dataset[KeyedEvent]): Dataset[OrderedEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.did)
+      .transformWithState(new PerKeyHwmProcessor, TimeMode.None(), OutputMode.Append())
   }
 
   def process(events: Dataset[KeyedEvent]): Dataset[OrderedEvent] = {
