@@ -64,6 +64,7 @@ object SparkEntry {
     "string_funcs"       -> ScalarQueries.stringFuncs _,
     "array_funcs"        -> ScalarQueries.arrayFuncs _,
     "cube_pricing"       -> ScalarQueries.cubePricing _,
+    "stats_agg"          -> ScalarQueries.statsAgg _,
     // sketch aggregates: registered without oracle (rows-only check) —
     // approximate results are engine-specific; exact twins are gated above
     "hll_distinct_users" -> ScalarQueries.hllDistinctUsers _,
@@ -285,6 +286,13 @@ object SparkEntry {
     "cube_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_items
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "stats_agg" ->
+      """SELECT event_type,
+        |       floor((stddev_samp(value)) * 1e4 + 0.5) / 1e4 AS sd_value,
+        |       floor((var_samp(value)) * 1e4 + 0.5) / 1e4 AS var_value,
+        |       floor((corr(value, (epoch_us(ts) % 1000000)::DOUBLE)) * 1e6 + 0.5) / 1e6
+        |         AS corr_vt
+        |FROM events GROUP BY event_type""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |       len(string_split(text, ' ')) AS n_words,

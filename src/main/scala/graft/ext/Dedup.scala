@@ -46,8 +46,13 @@ object Dedup {
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     df.select(col(idCol), split(col(textCol), " ").as("w"))
+      // guard: size(w) < n would make sequence() count DOWN and emit
+      // garbage shingles from negative indices — such docs have none
       .select(col(idCol), explode(expr(
-        s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', ${(0 until n).map(k => s"w[i+$k]").mkString(", ")}))"))
+        s"""if(size(w) < $n, array(),
+           |   transform(sequence(0, size(w)-$n),
+           |             i -> concat_ws(' ', ${(0 until n).map(k => s"w[i+$k]").mkString(", ")})))"""
+          .stripMargin))
         .as("shingle"))
       .distinct()
 

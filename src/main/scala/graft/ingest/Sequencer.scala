@@ -42,4 +42,41 @@ object Sequencer {
       lit(base) + row_number().over(w).cast("long") - 1L)
     Sequenced(stamped, base + n - 1)
   }
+
+  /** Distributed variant for very large batches: the unpartitioned
+    * window in [[stamp]] funnels the whole batch through one task
+    * (acceptable at micro-batch sizes — the reference makes the same
+    * trade with its single goroutine, consumer.go:304). This version
+    * assigns the SAME gap-free sequence without any single-task stage:
+    * range-partition by the order columns (so partition k holds a
+    * contiguous, sorted slice of the total order), sort within
+    * partitions, then offset each row by its partition-local index plus
+    * the cumulative size of earlier partitions. Two light jobs (range
+    * sampling + zipWithIndex's count) instead of one full-data
+    * single-task sort.
+    */
+  def stampScalable(
+      batch: DataFrame,
+      orderCols: Seq[String],
+      prevMaxUs: Long,
+      nowUs: () => Long = () => System.currentTimeMillis() * 1000L,
+      partitions: Int = 0): Sequenced = {
+    val spark = batch.sparkSession
+    val n = batch.count()
+    if (n == 0) return Sequenced(spark.emptyDataFrame, prevMaxUs)
+    val base = math.max(prevMaxUs + 1, nowUs())
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val cols = orderCols.map(col)
+    val ranged = batch
+      .repartitionByRange(parts, cols: _*)
+      .sortWithinPartitions(cols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+
+        org.apache.spark.sql.types.StructField("time_us", org.apache.spark.sql.types.LongType, nullable = false))
+    val stamped = ranged.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + i))
+    }
+    Sequenced(spark.createDataFrame(stamped, schema), base + n - 1)
+  }
 }

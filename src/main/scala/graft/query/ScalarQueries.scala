@@ -55,6 +55,21 @@ object ScalarQueries {
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_items"))
 
+  /** Statistical aggregates: sample stddev/variance and Pearson
+    * correlation (value vs a time-derived regressor) per group.
+    */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.Portable.pround
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        (expr("ts div 1000") % 1000000L).cast("double").as("t"))
+      .groupBy(col("event_type"))
+      .agg(
+        pround(stddev_samp(col("value")), 4).as("sd_value"),
+        pround(var_samp(col("value")), 4).as("var_value"),
+        pround(corr(col("value"), col("t")), 6).as("corr_vt"))
+  }
+
   /** HLL sketch: approx distinct users per type — registered WITHOUT an
     * oracle (sketch internals are engine-specific; `distinct_users` is
     * the exact gate). At scale this is the right default for "distinct

@@ -41,6 +41,13 @@ class ExtOpsSpec extends SparkSpec {
     assert(verified.nonEmpty)
   }
 
+  test("shingles of docs shorter than n words are empty, not garbage") {
+    val docs = Seq((1L, "only two"), (2L, "a b c d")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
+      .as[(Long, String)].collect().toSet
+    assert(sh == Set((2L, "a b c"), (2L, "b c d"))) // doc 1 yields none
+  }
+
   test("multimodal metadata + stubbed batch decode plumbing") {
     val df = Seq(
       (1L, Array[Byte](0x42, 0x4d, 1, 2, 3)), // "BM" magic

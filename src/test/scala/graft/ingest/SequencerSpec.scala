@@ -47,6 +47,20 @@ class SequencerSpec extends SparkSpec {
     assert(all.toSeq == all.toSeq.sorted && all.toSet.size == all.size)
   }
 
+  test("stampScalable assigns the identical sequence with no single-task stage") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed * 31)
+      val rows = rnd.shuffle((1L to 2000L).toList).map(i => (i, s"did${i % 13}"))
+      val df = rows.toDF("arrival", "did").repartition(8)
+      val viaWindow = Sequencer.stamp(df, Seq("arrival"), 100L, () => 777L)
+      val viaRange = Sequencer.stampScalable(df, Seq("arrival"), 100L, () => 777L, partitions = 6)
+      val a = viaWindow.df.select("arrival", "time_us").as[(Long, Long)].collect().toMap
+      val b = viaRange.df.select("arrival", "time_us").as[(Long, Long)].collect().toMap
+      assert(a == b, s"seed=$seed")
+      assert(viaRange.maxTimeUs == viaWindow.maxTimeUs)
+    }
+  }
+
   test("empty batch leaves hwm unchanged") {
     val df = Seq.empty[(Long, String)].toDF("arrival", "did")
     val seq = Sequencer.stamp(df, Seq("arrival"), prevMaxUs = 7L)
