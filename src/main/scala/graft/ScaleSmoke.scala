@@ -81,10 +81,24 @@ object ScaleSmoke {
     batch.cache().count()
     val t2 = System.nanoTime()
     val seq = Sequencer.stamp(batch, Seq("arrival"), prevMaxUs = 0L)
-    val stamped = seq.df.count()
+    // aggregate actual time_us VALUES (max-min) so the window cannot be
+    // pruned — count()-style aggregates let Catalyst drop the window
+    val stamped = seq.df.agg(max(col("time_us")) - min(col("time_us")) + 1).head().getLong(0)
     val seqSec = (System.nanoTime() - t2) / 1e9
     println(f"[scale] sequencer stamp (single-task stage): $stamped rows in $seqSec%.2fs = " +
       f"${stamped / seqSec / 1000}%.0fk events/s (reference: one goroutine fan-in)")
+
+    val big = spark.range(10000000).select(
+      col("id").as("arrival"), concat(lit("d"), col("id") % 97).as("did"))
+    big.cache().count()
+    val t3 = System.nanoTime()
+    val n1 = Sequencer.stamp(big, Seq("arrival"), 0L).df.agg(max(col("time_us")) - min(col("time_us")) + 1).head().getLong(0)
+    val s1 = (System.nanoTime() - t3) / 1e9
+    val t4 = System.nanoTime()
+    val n2 = Sequencer.stampScalable(big, Seq("arrival"), 0L).df.agg(max(col("time_us")) - min(col("time_us")) + 1).head().getLong(0)
+    val s2 = (System.nanoTime() - t4) / 1e9
+    println(f"[scale] 10M-row sequencer: window(single-task) $s1%.2fs (${n1 / s1 / 1000}%.0fk/s) " +
+      f"vs range-partitioned $s2%.2fs (${n2 / s2 / 1000}%.0fk/s)")
 
     spark.stop()
   }
