@@ -60,6 +60,9 @@ object SparkEntry {
     "topk_parts"         -> RelationalQueries.topkParts _,
     "distinct_users"     -> RelationalQueries.distinctUsers _,
     "asof_join"          -> RelationalQueries.asofJoin _,
+    "range_join_bands"   -> RelationalQueries.rangeJoinBands _,
+    "window_extras"      -> RelationalQueries.windowExtras _,
+    "regr_agg"           -> RelationalQueries.regrAgg _,
     "date_funcs"         -> ScalarQueries.dateFuncs _,
     "string_funcs"       -> ScalarQueries.stringFuncs _,
     "array_funcs"        -> ScalarQueries.arrayFuncs _,
@@ -264,6 +267,33 @@ object SparkEntry {
         |FROM events LEFT JOIN orders
         |  ON user_id = o_custkey AND o_orderdate <= ts
         |GROUP BY event_id, user_id""".stripMargin,
+    "range_join_bands" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('small', 0.0, 100000.0), ('medium', 100000.0, 250000.0),
+        |  ('large', 250000.0, 450000.0), ('jumbo', 450000.0, 1e9))
+        |SELECT band, count(*) AS n_orders,
+        |       floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS band_total
+        |FROM orders JOIN bands
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band""".stripMargin,
+    "window_extras" ->
+      """SELECT o_custkey, o_orderkey,
+        |       first_value(o_totalprice) OVER w_full AS first_price,
+        |       last_value(o_totalprice) OVER w_full AS last_price,
+        |       ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "regr_agg" ->
+      """SELECT o_orderpriority,
+        |       floor((regr_slope(o_totalprice, x)) * 1e6 + 0.5) / 1e6 AS slope,
+        |       floor((regr_intercept(o_totalprice, x)) * 1e4 + 0.5) / 1e4 AS intercept,
+        |       floor((regr_r2(o_totalprice, x)) * 1e6 + 0.5) / 1e6 AS r2
+        |FROM (SELECT o_orderpriority, o_totalprice,
+        |             date_diff('day', DATE '1995-01-01', o_orderdate)::DOUBLE AS x
+        |      FROM orders)
+        |GROUP BY o_orderpriority""".stripMargin,
     "date_funcs" ->
       """SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS order_month,
         |       year(o_orderdate) AS order_year,

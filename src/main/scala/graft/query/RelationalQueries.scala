@@ -206,6 +206,58 @@ object RelationalQueries {
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"))
 
+  /** Range join: orders banded by price via a non-equi BETWEEN join
+    * against a small literal dimension (SURVEY §2.2 joins row: "range
+    * join"). The bands side is a handful of rows — broadcast
+    * nested-loop is exactly the right plan; at scale with a large bands
+    * table one pre-buckets both sides on a computed band key.
+    */
+  def rangeJoinBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("small", 0.0, 100000.0),
+      ("medium", 100000.0, 250000.0),
+      ("large", 250000.0, 450000.0),
+      ("jumbo", 450000.0, 1e9)).toDF("band", "lo", "hi")
+    Tables.orders(spark, dir)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        pround(sum(col("o_totalprice")), 2).as("band_total"))
+  }
+
+  /** Window extras: first/last value over full frames + quartile ntile
+    * per customer order history.
+    */
+  def windowExtras(spark: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = byDate.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("first_price", first(col("o_totalprice")).over(full))
+      .withColumn("last_price", last(col("o_totalprice")).over(full))
+      .withColumn("quartile", ntile(4).over(byDate).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("first_price"),
+        col("last_price"), col("quartile"))
+  }
+
+  /** Linear-regression aggregates: slope/intercept of totalprice over
+    * order-date ordinal per priority class.
+    */
+  def regrAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        col("o_totalprice").as("y"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("double").as("x"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        pround(expr("regr_slope(y, x)"), 6).as("slope"),
+        pround(expr("regr_intercept(y, x)"), 4).as("intercept"),
+        pround(expr("regr_r2(y, x)"), 6).as("r2"))
+
   /** As-of join: for each event, the customer's most recent order at or
     * before the event time (event enrichment against a slowly-changing
     * fact — SURVEY §2.2 joins row: "as-of join for event↔dimension

@@ -23,6 +23,14 @@ class ReplayTailSourceSpec extends SparkSpec {
     r.load()
   }
 
+  test("missing path option fails fast with a clear message") {
+    val ex = intercept[Exception] {
+      spark.readStream.format("graft-replay").load()
+        .writeStream.format("memory").queryName("no_path").start()
+    }
+    assert(ex.getMessage.contains("path"))
+  }
+
   test("replay from cursor, then live-tail new appends, in order, exactly once") {
     val path = tmpDir("replay-src")
     writeEvents(path, 1 to 100)
