@@ -61,6 +61,8 @@ object SparkEntry {
     "distinct_users"     -> RelationalQueries.distinctUsers _,
     "asof_join"          -> RelationalQueries.asofJoin _,
     "range_join_bands"   -> RelationalQueries.rangeJoinBands _,
+    "pivot_priority_year" -> RelationalQueries.pivotPriorityYear _,
+    "unpivot_measures"   -> RelationalQueries.unpivotMeasures _,
     "window_extras"      -> RelationalQueries.windowExtras _,
     "regr_agg"           -> RelationalQueries.regrAgg _,
     "date_funcs"         -> ScalarQueries.dateFuncs _,
@@ -276,6 +278,28 @@ object SparkEntry {
         |FROM orders JOIN bands
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band""".stripMargin,
+    "pivot_priority_year" ->
+      """SELECT o_orderpriority,
+        |       count(*) FILTER (year(o_orderdate) = 1995) AS y1995,
+        |       count(*) FILTER (year(o_orderdate) = 1996) AS y1996,
+        |       count(*) FILTER (year(o_orderdate) = 1997) AS y1997,
+        |       count(*) FILTER (year(o_orderdate) = 1998) AS y1998,
+        |       count(*) FILTER (year(o_orderdate) = 1999) AS y1999,
+        |       count(*) FILTER (year(o_orderdate) = 2000) AS y2000,
+        |       count(*) FILTER (year(o_orderdate) = 2001) AS y2001
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "unpivot_measures" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |         floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS qty,
+        |         floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS price,
+        |         floor((sum(l_discount)) * 1e2 + 0.5) / 1e2 AS disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'qty' AS measure, qty AS total FROM agg
+        |UNION ALL
+        |SELECT l_returnflag, 'price', price FROM agg
+        |UNION ALL
+        |SELECT l_returnflag, 'disc', disc FROM agg""".stripMargin,
     "window_extras" ->
       """SELECT o_custkey, o_orderkey,
         |       first_value(o_totalprice) OVER w_full AS first_price,

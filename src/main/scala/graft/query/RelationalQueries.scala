@@ -258,6 +258,31 @@ object RelationalQueries {
         pround(expr("regr_intercept(y, x)"), 4).as("intercept"),
         pround(expr("regr_r2(y, x)"), 6).as("r2"))
 
+  /** Pivot: order counts per priority × year, years widened to columns
+    * (explicit value list ⇒ deterministic schema, single-pass plan).
+    */
+  def pivotPriorityYear(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), year(col("o_orderdate")).as("yr"))
+      .groupBy(col("o_orderpriority"))
+      .pivot("yr", Seq(1995, 1996, 1997, 1998, 1999, 2000, 2001))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority") +: (1995 to 2001).map(y =>
+        coalesce(col(y.toString), lit(0L)).as(s"y$y")): _*)
+
+  /** Unpivot: the pricing measures reshaped long — (measure, total) rows
+    * per returnflag.
+    */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        pround(sum(col("l_quantity")), 2).as("qty"),
+        pround(sum(col("l_extendedprice")), 2).as("price"),
+        pround(sum(col("l_discount")), 2).as("disc"))
+      .selectExpr("l_returnflag",
+        "stack(3, 'qty', qty, 'price', price, 'disc', disc) as (measure, total)")
+
   /** As-of join: for each event, the customer's most recent order at or
     * before the event time (event enrichment against a slowly-changing
     * fact — SURVEY §2.2 joins row: "as-of join for event↔dimension
