@@ -70,6 +70,7 @@ object SparkEntry {
     "array_funcs"        -> ScalarQueries.arrayFuncs _,
     "cube_pricing"       -> ScalarQueries.cubePricing _,
     "stats_agg"          -> ScalarQueries.statsAgg _,
+    "grouping_sets"      -> ScalarQueries.groupingSets _,
     // sketch aggregates: registered without oracle (rows-only check) —
     // approximate results are engine-specific; exact twins are gated above
     "hll_distinct_users" -> ScalarQueries.hllDistinctUsers _,
@@ -340,6 +341,10 @@ object SparkEntry {
     "cube_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_items
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
     "stats_agg" ->
       """SELECT event_type,
         |       floor((stddev_samp(value)) * 1e4 + 0.5) / 1e4 AS sd_value,

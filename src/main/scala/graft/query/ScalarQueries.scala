@@ -49,6 +49,18 @@ object ScalarQueries {
         element_at(sort_array(col("w")), 1).as("first_sorted"),
         size(array_distinct(col("w"))).cast("long").as("n_distinct"))
 
+  /** Explicit GROUPING SETS through the SQL entry point — each margin
+    * separately (no cross product), exercising `spark.sql` as a
+    * first-class surface of the engine.
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
+  }
+
   /** CUBE grouping sets (both dims + each margin + grand total). */
   def cubePricing(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
