@@ -59,6 +59,8 @@ class ReplayTailProvider extends StreamSourceProvider with DataSourceRegister {
 }
 
 object ReplayTailSource {
+  val UsPerHour = 3600000000L
+
   def path(params: Map[String, String]): String =
     params.getOrElse("path", throw new IllegalArgumentException(
       "graft-replay source requires a 'path' option (events table location)"))
@@ -69,9 +71,18 @@ class ReplayTailSource(
     override val schema: StructType,
     params: Map[String, String]) extends Source with Logging {
 
+  import ReplayTailSource.UsPerHour
+
   private val tablePath = ReplayTailSource.path(params)
   private val cursorUs = params.get("cursor").map(_.toLong).getOrElse(0L)
   private val maxPerBatch = params.get("maxEventsPerBatch").map(_.toLong)
+
+  /** EventsTable-layout tables carry the hour partition column; a plain
+    * parquet dir pointed at this source still works, just without
+    * partition pruning.
+    */
+  private val hasHourCol =
+    schema.fieldNames.contains(graft.store.EventsTable.PartitionCol)
 
   private def toLong(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -81,32 +92,53 @@ class ReplayTailSource(
 
   private def table: DataFrame = sqlContext.sparkSession.read.parquet(tablePath)
 
+  /** `time_us >= lowerUs AND time_us <= upperUs` with matching hour-partition
+    * bounds, so every scan this source plans prunes to the hours the range
+    * covers instead of listing all 24h × 100 TB of the log
+    * (≙ pebble iterator LowerBound/UpperBound, persist.go:152-155).
+    */
+  private[sources] def rangeScan(lowerUs: Long, upperUs: Option[Long]): DataFrame = {
+    val hourCol = col(graft.store.EventsTable.PartitionCol)
+    var df = table.filter(col("time_us") >= lowerUs)
+    if (hasHourCol) df = df.filter(hourCol >= lowerUs / UsPerHour)
+    upperUs.foreach { u =>
+      df = df.filter(col("time_us") <= u)
+      if (hasHourCol) df = df.filter(hourCol <= u / UsPerHour)
+    }
+    df
+  }
+
   /** Head of the log (None until an event at/after the cursor exists). */
   override def getOffset: Option[Offset] = {
-    val row = table.filter(col("time_us") >= cursorUs)
-      .agg(max(col("time_us"))).head()
-    if (row.isNullAt(0)) None
+    val prev = delivered
+    // First undelivered µs: everything at/under `prev` is already planned
+    // into an earlier batch, so both scans below start at the tail — on a
+    // 24h log this prunes every hour before the current position.
+    val lowerUs = prev.map(_ + 1).getOrElse(cursorUs)
+    val row = rangeScan(lowerUs, None).agg(max(col("time_us"))).head()
+    if (row.isNullAt(0)) prev.map(LongOffset(_)) // no new data: re-announce tail
     else {
       val head = row.getLong(0)
       val capped = maxPerBatch match {
         case Some(cap) =>
           // rate cap: advance the offset only to the cap-th event of the range
-          val prev = delivered.getOrElse(cursorUs - 1)
-          val chunk = table
-            .filter(col("time_us") > prev && col("time_us") <= head)
+          val chunk = rangeScan(lowerUs, Some(head))
             .orderBy(col("time_us")).limit(cap.toInt)
             .agg(max(col("time_us"))).head()
           if (chunk.isNullAt(0)) head else chunk.getLong(0)
         case None => head
       }
-      Some(LongOffset(capped))
+      // Never regress below an offset the engine already planned/committed.
+      Some(LongOffset(math.max(capped, prev.getOrElse(Long.MinValue))))
     }
   }
 
-  /** Tail of the last planned batch — the rate-cap cursor. Tracked at
-    * getBatch time (the engine's commit callback arrives on the
-    * connector-level overload, which is unreliable to intercept from a
-    * DSv1 source).
+  /** Tail of the last planned batch — the rate-cap cursor. Restart-safe:
+    * on recovery MicroBatchExecution re-calls `getBatch` with the restored
+    * committed range before asking for a new offset, so this is re-seeded
+    * from the checkpoint rather than resetting to `cursor` (the reference's
+    * cursor read-back, persist.go:41-87). Monotonic max because a recovery
+    * replay must not move it backwards.
     */
   @volatile private var delivered: Option[Long] = None
 
@@ -115,9 +147,10 @@ class ReplayTailSource(
     val lower = start.map(toLong).getOrElse(cursorUs - 1)
     val upper = toLong(end)
     logInfo(s"graft-replay batch ($lower, $upper]")
-    delivered = Some(upper)
+    delivered = Some(math.max(delivered.getOrElse(Long.MinValue), upper))
+    // time_us > lower ⇔ time_us >= lower+1, which pins the hour lower bound
     org.apache.spark.sql.graft.Bridge.asStreaming(
-      table.filter(col("time_us") > lower && col("time_us") <= upper))
+      rangeScan(lower + 1, Some(upper)))
   }
 
   override def stop(): Unit = ()

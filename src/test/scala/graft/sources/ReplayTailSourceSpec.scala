@@ -75,6 +75,52 @@ class ReplayTailSourceSpec extends SparkSpec {
     assert(batches.length >= 3)
   }
 
+  test("range scans prune hour partitions, not just row groups") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = tmpDir("replay-prune")
+    // span 3 distinct event_hour partitions
+    EventsTable.append(
+      Seq(1L, 3600000001L, 7200000001L, 10800000001L)
+        .map(t => (t, "did0", "c")).toDF("time_us", "did", "collection"),
+      path)
+    val src = new ReplayTailSource(
+      spark.sqlContext, spark.read.parquet(path).schema, Map("path" -> path))
+    val df = src.rangeScan(3600000001L, Some(7199999999L))
+    val scan = df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty,
+      "hour bounds must reach the scan as PartitionFilters")
+    // only the one hour partition inside the bounds is read
+    assert(scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+      .map(_.files.size).sum == 1)
+    assert(df.select("time_us").as[Long].collect().toSeq == Seq(3600000001L))
+  }
+
+  test("maxEventsPerBatch cursor survives restart: no offset regression, no dupes") {
+    val path = tmpDir("replay-cap-resume")
+    val ckpt = tmpDir("replay-cap-resume-ckpt")
+    val out = tmpDir("replay-cap-resume-out")
+    writeEvents(path, 1 to 90)
+    val q1 = readTail(path, 0, Map("maxEventsPerBatch" -> "40"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q1.processAllAvailable()
+    q1.stop()
+
+    writeEvents(path, 91 to 120)
+    // a fresh source instance: the rate-cap cursor must be re-seeded from the
+    // checkpointed offset, not reset to `cursor` (which would re-plan events
+    // 1..40 below the committed offset and deliver 41..90 twice)
+    val q2 = readTail(path, 0, Map("maxEventsPerBatch" -> "40"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q2.processAllAvailable()
+    q2.stop()
+    val all = spark.read.parquet(out).select("time_us").as[Long].collect().sorted
+    assert(all.toSeq == (1 to 120).map(_.toLong * 1000)) // exactly once across restart
+  }
+
   test("checkpoint resume continues from the committed cursor (persist.go:41-87)") {
     val path = tmpDir("replay-resume")
     val ckpt = tmpDir("replay-resume-ckpt")
