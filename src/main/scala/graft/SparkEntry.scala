@@ -84,6 +84,7 @@ object SparkEntry {
     "dedup_exact"        -> ExtQueries.dedupExact _,
     "dedup_ngram_jaccard" -> ExtQueries.dedupNgramJaccard _,
     "dedup_minhash_lsh"  -> ExtQueries.dedupMinhashLsh _,
+    "dedup_verified"     -> ExtQueries.dedupVerified _,
     "simhash"            -> ExtQueries.simhash _,
     "dedup_embed_cosine" -> ExtQueries.dedupEmbedCosine _,
     "bpe_token_vocab"    -> ExtQueries.bpeTokenVocab _,
@@ -405,6 +406,34 @@ object SparkEntry {
         |FROM pairs
         |JOIN sizes sa ON doc_a = sa.doc_id
         |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE floor((c::DOUBLE / (sa.n + sb.n - c)) * 1e4 + 0.5) / 1e4 >= 0.8""".stripMargin,
+    "dedup_verified" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s0
+        |       FROM words, (SELECT unnest(range(1, 1000)) AS i) n
+        |       WHERE i + 2 <= len(l)),
+        |sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s0), 1, 8))::BIGINT AS s
+        |       FROM sh0),
+        |mh AS (SELECT doc_id, j,
+        |              min(((2*j+1) * s + j*7919 + 1) % 2147483647) AS mh
+        |       FROM sh, (SELECT unnest(range(0, 16)) AS j) js
+        |       GROUP BY doc_id, j),
+        |bands AS (SELECT doc_id, j // 4 AS band,
+        |                 string_agg(mh::VARCHAR, ',' ORDER BY j) AS sig
+        |          FROM mh GROUP BY doc_id, j // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b,
+        |       floor((c::DOUBLE / (sa.n + sb.n - c)) * 1e4 + 0.5) / 1e4 AS jaccard
+        |FROM pairs p
+        |JOIN cand k ON p.doc_a = k.doc_a AND p.doc_b = k.doc_b
+        |JOIN sizes sa ON p.doc_a = sa.doc_id
+        |JOIN sizes sb ON p.doc_b = sb.doc_id
         |WHERE floor((c::DOUBLE / (sa.n + sb.n - c)) * 1e4 + 0.5) / 1e4 >= 0.8""".stripMargin,
     "dedup_minhash_lsh" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -58,6 +58,17 @@ object ExtQueries {
       .withColumnRenamed("doc_id_a", "doc_a")
       .withColumnRenamed("doc_id_b", "doc_b")
 
+  /** E1 — the production near-dup pipeline: MinHash-LSH candidates
+    * exact-verified with n-gram Jaccard ≥ 0.8 ([[Dedup.verifyCandidates]]).
+    * This is the scale path — the Jaccard join runs only over docs that
+    * LSH flagged, so cost is Σ(bucket²) not corpus², and the exhaustive
+    * [[dedupNgramJaccard]] stays a fixture-scale verifier.
+    */
+  def dedupVerified(spark: SparkSession, dir: String): DataFrame =
+    Dedup.verifyCandidates(Tables.documents(spark, dir), "doc_id", "text", threshold = 0.8)
+      .withColumnRenamed("doc_id_a", "doc_a")
+      .withColumnRenamed("doc_id_b", "doc_b")
+
   /** E1 — MinHash-LSH candidate pairs (16 hashes, 4 bands × 4 rows). */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text")

@@ -125,13 +125,15 @@ object Similarity {
       threshold: Double, nPlanes: Int = 8, digits: Int = 6): DataFrame = {
     val bucketed = withBuckets(df, vecCol, dims, nPlanes)
       .select(col(idCol), col("bucket"), toDoubleArr(col(vecCol)).as("__v"))
-    val a = bucketed.select(col(idCol).as(s"${idCol}_a"), col("bucket"), col("__v").as("va"))
-    val b = bucketed.select(col(idCol).as(s"${idCol}_b"), col("bucket"), col("__v").as("vb"))
+      .withColumn("__n", l2Norm(col("__v"))) // one O(dims) norm fold per ROW, not per pair
+    val a = bucketed.select(col(idCol).as(s"${idCol}_a"), col("bucket"),
+      col("__v").as("va"), col("__n").as("na"))
+    val b = bucketed.select(col(idCol).as(s"${idCol}_b"), col("bucket"),
+      col("__v").as("vb"), col("__n").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"),
-        pround(dot(col("va"), col("vb")) / (l2Norm(col("va")) * l2Norm(col("vb"))), digits)
-          .as("cos"))
+        pround(dot(col("va"), col("vb")) / (col("na") * col("nb")), digits).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
