@@ -32,6 +32,7 @@ object SparkEntry {
     "subscribe_filter"   -> EventQueries.subscribeFilter _,
     "seq_assign"         -> EventQueries.seqAssign _,
     "router_counts"      -> EventQueries.routerCounts _,
+    "mixed_decode"       -> EventQueries.mixedDecode _,
     "op_counts"          -> EventQueries.opCounts _,
     "value_histogram"    -> EventQueries.valueHistogram _,
     "histogram_quantiles" -> EventQueries.histogramQuantiles _,
@@ -104,6 +105,14 @@ object SparkEntry {
     "collection_filter" ->
       """SELECT event_id, event_type, user_id FROM events
         |WHERE event_type IN ('click', 'purchase')""".stripMargin,
+    "mixed_decode" ->
+      """SELECT CASE WHEN event_id % 3 = 0 THEN 'com'
+        |            WHEN event_id % 3 = 1 THEN 'id'
+        |            ELSE 'acc' END AS type,
+        |       count(*) AS n_events,
+        |       min(epoch_us(ts)) AS min_us,
+        |       max(epoch_us(ts)) AS max_us
+        |FROM events GROUP BY 1""".stripMargin,
     "did_filter" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE user_id IN (1, 3, 5, 7)""".stripMargin,

@@ -60,6 +60,49 @@ object Decode {
           when(col("opType") =!= Event.CommitDelete, col("op.cid")).as("cid"))
           .as("commit"))
 
+  /** Raw JSON lines of MIXED firehose frames (commit + identity +
+    * account) → parsed frames with the `t` discriminator
+    * (pkg/consumer/consumer.go:99-161's XRPCStreamEvent switch input).
+    */
+  def parseMixedFrames(raw: DataFrame, jsonCol: String = "value"): DataFrame =
+    raw.select(from_json(col(jsonCol), Event.rawFrameSchema).as("f"))
+      .select(col("f.*"))
+
+  private def payloadType(field: String) =
+    Event.wireSchema(field).dataType
+
+  /** Mixed frames → envelope events (the full HandleStreamEvent switch,
+    * consumer.go:102-155): commit frames run the op-explode chain above;
+    * identity/account frames each become one envelope event carrying
+    * their payload struct (consumer.go:122-126, 145-149). The RFC3339
+    * `time` is parsed to `event_time_us` (consumer.go:115,138); frames
+    * whose time fails to parse are dropped, matching the reference's
+    * log-and-return-nil. All three branches are narrow filters/projections
+    * of the same scan — no shuffle anywhere in decode.
+    */
+  def decodeFrames(frames: DataFrame): DataFrame = {
+    val commits = explodeOps(frames.filter(col("t") === "#commit"))
+      .withColumn("account", lit(null).cast(payloadType("account")))
+      .withColumn("identity", lit(null).cast(payloadType("identity")))
+    val identities = frames.filter(col("t") === "#identity")
+      .select(
+        col("did"), col("time"), lit(Event.TypeIdentity).as("type"),
+        lit(null).cast(payloadType("commit")).as("commit"),
+        lit(null).cast(payloadType("account")).as("account"),
+        struct(col("did"), col("handle"), col("seq"), col("time")).as("identity"))
+    val accounts = frames.filter(col("t") === "#account")
+      .select(
+        col("did"), col("time"), lit(Event.TypeAccount).as("type"),
+        lit(null).cast(payloadType("commit")).as("commit"),
+        struct(col("active"), col("did"), col("seq"), col("time"), col("status")).as("account"),
+        lit(null).cast(payloadType("identity")).as("identity"))
+    commits.unionByName(identities).unionByName(accounts)
+      // try_to_timestamp: ANSI-safe — a malformed RFC3339 yields null (then
+      // dropped), not a query-killing cast error
+      .withColumn("event_time_us", unix_micros(try_to_timestamp(col("time"))))
+      .filter(col("event_time_us").isNotNull) // RFC3339 parse failure → drop
+  }
+
   /** S3 — event-type router: split a mixed event stream into the three
     * payload branches (reference: the `switch` in `HandleStreamEvent`,
     * pkg/consumer/consumer.go:99-161). Each branch is a filtered view of

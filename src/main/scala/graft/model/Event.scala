@@ -79,6 +79,13 @@ object Event {
       StructField("seq", LongType),
       StructField("time", StringType))))))
 
+  private val rawOpsType = ArrayType(StructType(Seq(
+    StructField("action", StringType), // create | update | delete
+    StructField("path", StringType),
+    StructField("cid", StringType),      // op-declared cid
+    StructField("recordCid", StringType), // cid of the fetched record
+    StructField("record", StringType))))
+
   /** Raw ingest-side frame: one firehose commit message before the op
     * explode (reference: indigo `RepoCommit` as consumed at
     * pkg/consumer/consumer.go:163-215) — did, rev, tooBig flag, and N ops
@@ -90,10 +97,26 @@ object Event {
     StructField("seq", LongType),
     StructField("time", StringType),
     StructField("tooBig", BooleanType),
-    StructField("ops", ArrayType(StructType(Seq(
-      StructField("action", StringType), // create | update | delete
-      StructField("path", StringType),
-      StructField("cid", StringType),      // op-declared cid
-      StructField("recordCid", StringType), // cid of the fetched record
-      StructField("record", StringType)))))))
+    StructField("ops", rawOpsType)))
+
+  /** Mixed-stream raw frame: the flat union of the three firehose frame
+    * bodies plus the header discriminator `t` ("#commit" | "#identity" |
+    * "#account" — the XRPCStreamEvent switch arms at
+    * pkg/consumer/consumer.go:102-155). Shared fields (did/seq/time)
+    * appear once; kind-specific fields are null on other kinds.
+    */
+  val rawFrameSchema: StructType = StructType(Seq(
+    StructField("t", StringType),
+    StructField("did", StringType),
+    StructField("seq", LongType),
+    StructField("time", StringType), // RFC3339 (consumer.go:115,138)
+    // commit body
+    StructField("rev", StringType),
+    StructField("tooBig", BooleanType),
+    StructField("ops", rawOpsType),
+    // identity body (indigo SyncSubscribeRepos_Identity)
+    StructField("handle", StringType),
+    // account body (indigo SyncSubscribeRepos_Account)
+    StructField("active", BooleanType),
+    StructField("status", StringType)))
 }

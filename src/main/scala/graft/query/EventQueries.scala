@@ -106,6 +106,49 @@ object EventQueries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** S2+S3 — full mixed-stream decode round trip: the fixture events are
+    * serialized into raw firehose frames (one commit / identity / account
+    * frame per event, kind chosen by `event_id % 3`, `time` as RFC3339),
+    * pushed through [[graft.ingest.Decode.parseMixedFrames]] →
+    * [[graft.ingest.Decode.decodeFrames]] (the HandleStreamEvent switch,
+    * consumer.go:99-161), and the decoded envelopes aggregated per type.
+    * Verifies the acc/id envelope build + RFC3339→µs conversion
+    * (consumer.go:115,138) end-to-end against the oracle computing the
+    * same partition directly. The whole synth+parse+decode chain is
+    * narrow — one codegen stage, no shuffle until the final 3-group agg.
+    */
+  def mixedDecode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ingest.Decode
+    val rfc3339 = date_format(timestamp_micros(timeUs), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    val did = concat(lit("did:plc:u"), col("user_id"))
+    val frame = when(col("event_id") % 3 === 0,
+        to_json(struct(
+          lit("#commit").as("t"), did.as("did"),
+          concat(lit("r"), col("event_id")).as("rev"),
+          col("event_id").as("seq"), rfc3339.as("time"), lit(false).as("tooBig"),
+          array(struct(
+            lit("create").as("action"),
+            concat(lit("app.graft.doc/k"), col("event_id")).as("path"),
+            lit("c1").as("cid"), lit("c1").as("recordCid"),
+            concat(lit("{\"v\":"), col("event_id"), lit("}")).as("record"))).as("ops"))))
+      .when(col("event_id") % 3 === 1,
+        to_json(struct(
+          lit("#identity").as("t"), did.as("did"), col("event_id").as("seq"),
+          rfc3339.as("time"),
+          concat(lit("u"), col("user_id"), lit(".test")).as("handle"))))
+      .otherwise(
+        to_json(struct(
+          lit("#account").as("t"), did.as("did"), col("event_id").as("seq"),
+          rfc3339.as("time"), lit(true).as("active"), lit("active").as("status"))))
+    val raw = Tables.events(spark, dir).select(frame.as("value"))
+    Decode.decodeFrames(Decode.parseMixedFrames(raw))
+      .groupBy(col("type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_time_us")).as("min_us"),
+        max(col("event_time_us")).as("max_us"))
+  }
+
   /** S25 — ops by (kind, collection): counter with two label dimensions.
     * Reference: pkg/consumer/metrics.go:13-16 fed at consumer.go:201.
     */

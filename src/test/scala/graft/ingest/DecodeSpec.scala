@@ -52,6 +52,47 @@ class DecodeSpec extends SparkSpec {
     assert(commit.getAs[String]("cid") == null)
   }
 
+  test("mixed stream decodes commit + identity + account envelopes (consumer.go:99-161)") {
+    val mixed = Seq(
+      // commit frame (1 valid create op)
+      """{"t":"#commit","did":"did:plc:alice","rev":"r1","seq":1,"time":"2024-09-05T06:11:04.870Z","tooBig":false,
+         "ops":[{"action":"create","path":"app.bsky.feed.post/k1","cid":"c1","recordCid":"c1","record":{"text":"hi"}}]}"""
+        .replaceAll("\n\\s*", ""),
+      // identity frame (fields per golden/identity_update.json payload)
+      """{"t":"#identity","did":"did:plc:ufbl4k27gp6kzas5glhz7fim","seq":1409752997,
+         "time":"2024-09-05T06:11:04.870Z","handle":"yohenrique.bsky.social"}""".replaceAll("\n\\s*", ""),
+      // account frame (fields per golden/account_active.json payload)
+      """{"t":"#account","did":"did:plc:ufbl4k27gp6kzas5glhz7fim","seq":1409753013,
+         "time":"2024-09-05T06:11:04.870Z","active":true}""".replaceAll("\n\\s*", ""),
+      // bad RFC3339 time: dropped like the reference's log-and-return (consumer.go:116-119)
+      """{"t":"#identity","did":"did:plc:bad","seq":9,"time":"not-a-time","handle":"x"}""")
+    val out = Decode.decodeFrames(Decode.parseMixedFrames(mixed.toDF("value"))).cache()
+
+    assert(out.count() == 3)
+    assert(out.select("type").as[String].collect().toSet == Set("com", "id", "acc"))
+    // RFC3339 → µs (consumer.go:115,138)
+    assert(out.select("event_time_us").as[Long].collect().toSet == Set(1725516664870000L))
+
+    val id = out.filter(col("type") === Event.TypeIdentity).head()
+    val idp = id.getStruct(id.fieldIndex("identity"))
+    assert(idp.getAs[String]("handle") == "yohenrique.bsky.social")
+    assert(idp.getAs[Long]("seq") == 1409752997L)
+    assert(id.isNullAt(id.fieldIndex("commit")) && id.isNullAt(id.fieldIndex("account")))
+
+    val acc = out.filter(col("type") === Event.TypeAccount).head()
+    val accp = acc.getStruct(acc.fieldIndex("account"))
+    assert(accp.getAs[Boolean]("active"))
+    assert(accp.getAs[String]("status") == null) // omitted on wire like Go omitempty
+    assert(acc.isNullAt(acc.fieldIndex("commit")) && acc.isNullAt(acc.fieldIndex("identity")))
+
+    // wire serialization of decoded acc/id matches the golden envelope payloads
+    val wires = Decode.toWire(out, exclude = Set("event_hour", "time", "event_time_us"))
+      .select("wire").as[String].collect()
+    val goldenId = """"identity":{"did":"did:plc:ufbl4k27gp6kzas5glhz7fim","handle":"yohenrique.bsky.social","seq":1409752997,"time":"2024-09-05T06:11:04.870Z"}"""
+    assert(wires.exists(_.contains(goldenId)))
+    assert(wires.exists(w => w.contains(""""account":{"active":true""") && w.contains(""""type":"acc"""")))
+  }
+
   test("wire serialization omits null fields like Go omitempty") {
     val wire = Decode.toWire(decoded.filter(col("commit.type") === Event.CommitDelete))
       .select("wire").as[String].head()
