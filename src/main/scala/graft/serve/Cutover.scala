@@ -1,0 +1,126 @@
+package graft.serve
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.store.EventsTable
+
+/** S18+S19 — one subscriber's replay→live lifecycle with the replay-lag
+  * gate, end to end (reference: the subscribe handler's replay goroutine,
+  * cmd/jetstream/server.go:305-337, and the live-suppression check in
+  * `Server.Emit`, server.go:100-103).
+  *
+  * Reference protocol:
+  *   - while `cursor != nil` the subscriber is REPLAYING: chunks are
+  *     read from the log and delivered through the subscriber predicate
+  *     + per-subscriber hwm (`sub.seq`, server.go:131-134);
+  *   - live events are SUPPRESSED while the subscriber lags more than
+  *     `CutoverThresholdUs` behind them (server.go:100-103) — near
+  *     events flow through and advance the hwm, which the replay then
+  *     skips past (the overlap dedup);
+  *   - when a chunk's scan tail is within `CutoverThresholdUs/2` of the
+  *     live head, the cursor is cleared and live takes over
+  *     (server.go:318-330).
+  *
+  * One deliberate strengthening: the reference can lose events that
+  * arrived live (suppressed) in the final `(lastSeq, serverSeq]` window
+  * right before cutover — a sub-500 ms race it accepts. Here cutover
+  * first delivers that window as a gap-fill chunk, so the session is
+  * exactly-once: every event ≥ cursor is delivered once, in time order.
+  *
+  * Spark posture: all data movement is range scans of the hour-partitioned
+  * events table (partition-pruned, row-group-pruned, limit-pushed); the
+  * session object holds only two longs of driver-side state per
+  * subscriber — at 100 TB the scans are the same plans EventsTable
+  * already serves, and a serving tier can run thousands of sessions
+  * against one table.
+  */
+final class CutoverSession(
+    spec: Subscribe.SubscriberSpec,
+    startCursorUs: Long,
+    chunkSize: Int = 10000,
+    playback: Option[TokenBucket] = None) {
+
+  @volatile private[this] var cursorOpt: Option[Long] = Some(startCursorUs)
+  @volatile private[this] var seqVar: Long = Long.MinValue
+
+  /** Still in replay mode? (sub.cursor != nil, server.go:100) */
+  def replaying: Boolean = cursorOpt.isDefined
+
+  /** Per-subscriber high-water mark (sub.seq, server.go:131-134). */
+  def seqUs: Long = seqVar
+
+  private def advanceSeq(toUs: Long): Unit = synchronized {
+    if (toUs > seqVar) seqVar = toUs
+  }
+
+  /** Subscriber predicate + hwm dedup (emitToSubscriber, server.go:118-134). */
+  private def deliverable(df: DataFrame): DataFrame =
+    df.filter(Subscribe.filterFor(spec.copy(hwmUs = seqVar)))
+
+  private def maxTimeUs(df: DataFrame): Option[Long] = {
+    val row = df.agg(max(col("time_us"))).head()
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
+  }
+
+  /** One iteration of the replay loop (server.go:310-330): scan a chunk
+    * at the cursor, deliver its subscriber view, then either advance the
+    * cursor or cut over (delivering the gap-fill first). Returns true
+    * while still replaying. `serverSeqUs` is the live head (s.seq,
+    * server.go:114,183-186); `deliver` receives the in-order view and
+    * must consume it before the call returns.
+    */
+  def replayStep(spark: SparkSession, path: String, serverSeqUs: Long)(
+      deliver: DataFrame => Unit): Boolean = cursorOpt match {
+    case None => false
+    case Some(cursor) =>
+      val budget = playback.map(_.acquireUpTo(chunkSize.toLong).toInt).getOrElse(chunkSize)
+      if (budget == 0) return true // paced out this tick (persist.go:147-149)
+      val chunk = Replay.replayChunk(spark, path, cursor, budget).cache()
+      try {
+        // scan tail — the reference's ReplayEvents return value (persist.go:199-203)
+        val lastSeq = maxTimeUs(chunk).getOrElse(cursor - 1)
+        val view = deliverable(chunk).orderBy(col("time_us"))
+        deliver(view)
+        maxTimeUs(view).foreach(advanceSeq)
+        if (Replay.caughtUp(lastSeq, serverSeqUs)) {
+          // gap-fill (lastSeq, serverSeqUs]: what live suppressed while we
+          // replayed — hwm-deduped, so anything the open gate already
+          // delivered is skipped (the exactly-once strengthening)
+          val gap = deliverable(
+            EventsTable.read(spark, path)
+              .filter(col(EventsTable.PartitionCol) >= (lastSeq + 1) / 3600000000L &&
+                col(EventsTable.PartitionCol) <= serverSeqUs / 3600000000L &&
+                col("time_us") > lastSeq && col("time_us") <= serverSeqUs))
+            .orderBy(col("time_us"))
+          deliver(gap)
+          maxTimeUs(gap).foreach(advanceSeq)
+          cursorOpt = None // sub.cursor = nil (server.go:334-336)
+          false
+        } else {
+          cursorOpt = Some(lastSeq + 1) // next chunk (server.go:327-330)
+          true
+        }
+      } finally chunk.unpersist()
+  }
+
+  /** The live `Emit` branch for this subscriber (server.go:87-111): while
+    * replaying, live delivery is suppressed (the replay-lag gate,
+    * server.go:100-103); afterwards events pass the subscriber predicate
+    * + hwm. Advances the hwm to the returned view's tail, so the caller
+    * must sink what it gets back.
+    *
+    * Gate note: the reference's per-event form (`deliver iff time_us ≤
+    * seq + threshold`) lets a live delivery jump `sub.seq` past events
+    * the replay hasn't reached yet, which the hwm then skips — a
+    * bounded-loss race it accepts for boundary latency. Because this
+    * session gap-fills at cutover, strict suppression costs nothing in
+    * completeness, and delivery is provably exactly-once and in-order.
+    */
+  def liveEmit(batch: DataFrame): DataFrame = {
+    val gated = if (replaying) batch.limit(0) else batch
+    val view = deliverable(gated).orderBy(col("time_us"))
+    maxTimeUs(view).foreach(advanceSeq)
+    view
+  }
+}

@@ -23,6 +23,13 @@ object ServeJob {
   /** Start the fan-out: `events` is the streaming event tail (e.g. the
     * graft-replay source); each spec gets `sink(name, filteredWireDf)`
     * invoked per micro-batch with only its events.
+    *
+    * S20/S21 — `pacing` attaches a per-subscriber token bucket (the
+    * reference's `sub.rl`, server.go:211): a micro-batch whose
+    * subscriber view exceeds the accumulated budget is the batch twin of
+    * the 10k-event buffer overflowing, and the subscriber is dropped
+    * (`onDrop`) exactly like the slow-consumer close at
+    * server.go:168-175. Unpaced subscribers are unaffected.
     */
   def start(
       events: DataFrame,
@@ -30,7 +37,10 @@ object ServeJob {
       checkpointDir: String,
       sink: (String, DataFrame) => Unit,
       collectionCol: String = "collection",
-      didCol: String = "did"): StreamingQuery =
+      didCol: String = "did",
+      pacing: Map[String, TokenBucket] = Map.empty,
+      onDrop: String => Unit = _ => ()): StreamingQuery = {
+    val dropped = scala.collection.concurrent.TrieMap.empty[String, Unit]
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -39,11 +49,20 @@ object ServeJob {
         try {
           wire.count() // materialize once (the single marshal at server.go:73)
           specs.foreach { case (name, spec) =>
-            sink(name, wire
-              .filter(Subscribe.filterFor(spec, collectionCol, didCol))
-              .select("wire"))
+            if (!dropped.contains(name)) {
+              val view = wire
+                .filter(Subscribe.filterFor(spec, collectionCol, didCol))
+                .select("wire")
+              val admitted = pacing.get(name) match {
+                case Some(bucket) => bucket.tryAcquire(view.count())
+                case None => true
+              }
+              if (admitted) sink(name, view)
+              else { dropped.put(name, ()); onDrop(name) } // server.go:168-175
+            }
           }
         } finally wire.unpersist()
       }
       .start()
+  }
 }

@@ -1,0 +1,145 @@
+package graft.serve
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import graft.store.EventsTable
+
+/** End-to-end replay-lag-gate lifecycle: a subscriber starting from a
+  * historical cursor replays in chunks with live suppressed, cuts over
+  * within CutoverThresholdUs/2 of the head, and the overlap dedups —
+  * server.go:60,100-103,305-337 driven as one interleaved session.
+  */
+class CutoverSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Step = 100000L // 100ms in µs; CutoverThresholdUs = 1s = 10 steps
+
+  private def append(path: String, ids: Range): Unit =
+    EventsTable.append(
+      ids.map(i => (i * Step, s"did${i % 3}", if (i % 2 == 0) "post" else "like"))
+        .toDF("time_us", "did", "collection"),
+      path)
+
+  private def collectUs(df: DataFrame): Seq[Long] =
+    df.select("time_us").as[Long].collect().toSeq
+
+  test("replay→live cutover: gate suppresses far live, exactly-once, in-order") {
+    val path = tmpDir("cutover-e2e")
+    append(path, 1 to 60) // historical backlog: 0.1s..6s
+    var serverSeq = 60 * Step
+    val session = new CutoverSession(
+      Subscribe.SubscriberSpec(), startCursorUs = 1 * Step, chunkSize = 10)
+
+    val delivered = ArrayBuffer.empty[Long] // in delivery order
+    var liveSuppressedWhileReplaying = false
+    var liveNext = 61
+
+    // interleave: one replay chunk per tick, then 3 new live events arrive
+    // and are offered through the Emit gate
+    var ticks = 0
+    while (session.replaying && ticks < 100) {
+      ticks += 1
+      session.replayStep(spark, path, serverSeq)(df => delivered ++= collectUs(df))
+      if (session.replaying) { // live keeps flowing during replay
+        val batch = (liveNext until liveNext + 3)
+        append(path, batch)
+        serverSeq = (batch.last) * Step
+        val liveView = session.liveEmit(
+          batch.map(i => (i * Step, s"did${i % 3}", if (i % 2 == 0) "post" else "like"))
+            .toDF("time_us", "did", "collection"))
+        val got = collectUs(liveView)
+        if (got.isEmpty) liveSuppressedWhileReplaying = true
+        delivered ++= got
+        liveNext += 3
+      }
+    }
+    assert(!session.replaying, s"never cut over after $ticks ticks")
+    // replay gains 10/tick, live 3/tick: the gate must have suppressed during replay
+    assert(liveSuppressedWhileReplaying, "live was never suppressed while replaying")
+
+    // after cutover: pure live tail, gate off, hwm keeps deduping
+    (0 until 3).foreach { _ =>
+      val batch = (liveNext until liveNext + 3)
+      append(path, batch)
+      delivered ++= collectUs(session.liveEmit(
+        batch.map(i => (i * Step, s"did${i % 3}", if (i % 2 == 0) "post" else "like"))
+          .toDF("time_us", "did", "collection")))
+      liveNext += 3
+    }
+
+    val expected = (1L until liveNext).map(_ * Step)
+    assert(delivered.toSet == expected.toSet,
+      s"lost=${(expected.toSet -- delivered.toSet).toSeq.sorted.take(5)} " +
+        s"extra=${(delivered.toSet -- expected.toSet).toSeq.sorted.take(5)}")
+    assert(delivered.size == delivered.toSet.size, "an event was delivered twice")
+    assert(delivered.toSeq == delivered.toSeq.sorted, "delivery order not monotonic")
+  }
+
+  test("cutover happens within CutoverThresholdUs/2 of the live head (server.go:322)") {
+    val path = tmpDir("cutover-margin")
+    append(path, 1 to 50)
+    val serverSeq = 50 * Step
+    val session = new CutoverSession(
+      Subscribe.SubscriberSpec(), startCursorUs = 1 * Step, chunkSize = 20)
+    val delivered = ArrayBuffer.empty[Long]
+    var steps = 0
+    while (session.replaying && steps < 20) {
+      steps += 1
+      session.replayStep(spark, path, serverSeq)(df => delivered ++= collectUs(df))
+    }
+    assert(!session.replaying)
+    // hwm at cutover is within threshold/2 of the head
+    assert(session.seqUs > serverSeq - Replay.CutoverThresholdUs / 2)
+    assert(delivered.toSeq == (1L to 50L).map(_ * Step))
+  }
+
+  test("subscriber predicate applies during replay and live; hwm dedups overlap") {
+    val path = tmpDir("cutover-filtered")
+    append(path, 1 to 40)
+    var serverSeq = 40 * Step
+    val session = new CutoverSession(
+      Subscribe.SubscriberSpec(wantedCollections = Seq("post")), // even ids only
+      startCursorUs = 1 * Step, chunkSize = 15)
+    val delivered = ArrayBuffer.empty[Long]
+    var ticks = 0
+    while (session.replaying && ticks < 50) {
+      ticks += 1
+      session.replayStep(spark, path, serverSeq)(df => delivered ++= collectUs(df))
+      // offer an overlapping "live" view of already-replayed data: hwm must drop it all
+      delivered ++= collectUs(session.liveEmit(
+        (1 to 40).map(i => (i * Step, s"did${i % 3}", if (i % 2 == 0) "post" else "like"))
+          .toDF("time_us", "did", "collection")))
+    }
+    assert(!session.replaying)
+    val expected = (2 to 40 by 2).map(_ * Step.toLong)
+    assert(delivered.toSeq == expected, "filtered replay+overlap must be evens, once, in order")
+  }
+
+  test("paced replay: a drained playback bucket stalls the cursor, refill resumes it") {
+    val path = tmpDir("cutover-paced")
+    append(path, 1 to 30)
+    var clock = 0L
+    val bucket = new TokenBucket(ratePerSec = 10.0, burst = 10, nowUs = () => clock)
+    val session = new CutoverSession(
+      Subscribe.SubscriberSpec(), startCursorUs = 1 * Step, chunkSize = 10,
+      playback = Some(bucket))
+    val delivered = ArrayBuffer.empty[Long]
+
+    // burst of 10 admits the first chunk; bucket now empty
+    assert(session.replayStep(spark, path, 30 * Step)(df => delivered ++= collectUs(df)))
+    assert(delivered.size == 10)
+    // no tokens: step is a no-op but the session stays alive
+    assert(session.replayStep(spark, path, 30 * Step)(df => delivered ++= collectUs(df)))
+    assert(delivered.size == 10)
+    // +1s of clock = +10 tokens → next chunk flows
+    clock += 1000000L
+    assert(session.replayStep(spark, path, 30 * Step)(df => delivered ++= collectUs(df)))
+    assert(delivered.size == 20)
+    clock += 1000000L
+    session.replayStep(spark, path, 30 * Step)(df => delivered ++= collectUs(df))
+    assert(!session.replaying && delivered.toSeq == (1L to 30L).map(_ * Step))
+  }
+}

@@ -41,6 +41,61 @@ class ServeJobSpec extends SparkSpec {
     assert(received("late") == 50)
   }
 
+  test("token-bucket pacing: within-budget admitted, overflow drops the subscriber (server.go:168-175,211)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Long, String)]
+    val received = TrieMap.empty[String, Long]
+    val droppedSubs = TrieMap.empty[String, Unit]
+    val clock = 0L
+
+    in.addData((1 to 100).map(i => (s"did:plc:u$i", i.toLong, "app.bsky.feed.post")))
+
+    val q = ServeJob.start(
+      in.toDF().toDF("did", "time_us", "collection"),
+      specs = Map(
+        "unpaced" -> Subscribe.SubscriberSpec(),
+        "roomy"   -> Subscribe.SubscriberSpec(), // budget 200 ≥ batch of 100
+        "slow"    -> Subscribe.SubscriberSpec()), // budget 50 < batch of 100
+      checkpointDir = tmpDir("serve-paced-ckpt"),
+      sink = (name, df) => received.updateWith(name) {
+        prev => Some(prev.getOrElse(0L) + df.count())
+      },
+      pacing = Map(
+        "roomy" -> new TokenBucket(ratePerSec = 10.0, burst = 200, nowUs = () => clock),
+        "slow"  -> new TokenBucket(ratePerSec = 10.0, burst = 50, nowUs = () => clock)),
+      onDrop = name => droppedSubs.put(name, ()))
+
+    q.awaitTermination()
+
+    assert(received("unpaced") == 100)
+    assert(received("roomy") == 100) // admitted: ≤ accumulated budget
+    // the batch exceeded slow's budget = the 10k buffer overflowing:
+    // nothing delivered, subscriber dropped (S21)
+    assert(!received.contains("slow"))
+    assert(droppedSubs.keySet == Set("slow"))
+  }
+
+  test("paced delivery never exceeds rate × time across windows") {
+    var deliveredTotal = 0L
+    var clock = 0L
+    val rate = 5000.0 // the reference's live default (server.go maxSubRate)
+    val bucket = new TokenBucket(rate, burst = rate.toLong, nowUs = () => clock)
+
+    // 3 windows, 1s apart, 4k events each — all within the 5k ev/s cap
+    (1 to 3).foreach { w =>
+      clock = w * 1000000L
+      val n = 4000L
+      if (bucket.tryAcquire(n)) deliveredTotal += n
+    }
+    assert(deliveredTotal <= rate * 3 + rate) // ≤ rate·time + burst
+    assert(deliveredTotal == 12000L) // within cap: nothing rejected
+
+    // a 6k burst in one window exceeds the cap → rejected
+    clock += 1000000L
+    assert(!bucket.tryAcquire(6000L))
+    assert(bucket.tryAcquire(5000L)) // what the window's budget allows
+  }
+
   test("per-collection record view parses golden like record (README.md:60-81)") {
     import org.apache.spark.sql.functions._
     val src = scala.io.Source.fromResource("golden/commit_create_like.json")
