@@ -30,15 +30,33 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
+    // Timed pass: a failing query FAILS the bench (a broken query must
+    // not report as "fast"); all failures are listed before exiting 1.
+    val errors = scala.collection.mutable.ListBuffer.empty[(String, String)]
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // clean slate per query: no cross-query cached blocks or pending
+      // old-gen garbage skewing an unrelated query's wall time
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable => errors += name -> e.toString.take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Machine-readable copy, free of sbt's [info]/[error] line prefixes.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json"))
+    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     spark.stop()
+    if (errors.nonEmpty) {
+      errors.foreach { case (n, e) => System.err.println(s"[bench] $n failed: $e") }
+      sys.exit(1)
+    }
   }
 }

@@ -96,10 +96,14 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+    // No .cache(): the shingle set is used three times, but at corpus
+    // scale pinning it in executor memory evicts more useful blocks and
+    // the recompute is one narrow codegen stage over the scan. Spark
+    // reuses the shuffle output of the distinct() across the three
+    // consumers anyway (ReusedExchange), which is the cheap 90% of it.
     val sh = shingles(df, idCol, textCol, shingleN)
       .select(col(idCol), h32(col("shingle")).as("shingle"))
       .distinct()
-      .cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"),

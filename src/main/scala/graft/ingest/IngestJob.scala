@@ -36,9 +36,19 @@ object IngestJob {
     if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 
+  /** Default batch size above which sequencing switches to the
+    * no-serial-stage [[Sequencer.stampScalable]]: ~2M rows is where a
+    * single-task sort of a wide row stops fitting one executor's core
+    * comfortably. Small batches keep the window form — one tiny task
+    * beats a range-sampling + zipWithIndex round trip.
+    */
+  val ScalableStampThresholdRows: Long = 2000000L
+
   /** Start the ingest stream. `decoded` is a streaming DataFrame of
     * event rows (post-Decode, pre-sequencing); `orderCols` give the
-    * deterministic intra-batch order.
+    * deterministic intra-batch order. Batches at or above
+    * `scalableThresholdRows` are stamped with the distributed sequencer
+    * (same gap-free assignment, no single-task stage).
     */
   def start(
       decoded: DataFrame,
@@ -46,13 +56,18 @@ object IngestJob {
       tablePath: String,
       checkpointDir: String,
       prevMaxUs: Long = 0L,
-      nowUs: () => Long = () => System.currentTimeMillis() * 1000L): StreamingQuery = {
+      nowUs: () => Long = () => System.currentTimeMillis() * 1000L,
+      scalableThresholdRows: Long = ScalableStampThresholdRows): StreamingQuery = {
     val hwm = new AtomicLong(prevMaxUs)
     decoded.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val seq = Sequencer.stamp(batch, orderCols, hwm.get(), nowUs)
+        val n = batch.count()
+        val seq =
+          if (n >= scalableThresholdRows)
+            Sequencer.stampScalable(batch, orderCols, hwm.get(), nowUs, rows = n)
+          else Sequencer.stamp(batch, orderCols, hwm.get(), nowUs, rows = n)
         if (seq.maxTimeUs > hwm.get()) {
           EventsTable.append(seq.df, tablePath)
           hwm.set(seq.maxTimeUs)

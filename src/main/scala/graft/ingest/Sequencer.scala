@@ -33,8 +33,9 @@ object Sequencer {
       batch: DataFrame,
       orderCols: Seq[String],
       prevMaxUs: Long,
-      nowUs: () => Long = () => System.currentTimeMillis() * 1000L): Sequenced = {
-    val n = batch.count()
+      nowUs: () => Long = () => System.currentTimeMillis() * 1000L,
+      rows: Long = -1L): Sequenced = {
+    val n = if (rows >= 0) rows else batch.count()
     if (n == 0) return Sequenced(batch.sparkSession.emptyDataFrame, prevMaxUs)
     val base = math.max(prevMaxUs + 1, nowUs())
     val w = Window.orderBy(orderCols.map(col): _*)
@@ -60,9 +61,10 @@ object Sequencer {
       orderCols: Seq[String],
       prevMaxUs: Long,
       nowUs: () => Long = () => System.currentTimeMillis() * 1000L,
-      partitions: Int = 0): Sequenced = {
+      partitions: Int = 0,
+      rows: Long = -1L): Sequenced = {
     val spark = batch.sparkSession
-    val n = batch.count()
+    val n = if (rows >= 0) rows else batch.count()
     if (n == 0) return Sequenced(spark.emptyDataFrame, prevMaxUs)
     val base = math.max(prevMaxUs + 1, nowUs())
     val parts = if (partitions > 0) partitions

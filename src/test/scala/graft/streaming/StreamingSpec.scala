@@ -46,6 +46,30 @@ class StreamingSpec extends SparkSpec {
     assert(t2.max == 1000079L)
   }
 
+  test("ingest monotonicity holds through the scalable-stamp path (large-batch form)") {
+    implicit val ctx = spark.sqlContext
+    val table = tmpDir("ingest-scalable-table")
+
+    // threshold 40: batch 1 (50 rows) takes stampScalable, batch 2 (20)
+    // takes the window stamp — both paths in one stream, one hwm chain
+    val in = MemoryStream[Raw]
+    in.addData((1 to 50).map(i => Raw(i.toLong, s"did${i % 3}", "app.c")))
+    val q = IngestJob.start(in.toDF(), Seq("arrival"), table, tmpDir("ingest-scalable-ckpt"),
+      prevMaxUs = 0L, nowUs = () => 1000000L, scalableThresholdRows = 40L)
+    q.awaitTermination()
+    val in2 = MemoryStream[Raw]
+    in2.addData((51 to 70).map(i => Raw(i.toLong, s"did${i % 3}", "app.c")))
+    val q2 = IngestJob.start(in2.toDF(), Seq("arrival"), table, tmpDir("ingest-scalable-ckpt2"),
+      prevMaxUs = 1000049L, nowUs = () => 500L, scalableThresholdRows = 40L)
+    q2.awaitTermination()
+
+    val rows = EventsTable.read(spark, table)
+      .select("arrival", "time_us").as[(Long, Long)].collect().sortBy(_._1)
+    assert(rows.length == 70)
+    // gap-free, strictly monotonic, and aligned with the arrival order
+    assert(rows.map(_._2).toSeq == (1000000L until 1000070L))
+  }
+
   test("dedupOverlap drops replay/live duplicates within watermark") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
