@@ -24,6 +24,10 @@ object ScaleSmoke {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      // explicit (they default on in Spark 4): runtime re-plan + skew-join
+      // splitting are part of the engine's scale posture
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -87,6 +91,36 @@ object ScaleSmoke {
     val seqSec = (System.nanoTime() - t2) / 1e9
     println(f"[scale] sequencer stamp (single-task stage): $stamped rows in $seqSec%.2fs = " +
       f"${stamped / seqSec / 1000}%.0fk events/s (reference: one goroutine fan-in)")
+
+    // --- skewed-key posture: one hot did takes 60% of ALL events.
+    // The agg form (max_by, partial-aggregated map-side) must stay flat
+    // under skew; the window form (row_number per key) funnels the hot
+    // key through one task — the shape AQE skew handling cannot split.
+    {
+      import org.apache.spark.sql.expressions.Window
+      val nSkew = math.min(n, 20000000L)
+      val skewed = spark.range(nSkew).select(
+        when(pmod(col("id"), lit(10)) < 6, lit("did:plc:hot"))
+          .otherwise(concat(lit("did:plc:u"), pmod(hash(col("id")), lit(100000)))).as("did"),
+        col("id").as("time_us"))
+      skewed.cache().count()
+      // min of 3: the VM's wall-clock noise exceeds the effect otherwise
+      def best(f: => Long): (Double, Long) = (1 to 3).map { _ =>
+        val t = System.nanoTime(); val r = f; ((System.nanoTime() - t) / 1e9, r)
+      }.minBy(_._1)
+      val (aggSec, aggRows) = best {
+        skewed.groupBy(col("did"))
+          .agg(max_by(col("time_us"), col("time_us")).as("latest_us")).count()
+      }
+      val w = Window.partitionBy(col("did")).orderBy(col("time_us").desc)
+      val (winSec, winRows) = best {
+        skewed.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).count()
+      }
+      println(f"[scale] skewed latest-per-key ($nSkew rows, 60%% on one did): " +
+        f"agg(max_by) $aggSec%.2fs (${nSkew / aggSec / 1e6}%.1fM ev/s, $aggRows keys) vs " +
+        f"window(rn=1) $winSec%.2fs (${nSkew / winSec / 1e6}%.1fM ev/s, $winRows keys)")
+      skewed.unpersist()
+    }
 
     val big = spark.range(10000000).select(
       col("id").as("arrival"), concat(lit("d"), col("id") % 97).as("did"))

@@ -238,16 +238,24 @@ object EventQueries {
   /** S10 — keyed upsert materialization: latest event per user, i.e. the
     * "current state" view a keyed KV persist implies. Reference:
     * pkg/consumer/persist.go:90-117 (write under `{time_us}_{did}_…`).
-    * Window row_number desc over (user_id) — shuffles once on the key.
+    *
+    * Skew posture: expressed as a `max_by` AGGREGATION, not a
+    * row_number window — partial aggregation collapses every hot key
+    * map-side before the shuffle, so a did receiving 30% of all events
+    * costs one extra struct-compare per input row instead of one task
+    * sorting 30% of the corpus (measured in ScaleSmoke's skew section;
+    * a key-partitioned window is the one shape AQE skew handling cannot
+    * split). Tie order (time_us, event_id) lexicographic = the window's
+    * desc/desc rn=1.
     */
-  def latestPerUser(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("time_us").desc, col("event_id").desc)
+  def latestPerUser(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_id"), timeUs.as("time_us"), col("user_id"), col("event_type"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
-  }
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("time_us"), col("event_type")),
+        struct(col("time_us"), col("event_id"))).as("e"))
+      .select(col("e.event_id"), col("e.time_us"), col("user_id"), col("e.event_type"))
 
   /** S26 dashboard view — p50/p95/p99 of `value` per event_type, the
     * Grafana percentile panels (grafana-dashboard.json "Event Processing

@@ -129,6 +129,12 @@ object RelationalQueries {
 
   /** Window / top-N per group: each customer's 3 largest orders by price
     * (row_number desc, orderkey tie-break for determinism).
+    *
+    * Skew note: a key-partitioned window funnels each key through one
+    * task and AQE cannot split it. Customer keys here are near-uniform;
+    * for a skewed key domain use the aggregation form instead (see
+    * `latest_per_user` / PERF.md round-2 skew section) or pre-bucket
+    * the table on the key so the window runs shuffle-free per bucket.
     */
   def windowTopPerKey(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
