@@ -86,6 +86,10 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ExtQueries.dedupNgramJaccard _,
     "dedup_minhash_lsh"  -> ExtQueries.dedupMinhashLsh _,
     "dedup_verified"     -> ExtQueries.dedupVerified _,
+    "dedup_components"   -> ExtQueries.dedupComponents _,
+    "stratified_sample"  -> ExtQueries.stratifiedSample _,
+    "ivf_probe"          -> ExtQueries.ivfProbe _,
+    "embed_quantize"     -> ExtQueries.embedQuantize _,
     "simhash"            -> ExtQueries.simhash _,
     "dedup_embed_cosine" -> ExtQueries.dedupEmbedCosine _,
     "bpe_token_vocab"    -> ExtQueries.bpeTokenVocab _,
@@ -96,6 +100,40 @@ object SparkEntry {
     "embed_centroids"    -> ExtQueries.embedCentroids _,
     "multimodal_meta"    -> ExtQueries.multimodalMeta _,
   )
+
+  /** Shared CTE chain producing the LSH-verified near-dup pairs
+    * (`verified(doc_a, doc_b, jaccard)`) — composed by `dedup_verified`
+    * and `dedup_components`.
+    */
+  private val NearDupPairCtes: String =
+    """words AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s0
+      |       FROM words, (SELECT unnest(range(1, 1000)) AS i) n
+      |       WHERE i + 2 <= len(l)),
+      |sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s0), 1, 8))::BIGINT AS s
+      |       FROM sh0),
+      |mh AS (SELECT doc_id, j,
+      |              min(((2*j+1) * s + j*7919 + 1) % 2147483647) AS mh
+      |       FROM sh, (SELECT unnest(range(0, 16)) AS j) js
+      |       GROUP BY doc_id, j),
+      |bands AS (SELECT doc_id, j // 4 AS band,
+      |                 string_agg(mh::VARCHAR, ',' ORDER BY j) AS sig
+      |          FROM mh GROUP BY doc_id, j // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM bands a JOIN bands b
+      |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |verified AS (
+      |  SELECT p.doc_a, p.doc_b,
+      |         floor((c::DOUBLE / (sa.n + sb.n - c)) * 1e4 + 0.5) / 1e4 AS jaccard
+      |  FROM pairs p
+      |  JOIN cand k ON p.doc_a = k.doc_a AND p.doc_b = k.doc_b
+      |  JOIN sizes sa ON p.doc_a = sa.doc_id
+      |  JOIN sizes sb ON p.doc_b = sb.doc_id
+      |  WHERE floor((c::DOUBLE / (sa.n + sb.n - c)) * 1e4 + 0.5) / 1e4 >= 0.8)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "replay_scan" ->
@@ -417,33 +455,15 @@ object SparkEntry {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE floor((c::DOUBLE / (sa.n + sb.n - c)) * 1e4 + 0.5) / 1e4 >= 0.8""".stripMargin,
     "dedup_verified" ->
-      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        |sh0 AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s0
-        |       FROM words, (SELECT unnest(range(1, 1000)) AS i) n
-        |       WHERE i + 2 <= len(l)),
-        |sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s0), 1, 8))::BIGINT AS s
-        |       FROM sh0),
-        |mh AS (SELECT doc_id, j,
-        |              min(((2*j+1) * s + j*7919 + 1) % 2147483647) AS mh
-        |       FROM sh, (SELECT unnest(range(0, 16)) AS j) js
-        |       GROUP BY doc_id, j),
-        |bands AS (SELECT doc_id, j // 4 AS band,
-        |                 string_agg(mh::VARCHAR, ',' ORDER BY j) AS sig
-        |          FROM mh GROUP BY doc_id, j // 4),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM bands a JOIN bands b
-        |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2)
-        |SELECT p.doc_a, p.doc_b,
-        |       floor((c::DOUBLE / (sa.n + sb.n - c)) * 1e4 + 0.5) / 1e4 AS jaccard
-        |FROM pairs p
-        |JOIN cand k ON p.doc_a = k.doc_a AND p.doc_b = k.doc_b
-        |JOIN sizes sa ON p.doc_a = sa.doc_id
-        |JOIN sizes sb ON p.doc_b = sb.doc_id
-        |WHERE floor((c::DOUBLE / (sa.n + sb.n - c)) * 1e4 + 0.5) / 1e4 >= 0.8""".stripMargin,
+      s"""WITH $NearDupPairCtes
+         |SELECT doc_a, doc_b, jaccard FROM verified""".stripMargin,
+    "dedup_components" ->
+      s"""WITH RECURSIVE $NearDupPairCtes,
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+         |          UNION SELECT doc_b, doc_a FROM verified),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a""".stripMargin,
     "dedup_minhash_lsh" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
@@ -542,6 +562,41 @@ object SparkEntry {
         |                  AS bucket
         |         FROM dots GROUP BY vec_id)
         |SELECT bucket, count(*) AS n_vecs FROM sigs GROUP BY bucket""".stripMargin,
+    "stratified_sample" ->
+      """SELECT source, count(*) AS n_sampled, sum(doc_id)::BIGINT AS sum_doc_id
+        |FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 < 200
+        |GROUP BY source""".stripMargin,
+    "ivf_probe" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |rest AS (SELECT * FROM embeddings WHERE vec_id != 0),
+        |cdims AS (SELECT label, i.i AS i, avg(e.embedding[i.i]::DOUBLE) AS c
+        |          FROM rest e, (SELECT unnest(range(1, 65)) AS i) i
+        |          GROUP BY label, i.i),
+        |scores AS (SELECT cd.label,
+        |                  floor((sum(cd.c * q.qe[cd.i]::DOUBLE) / sqrt(sum(cd.c * cd.c)))
+        |                        * 1e6 + 0.5) / 1e6 AS score
+        |           FROM cdims cd, q GROUP BY cd.label),
+        |best AS (SELECT label FROM scores ORDER BY score DESC, label LIMIT 1),
+        |dims AS (SELECT e.vec_id, e.embedding[i.i]::DOUBLE AS x, q.qe[i.i]::DOUBLE AS y
+        |         FROM rest e JOIN best b ON e.label = b.label, q,
+        |              (SELECT unnest(range(1, 65)) AS i) i)
+        |SELECT vec_id,
+        |       floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 AS cos
+        |FROM dims GROUP BY vec_id
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "embed_quantize" ->
+      """WITH dims AS (SELECT vec_id, i.i AS i, embedding[i.i]::DOUBLE AS x
+        |              FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i),
+        |sc AS (SELECT vec_id, 127.0 / greatest(max(abs(x)), 1e-12) AS s
+        |       FROM dims GROUP BY vec_id),
+        |q AS (SELECT d.vec_id,
+        |             greatest(-127.0, least(127.0, floor(d.x * sc.s + 0.5))) AS qx,
+        |             d.x, sc.s
+        |      FROM dims d JOIN sc ON d.vec_id = sc.vec_id)
+        |SELECT vec_id, sum(qx)::BIGINT AS q_sum,
+        |       floor(sqrt(sum((qx/s - x) * (qx/s - x))) * 1e6 + 0.5) / 1e6 AS recon_err
+        |FROM q GROUP BY vec_id""".stripMargin,
     "embed_centroids" ->
       """WITH dims AS (SELECT label, i.i, e.embedding[i.i]::DOUBLE AS v
         |              FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) i),

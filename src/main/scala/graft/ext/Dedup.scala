@@ -133,6 +133,50 @@ object Dedup {
       .join(cands, Seq(s"${idCol}_a", s"${idCol}_b"), "left_semi")
   }
 
+  /** Connected components over a near-dup pair list: every doc gets
+    * `comp` = the smallest doc id in its transitive near-dup cluster —
+    * the canonical-representative assignment a dedup pipeline applies
+    * after pair verification (keep `comp`, drop the rest).
+    *
+    * Min-label propagation: each iteration is one key-partitioned join
+    * + partial-aggregated min, and the iteration count is the cluster
+    * diameter — near-dup clusters are tiny (pairs/triples), so this
+    * converges in 2-3 rounds regardless of corpus size. Convergence is
+    * detected by the strictly-decreasing label sum (no per-row compare
+    * pass). The driver loop schedules Spark jobs; no data is collected.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).cache()
+    try {
+      var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+      var iter = 0
+      var done = false
+      while (!done && iter < maxIter) {
+        iter += 1
+        val nbrMin = edges.as("e")
+          .join(labels.as("l"), col("e.dst") === col("l.id"))
+          .groupBy(col("e.src"))
+          .agg(min(col("l.comp")).as("nmin"))
+          .select(col("src").as("nid"), col("nmin"))
+        val next = labels.as("l0")
+          .join(nbrMin, col("l0.id") === col("nid"), "left")
+          .select(col("l0.id").as("id"),
+            least(col("l0.comp"), coalesce(col("nmin"), col("l0.comp"))).as("comp"))
+          .cache()
+        val s = next.agg(sum(col("comp"))).head().getLong(0)
+        labels.unpersist()
+        labels = next
+        if (s == prevSum) done = true else prevSum = s
+      }
+      labels
+    } finally edges.unpersist()
+  }
+
   /** 32-bit SimHash signature per document (word-count weighted). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))

@@ -75,6 +75,22 @@ object ExtQueries {
       .withColumnRenamed("doc_id_a", "doc_a")
       .withColumnRenamed("doc_id_b", "doc_b")
 
+  /** E1 — dedup-group assignment: connected components over the
+    * LSH-verified near-dup pairs; every involved doc labeled with the
+    * smallest doc_id of its transitive cluster ([[Dedup.connectedComponents]]).
+    */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.verifyCandidates(Tables.documents(spark, dir), "doc_id", "text", threshold = 0.8),
+      "doc_id_a", "doc_id_b")
+      .withColumnRenamed("id", "doc_id")
+
+  /** E3 — deterministic stratified sample accounting (20% hash sample
+    * per source; [[Sampling.stratifiedCounts]]).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedCounts(Tables.documents(spark, dir), "source", "doc_id", permille = 200)
+
   /** E1 — 32-bit SimHash signatures. */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
@@ -130,6 +146,19 @@ object ExtQueries {
     Similarity.withBuckets(Tables.embeddings(spark, dir), "embedding", dims = 64)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vecs"))
+
+  /** E2 — IVF probe: best cell by centroid score, exact top-10 within
+    * it ([[Similarity.ivfTopK]] — the coarse-quantizer ANN scale path;
+    * probes scan corpus/K).
+    */
+  def ivfProbe(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(
+      Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0),
+      "vec_id", "label", "embedding", queryVec(spark, dir), k = 10)
+
+  /** E2 — int8 quantization accounting per vector ([[Similarity.quantizeStats]]). */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeStats(Tables.embeddings(spark, dir), "vec_id", "embedding")
 
   /** E2 — per-label centroid norms (IVF cluster-reduce). */
   def embedCentroids(spark: SparkSession, dir: String): DataFrame =

@@ -137,6 +137,58 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** IVF coarse-index build: per-cell centroid components (cell =
+    * `labelCol`). posexplode + two-level agg — one shuffle keyed on
+    * (cell, dim), partial-aggregated map-side.
+    */
+  def centroidComponents(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(toDoubleArr(col(vecCol))).as(Seq("i", "v")))
+      .groupBy(col(labelCol), col("i"))
+      .agg(avg(col("v")).as("c"))
+
+  /** IVF probe: rank cells by centroid score against the query (the
+    * query norm is constant across cells so it cancels from the
+    * ranking), then exact cosine top-k within the best cell only — the
+    * coarse-quantizer ANN shape: a probe scans corpus/K, and on a
+    * cell-partitioned table it is a partition-pruned scan. The cell
+    * ranking collects ONE row (like the query-vector fetch) — an index
+    * lookup, not a data collect.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, labelCol: String, vecCol: String,
+      query: Seq[Double], k: Int = 10, digits: Int = 6): DataFrame = {
+    val qLit = array(query.map(lit): _*)
+    val best = centroidComponents(df, labelCol, vecCol)
+      .groupBy(col(labelCol))
+      .agg(pround(
+        sum(col("c") * element_at(qLit, col("i") + 1)) / sqrt(sum(col("c") * col("c"))),
+        digits).as("score"))
+      .orderBy(col("score").desc, col(labelCol))
+      .limit(1).head().get(0)
+    df.filter(col(labelCol) === best)
+      .select(col(idCol), cosineTo(query, vecCol).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Symmetric int8 quantization accounting: per vector, the quantized
+    * checksum and reconstruction error of `q_i = clamp(⌊v_i·s + ½⌋,
+    * ±127)` with `s = 127/max|v|` — the compression step an embedding
+    * store applies before ANN. All math is floor-based
+    * ([[graft.util.Portable]] rule) so the oracle reproduces it exactly;
+    * the epsilon guard keeps zero vectors finite on both engines.
+    */
+  def quantizeStats(df: DataFrame, idCol: String, vecCol: String, digits: Int = 6): DataFrame =
+    df.select(col(idCol), toDoubleArr(col(vecCol)).as("__v"))
+      .withColumn("__s", lit(127.0) /
+        greatest(aggregate(col("__v"), lit(0.0d), (a, x) => greatest(a, abs(x))), lit(1e-12)))
+      .withColumn("__q", transform(col("__v"), x =>
+        greatest(lit(-127.0), least(lit(127.0), floor(x * col("__s") + 0.5)))))
+      .select(col(idCol),
+        aggregate(col("__q"), lit(0.0d), (a, x) => a + x).cast("long").as("q_sum"),
+        pround(sqrt(aggregate(
+          zip_with(col("__q"), col("__v"), (q, x) => (q / col("__s") - x) * (q / col("__s") - x)),
+          lit(0.0d), (a, x) => a + x)), digits).as("recon_err"))
+
   /** Per-label centroid norm (the IVF cluster-reduce). */
   def centroidNorms(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
     df.select(col(labelCol), posexplode(toDoubleArr(col(vecCol))).as(Seq("i", "v")))

@@ -41,6 +41,48 @@ class ExtOpsSpec extends SparkSpec {
     assert(verified.nonEmpty)
   }
 
+  test("connectedComponents merges transitive chains to the min id") {
+    // chain 1-2-3-4 (diameter 3) + isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_id_a", "doc_id_b")
+    val comps = Dedup.connectedComponents(pairs, "doc_id_a", "doc_id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("quantizeStats clamps to ±127 and survives the zero vector") {
+    val df = Seq(
+      (1L, Array(1.0f, -1.0f, 0.5f)),  // symmetric: ±127 at the extremes
+      (2L, Array(0.0f, 0.0f, 0.0f)))   // zero vector: eps guard, no NaN/inf
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeStats(df, "vec_id", "embedding")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val (_, qSum1, err1) = out(0)
+    assert(qSum1 == 127L - 127L + 64L) // 0.5*127 + 0.5 floors to 64
+    assert(err1 < 0.005)
+    val (_, qSum2, err2) = out(1)
+    assert(qSum2 == 0L && err2 == 0.0)
+  }
+
+  test("ivfTopK probe result is exact within its cell") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toDoubleArr(col("embedding")))
+      .head().getSeq[Double](0).toSeq
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val probed = Similarity.ivfTopK(rest, "vec_id", "label", "embedding", q, k = 5)
+      .as[(Long, Double)].collect()
+    assert(probed.length == 5)
+    // every probe hit must agree with the full brute-force score
+    val brute = Similarity.cosineTopK(rest, "vec_id", "embedding", q, k = 1000)
+      .as[(Long, Double)].collect().toMap
+    probed.foreach { case (id, cos) => assert(brute(id) == cos) }
+    // all hits share the probed (single) cell
+    val labels = rest.join(probed.map(_._1).toSeq.toDF("vec_id"), "vec_id")
+      .select("label").distinct().count()
+    assert(labels == 1)
+  }
+
   test("shingles of docs shorter than n words are empty, not garbage") {
     val docs = Seq((1L, "only two"), (2L, "a b c d")).toDF("doc_id", "text")
     val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
