@@ -64,4 +64,74 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** STUB — deterministic fake "decode → scale → re-encode": digest of
+    * (bytes, target dims). A real implementation swaps this body for an
+    * image codec; the pipeline below is unchanged.
+    */
+  private[ext] def stubResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes ++ s"${w}x$h".getBytes("UTF-8"))
+
+  /** Image resize stage: per-partition batched re-encode producing
+    * (passthrough..., resized binary, width, height). Same codec-per-
+    * partition shape as [[decodeFeatures]]; row count unchanged; binary
+    * stays columnar and never shuffles.
+    */
+  def resize(df: DataFrame, binCol: String, width: Int, height: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("resized", BinaryType),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq ++ Seq(stubResize(bytes, width, height), width, height))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** STUB — deterministic fake frame extraction: frame count derived
+    * from payload length (one per 256 bytes, ≥1), each frame's bytes a
+    * digest of (payload, index). A real implementation demuxes the
+    * container and decodes the keyframe at `idx`.
+    */
+  private[ext] def stubFrameCount(bytes: Array[Byte]): Int =
+    math.max(1, bytes.length / 256)
+
+  private[ext] def stubFrame(bytes: Array[Byte], idx: Int): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes ++ s"frame:$idx".getBytes("UTF-8"))
+
+  /** Video frame sampling: one output row per kept frame — every
+    * `everyNth` frame up to `maxFrames` per video. The 1→N explode
+    * happens inside the per-partition iterator (lazily — no frame list
+    * materialized per video), which is the production demux shape: a
+    * container is opened once and frames stream out. Output adds
+    * (frame_idx int, frame binary).
+    */
+  def frameSample(df: DataFrame, binCol: String,
+      everyNth: Int = 1, maxFrames: Int = Int.MaxValue): DataFrame = {
+    require(everyNth >= 1 && maxFrames >= 1)
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        (0 until stubFrameCount(bytes) by everyNth).iterator.take(maxFrames).map { i =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(i, stubFrame(bytes, i)))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 }

@@ -109,4 +109,28 @@ class ExtOpsSpec extends SparkSpec {
       .select("id", "features").as[(Long, Seq[Float])].collect().toMap
     assert(again == rows)
   }
+
+  test("multimodal resize + frame sampling keep the batched partition shape") {
+    val vids = Seq(
+      (1L, Array.tabulate(1000)(_.toByte)), // 1000 bytes → 3 stub frames
+      (2L, Array.tabulate(100)(_.toByte)))  // 100 bytes → 1 stub frame
+      .toDF("id", "payload")
+
+    val resized = Multimodal.resize(vids, "payload", 224, 224)
+    assert(resized.count() == 2) // row count unchanged
+    val r1 = resized.filter(col("id") === 1).head()
+    assert(r1.getAs[Int]("width") == 224 && r1.getAs[Int]("height") == 224)
+    assert(r1.getAs[Array[Byte]]("resized").length == 16) // stub digest bytes
+    // deterministic re-run
+    val r1b = Multimodal.resize(vids, "payload", 224, 224).filter(col("id") === 1).head()
+    assert(r1b.getAs[Array[Byte]]("resized").toSeq == r1.getAs[Array[Byte]]("resized").toSeq)
+
+    val frames = Multimodal.frameSample(vids, "payload", everyNth = 2, maxFrames = 10)
+      .select("id", "frame_idx").as[(Long, Int)].collect().toSet
+    // video 1: frames 0,2 of {0,1,2}; video 2: frame 0
+    assert(frames == Set((1L, 0), (1L, 2), (2L, 0)))
+    val capped = Multimodal.frameSample(vids, "payload", everyNth = 1, maxFrames = 2)
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(capped == Map(1L -> 2L, 2L -> 1L)) // per-video cap applies
+  }
 }
