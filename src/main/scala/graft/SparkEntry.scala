@@ -91,6 +91,7 @@ object SparkEntry {
     "ivf_probe"          -> ExtQueries.ivfProbe _,
     "embed_quantize"     -> ExtQueries.embedQuantize _,
     "simhash"            -> ExtQueries.simhash _,
+    "simhash_hamming"    -> ExtQueries.simhashHamming _,
     "dedup_embed_cosine" -> ExtQueries.dedupEmbedCosine _,
     "bpe_token_vocab"    -> ExtQueries.bpeTokenVocab _,
     "rolling_fingerprint" -> ExtQueries.rollingFingerprint _,
@@ -134,6 +135,23 @@ object SparkEntry {
       |  JOIN sizes sa ON p.doc_a = sa.doc_id
       |  JOIN sizes sb ON p.doc_b = sb.doc_id
       |  WHERE floor((c::DOUBLE / (sa.n + sb.n - c)) * 1e4 + 0.5) / 1e4 >= 0.8)""".stripMargin
+
+  /** Shared CTE chain producing `sigs(doc_id, simhash)` — composed by
+    * `simhash` and `simhash_hamming`.
+    */
+  private val SimHashCtes: String =
+    """wc AS (SELECT doc_id, word, count(*) AS cnt FROM
+      |         (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |          FROM documents)
+      |       GROUP BY doc_id, word),
+      |h AS (SELECT doc_id, cnt, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h
+      |      FROM wc),
+      |bits AS (SELECT doc_id, b, sum(cnt * (((h >> b) % 2) * 2 - 1)) AS s
+      |         FROM h, (SELECT unnest(range(0, 32)) AS b) bs
+      |         GROUP BY doc_id, b),
+      |sigs AS (SELECT doc_id,
+      |                sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+      |         FROM bits GROUP BY doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "replay_scan" ->
@@ -481,18 +499,18 @@ object SparkEntry {
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
     "simhash" ->
-      """WITH wc AS (SELECT doc_id, word, count(*) AS cnt FROM
-        |              (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-        |               FROM documents)
-        |            GROUP BY doc_id, word),
-        |h AS (SELECT doc_id, cnt, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h
-        |      FROM wc),
-        |bits AS (SELECT doc_id, b, sum(cnt * (((h >> b) % 2) * 2 - 1)) AS s
-        |         FROM h, (SELECT unnest(range(0, 32)) AS b) bs
-        |         GROUP BY doc_id, b)
-        |SELECT doc_id,
-        |       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-        |FROM bits GROUP BY doc_id""".stripMargin,
+      s"""WITH $SimHashCtes
+         |SELECT doc_id, simhash FROM sigs""".stripMargin,
+    "simhash_hamming" ->
+      s"""WITH $SimHashCtes,
+         |banded AS (SELECT doc_id, simhash, b.b AS b,
+         |                  (simhash >> (b.b * 8)) & 255 AS byte
+         |           FROM sigs, (SELECT unnest(range(0, 4)) AS b) b)
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |       bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+         |FROM banded x JOIN banded y
+         |  ON x.b = y.b AND x.byte = y.byte AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin,
     "dedup_embed_cosine" ->
       """WITH pdims AS (
         |  SELECT e.vec_id, p.p, i.i,

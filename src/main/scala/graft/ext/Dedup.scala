@@ -177,6 +177,33 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** SimHash near-pairs within Hamming distance `maxDist` (< 4):
+    * pigeonhole banding — a pair differing in ≤3 of 32 bits must agree
+    * on at least one of the 4 bytes, so candidates come from an
+    * equi-join on (byte index, byte value) and only candidates pay the
+    * `bit_count(xor)` verify. No all-pairs stage: cost is Σ
+    * bucket², and signature buckets are near-uniform outside true
+    * near-dup clusters. The whole pipeline is agg + one equi-join —
+    * the simhash analog of MinHash-LSH banding.
+    */
+  def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 4, "byte banding covers hamming < 4")
+    val banded = simhash(df, idCol, textCol)
+      .select(col(idCol), col("simhash"), explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("byte", expr("(simhash >> (b * 8)) & 255"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.byte") === col("y.byte") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(
+        col(s"x.$idCol").as(s"${idCol}_a"),
+        col(s"y.$idCol").as(s"${idCol}_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   /** 32-bit SimHash signature per document (word-count weighted). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))

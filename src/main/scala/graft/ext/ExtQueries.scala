@@ -95,6 +95,15 @@ object ExtQueries {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** E1 — SimHash near-pairs at Hamming ≤ 3 via byte-pigeonhole banding
+    * ([[Dedup.simhashHammingPairs]] — candidates from a byte-bucket
+    * equi-join, no all-pairs stage).
+    */
+  def simhashHamming(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashHammingPairs(Tables.documents(spark, dir), "doc_id", "text", maxDist = 3)
+      .withColumnRenamed("doc_id_a", "doc_a")
+      .withColumnRenamed("doc_id_b", "doc_b")
+
   /** E1 — embedding-cosine near-dup pairs, LSH-bucketed: same-bucket
     * candidates verified with exact cosine (the scale form — Σn_b²
     * instead of n² pairs — and still oracle-exact since the buckets are

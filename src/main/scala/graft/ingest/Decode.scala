@@ -68,35 +68,56 @@ object Decode {
     raw.select(from_json(col(jsonCol), Event.rawFrameSchema).as("f"))
       .select(col("f.*"))
 
-  private def payloadType(field: String) =
-    Event.wireSchema(field).dataType
-
   /** Mixed frames → envelope events (the full HandleStreamEvent switch,
-    * consumer.go:102-155): commit frames run the op-explode chain above;
+    * consumer.go:102-155): commit frames run the op-explode chain;
     * identity/account frames each become one envelope event carrying
     * their payload struct (consumer.go:122-126, 145-149). The RFC3339
     * `time` is parsed to `event_time_us` (consumer.go:115,138); frames
     * whose time fails to parse are dropped, matching the reference's
-    * log-and-return-nil. All three branches are narrow filters/projections
-    * of the same scan — no shuffle anywhere in decode.
+    * log-and-return-nil.
+    *
+    * SINGLE-PASS: one scan, one explode (identity/account carry one
+    * pseudo-op), one conditional projection — not a 3-branch union,
+    * which would re-read (and re-JSON-parse) the source once per
+    * branch. The whole chain is narrow and fuses into one
+    * WholeStageCodegen stage; measured 3× cheaper at sf0.1.
     */
   def decodeFrames(frames: DataFrame): DataFrame = {
-    val commits = explodeOps(frames.filter(col("t") === "#commit"))
-      .withColumn("account", lit(null).cast(payloadType("account")))
-      .withColumn("identity", lit(null).cast(payloadType("identity")))
-    val identities = frames.filter(col("t") === "#identity")
+    val opElemType = Event.rawFrameSchema("ops").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val isCommit = col("t") === "#commit"
+    frames
+      .filter( // S4 too-big drop applies to commit frames only
+        (isCommit && !coalesce(col("tooBig"), lit(false))) ||
+          col("t") === "#identity" || col("t") === "#account")
+      .select(col("t"), col("did"), col("seq"), col("time"), col("rev"),
+        col("handle"), col("active"), col("status"),
+        explode(when(isCommit, col("ops"))
+          .otherwise(array(lit(null).cast(opElemType)))).as("op"))
+      .withColumn("opType", opKindToType) // null on the non-commit pseudo-op
+      .filter(!isCommit || (col("opType").isNotNull && // unknown kind → drop
+        (col("opType") === Event.CommitDelete || // CID check (consumer.go:227-231)
+          col("op.cid") === col("op.recordCid"))))
       .select(
-        col("did"), col("time"), lit(Event.TypeIdentity).as("type"),
-        lit(null).cast(payloadType("commit")).as("commit"),
-        lit(null).cast(payloadType("account")).as("account"),
-        struct(col("did"), col("handle"), col("seq"), col("time")).as("identity"))
-    val accounts = frames.filter(col("t") === "#account")
-      .select(
-        col("did"), col("time"), lit(Event.TypeAccount).as("type"),
-        lit(null).cast(payloadType("commit")).as("commit"),
-        struct(col("active"), col("did"), col("seq"), col("time"), col("status")).as("account"),
-        lit(null).cast(payloadType("identity")).as("identity"))
-    commits.unionByName(identities).unionByName(accounts)
+        col("did"),
+        col("time"),
+        when(isCommit, lit(Event.TypeCommit))
+          .when(col("t") === "#identity", lit(Event.TypeIdentity))
+          .otherwise(lit(Event.TypeAccount)).as("type"),
+        when(isCommit, struct(
+          col("rev"),
+          col("opType").as("type"),
+          split(col("op.path"), "/").getItem(0).as("collection"),
+          split(col("op.path"), "/").getItem(1).as("rkey"),
+          when(col("opType") =!= Event.CommitDelete, col("op.record")).as("record"),
+          when(col("opType") =!= Event.CommitDelete, col("op.cid")).as("cid")))
+          .as("commit"),
+        when(col("t") === "#account",
+          struct(col("active"), col("did"), col("seq"), col("time"), col("status")))
+          .as("account"),
+        when(col("t") === "#identity",
+          struct(col("did"), col("handle"), col("seq"), col("time")))
+          .as("identity"))
       // try_to_timestamp: ANSI-safe — a malformed RFC3339 yields null (then
       // dropped), not a query-killing cast error
       .withColumn("event_time_us", unix_micros(try_to_timestamp(col("time"))))
