@@ -48,6 +48,7 @@ object SparkEntry {
     "q1_pricing_summary" -> RelationalQueries.q1PricingSummary _,
     "q3_top_revenue"     -> RelationalQueries.q3TopRevenue _,
     "q5_local_supplier"  -> RelationalQueries.q5LocalSupplier _,
+    "salted_join"        -> RelationalQueries.saltedJoin _,
     "join_left_outer"    -> RelationalQueries.joinLeftOuter _,
     "join_semi"          -> RelationalQueries.joinSemi _,
     "join_anti"          -> RelationalQueries.joinAnti _,
@@ -244,6 +245,11 @@ object SparkEntry {
         |       count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       floor(sum(o_totalprice) * 1e2 + 0.5) / 1e2 AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "q3_top_revenue" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |       floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue

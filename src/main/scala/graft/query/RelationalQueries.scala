@@ -64,6 +64,26 @@ object RelationalQueries {
       .limit(10)
   }
 
+  /** Skew-safe salted shuffle join ([[graft.operators.Salting]]): the
+    * manual remedy for a join key too hot for AQE's skew splitting —
+    * fact rows fan out over 8 salt buckets, the dim side explodes ×8,
+    * and the shuffle_hash hint keeps the demo on the shuffle path
+    * salting exists for. Result is IDENTICAL to the plain join (the
+    * oracle SQL is the unsalted join) — salting changes the shuffle
+    * layout, never the answer.
+    */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Salting
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      .hint("shuffle_hash")
+    Salting.saltedJoin(Tables.orders(spark, dir), dim,
+        key = "o_custkey", discriminator = col("o_orderkey"), salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        pround(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
   /** TPC-H Q5-shaped local-supplier revenue: the 6-way star join.
     * region→nation are tiny broadcasts; supplier broadcasts; the only
     * shuffles are the two fact joins. Group on nation name.
