@@ -65,4 +65,46 @@ object ServeJob {
       }
       .start()
   }
+
+  /** The full subscribe surface in one streaming query: cursored
+    * subscribers replay from the events table (one paced
+    * [[CutoverSession.replayStep]] per micro-batch — the reference's
+    * replay goroutine interleaving with `Emit`, server.go:305-337)
+    * while the replay-lag gate suppresses their live view; cursorless
+    * subscribers live-tail immediately. After cutover everyone is
+    * served from the shared micro-batch. `sink` receives in-order
+    * event frames per subscriber; delivery is exactly-once per
+    * subscriber across the replay→live boundary (CutoverSession's
+    * gap-fill).
+    *
+    * `events` must carry `time_us`/`did`/`collection` (the EventsTable
+    * shape — e.g. the graft-replay source over `tablePath`).
+    */
+  def startSessions(
+      events: DataFrame,
+      sessions: Map[String, CutoverSession],
+      tablePath: String,
+      checkpointDir: String,
+      sink: (String, DataFrame) => Unit): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          // live head = this batch's tail (s.seq, server.go:114); empty
+          // batches keep the previous head via the table read below
+          val headRow = cached.agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col("time_us"))).head()
+          val serverSeqUs =
+            if (headRow.isNullAt(0)) Long.MinValue else headRow.getLong(0)
+          sessions.foreach { case (name, s) =>
+            if (s.replaying)
+              s.replayStep(spark, tablePath, serverSeqUs)(df => sink(name, df))
+            sink(name, s.liveEmit(cached))
+          }
+        } finally cached.unpersist()
+      }
+      .start()
 }

@@ -96,6 +96,53 @@ class ServeJobSpec extends SparkSpec {
     assert(bucket.tryAcquire(5000L)) // what the window's budget allows
   }
 
+  test("startSessions: cursored subscriber replays to cutover while a future-cursor tailer streams, one query") {
+    import org.apache.spark.sql.DataFrame
+    import graft.store.EventsTable
+    implicit val ctx = spark.sqlContext
+    val table = tmpDir("serve-sessions-table")
+    val ckpt = tmpDir("serve-sessions-ckpt")
+    val Step = 100000L
+    def rows(ids: Range) = ids.map(i => (i * Step, s"did${i % 3}", "app.c"))
+    EventsTable.append(rows(1 to 40).toDF("time_us", "did", "collection"), table)
+
+    val received = TrieMap.empty[String, Vector[Long]]
+    def sink(name: String, df: DataFrame): Unit = {
+      val got = df.select("time_us").as[Long].collect().toVector
+      received.updateWith(name)(p => Some(p.getOrElse(Vector.empty) ++ got))
+    }
+    val sessions = Map(
+      // historical cursor: must replay 1..40 in chunks, then cut over
+      "replayer" -> new CutoverSession(Subscribe.SubscriberSpec(),
+        startCursorUs = Step, chunkSize = 18),
+      // future cursor: straight to live (server.go:283-286)
+      "tailer" -> new CutoverSession(Subscribe.SubscriberSpec(),
+        startCursorUs = Long.MaxValue))
+
+    val in = MemoryStream[(Long, String, String)]
+    def liveBatch(ids: Range): Unit = {
+      in.addData(rows(ids))
+      EventsTable.append(rows(ids).toDF("time_us", "did", "collection"), table)
+    }
+
+    var next = 41
+    (1 to 4).foreach { _ =>
+      liveBatch(next until next + 5)
+      next += 5
+      val q = ServeJob.startSessions(
+        in.toDF().toDF("time_us", "did", "collection"),
+        sessions, table, ckpt, sink)
+      q.awaitTermination()
+    }
+
+    assert(!sessions("replayer").replaying, "replayer never cut over")
+    val rep = received("replayer")
+    assert(rep == rep.sorted && rep.size == rep.distinct.size, "must be in-order, exactly-once")
+    assert(rep == (1L until next).map(_ * Step).toVector, "replay + gap-fill + live covers everything")
+    // the tailer saw only the live stream, immediately
+    assert(received("tailer") == (41L until next).map(_ * Step).toVector)
+  }
+
   test("per-collection record view parses golden like record (README.md:60-81)") {
     import org.apache.spark.sql.functions._
     val src = scala.io.Source.fromResource("golden/commit_create_like.json")
