@@ -29,18 +29,22 @@ object Pipeline {
     val frames =
       if (args.nonEmpty) spark.read.text(args(0)).toDF("value")
       else Seq(
-        """{"did":"did:plc:alice","rev":"r1","seq":1,"time":"2024-09-05T06:11:04.870Z","tooBig":false,"ops":[{"action":"create","path":"app.bsky.feed.post/k1","cid":"c1","recordCid":"c1","record":{"text":"hello"}},{"action":"create","path":"app.bsky.feed.like/k2","cid":"c2","recordCid":"c2","record":{"subject":"at://x"}}]}""",
-        """{"did":"did:plc:bob","rev":"r2","seq":2,"time":"2024-09-05T06:11:05.000Z","tooBig":false,"ops":[{"action":"delete","path":"app.bsky.graph.follow/k3"}]}""",
-        """{"did":"did:plc:carol","rev":"r3","seq":3,"time":"2024-09-05T06:11:06.000Z","tooBig":true,"ops":[{"action":"create","path":"app.bsky.feed.post/k4","cid":"c4","recordCid":"c4","record":{}}]}"""
+        """{"t":"#commit","did":"did:plc:alice","rev":"r1","seq":1,"time":"2024-09-05T06:11:04.870Z","tooBig":false,"ops":[{"action":"create","path":"app.bsky.feed.post/k1","cid":"c1","recordCid":"c1","record":{"text":"hello"}},{"action":"create","path":"app.bsky.feed.like/k2","cid":"c2","recordCid":"c2","record":{"subject":"at://x"}}]}""",
+        """{"t":"#commit","did":"did:plc:bob","rev":"r2","seq":2,"time":"2024-09-05T06:11:05.000Z","tooBig":false,"ops":[{"action":"delete","path":"app.bsky.graph.follow/k3"}]}""",
+        """{"t":"#commit","did":"did:plc:carol","rev":"r3","seq":3,"time":"2024-09-05T06:11:06.000Z","tooBig":true,"ops":[{"action":"create","path":"app.bsky.feed.post/k4","cid":"c4","recordCid":"c4","record":{}}]}""",
+        """{"t":"#identity","did":"did:plc:dan","seq":4,"time":"2024-09-05T06:11:07.000Z","handle":"dan.example.com"}""",
+        """{"t":"#account","did":"did:plc:erin","seq":5,"time":"2024-09-05T06:11:08.000Z","active":true}"""
       ).toDF("value")
 
     val table = java.nio.file.Files.createTempDirectory("graft-pipeline").toString
 
-    // ingest: decode → explode → sequence → persist
-    val events = Decode.explodeOps(Decode.parseFrames(frames))
-    val seq = Sequencer.stamp(events, Seq("did", "commit.rkey"), prevMaxUs = 0L)
+    // ingest: mixed-frame decode (commit + identity + account) →
+    // sequence → persist
+    val events = Decode.decodeFrames(Decode.parseMixedFrames(frames))
+    val seq = Sequencer.stamp(events, Seq("event_time_us", "did", "commit.rkey"), prevMaxUs = 0L)
     EventsTable.append(
-      seq.df.select(col("did"), col("time_us"), col("type"), col("commit")), table)
+      seq.df.select(col("did"), col("time_us"), col("type"),
+        col("commit"), col("account"), col("identity")), table)
     println(s"[pipeline] ingested ${seq.df.count()} events, head=${seq.maxTimeUs}, table=$table")
 
     // retention trim (no-op here: everything is fresh)
