@@ -24,10 +24,11 @@ import org.apache.spark.sql.functions._
 object EventsTable {
 
   val PartitionCol = "event_hour"
+  val HourUs = 3600000000L
 
   /** Add the derived partition column. */
   def withLayoutCols(events: DataFrame): DataFrame =
-    events.withColumn(PartitionCol, (col("time_us") / 3600000000L).cast("long"))
+    events.withColumn(PartitionCol, (col("time_us") / HourUs).cast("long"))
 
   /** Append a (sequenced) batch of events to the table. */
   def append(events: DataFrame, path: String): Unit =
