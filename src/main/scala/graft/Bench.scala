@@ -25,6 +25,8 @@ object Bench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.HourBounds
     spark.sparkContext.setLogLevel("WARN")
 
     // Warmup: every query once at the smallest SF (JIT + codegen + footer

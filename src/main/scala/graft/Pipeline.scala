@@ -23,6 +23,8 @@ object Pipeline {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.HourBounds
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 

@@ -17,6 +17,8 @@ object PlanDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.HourBounds
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

@@ -30,6 +30,8 @@ object ScaleSmoke {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.HourBounds
     spark.sparkContext.setLogLevel("WARN")
 
     def timed[T](label: String)(f: => T): T = {
