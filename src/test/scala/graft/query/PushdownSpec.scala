@@ -1,0 +1,63 @@
+package graft.query
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+import graft.SparkSpec
+
+/** Plan-shape regression guards: the properties that make the headline
+  * queries scale (predicate pushdown to parquet, pruned read schemas)
+  * asserted on the executed plans, so a refactor that silently drops
+  * them fails here instead of at 100 TB.
+  */
+class PushdownSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Execute (finalizing AQE) and collect scans through adaptive/stage
+    * wrappers, which `collect` does not descend into.
+    */
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+    df.count()
+    def go(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+      case q: QueryStageExec => go(q.plan)
+    }.flatten
+    go(df.queryExecution.executedPlan)
+  }
+
+  test("replay_scan: cursor predicate reaches the parquet scan on the raw ts column") {
+    val scan = scans(EventQueries.replayScan(spark, sf)).head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(ts"), s"got: $pushed")
+  }
+
+  test("subscribe_filter: all three conjuncts pushed") {
+    val scan = scans(EventQueries.subscribeFilter(spark, sf)).head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("In(event_type") && pushed.contains("In(user_id") &&
+      pushed.contains("GreaterThanOrEqual(ts"), s"got: $pushed")
+  }
+
+  test("q1: scan reads only the columns the aggregation needs") {
+    val scan = scans(RelationalQueries.q1PricingSummary(spark, sf)).head
+    val schema = scan.metadata.getOrElse("ReadSchema", "")
+    assert(!schema.contains("l_comment") && !schema.contains("l_orderkey"),
+      s"column pruning lost: $schema")
+    assert(schema.contains("l_returnflag") && schema.contains("l_quantity"))
+  }
+
+  test("topk_parts plans as TakeOrderedAndProject (no global sort materialization)") {
+    val plan = RelationalQueries.topkParts(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"got:\n$plan")
+  }
+
+  test("q3: filtered customer dim broadcasts; lineitem never broadcasts") {
+    val df = RelationalQueries.q3TopRevenue(spark, sf)
+    df.count() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"got:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
