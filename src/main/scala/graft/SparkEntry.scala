@@ -35,6 +35,7 @@ object SparkEntry {
     "mixed_decode"       -> EventQueries.mixedDecode _,
     "op_counts"          -> EventQueries.opCounts _,
     "value_histogram"    -> EventQueries.valueHistogram _,
+    "hourly_counts"      -> EventQueries.hourlyCounts _,
     "histogram_quantiles" -> EventQueries.histogramQuantiles _,
     "lag_gauge"          -> EventQueries.lagGauge _,
     "json_extract"       -> EventQueries.jsonExtract _,
@@ -162,6 +163,10 @@ object SparkEntry {
     "collection_filter" ->
       """SELECT event_id, event_type, user_id FROM events
         |WHERE event_type IN ('click', 'purchase')""".stripMargin,
+    "hourly_counts" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start, event_type,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "mixed_decode" ->
       """SELECT CASE WHEN event_id % 3 = 0 THEN 'com'
         |            WHEN event_id % 3 = 1 THEN 'id'

@@ -257,6 +257,19 @@ object EventQueries {
         struct(col("time_us"), col("event_id"))).as("e"))
       .select(col("e.event_id"), col("e.time_us"), col("user_id"), col("e.event_type"))
 
+  /** S25/S26 batch twin of the streaming tumbling-window counters
+    * ([[graft.streaming.LiveTail.windowedCounts]]): events per (hour
+    * window, type) via the same `window()` operator the streaming side
+    * uses — one partial-aggregated shuffle keyed on (window, type).
+    */
+  def hourlyCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        window(timestamp_micros(timeUs), "1 hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n_events"))
+
   /** S26 dashboard view — p50/p95/p99 of `value` per event_type, the
     * Grafana percentile panels (grafana-dashboard.json "Event Processing
     * Time"). percentile_approx is deterministic for exact accuracy on
