@@ -85,7 +85,11 @@ object ServeJob {
       sessions: Map[String, CutoverSession],
       tablePath: String,
       checkpointDir: String,
-      sink: (String, DataFrame) => Unit): StreamingQuery =
+      sink: (String, DataFrame) => Unit): StreamingQuery = {
+    // live head across batches (s.seq, server.go:114) — an idle/empty
+    // micro-batch must keep the last head, not reset it (a MinValue
+    // head would underflow the cutover margin and stall replay)
+    val lastHeadUs = new java.util.concurrent.atomic.AtomicLong(0L)
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -93,12 +97,11 @@ object ServeJob {
         val spark = batch.sparkSession
         val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          // live head = this batch's tail (s.seq, server.go:114); empty
-          // batches keep the previous head via the table read below
           val headRow = cached.agg(org.apache.spark.sql.functions.max(
             org.apache.spark.sql.functions.col("time_us"))).head()
-          val serverSeqUs =
-            if (headRow.isNullAt(0)) Long.MinValue else headRow.getLong(0)
+          if (!headRow.isNullAt(0))
+            lastHeadUs.getAndAccumulate(headRow.getLong(0), math.max)
+          val serverSeqUs = lastHeadUs.get()
           sessions.foreach { case (name, s) =>
             if (s.replaying)
               s.replayStep(spark, tablePath, serverSeqUs)(df => sink(name, df))
@@ -107,4 +110,5 @@ object ServeJob {
         } finally cached.unpersist()
       }
       .start()
+  }
 }

@@ -52,9 +52,17 @@ object Compaction {
       .repartitionByRange(want, col("time_us")) // contiguous time slices per file
       .sortWithinPartitions(col("time_us"))
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // swap (single-FS rename; a table format makes this an atomic commit)
-    fs.delete(dir, true)
-    fs.rename(tmp, dir)
+    // swap via backup (never a window with NO copy of the hour on disk;
+    // a table format makes this an atomic commit)
+    val backup = new Path(s"$tablePath/_compact_old_$hour")
+    fs.delete(backup, true)
+    if (!fs.rename(dir, backup))
+      throw new java.io.IOException(s"compaction: could not move $dir aside")
+    if (!fs.rename(tmp, dir)) { // restore and give up
+      fs.rename(backup, dir)
+      throw new java.io.IOException(s"compaction: could not install $tmp")
+    }
+    fs.delete(backup, true)
     (files.size, partitionFiles(spark, tablePath, hour).size)
   }
 
