@@ -77,6 +77,21 @@ class ReplayTailSource(
   private val cursorUs = params.get("cursor").map(_.toLong).getOrElse(0L)
   private val maxPerBatch = params.get("maxEventsPerBatch").map(_.toLong)
 
+  /** Optional subscriber predicate pushed INTO the source: a stream
+    * dedicated to one subscription filters at the parquet scan
+    * (dictionary-page pushdown on collection/did) instead of
+    * post-source. Offsets/rate caps still advance over the unfiltered
+    * time domain — pacing on scanned events, filtering on emit, exactly
+    * the reference's ReplayEvents + emitToSubscriber split
+    * (persist.go:147-204, server.go:118-136).
+    */
+  private val subscriberSpec: Option[graft.serve.Subscribe.SubscriberSpec] = {
+    def csv(k: String) = params.get(k).map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val (cols, dids) = (csv("wantedCollections"), csv("wantedDids"))
+    if (cols.isEmpty && dids.isEmpty) None
+    else Some(graft.serve.Subscribe.SubscriberSpec(cols, dids))
+  }
+
   /** EventsTable-layout tables carry the hour partition column; a plain
     * parquet dir pointed at this source still works, just without
     * partition pruning.
@@ -149,8 +164,13 @@ class ReplayTailSource(
     logInfo(s"graft-replay batch ($lower, $upper]")
     delivered = Some(math.max(delivered.getOrElse(Long.MinValue), upper))
     // time_us > lower ⇔ time_us >= lower+1, which pins the hour lower bound
-    org.apache.spark.sql.graft.Bridge.asStreaming(
-      rangeScan(lower + 1, Some(upper)))
+    val ranged = rangeScan(lower + 1, Some(upper))
+    val emitted = subscriberSpec match {
+      case Some(spec) => ranged.filter(
+        graft.serve.Subscribe.filterFor(spec, collectionCol = "collection", didCol = "did"))
+      case None => ranged
+    }
+    org.apache.spark.sql.graft.Bridge.asStreaming(emitted)
   }
 
   override def stop(): Unit = ()

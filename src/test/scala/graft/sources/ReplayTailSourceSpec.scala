@@ -75,6 +75,31 @@ class ReplayTailSourceSpec extends SparkSpec {
     assert(batches.length >= 3)
   }
 
+  test("subscriber options push the filter into the source scan") {
+    val path = tmpDir("replay-sub-push")
+    EventsTable.append(
+      (1 to 90).map(t => (t.toLong * 1000,
+        s"did${t % 3}",
+        if (t % 2 == 0) "app.bsky.feed.post" else "app.bsky.feed.like"))
+        .toDF("time_us", "did", "collection"),
+      path)
+    val q = readTail(path, 0, Map(
+      "wantedCollections" -> "app.bsky.feed.post",
+      "wantedDids" -> "did0,did1"))
+      .writeStream.format("memory").queryName("sub_push_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sub_push_out")
+      .select("time_us", "did", "collection")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val expected = (1 to 90)
+      .filter(t => t % 2 == 0 && (t % 3 == 0 || t % 3 == 1))
+      .map(_.toLong * 1000)
+    assert(got.map(_._1).toSeq == expected)
+    assert(got.forall { case (_, d, c) =>
+      (d == "did0" || d == "did1") && c == "app.bsky.feed.post" })
+  }
+
   test("range scans prune hour partitions, not just row groups") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val path = tmpDir("replay-prune")
