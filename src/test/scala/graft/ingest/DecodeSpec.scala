@@ -93,6 +93,14 @@ class DecodeSpec extends SparkSpec {
     assert(wires.exists(w => w.contains(""""account":{"active":true""") && w.contains(""""type":"acc"""")))
   }
 
+  test("garbage and unknown-kind frames are dropped, never crash the stream") {
+    val out = Decode.decodeFrames(Decode.parseMixedFrames(Seq(
+      "not json at all",
+      """{"t":"#weird","did":"did:plc:x","seq":1,"time":"2024-09-05T06:11:04.870Z"}""",
+      """{"no":"discriminator"}""").toDF("value")))
+    assert(out.count() == 0) // error-frame arm: log-and-drop (consumer.go:156-159)
+  }
+
   test("wire serialization omits null fields like Go omitempty") {
     val wire = Decode.toWire(decoded.filter(col("commit.type") === Event.CommitDelete))
       .select("wire").as[String].head()
