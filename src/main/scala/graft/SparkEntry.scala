@@ -50,6 +50,8 @@ object SparkEntry {
     "q3_top_revenue"     -> RelationalQueries.q3TopRevenue _,
     "q5_local_supplier"  -> RelationalQueries.q5LocalSupplier _,
     "salted_join"        -> RelationalQueries.saltedJoin _,
+    "q4_order_priority"  -> RelationalQueries.q4OrderPriority _,
+    "q13_custdist"       -> RelationalQueries.q13CustDist _,
     "join_left_outer"    -> RelationalQueries.joinLeftOuter _,
     "join_semi"          -> RelationalQueries.joinSemi _,
     "join_anti"          -> RelationalQueries.joinAnti _,
@@ -255,6 +257,21 @@ object SparkEntry {
         |       floor(sum(o_totalprice) * 1e2 + 0.5) / 1e2 AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
     "q3_top_revenue" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |       floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue

@@ -84,6 +84,40 @@ object RelationalQueries {
         pround(sum(col("o_totalprice")), 2).as("revenue"))
   }
 
+  /** TPC-H Q4-shaped priority count via a CORRELATED EXISTS subquery —
+    * Catalyst decorrelates it into a left-semi join whose correlated
+    * predicate (`l_shipdate > o_orderdate + 60 days`) becomes a join
+    * condition; the explicit-semi twin is [[joinSemi]]. SQL-entry
+    * surface, like `grouping_sets`.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_q4")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_q4")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders_q4
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem_q4
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  /** TPC-H Q13-shaped customer-order distribution: LEFT OUTER join
+    * preserved through a TWO-LEVEL aggregation (orders per customer,
+    * then customers per order count) — the count(col) null-skip on the
+    * outer side is what keeps 0-order customers in the c_count=0 bucket.
+    */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // nulls (no orders) → 0
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
   /** TPC-H Q5-shaped local-supplier revenue: the 6-way star join.
     * region→nation are tiny broadcasts; supplier broadcasts; the only
     * shuffles are the two fact joins. Group on nation name.
