@@ -209,18 +209,25 @@ object Dedup {
       .distinct()
   }
 
-  /** 32-bit SimHash signature per document (word-count weighted). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** 32-bit SimHash signature per document (word-count weighted).
+    * The 32 per-bit contribution sums run as PARALLEL aggregates in one
+    * pass over the word counts — not an explode(0..31) that would push
+    * 32× the rows through an extra shuffle (same restructuring that
+    * took MinHash from 2.6 s to 1.1 s in round 1). Bit math identical
+    * to the oracle's CASE-sum form.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bitSums = (0 until 32).map { b =>
+      sum(col("cnt") * (expr(s"shiftright(h, $b) % 2") * 2 - 1)).as(s"s$b")
+    }
     df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
       .groupBy(col(idCol), col("word"))
       .agg(count(lit(1)).as("cnt"))
-      .select(col(idCol), col("cnt"), h32(col("word")).as("h"),
-        explode(expr("sequence(0, 31)")).as("b"))
-      .select(col(idCol), col("b"),
-        (col("cnt") * (expr("shiftright(h, b) % 2") * 2 - 1)).as("contrib"))
-      .groupBy(col(idCol), col("b"))
-      .agg(sum(col("contrib")).as("s"))
+      .select(col(idCol), col("cnt"), h32(col("word")).as("h"))
       .groupBy(col(idCol))
-      .agg(sum(when(col("s") > 0, expr("cast(pow(2, b) as long)")).otherwise(lit(0L)))
-        .as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 32).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
 }
