@@ -146,7 +146,7 @@ object Dedup {
     * pass). The driver loop schedules Spark jobs; no data is collected.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, driverThreshold: Long = 1000000L): DataFrame = {
     // both directions in ONE scan of the (possibly expensive) pair
     // pipeline — a union of two selects would evaluate it twice
     val edges = pairs
@@ -155,6 +155,36 @@ object Dedup {
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().cache()
+    // The verified-pair list is the SMALL product of near-dup detection
+    // (LSH already pruned the corpus² space), so up to `driverThreshold`
+    // edges union-find runs at the driver — one collect of the pair
+    // list, zero iteration jobs; the same size-based reasoning as
+    // broadcasting a small join side. Above the threshold the
+    // distributed min-label loop below takes over unchanged.
+    if (edges.count() <= driverThreshold) {
+      val spark = pairs.sparkSession
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      try {
+        edges.select(col("src").cast("long"), col("dst").cast("long"))
+          .collect().foreach { row =>
+            val (a, b) = (row.getLong(0), row.getLong(1))
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) { // smaller root wins → comp = min id of cluster
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            }
+          }
+        val ids = (parent.keySet ++ parent.values).toSeq
+        import spark.implicits._
+        return ids.map(id => (id, find(id))).toDF("id", "comp")
+      } finally edges.unpersist()
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp")).cache()
     try {

@@ -41,13 +41,19 @@ class ExtOpsSpec extends SparkSpec {
     assert(verified.nonEmpty)
   }
 
-  test("connectedComponents merges transitive chains to the min id") {
+  test("connectedComponents merges transitive chains to the min id (both paths)") {
     // chain 1-2-3-4 (diameter 3) + isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("doc_id_a", "doc_id_b")
-    val comps = Dedup.connectedComponents(pairs, "doc_id_a", "doc_id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+    val driver = Dedup.connectedComponents(pairs, "doc_id_a", "doc_id_b")
       .as[(Long, Long)].collect().toMap
-    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(driver == expected)
+    // distributed min-label path must produce the identical assignment
+    val dist = Dedup.connectedComponents(pairs, "doc_id_a", "doc_id_b",
+      driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == expected)
   }
 
   test("quantizeStats clamps to ±127 and survives the zero vector") {
