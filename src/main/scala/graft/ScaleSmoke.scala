@@ -82,6 +82,19 @@ object ScaleSmoke {
     println(f"[scale] subscriber filter over $full rows: $filtered match in $filterSec%.2fs = " +
       f"${full / filterSec / 1000}%.0fk events/s scanned (reference live cap: 5k/s/sub)")
 
+    // --- compaction: collapse one closed hour's micro-batch files
+    {
+      val hour = 10L
+      val before = graft.store.Compaction.partitionFiles(spark, table, hour).size
+      val t = System.nanoTime()
+      val (_, after) = graft.store.Compaction.compactHour(spark, table, hour)
+      val sec = (System.nanoTime() - t) / 1e9
+      val rows = EventsTable.read(spark, table)
+        .filter(col(EventsTable.PartitionCol) === hour).count()
+      println(f"[scale] compaction hour=$hour: $before files → $after in $sec%.2fs " +
+        f"($rows rows intact)")
+    }
+
     val batch = spark.range(1000000).select(
       col("id").as("arrival"), concat(lit("d"), col("id") % 97).as("did"))
     batch.cache().count()
