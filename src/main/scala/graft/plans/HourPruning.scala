@@ -25,6 +25,16 @@ import graft.store.EventsTable
   * — the engine's own layout signature — and is idempotent: plans
   * already carrying an `event_hour` conjunct are left alone.
   *
+  * Soundness guard: the two attributes must originate from the SAME
+  * leaf relation (traced by exprId through whatever projections/joins
+  * sit between the Filter and the scan). Name-matching alone would let
+  * a Filter above a join pair one relation's `time_us` with another
+  * relation's `event_hour`, deriving a partition bound where the
+  * floor(time_us/HourUs) invariant does not hold — silently dropping
+  * rows. An aliased/derived column gets a fresh exprId and so never
+  * traces to a leaf, which conservatively (and correctly) disables the
+  * rule for it.
+  *
   * Install per session: `spark.experimental.extraOptimizations ++=
   * Seq(HourBounds)`, or cluster-wide via
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
@@ -38,7 +48,8 @@ object HourBounds extends Rule[LogicalPlan] {
       (timeAttr, hourAttr) match {
         case (Some(t), Some(h))
             if t.dataType == LongType &&
-              (h.dataType == LongType || h.dataType == org.apache.spark.sql.types.IntegerType) =>
+              (h.dataType == LongType || h.dataType == org.apache.spark.sql.types.IntegerType) &&
+              sameLeafOrigin(child, t, h) =>
           val conjuncts = splitConjuncts(cond)
           if (conjuncts.exists(_.references.contains(h))) f // already bounded
           else {
@@ -49,6 +60,13 @@ object HourBounds extends Rule[LogicalPlan] {
         case _ => f
       }
   }
+
+  /** True iff one leaf relation's output carries both attributes (by
+    * exprId — `AttributeSet.contains` ignores names). Only then does the
+    * events-table layout invariant relate them.
+    */
+  private def sameLeafOrigin(child: LogicalPlan, t: Attribute, h: Attribute): Boolean =
+    child.collectLeaves().exists(l => l.outputSet.contains(t) && l.outputSet.contains(h))
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)

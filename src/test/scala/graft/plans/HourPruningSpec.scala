@@ -61,4 +61,34 @@ class HourPruningSpec extends SparkSpec {
         spark.experimental.extraOptimizations.filterNot(_ == HourBounds)
     }
   }
+
+  test("rule does not pair time_us/event_hour from different relations") {
+    // A dimension table that HAPPENS to carry a column named event_hour
+    // (value unrelated to the fact table's time domain), joined ahead of
+    // a fact table carrying time_us. A name-matched rewrite would derive
+    // `dim.event_hour >= time_us/HourUs` — dropping every row here,
+    // since the dim values are small grouping codes, not hours.
+    val fact = Seq((4L * EventsTable.HourUs + 1, 1), (5L * EventsTable.HourUs + 7, 2))
+      .toDF("time_us", "k")
+    val dim = Seq((1, 10L), (2, 20L)).toDF("k", "event_hour")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ HourBounds
+    try {
+      val q = fact.join(dim, "k").filter(col("time_us") >= 4 * EventsTable.HourUs)
+      assert(q.count() == 2, "cross-relation bound must not be derived")
+
+      // sanity: the same filter over ONE relation carrying both columns
+      // still gets the derived conjunct (the rule is not disabled outright)
+      val path = tmpDir("hour-prune-same-leaf")
+      EventsTable.append(
+        (0L until 4L).map(h => (h * EventsTable.HourUs + 1, s"did$h", "c"))
+          .toDF("time_us", "did", "collection"),
+        path)
+      val scan = scanOf(spark.read.parquet(path).filter(col("time_us") >= 2 * EventsTable.HourUs))
+      assert(scan.partitionFilters.nonEmpty, "same-leaf derivation must still fire")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == HourBounds)
+    }
+  }
 }
