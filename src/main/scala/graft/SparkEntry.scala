@@ -148,10 +148,10 @@ object SparkEntry {
       |         (SELECT doc_id, unnest(string_split(text, ' ')) AS word
       |          FROM documents)
       |       GROUP BY doc_id, word),
-      |h AS (SELECT doc_id, cnt, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h
+      |h AS (SELECT doc_id, cnt, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
       |      FROM wc),
       |bits AS (SELECT doc_id, b, sum(cnt * (((h >> b) % 2) * 2 - 1)) AS s
-      |         FROM h, (SELECT unnest(range(0, 32)) AS b) bs
+      |         FROM h, (SELECT unnest(range(0, 60)) AS b) bs
       |         GROUP BY doc_id, b),
       |sigs AS (SELECT doc_id,
       |                sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
@@ -531,13 +531,18 @@ object SparkEntry {
          |SELECT doc_id, simhash FROM sigs""".stripMargin,
     "simhash_hamming" ->
       s"""WITH $SimHashCtes,
-         |banded AS (SELECT doc_id, simhash, b.b AS b,
-         |                  (simhash >> (b.b * 8)) & 255 AS byte
-         |           FROM sigs, (SELECT unnest(range(0, 4)) AS b) b)
+         |banded0 AS (SELECT doc_id, simhash, b.b AS b,
+         |                   (simhash >> (b.b * 15)) & 32767 AS piece
+         |            FROM sigs, (SELECT unnest(range(0, 4)) AS b) b),
+         |banded AS (SELECT doc_id, simhash, b, piece FROM (
+         |             SELECT doc_id, simhash, b, piece,
+         |                    count(*) OVER (PARTITION BY b, piece) AS bsz
+         |             FROM banded0)
+         |           WHERE bsz <= 20)
          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |       bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
          |FROM banded x JOIN banded y
-         |  ON x.b = y.b AND x.byte = y.byte AND x.doc_id < y.doc_id
+         |  ON x.b = y.b AND x.piece = y.piece AND x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin,
     "dedup_embed_cosine" ->
       """WITH pdims AS (

@@ -28,6 +28,15 @@ object Dedup {
   def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Portable 60-bit string hash (15 md5-hex chars as long). 15 chars —
+    * not 16 — so the value stays below 2^60: a full 16-char prefix can
+    * exceed 2^63 and lands in BIGINT sign-bit territory, where Spark and
+    * SQL engines diverge on overflow behavior. 60 bits keeps every
+    * shift/mask/sum below the sign bit on both sides of the oracle.
+    */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Exact dedup on a content digest: one row per distinct content with
     * the minimum id as canonical and the copy count.
     */
@@ -213,23 +222,39 @@ object Dedup {
   }
 
   /** SimHash near-pairs within Hamming distance `maxDist` (< 4):
-    * pigeonhole banding — a pair differing in ≤3 of 32 bits must agree
-    * on at least one of the 4 bytes, so candidates come from an
-    * equi-join on (byte index, byte value) and only candidates pay the
-    * `bit_count(xor)` verify. No all-pairs stage: cost is Σ
-    * bucket², and signature buckets are near-uniform outside true
-    * near-dup clusters. The whole pipeline is agg + one equi-join —
-    * the simhash analog of MinHash-LSH banding.
+    * pigeonhole banding over the 60-bit signature — a pair differing in
+    * ≤3 of the 4 15-bit pieces must agree on at least one piece, so
+    * candidates come from an equi-join on (piece index, piece value)
+    * and only candidates pay the `bit_count(xor)` verify. No all-pairs
+    * stage: cost is Σ bucket² over a 4×32,768-key bucket space (the
+    * earlier 32-bit/byte banding had a FIXED 4×256 keys, making even
+    * uniform data n²/64 — structurally quadratic).
+    *
+    * `maxBucket` is the hot-bucket cap: (piece, value) buckets holding
+    * more than this many docs are skipped entirely. Hot buckets are
+    * boilerplate clusters — k docs sharing a piece contribute k²
+    * candidates while the piece carries no discriminating signal, the
+    * same reason search engines drop stopwords from posting-list
+    * intersection. The cap bounds worst-case candidate volume at
+    * n·maxBucket regardless of corpus skew; the recall trade (a pair
+    * whose ONLY agreeing piece is hot is missed) is the standard
+    * production LSH posture. The cap is part of the operator's
+    * semantics and reproduced exactly by the oracle SQL.
     */
   def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
-    require(maxDist >= 0 && maxDist < 4, "byte banding covers hamming < 4")
+      maxDist: Int = 3, maxBucket: Long = 1000L): DataFrame = {
+    require(maxDist >= 0 && maxDist < 4, "4-piece banding covers hamming < 4")
+    import org.apache.spark.sql.expressions.Window
     val banded = simhash(df, idCol, textCol)
       .select(col(idCol), col("simhash"), explode(expr("sequence(0, 3)")).as("b"))
-      .withColumn("byte", expr("(simhash >> (b * 8)) & 255"))
+      .withColumn("piece", expr("(simhash >> (b * 15)) & 32767"))
+      // bucket size via a window aggregate: partitions on the SAME key
+      // as the self-join below, so the exchange is planned once
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("b"), col("piece"))))
+      .filter(col("bsz") <= maxBucket)
     banded.as("x")
       .join(banded.as("y"),
-        col("x.b") === col("y.b") && col("x.byte") === col("y.byte") &&
+        col("x.b") === col("y.b") && col("x.piece") === col("y.piece") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(
         col(s"x.$idCol").as(s"${idCol}_a"),
@@ -239,25 +264,26 @@ object Dedup {
       .distinct()
   }
 
-  /** 32-bit SimHash signature per document (word-count weighted).
-    * The 32 per-bit contribution sums run as PARALLEL aggregates in one
-    * pass over the word counts — not an explode(0..31) that would push
-    * 32× the rows through an extra shuffle (same restructuring that
-    * took MinHash from 2.6 s to 1.1 s in round 1). Bit math identical
-    * to the oracle's CASE-sum form.
+  /** 60-bit SimHash signature per document (word-count weighted; see
+    * [[h60]] for why 60 bits and not 64). The 60 per-bit contribution
+    * sums run as PARALLEL aggregates in one pass over the word counts —
+    * not an explode(0..59) that would push 60× the rows through an
+    * extra shuffle (same restructuring that took MinHash from 2.6 s to
+    * 1.1 s in round 1). Bit math identical to the oracle's CASE-sum
+    * form.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bitSums = (0 until 32).map { b =>
+    val bitSums = (0 until 60).map { b =>
       sum(col("cnt") * (expr(s"shiftright(h, $b) % 2") * 2 - 1)).as(s"s$b")
     }
     df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
       .groupBy(col(idCol), col("word"))
       .agg(count(lit(1)).as("cnt"))
-      .select(col(idCol), col("cnt"), h32(col("word")).as("h"))
+      .select(col(idCol), col("cnt"), h60(col("word")).as("h"))
       .groupBy(col(idCol))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol),
-        (0 until 32).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        (0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
 }

@@ -91,16 +91,19 @@ object ExtQueries {
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
     Sampling.stratifiedCounts(Tables.documents(spark, dir), "source", "doc_id", permille = 200)
 
-  /** E1 — 32-bit SimHash signatures. */
+  /** E1 — 60-bit SimHash signatures. */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
 
-  /** E1 — SimHash near-pairs at Hamming ≤ 3 via byte-pigeonhole banding
-    * ([[Dedup.simhashHammingPairs]] — candidates from a byte-bucket
-    * equi-join, no all-pairs stage).
+  /** E1 — SimHash near-pairs at Hamming ≤ 3 via 15-bit-piece pigeonhole
+    * banding with a hot-bucket cap ([[Dedup.simhashHammingPairs]] —
+    * candidates from a piece-bucket equi-join, no all-pairs stage). The
+    * cap of 20 is fixture-sized so both SFs exercise the skip path; the
+    * operator default is 1000.
     */
   def simhashHamming(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashHammingPairs(Tables.documents(spark, dir), "doc_id", "text", maxDist = 3)
+    Dedup.simhashHammingPairs(Tables.documents(spark, dir), "doc_id", "text",
+      maxDist = 3, maxBucket = 20L)
       .withColumnRenamed("doc_id_a", "doc_a")
       .withColumnRenamed("doc_id_b", "doc_b")
 

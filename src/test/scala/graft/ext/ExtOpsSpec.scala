@@ -56,6 +56,40 @@ class ExtOpsSpec extends SparkSpec {
     assert(dist == expected)
   }
 
+  test("simhash piece banding = brute force at Hamming ≤ 3; hot-bucket cap skips boilerplate") {
+    // 30 real docs (signature diversity) + a boilerplate cluster of 10
+    // identical texts (identical signatures — pairwise Hamming 0)
+    val real = graft.Tables.documents(spark, sf).limit(30)
+      .select(col("doc_id"), col("text"))
+    val boiler = (1000L until 1010L).map(i => (i, "copy pasted template body " * 5))
+      .toDF("doc_id", "text")
+    val docs = real.union(boiler)
+
+    // ground truth: brute-force Hamming over the (tiny) signature set
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    assert(sigs.forall { case (_, s) => s >= 0L && s < (1L << 60) }, "60-bit signatures")
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(brute.size >= 45, "boilerplate cluster alone yields C(10,2) pairs")
+
+    // pigeonhole completeness + soundness: banding finds exactly the
+    // brute-force pair set when no bucket is capped
+    val uncapped = Dedup.simhashHammingPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped == brute)
+
+    // cap below the cluster size: its buckets are skipped entirely,
+    // pairs among low-frequency signatures are unaffected
+    val capped = Dedup.simhashHammingPairs(docs, "doc_id", "text",
+      maxDist = 3, maxBucket = 5L)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists(_._1 >= 1000L), "hot-bucket cluster skipped under the cap")
+    assert(capped == brute.filterNot(_._1 >= 1000L), "small buckets unaffected")
+  }
+
   test("quantizeStats clamps to ±127 and survives the zero vector") {
     val df = Seq(
       (1L, Array(1.0f, -1.0f, 0.5f)),  // symmetric: ±127 at the extremes
