@@ -49,6 +49,11 @@ object IngestJob {
     * deterministic intra-batch order. Batches at or above
     * `scalableThresholdRows` are stamped with the distributed sequencer
     * (same gap-free assignment, no single-task stage).
+    *
+    * `trigger` defaults to AvailableNow (drain-and-stop — tests and
+    * backfills); pass `Trigger.ProcessingTime(...)` for the standing
+    * live ingest (the reference's firehose consumer runs until shutdown,
+    * cmd/jetstream/main.go's consumer loop).
     */
   def start(
       decoded: DataFrame,
@@ -57,11 +62,12 @@ object IngestJob {
       checkpointDir: String,
       prevMaxUs: Long = 0L,
       nowUs: () => Long = () => System.currentTimeMillis() * 1000L,
-      scalableThresholdRows: Long = ScalableStampThresholdRows): StreamingQuery = {
+      scalableThresholdRows: Long = ScalableStampThresholdRows,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val hwm = new AtomicLong(prevMaxUs)
     decoded.writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val n = batch.count()
         val seq =

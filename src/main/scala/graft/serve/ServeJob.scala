@@ -1,6 +1,7 @@
 package graft.serve
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, when}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.storage.StorageLevel
 
@@ -11,18 +12,54 @@ import graft.ingest.Decode
   *
   * Reference: `Server.Emit` (cmd/jetstream/server.go:62-116) marshals
   * each event to JSON once (:73) and then fans the bytes out to every
-  * subscriber under a concurrency semaphore (:89-111), each subscriber
-  * applying its own filters. The Spark twin: inside `foreachBatch` the
-  * batch is wire-serialized once and `persist()`ed, then every
-  * subscriber sink runs its predicate + write against the cached batch —
-  * serialize-once, filter-per-subscriber, no recomputation per sink
-  * (SURVEY §4 "common-subplan reuse: deliberate, not automatic").
+  * subscriber under a 100-wide concurrency semaphore (:89-111), each
+  * subscriber applying its own filters. The Spark twin: inside
+  * `foreachBatch` the batch is wire-serialized once and `persist()`ed,
+  * then every subscriber sink runs its predicate + write against the
+  * cached batch — serialize-once, filter-per-subscriber, no
+  * recomputation per sink (SURVEY §4 "common-subplan reuse: deliberate,
+  * not automatic").
+  *
+  * Scale posture of the admission path: every subscriber's batch count
+  * is computed in ONE aggregation job (a conditional `count(when(pred))`
+  * per subscriber — partial-aggregated map-side, no shuffle of event
+  * data, one pass over the cached batch regardless of subscriber
+  * count), and sinks then dispatch on a bounded thread pool — the
+  * reference's semaphore. The earlier shape (a `view.count()` Spark job
+  * per paced subscriber inside a sequential loop) made a micro-batch
+  * cost O(N) serial driver job submissions at N subscribers.
   */
 object ServeJob {
 
+  /** Reference fan-out concurrency (server.go:89 `sem := make(chan
+    * struct{}, 100)`).
+    */
+  val DefaultFanOutWidth = 100
+
+  /** Run `f` over `items` on a bounded pool, rethrowing the first
+    * failure. Pool width is the reference's fan-out semaphore.
+    */
+  private def onPool[A](items: Seq[A], width: Int)(f: A => Unit): Unit = {
+    if (items.isEmpty) return
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(width, items.size))
+    try {
+      val futures = items.map { i =>
+        pool.submit(new Runnable { def run(): Unit = f(i) })
+      }
+      futures.foreach { fut =>
+        try fut.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
+
   /** Start the fan-out: `events` is the streaming event tail (e.g. the
     * graft-replay source); each spec gets `sink(name, filteredWireDf)`
-    * invoked per micro-batch with only its events.
+    * invoked per micro-batch with only its events. Sinks run
+    * concurrently (width `fanOutWidth`) — a sink must be thread-safe
+    * across subscriber names, exactly like the reference's per-
+    * subscriber goroutines.
     *
     * S20/S21 — `pacing` attaches a per-subscriber token bucket (the
     * reference's `sub.rl`, server.go:211): a micro-batch whose
@@ -30,6 +67,11 @@ object ServeJob {
     * the 10k-event buffer overflowing, and the subscriber is dropped
     * (`onDrop`) exactly like the slow-consumer close at
     * server.go:168-175. Unpaced subscribers are unaffected.
+    *
+    * `trigger` defaults to AvailableNow (drain-and-stop — the test and
+    * backfill form); pass `Trigger.ProcessingTime(...)` for the standing
+    * live tail (the reference's subscription is a server.go:340-356
+    * write loop that runs until disconnect).
     */
   def start(
       events: DataFrame,
@@ -39,29 +81,42 @@ object ServeJob {
       collectionCol: String = "collection",
       didCol: String = "did",
       pacing: Map[String, TokenBucket] = Map.empty,
-      onDrop: String => Unit = _ => ()): StreamingQuery = {
+      onDrop: String => Unit = _ => (),
+      fanOutWidth: Int = DefaultFanOutWidth,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val dropped = scala.collection.concurrent.TrieMap.empty[String, Unit]
     events.writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val wire = Decode.toWire(batch).persist(StorageLevel.MEMORY_AND_DISK)
-        try {
-          wire.count() // materialize once (the single marshal at server.go:73)
-          specs.foreach { case (name, spec) =>
-            if (!dropped.contains(name)) {
-              val view = wire
-                .filter(Subscribe.filterFor(spec, collectionCol, didCol))
-                .select("wire")
-              val admitted = pacing.get(name) match {
-                case Some(bucket) => bucket.tryAcquire(view.count())
-                case None => true
-              }
-              if (admitted) sink(name, view)
-              else { dropped.put(name, ()); onDrop(name) } // server.go:168-175
+        val active = specs.keys.filterNot(dropped.contains).toSeq.sorted
+        if (active.nonEmpty) {
+          val wire = Decode.toWire(batch).persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            // ONE job: materialize the cache (the single marshal at
+            // server.go:73) AND every subscriber's admission count —
+            // conditional counts partial-aggregate map-side, so cost is
+            // one cached-batch pass however many subscribers exist
+            val countCols = active.map { name =>
+              count(when(Subscribe.filterFor(specs(name), collectionCol, didCol), true))
+                .as(name)
             }
-          }
-        } finally wire.unpersist()
+            val row = wire.agg(countCols.head, countCols.tail: _*).head()
+            val counts = active.zipWithIndex
+              .map { case (name, i) => name -> row.getLong(i) }.toMap
+            val admitted = active.filter { name =>
+              pacing.get(name).forall(_.tryAcquire(counts(name))) || {
+                dropped.put(name, ()); onDrop(name); false // server.go:168-175
+              }
+            }
+            onPool(admitted, fanOutWidth) { name =>
+              val view = wire
+                .filter(Subscribe.filterFor(specs(name), collectionCol, didCol))
+                .select("wire")
+              sink(name, view)
+            }
+          } finally wire.unpersist()
+        }
       }
       .start()
   }
@@ -77,6 +132,11 @@ object ServeJob {
     * subscriber across the replay→live boundary (CutoverSession's
     * gap-fill).
     *
+    * Sessions dispatch on the bounded pool — each session's
+    * replay-then-live sequence stays ordered WITHIN its pooled task
+    * (the per-subscriber goroutine), while independent subscribers
+    * progress concurrently. `sink` must be thread-safe across names.
+    *
     * `events` must carry `time_us`/`did`/`collection` (the EventsTable
     * shape — e.g. the graft-replay source over `tablePath`).
     */
@@ -85,24 +145,25 @@ object ServeJob {
       sessions: Map[String, CutoverSession],
       tablePath: String,
       checkpointDir: String,
-      sink: (String, DataFrame) => Unit): StreamingQuery = {
+      sink: (String, DataFrame) => Unit,
+      fanOutWidth: Int = DefaultFanOutWidth,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // live head across batches (s.seq, server.go:114) — an idle/empty
     // micro-batch must keep the last head, not reset it (a MinValue
     // head would underflow the cutover margin and stall replay)
     val lastHeadUs = new java.util.concurrent.atomic.AtomicLong(0L)
     events.writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          val headRow = cached.agg(org.apache.spark.sql.functions.max(
-            org.apache.spark.sql.functions.col("time_us"))).head()
+          val headRow = cached.agg(org.apache.spark.sql.functions.max(col("time_us"))).head()
           if (!headRow.isNullAt(0))
             lastHeadUs.getAndAccumulate(headRow.getLong(0), math.max)
           val serverSeqUs = lastHeadUs.get()
-          sessions.foreach { case (name, s) =>
+          onPool(sessions.toSeq.sortBy(_._1), fanOutWidth) { case (name, s) =>
             if (s.replaying)
               s.replayStep(spark, tablePath, serverSeqUs)(df => sink(name, df))
             sink(name, s.liveEmit(cached))

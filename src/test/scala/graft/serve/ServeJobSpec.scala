@@ -75,6 +75,49 @@ class ServeJobSpec extends SparkSpec {
     assert(droppedSubs.keySet == Set("slow"))
   }
 
+  test("admission for 100 subscribers is ONE aggregation job, not 100 (server.go:89-111)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Long, String)]
+    in.addData((1 to 200).map(i => (s"did:plc:u$i", i.toLong, "app.bsky.feed.post")))
+
+    val specs = (1 to 100).map(i => s"sub$i" -> Subscribe.SubscriberSpec()).toMap
+    val clock = 0L
+    // every subscriber paced: odd budgets (100) below the 200-event
+    // batch → dropped; even budgets (500) admitted — the drop semantics
+    // must survive the one-job admission rewrite
+    val pacing = (1 to 100).map { i =>
+      s"sub$i" -> new TokenBucket(10.0, if (i % 2 == 0) 500 else 100, () => clock)
+    }.toMap
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val droppedSubs = TrieMap.empty[String, Unit]
+    val delivered = TrieMap.empty[String, Unit]
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val q = ServeJob.start(
+        in.toDF().toDF("did", "time_us", "collection"),
+        specs,
+        tmpDir("serve-onejob-ckpt"),
+        // no-op sink (doesn't consume the view): what's measured is the
+        // ADMISSION cost, which used to be a count() job per subscriber
+        sink = (name, _) => { delivered.put(name, ()); () },
+        pacing = pacing,
+        onDrop = n => { droppedSubs.put(n, ()); () })
+      q.awaitTermination()
+      Thread.sleep(500) // listener bus drains asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    assert(droppedSubs.size == 50 && droppedSubs.keys.forall(_.drop(3).toInt % 2 == 1))
+    assert(delivered.size == 50 && delivered.keys.forall(_.drop(3).toInt % 2 == 0))
+    assert(jobs.get() <= 4, s"admission must be O(1) Spark jobs at 100 subscribers, saw ${jobs.get()}")
+  }
+
   test("paced delivery never exceeds rate × time across windows") {
     var deliveredTotal = 0L
     var clock = 0L
@@ -141,6 +184,52 @@ class ServeJobSpec extends SparkSpec {
     assert(rep == (1L until next).map(_ * Step).toVector, "replay + gap-fill + live covers everything")
     // the tailer saw only the live stream, immediately
     assert(received("tailer") == (41L until next).map(_ * Step).toVector)
+  }
+
+  test("live ProcessingTime tail: ONE standing query over ≥2 intervals, cutover still exactly-once") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.store.EventsTable
+    implicit val ctx = spark.sqlContext
+    val table = tmpDir("serve-live-table")
+    val ckpt = tmpDir("serve-live-ckpt")
+    val Step = 100000L
+    def rows(ids: Range) = ids.map(i => (i * Step, s"did${i % 3}", "app.c"))
+    EventsTable.append(rows(1 to 40).toDF("time_us", "did", "collection"), table)
+
+    val received = TrieMap.empty[String, Vector[Long]]
+    def sink(name: String, df: DataFrame): Unit = {
+      val got = df.select("time_us").as[Long].collect().toVector
+      received.updateWith(name)(p => Some(p.getOrElse(Vector.empty) ++ got))
+    }
+    val sessions = Map(
+      "replayer" -> new CutoverSession(Subscribe.SubscriberSpec(),
+        startCursorUs = Step, chunkSize = 18),
+      "tailer" -> new CutoverSession(Subscribe.SubscriberSpec(),
+        startCursorUs = Long.MaxValue))
+
+    val in = MemoryStream[(Long, String, String)]
+    // the standing query: ProcessingTime, NOT drain-and-stop — micro-
+    // batches keep firing while live data arrives (server.go:340-356)
+    val q = ServeJob.startSessions(
+      in.toDF().toDF("time_us", "did", "collection"),
+      sessions, table, ckpt, sink,
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      var next = 41
+      (1 to 4).foreach { _ =>
+        in.addData(rows(next until next + 5))
+        EventsTable.append(rows(next until next + 5).toDF("time_us", "did", "collection"), table)
+        next += 5
+        q.processAllAvailable() // ≥1 interval consumed per round
+      }
+      assert(!sessions("replayer").replaying, "replayer never cut over")
+      val rep = received("replayer")
+      assert(rep == rep.sorted && rep.size == rep.distinct.size, "in-order, exactly-once")
+      assert(rep == (1L until next).map(_ * Step).toVector,
+        "replay + gap-fill + live covers everything across intervals")
+      assert(received("tailer") == (41L until next).map(_ * Step).toVector)
+    } finally q.stop()
   }
 
   test("per-collection record view parses golden like record (README.md:60-81)") {
