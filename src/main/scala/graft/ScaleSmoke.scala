@@ -137,6 +137,31 @@ object ScaleSmoke {
       skewed.unpersist()
     }
 
+    // --- distributed connected components at edge volumes the driver
+    // union-find refuses (driverThreshold = 0 forces the min-label
+    // loop): 10M edges in 2M chains of 5 nodes (diameter 4 — the loop
+    // converges in a handful of key-partitioned join+agg rounds). This
+    // is the 100 TB code path the ≤1M-edge driver shortcut hands off to.
+    {
+      val nEdges = 10000000L
+      // node ids: chain c holds nodes c*6 .. c*6+5; edges (v, v+1) ×2 dirs
+      val pairs = spark.range(nEdges)
+        .select((col("id") / lit(5)).cast("long").as("c"), pmod(col("id"), lit(5)).as("i"))
+        .select((col("c") * 6 + col("i")).as("src"), (col("c") * 6 + col("i") + 1).as("dst"))
+      val t = System.nanoTime()
+      val comps = graft.ext.Dedup.connectedComponents(pairs, "src", "dst",
+        driverThreshold = 0L)
+      val (nNodes, nComps) = {
+        val r = comps.agg(count(lit(1)), countDistinct(col("comp"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val sec = (System.nanoTime() - t) / 1e9
+      println(f"[scale] distributed connected components: $nEdges edges → " +
+        f"$nNodes nodes, $nComps components in $sec%.2fs " +
+        f"(${nEdges / sec / 1e6}%.1fM edges/s, min-label loop)")
+      require(nComps == nEdges / 5, s"expected ${nEdges / 5} chains, got $nComps")
+    }
+
     val big = spark.range(10000000).select(
       col("id").as("arrival"), concat(lit("d"), col("id") % 97).as("did"))
     big.cache().count()

@@ -156,14 +156,31 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20, driverThreshold: Long = 1000000L): DataFrame = {
+    // Integral ids are the API contract — BOTH paths need them (the
+    // driver union-find collects ids as longs; the distributed loop's
+    // label-sum convergence check needs a numeric comp). Checked here
+    // so the two paths cannot silently diverge on exotic id types: a
+    // string id used to NPE in the driver path only.
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    Seq(aCol, bCol).foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(integral.contains(dt),
+        s"connectedComponents requires integral id columns; '$c' is $dt — " +
+          "map ids to longs (e.g. hash or dense-rank) before calling")
+    }
     // both directions in ONE scan of the (possibly expensive) pair
     // pipeline — a union of two selects would evaluate it twice
+    // cached PRE-PARTITIONED on dst — the min-label loop joins
+    // edges.dst = labels.id every iteration, and a cached hash layout on
+    // the join key means only the (small) label side shuffles per round,
+    // not the 2|E| edge rows
     val edges = pairs
       .select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct().cache()
+      .distinct().repartition(col("dst")).cache()
     // The verified-pair list is the SMALL product of near-dup detection
     // (LSH already pruned the corpus² space), so up to `driverThreshold`
     // edges union-find runs at the driver — one collect of the pair

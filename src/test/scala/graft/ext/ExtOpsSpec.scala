@@ -54,6 +54,15 @@ class ExtOpsSpec extends SparkSpec {
       driverThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     assert(dist == expected)
+
+    // non-integral ids are rejected up front with a clear message —
+    // previously the driver path NPE'd on them while the distributed
+    // path half-worked, so one API diverged on input type
+    val bad = Seq(("a", "b")).toDF("doc_id_a", "doc_id_b")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(bad, "doc_id_a", "doc_id_b")
+    }
+    assert(err.getMessage.contains("integral id columns"))
   }
 
   test("simhash piece banding = brute force at Hamming ≤ 3; hot-bucket cap skips boilerplate") {
