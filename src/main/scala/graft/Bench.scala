@@ -10,10 +10,42 @@ import org.apache.spark.sql.SparkSession
   * footers cached) rather than first-query JVM warmup — the same
   * methodology as the reference's operational steady-state metrics
   * (BASELINE.md: sustained events/s, not cold-start).
+  *
+  * Superlinearity gate: the candidate-generating operators (the dedup /
+  * similarity family — the plans where an accidental all-pairs stage
+  * hides at fixture scale) are ALSO timed at a smaller SF, and the run
+  * FAILS if any of them grows faster than (rows ratio)^1.3. A quadratic
+  * plan at 10× rows shows up as ~100× time and busts the ~20× budget —
+  * this is the automatic tripwire that would have caught the round-2
+  * byte-banded simhash_hamming without a judge reading plans.
   */
 object Bench {
+
+  /** Queries whose cost is dominated by candidate generation — the ones
+    * a superlinear plan degrades first.
+    */
+  val GrowthGated: Seq[String] = Seq(
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_verified",
+    "dedup_components", "simhash_hamming", "dedup_embed_cosine")
+
+  /** Growth-budget violations: queries whose big-SF time exceeds
+    * max(smallSec, floorSec) × rowsRatio^exponent. The floor keeps a
+    * noise-level small-SF time (fixed JVM/planning overhead) from
+    * producing an impossible budget. Returns human-readable reasons.
+    */
+  def growthViolations(times: Map[String, (Double, Double)], rowsRatio: Double,
+      exponent: Double = 1.3, floorSec: Double = 0.2): Seq[String] =
+    times.toSeq.sorted.flatMap { case (name, (smallSec, bigSec)) =>
+      val allowed = math.max(smallSec, floorSec) * math.pow(rowsRatio, exponent)
+      if (bigSec > allowed)
+        Some(f"$name: $smallSec%.2fs → $bigSec%.2fs at ${rowsRatio}%.0f× rows " +
+          f"(allowed ${allowed}%.2fs = max(small, $floorSec) × ratio^$exponent)")
+      else None
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val smallDir = sys.env.getOrElse("SPARK_GRAFT_GROWTH_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,32 +68,69 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
+    def cleanSlate(): Unit = {
+      // no cross-query cached blocks or pending old-gen garbage skewing
+      // an unrelated query's wall time
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
     // Timed pass: a failing query FAILS the bench (a broken query must
     // not report as "fast"); all failures are listed before exiting 1.
     val errors = scala.collection.mutable.ListBuffer.empty[(String, String)]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // clean slate per query: no cross-query cached blocks or pending
-      // old-gen garbage skewing an unrelated query's wall time
-      spark.catalog.clearCache()
-      System.gc()
+      cleanSlate()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable => errors += name -> e.toString.take(200)
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+
+    // Growth pass: the gated queries at the smaller SF, same clean-slate
+    // protocol. Skipped when the two dirs coincide.
+    val growth: Map[String, (Double, Double, Double)] =
+      if (smallDir == sfDir) Map.empty
+      else {
+        val ratio = {
+          val small = spark.read.parquet(s"$smallDir/documents.parquet").count()
+          val big = spark.read.parquet(s"$sfDir/documents.parquet").count()
+          big.toDouble / small
+        }
+        GrowthGated.flatMap { name =>
+          SparkEntry.queries.get(name).map { fn =>
+            cleanSlate()
+            val t0 = System.nanoTime()
+            try { fn(spark, smallDir).count() } catch {
+              case e: Throwable => errors += s"$name@growth" -> e.toString.take(200)
+            }
+            name -> ((System.nanoTime() - t0) / 1e9, results(name), ratio)
+          }
+        }.toMap
+      }
+    val violations = growthViolations(
+      growth.map { case (n, (s, b, _)) => n -> (s, b) },
+      growth.headOption.map(_._2._3).getOrElse(1.0))
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val gs = growth.map { case (k, (s, b, r)) =>
+      f"""\"$k\":{\"small_sec\":$s,\"big_sec\":$b,\"rows_ratio\":$r,\"growth\":${b / math.max(s, 1e-9)}%.2f}"""
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""growth":$gs,"growth_exponent":1.3,"sf":"$sfDir"}"""
     println(line)
     // Machine-readable copy, free of sbt's [info]/[error] line prefixes.
+    // Default is RELATIVE to the working directory so any checkout works;
+    // SPARK_GRAFT_BENCH_OUT overrides.
     val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")).toAbsolutePath
     java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     spark.stop()
-    if (errors.nonEmpty) {
+    if (errors.nonEmpty || violations.nonEmpty) {
       errors.foreach { case (n, e) => System.err.println(s"[bench] $n failed: $e") }
+      violations.foreach(v => System.err.println(s"[bench] superlinear growth: $v"))
       sys.exit(1)
     }
   }
