@@ -31,7 +31,10 @@ object PlanAudit {
           .filter(plan.contains)
         val flags = Seq(
           if (plan.contains("CartesianProduct")) Some("CARTESIAN") else None,
-          if (!plan.contains("*(")) Some("NO_CODEGEN") else None).flatten
+          if (!plan.contains("*(")) Some("NO_CODEGEN") else None,
+          // the co-location claim: the bucketed join must stay shuffle-free
+          if (name == "bucketed_join" && plan.contains("Exchange"))
+            Some("BUCKETED_SHUFFLE") else None).flatten
         println(s"[audit] $name joins=${joins.mkString("+")} " +
           (if (flags.nonEmpty) s"FLAGS=${flags.mkString(",")}" else "ok"))
       } catch {

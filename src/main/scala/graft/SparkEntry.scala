@@ -50,6 +50,7 @@ object SparkEntry {
     "q3_top_revenue"     -> RelationalQueries.q3TopRevenue _,
     "q5_local_supplier"  -> RelationalQueries.q5LocalSupplier _,
     "salted_join"        -> RelationalQueries.saltedJoin _,
+    "bucketed_join"      -> RelationalQueries.bucketedJoin _,
     "q4_order_priority"  -> RelationalQueries.q4OrderPriority _,
     "q13_custdist"       -> RelationalQueries.q13CustDist _,
     "join_left_outer"    -> RelationalQueries.joinLeftOuter _,
@@ -257,6 +258,11 @@ object SparkEntry {
         |       floor(sum(o_totalprice) * 1e2 + 0.5) / 1e2 AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "bucketed_join" ->
+      """SELECT c_custkey, count(*) AS n_orders,
+        |       floor(sum(o_totalprice) * 1e2 + 0.5) / 1e2 AS total_spent
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

@@ -84,6 +84,32 @@ object RelationalQueries {
         pround(sum(col("o_totalprice")), 2).as("revenue"))
   }
 
+  /** Co-located orders⋈customer through the bucketed layout
+    * ([[graft.store.Bucketing]]): both sides written bucketed+sorted on
+    * the customer key, so the executed plan is SortMergeJoin over two
+    * bare bucketed scans — ZERO Exchange anywhere (the follow-up
+    * per-customer aggregate reuses the same partitioning). The `merge`
+    * hint pins SMJ (a broadcast would hide the co-location property
+    * this query exists to exercise); LayoutSpec + PlanAudit assert the
+    * exchange-free plan. At 100 TB this is the recurring-join posture:
+    * the shuffle is paid once at layout time, not per query.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.store.Bucketing
+    Bucketing.writeBucketed(
+      Tables.orders(spark, dir).select("o_custkey", "o_totalprice"),
+      "graft_bucketed_orders", "o_custkey", buckets = 8)
+    Bucketing.writeBucketed(
+      Tables.customer(spark, dir).select("c_custkey", "c_mktsegment"),
+      "graft_bucketed_customer", "c_custkey", buckets = 8)
+    spark.table("graft_bucketed_orders").hint("merge")
+      .join(spark.table("graft_bucketed_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        pround(sum(col("o_totalprice")), 2).as("total_spent"))
+  }
+
   /** TPC-H Q4-shaped priority count via a CORRELATED EXISTS subquery —
     * Catalyst decorrelates it into a left-semi join whose correlated
     * predicate (`l_shipdate > o_orderdate + 60 days`) becomes a join

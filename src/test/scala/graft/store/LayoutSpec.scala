@@ -59,6 +59,22 @@ class LayoutSpec extends SparkSpec {
     assert(Compaction.partitionFiles(spark, path, 1).size == 3)
   }
 
+  test("bucketed_join registered query: join AND aggregate are exchange-free") {
+    val q = graft.query.RelationalQueries.bucketedJoin(spark, "/root/testdata/sf0.001")
+    q.collect() // execute so AQE (if any) finalizes
+    val plan = q.queryExecution.executedPlan
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"co-located join + same-key aggregate must have ZERO Exchange, got:\n$plan")
+    assert(plan.toString.contains("SortMergeJoin"), "merge hint must pin SMJ")
+    // identical answer to the plain (shuffled) join composition
+    val plain = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      .join(graft.Tables.customer(spark, "/root/testdata/sf0.001"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey")).count()
+    assert(q.count() == plain.count())
+  }
+
   test("bucketed tables join with no shuffle on either side") {
     val facts = (1 to 10000).map(i => (i.toLong % 500, i.toLong, i * 1.5))
       .toDF("key", "row_id", "v")
