@@ -121,6 +121,34 @@ object Similarity {
     * exactly oracle-reproducible. Unit-normalizes each side once before
     * the join so the verify is one dot-fold per candidate pair.
     */
+  /** Number of hyperplanes sized to the corpus: 2^nPlanes buckets with
+    * expected bucket size ≈ `targetBucketSize`, clamped to [4, 24].
+    * This is THE scale knob of [[lshCosinePairs]]: candidate volume is
+    * Σ n_b² ≈ n·targetBucketSize under uniform spread, so holding the
+    * TARGET fixed while the corpus grows keeps candidate generation
+    * LINEAR in n — a fixed nPlanes would be quadratic (n_b ∝ n). Real
+    * embedding corpora bucket-skew (vectors cluster), so the target is
+    * an expectation, not a bound; pick it as the per-bucket pair budget
+    * you can afford to verify (default 64 → ~2k pairs/bucket).
+    */
+  def planesFor(corpusSize: Long, targetBucketSize: Long = 64L): Int = {
+    require(targetBucketSize > 0)
+    val needed = math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / targetBucketSize)) / math.log(2.0)).toInt
+    math.max(4, math.min(24, needed))
+  }
+
+  /** [[lshCosinePairs]] with `nPlanes` derived from the actual corpus
+    * count via [[planesFor]] — one count() job, then the same pipeline.
+    * Use this form when the corpus size isn't statically known; the
+    * fixed-plane form stays for oracle-reproducible queries (the plane
+    * count is part of the result's semantics).
+    */
+  def lshCosinePairsAuto(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+      threshold: Double, targetBucketSize: Long = 64L, digits: Int = 6): DataFrame =
+    lshCosinePairs(df, idCol, vecCol, dims, threshold,
+      planesFor(df.count(), targetBucketSize), digits)
+
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String, dims: Int,
       threshold: Double, nPlanes: Int = 8, digits: Int = 6): DataFrame = {
     val bucketed = withBuckets(df, vecCol, dims, nPlanes)

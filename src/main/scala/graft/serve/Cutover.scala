@@ -78,6 +78,9 @@ final class CutoverSession(
       if (budget == 0) return true // paced out this tick (persist.go:147-149)
       val chunk = Replay.replayChunk(spark, path, cursor, budget).cache()
       try {
+        // refund the budget the chunk didn't fill (tail of the backlog):
+        // only events actually scanned consume playback tokens
+        playback.foreach(_.refund(budget - chunk.count()))
         // scan tail — the reference's ReplayEvents return value (persist.go:199-203)
         val lastSeq = maxTimeUs(chunk).getOrElse(cursor - 1)
         val view = deliverable(chunk).orderBy(col("time_us"))

@@ -50,6 +50,17 @@ final class TokenBucket(ratePerSec: Double, burst: Long, nowUs: () => Long) {
     take
   }
 
+  /** Return unused tokens, capped at `burst` like any refill. The paced
+    * replay acquires a chunk-sized budget BEFORE scanning (the scan
+    * limit needs a bound); when the chunk comes back short — backlog
+    * tail, or a filtered view — the un-consumed budget flows back so
+    * the effective replay rate stays the configured one instead of
+    * being silently debited for events that never existed.
+    */
+  def refund(n: Long): Unit = synchronized {
+    if (n > 0) { refill(); tokens = math.min(burst.toDouble, tokens + n) }
+  }
+
   /** Tokens currently available (diagnostics/tests). */
   def available: Long = synchronized { refill(); math.floor(tokens).toLong }
 }

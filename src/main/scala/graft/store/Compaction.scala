@@ -37,6 +37,22 @@ object Compaction {
 
   /** Compact one closed hour to ~`targetBytes` files. Returns
     * (filesBefore, filesAfter); no-op when already compact.
+    *
+    * Commit protocol (crash-recoverable at every step — [[repair]] is
+    * the inverse): the rewrite lands in `_compact_tmp_<hour>` with its
+    * `_SUCCESS` marker (the manifest: a tmp WITHOUT it is an aborted
+    * write and never installed), then dir→backup, tmp→dir, drop
+    * backup. A crash between the two renames leaves the hour absent
+    * but BOTH copies on disk; repair rolls forward (tmp complete) or
+    * back (tmp incomplete) — so no reader-visible data loss survives a
+    * restart. The remaining caveat is honest: between the two renames a
+    * CONCURRENT reader sees the hour missing, so compaction must not
+    * run concurrently with serving reads of that hour (run it from the
+    * maintenance path, not the serving path) — on HDFS each rename is
+    * atomic; on an S3-class store "rename" is copy+delete and the same
+    * repair contract covers the longer window. A table format (Delta/
+    * Iceberg) slots in here to make the swap a metadata commit; layout,
+    * sorting and sizing stay identical.
     */
   def compactHour(spark: SparkSession, tablePath: String, hour: Long,
       targetBytes: Long = 1L << 30): (Int, Int) = {
@@ -52,8 +68,8 @@ object Compaction {
       .repartitionByRange(want, col("time_us")) // contiguous time slices per file
       .sortWithinPartitions(col("time_us"))
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // swap via backup (never a window with NO copy of the hour on disk;
-    // a table format makes this an atomic commit)
+    // the job-committer's _SUCCESS is the manifest: repair only ever
+    // installs a tmp that carries it
     val backup = new Path(s"$tablePath/_compact_old_$hour")
     fs.delete(backup, true)
     if (!fs.rename(dir, backup))
@@ -66,11 +82,56 @@ object Compaction {
     (files.size, partitionFiles(spark, tablePath, hour).size)
   }
 
+  /** Recover from a compaction crash: for every `_compact_old_<hour>` /
+    * `_compact_tmp_<hour>` leftover, restore the invariant "the hour
+    * partition exists exactly once". Roll FORWARD when the tmp rewrite
+    * completed (its `_SUCCESS` manifest exists — the data is the same
+    * rows, compacted), roll BACK to the backup otherwise, and drop
+    * whichever leftover remains. Idempotent; run it at table-open /
+    * maintenance startup (compactClosed runs it automatically).
+    * Returns the hours it repaired.
+    */
+  def repair(spark: SparkSession, tablePath: String): Seq[Long] = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val names = fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    val leftovers = names.collect {
+      case n if n.startsWith("_compact_old_") => n.stripPrefix("_compact_old_").toLong
+      case n if n.startsWith("_compact_tmp_") => n.stripPrefix("_compact_tmp_").toLong
+    }.distinct.sorted
+    leftovers.flatMap { hour =>
+      val dir = new Path(s"$tablePath/${EventsTable.PartitionCol}=$hour")
+      val tmp = new Path(s"$tablePath/_compact_tmp_$hour")
+      val backup = new Path(s"$tablePath/_compact_old_$hour")
+      val tmpComplete = fs.exists(new Path(tmp, "_SUCCESS"))
+      if (!fs.exists(dir)) {
+        if (tmpComplete) { // crash between the renames: install the rewrite
+          if (!fs.rename(tmp, dir))
+            throw new java.io.IOException(s"repair: could not install $tmp")
+          fs.delete(backup, true)
+        } else { // rewrite incomplete: the backup is the only good copy
+          if (fs.exists(backup) && !fs.rename(backup, dir))
+            throw new java.io.IOException(s"repair: could not restore $backup")
+          fs.delete(tmp, true)
+        }
+        Some(hour)
+      } else { // hour intact: drop leftovers (post-install crash, or an
+               // aborted rewrite that never touched the live dir)
+        fs.delete(backup, true)
+        fs.delete(tmp, true)
+        None
+      }
+    }
+  }
+
   /** Compact every hour strictly below `hwmHour` (the open hour and
-    * anything after it are left to the writer).
+    * anything after it are left to the writer). Runs [[repair]] first —
+    * a crashed previous run must not leave an hour invisible.
     */
   def compactClosed(spark: SparkSession, tablePath: String, hwmHour: Long,
       targetBytes: Long = 1L << 30): Map[Long, (Int, Int)] = {
+    repair(spark, tablePath)
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Map.empty

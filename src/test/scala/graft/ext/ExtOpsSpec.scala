@@ -132,6 +132,30 @@ class ExtOpsSpec extends SparkSpec {
     assert(labels == 1)
   }
 
+  test("planesFor keeps expected bucket size near the target as the corpus grows") {
+    // the knob math: buckets ≥ n/target, clamped
+    assert(Similarity.planesFor(500, 64) == 4)   // 16 buckets ≥ 7.9
+    assert(Similarity.planesFor(5000, 64) == 7)  // 128 buckets ≥ 78.2
+    assert(Similarity.planesFor(5000000, 64) == 17)
+    assert(Similarity.planesFor(1, 64) == 4, "clamped low")
+    assert(Similarity.planesFor(Long.MaxValue, 1) == 24, "clamped high")
+
+    // on real (clustered) embeddings at two sizes, the MEAN bucket size
+    // stays within a small multiple of the target — the knob holds as
+    // the corpus grows 10×, which a fixed nPlanes cannot
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val emb = graft.Tables.embeddings(spark, dir)
+      val n = emb.count()
+      val target = 16L
+      val bucketed = Similarity.withBuckets(emb, "embedding", dims = 64,
+        nPlanes = Similarity.planesFor(n, target))
+      val nBuckets = bucketed.select("bucket").distinct().count()
+      val mean = n.toDouble / nBuckets
+      assert(mean <= 4 * target,
+        s"$dir: mean bucket size $mean vs target $target (n=$n, buckets=$nBuckets)")
+    }
+  }
+
   test("shingles of docs shorter than n words are empty, not garbage") {
     val docs = Seq((1L, "only two"), (2L, "a b c d")).toDF("doc_id", "text")
     val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)

@@ -142,4 +142,21 @@ class CutoverSpec extends SparkSpec {
     session.replayStep(spark, path, 30 * Step)(df => delivered ++= collectUs(df))
     assert(!session.replaying && delivered.toSeq == (1L to 30L).map(_ * Step))
   }
+
+  test("short chunk refunds its unused playback budget (tail of the backlog)") {
+    val path = tmpDir("cutover-refund")
+    append(path, 1 to 5) // only 5 events exist
+    val clock = 0L
+    val bucket = new TokenBucket(ratePerSec = 1.0, burst = 100, nowUs = () => clock)
+    // chunkSize 50 ≫ backlog: the step debits 50 up front, scans 5 —
+    // without the refund the bucket would sit at 50 and pace the NEXT
+    // subscriber action at a tenth of the configured rate
+    val session = new CutoverSession(
+      Subscribe.SubscriberSpec(), startCursorUs = 1 * Step, chunkSize = 50,
+      playback = Some(bucket))
+    val delivered = ArrayBuffer.empty[Long]
+    session.replayStep(spark, path, 1000 * Step)(df => delivered ++= collectUs(df))
+    assert(delivered.size == 5)
+    assert(bucket.available == 95, s"only the 5 scanned events consume budget, saw ${bucket.available}")
+  }
 }

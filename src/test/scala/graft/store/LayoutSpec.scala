@@ -59,6 +59,56 @@ class LayoutSpec extends SparkSpec {
     assert(Compaction.partitionFiles(spark, path, 1).size == 3)
   }
 
+  test("repair recovers a compaction crash between the renames — no reader-visible loss") {
+    import org.apache.hadoop.fs.Path
+    def mkTable(tag: String): (String, Seq[Long]) = {
+      val path = tmpDir(s"compact-crash-$tag")
+      (0 until 4).foreach { b =>
+        EventsTable.append(
+          (0 until 25).map(i => ((b * 25 + i) * 1000L, s"did$i", "c"))
+            .toDF("time_us", "did", "collection"), path)
+      }
+      (path, EventsTable.read(spark, path).select("time_us").as[Long].collect().sorted.toSeq)
+    }
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirOf(path: String) = new Path(s"$path/${EventsTable.PartitionCol}=0")
+
+    // --- crash AFTER dir→backup with a COMPLETE tmp (manifest present):
+    // repair rolls FORWARD to the compacted rewrite
+    val (p1, rows1) = mkTable("fwd")
+    spark.read.parquet(dirOf(p1).toString)
+      .repartitionByRange(1, col("time_us")).sortWithinPartitions(col("time_us"))
+      .write.parquet(s"$p1/_compact_tmp_0")
+    assert(fs.rename(dirOf(p1), new Path(s"$p1/_compact_old_0")))
+    assert(!fs.exists(dirOf(p1)), "simulated crash: hour invisible")
+    assert(Compaction.repair(spark, p1) == Seq(0L))
+    assert(EventsTable.read(spark, p1).select("time_us").as[Long].collect().sorted.toSeq
+      == rows1, "rolled forward: same rows, compacted")
+    assert(Compaction.partitionFiles(spark, p1, 0).size == 1)
+    assert(!fs.exists(new Path(s"$p1/_compact_old_0")) && !fs.exists(new Path(s"$p1/_compact_tmp_0")))
+
+    // --- crash with an INCOMPLETE tmp (no _SUCCESS manifest): repair
+    // rolls BACK to the backup — the aborted rewrite is never installed
+    val (p2, rows2) = mkTable("bak")
+    spark.read.parquet(dirOf(p2).toString).write.parquet(s"$p2/_compact_tmp_0")
+    fs.delete(new Path(s"$p2/_compact_tmp_0/_SUCCESS"), false)
+    assert(fs.rename(dirOf(p2), new Path(s"$p2/_compact_old_0")))
+    assert(Compaction.repair(spark, p2) == Seq(0L))
+    assert(EventsTable.read(spark, p2).select("time_us").as[Long].collect().sorted.toSeq
+      == rows2, "rolled back: original files intact")
+    assert(!fs.exists(new Path(s"$p2/_compact_tmp_0")))
+
+    // --- leftovers while the hour is intact are just swept
+    val (p3, rows3) = mkTable("sweep")
+    spark.read.parquet(dirOf(p3).toString).write.parquet(s"$p3/_compact_tmp_0")
+    assert(Compaction.repair(spark, p3) == Seq.empty)
+    assert(!fs.exists(new Path(s"$p3/_compact_tmp_0")), "stray tmp swept")
+    // compactClosed self-heals first, then compacts normally
+    assert(Compaction.compactClosed(spark, p3, hwmHour = 1).keySet == Set(0L))
+    assert(EventsTable.read(spark, p3).select("time_us").as[Long].collect().sorted.toSeq
+      == rows3)
+  }
+
   test("bucketed_join registered query: join AND aggregate are exchange-free") {
     val q = graft.query.RelationalQueries.bucketedJoin(spark, "/root/testdata/sf0.001")
     q.collect() // execute so AQE (if any) finalizes
