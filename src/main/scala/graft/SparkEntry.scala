@@ -99,6 +99,9 @@ object SparkEntry {
     "simhash_hamming"    -> ExtQueries.simhashHamming _,
     "dedup_embed_cosine" -> ExtQueries.dedupEmbedCosine _,
     "bpe_token_vocab"    -> ExtQueries.bpeTokenVocab _,
+    "gopher_rules"       -> ExtQueries.gopherRules _,
+    "repetition_stats"   -> ExtQueries.repetitionStats _,
+    "decontam_flags"     -> ExtQueries.decontamFlags _,
     "rolling_fingerprint" -> ExtQueries.rollingFingerprint _,
     "knn_brute"          -> ExtQueries.knnBrute _,
     "embed_norms"        -> ExtQueries.embedNorms _,
@@ -578,6 +581,43 @@ object SparkEntry {
         |       floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 AS cos
         |FROM cdims GROUP BY vec_a, vec_b
         |HAVING floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 >= 0.3""".stripMargin,
+    "gopher_rules" ->
+      """SELECT doc_id, n_words, mean_word_len, stop_hits, alpha_frac,
+        |       (n_words >= 50 AND n_words <= 100000
+        |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |        AND stop_hits >= 2 AND alpha_frac >= 0.8) AS keep
+        |FROM (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' '))::BIGINT AS n_words,
+        |         floor((length(replace(text, ' ', ''))::DOUBLE /
+        |                len(string_split(text, ' '))) * 1e4 + 0.5) / 1e4 AS mean_word_len,
+        |         len(list_filter(string_split(text, ' '),
+        |           w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and' OR w = 'is'))::BIGINT
+        |           AS stop_hits,
+        |         floor((len(list_filter(string_split(text, ' '),
+        |                w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE /
+        |                len(string_split(text, ' '))) * 1e4 + 0.5) / 1e4 AS alpha_frac
+        |  FROM documents)""".stripMargin,
+    "repetition_stats" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |grams AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS g
+        |          FROM words, (SELECT unnest(range(1, 1000)) AS i) n
+        |          WHERE i + 1 <= len(l)),
+        |cnt AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+        |SELECT doc_id, sum(c)::BIGINT AS n_grams, max(c)::BIGINT AS top_gram_n,
+        |       floor((max(c)::DOUBLE / sum(c)) * 1e4 + 0.5) / 1e4 AS top_frac
+        |FROM cnt GROUP BY doc_id""".stripMargin,
+    "decontam_flags" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s0
+        |        FROM words, (SELECT unnest(range(1, 1000)) AS i) n
+        |        WHERE i + 2 <= len(l)),
+        |sh AS (SELECT doc_id, ('0x' || substr(md5(s0), 1, 8))::BIGINT AS s FROM sh0),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+        |SELECT a.doc_id, count(*) AS n_overlap
+        |FROM sh a JOIN bench b ON a.s = b.s
+        |WHERE a.doc_id % 50 <> 0
+        |GROUP BY a.doc_id""".stripMargin,
     "bpe_token_vocab" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(regexp_extract_all(text, '([a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s])')) AS token

@@ -142,6 +142,26 @@ object Dedup {
       .join(cands, Seq(s"${idCol}_a", s"${idCol}_b"), "left_semi")
   }
 
+  /** Benchmark decontamination (the n-gram-overlap check every
+    * pretraining pipeline runs before training): corpus documents that
+    * share at least one word n-gram with any document of `bench` are
+    * flagged with their overlapping-shingle count. The join is on the
+    * 32-bit shingle hash — at 100 TB the benchmark side is tiny (eval
+    * sets), so its distinct-shingle set broadcasts and the corpus makes
+    * ONE pass with a hash probe; no pairwise document comparison
+    * exists in the plan.
+    */
+  def contaminationFlags(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
+    val benchSh = shingles(bench, idCol, textCol, shingleN)
+      .select(h32(col("shingle")).as("s")).distinct()
+    shingles(corpus, idCol, textCol, shingleN)
+      .select(col(idCol), h32(col("shingle")).as("s"))
+      .join(broadcast(benchSh), "s")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** Connected components over a near-dup pair list: every doc gets
     * `comp` = the smallest doc id in its transitive near-dup cluster —
     * the canonical-representative assignment a dedup pipeline applies

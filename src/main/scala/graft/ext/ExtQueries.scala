@@ -120,6 +120,32 @@ object ExtQueries {
       .withColumnRenamed("vec_id_a", "vec_a")
       .withColumnRenamed("vec_id_b", "vec_b")
 
+  /** E3 — Gopher-style conjunctive quality gate (word-count bounds,
+    * mean word length band, stopword evidence, alpha-word floor) with
+    * every signal emitted ([[TextStats.gopherRules]]).
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    TextStats.gopherRules(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** E3 — top-bigram repetition share ([[TextStats.repetitionStats]] —
+    * the boilerplate/spam signal).
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    TextStats.repetitionStats(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** E1 — benchmark decontamination: corpus docs (doc_id % 50 ≠ 0)
+    * sharing any 3-gram with the held-out "benchmark" docs (doc_id % 50
+    * = 0), with overlap counts ([[Dedup.contaminationFlags]] — the
+    * benchmark shingle set broadcasts; one corpus pass).
+    */
+  def decontamFlags(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.contaminationFlags(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text")
+  }
+
   /** E3 — BPE-ish regex token vocabulary. */
   def bpeTokenVocab(spark: SparkSession, dir: String): DataFrame =
     TextStats.bpeTokenVocab(Tables.documents(spark, dir), "text")

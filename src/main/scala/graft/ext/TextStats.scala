@@ -70,6 +70,60 @@ object TextStats {
           "cast(element_at(__codes, 1) as bigint), " +
           "(acc, c) -> (acc * 31 + c) % 1000000007)").as("rolling_hash"))
 
+  /** Gopher-style quality gate (the rule family of Rae et al. 2021
+    * §A1.1 / RefinedWeb): per-document structural signals and the
+    * conjunctive `keep` verdict a pretraining pipeline filters on —
+    * word count within bounds, mean word length in a human band,
+    * minimum stopword evidence, and a floor on the fraction of words
+    * containing a letter. One narrow projection, no shuffle; every
+    * signal is also emitted so downstream filters can re-threshold
+    * without recomputing.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      stops: Seq[String] = DefaultStopwords,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minStopHits: Long = 2L, minAlphaFrac: Double = 0.8): DataFrame = {
+    val nWords = size(words(textCol)).cast("long")
+    val meanLen = pround(
+      length(regexp_replace(col(textCol), " ", "")).cast("double") / size(words(textCol)), 4)
+    val alphaFrac = pround(
+      size(filter(words(textCol), w => w.rlike("[a-zA-Z]"))).cast("double") /
+        size(words(textCol)), 4)
+    df.select(
+        col(idCol),
+        nWords.as("n_words"),
+        meanLen.as("mean_word_len"),
+        stopCount(textCol, stops).cast("long").as("stop_hits"),
+        alphaFrac.as("alpha_frac"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen &&
+          col("stop_hits") >= minStopHits && col("alpha_frac") >= minAlphaFrac)
+  }
+
+  /** Repetition profile (the RefinedWeb "repetitious text" signal): the
+    * most frequent word n-gram's share of all n-grams in the document.
+    * Boilerplate/spam shows top_frac near 1; natural prose sits low.
+    * Docs shorter than `n` words have no n-grams and produce no row.
+    * Two-level aggregation, partial-agg map-side — one shuffle on
+    * (doc, gram) then one on doc.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
+    df.select(col(idCol), words(textCol).as("w"))
+      .select(col(idCol), explode(expr(
+        s"""if(size(w) < $n, array(),
+           |   transform(sequence(0, size(w)-$n),
+           |             i -> concat_ws(' ', ${(0 until n).map(k => s"w[i+$k]").mkString(", ")})))"""
+          .stripMargin)).as("gram"))
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_grams"),
+        max(col("c")).as("top_gram_n"))
+      .withColumn("top_frac",
+        pround(col("top_gram_n").cast("double") / col("n_grams"), 4))
+
   /** Blended quality score in [0,1]: length, lexical diversity, stopword
     * naturalness — the standard cheap pre-filter before expensive
     * pipeline stages.
