@@ -118,6 +118,27 @@ class ServeJobSpec extends SparkSpec {
     assert(jobs.get() <= 4, s"admission must be O(1) Spark jobs at 100 subscribers, saw ${jobs.get()}")
   }
 
+  test("admissionCounts (broadcast-tag probe) = per-spec filter counts for every spec shape") {
+    val batch = (1 to 500).map { i =>
+      (s"did:plc:u${i % 20}", i.toLong,
+        if (i % 2 == 0) "app.bsky.feed.post" else "app.bsky.feed.like")
+    }.toDF("did", "time_us", "collection")
+    val specs = Map(
+      "both"      -> Subscribe.SubscriberSpec(
+        wantedCollections = Seq("app.bsky.feed.post"),
+        wantedDids = Seq("did:plc:u2", "did:plc:u4"), hwmUs = 100L),
+      "did_only"  -> Subscribe.SubscriberSpec(wantedDids = Seq("did:plc:u3")),
+      "coll_only" -> Subscribe.SubscriberSpec(wantedCollections = Seq("app.bsky.feed.like")),
+      "pass_all"  -> Subscribe.SubscriberSpec(hwmUs = 250L),
+      "no_match"  -> Subscribe.SubscriberSpec(wantedDids = Seq("did:plc:absent")))
+    val counts = ServeJob.admissionCounts(batch, specs, "collection", "did")
+    specs.foreach { case (name, spec) =>
+      val expected = batch.filter(Subscribe.filterFor(spec)).count()
+      assert(counts(name) == expected, s"$name: probe ${counts(name)} vs filter $expected")
+    }
+    assert(counts("no_match") == 0L)
+  }
+
   test("paced delivery never exceeds rate × time across windows") {
     var deliveredTotal = 0L
     var clock = 0L
