@@ -102,6 +102,7 @@ object SparkEntry {
     "gopher_rules"       -> ExtQueries.gopherRules _,
     "repetition_stats"   -> ExtQueries.repetitionStats _,
     "decontam_flags"     -> ExtQueries.decontamFlags _,
+    "sequence_pack"      -> ExtQueries.sequencePack _,
     "rolling_fingerprint" -> ExtQueries.rollingFingerprint _,
     "knn_brute"          -> ExtQueries.knnBrute _,
     "embed_norms"        -> ExtQueries.embedNorms _,
@@ -618,6 +619,14 @@ object SparkEntry {
         |FROM sh a JOIN bench b ON a.s = b.s
         |WHERE a.doc_id % 50 <> 0
         |GROUP BY a.doc_id""".stripMargin,
+    "sequence_pack" ->
+      """SELECT source, doc_id,
+        |       len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |       ((sum(len(string_split(text, ' '))) OVER (
+        |           PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         - len(string_split(text, ' '))) // 512)::BIGINT AS pack_id
+        |FROM documents""".stripMargin,
     "bpe_token_vocab" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(regexp_extract_all(text, '([a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s])')) AS token

@@ -146,6 +146,13 @@ object ExtQueries {
       "doc_id", "text")
   }
 
+  /** E3 — contiguous sequence packing: per-source running token sum →
+    * fixed-budget pack assignment ([[TextStats.sequencePack]]).
+    */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame =
+    TextStats.sequencePack(Tables.documents(spark, dir), "doc_id", "text",
+      groupCol = "source", budget = 512L)
+
   /** E3 — BPE-ish regex token vocabulary. */
   def bpeTokenVocab(spark: SparkSession, dir: String): DataFrame =
     TextStats.bpeTokenVocab(Tables.documents(spark, dir), "text")

@@ -124,6 +124,26 @@ object TextStats {
       .withColumn("top_frac",
         pround(col("top_gram_n").cast("double") / col("n_grams"), 4))
 
+  /** Sequence packing (the training-batch layout step): documents are
+    * concatenated in (`groupCol`, `idCol`) order and sliced into
+    * fixed-`budget` token windows; each document is assigned the pack
+    * its FIRST token lands in — the deterministic contiguous packing
+    * pretraining pipelines apply before writing training shards. One
+    * window aggregation per group (running token sum), no data
+    * movement beyond the per-group sort; at corpus scale the group
+    * column (source/shard) bounds every window partition.
+    */
+  def sequencePack(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budget: Long = 512L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(groupCol), col(idCol),
+        size(words(textCol)).cast("long").as("n_tokens"))
+      .withColumn("pack_id",
+        ((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget).cast("long"))
+  }
+
   /** Blended quality score in [0,1]: length, lexical diversity, stopword
     * naturalness — the standard cheap pre-filter before expensive
     * pipeline stages.
