@@ -112,21 +112,56 @@ object Bench {
       growth.map { case (n, (s, b, _)) => n -> (s, b) },
       growth.headOption.map(_._2._3).getOrElse(1.0))
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val gs = growth.map { case (k, (s, b, r)) =>
+    // Full-precision detail goes to the BENCH.json FILE; stdout carries a
+    // COMPACT line. The harness captures only a bounded TAIL of stdout
+    // (~2000 chars, measured from BENCH_r03's `tail` field), so the
+    // printed line must fit that window WITH sbt's `[info] ` prefix and
+    // trailing `[success] Total time: …` line, or its head gets cut off
+    // and the whole run parses as nothing (this bit round 3: the growth
+    // section pushed the line past the window and BENCH_r03 recorded
+    // parsed:null despite a green run). The line is therefore HARD
+    // budgeted: growth ratios (the superlinearity gate) always print;
+    // per-query times print slowest-first until the budget is reached,
+    // with "queries_omitted" counting the fast tail that didn't fit.
+    // The full per-query map is always in BENCH.json (committed).
+    def jnum(v: Double, dp: Int): String = {
+      val s = java.math.BigDecimal.valueOf(v)
+        .setScale(dp, java.math.RoundingMode.HALF_UP).toPlainString
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+    }
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val gsFull = growth.map { case (k, (s, b, r)) =>
       f"""\"$k\":{\"small_sec\":$s,\"big_sec\":$b,\"rows_ratio\":$r,\"growth\":${b / math.max(s, 1e-9)}%.2f}"""
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""growth":$gs,"growth_exponent":1.3,"sf":"$sfDir"}"""
+    val gsCompact = growth.map { case (k, (s, b, _)) =>
+      "\"" + k + "\":" + jnum(b / math.max(s, 1e-9), 2)
+    }.mkString("{", ",", "}")
+    val line = {
+      val lineBudget = 1700 // < 2000-char tail − sbt prefix/suffix lines
+      val head = s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","n_queries":${results.size},"queries":{"""
+      val tailFmt = s"""},"queries_omitted":NNN,"growth":$gsCompact,"sf":"$sfDir"}"""
+      var used = head.length + tailFmt.length
+      val kept = scala.collection.mutable.ListBuffer.empty[String]
+      val bySlowest = results.toSeq.sortBy(-_._2)
+      var omitted = 0
+      bySlowest.foreach { case (k, v) =>
+        val ent = "\"" + k + "\":" + jnum(v, 2)
+        if (used + ent.length + 1 <= lineBudget) { kept += ent; used += ent.length + 1 }
+        else omitted += 1
+      }
+      head + kept.mkString(",") +
+        s"""},"queries_omitted":$omitted,"growth":$gsCompact,"sf":"$sfDir"}"""
+    }
     println(line)
-    // Machine-readable copy, free of sbt's [info]/[error] line prefixes.
-    // Default is RELATIVE to the working directory so any checkout works;
-    // SPARK_GRAFT_BENCH_OUT overrides.
+    // Machine-readable full-precision copy, free of sbt's [info]/[error]
+    // line prefixes. Default is RELATIVE to the working directory so any
+    // checkout works; SPARK_GRAFT_BENCH_OUT overrides.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+      results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    },"growth":$gsFull,"growth_exponent":1.3,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")).toAbsolutePath
-    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
     spark.stop()
     if (errors.nonEmpty || violations.nonEmpty) {
       errors.foreach { case (n, e) => System.err.println(s"[bench] $n failed: $e") }
