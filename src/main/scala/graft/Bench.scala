@@ -26,7 +26,8 @@ object Bench {
     */
   val GrowthGated: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_verified",
-    "dedup_components", "simhash_hamming", "dedup_embed_cosine")
+    "dedup_components", "simhash_hamming", "dedup_embed_cosine",
+    "semdedup_prune")
 
   /** Growth-budget violations: queries whose big-SF time exceeds
     * max(smallSec, floorSec) × rowsRatio^exponent. The floor keeps a

@@ -52,6 +52,7 @@ object SparkEntry {
     "salted_join"        -> RelationalQueries.saltedJoin _,
     "bucketed_join"      -> RelationalQueries.bucketedJoin _,
     "q4_order_priority"  -> RelationalQueries.q4OrderPriority _,
+    "above_avg_orders"   -> RelationalQueries.aboveAvgOrders _,
     "q13_custdist"       -> RelationalQueries.q13CustDist _,
     "join_left_outer"    -> RelationalQueries.joinLeftOuter _,
     "join_semi"          -> RelationalQueries.joinSemi _,
@@ -109,6 +110,14 @@ object SparkEntry {
     "ann_lsh_buckets"    -> ExtQueries.annLshBuckets _,
     "embed_centroids"    -> ExtQueries.embedCentroids _,
     "multimodal_meta"    -> ExtQueries.multimodalMeta _,
+    // --- round 4: retrieval, LM-quality, corpus-shrink, export ops
+    "inverted_index"     -> ExtQueries.invertedIndex _,
+    "bm25_topk"          -> ExtQueries.bm25TopK _,
+    "unigram_logprob"    -> ExtQueries.unigramLogprob _,
+    "quality_lang_gate"  -> ExtQueries.qualityLangGate _,
+    "shard_assign"       -> ExtQueries.shardAssign _,
+    "dedup_reps"         -> ExtQueries.dedupReps _,
+    "semdedup_prune"     -> ExtQueries.semdedupPrune _,
   )
 
   /** Shared CTE chain producing the LSH-verified near-dup pairs
@@ -161,6 +170,17 @@ object SparkEntry {
       |sigs AS (SELECT doc_id,
       |                sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
       |         FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** The blended quality score expression (TextStats.qualityScore) —
+    * shared by `quality_score` and `quality_lang_gate`.
+    */
+  private val QualityExpr: String =
+    """floor((0.4 * least(1.0, len(string_split(text, ' ')) / 100.0)
+      |      + 0.4 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+      |               / len(string_split(text, ' ')))
+      |      + 0.2 * (len(list_filter(string_split(text, ' '),
+      |           w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and' OR w = 'is'))::DOUBLE
+      |               / len(string_split(text, ' ')))) * 1e4 + 0.5) / 1e4""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "replay_scan" ->
@@ -478,14 +498,8 @@ object SparkEntry {
         |           / len(string_split(text, ' '))) * 1e4 + 0.5) / 1e4 AS stop_ratio
         |  FROM documents)""".stripMargin,
     "quality_score" ->
-      """SELECT doc_id,
-        |  floor((0.4 * least(1.0, len(string_split(text, ' ')) / 100.0)
-        |      + 0.4 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
-        |               / len(string_split(text, ' ')))
-        |      + 0.2 * (len(list_filter(string_split(text, ' '),
-        |           w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and' OR w = 'is'))::DOUBLE
-        |               / len(string_split(text, ' ')))) * 1e4 + 0.5) / 1e4 AS quality
-        |FROM documents""".stripMargin,
+      s"""SELECT doc_id, $QualityExpr AS quality
+         |FROM documents""".stripMargin,
     "doc_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
@@ -714,5 +728,95 @@ object SparkEntry {
         |       md5(text) AS content_digest,
         |       substr(text, 1, 8) AS head
         |FROM documents""".stripMargin,
+    "above_avg_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       floor(sum(o_totalprice) * 1e2 + 0.5) / 1e2 AS sum_price
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "inverted_index" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+        |             FROM documents),
+        |stats AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |          FROM tok GROUP BY token),
+        |dist AS (SELECT DISTINCT token, doc_id FROM tok),
+        |ranked AS (SELECT token, doc_id,
+        |                  row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+        |           FROM dist),
+        |posts AS (SELECT token, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+        |          FROM ranked WHERE rn <= 10 GROUP BY token)
+        |SELECT s.token, s.tf, s.df, p.postings
+        |FROM stats s JOIN posts p ON s.token = p.token""".stripMargin,
+    "bm25_topk" ->
+      """WITH dl AS (SELECT doc_id, len(regexp_split_to_array(text, '\s+'))::BIGINT AS dl
+        |            FROM documents),
+        |corpus AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        |tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+        |        FROM documents),
+        |qtok AS (SELECT doc_id, token FROM tok WHERE token IN ('the', 'of', 'and')),
+        |dft AS (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df FROM qtok GROUP BY token),
+        |tft AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM qtok GROUP BY doc_id, token),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |         sum(ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5)) *
+        |             (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl))) AS s
+        |  FROM tft t
+        |  JOIN dft d ON t.token = d.token
+        |  JOIN dl l ON t.doc_id = l.doc_id
+        |  CROSS JOIN corpus c
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, floor(s * 1e4 + 0.5) / 1e4 AS score
+        |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+        |             FROM documents),
+        |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |tot AS (SELECT sum(c)::DOUBLE AS t FROM cnt)
+        |SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+        |       floor(avg(-ln(cnt.c::DOUBLE / tot.t)) * 1e4 + 0.5) / 1e4 AS mean_nll
+        |FROM tok JOIN cnt ON tok.token = cnt.token CROSS JOIN tot
+        |GROUP BY tok.doc_id""".stripMargin,
+    "quality_lang_gate" ->
+      s"""WITH q AS (SELECT doc_id, lang, $QualityExpr AS quality FROM documents),
+         |thr AS (SELECT lang, quantile_cont(quality, 0.7) AS t FROM q GROUP BY lang)
+         |SELECT q.doc_id, q.lang, q.quality
+         |FROM q JOIN thr ON q.lang = thr.lang
+         |WHERE q.quality >= thr.t""".stripMargin,
+    "shard_assign" ->
+      """SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16 AS shard,
+        |       count(*) AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_n_chars,
+        |       sum(doc_id)::BIGINT AS sum_doc_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_reps" ->
+      s"""WITH RECURSIVE $NearDupPairCtes,
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+         |          UNION SELECT doc_b, doc_a FROM verified),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comps AS (SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a)
+         |SELECT c.comp AS rep_doc, count(*) AS n_members,
+         |       sum(CASE WHEN c.doc_id <> c.comp THEN d.n_chars ELSE 0 END)::BIGINT
+         |         AS n_chars_pruned
+         |FROM comps c JOIN documents d ON c.doc_id = d.doc_id
+         |GROUP BY c.comp""".stripMargin,
+    "semdedup_prune" ->
+      """WITH cand AS (SELECT a.vec_id AS va, b.vec_id AS vb
+        |              FROM embeddings a JOIN embeddings b
+        |                ON a.label = b.label AND a.vec_id < b.vec_id),
+        |cdims AS (SELECT c.va, c.vb,
+        |                 ea.embedding[i.i]::DOUBLE AS x, eb.embedding[i.i]::DOUBLE AS y
+        |          FROM cand c
+        |          JOIN embeddings ea ON ea.vec_id = c.va
+        |          JOIN embeddings eb ON eb.vec_id = c.vb,
+        |               (SELECT unnest(range(1, 65)) AS i) i),
+        |pruned AS (SELECT DISTINCT vb FROM (
+        |             SELECT va, vb FROM cdims
+        |             GROUP BY va, vb
+        |             HAVING floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))))
+        |                          * 1e6 + 0.5) / 1e6 >= 0.3))
+        |SELECT e.vec_id, e.label, (p.vb IS NOT NULL) AS pruned
+        |FROM embeddings e LEFT JOIN pruned p ON e.vec_id = p.vb""".stripMargin,
   )
 }

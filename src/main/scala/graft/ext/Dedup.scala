@@ -258,6 +258,26 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Canonical-representative reduction over a component labeling (the
+    * step after [[connectedComponents]] that actually SHRINKS the
+    * corpus): per near-dup cluster, the representative is the minimum
+    * member id — which IS the component label, by the min-label
+    * construction — and the rest of the cluster is accounted as pruned
+    * weight (chars, tokens, bytes — whatever `weightCol` carries).
+    * One key-partitioned aggregate over the labeling joined to the
+    * per-doc attributes; the labeling is pair-bounded (only docs in
+    * verified pairs appear), so the join's left side is tiny relative
+    * to the corpus and the attributes side prunes to the join keys.
+    */
+  def componentReps(comps: DataFrame, attrs: DataFrame, idCol: String,
+      compCol: String, weightCol: String): DataFrame =
+    comps.join(attrs, idCol)
+      .groupBy(col(compCol).as("rep_doc"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col(idCol) =!= col(compCol), col(weightCol)).otherwise(lit(0L)))
+          .cast("long").as(s"${weightCol}_pruned"))
+
   /** SimHash near-pairs within Hamming distance `maxDist` (< 4):
     * pigeonhole banding over the 60-bit signature — a pair differing in
     * ≤3 of the 4 15-bit pieces must agree on at least one piece, so

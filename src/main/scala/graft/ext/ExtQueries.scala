@@ -161,6 +161,70 @@ object ExtQueries {
   def rollingFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextStats.rollingFingerprint(Tables.documents(spark, dir), "doc_id", "text")
 
+  // ----------------------------------------------------------- retrieval
+
+  /** E3 — inverted index over the corpus: per token, document
+    * frequency, total term frequency, first-10 postings
+    * ([[Retrieval.invertedIndex]]).
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.invertedIndex(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** E3 — BM25 top-20 for a fixed three-term query
+    * ([[Retrieval.bm25TopK]]). The terms are corpus stopwords, so every
+    * document scores — the worst case for the posting join.
+    */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
+      terms = Seq("the", "of", "and"))
+
+  /** E3 — corpus unigram LM scored per document: mean negative
+    * log-likelihood, the perplexity-proxy quality gate
+    * ([[Retrieval.unigramLogProb]]).
+    */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.unigramLogProb(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** E3 — per-language p70 quality gate ([[TextStats.percentileGate]]
+    * over [[TextStats.qualityScore]] with the documents table's own
+    * lang column as the stratum).
+    */
+  def qualityLangGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextStats.percentileGate(
+      TextStats.qualityScore(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id"),
+      "lang", "quality", q = 0.7)
+      .select(col("doc_id"), col("lang"), col("quality"))
+  }
+
+  /** E3 — deterministic 16-way hash sharding with per-shard manifest
+    * stats ([[Sampling.shardStats]], weight = n_chars).
+    */
+  def shardAssign(spark: SparkSession, dir: String): DataFrame =
+    Sampling.shardStats(Tables.documents(spark, dir), "doc_id", "n_chars")
+
+  /** E1 — canonical representative + pruned-weight accounting per
+    * near-dup component ([[Dedup.componentReps]] over the same verified
+    * pairs as `dedup_components`).
+    */
+  def dedupReps(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val comps = Dedup.connectedComponents(
+      Dedup.verifyCandidates(docs, "doc_id", "text", threshold = 0.8),
+      "doc_id_a", "doc_id_b")
+      .withColumnRenamed("id", "doc_id")
+    Dedup.componentReps(comps, docs.select(col("doc_id"), col("n_chars")),
+      "doc_id", "comp", "n_chars")
+  }
+
+  /** E2 — SemDeDup semantic pruning: within-cluster (label) cosine ≥
+    * 0.3 marks the higher vec_id pruned ([[Similarity.semDedupPrune]]).
+    */
+  def semdedupPrune(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupPrune(Tables.embeddings(spark, dir), "vec_id", "label",
+      "embedding", threshold = 0.3)
+
   // ---------------------------------------------------------- similarity
 
   /** The query vector for the kNN fixtures: embedding of vec_id = 0,

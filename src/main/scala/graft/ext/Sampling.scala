@@ -33,4 +33,26 @@ object Sampling {
     hashSample(df, idCol, permille)
       .groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_sampled"), sum(col(idCol)).as(s"sum_$idCol"))
+
+  /** Deterministic shard assignment for training-data export: shard =
+    * id-hash mod `nShards`, with per-shard accounting (docs, summed
+    * weight, id checksum). Hash sharding is what makes the export
+    * embarrassingly parallel at 100 TB — every writer owns a shard,
+    * placement is a pure row-local function (no coordination, no
+    * shuffle beyond the final per-shard aggregate), and re-runs place
+    * every row identically. The accounting row set IS the shard
+    * manifest: balanced shards show near-equal n_docs/weight.
+    */
+  def shardStats(df: DataFrame, idCol: String, weightCol: String,
+      nShards: Int = 16): DataFrame = {
+    require(nShards > 0)
+    df.select(
+        (Dedup.h32(col(idCol).cast("string")) % nShards).as("shard"),
+        col(idCol), col(weightCol))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(weightCol)).cast("long").as(s"sum_${weightCol}"),
+        sum(col(idCol)).cast("long").as(s"sum_$idCol"))
+  }
 }

@@ -165,6 +165,38 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style semantic pruning (Abbas et al. 2023,
+    * arXiv:2303.09540): within each cluster, mark the HIGHER id of any
+    * pair whose cosine clears `threshold` as pruned, keeping one
+    * representative per semantic duplicate set. The cluster column is
+    * the k-means/IVF cell assignment — the same coarse quantizer
+    * [[centroidComponents]] builds — so the pairwise stage is bounded
+    * by cluster size (corpus/K per cell), never corpus²: the shuffle is
+    * keyed on the cluster, each cluster's pairs are generated locally,
+    * and K grows with the corpus exactly like [[planesFor]] grows the
+    * LSH plane count. The surviving pruned-id set is duplicate-bounded
+    * (≤ one row per pruned vector), so the flag-back join broadcasts.
+    *
+    * Returns every input row flagged: (idCol, clusterCol, pruned).
+    */
+  def semDedupPrune(df: DataFrame, idCol: String, clusterCol: String, vecCol: String,
+      threshold: Double, digits: Int = 6): DataFrame = {
+    val e = df.select(col(idCol), col(clusterCol), toDoubleArr(col(vecCol)).as("__v"))
+      .withColumn("__n", l2Norm(col("__v"))) // one norm fold per row, not per pair
+    val a = e.select(col(idCol).as("__ida"), col(clusterCol).as("__cl"),
+      col("__v").as("va"), col("__n").as("na"))
+    val b = e.select(col(idCol).as("__idb"), col(clusterCol).as("__cl"),
+      col("__v").as("vb"), col("__n").as("nb"))
+    val pruned = a.join(b, Seq("__cl"))
+      .filter(col("__ida") < col("__idb"))
+      .filter(pround(dot(col("va"), col("vb")) / (col("na") * col("nb")), digits)
+        >= threshold)
+      .select(col("__idb")).distinct()
+    df.select(col(idCol), col(clusterCol))
+      .join(broadcast(pruned), col(idCol) === col("__idb"), "left_outer")
+      .select(col(idCol), col(clusterCol), col("__idb").isNotNull.as("pruned"))
+  }
+
   /** IVF coarse-index build: per-cell centroid components (cell =
     * `labelCol`). posexplode + two-level agg — one shuffle keyed on
     * (cell, dim), partial-aggregated map-side.

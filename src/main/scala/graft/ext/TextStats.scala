@@ -158,4 +158,25 @@ object TextStats {
       pround(lit(0.4) * lengthScore + lit(0.4) * distinctRatio + lit(0.2) * stopRatio, 4)
         .as("quality"))
   }
+
+  /** Per-stratum percentile gate: keep rows whose `valueCol` clears
+    * their stratum's `q`-quantile (exact linear-interpolated, matching
+    * ANSI percentile_cont) — "top 30% quality per language", the
+    * mixture-aware form of quality filtering (a global cutoff would
+    * empty low-scoring languages entirely). Plan: one partial-agged
+    * aggregate computes a threshold row per stratum (stratum-count
+    * rows, so it broadcasts), then the gate is a broadcast-join filter
+    * — the corpus is scanned twice but never shuffled. At 100 TB the
+    * exact percentile over each stratum is itself a sort-based
+    * aggregate; swap in approx_percentile when ±ε on the cutoff is
+    * acceptable.
+    */
+  def percentileGate(df: DataFrame, strataCol: String, valueCol: String,
+      q: Double): DataFrame = {
+    val thr = df.groupBy(col(strataCol))
+      .agg(percentile(col(valueCol), lit(q)).as("__thr"))
+    df.join(broadcast(thr), strataCol)
+      .filter(col(valueCol) >= col("__thr"))
+      .drop("__thr")
+  }
 }

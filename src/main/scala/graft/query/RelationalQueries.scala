@@ -130,6 +130,26 @@ object RelationalQueries {
         |GROUP BY o_orderpriority""".stripMargin)
   }
 
+  /** Correlated SCALAR subquery: orders priced above their own
+    * customer's average order value, rolled up by priority. Written as
+    * the correlated form deliberately — Catalyst decorrelates it into
+    * an aggregate-then-join (one shuffle keyed on custkey, no per-row
+    * subquery execution), which PlanAuditSpec pins: the executed plan
+    * must contain a single join of orders against a pre-aggregated
+    * per-customer average, the shape a hand-decorrelated window/join
+    * rewrite would produce.
+    */
+  def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_aao")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       floor(sum(o_totalprice) * 1e2 + 0.5) / 1e2 AS sum_price
+        |FROM orders_aao o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders_aao o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
   /** TPC-H Q13-shaped customer-order distribution: LEFT OUTER join
     * preserved through a TWO-LEVEL aggregation (orders per customer,
     * then customers per order count) — the count(col) null-skip on the

@@ -99,6 +99,52 @@ class ExtOpsSpec extends SparkSpec {
     assert(capped == brute.filterNot(_._1 >= 1000L), "small buckets unaffected")
   }
 
+  test("semDedupPrune: within-cluster near-dups prune the higher id only") {
+    val rows = Seq(
+      (1L, 0, Array(1.0f, 0.0f)),  // kept: lowest id of its direction
+      (2L, 0, Array(2.0f, 0.0f)),  // same direction as 1, same cluster → pruned
+      (3L, 0, Array(0.0f, 1.0f)),  // orthogonal → kept
+      (4L, 1, Array(1.0f, 0.0f)),  // same direction as 1 but different cluster → kept
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.semDedupPrune(rows, "vec_id", "label", "embedding", threshold = 0.9)
+      .as[(Long, Int, Boolean)].collect()
+      .map { case (id, _, p) => id -> p }.toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false, 4L -> false))
+  }
+
+  test("componentReps: rep is the component label; pruned weight excludes the rep") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "comp")
+    val attrs = Seq((1L, 100L), (2L, 20L), (3L, 3L), (10L, 7L), (11L, 9L))
+      .toDF("doc_id", "n_chars")
+    val reps = Dedup.componentReps(comps, attrs, "doc_id", "comp", "n_chars")
+      .as[(Long, Long, Long)].collect()
+      .map { case (rep, n, pruned) => rep -> ((n, pruned)) }.toMap
+    assert(reps == Map(1L -> ((3L, 23L)), 10L -> ((2L, 9L))))
+  }
+
+  test("percentileGate keeps the top (1-q) per stratum, not globally") {
+    val df = ((1 to 10).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 100.0), ("b", 200.0), ("b", 300.0))).toDF("s", "v")
+    val kept = TextStats.percentileGate(df, "s", "v", q = 0.7)
+      .as[(String, Double)].collect().toSet
+    // stratum a: thr = 1 + 0.7·9 = 7.3 → 8,9,10; stratum b: thr = 240 → 300.
+    // A global p70 would have dropped ALL of stratum a.
+    assert(kept == Set(("a", 8.0), ("a", 9.0), ("a", 10.0), ("b", 300.0)))
+  }
+
+  test("shardStats: exhaustive, deterministic, weight-conserving") {
+    val df = (1L to 100L).map(i => (i, i * 2)).toDF("doc_id", "w")
+    val out = Sampling.shardStats(df, "doc_id", "w", nShards = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSet.subsetOf((0L until 8L).toSet))
+    assert(out.map(_._2).sum == 100L)      // every row placed exactly once
+    assert(out.map(_._3).sum == 2L * 5050) // weight conserved
+    val again = Sampling.shardStats(df, "doc_id", "w", nShards = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("quantizeStats clamps to ±127 and survives the zero vector") {
     val df = Seq(
       (1L, Array(1.0f, -1.0f, 0.5f)),  // symmetric: ±127 at the extremes

@@ -53,6 +53,26 @@ class PushdownSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"got:\n$plan")
   }
 
+  test("above_avg_orders: correlated scalar subquery decorrelates to agg+join") {
+    val df = RelationalQueries.aboveAvgOrders(spark, sf)
+    df.count() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    // Catalyst must rewrite the per-row subquery into a join against a
+    // pre-aggregated per-customer average — no nested-loop re-execution
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"got:\n$plan")
+    assert(Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+      .exists(plan.contains), s"no equi-join in:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no aggregate in:\n$plan")
+  }
+
+  test("quality_lang_gate: per-stratum thresholds broadcast to the gate join") {
+    val df = graft.ext.ExtQueries.qualityLangGate(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"got:\n$plan")
+  }
+
   test("q3: filtered customer dim broadcasts; lineitem never broadcasts") {
     val df = RelationalQueries.q3TopRevenue(spark, sf)
     df.count() // finalize AQE
