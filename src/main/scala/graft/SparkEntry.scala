@@ -52,6 +52,10 @@ object SparkEntry {
     "salted_join"        -> RelationalQueries.saltedJoin _,
     "bucketed_join"      -> RelationalQueries.bucketedJoin _,
     "q4_order_priority"  -> RelationalQueries.q4OrderPriority _,
+    "q6_forecast_revenue" -> RelationalQueries.q6ForecastRevenue _,
+    "q14_promo_share"    -> RelationalQueries.q14PromoShare _,
+    "q18_large_orders"   -> RelationalQueries.q18LargeOrders _,
+    "q19_disjunctive"    -> RelationalQueries.q19Disjunctive _,
     "above_avg_orders"   -> RelationalQueries.aboveAvgOrders _,
     "q13_custdist"       -> RelationalQueries.q13CustDist _,
     "join_left_outer"    -> RelationalQueries.joinLeftOuter _,
@@ -728,6 +732,44 @@ object SparkEntry {
         |       md5(text) AS content_digest,
         |       substr(text, 1, 8) AS head
         |FROM documents""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT floor((sum(l_extendedprice * l_discount)) * 1e2 + 0.5) / 1e2 AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.025 AND l_discount <= 0.075
+        |  AND l_quantity < 24""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT floor((100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |                              THEN l_extendedprice * (1 - l_discount)
+        |                              ELSE 0.0 END) /
+        |              sum(l_extendedprice * (1 - l_discount))) * 1e4 + 0.5) / 1e4
+        |         AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-07-01'""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |             FROM lineitem GROUP BY l_orderkey
+        |             HAVING sum(l_quantity) > 150)
+        |SELECT c_custkey, o_orderkey, o_orderdate,
+        |       floor(o_totalprice * 1e2 + 0.5) / 1e2 AS o_price, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_price DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2
+        |         AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
     "above_avg_orders" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |       floor(sum(o_totalprice) * 1e2 + 0.5) / 1e2 AS sum_price

@@ -64,6 +64,83 @@ object RelationalQueries {
       .limit(10)
   }
 
+  /** TPC-H Q6-shaped forecast revenue: the pure scan-aggregate — every
+    * conjunct (date range, discount band, quantity cap) is scan-
+    * pushable, so the plan is one pruned parquet read into a single
+    * partial-agged reduce with no shuffle of row data at all. The
+    * discount band uses mid-step bounds (0.025/0.075 around the 0.01
+    * grid) so no stored value sits on a float-compare boundary.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.025 && col("l_discount") <= 0.075 &&
+        col("l_quantity") < 24)
+      .agg(
+        pround(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q14-shaped promo share: lineitem⋈part with the dim side
+    * broadcast, and the share computed as a conditional aggregate in
+    * the SAME pass (no second scan for the denominator).
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(pround(
+        lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+          sum(rev), 4).as("promo_share"))
+  }
+
+  /** TPC-H Q18-shaped large-quantity orders: a HAVING-gated aggregate
+    * over the fact table joined back to orders/customer, top-10 by
+    * price. The quantity aggregate runs FIRST and its survivor set is
+    * tiny, so the join back to orders probes with a small build side;
+    * the final ordering is TakeOrderedAndProject.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+        pround(col("o_totalprice"), 2).as("o_price"), col("sum_qty"))
+      .orderBy(col("o_price").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q19-shaped disjunctive predicate join: three OR'd conjunct
+    * groups mixing dim (brand, size) and fact (quantity) predicates.
+    * Catalyst extracts the common join key and pushes the per-side
+    * residuals (brand∈{...}, quantity range hull) below the join —
+    * the pattern that turns an apparent cross-filter into a normal
+    * broadcast equi-join with residual condition.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir)
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 40))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(
+        pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** Skew-safe salted shuffle join ([[graft.operators.Salting]]): the
     * manual remedy for a join key too hot for AQE's skew splitting —
     * fact rows fan out over 8 salt buckets, the dim side explodes ×8,

@@ -53,6 +53,29 @@ class PushdownSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"got:\n$plan")
   }
 
+  test("q6: every conjunct reaches the parquet scan; no row-data shuffle") {
+    val scan = scans(RelationalQueries.q6ForecastRevenue(spark, sf)).head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_shipdate") &&
+      pushed.contains("GreaterThanOrEqual(l_discount") &&
+      pushed.contains("LessThan(l_quantity,24.0)"), s"got: $pushed")
+  }
+
+  test("q19: per-side residuals of the disjunction push below the join") {
+    val df = RelationalQueries.q19Disjunctive(spark, sf)
+    val ss = scans(df)
+    // lineitem side: the quantity-range hull of the three OR branches
+    val liPushed = ss.map(_.metadata.getOrElse("PushedFilters", ""))
+      .find(_.contains("l_quantity")).getOrElse("")
+    assert(liPushed.contains("Or(") && liPushed.contains("l_quantity"), s"got: $liPushed")
+    // part side: the brand/size residual, and the dim broadcasts
+    val pPushed = ss.map(_.metadata.getOrElse("PushedFilters", ""))
+      .find(_.contains("p_brand")).getOrElse("")
+    assert(pPushed.contains("EqualTo(p_brand,Brand#1)"), s"got: $pPushed")
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("above_avg_orders: correlated scalar subquery decorrelates to agg+join") {
     val df = RelationalQueries.aboveAvgOrders(spark, sf)
     df.count() // finalize AQE
