@@ -10,11 +10,13 @@ import graft.util.Portable.pround
   * the scale path, and per-cluster centroid reduction (the IVF build
   * step).
   *
-  * The dot/norm folds are Spark higher-order functions over the raw
-  * `array<float>` column — no UDF, no serialization off the columnar
-  * path. Hyperplane coefficients are md5-derived and materialized
-  * driver-side as literals (deterministic across engines + runs; zero
-  * per-row hashing).
+  * The dot/norm folds are native codegen'd Catalyst expressions
+  * ([[graft.functions.VecDot]]/[[graft.functions.VecNorm]]) reading the
+  * raw `array<float>` column — no UDF, no interpreted higher-order
+  * function, no per-element cast pass; the whole cosine stays inside
+  * WholeStageCodegen. Hyperplane coefficients are md5-derived and
+  * materialized driver-side as literals (deterministic across engines +
+  * runs; zero per-row hashing).
   *
   * Scale notes: brute-force is one scan + TakeOrderedAndProject (per-
   * partition top-k heaps, no global sort); LSH probe touches only the
@@ -22,13 +24,17 @@ import graft.util.Portable.pround
   * `bucket`, so a probe is a partition-pruned scan.
   */
 object Similarity {
+  import org.apache.spark.sql.graft.Bridge.{column => ecol, expression => eexpr}
 
-  /** Fold-based dot product of two array<double> columns. */
+  /** Σ aᵢ·bᵢ — native loop over float/double arrays, each element
+    * widened to double (bit-identical to the earlier
+    * `aggregate(zip_with(...))` fold over cast arrays).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    ecol(graft.functions.VecDot(eexpr(a), eexpr(b)))
 
   def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+    ecol(graft.functions.VecNorm(eexpr(a)))
 
   def toDoubleArr(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -37,7 +43,7 @@ object Similarity {
     */
   def cosineTo(query: Seq[Double], vecCol: String, digits: Int = 6): Column = {
     val q = array(query.map(lit): _*)
-    pround(dot(toDoubleArr(col(vecCol)), q) / (l2Norm(toDoubleArr(col(vecCol))) * l2Norm(q)), digits)
+    pround(dot(col(vecCol), q) / (l2Norm(col(vecCol)) * l2Norm(q)), digits)
   }
 
   /** Exact top-k nearest neighbors of `query` by cosine. */
@@ -49,7 +55,7 @@ object Similarity {
 
   /** Per-row L2 norms (the scalar an IVF/LSH index precomputes). */
   def norms(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol), pround(l2Norm(toDoubleArr(col(vecCol))), 6).as("l2_norm"))
+    df.select(col(idCol), pround(l2Norm(col(vecCol)), 6).as("l2_norm"))
 
   /** md5-derived hyperplane coefficient — bit-identical to the SQL
     * `('0x'||substr(md5(p||'_'||i),1,8))::BIGINT % 1000 - 500`.
@@ -65,9 +71,7 @@ object Similarity {
   def bucketCol(vecCol: String, dims: Int, nPlanes: Int = 8): Column =
     (0 until nPlanes).map { p =>
       val coefs = array((0 until dims).map(i => lit(planeCoef(p, i))): _*)
-      val d = aggregate(zip_with(col(vecCol), coefs, (x, c) => x.cast("double") * c),
-        lit(0.0d), (acc, v) => acc + v)
-      when(d > 0, lit(1L << p)).otherwise(lit(0L))
+      when(dot(col(vecCol), coefs) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Assign every vector to its LSH bucket. */
@@ -102,7 +106,7 @@ object Similarity {
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, digits: Int = 6): DataFrame = {
-    val e = df.select(col(idCol), toDoubleArr(col(vecCol)).as("__v"))
+    val e = df.select(col(idCol), col(vecCol).as("__v"))
     val joined = e.select(col(idCol).as(s"${idCol}_a"), col("__v").as("va"))
       .join(e.select(col(idCol).as(s"${idCol}_b"), col("__v").as("vb")),
         col(s"${idCol}_a") < col(s"${idCol}_b"))
@@ -152,8 +156,8 @@ object Similarity {
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String, dims: Int,
       threshold: Double, nPlanes: Int = 8, digits: Int = 6): DataFrame = {
     val bucketed = withBuckets(df, vecCol, dims, nPlanes)
-      .select(col(idCol), col("bucket"), toDoubleArr(col(vecCol)).as("__v"))
-      .withColumn("__n", l2Norm(col("__v"))) // one O(dims) norm fold per ROW, not per pair
+      .select(col(idCol), col("bucket"), col(vecCol).as("__v"))
+      .withColumn("__n", l2Norm(col("__v"))) // one O(dims) norm loop per ROW, not per pair
     val a = bucketed.select(col(idCol).as(s"${idCol}_a"), col("bucket"),
       col("__v").as("va"), col("__n").as("na"))
     val b = bucketed.select(col(idCol).as(s"${idCol}_b"), col("bucket"),
@@ -181,8 +185,8 @@ object Similarity {
     */
   def semDedupPrune(df: DataFrame, idCol: String, clusterCol: String, vecCol: String,
       threshold: Double, digits: Int = 6): DataFrame = {
-    val e = df.select(col(idCol), col(clusterCol), toDoubleArr(col(vecCol)).as("__v"))
-      .withColumn("__n", l2Norm(col("__v"))) // one norm fold per row, not per pair
+    val e = df.select(col(idCol), col(clusterCol), col(vecCol).as("__v"))
+      .withColumn("__n", l2Norm(col("__v"))) // one norm loop per row, not per pair
     val a = e.select(col(idCol).as("__ida"), col(clusterCol).as("__cl"),
       col("__v").as("va"), col("__n").as("na"))
     val b = e.select(col(idCol).as("__idb"), col(clusterCol).as("__cl"),

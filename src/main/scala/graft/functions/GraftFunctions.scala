@@ -29,7 +29,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => NsidValid(args.head)),
     ("did_valid",
       new ExpressionInfo(classOf[DidValid].getName, "did_valid"),
-      (args: Seq[Expression]) => DidValid(args.head)))
+      (args: Seq[Expression]) => DidValid(args.head)),
+    ("vec_dot",
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))),
+    ("vec_norm",
+      new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
+      (args: Seq[Expression]) => VecNorm(args.head)))
 
   /** Idempotently register all graft functions on a live session. */
   def register(spark: SparkSession): Unit =
@@ -42,4 +48,6 @@ object GraftFunctions {
   import org.apache.spark.sql.graft.Bridge.{column, expression}
   def nsid_valid(c: Column): Column = column(NsidValid(expression(c)))
   def did_valid(c: Column): Column = column(DidValid(expression(c)))
+  def vec_dot(a: Column, b: Column): Column = column(VecDot(expression(a), expression(b)))
+  def vec_norm(c: Column): Column = column(VecNorm(expression(c)))
 }

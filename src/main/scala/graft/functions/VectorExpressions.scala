@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native vector math for the embedding operators (build brief E2).
+  *
+  * Why Expressions and not the `aggregate`/`zip_with` higher-order
+  * functions the first implementation used: Catalyst HOFs are
+  * CodegenFallback — every row leaves WholeStageCodegen, allocates a
+  * lambda frame per element, and boxes the accumulator. On a 64-dim
+  * corpus that is 64 boxed iterations per row per plane; brute-force
+  * kNN at corpus scale pays it per PAIR. These expressions generate a
+  * tight primitive loop over the underlying `ArrayData` instead, and
+  * read `array<float>` directly (each element widened to double exactly
+  * like the old `transform(_.cast("double"))` — which was itself an
+  * interpreted HOF — so results are bit-identical and the oracle SQL is
+  * unchanged).
+  *
+  * Null semantics match the HOF composition they replace: null array →
+  * null; any null element → null; length mismatch (dot) → null, where
+  * `zip_with` would have produced a null-padded product.
+  */
+object VectorExpressions {
+
+  private[functions] def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  /** Element accessor expression for generated code, widened to double. */
+  private[functions] def genGet(arr: String, dt: DataType, i: String): String =
+    dt.asInstanceOf[ArrayType].elementType match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case _         => s"$arr.getDouble($i)"
+    }
+
+  private[functions] def evalGet(arr: ArrayData, dt: DataType, i: Int): Double =
+    dt.asInstanceOf[ArrayType].elementType match {
+      case FloatType => arr.getFloat(i).toDouble
+      case _         => arr.getDouble(i)
+    }
+
+  private[functions] def containsNull(dt: DataType): Boolean =
+    dt.asInstanceOf[ArrayType].containsNull
+}
+
+/** `vec_dot(a, b)` — Σ aᵢ·bᵢ over two float/double arrays. */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  import VectorExpressions._
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      sum += evalGet(x, left.dataType, i) * evalGet(y, right.dataType, i)
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val nullCheck =
+        if (containsNull(left.dataType) || containsNull(right.dataType))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $sum += ${genGet(a, left.dataType, i)} * ${genGet(b, right.dataType, i)};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $sum;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `vec_norm(a)` — √(Σ aᵢ²) over a float/double array. */
+case class VecNorm(child: Expression) extends UnaryExpression {
+  import VectorExpressions._
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_norm"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> argument, got " +
+        child.dataType.catalogString)
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = evalGet(x, child.dataType, i)
+      sum += v * v
+      i += 1
+    }
+    math.sqrt(sum)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val v = ctx.freshName("v")
+      val nullCheck =
+        if (containsNull(child.dataType))
+          s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |final int $n = $a.numElements();
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
+         |  final double $v = ${genGet(a, child.dataType, i)};
+         |  $sum += $v * $v;
+         |}
+         |if (!${ev.isNull}) ${ev.value} = java.lang.Math.sqrt($sum);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

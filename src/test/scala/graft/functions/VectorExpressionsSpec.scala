@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Native vector expression semantics: parity with the HOF composition
+  * they replaced (float widening, null propagation, length mismatch),
+  * plus codegen/interpreted agreement — the generated loop and
+  * `nullSafeEval` must compute the identical double.
+  */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+  import GraftFunctions.{vec_dot, vec_norm}
+
+  test("vec_dot/vec_norm on float arrays match the widened-double fold") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (2L, Array(0.1f, 0.2f, 0.3f), Array(-1.0f, 0.0f, 1.0f)),
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), vec_dot(col("a"), col("b")).as("d"),
+      vec_norm(col("a")).as("n")).as[(Long, Double, Double)].collect().sortBy(_._1)
+    // reference: widen each float to double, then fold — the old
+    // aggregate(zip_with(transform(cast))) semantics
+    def dotRef(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    def normRef(a: Array[Float]) =
+      math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    assert(out(0)._2 == dotRef(Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+    assert(out(0)._3 == normRef(Array(1.0f, 2.0f, 3.0f)))
+    assert(out(1)._2 == dotRef(Array(0.1f, 0.2f, 0.3f), Array(-1.0f, 0.0f, 1.0f)))
+  }
+
+  test("mixed float/double arguments widen per side") {
+    val df = Seq((1L, Array(2.0f, 3.0f))).toDF("id", "v")
+    val q = array(lit(10.0d), lit(0.5d))
+    val d = df.select(vec_dot(col("v"), q)).as[Double].head()
+    assert(d == 2.0 * 10.0 + 3.0 * 0.5)
+  }
+
+  test("null array, null element, and length mismatch all yield null") {
+    val withNullElem = Seq((1L, Array[java.lang.Float](1.0f, null, 3.0f)))
+      .toDF("id", "v")
+    assert(withNullElem.select(vec_norm(col("v"))).head().isNullAt(0))
+    val mismatch = Seq((1L, Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("id", "a", "b")
+    assert(mismatch.select(vec_dot(col("a"), col("b"))).head().isNullAt(0))
+    val nullArr = Seq((1L, Option.empty[Array[Float]])).toDF("id", "v")
+    assert(nullArr.select(vec_norm(col("v"))).head().isNullAt(0))
+  }
+
+  test("codegen and interpreted paths agree bit-for-bit") {
+    val df = Seq.tabulate(50)(i =>
+      (i.toLong, Array.tabulate(64)(j => (math.sin(i * 64 + j) * 100).toFloat)))
+      .toDF("id", "v")
+    val q = array(Seq.tabulate(64)(j => lit(math.cos(j))): _*)
+    def run(codegen: String): Array[(Long, Double, Double)] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try df.select(col("id"), vec_dot(col("v"), q).as("d"), vec_norm(col("v")).as("n"))
+        .as[(Long, Double, Double)].collect().sortBy(_._1)
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(run("CODEGEN_ONLY").toSeq == run("NO_CODEGEN").toSeq)
+  }
+
+  test("registered for SQL: vec_dot/vec_norm resolve by name") {
+    GraftFunctions.register(spark)
+    Seq((1L, Array(3.0f, 4.0f))).toDF("id", "v").createOrReplaceTempView("vecs")
+    val r = spark.sql("SELECT vec_dot(v, v) AS d, vec_norm(v) AS n FROM vecs")
+      .as[(Double, Double)].head()
+    assert(r == ((25.0, 5.0)))
+  }
+}
