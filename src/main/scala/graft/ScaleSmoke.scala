@@ -193,6 +193,67 @@ object ScaleSmoke {
       require(nComps == nEdges / 5, s"expected ${nEdges / 5} chains, got $nComps")
     }
 
+    // --- round-4 operator families at synthetic corpus scale: the
+    // retrieval stack over a 2M-doc corpus (~40M tokens) and semantic
+    // dedup + native-expression kNN over 1M 64-dim vectors. Sizes are
+    // ~400-2000× the sf0.1 fixtures — enough for a hidden quadratic or
+    // per-row interpretation cost to dominate the wall time.
+    {
+      val nDocs = 2000000L
+      val vocab = array((0 until 1000).map(i => lit(s"w$i")): _*)
+      val docs = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 20).map(k =>
+          element_at(vocab, (pmod(hash(col("id") * 20 + k), lit(1000)) + 1).cast("int"))): _*)
+          .as("text"))
+      docs.cache().count()
+      val tIdx = System.nanoTime()
+      val idxRows = graft.ext.Retrieval.invertedIndex(docs, "doc_id", "text").count()
+      val idxSec = (System.nanoTime() - tIdx) / 1e9
+      println(f"[scale] inverted index over $nDocs docs (~${nDocs * 20 / 1000000}M tokens): " +
+        f"$idxRows terms in $idxSec%.2fs = ${nDocs * 20 / idxSec / 1e6}%.1fM tokens/s " +
+        f"(postings bounded at 10 ids/term BEFORE collect)")
+      val tBm = System.nanoTime()
+      val bmRows = graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text",
+        terms = Seq("w1", "w2", "w3")).count()
+      val bmSec = (System.nanoTime() - tBm) / 1e9
+      println(f"[scale] BM25 top-$bmRows over $nDocs docs: $bmSec%.2fs = " +
+        f"${nDocs / bmSec / 1e6}%.1fM docs/s ranked")
+      val tLm = System.nanoTime()
+      val lmRows = graft.ext.Retrieval.unigramLogProb(docs, "doc_id", "text").count()
+      val lmSec = (System.nanoTime() - tLm) / 1e9
+      println(f"[scale] unigram-LM scoring of $lmRows docs: $lmSec%.2fs = " +
+        f"${nDocs * 20 / lmSec / 1e6}%.1fM tokens/s")
+      docs.unpersist()
+
+      val nVecs = 1000000L
+      val dims = 64
+      // ~100 members per cluster → pairwise stage is Σ 100²/2 per
+      // cluster, bounded by the cluster layout exactly as at 100 TB
+      val nClusters = 10000
+      val vecs = spark.range(nVecs).select(
+        col("id").as("vec_id"),
+        pmod(hash(col("id")), lit(nClusters)).as("label"),
+        array((0 until dims).map(j =>
+          ((pmod(hash(col("id") * dims + j), lit(1000)) - 500) / 500.0)): _*).as("embedding"))
+      vecs.cache().count()
+      val tSd = System.nanoTime()
+      val pruned = graft.ext.Similarity.semDedupPrune(
+        vecs, "vec_id", "label", "embedding", threshold = 0.9)
+        .filter(col("pruned")).count()
+      val sdSec = (System.nanoTime() - tSd) / 1e9
+      println(f"[scale] semDedupPrune over $nVecs vecs in $nClusters clusters: " +
+        f"$pruned pruned in $sdSec%.2fs = ${nVecs / sdSec / 1e6}%.1fM vecs/s " +
+        f"(pair stage bounded by cluster size)")
+      val q = (0 until dims).map(j => (j % 7 - 3) / 3.0)
+      val tKnn = System.nanoTime()
+      val knn = graft.ext.Similarity.cosineTopK(vecs, "vec_id", "embedding", q, k = 10).count()
+      val knnSec = (System.nanoTime() - tKnn) / 1e9
+      println(f"[scale] brute kNN (native vec_dot) over $nVecs×$dims: top-$knn in " +
+        f"$knnSec%.2fs = ${nVecs / knnSec / 1e6}%.1fM cosines/s")
+      vecs.unpersist()
+    }
+
     val big = spark.range(10000000).select(
       col("id").as("arrival"), concat(lit("d"), col("id") % 97).as("did"))
     big.cache().count()
