@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** End-to-end assembly of the training-data preprocessing DAG — the
+  * corpus-side twin of [[graft.Pipeline]] (which assembles the event
+  * side). Chains the extension operators in the order a pretraining
+  * pipeline runs them, with per-stage accounting:
+  *
+  *   1. quality gates: Gopher rules ∧ per-language percentile gate —
+  *      cheap row-local signals first, so later (join-heavy) stages see
+  *      the smallest surviving corpus;
+  *   2. exact dedup: one doc per content digest (hash-groupBy);
+  *   3. near-dup prune: MinHash-LSH candidates → exact-Jaccard verify →
+  *      connected components → keep each cluster's representative;
+  *   4. decontamination: drop docs sharing any 3-gram with the held-out
+  *      benchmark set (broadcast probe);
+  *   5. sequence packing: per-source contiguous token packing into
+  *      fixed budgets;
+  *   6. deterministic hash-shard export with a manifest.
+  *
+  * Stage ORDER is the scale argument: stages 1-2 are narrow scans /
+  * single-shuffle aggregates that typically drop most of a web corpus,
+  * so the pair-generating stage 3 runs over the survivors only. Every
+  * stage is the library operator, not a reimplementation — the pipeline
+  * is pure composition.
+  */
+object CorpusPipeline {
+
+  /** One stage's accounting row. */
+  final case class Stage(stage: String, docsIn: Long, docsOut: Long)
+
+  /** Run the full DAG over `dir`'s documents table; shards + manifest
+    * are written under `outDir`. Returns per-stage accounting.
+    */
+  def run(spark: SparkSession, dir: String, outDir: String,
+      packBudget: Long = 512L, nShards: Int = 16): Seq[Stage] = {
+    val acc = scala.collection.mutable.ListBuffer.empty[Stage]
+    def staged(name: String, in: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
+      val out = f(in)
+      acc += Stage(name, in.count(), out.count())
+      out
+    }
+
+    val docs = Tables.documents(spark, dir)
+
+    // 1. quality gates — row-local signals, no shuffle of the corpus
+    val gated = staged("quality_gates", docs) { d =>
+      val keep = TextStats.gopherRules(d, "doc_id", "text")
+        .filter(col("keep")).select(col("doc_id"))
+      val scored = TextStats.qualityScore(d, "doc_id", "text")
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      val topPerLang = TextStats.percentileGate(scored, "lang", "quality", q = 0.3)
+        .select(col("doc_id"))
+      d.join(keep, Seq("doc_id"), "left_semi")
+        .join(topPerLang, Seq("doc_id"), "left_semi")
+    }
+
+    // 2. exact dedup — keep the canonical (min id) of each digest
+    val exactDeduped = staged("exact_dedup", gated) { d =>
+      d.join(
+        Dedup.exact(d, "doc_id", "text")
+          .select(col("canonical_doc_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+    }
+
+    // 3. near-dup prune — LSH→verify→components; drop non-representatives
+    val nearDeduped = staged("neardup_prune", exactDeduped) { d =>
+      val comps = Dedup.connectedComponents(
+        Dedup.verifyCandidates(d, "doc_id", "text", threshold = 0.8),
+        "doc_id_a", "doc_id_b")
+      val dropped = comps.filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"))
+      d.join(dropped, Seq("doc_id"), "left_anti")
+    }
+
+    // 4. decontamination — held-out set = doc_id % 50 == 0 (the same
+    // convention as the decontam_flags oracle query)
+    val decontaminated = staged("decontam", nearDeduped) { d =>
+      val corpus = d.filter(col("doc_id") % 50 =!= 0)
+      val contaminated = Dedup.contaminationFlags(
+        corpus, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text")
+        .select(col("doc_id"))
+      corpus.join(contaminated, Seq("doc_id"), "left_anti")
+    }
+
+    // 5. sequence packing — contiguous per-source fixed-budget packs
+    val packed = staged("sequence_pack", decontaminated) { d =>
+      d.join(
+        TextStats.sequencePack(d, "doc_id", "text", groupCol = "source",
+          budget = packBudget)
+          .select(col("doc_id"), col("n_tokens"), col("pack_id")),
+        "doc_id")
+    }
+
+    // 6. shard export — hash-sharded parquet + manifest. Writers are
+    // per-shard independent; placement is a pure row-local function.
+    val sharded = packed.withColumn("shard",
+      Dedup.h32(col("doc_id").cast("string")) % nShards)
+    sharded.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$outDir/shards")
+    Sampling.shardStats(packed, "doc_id", "n_chars", nShards)
+      .write.mode("overwrite").parquet(s"$outDir/manifest")
+    acc += Stage("shard_export", packed.count(), sharded.count())
+
+    acc.toList
+  }
+
+  /** Usage: runMain graft.ext.CorpusPipeline [sfDir] [outDir] */
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.drop(1).headOption
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft-corpus").toString)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, dir, out).foreach { s =>
+      println(f"[corpus] ${s.stage}%-15s ${s.docsIn}%7d → ${s.docsOut}%7d docs")
+    }
+    println(s"[corpus] shards + manifest at $out")
+    spark.stop()
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The composed preprocessing DAG: stages only ever shrink the corpus,
+  * the output is deterministic, and the shard export round-trips with a
+  * consistent manifest.
+  */
+class CorpusPipelineSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("stages shrink monotonically; export round-trips; manifest consistent") {
+    val out = tmpDir("corpus-pipeline")
+    val stages = CorpusPipeline.run(spark, sf, out, nShards = 4)
+
+    val byName = stages.map(s => s.stage -> s).toMap
+    assert(stages.map(_.stage) == Seq("quality_gates", "exact_dedup",
+      "neardup_prune", "decontam", "sequence_pack", "shard_export"))
+    // every filtering stage shrinks (or holds); packing adds columns only
+    Seq("quality_gates", "exact_dedup", "neardup_prune", "decontam").foreach { s =>
+      assert(byName(s).docsOut <= byName(s).docsIn, s)
+    }
+    assert(byName("sequence_pack").docsOut == byName("sequence_pack").docsIn)
+    // stage chaining: each stage's input is the previous stage's output
+    assert(stages.sliding(2).forall { case Seq(a, b) => b.docsIn == a.docsOut })
+    // something must survive the whole gauntlet on the fixture
+    assert(byName("shard_export").docsOut > 0)
+
+    // export round-trip: shard files hold exactly the surviving docs
+    val shards = spark.read.parquet(s"$out/shards")
+    assert(shards.count() == byName("shard_export").docsOut)
+    assert(shards.select(col("shard")).distinct().count() <= 4)
+    // manifest agrees with the shard contents
+    val manifest = spark.read.parquet(s"$out/manifest")
+    val manifestDocs = manifest.agg(sum(col("n_docs"))).head().getLong(0)
+    assert(manifestDocs == byName("shard_export").docsOut)
+
+    // determinism: a second run lands the identical doc_id set
+    val out2 = tmpDir("corpus-pipeline-2")
+    CorpusPipeline.run(spark, sf, out2, nShards = 4)
+    val ids1 = shards.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = spark.read.parquet(s"$out2/shards")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2)
+  }
+}
