@@ -45,6 +45,9 @@ object SparkEntry {
     "type_share"         -> EventQueries.typeShare _,
     "syntax_validate"    -> EventQueries.syntaxValidate _,
     "variant_extract"    -> EventQueries.variantExtract _,
+    "sessionize"         -> EventQueries.sessionize _,
+    "funnel_conversion"  -> EventQueries.funnelConversion _,
+    "retention_cohorts"  -> EventQueries.retentionCohorts _,
     // --- general relational surface (SURVEY §2.2) over TPC-H fixtures
     "q1_pricing_summary" -> RelationalQueries.q1PricingSummary _,
     "q3_top_revenue"     -> RelationalQueries.q3TopRevenue _,
@@ -732,6 +735,39 @@ object SparkEntry {
         |       md5(text) AS content_digest,
         |       substr(text, 1, 8) AS head
         |FROM documents""".stripMargin,
+    "sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS time_us FROM events),
+        |m AS (SELECT user_id, event_id, time_us,
+        |             CASE WHEN lag(time_us) OVER w IS NULL
+        |                    OR time_us - lag(time_us) OVER w > 1800000000
+        |                  THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY time_us, event_id)),
+        |s AS (SELECT user_id, time_us,
+        |             (sum(new_s) OVER (PARTITION BY user_id ORDER BY time_us, event_id
+        |                               ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+        |      FROM m)
+        |SELECT user_id, session_id, min(time_us) AS session_start_us,
+        |       count(*) AS n_events, (max(time_us) - min(time_us)) AS duration_us
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "funnel_conversion" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |v AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view'
+        |      GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND t > t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND t > t2 GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_view_click,
+        |       (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin,
+    "retention_cohorts" ->
+      """WITH e AS (SELECT user_id, ts::DATE AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort_date FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort_date,
+        |             (e.d - f.cohort_date)::BIGINT AS day_offset
+        |      FROM e JOIN f USING (user_id))
+        |SELECT cohort_date, day_offset, count(*) AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT floor((sum(l_extendedprice * l_discount)) * 1e2 + 0.5) / 1e2 AS revenue,
         |       count(*) AS n_lines

@@ -318,6 +318,73 @@ object EventQueries {
         max(col("k")).as("max_k"),
         count(col("k")).as("n_with_k"))
 
+  /** Event-analytics — gap sessionization: a new session opens when a
+    * user is idle > 30 min; sessions are numbered per user by a running
+    * sum over the new-session flags. One shuffle on user_id serves the
+    * lag, the running sum, AND the final per-session aggregate (all
+    * three are partitioned on the same key, so Catalyst plans a single
+    * Exchange reused across the window stages) — the classic log
+    * sessionizer, no stateful loop.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("time_us"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), timeUs.as("time_us"))
+      .withColumn("new_s",
+        when(col("time_us") - lag(col("time_us"), 1).over(order) > gapUs ||
+          lag(col("time_us"), 1).over(order).isNull, lit(1)).otherwise(lit(0)))
+      .withColumn("session_id",
+        sum(col("new_s")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("time_us")).as("session_start_us"),
+        count(lit(1)).as("n_events"),
+        (max(col("time_us")) - min(col("time_us"))).as("duration_us"))
+  }
+
+  /** Event-analytics — strict sequential funnel view→click→purchase:
+    * each stage's entry time is the min event time AFTER the previous
+    * stage's entry, so out-of-order events don't convert. Three
+    * key-partitioned aggregates chained by joins on user_id — each
+    * stage's survivor set only shrinks, so the joins get cheaper down
+    * the funnel.
+    */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), timeUs.as("t"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("t") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("t") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("t3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_view_click"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_full_funnel"))))
+  }
+
+  /** Event-analytics — retention cohorts: users grouped by first-seen
+    * date, counted on each later active day offset. The cohort table is
+    * one aggregate; the activity join is keyed on user_id (the same
+    * partitioning as the cohort aggregate's output, so the join reuses
+    * it); day_offset arithmetic is row-local.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(timestamp_micros(timeUs)).as("d"))
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort_date"))
+    e.join(cohorts, "user_id")
+      .select(col("user_id"), col("cohort_date"),
+        datediff(col("d"), col("cohort_date")).cast("long").as("day_offset"))
+      .distinct()
+      .groupBy(col("cohort_date"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** S17 — fan-out share: each type's share of total traffic (the
     * per-subscriber delivery-rate view, cmd/jetstream/metrics.go:23-31).
     * Ratio of a grouped count to the global count via a broadcast scalar.
