@@ -54,6 +54,10 @@ object Dedup {
     * the input to both MinHash and exact-Jaccard.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    rawShingles(df, idCol, textCol, n).distinct()
+
+  /** Exploded shingles BEFORE distinct: (id, shingle), duplicates kept. */
+  private def rawShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol), split(col(textCol), " ").as("w"))
       // guard: size(w) < n would make sequence() count DOWN and emit
       // garbage shingles from negative indices — such docs have none
@@ -63,6 +67,20 @@ object Dedup {
            |             i -> concat_ws(' ', ${(0 until n).map(k => s"w[i+$k]").mkString(", ")})))"""
           .stripMargin))
         .as("shingle"))
+
+  /** Distinct 32-bit-hashed shingles: (id, h). The hash is applied
+    * BEFORE the distinct, so the dedup shuffle carries 8-byte longs
+    * instead of ~n-word strings — the only shuffle in the pipeline
+    * whose width scales with shingle text. Semantically identical to
+    * `shingles(...).select(h32)` for every consumer: MinHash takes a
+    * duplicate-insensitive `min` per hash, and the Jaccard/decontam
+    * paths re-distinct on the hash anyway — a rare h32 collision
+    * conflates the same shingle pair in both formulations (and in the
+    * oracle SQL, which distincts after hashing too).
+    */
+  def hashedShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    rawShingles(df, idCol, textCol, n)
+      .select(col(idCol), h32(col("shingle")).as("h"))
       .distinct()
 
   private val MersennePrime = 2147483647L
@@ -79,8 +97,7 @@ object Dedup {
     val minCols = (0 until k).map { j =>
       min((col("h") * (2 * j + 1) + j * 7919 + 1) % MersennePrime).as(s"mh$j")
     }
-    val sigs = shingles(df, idCol, textCol, shingleN)
-      .select(col(idCol), h32(col("shingle")).as("h"))
+    val sigs = hashedShingles(df, idCol, textCol, shingleN)
       .groupBy(col(idCol))
       .agg(minCols.head, minCols.tail: _*)
     val stackArgs = (0 until bands).map { b =>
@@ -109,10 +126,11 @@ object Dedup {
     // scale pinning it in executor memory evicts more useful blocks and
     // the recompute is one narrow codegen stage over the scan. Spark
     // reuses the shuffle output of the distinct() across the three
-    // consumers anyway (ReusedExchange), which is the cheap 90% of it.
-    val sh = shingles(df, idCol, textCol, shingleN)
-      .select(col(idCol), h32(col("shingle")).as("shingle"))
-      .distinct()
+    // consumers anyway (ReusedExchange), which is the cheap 90% of it —
+    // and that shuffle carries 8-byte hashes, not shingle strings
+    // (hashedShingles hashes BEFORE the distinct).
+    val sh = hashedShingles(df, idCol, textCol, shingleN)
+      .withColumnRenamed("h", "shingle")
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"),
