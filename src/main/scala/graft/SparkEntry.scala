@@ -69,7 +69,9 @@ object SparkEntry {
     "window_order_gap"   -> RelationalQueries.windowOrderGap _,
     "set_intersect"      -> RelationalQueries.setIntersect _,
     "set_except"         -> RelationalQueries.setExcept _,
+    "set_except_all"     -> RelationalQueries.setExceptAll _,
     "set_union"          -> RelationalQueries.setUnion _,
+    "listagg_top_parts"  -> RelationalQueries.listaggTopParts _,
     "rollup_pricing"     -> RelationalQueries.rollupPricing _,
     "topk_parts"         -> RelationalQueries.topkParts _,
     "distinct_users"     -> RelationalQueries.distinctUsers _,
@@ -735,6 +737,22 @@ object SparkEntry {
         |       md5(text) AS content_digest,
         |       substr(text, 1, 8) AS head
         |FROM documents""".stripMargin,
+    "set_except_all" ->
+      """WITH v AS (SELECT user_id, ts::DATE AS event_date FROM events
+        |           WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts::DATE AS event_date FROM events
+        |      WHERE event_type = 'purchase'),
+        |d AS (SELECT * FROM v EXCEPT ALL SELECT * FROM p)
+        |SELECT user_id, event_date, count(*) AS n_surplus
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    "listagg_top_parts" ->
+      """WITH ranked AS (
+        |  SELECT p_brand, p_name,
+        |         row_number() OVER (PARTITION BY p_brand
+        |                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part)
+        |SELECT p_brand, string_agg(p_name, ',' ORDER BY rn) AS top_parts
+        |FROM ranked WHERE rn <= 3 GROUP BY p_brand""".stripMargin,
     "sessionize" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS time_us FROM events),
         |m AS (SELECT user_id, event_id, time_us,

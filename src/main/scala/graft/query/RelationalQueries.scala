@@ -366,6 +366,42 @@ object RelationalQueries {
     slice("view").except(slice("purchase"))
   }
 
+  /** Set ops — EXCEPT ALL (multiplicity-preserving): each user's view
+    * events minus one per purchase event on the same day. The bag
+    * semantics (duplicates survive by count difference) are what
+    * distinguishes this from [[setExcept]]'s set semantics.
+    */
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def slice(t: String) = e.filter(col("event_type") === t)
+      .select(col("user_id"),
+        to_date(timestamp_micros(expr("ts div 1000"))).as("event_date"))
+    slice("view").exceptAll(slice("purchase"))
+      // bag results hash-compare as grouped multiplicities
+      .groupBy(col("user_id"), col("event_date"))
+      .agg(count(lit(1)).as("n_surplus"))
+  }
+
+  /** Grouped ordered string aggregation (LISTAGG): each brand's 3
+    * priciest part names, comma-joined in rank order. Window top-N
+    * bounds the per-group state BEFORE the collect (same posture as the
+    * inverted-index postings cap).
+    */
+  def listaggTopParts(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("p_brand"))
+      // collect_list has no intra-group order guarantee — sort the
+      // (rn, name) structs, then project names, before joining
+      .agg(concat_ws(",",
+        expr("transform(array_sort(collect_list(struct(rn, p_name))), s -> s.p_name)"))
+        .as("top_parts"))
+  }
+
   /** Set ops — UNION ALL + distinct aggregation across two sources. */
   def setUnion(spark: SparkSession, dir: String): DataFrame = {
     val big = Tables.orders(spark, dir)
