@@ -83,14 +83,23 @@ object Bench {
 
     // Timed pass: a failing query FAILS the bench (a broken query must
     // not report as "fast"); all failures are listed before exiting 1.
+    // Each query is measured `reps` times under the clean-slate protocol
+    // and the MINIMUM is reported: this VM's wall-clock noise swings
+    // single measurements ±50% (59.4/70.4/94.5 s totals observed on
+    // identical code), and the minimum is the standard estimator for
+    // the noise-free cost of a deterministic computation.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val errors = scala.collection.mutable.ListBuffer.empty[(String, String)]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      cleanSlate()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => errors += name -> e.toString.take(200)
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val best = (1 to reps).map { _ =>
+        cleanSlate()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable => errors += name -> e.toString.take(200)
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      name -> best
     }
 
     // Growth pass: the gated queries at the smaller SF, same clean-slate
@@ -105,12 +114,15 @@ object Bench {
         }
         GrowthGated.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
-            cleanSlate()
-            val t0 = System.nanoTime()
-            try { fn(spark, smallDir).count() } catch {
-              case e: Throwable => errors += s"$name@growth" -> e.toString.take(200)
-            }
-            name -> ((System.nanoTime() - t0) / 1e9, results(name), ratio)
+            val best = (1 to reps).map { _ =>
+              cleanSlate()
+              val t0 = System.nanoTime()
+              try { fn(spark, smallDir).count() } catch {
+                case e: Throwable => errors += s"$name@growth" -> e.toString.take(200)
+              }
+              (System.nanoTime() - t0) / 1e9
+            }.min // same estimator as the big-SF side
+            name -> (best, results(name), ratio)
           }
         }.toMap
       }

@@ -193,6 +193,31 @@ object ScaleSmoke {
       require(nComps == nEdges / 5, s"expected ${nEdges / 5} chains, got $nComps")
     }
 
+    // --- sessionization over the synthetic log: lag + running-sum +
+    // per-session aggregate, all sharing ONE key exchange (the plan
+    // PlanDump shows for the sessionize query). Throughput here is the
+    // window-stage cost at log scale.
+    {
+      val e = EventsTable.read(spark, table)
+        .select(col("did"), col("time_us"))
+      import org.apache.spark.sql.expressions.Window
+      val order = Window.partitionBy(col("did")).orderBy(col("time_us"))
+      val gapUs = 30L * 60 * 1000000
+      val t = System.nanoTime()
+      val sessions = e
+        .withColumn("new_s",
+          when(col("time_us") - lag(col("time_us"), 1).over(order) > gapUs ||
+            lag(col("time_us"), 1).over(order).isNull, lit(1)).otherwise(lit(0)))
+        .withColumn("sid",
+          sum(col("new_s")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("did"), col("sid"))
+        .agg(count(lit(1)).as("n"), (max(col("time_us")) - min(col("time_us"))).as("dur"))
+        .count()
+      val sec = (System.nanoTime() - t) / 1e9
+      println(f"[scale] sessionize $full events → $sessions sessions in $sec%.2fs = " +
+        f"${full / sec / 1e6}%.1fM ev/s (one exchange for lag+sum+agg)")
+    }
+
     // --- round-4 operator families at synthetic corpus scale: the
     // retrieval stack over a 2M-doc corpus (~40M tokens) and semantic
     // dedup + native-expression kNN over 1M 64-dim vectors. Sizes are

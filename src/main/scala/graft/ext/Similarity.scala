@@ -178,8 +178,10 @@ object Similarity {
     * by cluster size (corpus/K per cell), never corpus²: the shuffle is
     * keyed on the cluster, each cluster's pairs are generated locally,
     * and K grows with the corpus exactly like [[planesFor]] grows the
-    * LSH plane count. The surviving pruned-id set is duplicate-bounded
-    * (≤ one row per pruned vector), so the flag-back join broadcasts.
+    * LSH plane count. The flag-back join is keyed on the id; the pruned
+    * set is ≤ one row per pruned vector but CORPUS-bounded (a heavily
+    * duplicated corpus prunes a large fraction), so broadcast is left
+    * to the planner's size estimate rather than forced.
     *
     * Returns every input row flagged: (idCol, clusterCol, pruned).
     */
@@ -197,7 +199,7 @@ object Similarity {
         >= threshold)
       .select(col("__idb")).distinct()
     df.select(col(idCol), col(clusterCol))
-      .join(broadcast(pruned), col(idCol) === col("__idb"), "left_outer")
+      .join(pruned, col(idCol) === col("__idb"), "left_outer")
       .select(col(idCol), col(clusterCol), col("__idb").isNotNull.as("pruned"))
   }
 
