@@ -875,7 +875,9 @@ object SparkEntry {
         |GROUP BY tok.doc_id""".stripMargin,
     "quality_lang_gate" ->
       s"""WITH q AS (SELECT doc_id, lang, $QualityExpr AS quality FROM documents),
-         |thr AS (SELECT lang, quantile_cont(quality, 0.7) AS t FROM q GROUP BY lang)
+         |thr AS (SELECT lang,
+         |               floor(quantile_cont(quality, 0.7) * 1e4 + 0.5) / 1e4 AS t
+         |        FROM q GROUP BY lang)
          |SELECT q.doc_id, q.lang, q.quality
          |FROM q JOIN thr ON q.lang = thr.lang
          |WHERE q.quality >= thr.t""".stripMargin,

@@ -194,7 +194,7 @@ object ExtQueries {
     TextStats.percentileGate(
       TextStats.qualityScore(docs, "doc_id", "text")
         .join(docs.select(col("doc_id"), col("lang")), "doc_id"),
-      "lang", "quality", q = 0.7)
+      "lang", "quality", q = 0.7, thrDigits = Some(4)) // quality is pround(4)
       .select(col("doc_id"), col("lang"), col("quality"))
   }
 

@@ -170,11 +170,21 @@ object TextStats {
     * exact percentile over each stratum is itself a sort-based
     * aggregate; swap in approx_percentile when ±ε on the cutoff is
     * acceptable.
+    *
+    * `thrDigits`: when the gated values live on a fixed decimal grid
+    * (e.g. pround-ed scores), round the threshold to that grid too.
+    * Exact-percentile interpolation is engine-sensitive at the last
+    * ulp (lo + (hi-lo)·frac vs lo·(1-frac) + hi·frac), and when the
+    * percentile lands ON a grid value a 1-ulp difference flips `>=`
+    * for every row holding exactly that value — observed at sf0.1,
+    * where Spark and DuckDB disagreed on 4 rows. Rounding both sides'
+    * thresholds to the grid makes the cut deterministic.
     */
   def percentileGate(df: DataFrame, strataCol: String, valueCol: String,
-      q: Double): DataFrame = {
+      q: Double, thrDigits: Option[Int] = None): DataFrame = {
+    val raw = percentile(col(valueCol), lit(q))
     val thr = df.groupBy(col(strataCol))
-      .agg(percentile(col(valueCol), lit(q)).as("__thr"))
+      .agg(thrDigits.fold(raw)(d => pround(raw, d)).as("__thr"))
     df.join(broadcast(thr), strataCol)
       .filter(col(valueCol) >= col("__thr"))
       .drop("__thr")
