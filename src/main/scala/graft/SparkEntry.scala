@@ -83,6 +83,7 @@ object SparkEntry {
     "regr_agg"           -> RelationalQueries.regrAgg _,
     "date_funcs"         -> ScalarQueries.dateFuncs _,
     "string_funcs"       -> ScalarQueries.stringFuncs _,
+    "regexp_funcs"       -> ScalarQueries.regexpFuncs _,
     "array_funcs"        -> ScalarQueries.arrayFuncs _,
     "cube_pricing"       -> ScalarQueries.cubePricing _,
     "stats_agg"          -> ScalarQueries.statsAgg _,
@@ -737,6 +738,12 @@ object SparkEntry {
         |       md5(text) AS content_digest,
         |       substr(text, 1, 8) AS head
         |FROM documents""".stripMargin,
+    "regexp_funcs" ->
+      """SELECT event_id,
+        |       regexp_extract(props, '"k": ([0-9]+)', 1) AS k_str,
+        |       len(regexp_extract_all(props, '[0-9]+'))::BIGINT AS n_digit_runs,
+        |       regexp_matches(props, '"k": [0-9]{2}') AS two_digit_k
+        |FROM events""".stripMargin,
     "set_except_all" ->
       """WITH v AS (SELECT user_id, ts::DATE AS event_date FROM events
         |           WHERE event_type = 'view'),

@@ -87,6 +87,21 @@ object ScalarQueries {
     * the exact gate). At scale this is the right default for "distinct
     * DIDs seen": constant memory per group vs a full distinct shuffle.
     */
+  /** Regex scalar family over the raw JSON payload: group-capturing
+    * extract, extract-all cardinality, and a pattern predicate — the
+    * regex-on-payload triad of log pipelines. All three are codegen'd
+    * Spark built-ins over one scan; the cast keeps INT/BIGINT parity
+    * with the oracle.
+    */
+  def regexpFuncs(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).as("k_str"),
+        size(expr("regexp_extract_all(props, '[0-9]+', 0)")).cast("long")
+          .as("n_digit_runs"),
+        col("props").rlike("\"k\": [0-9]{2}").as("two_digit_k"))
+
   def hllDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
