@@ -120,6 +120,8 @@ object SparkEntry {
     "ann_lsh_buckets"    -> ExtQueries.annLshBuckets _,
     "embed_centroids"    -> ExtQueries.embedCentroids _,
     "multimodal_meta"    -> ExtQueries.multimodalMeta _,
+    "ivf_probe2"         -> ExtQueries.ivfProbe2 _,
+    "payload_chunks"     -> ExtQueries.payloadChunks _,
     // --- round 4: retrieval, LM-quality, corpus-shrink, export ops
     "inverted_index"     -> ExtQueries.invertedIndex _,
     "bm25_topk"          -> ExtQueries.bm25TopK _,
@@ -738,6 +740,30 @@ object SparkEntry {
         |       md5(text) AS content_digest,
         |       substr(text, 1, 8) AS head
         |FROM documents""".stripMargin,
+    "ivf_probe2" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |rest AS (SELECT * FROM embeddings WHERE vec_id != 0),
+        |cdims AS (SELECT label, i.i AS i, avg(e.embedding[i.i]::DOUBLE) AS c
+        |          FROM rest e, (SELECT unnest(range(1, 65)) AS i) i
+        |          GROUP BY label, i.i),
+        |scores AS (SELECT cd.label,
+        |                  floor((sum(cd.c * q.qe[cd.i]::DOUBLE) / sqrt(sum(cd.c * cd.c)))
+        |                        * 1e6 + 0.5) / 1e6 AS score
+        |           FROM cdims cd, q GROUP BY cd.label),
+        |best AS (SELECT label FROM scores ORDER BY score DESC, label LIMIT 2),
+        |dims AS (SELECT e.vec_id, e.embedding[i.i]::DOUBLE AS x, q.qe[i.i]::DOUBLE AS y
+        |         FROM rest e JOIN best b ON e.label = b.label, q,
+        |              (SELECT unnest(range(1, 65)) AS i) i)
+        |SELECT vec_id,
+        |       floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 AS cos
+        |FROM dims GROUP BY vec_id
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "payload_chunks" ->
+      """SELECT doc_id, i AS chunk_idx,
+        |       length(substr(text, i * 64 + 1, 64))::BIGINT AS chunk_len,
+        |       md5(substr(text, i * 64 + 1, 64)) AS chunk_md5
+        |FROM documents, (SELECT unnest(range(0, 32)) AS i) n
+        |WHERE length(text) > 0 AND i <= (length(text) - 1) // 64""".stripMargin,
     "regexp_funcs" ->
       """SELECT event_id,
         |       regexp_extract(props, '"k": ([0-9]+)', 1) AS k_str,

@@ -265,6 +265,21 @@ object ExtQueries {
       Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0),
       "vec_id", "label", "embedding", queryVec(spark, dir), k = 10)
 
+  /** E2 — IVF probe at nprobe=2: exact top-10 within the TWO best
+    * cells ([[Similarity.ivfTopK]]'s recall knob — more cells probed,
+    * strictly better recall, still corpus·nprobe/K scanned).
+    */
+  def ivfProbe2(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(
+      Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0),
+      "vec_id", "label", "embedding", queryVec(spark, dir), k = 10, nprobe = 2)
+
+  /** Multimodal — fixed 64-char payload chunking with per-chunk digest
+    * ([[Multimodal.chunkPayload]] — the pre-decode chunking stage).
+    */
+  def payloadChunks(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.chunkPayload(Tables.documents(spark, dir), "doc_id", "text")
+
   /** E2 — int8 quantization accounting per vector ([[Similarity.quantizeStats]]). */
   def embedQuantize(spark: SparkSession, dir: String): DataFrame =
     Similarity.quantizeStats(Tables.embeddings(spark, dir), "vec_id", "embedding")

@@ -20,6 +20,29 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Fixed-window payload chunking: one row per `chunkSize`-char window
+    * of the payload, with per-chunk length and digest — the chunking
+    * stage an audio/video pipeline runs before per-chunk decode (byte
+    * windows on a binary column; char windows here on the text
+    * stand-in). The explode is bounded by payload length and row-local:
+    * no shuffle, and chunk rows carry only their own slice — the full
+    * payload is never duplicated per chunk downstream of the project.
+    */
+  def chunkPayload(df: DataFrame, idCol: String, payloadCol: String,
+      chunkSize: Int = 64): DataFrame = {
+    require(chunkSize > 0)
+    df.select(col(idCol), col(payloadCol).as("__p"))
+      .select(col(idCol), col("__p"),
+        explode(expr(
+          s"if(length(__p) = 0, array(), sequence(0, cast((length(__p) - 1) / $chunkSize as int)))"))
+          .as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        expr(s"substring(__p, chunk_idx * $chunkSize + 1, $chunkSize)").as("__c"))
+      .select(col(idCol), col("chunk_idx"),
+        length(col("__c")).cast("long").as("chunk_len"),
+        md5(col("__c")).as("chunk_md5"))
+  }
+
   /** Typed metadata over an opaque binary column: byte length, digest,
     * magic-prefix hex. Pure projection — codegen'd, no shuffle.
     */

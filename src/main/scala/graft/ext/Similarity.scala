@@ -214,23 +214,25 @@ object Similarity {
 
   /** IVF probe: rank cells by centroid score against the query (the
     * query norm is constant across cells so it cancels from the
-    * ranking), then exact cosine top-k within the best cell only — the
-    * coarse-quantizer ANN shape: a probe scans corpus/K, and on a
-    * cell-partitioned table it is a partition-pruned scan. The cell
-    * ranking collects ONE row (like the query-vector fetch) — an index
+    * ranking), then exact cosine top-k within the `nprobe` best cells —
+    * the coarse-quantizer ANN shape with its standard recall knob: a
+    * probe scans nprobe·corpus/K, and on a cell-partitioned table it is
+    * a partition-pruned scan of nprobe partitions. The cell ranking
+    * collects `nprobe` rows (like the query-vector fetch) — an index
     * lookup, not a data collect.
     */
   def ivfTopK(df: DataFrame, idCol: String, labelCol: String, vecCol: String,
-      query: Seq[Double], k: Int = 10, digits: Int = 6): DataFrame = {
+      query: Seq[Double], k: Int = 10, nprobe: Int = 1, digits: Int = 6): DataFrame = {
+    require(nprobe >= 1)
     val qLit = array(query.map(lit): _*)
-    val best = centroidComponents(df, labelCol, vecCol)
+    val cells = centroidComponents(df, labelCol, vecCol)
       .groupBy(col(labelCol))
       .agg(pround(
         sum(col("c") * element_at(qLit, col("i") + 1)) / sqrt(sum(col("c") * col("c"))),
         digits).as("score"))
       .orderBy(col("score").desc, col(labelCol))
-      .limit(1).head().get(0)
-    df.filter(col(labelCol) === best)
+      .limit(nprobe).collect().map(_.get(0))
+    df.filter(col(labelCol).isin(cells: _*))
       .select(col(idCol), cosineTo(query, vecCol).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)

@@ -99,6 +99,34 @@ class ExtOpsSpec extends SparkSpec {
     assert(capped == brute.filterNot(_._1 >= 1000L), "small buckets unaffected")
   }
 
+  test("chunkPayload: exact windows, empty payload yields no rows") {
+    val df = Seq((1L, "a" * 70), (2L, ""), (3L, "xyz")).toDF("id", "payload")
+    val chunks = Multimodal.chunkPayload(df, "id", "payload", chunkSize = 64)
+      .as[(Long, Long, Long, String)].collect()
+    val byDoc = chunks.groupBy(_._1)
+    assert(!byDoc.contains(2L))                        // empty → no rows
+    assert(byDoc(1L).map(c => c._2 -> c._3).sorted.toSeq == Seq(0L -> 64L, 1L -> 6L))
+    assert(byDoc(3L).map(c => c._2 -> c._3).toSeq == Seq(0L -> 3L))
+    // chunks carry the actual slice digests (reassembly check via md5)
+    val d = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = d.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(byDoc(3L).head._4 == md5hex("xyz"))
+  }
+
+  test("ivfTopK nprobe=2 never scores below the single-cell probe") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toDoubleArr(col("embedding"))).head().getSeq[Double](0).toSeq
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val one = Similarity.ivfTopK(rest, "vec_id", "label", "embedding", q, k = 10)
+      .as[(Long, Double)].collect()
+    val two = Similarity.ivfTopK(rest, "vec_id", "label", "embedding", q, k = 10, nprobe = 2)
+      .as[(Long, Double)].collect()
+    assert(one.length == 10 && two.length == 10)
+    // rank-wise: widening the probe can only improve (or tie) each rank
+    one.zip(two).foreach { case ((_, c1), (_, c2)) => assert(c2 >= c1) }
+  }
+
   test("semDedupPrune: within-cluster near-dups prune the higher id only") {
     val rows = Seq(
       (1L, 0, Array(1.0f, 0.0f)),  // kept: lowest id of its direction
