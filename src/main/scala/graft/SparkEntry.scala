@@ -128,6 +128,8 @@ object SparkEntry {
     "unigram_logprob"    -> ExtQueries.unigramLogprob _,
     "quality_lang_gate"  -> ExtQueries.qualityLangGate _,
     "shard_assign"       -> ExtQueries.shardAssign _,
+    "char_entropy"       -> ExtQueries.charEntropy _,
+    "vocab_zipf"         -> ExtQueries.vocabZipf _,
     "dedup_reps"         -> ExtQueries.dedupReps _,
     "semdedup_prune"     -> ExtQueries.semdedupPrune _,
   )
@@ -920,6 +922,22 @@ object SparkEntry {
         |       sum(n_chars)::BIGINT AS sum_n_chars,
         |       sum(doc_id)::BIGINT AS sum_doc_id
         |FROM documents GROUP BY 1""".stripMargin,
+    "char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |cc AS (SELECT doc_id, ch, count(*)::DOUBLE AS c FROM ch GROUP BY doc_id, ch)
+        |SELECT doc_id,
+        |       floor((log2(sum(c)) - sum(c * log2(c)) / sum(c)) * 1e4 + 0.5) / 1e4
+        |         AS entropy_bits
+        |FROM cc GROUP BY doc_id""".stripMargin,
+    "vocab_zipf" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+        |             FROM documents),
+        |cnt AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+        |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank
+        |      FROM cnt)
+        |SELECT count(*) AS n_terms,
+        |       floor(regr_slope(ln(freq), ln(rank)) * 1e4 + 0.5) / 1e4 AS zipf_slope
+        |FROM r""".stripMargin,
     "dedup_reps" ->
       s"""WITH RECURSIVE $NearDupPairCtes,
          |edges AS (SELECT doc_a AS a, doc_b AS b FROM verified

@@ -198,6 +198,18 @@ object ExtQueries {
       .select(col("doc_id"), col("lang"), col("quality"))
   }
 
+  /** E3 — character-distribution entropy per doc (gibberish signal,
+    * [[TextStats.charEntropy]]).
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    TextStats.charEntropy(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** E3 — corpus Zipf slope ([[TextStats.vocabZipf]] — the
+    * rank-frequency regression over the vocabulary).
+    */
+  def vocabZipf(spark: SparkSession, dir: String): DataFrame =
+    TextStats.vocabZipf(Tables.documents(spark, dir), "text")
+
   /** E3 — deterministic 16-way hash sharding with per-shard manifest
     * stats ([[Sampling.shardStats]], weight = n_chars).
     */

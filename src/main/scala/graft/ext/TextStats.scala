@@ -70,6 +70,40 @@ object TextStats {
           "cast(element_at(__codes, 1) as bigint), " +
           "(acc, c) -> (acc * 31 + c) % 1000000007)").as("rolling_hash"))
 
+  /** Per-document character-distribution Shannon entropy (bits): the
+    * gibberish/compression-artifact signal — natural text sits in a
+    * narrow entropy band, base64 blobs and repeated-char spam outside
+    * it. Computed from per-char counts with the shuffle-free identity
+    * H = log₂ n − (Σ c·log₂ c)/n, so one (doc, char) aggregate and one
+    * (doc) aggregate back-to-back on the same key.
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .groupBy(col(idCol), col("ch"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .groupBy(col(idCol))
+      .agg(pround(
+        (log2(sum(col("c"))) - sum(col("c") * log2(col("c"))) / sum(col("c"))), 4)
+        .as("entropy_bits"))
+
+  /** Zipf slope of the corpus vocabulary: the OLS slope of log freq
+    * over log rank (natural text ≈ −1; templated/synthetic corpora
+    * deviate). One token aggregate, one window rank, one regression
+    * aggregate — the rank window is ordered by (count desc, token) so
+    * ties rank deterministically.
+    */
+  def vocabZipf(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(explode(split(col(textCol), "\\s+")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    counts
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("token"))))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        pround(regr_slope(log(col("freq")), log(col("rank"))), 4).as("zipf_slope"))
+  }
+
   /** Gopher-style quality gate (the rule family of Rae et al. 2021
     * §A1.1 / RefinedWeb): per-document structural signals and the
     * conjunctive `keep` verdict a pretraining pipeline filters on —
