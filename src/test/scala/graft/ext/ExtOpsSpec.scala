@@ -161,6 +161,19 @@ class ExtOpsSpec extends SparkSpec {
     assert(kept == Set(("a", 8.0), ("a", 9.0), ("a", 10.0), ("b", 300.0)))
   }
 
+  test("percentileGate thrDigits snaps the cutoff to the value grid") {
+    // 10 values on a 1e-1 grid; p70 = 0.1 + 0.7·0.9 = 0.73 exactly
+    // between grid points → rounding to 1 digit snaps the threshold to
+    // 0.7, readmitting the rows holding exactly that grid value
+    val df = (1 to 10).map(i => ("s", i / 10.0)).toDF("g", "v")
+    val raw = TextStats.percentileGate(df, "g", "v", q = 0.7)
+      .as[(String, Double)].collect().map(_._2).sorted.toSeq
+    val snapped = TextStats.percentileGate(df, "g", "v", q = 0.7, thrDigits = Some(1))
+      .as[(String, Double)].collect().map(_._2).sorted.toSeq
+    assert(raw == Seq(0.8, 0.9, 1.0))
+    assert(snapped == Seq(0.7, 0.8, 0.9, 1.0))
+  }
+
   test("shardStats: exhaustive, deterministic, weight-conserving") {
     val df = (1L to 100L).map(i => (i, i * 2)).toDF("doc_id", "w")
     val out = Sampling.shardStats(df, "doc_id", "w", nShards = 8)
