@@ -129,6 +129,7 @@ object SparkEntry {
     "quality_lang_gate"  -> ExtQueries.qualityLangGate _,
     "shard_assign"       -> ExtQueries.shardAssign _,
     "char_entropy"       -> ExtQueries.charEntropy _,
+    "source_caps"        -> ExtQueries.sourceCaps _,
     "vocab_zipf"         -> ExtQueries.vocabZipf _,
     "dedup_reps"         -> ExtQueries.dedupReps _,
     "semdedup_prune"     -> ExtQueries.semdedupPrune _,
@@ -922,6 +923,13 @@ object SparkEntry {
         |       sum(n_chars)::BIGINT AS sum_n_chars,
         |       sum(doc_id)::BIGINT AS sum_doc_id
         |FROM documents GROUP BY 1""".stripMargin,
+    "source_caps" ->
+      s"""WITH q AS (SELECT doc_id, source, $QualityExpr AS quality FROM documents),
+         |r AS (SELECT doc_id, source, quality,
+         |             row_number() OVER (PARTITION BY source
+         |                                ORDER BY quality DESC, doc_id) AS rank
+         |      FROM q)
+         |SELECT doc_id, source, quality, rank FROM r WHERE rank <= 15""".stripMargin,
     "char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
         |cc AS (SELECT doc_id, ch, count(*)::DOUBLE AS c FROM ch GROUP BY doc_id, ch)

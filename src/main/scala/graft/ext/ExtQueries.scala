@@ -198,6 +198,18 @@ object ExtQueries {
       .select(col("doc_id"), col("lang"), col("quality"))
   }
 
+  /** E3 — mixture control: each source capped at its 15 best-quality
+    * docs ([[Sampling.capPerStratum]] over [[TextStats.qualityScore]]).
+    */
+  def sourceCaps(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Sampling.capPerStratum(
+      TextStats.qualityScore(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id"),
+      "source", Seq(col("quality").desc, col("doc_id")), n = 15)
+      .select(col("doc_id"), col("source"), col("quality"), col("rank"))
+  }
+
   /** E3 — character-distribution entropy per doc (gibberish signal,
     * [[TextStats.charEntropy]]).
     */

@@ -34,6 +34,22 @@ object Sampling {
       .groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_sampled"), sum(col(idCol)).as(s"sum_$idCol"))
 
+  /** Per-stratum cap: keep each stratum's top `n` rows under `order`
+    * (e.g. 15 best-quality docs per source) — the mixture-control step
+    * that stops one over-crawled source from dominating a training mix.
+    * One shuffle on the stratum; the window's rank filter bounds every
+    * stratum's survivors regardless of its raw size.
+    */
+  def capPerStratum(df: DataFrame, strataCol: String,
+      order: Seq[org.apache.spark.sql.Column], n: Int): DataFrame = {
+    require(n > 0)
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("rank",
+        row_number().over(Window.partitionBy(col(strataCol)).orderBy(order: _*))
+          .cast("long"))
+      .filter(col("rank") <= n)
+  }
+
   /** Deterministic shard assignment for training-data export: shard =
     * id-hash mod `nShards`, with per-shard accounting (docs, summed
     * weight, id checksum). Hash sharding is what makes the export

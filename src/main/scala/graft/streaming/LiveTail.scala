@@ -43,6 +43,31 @@ object LiveTail {
         col("session_window.end").as("session_end"),
         col(keyCol), col("n_events"))
 
+  /** Stream-stream interval join: pair each left event with the right
+    * events of the same key whose event time falls within `[left,
+    * left + within]` — click-through attribution, request/response
+    * pairing, replay↔live reconciliation. Both sides carry watermarks
+    * and the join condition bounds both times, so Spark provably
+    * expires buffered state: per side, rows older than
+    * watermark + interval are dropped, not kept forever (the
+    * unbounded-state trap of an unconstrained stream join).
+    *
+    * Inputs must each have a `time_us` column; key columns must be
+    * named `keyCol` on the left and `rightKeyCol` on the right.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, rightKeyCol: String,
+      within: String = "10 minutes", watermark: String = "10 seconds"): DataFrame = {
+    val l = withEventTime(left).withWatermark("event_time", watermark)
+    val r = withEventTime(right)
+      .withColumnRenamed("event_time", "r_event_time")
+      .withWatermark("r_event_time", watermark)
+    l.join(r,
+      col(keyCol) === col(rightKeyCol) &&
+        col("r_event_time") >= col("event_time") &&
+        col("r_event_time") <= col("event_time") + expr(s"INTERVAL $within"))
+  }
+
   /** S25 streaming — per-collection event counts over tumbling windows
     * (the Grafana `rate(jetstream_events_processed[1m])` panel as a
     * first-class streaming aggregation; partial aggregation happens

@@ -87,6 +87,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == (100L to 107L).map(_ * 1000000))
   }
 
+  test("intervalJoin pairs events within the window, drops outside it") {
+    implicit val ctx = spark.sqlContext
+    val views = MemoryStream[(Long, String)]
+    val clicks = MemoryStream[(Long, String)]
+    val joined = LiveTail.intervalJoin(
+      views.toDF().toDF("time_us", "v_user"),
+      clicks.toDF().toDF("time_us", "c_user"),
+      keyCol = "v_user", rightKeyCol = "c_user", within = "10 minutes")
+      .select(col("v_user"), col("event_time"), col("r_event_time"))
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    val base = 1700000000000000L
+    val min = 60L * 1000000
+    // view at t0 for users a,b; clicks: a at +5min (in window),
+    // b at +20min (outside), c at +1min (no matching view key)
+    views.addData(Seq((base, "a"), (base, "b")))
+    clicks.addData(Seq((base + 5 * min, "a"), (base + 20 * min, "b"), (base + min, "c")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ij_out").select("v_user").as[String].collect().toSeq
+    assert(out == Seq("a")) // only a's click falls inside [view, view+10min]
+  }
+
   test("sessionCounts groups activity bursts split by the gap") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
