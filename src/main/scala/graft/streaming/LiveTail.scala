@@ -43,6 +43,20 @@ object LiveTail {
         col("session_window.end").as("session_end"),
         col(keyCol), col("n_events"))
 
+  /** S27 as first-class streaming observation: attach per-micro-batch
+    * observed metrics (row count, max sequence, head-relative lag is
+    * derivable downstream) to the stream WITHOUT a second aggregation
+    * query — `observe` piggybacks an accumulator-style aggregate on the
+    * existing plan, and a StreamingQueryListener reads it from each
+    * progress event (the push model of the reference's
+    * `jetstream_events_processed` / lag gauges, consumer.go:129-155).
+    */
+  def withTailObservation(events: DataFrame, name: String = "graft_tail"): DataFrame =
+    events.observe(name,
+      count(lit(1)).as("n_events"),
+      max(col("time_us")).as("max_time_us"),
+      min(col("time_us")).as("min_time_us"))
+
   /** Stream-stream interval join: pair each left event with the right
     * events of the same key whose event time falls within `[left,
     * left + within]` — click-through attribution, request/response

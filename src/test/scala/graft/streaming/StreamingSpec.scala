@@ -87,6 +87,51 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == (100L to 107L).map(_ * 1000000))
   }
 
+  test("stream-static enrichment joins the live tail against a dim table") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val dims = Seq(("click", 1), ("view", 2)).toDF("collection", "weight")
+    val joined = in.toDF().toDF("time_us", "collection")
+      .join(broadcast(dims), Seq("collection"), "left_outer")
+    val q = joined.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    in.addData(Seq((1L, "click"), (2L, "view"), (3L, "repost")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enrich_out")
+      .select("collection", "weight").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out == Map("click" -> Some(1), "view" -> Some(2), "repost" -> None))
+  }
+
+  test("withTailObservation reports per-batch metrics through the listener") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics.get("graft_tail")
+        if (m != null) seen.add((m.getAs[Long]("n_events"), m.getAs[Long]("max_time_us")))
+      }
+    }
+    spark.streams.addListener(listener)
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = LiveTail.withTailObservation(in.toDF().toDF("time_us", "did"))
+        .writeStream.format("memory").queryName("obs_out").outputMode("append").start()
+      in.addData(Seq((10L, "a"), (30L, "b"), (20L, "c")))
+      q.processAllAvailable()
+      q.stop()
+      // listener events are delivered asynchronously after progress
+      val deadline = System.nanoTime() + 10000000000L
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(seen.toArray.exists(_ == ((3L, 30L))), seen.toString)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("intervalJoin pairs events within the window, drops outside it") {
     implicit val ctx = spark.sqlContext
     val views = MemoryStream[(Long, String)]
