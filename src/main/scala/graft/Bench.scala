@@ -89,17 +89,23 @@ object Bench {
     // identical code), and the minimum is the standard estimator for
     // the noise-free cost of a deterministic computation.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
-    val errors = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    // One entry per failing query name (not per failing rep); a failed
+    // rep reports +∞ so it can never masquerade as the fastest rep.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def timedRep(name: String, run: () => Unit): Double = {
+      cleanSlate()
+      val t0 = System.nanoTime()
+      try { run(); (System.nanoTime() - t0) / 1e9 } catch {
+        case e: Throwable =>
+          errors.getOrElseUpdate(name, e.toString.take(200))
+          Double.PositiveInfinity
+      }
+    }
+    // A query with no successful rep reports -1 (valid JSON, obviously
+    // broken) and the collected error fails the run below.
+    def finite(best: Double): Double = if (best.isInfinity) -1.0 else best
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val best = (1 to reps).map { _ =>
-        cleanSlate()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable => errors += name -> e.toString.take(200)
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> best
+      name -> finite((1 to reps).map(_ => timedRep(name, () => fn(spark, sfDir).count())).min)
     }
 
     // Growth pass: the gated queries at the smaller SF, same clean-slate
@@ -114,14 +120,8 @@ object Bench {
         }
         GrowthGated.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
-            val best = (1 to reps).map { _ =>
-              cleanSlate()
-              val t0 = System.nanoTime()
-              try { fn(spark, smallDir).count() } catch {
-                case e: Throwable => errors += s"$name@growth" -> e.toString.take(200)
-              }
-              (System.nanoTime() - t0) / 1e9
-            }.min // same estimator as the big-SF side
+            val best = finite((1 to reps).map(_ =>
+              timedRep(s"$name@growth", () => fn(spark, smallDir).count())).min)
             name -> (best, results(name), ratio)
           }
         }.toMap

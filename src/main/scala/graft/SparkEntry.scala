@@ -762,10 +762,16 @@ object SparkEntry {
         |FROM dims GROUP BY vec_id
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "payload_chunks" ->
+      // the numbers-table bound is derived from the longest document
+      // (DuckDB 1.0 can't lateral-join range() against a column, but a
+      // scalar subquery bound is fine), so the oracle agrees with the
+      // unbounded Multimodal.chunkPayload for ANY input length
       """SELECT doc_id, i AS chunk_idx,
         |       length(substr(text, i * 64 + 1, 64))::BIGINT AS chunk_len,
         |       md5(substr(text, i * 64 + 1, 64)) AS chunk_md5
-        |FROM documents, (SELECT unnest(range(0, 32)) AS i) n
+        |FROM documents,
+        |     (SELECT unnest(range(0, (SELECT ((max(length(text)) - 1) // 64) + 1
+        |                             FROM documents))) AS i) n
         |WHERE length(text) > 0 AND i <= (length(text) - 1) // 64""".stripMargin,
     "regexp_funcs" ->
       """SELECT event_id,

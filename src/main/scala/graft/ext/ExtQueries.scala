@@ -170,12 +170,23 @@ object ExtQueries {
   def invertedIndex(spark: SparkSession, dir: String): DataFrame =
     Retrieval.invertedIndex(Tables.documents(spark, dir), "doc_id", "text")
 
-  /** E3 — BM25 top-20 for a fixed three-term query
-    * ([[Retrieval.bm25TopK]]). The terms are corpus stopwords, so every
+  /** The persisted text index for `dir`'s documents table — built ONCE
+    * per corpus snapshot ([[IndexStore.ensure]]), probed by every BM25
+    * query after it.
+    */
+  private def textIndexFor(spark: SparkSession, dir: String): String =
+    IndexStore.ensure("text", spark, Seq(s"$dir/documents.parquet")) { tmp =>
+      Retrieval.buildTextIndex(Tables.documents(spark, dir), "doc_id", "text", tmp)
+    }
+
+  /** E3 — BM25 top-20 for a fixed three-term query, served from the
+    * persisted index tables ([[Retrieval.bm25Probe]]): the probe plan
+    * reads term-filtered postings + term df + one corpus row, never the
+    * raw documents table. The terms are corpus stopwords, so every
     * document scores — the worst case for the posting join.
     */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame =
-    Retrieval.bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
+    Retrieval.bm25Probe(spark, textIndexFor(spark, dir), "doc_id",
       terms = Seq("the", "of", "and"))
 
   /** E3 — corpus unigram LM scored per document: mean negative
@@ -280,22 +291,35 @@ object ExtQueries {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vecs"))
 
+  /** The persisted IVF index for `dir`'s embeddings (query vector 0
+    * excluded, matching the probe fixtures) — built ONCE per corpus
+    * snapshot ([[IndexStore.ensure]]); both probe queries below read
+    * it.
+    */
+  private def ivfIndexFor(spark: SparkSession, dir: String): String =
+    IndexStore.ensure("ivf-novec0", spark, Seq(s"$dir/embeddings.parquet")) { tmp =>
+      Similarity.buildIvf(
+        Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0),
+        "vec_id", "label", "embedding", tmp)
+    }
+
   /** E2 — IVF probe: best cell by centroid score, exact top-10 within
-    * it ([[Similarity.ivfTopK]] — the coarse-quantizer ANN scale path;
-    * probes scan corpus/K).
+    * it, served from the persisted index ([[Similarity.ivfProbe]]): the
+    * cell ranking reads the K-row centroids table, the candidate scan
+    * reads ONE pruned partition of the cell-partitioned vectors table —
+    * the raw embeddings are never scanned (the coarse-quantizer ANN
+    * scale path; a probe touches corpus/K rows).
     */
   def ivfProbe(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(
-      Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0),
+    Similarity.ivfProbe(spark, ivfIndexFor(spark, dir),
       "vec_id", "label", "embedding", queryVec(spark, dir), k = 10)
 
   /** E2 — IVF probe at nprobe=2: exact top-10 within the TWO best
-    * cells ([[Similarity.ivfTopK]]'s recall knob — more cells probed,
-    * strictly better recall, still corpus·nprobe/K scanned).
+    * cells ([[Similarity.ivfProbe]]'s recall knob — more cells probed,
+    * strictly better recall, still nprobe pruned partitions scanned).
     */
   def ivfProbe2(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(
-      Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0),
+    Similarity.ivfProbe(spark, ivfIndexFor(spark, dir),
       "vec_id", "label", "embedding", queryVec(spark, dir), k = 10, nprobe = 2)
 
   /** Multimodal — fixed 64-char payload chunking with per-chunk digest

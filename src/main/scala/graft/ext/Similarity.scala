@@ -212,14 +212,76 @@ object Similarity {
       .groupBy(col(labelCol), col("i"))
       .agg(avg(col("v")).as("c"))
 
-  /** IVF probe: rank cells by centroid score against the query (the
-    * query norm is constant across cells so it cancels from the
-    * ranking), then exact cosine top-k within the `nprobe` best cells —
-    * the coarse-quantizer ANN shape with its standard recall knob: a
-    * probe scans nprobe·corpus/K, and on a cell-partitioned table it is
-    * a partition-pruned scan of nprobe partitions. The cell ranking
-    * collects `nprobe` rows (like the query-vector fetch) — an index
-    * lookup, not a data collect.
+  /** IVF index build — pay the layout cost ONCE (the posture of the
+    * reference's write-time LSM key, persist.go:101-108), then serve
+    * probes from the persisted tables via [[ivfProbe]]:
+    *
+    *   - `$path/centroids`: one row per cell — (labelCol,
+    *     centroid array<double>). K rows; a probe collects this whole
+    *     table driver-side as its index lookup.
+    *   - `$path/vectors`: the corpus re-laid-out PARTITIONED BY the
+    *     cell label, so a probe's nprobe-cell scan is a partition-
+    *     pruned read of nprobe directories — never a full-corpus scan.
+    *
+    * Build cost: one posexplode aggregate (shuffle keyed (cell, dim),
+    * partial-agged map-side) + one corpus rewrite. Use
+    * [[IndexStore.ensure]] for the build-once lifecycle.
+    */
+  def buildIvf(df: DataFrame, idCol: String, labelCol: String, vecCol: String,
+      path: String): Unit = {
+    centroidComponents(df, labelCol, vecCol)
+      .groupBy(col(labelCol))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+      .coalesce(1) // K rows — one footer to read per probe
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    df.select(col(idCol), col(vecCol), col(labelCol))
+      .write.mode("overwrite").partitionBy(labelCol).parquet(s"$path/vectors")
+  }
+
+  /** IVF probe against a [[buildIvf]] index: rank cells by centroid
+    * score against the query (the query norm is constant across cells
+    * so it cancels), then exact cosine top-k within the `nprobe` best
+    * cells. The ranking reads the K-row centroids table driver-side —
+    * an index lookup, not a data collect — and the candidate scan reads
+    * ONLY the nprobe pruned partitions of the vectors table: the plan
+    * never touches the raw corpus (PlanAuditSpec pins this).
+    */
+  def ivfProbe(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      idCol: String, labelCol: String, vecCol: String,
+      query: Seq[Double], k: Int = 10, nprobe: Int = 1, digits: Int = 6): DataFrame = {
+    require(nprobe >= 1)
+    val ranked = spark.read.parquet(s"$indexPath/centroids").collect().map { r =>
+      val c = r.getSeq[Double](1)
+      var dot = 0.0; var nn = 0.0; var i = 0
+      while (i < c.length) { dot += c(i) * query(i); nn += c(i) * c(i); i += 1 }
+      (r.get(0), graft.util.Portable.proundD(dot / math.sqrt(nn), digits))
+    }
+    // score desc, label asc — the same order the inline form's
+    // orderBy(score.desc, label) produces (numeric labels numerically)
+    val cells = ranked.sortWith { case ((la, sa), (lb, sb)) =>
+      if (sa != sb) sa > sb
+      else (la, lb) match {
+        case (x: Number, y: Number) => x.doubleValue < y.doubleValue
+        case (x, y) => String.valueOf(x) < String.valueOf(y)
+      }
+    }.take(nprobe).map(_._1)
+    val vecs = spark.read.parquet(s"$indexPath/vectors")
+    // the partition dir re-infers the label's type; cast the cell
+    // literals to it so pruning applies to the partition column directly
+    val labelType = vecs.schema(vecs.schema.fieldIndex(labelCol)).dataType
+    vecs.filter(col(labelCol).isin(cells.map(c => lit(c).cast(labelType)): _*))
+      .select(col(idCol), cosineTo(query, vecCol).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** One-shot IVF probe (build folded into the query): rank cells with
+    * an inline centroid aggregate, then exact cosine top-k within the
+    * `nprobe` best cells. For a SINGLE ad-hoc query this is the minimum
+    * work possible (any probe must derive the centroids once); for
+    * repeated probes use [[buildIvf]] + [[ivfProbe]], which persist the
+    * centroid/cell layout so each probe is a partition-pruned read.
     */
   def ivfTopK(df: DataFrame, idCol: String, labelCol: String, vecCol: String,
       query: Seq[Double], k: Int = 10, nprobe: Int = 1, digits: Int = 6): DataFrame = {

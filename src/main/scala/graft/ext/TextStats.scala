@@ -88,17 +88,33 @@ object TextStats {
 
   /** Zipf slope of the corpus vocabulary: the OLS slope of log freq
     * over log rank (natural text ≈ −1; templated/synthetic corpora
-    * deviate). One token aggregate, one window rank, one regression
-    * aggregate — the rank window is ordered by (count desc, token) so
-    * ties rank deterministically.
+    * deviate). Ranking is by (count desc, token) so ties rank
+    * deterministically — but NOT via a global `row_number` window
+    * (which funnels the whole vocabulary through one task). Instead the
+    * rank is assigned distributed, the [[graft.ingest.Sequencer]]
+    * `stampScalable` technique: range-partition by the rank order (so
+    * partition k holds a contiguous slice of it), sort within
+    * partitions, then offset each row's partition-local index by the
+    * cumulative size of earlier partitions (`zipWithIndex`). Two light
+    * jobs (range sampling + partition-size count) and every stage stays
+    * parallel at any vocabulary size.
     */
   def vocabZipf(df: DataFrame, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
     val counts = df.select(explode(split(col(textCol), "\\s+")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-    counts
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("freq").desc, col("token"))))
+    val ordered = counts
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
+        col("freq").desc, col("token"))
+      .sortWithinPartitions(col("freq").desc, col("token"))
+    val ranked = ordered.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row(r.getAs[Long]("freq"), i + 1L)
+    }
+    val schema = StructType(Seq(
+      StructField("freq", LongType, nullable = false),
+      StructField("rank", LongType, nullable = false)))
+    spark.createDataFrame(ranked, schema)
       .agg(
         count(lit(1)).as("n_terms"),
         pround(regr_slope(log(col("freq")), log(col("rank"))), 4).as("zipf_slope"))

@@ -67,7 +67,10 @@ object LiveTail {
     * unbounded-state trap of an unconstrained stream join).
     *
     * Inputs must each have a `time_us` column; key columns must be
-    * named `keyCol` on the left and `rightKeyCol` on the right.
+    * named `keyCol` on the left and `rightKeyCol` on the right. The
+    * right side's `time_us` comes out renamed `r_time_us` (like its
+    * event time) so the joined frame has exactly one `time_us` and
+    * downstream `col("time_us")` references stay unambiguous.
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
       keyCol: String, rightKeyCol: String,
@@ -75,6 +78,7 @@ object LiveTail {
     val l = withEventTime(left).withWatermark("event_time", watermark)
     val r = withEventTime(right)
       .withColumnRenamed("event_time", "r_event_time")
+      .withColumnRenamed("time_us", "r_time_us")
       .withWatermark("r_event_time", watermark)
     l.join(r,
       col(keyCol) === col(rightKeyCol) &&

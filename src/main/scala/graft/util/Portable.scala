@@ -24,4 +24,14 @@ object Portable {
     val s = math.pow(10, digits) // 1e2/1e4/1e6 — exactly representable
     floor(c * s + 0.5) / s
   }
+
+  /** Driver-side twin of [[pround]] — the same IEEE-exact op sequence on
+    * a plain Double, for index-lookup math (e.g. IVF cell ranking over a
+    * collected centroid table) that must reproduce the Column form
+    * bit-for-bit.
+    */
+  def proundD(x: Double, digits: Int): Double = {
+    val s = math.pow(10, digits)
+    math.floor(x * s + 0.5) / s
+  }
 }

@@ -21,4 +21,26 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"cartesian plans: ${offenders.mkString(", ")}")
   }
+
+  test("index probes plan zero raw-corpus scans (build once, probe many)") {
+    Seq("ivf_probe", "ivf_probe2", "bm25_topk").foreach { name =>
+      val scans = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+      assert(scans.nonEmpty, s"$name: no file scans found")
+      assert(!scans.exists(_.contains("testdata")),
+        s"$name probe scans the raw corpus: $scans")
+    }
+  }
+
+  test("rank-heavy queries plan no unpartitioned Window stage") {
+    // vocab_zipf ranks via range-partition + offset; inverted_index caps
+    // postings via a bounded map-side aggregate — neither may regress to
+    // a Window (global or token-partitioned single-task sorts)
+    Seq("vocab_zipf", "inverted_index").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name plans a Window stage")
+    }
+  }
 }

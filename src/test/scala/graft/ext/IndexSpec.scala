@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The build-once / probe-many index lifecycle: probe results must
+  * equal the one-shot forms bit-for-bit, probes must plan against the
+  * index tables only (partition-pruned for IVF), and IndexStore must
+  * build exactly once per source fingerprint.
+  */
+class IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def fileScans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+
+  test("IndexStore.ensure builds once per fingerprint, reuses after") {
+    val src = tmpDir("idx-src")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("overwrite").parquet(src)
+    var builds = 0
+    def ensure(): String = IndexStore.ensure("spec", spark, Seq(src)) { tmp =>
+      builds += 1
+      Seq((1L, 1L)).toDF("k", "n").write.parquet(s"$tmp/t")
+    }
+    val p1 = ensure()
+    val p2 = ensure()
+    assert(p1 == p2 && builds == 1)
+    assert(spark.read.parquet(s"$p1/t").count() == 1)
+    // a rewritten source snapshot fingerprints differently → fresh build
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("overwrite").parquet(src)
+    val p3 = ensure()
+    assert(p3 != p1 && builds == 2)
+  }
+
+  test("ivfProbe over a persisted index matches the one-shot ivfTopK") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toDoubleArr(col("embedding"))).head().getSeq[Double](0).toSeq
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val idx = tmpDir("idx-ivf")
+    Similarity.buildIvf(rest, "vec_id", "label", "embedding", idx)
+    for (nprobe <- Seq(1, 2, 3)) {
+      val oneShot = Similarity.ivfTopK(rest, "vec_id", "label", "embedding", q,
+        k = 10, nprobe = nprobe).as[(Long, Double)].collect().toSeq
+      val probed = Similarity.ivfProbe(spark, idx, "vec_id", "label", "embedding", q,
+        k = 10, nprobe = nprobe).as[(Long, Double)].collect().toSeq
+      assert(probed == oneShot, s"nprobe=$nprobe")
+    }
+  }
+
+  test("ivfProbe plan is a partition-pruned index read, no corpus scan") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toDoubleArr(col("embedding"))).head().getSeq[Double](0).toSeq
+    val idx = tmpDir("idx-ivf-plan")
+    Similarity.buildIvf(emb.filter(col("vec_id") =!= 0),
+      "vec_id", "label", "embedding", idx)
+    val probe = Similarity.ivfProbe(spark, idx, "vec_id", "label", "embedding", q, k = 10)
+    val scans = fileScans(probe)
+    assert(scans.nonEmpty)
+    // every scan reads the index, none the raw corpus
+    val roots = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(roots.forall(_.contains(idx)), s"non-index scans: $roots")
+    // the vectors read carries a partition filter on the cell label
+    val vecScans = scans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("vectors")))
+    assert(vecScans.nonEmpty && vecScans.forall(_.partitionFilters.nonEmpty),
+      "vectors scan is not partition-pruned")
+    // and the pruned read returns 10 ranked hits
+    assert(probe.count() == 10)
+  }
+
+  test("bm25Probe over a persisted index matches the one-shot bm25TopK") {
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = tmpDir("idx-text")
+    Retrieval.buildTextIndex(docs, "doc_id", "text", idx)
+    val terms = Seq("the", "of", "and")
+    val oneShot = Retrieval.bm25TopK(docs, "doc_id", "text", terms)
+      .as[(Long, Double)].collect().toSeq
+    val probed = Retrieval.bm25Probe(spark, idx, "doc_id", terms)
+      .as[(Long, Double)].collect().toSeq
+    assert(probed == oneShot)
+    val scans = fileScans(Retrieval.bm25Probe(spark, idx, "doc_id", terms))
+    val roots = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(roots.nonEmpty && roots.forall(_.contains(idx)), s"non-index scans: $roots")
+  }
+}

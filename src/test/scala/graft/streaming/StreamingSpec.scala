@@ -140,7 +140,10 @@ class StreamingSpec extends SparkSpec {
       views.toDF().toDF("time_us", "v_user"),
       clicks.toDF().toDF("time_us", "c_user"),
       keyCol = "v_user", rightKeyCol = "c_user", within = "10 minutes")
-      .select(col("v_user"), col("event_time"), col("r_event_time"))
+      // an unqualified time_us downstream projection must resolve: only
+      // the LEFT side's survives the join (the right's is r_time_us)
+      .select(col("v_user"), col("event_time"), col("r_event_time"),
+        col("time_us"), col("r_time_us"))
     val q = joined.writeStream.format("memory").queryName("ij_out")
       .outputMode("append").start()
     val base = 1700000000000000L
@@ -151,8 +154,9 @@ class StreamingSpec extends SparkSpec {
     clicks.addData(Seq((base + 5 * min, "a"), (base + 20 * min, "b"), (base + min, "c")))
     q.processAllAvailable()
     q.stop()
-    val out = spark.table("ij_out").select("v_user").as[String].collect().toSeq
-    assert(out == Seq("a")) // only a's click falls inside [view, view+10min]
+    val out = spark.table("ij_out").select("v_user", "time_us", "r_time_us")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", base, base + 5 * min))) // only a's click is in [view, view+10min]
   }
 
   test("sessionCounts groups activity bursts split by the gap") {
