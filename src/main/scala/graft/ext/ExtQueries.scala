@@ -297,7 +297,7 @@ object ExtQueries {
     * it.
     */
   private def ivfIndexFor(spark: SparkSession, dir: String): String =
-    IndexStore.ensure("ivf-novec0", spark, Seq(s"$dir/embeddings.parquet")) { tmp =>
+    IndexStore.ensure("ivf_novec0", spark, Seq(s"$dir/embeddings.parquet")) { tmp =>
       Similarity.buildIvf(
         Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0),
         "vec_id", "label", "embedding", tmp)

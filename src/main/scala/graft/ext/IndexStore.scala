@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Build-once / probe-many lifecycle for the persisted retrieval and
@@ -17,36 +17,77 @@ import org.apache.spark.sql.SparkSession
   * the next JVM, or (with a shared `GRAFT_INDEX_DIR` on a cluster
   * store) every executor fleet that follows.
   *
-  * Staleness: the key fingerprints the source parquet directory's file
-  * listing (names, sizes, mtimes), so a rewritten source snapshot gets
-  * a fresh index and a stale one is never served. Concurrency: builds
-  * are serialized per-path in-process, and committed by writing a
-  * `_READY` marker into the build-temp dir THEN renaming it into place
-  * — a reader either sees a complete committed index or none at all,
-  * and a lost cross-process race falls back to the winner's copy.
+  * Staleness: the key fingerprints the source parquet directory tree
+  * RECURSIVELY (every leaf file's relative path, length, mtime), so a
+  * rewritten source snapshot — including a file rewritten in place
+  * inside a nested partition dir — gets a fresh index and a stale one
+  * is never served. After a successful commit, sibling indexes of the
+  * same kind whose fingerprint no longer matches are garbage-collected
+  * (the source snapshot they indexed is gone, so no new probe can ask
+  * for them; a probe already mid-scan on a superseded snapshot's index
+  * races that delete — the same reader-vs-vacuum contract as any
+  * snapshot store, acceptable because the source itself was already
+  * rewritten under that reader).
+  *
+  * Concurrency: builds are serialized per-path in-process, and
+  * cross-process by an exclusive-create lock file (`$path.lock`) —
+  * losers of the create race poll for the winner's commit instead of
+  * rebuilding, and a crashed winner's stale lock is broken after
+  * `graft.index.lockWaitMs`. Commit is `_READY` marker into the build
+  * temp THEN rename into place, with a re-check immediately before the
+  * swap so a concurrently committed index is never deleted — a reader
+  * either sees a complete committed index or none at all. The
+  * lock-file create and dir rename are atomic on HDFS-class and local
+  * filesystems; on an object store without atomic rename, point the
+  * root at an atomic-rename filesystem (the same requirement every
+  * rename-committed layout has).
   */
 object IndexStore {
 
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** Index store root; override with GRAFT_INDEX_DIR (on a cluster: a
-    * shared filesystem path, so the build is paid once per corpus, not
-    * once per job).
+  /** Index store root. Resolution order: system property
+    * `graft.index.dir` (tests point this at an isolated temp root),
+    * env `GRAFT_INDEX_DIR` (on a cluster: a shared filesystem path, so
+    * the build is paid once per corpus, not once per job), then a
+    * machine-local tmpdir.
     */
-  def root: String = sys.env.getOrElse("GRAFT_INDEX_DIR",
-    s"${System.getProperty("java.io.tmpdir")}/graft-index")
+  def root: String =
+    sys.props.get("graft.index.dir")
+      .orElse(sys.env.get("GRAFT_INDEX_DIR"))
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft-index")
 
-  /** md5 over the source dirs' file listings — the index cache key. */
+  /** How long a lock-race loser waits for the winner's commit before
+    * treating the lock as a crashed builder's leftover.
+    */
+  private def lockWaitMs: Long =
+    sys.props.get("graft.index.lockWaitMs").map(_.toLong).getOrElse(10L * 60 * 1000)
+
+  /** md5 over the source trees' RECURSIVE file listings — the index
+    * cache key. Every leaf file contributes `relative/path:len:mtime`,
+    * so a nested rewrite (same name and size, new mtime) always changes
+    * the key; directory entries contribute their names only (their
+    * mtimes are listing-order noise on some filesystems).
+    */
   def fingerprint(spark: SparkSession, sources: Seq[String]): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val md = java.security.MessageDigest.getInstance("MD5")
+    def walk(fs: FileSystem, base: Path, p: Path): Unit =
+      fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
+        val rel = st.getPath.toString.stripPrefix(base.toString)
+        if (st.isDirectory) { md.update(s"$rel/".getBytes("UTF-8")); walk(fs, base, st.getPath) }
+        else md.update(s"$rel:${st.getLen}:${st.getModificationTime}".getBytes("UTF-8"))
+      }
     sources.sorted.foreach { s =>
       md.update(s.getBytes("UTF-8"))
       val p = new Path(s)
       val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
-        md.update(s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
-          .getBytes("UTF-8"))
+      if (fs.exists(p)) {
+        if (fs.getFileStatus(p).isDirectory) walk(fs, p, p)
+        else {
+          val st = fs.getFileStatus(p)
+          md.update(s":${st.getLen}:${st.getModificationTime}".getBytes("UTF-8"))
+        }
       }
     }
     md.digest().map(b => f"$b%02x").mkString
@@ -55,28 +96,71 @@ object IndexStore {
   /** Return the committed index path for (kind, sources), running
     * `build(tmpPath)` first if no committed index exists. `build` must
     * write all its tables UNDER the path it is given; commit (the
-    * `_READY` marker + rename) happens here.
+    * `_READY` marker + rename) happens here. After a fresh commit,
+    * superseded same-kind indexes are garbage-collected.
     */
   def ensure(kind: String, spark: SparkSession, sources: Seq[String])
       (build: String => Unit): String = {
-    val path = s"$root/$kind-${fingerprint(spark, sources)}"
+    require(!kind.contains("-"), s"index kind must not contain '-': $kind")
+    val fp = fingerprint(spark, sources)
+    val path = s"$root/$kind-$fp"
     val lock = locks.computeIfAbsent(path, _ => new Object)
     lock.synchronized {
       val p = new Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new Path(p, "_READY"))) {
-        val tmp = new Path(s"$path.build-${java.util.UUID.randomUUID().toString.take(8)}")
-        build(tmp.toString)
-        fs.create(new Path(tmp, "_READY"), true).close()
-        fs.delete(p, true) // an uncommitted leftover never carries _READY
-        if (!fs.rename(tmp, p)) {
-          // lost a cross-process race: the winner's committed copy serves
-          if (!fs.exists(new Path(p, "_READY")))
-            throw new java.io.IOException(s"index commit failed for $path")
-          fs.delete(tmp, true)
-        }
+      def ready(): Boolean = fs.exists(new Path(p, "_READY"))
+      if (!ready()) {
+        val lockFile = new Path(s"$path.lock")
+        if (!tryLock(fs, lockFile)) awaitWinner(fs, p, lockFile)
+        if (!ready()) { // we hold the lock (or broke a stale one): build
+          try {
+            val tmp = new Path(s"$path.build-${java.util.UUID.randomUUID().toString.take(8)}")
+            build(tmp.toString)
+            fs.create(new Path(tmp, "_READY"), true).close()
+            if (ready()) fs.delete(tmp, true) // a winner committed while we built: serve theirs
+            else {
+              fs.delete(p, true) // an uncommitted leftover never carries _READY
+              if (!fs.rename(tmp, p)) {
+                if (!ready()) throw new java.io.IOException(s"index commit failed for $path")
+                fs.delete(tmp, true)
+              }
+            }
+          } finally fs.delete(lockFile, false)
+          gcStale(fs, kind, fp)
+        } else fs.delete(lockFile, false)
       }
       path
     }
+  }
+
+  /** Exclusive-create of the lock file: atomic on HDFS/local. */
+  private def tryLock(fs: FileSystem, lockFile: Path): Boolean =
+    try { fs.create(lockFile, false).close(); true }
+    catch { case _: java.io.IOException => false }
+
+  /** Lock-race loser: poll for the winner's `_READY`; a lock older than
+    * the wait budget is a crashed builder's leftover — break it and
+    * build ourselves.
+    */
+  private def awaitWinner(fs: FileSystem, p: Path, lockFile: Path): Unit = {
+    val deadline = System.nanoTime() + lockWaitMs * 1000000L
+    while (!fs.exists(new Path(p, "_READY")) && fs.exists(lockFile)
+        && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    if (!fs.exists(new Path(p, "_READY"))) fs.delete(lockFile, false) // break stale lock
+  }
+
+  /** Drop committed sibling indexes of `kind` whose fingerprint is no
+    * longer `keepFp` (their source snapshot was rewritten) plus any
+    * orphaned build temps — the unbounded-growth guard. Current
+    * fingerprint's dir, lock and temps are kept.
+    */
+  private def gcStale(fs: FileSystem, kind: String, keepFp: String): Unit = {
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) return
+    fs.listStatus(rootPath)
+      .filter(_.getPath.getName.startsWith(s"$kind-"))
+      .filterNot(_.getPath.getName.startsWith(s"$kind-$keepFp"))
+      .foreach(st => fs.delete(st.getPath, true))
   }
 }

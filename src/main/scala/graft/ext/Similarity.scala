@@ -258,9 +258,14 @@ object Similarity {
       (r.get(0), graft.util.Portable.proundD(dot / math.sqrt(nn), digits))
     }
     // score desc, label asc — the same order the inline form's
-    // orderBy(score.desc, label) produces (numeric labels numerically)
+    // orderBy(score.desc, label) produces (numeric labels numerically).
+    // java.lang.Double.compare is a TOTAL order with NaN greatest — the
+    // exact Spark sort semantics (a zero-norm centroid scores NaN and
+    // must rank the same here as in ivfTopK), and a strict weak
+    // ordering so TimSort can't throw on it.
     val cells = ranked.sortWith { case ((la, sa), (lb, sb)) =>
-      if (sa != sb) sa > sb
+      val c = java.lang.Double.compare(sb, sa) // desc, NaN greatest
+      if (c != 0) c < 0
       else (la, lb) match {
         case (x: Number, y: Number) => x.doubleValue < y.doubleValue
         case (x, y) => String.valueOf(x) < String.valueOf(y)

@@ -14,6 +14,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // every spec's IndexStore traffic goes to an isolated per-run root,
+    // never the machine-global default (which real deployments share)
+    System.setProperty("graft.index.dir",
+      java.nio.file.Files.createTempDirectory("graft-index-test").toString)
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")

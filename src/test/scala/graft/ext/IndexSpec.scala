@@ -35,6 +35,47 @@ class IndexSpec extends SparkSpec {
       .write.mode("overwrite").parquet(src)
     val p3 = ensure()
     assert(p3 != p1 && builds == 2)
+    // a committed build GCs superseded same-kind fingerprints (the
+    // rewritten snapshot can never be probed again) and releases its lock
+    val fs = new org.apache.hadoop.fs.Path(p3)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p1)), "stale index not GC'd")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p3.lock")), "lock not released")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(p3, "_READY")))
+  }
+
+  test("fingerprint sees a nested in-place rewrite (same name and size)") {
+    val src = tmpDir("idx-fp")
+    val nested = new java.io.File(s"$src/part=1")
+    nested.mkdirs()
+    val leaf = new java.io.File(nested, "data.bin")
+    java.nio.file.Files.write(leaf.toPath, "aaaa".getBytes)
+    leaf.setLastModified(1000000L)
+    val fp1 = IndexStore.fingerprint(spark, Seq(src))
+    // rewrite in place: same path, same length, newer mtime — the case a
+    // top-level-only listing misses (the parent dir entry doesn't change)
+    java.nio.file.Files.write(leaf.toPath, "bbbb".getBytes)
+    leaf.setLastModified(2000000L)
+    val fp2 = IndexStore.fingerprint(spark, Seq(src))
+    assert(fp1 != fp2)
+  }
+
+  test("ensure does not clobber an index committed while waiting on the lock") {
+    val src = tmpDir("idx-race")
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(src)
+    // simulate a concurrent winner: pre-commit an index at the exact
+    // path ensure() resolves, plus the winner's (now-stale) lock file
+    val path = s"${IndexStore.root}/race-${IndexStore.fingerprint(spark, Seq(src))}"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    fs.create(new org.apache.hadoop.fs.Path(path, "_READY"), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(s"$path.lock"), true).close()
+    var built = false
+    val got = IndexStore.ensure("race", spark, Seq(src)) { _ => built = true }
+    assert(got == path && !built, "committed winner must be served, not rebuilt")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_READY")))
   }
 
   test("ivfProbe over a persisted index matches the one-shot ivfTopK") {
