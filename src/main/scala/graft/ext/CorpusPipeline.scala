@@ -35,17 +35,41 @@ object CorpusPipeline {
 
   /** Run the full DAG over `dir`'s documents table; shards + manifest
     * are written under `outDir`. Returns per-stage accounting.
+    *
+    * Accounting is SINGLE-PASS: each stage's output is persisted
+    * (memory, spilling to disk) and its `count()` materializes that
+    * cache — the one and only execution of the stage's DAG. Every
+    * stage's `docsIn` is by definition the previous stage's `docsOut`,
+    * so inputs are never recounted, and the previous stage's cache is
+    * released as soon as its successor has materialized — peak
+    * footprint is two adjacent stage outputs, not the whole chain.
+    * (An `observe()` design can't produce these counts: stages
+    * reference their input several times — LSH candidates AND the
+    * verify anti-join both read the survivor set — so an observed
+    * node's metric would double-count. The cache is also what keeps
+    * those multi-references from re-executing the upstream DAG.)
+    * The export count comes from the WRITTEN parquet, not a re-run of
+    * the lineage behind the write.
     */
   def run(spark: SparkSession, dir: String, outDir: String,
       packBudget: Long = 512L, nShards: Int = 16): Seq[Stage] = {
     val acc = scala.collection.mutable.ListBuffer.empty[Stage]
+    val docs = Tables.documents(spark, dir)
+    // the raw input is counted once; it is deliberately NOT cached — at
+    // corpus scale the source parquet re-scan (column-pruned, pushed
+    // down) is cheaper than caching 100 TB, and only stage 1 and the
+    // decontam benchmark filter read it
+    var prevCount = docs.count()
+    var prevCached: Option[DataFrame] = None
     def staged(name: String, in: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
-      val out = f(in)
-      acc += Stage(name, in.count(), out.count())
+      val out = f(in).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = out.count() // materializes the cache: this stage's ONLY execution
+      acc += Stage(name, prevCount, n)
+      prevCached.foreach(_.unpersist(false))
+      prevCached = Some(out)
+      prevCount = n
       out
     }
-
-    val docs = Tables.documents(spark, dir)
 
     // 1. quality gates — row-local signals, no shuffle of the corpus
     val gated = staged("quality_gates", docs) { d =>
@@ -98,13 +122,18 @@ object CorpusPipeline {
 
     // 6. shard export — hash-sharded parquet + manifest. Writers are
     // per-shard independent; placement is a pure row-local function.
+    // Both writes read the cached `packed`; the export count is taken
+    // from the WRITTEN shards (footer row counts, no data scan), never
+    // by re-running the lineage behind the write.
     val sharded = packed.withColumn("shard",
       Dedup.h32(col("doc_id").cast("string")) % nShards)
     sharded.write.mode("overwrite").partitionBy("shard")
       .parquet(s"$outDir/shards")
     Sampling.shardStats(packed, "doc_id", "n_chars", nShards)
       .write.mode("overwrite").parquet(s"$outDir/manifest")
-    acc += Stage("shard_export", packed.count(), sharded.count())
+    acc += Stage("shard_export", prevCount,
+      spark.read.parquet(s"$outDir/shards").count())
+    prevCached.foreach(_.unpersist(false))
 
     acc.toList
   }

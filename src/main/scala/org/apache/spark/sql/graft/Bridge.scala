@@ -23,4 +23,10 @@ object Bridge {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** Drain the listener bus (private[spark]) — the hook specs need
+    * before reading SparkListener-accumulated counters.
+    */
+  def waitListenerBusEmpty(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

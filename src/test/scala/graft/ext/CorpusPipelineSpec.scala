@@ -46,4 +46,33 @@ class CorpusPipelineSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids1 == ids2)
   }
+
+  test("accounting is single-pass: each stage's DAG executes once (job-count pin)") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val stages = CorpusPipeline.run(spark, sf, tmpDir("corpus-singlepass"), nShards = 4)
+      org.apache.spark.sql.graft.Bridge.waitListenerBusEmpty(spark.sparkContext)
+      val n = jobs.get()
+      // Single-pass budget: input count + one materializing count per
+      // stage + connected-components' iterate/collect jobs + two export
+      // writes + the written-parquet count, with AQE splitting multi-
+      // shuffle counts into per-exchange sub-jobs. Measured on this
+      // fixture: single-pass = 67 jobs; the round-6 implementation —
+      // uncached in.count()/out.count() re-running the whole upstream
+      // DAG (LSH + components included) per stage, plus a post-write
+      // sharded.count() — measured 254. A re-execution regression busts
+      // this pin immediately.
+      assert(n <= 80, s"corpus pipeline ran $n jobs — stage lineage is re-executing")
+      // and the accounting itself must be unchanged by how it is taken
+      assert(stages.map(_.stage) == Seq("quality_gates", "exact_dedup",
+        "neardup_prune", "decontam", "sequence_pack", "shard_export"))
+      assert(stages.sliding(2).forall { case Seq(a, b) => b.docsIn == a.docsOut })
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
