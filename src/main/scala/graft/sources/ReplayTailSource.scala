@@ -39,7 +39,8 @@ class ReplayTailProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-replay"
 
   private def tableSchema(sqlContext: SQLContext, params: Map[String, String]): StructType =
-    sqlContext.sparkSession.read.parquet(ReplayTailSource.path(params)).schema
+    graft.store.EventsTable.read(sqlContext.sparkSession,
+      ReplayTailSource.path(params)).schema
 
   override def sourceSchema(
       sqlContext: SQLContext,
@@ -105,7 +106,12 @@ class ReplayTailSource(
     case other => other.json.toLong
   }
 
-  private def table: DataFrame = sqlContext.sparkSession.read.parquet(tablePath)
+  /** The events table through the compaction-generation resolution —
+    * a micro-batch planned mid-compaction still sees every hour
+    * (EventsTable.read; plain-parquet fast path when never compacted).
+    */
+  private def table: DataFrame =
+    graft.store.EventsTable.read(sqlContext.sparkSession, tablePath)
 
   /** `time_us >= lowerUs AND time_us <= upperUs` with matching hour-partition
     * bounds, so every scan this source plans prunes to the hours the range

@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,136 +11,185 @@ import org.apache.spark.sql.functions._
   * dominate). Compaction rewrites a CLOSED hour into
   * ceil(bytes/target) time-sorted files.
   *
-  * Safety model (mirrors the append-only contract the reference gets
-  * from its LSM: pkg/consumer/persist.go — old data is never mutated):
-  * only hours strictly below the ingest high-water mark are compacted,
-  * so compaction never races the writer. The rewrite goes to a temp
-  * dir then swaps in — on a production deployment this directory swap
-  * is where a table format's atomic commit slots in; the layout,
-  * sorting and sizing logic stay identical.
+  * Commit protocol — GENERATIONS, never an in-place swap (the analog of
+  * the reference's atomic LSM swap, pkg/consumer/persist.go:90-117,
+  * where old data is never mutated): the rewrite of hour H lands in
+  * `_gen_H_<g>` (g monotonically increasing; the uncompacted ingest dir
+  * is generation 0) and is COMMITTED solely by its `_SUCCESS` marker —
+  * the live hour dir is never renamed, moved, or touched. Readers
+  * ([[EventsTable.read]]) resolve every hour to its highest committed
+  * generation, falling back to the live dir, so at every instant —
+  * mid-rewrite, post-commit, post-crash — a complete copy of the hour
+  * is visible. There is no repair step because there is no state to
+  * repair: an uncommitted generation is invisible and gets vacuumed.
+  *
+  * Superseded copies (the live dir and older generations) are removed
+  * by [[vacuum]] only after the superseding commit is older than a
+  * grace period — the standard snapshot-retention contract (a reader
+  * plans its file listing once; grace must exceed the longest query,
+  * exactly like a table format's VACUUM retention). Until vacuumed,
+  * every generation is a complete, independently consistent copy.
+  *
+  * Only hours strictly below the ingest high-water mark are compacted
+  * ([[compactClosed]]), so compaction never races the writer, and a
+  * closed hour receives no late appends (the sequencer's monotonic
+  * time_us is what closes it).
   *
   * Sorting within the rewritten files restores tight parquet row-group
   * min/max on `time_us` (the property EventsTable relies on for
   * row-group skipping), which interleaved micro-batch appends erode.
+  * Generation files carry `event_hour` as a DATA column (constant per
+  * file, dictionary-encoded ≈ free) so one multi-path read serves all
+  * compacted hours and hour predicates skip whole files via footer
+  * stats — the moral equivalent of the live side's partition pruning.
   */
 object Compaction {
 
-  /** Files currently making up one hour partition. */
-  def partitionFiles(spark: SparkSession, tablePath: String, hour: Long): Seq[(String, Long)] = {
-    val dir = new Path(s"$tablePath/${EventsTable.PartitionCol}=$hour")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
-      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-      .map(f => (f.getPath.toString, f.getLen))
+  /** Generation dir name: `_gen_<hour>_<g>`. The `_` prefix keeps the
+    * dirs invisible to plain `spark.read.parquet(table)` listings.
+    */
+  def genDirName(hour: Long, gen: Int): String = s"_gen_${hour}_$gen"
+
+  private def parseGen(name: String): Option[(Long, Int)] =
+    if (!name.startsWith("_gen_")) None
+    else name.stripPrefix("_gen_").split("_") match {
+      case Array(h, g) => scala.util.Try((h.toLong, g.toInt)).toOption
+      case _ => None
+    }
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def rootEntries(spark: SparkSession, tablePath: String): Seq[FileStatus] = {
+    val root = new Path(tablePath)
+    val fs = fsOf(spark, tablePath)
+    if (fs.exists(root)) fs.listStatus(root).toSeq.filter(_.isDirectory) else Seq.empty
   }
 
-  /** Compact one closed hour to ~`targetBytes` files. Returns
-    * (filesBefore, filesAfter); no-op when already compact.
-    *
-    * Commit protocol (crash-recoverable at every step — [[repair]] is
-    * the inverse): the rewrite lands in `_compact_tmp_<hour>` with its
-    * `_SUCCESS` marker (the manifest: a tmp WITHOUT it is an aborted
-    * write and never installed), then dir→backup, tmp→dir, drop
-    * backup. A crash between the two renames leaves the hour absent
-    * but BOTH copies on disk; repair rolls forward (tmp complete) or
-    * back (tmp incomplete) — so no reader-visible data loss survives a
-    * restart. The remaining caveat is honest: between the two renames a
-    * CONCURRENT reader sees the hour missing, so compaction must not
-    * run concurrently with serving reads of that hour (run it from the
-    * maintenance path, not the serving path) — on HDFS each rename is
-    * atomic; on an S3-class store "rename" is copy+delete and the same
-    * repair contract covers the longer window. A table format (Delta/
-    * Iceberg) slots in here to make the swap a metadata commit; layout,
-    * sorting and sizing stay identical.
+  /** All generation dirs: (hour, gen) → (path, committed). */
+  private def genDirs(spark: SparkSession, tablePath: String)
+      : Map[(Long, Int), (Path, Boolean)] = {
+    val fs = fsOf(spark, tablePath)
+    rootEntries(spark, tablePath).flatMap { st =>
+      parseGen(st.getPath.getName).map { hg =>
+        hg -> (st.getPath, fs.exists(new Path(st.getPath, "_SUCCESS")))
+      }
+    }.toMap
+  }
+
+  /** Highest COMMITTED generation per hour: hour → (gen, path). The
+    * resolution [[EventsTable.read]] serves from; empty for a table
+    * that has never been compacted (the plain-parquet fast path).
+    */
+  def committedGens(spark: SparkSession, tablePath: String): Map[Long, (Int, Path)] =
+    genDirs(spark, tablePath)
+      .collect { case ((h, g), (p, true)) => (h, g, p) }
+      .groupBy(_._1)
+      .map { case (h, gens) => val (_, g, p) = gens.maxBy(_._2); h -> (g, p) }
+
+  /** Live (uncompacted ingest) hour dirs: hour → path. */
+  def liveHourDirs(spark: SparkSession, tablePath: String): Map[Long, Path] =
+    rootEntries(spark, tablePath).flatMap { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(s"${EventsTable.PartitionCol}="))
+        scala.util.Try(name.stripPrefix(s"${EventsTable.PartitionCol}=").toLong)
+          .toOption.map(_ -> st.getPath)
+      else None
+    }.toMap
+
+  /** The dir currently serving `hour` and its generation (0 = live). */
+  def currentCopy(spark: SparkSession, tablePath: String, hour: Long)
+      : Option[(Path, Int)] =
+    committedGens(spark, tablePath).get(hour).map { case (g, p) => (p, g) }
+      .orElse(liveHourDirs(spark, tablePath).get(hour).map(_ -> 0))
+
+  /** Files currently making up one hour (its resolved current copy). */
+  def partitionFiles(spark: SparkSession, tablePath: String, hour: Long): Seq[(String, Long)] =
+    currentCopy(spark, tablePath, hour) match {
+      case None => Seq.empty
+      case Some((dir, _)) =>
+        fsOf(spark, tablePath).listStatus(dir).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .map(f => (f.getPath.toString, f.getLen))
+    }
+
+  /** Compact one closed hour to ~`targetBytes` files as a NEW committed
+    * generation. Returns (filesBefore, filesAfter); no-op when already
+    * compact unless `force` (re-layout to a new target size). The
+    * superseded copy stays on disk, still serving in-flight readers,
+    * until [[vacuum]] ages it out.
     */
   def compactHour(spark: SparkSession, tablePath: String, hour: Long,
-      targetBytes: Long = 1L << 30): (Int, Int) = {
+      targetBytes: Long = 1L << 30, force: Boolean = false): (Int, Int) = {
     val files = partitionFiles(spark, tablePath, hour)
+    if (files.isEmpty) return (0, 0)
     val totalBytes = files.map(_._2).sum
     val want = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    if (files.size <= want) return (files.size, files.size)
+    if (!force && files.size <= want) return (files.size, files.size)
 
-    val dir = new Path(s"$tablePath/${EventsTable.PartitionCol}=$hour")
-    val tmp = new Path(s"$tablePath/_compact_tmp_$hour")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    spark.read.parquet(dir.toString)
+    val Some((srcDir, srcGen)) = currentCopy(spark, tablePath, hour)
+    // skip past any crashed/in-flight attempt's number — never contend
+    // for a dir another writer may still be filling
+    val nextGen = (genDirs(spark, tablePath).keys.collect { case (h, g) if h == hour => g }
+      ++ Seq(srcGen)).max + 1
+    val dest = new Path(s"$tablePath/${genDirName(hour, nextGen)}")
+    val src = spark.read.parquet(srcDir.toString)
+    val withHour = // live files don't carry the partition column; gens do
+      if (src.columns.contains(EventsTable.PartitionCol)) src
+      else src.withColumn(EventsTable.PartitionCol, lit(hour))
+    withHour
       .repartitionByRange(want, col("time_us")) // contiguous time slices per file
       .sortWithinPartitions(col("time_us"))
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // the job-committer's _SUCCESS is the manifest: repair only ever
-    // installs a tmp that carries it
-    val backup = new Path(s"$tablePath/_compact_old_$hour")
-    fs.delete(backup, true)
-    if (!fs.rename(dir, backup))
-      throw new java.io.IOException(s"compaction: could not move $dir aside")
-    if (!fs.rename(tmp, dir)) { // restore and give up
-      fs.rename(backup, dir)
-      throw new java.io.IOException(s"compaction: could not install $tmp")
-    }
-    fs.delete(backup, true)
+      .write.mode(SaveMode.Overwrite).parquet(dest.toString)
+    // the job committer's _SUCCESS (written last) IS the commit: readers
+    // resolving this hour switch to the new generation atomically
     (files.size, partitionFiles(spark, tablePath, hour).size)
   }
 
-  /** Recover from a compaction crash: for every `_compact_old_<hour>` /
-    * `_compact_tmp_<hour>` leftover, restore the invariant "the hour
-    * partition exists exactly once". Roll FORWARD when the tmp rewrite
-    * completed (its `_SUCCESS` manifest exists — the data is the same
-    * rows, compacted), roll BACK to the backup otherwise, and drop
-    * whichever leftover remains. Idempotent; run it at table-open /
-    * maintenance startup (compactClosed runs it automatically).
-    * Returns the hours it repaired.
+  /** Remove copies superseded by a commit older than `graceMs` (live
+    * dir + older generations), and aborted builds (uncommitted gen dirs
+    * idle longer than the grace). Returns the deleted dir names. The
+    * grace is the reader-snapshot retention: any query that planned its
+    * file listing within the last `graceMs` still reads its copy
+    * untouched — size it above the longest-running query, the same
+    * contract as a table format's VACUUM retention.
     */
-  def repair(spark: SparkSession, tablePath: String): Seq[Long] = {
-    val root = new Path(tablePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Seq.empty
-    val names = fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath.getName)
-    val leftovers = names.collect {
-      case n if n.startsWith("_compact_old_") => n.stripPrefix("_compact_old_").toLong
-      case n if n.startsWith("_compact_tmp_") => n.stripPrefix("_compact_tmp_").toLong
-    }.distinct.sorted
-    leftovers.flatMap { hour =>
-      val dir = new Path(s"$tablePath/${EventsTable.PartitionCol}=$hour")
-      val tmp = new Path(s"$tablePath/_compact_tmp_$hour")
-      val backup = new Path(s"$tablePath/_compact_old_$hour")
-      val tmpComplete = fs.exists(new Path(tmp, "_SUCCESS"))
-      if (!fs.exists(dir)) {
-        if (tmpComplete) { // crash between the renames: install the rewrite
-          if (!fs.rename(tmp, dir))
-            throw new java.io.IOException(s"repair: could not install $tmp")
-          fs.delete(backup, true)
-        } else { // rewrite incomplete: the backup is the only good copy
-          if (fs.exists(backup) && !fs.rename(backup, dir))
-            throw new java.io.IOException(s"repair: could not restore $backup")
-          fs.delete(tmp, true)
-        }
-        Some(hour)
-      } else { // hour intact: drop leftovers (post-install crash, or an
-               // aborted rewrite that never touched the live dir)
-        fs.delete(backup, true)
-        fs.delete(tmp, true)
-        None
+  def vacuum(spark: SparkSession, tablePath: String,
+      graceMs: Long = 15L * 60 * 1000): Seq[String] = {
+    val fs = fsOf(spark, tablePath)
+    val now = System.currentTimeMillis()
+    val gens = genDirs(spark, tablePath)
+    val live = liveHourDirs(spark, tablePath)
+    val current = committedGens(spark, tablePath)
+    val doomed = scala.collection.mutable.ListBuffer.empty[Path]
+    current.foreach { case (hour, (gen, genPath)) =>
+      val commitAge = now -
+        fs.getFileStatus(new Path(genPath, "_SUCCESS")).getModificationTime
+      if (commitAge > graceMs) {
+        live.get(hour).foreach(doomed += _)
+        gens.collect { case ((h, g), (p, _)) if h == hour && g < gen => p }
+          .foreach(doomed += _)
       }
     }
+    // aborted builds: uncommitted gens (any hour) idle past the grace
+    gens.collect {
+      case ((h, g), (p, false))
+          if current.get(h).forall(_._1 != g)
+            && now - fs.getFileStatus(p).getModificationTime > graceMs => p
+    }.foreach(doomed += _)
+    doomed.toSeq.map { p => fs.delete(p, true); p.getName }
   }
 
   /** Compact every hour strictly below `hwmHour` (the open hour and
-    * anything after it are left to the writer). Runs [[repair]] first —
-    * a crashed previous run must not leave an hour invisible.
+    * anything after it are left to the writer), vacuuming aged-out
+    * superseded copies first.
     */
   def compactClosed(spark: SparkSession, tablePath: String, hwmHour: Long,
-      targetBytes: Long = 1L << 30): Map[Long, (Int, Int)] = {
-    repair(spark, tablePath)
-    val root = new Path(tablePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Map.empty
-    fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(_.startsWith(s"${EventsTable.PartitionCol}="))
-      .map(_.split("=")(1).toLong)
-      .filter(_ < hwmHour)
+      targetBytes: Long = 1L << 30, graceMs: Long = 15L * 60 * 1000): Map[Long, (Int, Int)] = {
+    vacuum(spark, tablePath, graceMs)
+    val hours = (liveHourDirs(spark, tablePath).keySet
+      ++ committedGens(spark, tablePath).keySet).filter(_ < hwmHour)
+    hours.toSeq.sorted
       .map(h => h -> compactHour(spark, tablePath, h, targetBytes))
       .toMap
   }

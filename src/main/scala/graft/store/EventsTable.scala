@@ -39,8 +39,34 @@ object EventsTable {
       .partitionBy(PartitionCol)
       .parquet(path)
 
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** Read the table through the compaction-generation resolution: each
+    * hour is served by its highest COMMITTED generation
+    * ([[Compaction.committedGens]]) or, if never compacted, its live
+    * ingest dir — so a reader never sees an hour missing while
+    * compaction runs (there is no swap; commits are `_SUCCESS`-marked
+    * new dirs and supersession is resolved here). A table with no
+    * committed generations takes the untouched plain-parquet fast path
+    * — identical plan, partition pruning included. On the resolved
+    * path, hour predicates prune live partitions as before and skip
+    * whole generation files via their constant `event_hour` column's
+    * footer stats.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val gens = Compaction.committedGens(spark, path)
+    if (gens.isEmpty) spark.read.parquet(path)
+    else {
+      val genDf = spark.read
+        .parquet(gens.values.map(_._2.toString).toSeq.sorted: _*)
+        .withColumn(PartitionCol, col(PartitionCol).cast("long"))
+      val liveDirs = Compaction.liveHourDirs(spark, path)
+        .filterNot { case (h, _) => gens.contains(h) }
+      if (liveDirs.isEmpty) genDf
+      else spark.read.option("basePath", path)
+        .parquet(liveDirs.values.map(_.toString).toSeq.sorted: _*)
+        .withColumn(PartitionCol, col(PartitionCol).cast("long"))
+        .unionByName(genDf)
+    }
+  }
 
   /** S13 — cursor replay: ordered scan of `[cursorUs, ∞)`. The hour
     * predicate prunes partitions; the µs predicate prunes row groups.

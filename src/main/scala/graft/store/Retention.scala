@@ -31,10 +31,15 @@ object Retention {
       .filter(_.isDirectory)
       .flatMap { st =>
         val name = st.getPath.getName
-        if (name.startsWith(s"${EventsTable.PartitionCol}=")) {
-          val hour = name.stripPrefix(s"${EventsTable.PartitionCol}=").toLong
-          if (hour < cutoffHour) Some(st.getPath) else None
-        } else None
+        // live hour partitions AND their compaction generations
+        // (Compaction `_gen_<hour>_<g>` dirs) age out together
+        val hour =
+          if (name.startsWith(s"${EventsTable.PartitionCol}="))
+            Some(name.stripPrefix(s"${EventsTable.PartitionCol}=").toLong)
+          else if (name.startsWith("_gen_"))
+            scala.util.Try(name.stripPrefix("_gen_").split("_")(0).toLong).toOption
+          else None
+        hour.collect { case h if h < cutoffHour => st.getPath }
       }
     dropped.foreach(p => fs.delete(p, true))
     dropped.size

@@ -36,15 +36,29 @@ class LayoutSpec extends SparkSpec {
     val after = EventsTable.read(spark, path)
       .select("time_us").as[Long].collect().sorted.toSeq
     assert(after == before, "compaction must not change the data")
-    // the partition column survives the rewrite (directory layout intact)
+    // the partition column survives the rewrite (resolution-aware read)
     assert(EventsTable.read(spark, path)
       .filter(col(EventsTable.PartitionCol) === 0).count() == 400)
+    // the hour now resolves to the committed generation, NOT the live
+    // dir — which is left untouched for in-flight readers until vacuum
+    val Some((genDir, gen)) = Compaction.currentCopy(spark, path, 0)
+    assert(gen == 1 && genDir.getName == Compaction.genDirName(0, 1))
+    assert(fsOf(path).exists(new org.apache.hadoop.fs.Path(
+      s"$path/${EventsTable.PartitionCol}=0")), "live copy must survive until vacuum")
     // the rewritten file is time-sorted (row order within the single file)
-    val inFile = spark.read
-      .parquet(s"$path/${EventsTable.PartitionCol}=0")
+    val inFile = spark.read.parquet(genDir.toString)
       .select("time_us").as[Long].collect().toSeq
     assert(inFile == inFile.sorted)
+    // vacuum past the grace drops the superseded live copy; data unchanged
+    val swept = Compaction.vacuum(spark, path, graceMs = -1)
+    assert(swept.contains(s"${EventsTable.PartitionCol}=0"))
+    assert(EventsTable.read(spark, path)
+      .select("time_us").as[Long].collect().sorted.toSeq == before)
   }
+
+  private def fsOf(path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   test("compactClosed stops at the high-water hour") {
     val path = tmpDir("compact-hwm")
@@ -59,54 +73,90 @@ class LayoutSpec extends SparkSpec {
     assert(Compaction.partitionFiles(spark, path, 1).size == 3)
   }
 
-  test("repair recovers a compaction crash between the renames — no reader-visible loss") {
+  test("crash-safety: an uncommitted generation is invisible and vacuumed; no repair needed") {
     import org.apache.hadoop.fs.Path
-    def mkTable(tag: String): (String, Seq[Long]) = {
-      val path = tmpDir(s"compact-crash-$tag")
-      (0 until 4).foreach { b =>
-        EventsTable.append(
-          (0 until 25).map(i => ((b * 25 + i) * 1000L, s"did$i", "c"))
-            .toDF("time_us", "did", "collection"), path)
-      }
-      (path, EventsTable.read(spark, path).select("time_us").as[Long].collect().sorted.toSeq)
+    val path = tmpDir("compact-crash")
+    (0 until 4).foreach { b =>
+      EventsTable.append(
+        (0 until 25).map(i => ((b * 25 + i) * 1000L, s"did$i", "c"))
+          .toDF("time_us", "did", "collection"), path)
     }
-    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dirOf(path: String) = new Path(s"$path/${EventsTable.PartitionCol}=0")
+    val rows = EventsTable.read(spark, path).select("time_us").as[Long].collect().sorted.toSeq
+    val fs = fsOf(path)
 
-    // --- crash AFTER dir→backup with a COMPLETE tmp (manifest present):
-    // repair rolls FORWARD to the compacted rewrite
-    val (p1, rows1) = mkTable("fwd")
-    spark.read.parquet(dirOf(p1).toString)
-      .repartitionByRange(1, col("time_us")).sortWithinPartitions(col("time_us"))
-      .write.parquet(s"$p1/_compact_tmp_0")
-    assert(fs.rename(dirOf(p1), new Path(s"$p1/_compact_old_0")))
-    assert(!fs.exists(dirOf(p1)), "simulated crash: hour invisible")
-    assert(Compaction.repair(spark, p1) == Seq(0L))
-    assert(EventsTable.read(spark, p1).select("time_us").as[Long].collect().sorted.toSeq
-      == rows1, "rolled forward: same rows, compacted")
-    assert(Compaction.partitionFiles(spark, p1, 0).size == 1)
-    assert(!fs.exists(new Path(s"$p1/_compact_old_0")) && !fs.exists(new Path(s"$p1/_compact_tmp_0")))
+    // simulate a compaction crash: a complete rewrite whose _SUCCESS
+    // never landed — the generation is uncommitted, so readers ignore it
+    spark.read.parquet(s"$path/${EventsTable.PartitionCol}=0")
+      .withColumn(EventsTable.PartitionCol, lit(0L))
+      .write.parquet(s"$path/${Compaction.genDirName(0, 1)}")
+    fs.delete(new Path(s"$path/${Compaction.genDirName(0, 1)}/_SUCCESS"), false)
+    assert(EventsTable.read(spark, path).select("time_us").as[Long].collect().sorted.toSeq
+      == rows, "uncommitted generation must be invisible")
+    assert(Compaction.currentCopy(spark, path, 0).exists(_._2 == 0), "hour still served live")
 
-    // --- crash with an INCOMPLETE tmp (no _SUCCESS manifest): repair
-    // rolls BACK to the backup — the aborted rewrite is never installed
-    val (p2, rows2) = mkTable("bak")
-    spark.read.parquet(dirOf(p2).toString).write.parquet(s"$p2/_compact_tmp_0")
-    fs.delete(new Path(s"$p2/_compact_tmp_0/_SUCCESS"), false)
-    assert(fs.rename(dirOf(p2), new Path(s"$p2/_compact_old_0")))
-    assert(Compaction.repair(spark, p2) == Seq(0L))
-    assert(EventsTable.read(spark, p2).select("time_us").as[Long].collect().sorted.toSeq
-      == rows2, "rolled back: original files intact")
-    assert(!fs.exists(new Path(s"$p2/_compact_tmp_0")))
+    // vacuum sweeps the aborted build once it ages past the grace
+    assert(Compaction.vacuum(spark, path, graceMs = -1)
+      .contains(Compaction.genDirName(0, 1)))
+    assert(!fs.exists(new Path(s"$path/${Compaction.genDirName(0, 1)}")))
 
-    // --- leftovers while the hour is intact are just swept
-    val (p3, rows3) = mkTable("sweep")
-    spark.read.parquet(dirOf(p3).toString).write.parquet(s"$p3/_compact_tmp_0")
-    assert(Compaction.repair(spark, p3) == Seq.empty)
-    assert(!fs.exists(new Path(s"$p3/_compact_tmp_0")), "stray tmp swept")
-    // compactClosed self-heals first, then compacts normally
-    assert(Compaction.compactClosed(spark, p3, hwmHour = 1).keySet == Set(0L))
-    assert(EventsTable.read(spark, p3).select("time_us").as[Long].collect().sorted.toSeq
-      == rows3)
+    // a fresh compaction skips PAST the crashed attempt's number and
+    // commits cleanly; compactClosed's vacuum+compact loop self-heals
+    spark.read.parquet(s"$path/${EventsTable.PartitionCol}=0")
+      .withColumn(EventsTable.PartitionCol, lit(0L))
+      .write.parquet(s"$path/${Compaction.genDirName(0, 3)}")
+    fs.delete(new Path(s"$path/${Compaction.genDirName(0, 3)}/_SUCCESS"), false)
+    val (nb, na) = Compaction.compactHour(spark, path, 0)
+    assert(nb > 1 && na == 1)
+    assert(Compaction.currentCopy(spark, path, 0).exists(_._2 == 4),
+      "new generation numbered past the crashed attempt")
+    assert(EventsTable.read(spark, path).select("time_us").as[Long].collect().sorted.toSeq
+      == rows)
+  }
+
+  test("readers racing repeated compactions never see a missing or partial hour") {
+    val path = tmpDir("compact-race")
+    (0 until 8).foreach { b =>
+      EventsTable.append(
+        (0 until 50).map(i => ((b * 50 + i) * 1000L, s"did$i", "c"))
+          .toDF("time_us", "did", "collection"), path)
+    }
+    EventsTable.append(Seq((HourUs + 1, "didx", "c")).toDF("time_us", "did", "collection"), path)
+    val expected = 401L
+
+    @volatile var failure: Option[String] = None
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reads = new java.util.concurrent.atomic.AtomicInteger
+    val reader = new Thread(() => {
+      while (!stop.get() && failure.isEmpty) {
+        try {
+          val n = EventsTable.read(spark, path).count()
+          reads.incrementAndGet()
+          if (n != expected) failure = Some(s"reader saw $n rows, expected $expected")
+        } catch { case e: Throwable => failure = Some(s"reader failed: $e") }
+      }
+    })
+    reader.start()
+    try {
+      // four superseding generations while the reader loops; vacuum runs
+      // alongside with a generous grace, so every copy a reader may have
+      // resolved is still on disk
+      (1 to 4).foreach { i =>
+        Compaction.compactHour(spark, path, 0,
+          targetBytes = if (i % 2 == 0) 1L << 30 else 4096L, force = true)
+        Compaction.vacuum(spark, path, graceMs = 24L * 3600 * 1000)
+      }
+    } finally {
+      stop.set(true)
+      reader.join(60000)
+    }
+    assert(failure.isEmpty, failure.getOrElse(""))
+    assert(reads.get() > 0, "reader never completed a scan")
+    assert(Compaction.currentCopy(spark, path, 0).exists(_._2 == 4))
+    // after the grace ages out, vacuum reclaims every superseded copy
+    // and the table still reads complete
+    assert(Compaction.vacuum(spark, path, graceMs = -1).size >= 4)
+    assert(EventsTable.read(spark, path).count() == expected)
+    assert(Compaction.partitionFiles(spark, path, 0).nonEmpty)
   }
 
   test("bucketed_join registered query: join AND aggregate are exchange-free") {
