@@ -121,6 +121,9 @@ object SparkEntry {
     "embed_centroids"    -> ExtQueries.embedCentroids _,
     "multimodal_meta"    -> ExtQueries.multimodalMeta _,
     "ivf_probe2"         -> ExtQueries.ivfProbe2 _,
+    // learned-quantizer probe: no oracle by design (iterative FP k-means
+    // isn't SQL-expressible); gated by RecallSpec's recall floor instead
+    "ivf_probe_kmeans"   -> ExtQueries.ivfProbeKmeans _,
     "payload_chunks"     -> ExtQueries.payloadChunks _,
     // --- round 4: retrieval, LM-quality, corpus-shrink, export ops
     "inverted_index"     -> ExtQueries.invertedIndex _,

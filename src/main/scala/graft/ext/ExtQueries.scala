@@ -322,6 +322,28 @@ object ExtQueries {
     Similarity.ivfProbe(spark, ivfIndexFor(spark, dir),
       "vec_id", "label", "embedding", queryVec(spark, dir), k = 10, nprobe = 2)
 
+  /** The LEARNED-quantizer IVF index: no label column consumed — cells
+    * come from [[Similarity.buildIvfKmeans]] (deterministic spherical
+    * k-means, K ≈ √(n/8)). Built once per corpus snapshot.
+    */
+  private def ivfKmeansIndexFor(spark: SparkSession, dir: String): String =
+    IndexStore.ensure("ivfkmeans", spark, Seq(s"$dir/embeddings.parquet")) { tmp =>
+      val emb = Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0).drop("label")
+      val k = math.max(4, math.ceil(math.sqrt(emb.count().toDouble / 8)).toInt)
+      Similarity.buildIvfKmeans(emb, "vec_id", "embedding", tmp, k = k)
+    }
+
+  /** E2 — IVF probe over the LEARNED coarse quantizer (the real-corpus
+    * path: no precomputed cell labels exist at 100 TB). Registered
+    * without an oracle BY DESIGN — iterative FP k-means is not
+    * SQL-expressible; its quality gate is RecallSpec's ≥0.8 recall@10
+    * floor on the planted-cluster fixture, and determinism (hash-seeded
+    * init) makes the result reproducible run-to-run.
+    */
+  def ivfProbeKmeans(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfProbe(spark, ivfKmeansIndexFor(spark, dir),
+      "vec_id", "label", "embedding", queryVec(spark, dir), k = 10, nprobe = 2)
+
   /** Multimodal — fixed 64-char payload chunking with per-chunk digest
     * ([[Multimodal.chunkPayload]] — the pre-decode chunking stage).
     */

@@ -6,13 +6,20 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** ANN quality evaluation: recall@k of the approximate probes (LSH
-  * bucket probe at 1..p probes, IVF at nprobe 1..2) against the exact
-  * brute-force ranking, averaged over a query sample — the standard
-  * accuracy/cost curve an ANN deployment is tuned on. This is an eval
-  * TOOL (driver-side loop over a small query sample, one small job per
-  * query), not a data-path operator.
+  * bucket probe at 1..p probes, IVF at nprobe 1..2, plus the learned
+  * k-means quantizer) against the exact brute-force ranking, averaged
+  * over a query sample — the standard accuracy/cost curve an ANN
+  * deployment is tuned on. This is an eval TOOL (driver-side loop over
+  * a small query sample, one small job per query), not a data-path
+  * operator.
   *
-  * Usage: runMain graft.ext.RecallEval [sfDir] [nQueries] [k]
+  * Usage: runMain graft.ext.RecallEval [sfDir|clustered] [nQueries] [k]
+  *
+  * `clustered` swaps the corpus for the planted-cluster fixture
+  * ([[ClusterFixture]], 2000 vecs / 32 dims / 16 clusters) — data with
+  * actual neighbor structure, where absolute recall is meaningful; the
+  * driver's near-uniform embeddings are the adversarial case (recall
+  * capped ~0.5 by construction, knobs still monotone).
   */
 object RecallEval {
 
@@ -32,7 +39,10 @@ object RecallEval {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val emb = Tables.embeddings(spark, dir).cache()
+    val emb = (if (dir == "clustered")
+      ClusterFixture.clustered(spark, n = 2000, dims = 32, k = 16)
+    else Tables.embeddings(spark, dir)).cache()
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("q"))
       .collect()
@@ -45,12 +55,19 @@ object RecallEval {
     // count would give ~corpus/2^8 per bucket and cap recall at
     // bucketSize/k regardless of data
     val nPlanes = Similarity.planesFor(emb.count(), targetBucketSize = 64)
+    // the learned coarse quantizer, trained once on the whole corpus
+    // (the build-time step); per-query assignment reuses its centroids
+    val nCells = math.max(4, math.ceil(math.sqrt(emb.count().toDouble / 8)).toInt)
+    val kmeans = Similarity.kmeansCentroids(emb, "vec_id", "embedding", nCells)
     val variants: Seq[(String, (DataFrame, Seq[Double]) => DataFrame)] = Seq(
-      s"lsh($nPlanes) probes=1" -> ((d, q) => Similarity.annTopK(d, "vec_id", "embedding", q, 64, k, nPlanes, probes = 1)),
-      s"lsh($nPlanes) probes=3" -> ((d, q) => Similarity.annTopK(d, "vec_id", "embedding", q, 64, k, nPlanes, probes = 3)),
-      s"lsh($nPlanes) probes=5" -> ((d, q) => Similarity.annTopK(d, "vec_id", "embedding", q, 64, k, nPlanes, probes = 5)),
+      s"lsh($nPlanes) probes=1" -> ((d, q) => Similarity.annTopK(d, "vec_id", "embedding", q, dims, k, nPlanes, probes = 1)),
+      s"lsh($nPlanes) probes=3" -> ((d, q) => Similarity.annTopK(d, "vec_id", "embedding", q, dims, k, nPlanes, probes = 3)),
+      s"lsh($nPlanes) probes=5" -> ((d, q) => Similarity.annTopK(d, "vec_id", "embedding", q, dims, k, nPlanes, probes = 5)),
       "ivf nprobe=1" -> ((d, q) => Similarity.ivfTopK(d, "vec_id", "label", "embedding", q, k)),
-      "ivf nprobe=2" -> ((d, q) => Similarity.ivfTopK(d, "vec_id", "label", "embedding", q, k, nprobe = 2)))
+      "ivf nprobe=2" -> ((d, q) => Similarity.ivfTopK(d, "vec_id", "label", "embedding", q, k, nprobe = 2)),
+      s"ivf kmeans($nCells) np=2" -> ((d, q) => Similarity.ivfTopK(
+        d.withColumn("kcell", Similarity.assignCell("embedding", kmeans)),
+        "vec_id", "kcell", "embedding", q, k, nprobe = 2)))
 
     val sums = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
     queries.foreach { case (qid, q) =>

@@ -212,6 +212,72 @@ object Similarity {
       .groupBy(col(labelCol), col("i"))
       .agg(avg(col("v")).as("c"))
 
+  /** argmax-cosine cell assignment of `vecCol` against literal
+    * centroids: per row, the index of the centroid maximizing
+    * dot(v, cⱼ)/‖cⱼ‖ (the row's own norm is constant across cells and
+    * cancels). Centroid norms fold to literals driver-side; the K
+    * dot-products are native [[graft.functions.VecDot]] loops, so the
+    * whole assignment stays inside WholeStageCodegen — one corpus pass,
+    * no join, no shuffle. Ties take the higher cell index,
+    * deterministically (array_max over (score, j) structs). Sized for
+    * coarse quantizers (K up to a few hundred literal expressions);
+    * beyond that, switch to an explode+join assignment.
+    */
+  def assignCell(vecCol: String, centroids: Seq[Seq[Double]]): Column = {
+    require(centroids.nonEmpty)
+    val scored = centroids.zipWithIndex.map { case (c, j) =>
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      val safe = if (norm > 0) norm else 1.0
+      struct((dot(col(vecCol), array(c.map(lit): _*)) / lit(safe)).as("s"),
+        lit(j).as("j"))
+    }
+    array_max(array(scored: _*)).getField("j")
+  }
+
+  /** Deterministic spherical k-means — the LEARNED coarse quantizer for
+    * [[buildIvfKmeans]] when the corpus carries no precomputed cell
+    * assignment. Init is a hash-ordered sample (md5 over the id:
+    * seedless, engine-reproducible, independent of data order); each
+    * iteration is ONE corpus pass (the codegen'd [[assignCell]]
+    * argmax) feeding the (cell, dim)-keyed centroid aggregate — the
+    * same map-side-combined shuffle as [[centroidComponents]]. Only
+    * K-row results ever reach the driver; a cell that empties keeps
+    * its previous centroid so K is stable.
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): Seq[Seq[Double]] = {
+    require(k >= 1 && iters >= 0)
+    var cents: IndexedSeq[Seq[Double]] = df
+      .select(col(idCol).cast("string").as("__id"), toDoubleArr(col(vecCol)).as("__v"))
+      .orderBy(md5(col("__id")), col("__id"))
+      .limit(k)
+      .collect().map(_.getSeq[Double](1)).toIndexedSeq
+    (1 to iters).foreach { _ =>
+      val next = centroidComponents(
+        df.withColumn("__cell", assignCell(vecCol, cents)), "__cell", vecCol)
+        .groupBy(col("__cell"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          s => s.getField("c")).as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.indices.map(j => next.getOrElse(j, cents(j)))
+    }
+    cents.map(_.toSeq)
+  }
+
+  /** IVF index build over an UNLABELED corpus: learn the coarse
+    * quantizer with [[kmeansCentroids]], assign each vector its cell in
+    * one codegen'd pass, then persist through [[buildIvf]] (which
+    * derives the served centroids from the final assignment, so probes
+    * rank against the cells exactly as laid out). Same build-once
+    * lifecycle: wrap in [[IndexStore.ensure]].
+    */
+  def buildIvfKmeans(df: DataFrame, idCol: String, vecCol: String, path: String,
+      k: Int, iters: Int = 5): Unit = {
+    val cents = kmeansCentroids(df, idCol, vecCol, k, iters)
+    buildIvf(df.withColumn("label", assignCell(vecCol, cents)),
+      idCol, "label", vecCol, path)
+  }
+
   /** IVF index build — pay the layout cost ONCE (the posture of the
     * reference's write-time LSM key, persist.go:101-108), then serve
     * probes from the persisted tables via [[ivfProbe]]:

@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** ANN quality floors on data with actual neighbor structure: the
+  * planted-cluster fixture ([[ClusterFixture]]) lets recall@10 be
+  * pinned absolutely — LSH multi-probe and IVF (planted labels AND the
+  * learned k-means quantizer) must each clear 0.8 against brute force.
+  * The driver's near-uniform embeddings stay in RecallEval as the
+  * adversarial case (recall there caps at ~0.5 by construction; these
+  * floors are what a user deciding whether to trust `ivf_probe` needs).
+  */
+class RecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dims = 32
+  private val K = 8
+  private val N = 640
+  private val TopK = 10
+  private val NQueries = 15
+
+  private lazy val corpus = ClusterFixture.clustered(spark, N, Dims, K).cache()
+
+  private lazy val queries: Seq[(Long, Seq[Double])] =
+    corpus.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), Similarity.toDoubleArr(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("vec_id").as[Long].collect().toSeq
+
+  /** top-10 excluding the query row itself (probe k+1 then drop). */
+  private def dropSelf(df: DataFrame, qid: Long): Seq[Long] =
+    ids(df).filterNot(_ == qid).take(TopK)
+
+  private def meanRecall(approx: (Long, Seq[Double]) => Seq[Long]): Double =
+    queries.map { case (qid, q) =>
+      val exact = ids(Similarity.cosineTopK(
+        corpus.filter(col("vec_id") =!= qid), "vec_id", "embedding", q, TopK))
+      val got = approx(qid, q)
+      exact.toSet.intersect(got.toSet).size.toDouble / exact.size
+    }.sum / queries.size
+
+  test("LSH multi-probe recall@10 >= 0.8 on clustered data") {
+    val nPlanes = Similarity.planesFor(N, targetBucketSize = 64)
+    val r = meanRecall { (qid, q) =>
+      ids(Similarity.annTopK(corpus.filter(col("vec_id") =!= qid),
+        "vec_id", "embedding", q, Dims, TopK, nPlanes, probes = 5))
+    }
+    info(f"lsh($nPlanes) probes=5 recall@$TopK = $r%.3f")
+    assert(r >= 0.8, f"LSH multi-probe recall $r%.3f below floor")
+  }
+
+  test("IVF probe (planted labels) nprobe=2 recall@10 >= 0.8") {
+    val idx = tmpDir("recall-ivf")
+    Similarity.buildIvf(corpus, "vec_id", "label", "embedding", idx)
+    val r = meanRecall { (qid, q) =>
+      dropSelf(Similarity.ivfProbe(spark, idx, "vec_id", "label", "embedding",
+        q, k = TopK + 1, nprobe = 2), qid)
+    }
+    info(f"ivf nprobe=2 recall@$TopK = $r%.3f")
+    assert(r >= 0.8, f"IVF recall $r%.3f below floor")
+  }
+
+  test("IVF probe (learned k-means, no label column) nprobe=2 recall@10 >= 0.8") {
+    val idx = tmpDir("recall-ivf-kmeans")
+    Similarity.buildIvfKmeans(corpus.drop("label"), "vec_id", "embedding", idx,
+      k = K, iters = 5)
+    val r = meanRecall { (qid, q) =>
+      dropSelf(Similarity.ivfProbe(spark, idx, "vec_id", "label", "embedding",
+        q, k = TopK + 1, nprobe = 2), qid)
+    }
+    info(f"ivf(kmeans) nprobe=2 recall@$TopK = $r%.3f")
+    assert(r >= 0.8, f"learned-quantizer IVF recall $r%.3f below floor")
+  }
+
+  test("kmeans assignment is deterministic and covers the corpus") {
+    val c1 = Similarity.kmeansCentroids(corpus.drop("label"), "vec_id", "embedding", K)
+    val c2 = Similarity.kmeansCentroids(corpus.drop("label"), "vec_id", "embedding", K)
+    assert(c1 == c2, "k-means must be run-to-run deterministic")
+    val assigned = corpus.withColumn("cell", Similarity.assignCell("embedding", c1))
+    assert(assigned.filter(col("cell").isNull).count() == 0)
+    // a learned coarse quantizer on well-separated planted clusters
+    // should populate most cells (no mode collapse)
+    assert(assigned.select("cell").distinct().count() >= K - 1)
+  }
+}
