@@ -73,6 +73,23 @@ object Bench {
     // the timed pass measures the co-located join, not a table rewrite.
     try SparkEntry.queries("bucketed_join")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // Index lifecycle: the probe queries are benched PROBE-ONLY — that
+    // is the operators' contract (build once, serve many) — but the
+    // build must be (a) measured, not hidden, and (b) paid THIS run: a
+    // fresh per-run index root keeps a previous run's tmpdir cache from
+    // silently serving, and the explicit pre-build below is timed and
+    // reported as index_build_sec alongside the probe timings.
+    System.setProperty("graft.index.dir",
+      java.nio.file.Files.createTempDirectory("graft-bench-index").toString)
+    val probeOnly = Seq("bm25_topk", "ivf_probe", "ivf_probe2", "ivf_probe_kmeans")
+    val indexBuildSec = {
+      val t0 = System.nanoTime()
+      probeOnly.foreach { n =>
+        SparkEntry.queries.get(n).foreach(fn =>
+          try fn(spark, sfDir).count() catch { case _: Throwable => () })
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
 
     def cleanSlate(): Unit = {
       // no cross-query cached blocks or pending old-gen garbage skewing
@@ -104,8 +121,25 @@ object Bench {
     // A query with no successful rep reports -1 (valid JSON, obviously
     // broken) and the collected error fails the run below.
     def finite(best: Double): Double = if (best.isInfinity) -1.0 else best
+    // Heavy queries jitter: on this VM a >1 s query's two reps can
+    // disagree ±40 % (r5→r6 flagged fake regressions on untouched
+    // code). When the min-of-reps estimator is that unstable — spread
+    // over 25 % of a >0.5 s best — one extra rep is run and the MEDIAN
+    // of the three reported; the affected names are listed in the
+    // output so round-over-round readers know which numbers changed
+    // estimator.
+    val medianed = scala.collection.mutable.ListBuffer.empty[String]
+    def measured(name: String, run: () => Unit): Double = {
+      val xs = (1 to reps).map(_ => timedRep(name, run))
+      val best = xs.min
+      val spread = if (best > 0 && !best.isInfinity) (xs.max - best) / best else 0.0
+      if (!best.isInfinity && best > 0.5 && spread > 0.25) {
+        medianed += name
+        (xs :+ timedRep(name, run)).sorted.apply(xs.size / 2)
+      } else best
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> finite((1 to reps).map(_ => timedRep(name, () => fn(spark, sfDir).count())).min)
+      name -> finite(measured(name, () => fn(spark, sfDir).count()))
     }
 
     // Growth pass: the gated queries at the smaller SF, same clean-slate
@@ -157,7 +191,7 @@ object Bench {
     val line = {
       val lineBudget = 1700 // < 2000-char tail − sbt prefix/suffix lines
       val head = s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","n_queries":${results.size},"queries":{"""
-      val tailFmt = s"""},"queries_omitted":NNN,"growth":$gsCompact,"sf":"$sfDir"}"""
+      val tailFmt = s"""},"queries_omitted":NNN,"index_build_sec":${jnum(indexBuildSec, 2)},"growth":$gsCompact,"sf":"$sfDir"}"""
       var used = head.length + tailFmt.length
       val kept = scala.collection.mutable.ListBuffer.empty[String]
       val bySlowest = results.toSeq.sortBy(-_._2)
@@ -168,7 +202,7 @@ object Bench {
         else omitted += 1
       }
       head + kept.mkString(",") +
-        s"""},"queries_omitted":$omitted,"growth":$gsCompact,"sf":"$sfDir"}"""
+        s"""},"queries_omitted":$omitted,"index_build_sec":${jnum(indexBuildSec, 2)},"growth":$gsCompact,"sf":"$sfDir"}"""
     }
     println(line)
     // Machine-readable full-precision copy, free of sbt's [info]/[error]
@@ -176,7 +210,11 @@ object Bench {
     // checkout works; SPARK_GRAFT_BENCH_OUT overrides.
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    },"growth":$gsFull,"growth_exponent":1.3,"sf":"$sfDir"}"""
+    },"growth":$gsFull,"growth_exponent":1.3,"index_build_sec":$indexBuildSec,"probe_only":${
+      probeOnly.map("\"" + _ + "\"").mkString("[", ",", "]")
+    },"median_estimator":${
+      medianed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    },"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")).toAbsolutePath
     java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
