@@ -133,6 +133,49 @@ object IndexStore {
     }
   }
 
+  /** Incremental (per-source-partition) lifecycle for APPEND-ONLY
+    * partitioned corpora — the Compaction posture applied to indexes:
+    * each immediate subdirectory of `sourceDir` (an hour partition, a
+    * `part=N` dir, …) gets its own fingerprinted index built by
+    * `buildPart` exactly once; the served index is `merge` over the
+    * committed part indexes, keyed by the SET of part fingerprints.
+    * Appending one hour therefore builds ONE part index and re-runs
+    * the merge (which for well-factored indexes is metadata-cheap —
+    * see [[Retrieval.mergeTextIndex]]), never re-tokenizing or
+    * re-laying-out closed hours. A rewritten part re-fingerprints and
+    * rebuilds alone; unchanged parts are cache hits across processes.
+    * Parts that disappear (TTL'd hours) drop out of the merge
+    * immediately; their orphaned part indexes linger under the root
+    * until swept manually (they are small relative to the corpus).
+    *
+    * `buildPart(partSourcePath, tmpPath)` and
+    * `merge(committedPartIndexPaths, tmpPath)` both write UNDER the
+    * path they are given; commits are handled here via [[ensure]].
+    */
+  def ensureIncremental(kind: String, spark: SparkSession, sourceDir: String)
+      (buildPart: (String, String) => Unit)
+      (merge: (Seq[String], String) => Unit): String = {
+    val p = new Path(sourceDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_")
+        && !st.getPath.getName.startsWith("."))
+      .map(_.getPath).sortBy(_.getName)
+    require(parts.nonEmpty, s"$sourceDir has no partition subdirectories")
+    val partIndexes = parts.map { part =>
+      // per-part kind: GC of one part's stale versions can never touch
+      // a sibling part ('-' is the kind/fingerprint separator, so the
+      // sanitized part name is embedded in the kind itself)
+      val partKind = s"${kind}p_${part.getName.replaceAll("[^A-Za-z0-9_]", "_")}"
+      ensure(partKind, spark, Seq(part.toString)) { tmp =>
+        buildPart(part.toString, tmp)
+      }
+    }
+    ensure(kind, spark, parts.map(_.toString)) { tmp =>
+      merge(partIndexes, tmp)
+    }
+  }
+
   /** Exclusive-create of the lock file: atomic on HDFS/local. */
   private def tryLock(fs: FileSystem, lockFile: Path): Boolean =
     try { fs.create(lockFile, false).close(); true }

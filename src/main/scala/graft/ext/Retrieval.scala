@@ -90,6 +90,82 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$path/corpus")
   }
 
+  /** Per-partition text-index build — the incremental-refresh unit
+    * ([[IndexStore.ensureIncremental]]): same postings layout as
+    * [[buildTextIndex]] (token-range-sorted, dl denormalized) over ONE
+    * source partition's documents, plus the partition's termdf and a
+    * corpus row carrying (n_docs, sum_dl) — the EXACTLY mergeable form
+    * of the corpus stats (sums, not the final average). Requires each
+    * document to live in exactly one partition (hour-partitioned
+    * corpora satisfy this by construction), so per-(doc, term) tf and
+    * per-doc dl never need cross-partition reconciliation.
+    */
+  def buildTextIndexPart(df: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    val docLen = df.select(col(idCol), size(split(col(textCol), "\\s+")).cast("long").as("dl"))
+    tokens(df, idCol, textCol)
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .join(docLen, idCol)
+      .select(col("token"), col(idCol), col("tf"), col("dl"))
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions, col("token"))
+      .sortWithinPartitions(col("token"), col(idCol))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    spark.read.parquet(s"$path/postings")
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/termdf")
+    docLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/corpus_partial")
+  }
+
+  /** Merge committed per-partition indexes into a probe-ready index
+    * with the [[buildTextIndex]] layout. The corpus-proportional table
+    * — postings — is merged by FILE COPY into `postings/part=N/`
+    * subdirs: zero reads, zero shuffles, zero re-tokenization; each
+    * file keeps its token-sorted row groups, so a probe's term filter
+    * prunes inside every part exactly as in a monolithic index (the
+    * `part` partition column rides along harmlessly). On a cluster
+    * store the copy becomes a metadata move (manifest/rename) — the
+    * layout is what matters. termdf and the corpus row re-aggregate
+    * from the VOCABULARY-sized part tables: token-summed df and
+    * sum(n_docs)/sum(sum_dl) → avgdl, which reproduces the monolithic
+    * build's stats exactly (integral sums; same division).
+    */
+  def mergeTextIndex(spark: SparkSession, partPaths: Seq[String], path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    partPaths.zipWithIndex.foreach { case (pp, i) =>
+      val src = new org.apache.hadoop.fs.Path(s"$pp/postings")
+      val dst = new org.apache.hadoop.fs.Path(s"$path/postings/part=$i")
+      val fs = src.getFileSystem(conf)
+      fs.mkdirs(dst.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    }
+    spark.read.parquet(partPaths.map(_ + "/termdf"): _*)
+      .groupBy(col("token")).agg(sum(col("df")).as("df"))
+      .write.mode("overwrite").parquet(s"$path/termdf")
+    val c = spark.read.parquet(partPaths.map(_ + "/corpus_partial"): _*)
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s")).head()
+    val (nDocs, sumDl) = (c.getLong(0), c.getLong(1))
+    val s = spark
+    import s.implicits._
+    Seq((nDocs, sumDl.toDouble / nDocs)).toDF("n_docs", "avgdl")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/corpus")
+  }
+
+  /** The incremental text index for an append-only partitioned corpus:
+    * per-partition builds + the metadata-cheap merge, through
+    * [[IndexStore.ensureIncremental]]. Appending an hour re-tokenizes
+    * ONLY that hour; probes ([[bm25Probe]]) are layout-identical to a
+    * monolithic [[buildTextIndex]].
+    */
+  def ensureIncrementalTextIndex(spark: SparkSession, kind: String,
+      sourceDir: String, idCol: String, textCol: String): String =
+    IndexStore.ensureIncremental(kind, spark, sourceDir) { (part, tmp) =>
+      buildTextIndexPart(spark.read.parquet(part), idCol, textCol, tmp)
+    } { (parts, tmp) => mergeTextIndex(spark, parts, tmp) }
+
   /** BM25 ranked retrieval against a [[buildTextIndex]] index: top-k
     * documents for `terms` with the standard Robertson/Sparck-Jones
     * formulation — idf = ln(1 + (N - df + ½)/(df + ½)), tf saturation

@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Incremental index refresh for append-only partitioned corpora:
+  * appending an hour builds ONLY that hour's part index (the closed
+  * hours are fingerprint cache hits), and the merged index probes
+  * identically to a monolithic full rebuild.
+  */
+class IncrementalIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private val terms = Seq("the", "of", "and")
+
+  test("appending a partition rebuilds only that partition; probe equals full rebuild") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").cache()
+    val src = tmpDir("inc-src")
+    // two "closed hours" of the corpus
+    docs.filter(col("doc_id") % 3 === 0).write.parquet(s"$src/part=0")
+    docs.filter(col("doc_id") % 3 === 1).write.parquet(s"$src/part=1")
+
+    var partBuilds = 0
+    def ensureInc(): String =
+      IndexStore.ensureIncremental("inctext", spark, src) { (part, tmp) =>
+        partBuilds += 1
+        Retrieval.buildTextIndexPart(spark.read.parquet(part), "doc_id", "text", tmp)
+      } { (parts, tmp) => Retrieval.mergeTextIndex(spark, parts, tmp) }
+
+    val i1 = ensureInc()
+    assert(partBuilds == 2)
+    // idempotent: nothing rebuilt, same committed path
+    assert(ensureInc() == i1 && partBuilds == 2)
+    // probe over the merged index == one-shot over the same corpus
+    val twoThirds = docs.filter(col("doc_id") % 3 =!= 2)
+    assert(Retrieval.bm25Probe(spark, i1, "doc_id", terms)
+      .as[(Long, Double)].collect().toSeq
+      == Retrieval.bm25TopK(twoThirds, "doc_id", "text", terms)
+        .as[(Long, Double)].collect().toSeq)
+
+    // --- a new hour arrives
+    docs.filter(col("doc_id") % 3 === 2).write.parquet(s"$src/part=2")
+    val i2 = ensureInc()
+    assert(partBuilds == 3, "only the appended partition may build")
+    assert(i2 != i1, "merged index is keyed by the partition-fingerprint set")
+    val probed = Retrieval.bm25Probe(spark, i2, "doc_id", terms)
+      .as[(Long, Double)].collect().toSeq
+    val full = Retrieval.bm25TopK(docs, "doc_id", "text", terms)
+      .as[(Long, Double)].collect().toSeq
+    assert(probed == full, "incremental merge must probe identically to a full rebuild")
+
+    // and against a from-scratch monolithic buildTextIndex, same layout contract
+    val mono = tmpDir("inc-mono")
+    Retrieval.buildTextIndex(docs, "doc_id", "text", mono)
+    assert(Retrieval.bm25Probe(spark, mono, "doc_id", terms)
+      .as[(Long, Double)].collect().toSeq == probed)
+  }
+}
