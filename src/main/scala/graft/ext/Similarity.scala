@@ -305,6 +305,79 @@ object Similarity {
       .write.mode("overwrite").partitionBy(labelCol).parquet(s"$path/vectors")
   }
 
+  /** Per-partition IVF build against a FROZEN coarse quantizer — the
+    * incremental-refresh unit ([[IndexStore.ensureIncremental]]) and
+    * the standard ANN posture for append-only corpora: the quantizer
+    * is learned once ([[kmeansCentroids]] on the initial corpus), new
+    * hours are ASSIGNED to the existing cells (one codegen'd
+    * [[assignCell]] pass), and only a periodic full rebuild moves the
+    * cells. Writes the partition's cell-partitioned vectors plus the
+    * EXACTLY mergeable centroid form — per-cell (count, dim-sums), so
+    * the merged index serves the true per-cell means, same as a
+    * monolithic [[buildIvf]] over the combined corpus.
+    */
+  def buildIvfPart(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], path: String): Unit = {
+    val labeled = df.withColumn("label", assignCell(vecCol, centroids))
+    labeled.select(col(idCol), col(vecCol), col("label"))
+      .write.mode("overwrite").partitionBy("label").parquet(s"$path/vectors")
+    labeled
+      .select(col("label"), posexplode(toDoubleArr(col(vecCol))).as(Seq("i", "v")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(
+        max(col("n")).as("n"), // rows per (cell, dim) are the cell size
+        transform(array_sort(collect_list(struct(col("i"), col("s")))),
+          x => x.getField("s")).as("sums"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroid_partial")
+  }
+
+  /** Merge committed per-partition IVF indexes into a probe-ready
+    * [[buildIvf]]-layout index. Vectors — the corpus-proportional
+    * table — merge by FILE COPY into `vectors/part=N/label=…` (zero
+    * reads; the probe's cell filter partition-prunes across every
+    * part, the extra `part` column rides along harmlessly). Centroids
+    * re-derive from the K-row summable partials: Σsums/Σcount per
+    * cell — the true combined-corpus means, so cell ranking matches a
+    * monolithic rebuild.
+    */
+  def mergeIvf(spark: org.apache.spark.sql.SparkSession,
+      partPaths: Seq[String], path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    partPaths.zipWithIndex.foreach { case (pp, i) =>
+      val src = new org.apache.hadoop.fs.Path(s"$pp/vectors")
+      val dst = new org.apache.hadoop.fs.Path(s"$path/vectors/part=$i")
+      val fs = src.getFileSystem(conf)
+      fs.mkdirs(dst.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    }
+    spark.read.parquet(partPaths.map(_ + "/centroid_partial"): _*)
+      .select(col("label"), col("n"), posexplode(col("sums")).as(Seq("i", "s")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("s"), col("n")))),
+        x => x.getField("s") / x.getField("n")).as("centroid"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** The incremental IVF index for an append-only partitioned corpus:
+    * frozen-quantizer per-partition builds + metadata-cheap merge via
+    * [[IndexStore.ensureIncremental]]. Appending an hour assigns ONLY
+    * that hour's vectors; probes ([[ivfProbe]]) are layout-identical
+    * to a monolithic [[buildIvf]] over the combined corpus with the
+    * same assignment.
+    */
+  def ensureIncrementalIvf(spark: org.apache.spark.sql.SparkSession, kind: String,
+      sourceDir: String, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]]): String =
+    IndexStore.ensureIncremental(kind, spark, sourceDir) { (part, tmp) =>
+      buildIvfPart(spark.read.parquet(part), idCol, vecCol, centroids, tmp)
+    } { (parts, tmp) => mergeIvf(spark, parts, tmp) }
+
   /** IVF probe against a [[buildIvf]] index: rank cells by centroid
     * score against the query (the query norm is constant across cells
     * so it cancels), then exact cosine top-k within the `nprobe` best

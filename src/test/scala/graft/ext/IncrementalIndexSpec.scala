@@ -57,4 +57,49 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(Retrieval.bm25Probe(spark, mono, "doc_id", terms)
       .as[(Long, Double)].collect().toSeq == probed)
   }
+
+  test("incremental IVF (frozen quantizer): append assigns one partition; probe equals monolithic") {
+    val all = ClusterFixture.clustered(spark, 600, 24, 6).cache()
+    val src = tmpDir("inc-ivf-src")
+    all.filter(col("vec_id") % 3 === 0).drop("label").write.parquet(s"$src/part=0")
+    all.filter(col("vec_id") % 3 === 1).drop("label").write.parquet(s"$src/part=1")
+    // the quantizer is learned ONCE on the initial corpus and frozen;
+    // appended hours are assigned to its cells
+    val initial = all.filter(col("vec_id") % 3 =!= 2).drop("label")
+    val cents = Similarity.kmeansCentroids(initial, "vec_id", "embedding", k = 6)
+
+    var partBuilds = 0
+    def ensureInc(): String =
+      IndexStore.ensureIncremental("incivf", spark, src) { (part, tmp) =>
+        partBuilds += 1
+        Similarity.buildIvfPart(spark.read.parquet(part), "vec_id", "embedding", cents, tmp)
+      } { (parts, tmp) => Similarity.mergeIvf(spark, parts, tmp) }
+
+    def probe(idx: String, nprobe: Int): Seq[(Long, Double)] = {
+      val q = all.filter(col("vec_id") === 0)
+        .select(Similarity.toDoubleArr(col("embedding"))).head().getSeq[Double](0).toSeq
+      Similarity.ivfProbe(spark, idx, "vec_id", "label", "embedding", q,
+        k = 10, nprobe = nprobe).as[(Long, Double)].collect().toSeq
+    }
+
+    val i1 = ensureInc()
+    assert(partBuilds == 2)
+    assert(ensureInc() == i1 && partBuilds == 2) // idempotent cache hit
+    // monolithic twin: same frozen assignment over the same corpus
+    val mono1 = tmpDir("inc-ivf-mono1")
+    Similarity.buildIvf(
+      initial.withColumn("label", Similarity.assignCell("embedding", cents)),
+      "vec_id", "label", "embedding", mono1)
+    (1 to 3).foreach(np => assert(probe(i1, np) == probe(mono1, np), s"nprobe=$np"))
+
+    // --- a new hour of vectors arrives
+    all.filter(col("vec_id") % 3 === 2).drop("label").write.parquet(s"$src/part=2")
+    val i2 = ensureInc()
+    assert(partBuilds == 3, "only the appended partition may build")
+    val mono2 = tmpDir("inc-ivf-mono2")
+    Similarity.buildIvf(
+      all.drop("label").withColumn("label", Similarity.assignCell("embedding", cents)),
+      "vec_id", "label", "embedding", mono2)
+    (1 to 3).foreach(np => assert(probe(i2, np) == probe(mono2, np), s"nprobe=$np"))
+  }
 }
