@@ -91,15 +91,24 @@ object Dedup {
     * join.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame =
+    lshPairsFromShingles(hashedShingles(df, idCol, textCol, shingleN), idCol, k, bands)
+
+  /** [[minhashLshPairs]] over an already-hashed shingle set (id, h) —
+    * the shared-subtree form: callers that also verify ([[verifyCandidates]])
+    * pass the SAME shingle DataFrame to both stages, so the shingle
+    * explode + distinct (the pipeline's one wide, corpus-proportional
+    * shuffle) has ONE canonical subtree in the final plan and Spark's
+    * exchange reuse executes it once for every consumer.
+    */
+  private[ext] def lshPairsFromShingles(sh: DataFrame, idCol: String,
+      k: Int = 16, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
     val minCols = (0 until k).map { j =>
       min((col("h") * (2 * j + 1) + j * 7919 + 1) % MersennePrime).as(s"mh$j")
     }
-    val sigs = hashedShingles(df, idCol, textCol, shingleN)
-      .groupBy(col(idCol))
-      .agg(minCols.head, minCols.tail: _*)
+    val sigs = sh.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
     val stackArgs = (0 until bands).map { b =>
       val slots = (0 until rows).map(r => s"mh${b * rows + r}")
       s"${b}L, concat_ws(',', ${slots.mkString(", ")})"
@@ -121,16 +130,22 @@ object Dedup {
     * sizes) match exactly.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
-    // No .cache(): the shingle set is used three times, but at corpus
-    // scale pinning it in executor memory evicts more useful blocks and
-    // the recompute is one narrow codegen stage over the scan. Spark
-    // reuses the shuffle output of the distinct() across the three
-    // consumers anyway (ReusedExchange), which is the cheap 90% of it —
-    // and that shuffle carries 8-byte hashes, not shingle strings
-    // (hashedShingles hashes BEFORE the distinct).
-    val sh = hashedShingles(df, idCol, textCol, shingleN)
-      .withColumnRenamed("h", "shingle")
+      threshold: Double = 0.8, shingleN: Int = 3): DataFrame =
+    jaccardFromShingles(
+      hashedShingles(df, idCol, textCol, shingleN).withColumnRenamed("h", "shingle"),
+      idCol, threshold)
+
+  /** Exact Jaccard over an already-hashed shingle set (id, shingle) —
+    * the shared-subtree form (see [[lshPairsFromShingles]]). No
+    * .cache(): the shingle set is referenced three times (sizes and
+    * both join sides), but all three references are the SAME canonical
+    * subtree, so its distinct's shuffle plans once and exchange reuse
+    * serves every consumer from the one shuffle output — which carries
+    * 8-byte hashes, not shingle strings (hashedShingles hashes BEFORE
+    * the distinct).
+    */
+  private[ext] def jaccardFromShingles(sh: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"),
@@ -149,14 +164,26 @@ object Dedup {
   /** Scale-path composition: exact-verify only the LSH candidates.
     * Returns candidate pairs annotated with exact Jaccard, filtered at
     * `threshold` — the production near-dup pipeline in one call.
+    *
+    * ONE shingle pipeline feeds both stages: the candidate generator's
+    * min-hash signatures and the verifier's Jaccard sets derive from
+    * the same `hashedShingles` subtree (the verifier's view is a
+    * candidate-id semi-join of it, NOT a re-shingling of the candidate
+    * documents), so the corpus-proportional explode + distinct shuffle
+    * is planned once and exchange-reused — previously the verify side
+    * re-shingled a `df`-semi-join subset, a structurally different
+    * subtree Spark could not reuse, and the full LSH pipeline executed
+    * again inside it.
     */
   def verifyCandidates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, k: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
-    val cands = minhashLshPairs(df, idCol, textCol, k, bands, shingleN)
-    val ids = cands.select(col(s"${idCol}_a").as(idCol))
-      .union(cands.select(col(s"${idCol}_b").as(idCol))).distinct()
-    val subset = df.join(ids, Seq(idCol), "left_semi")
-    ngramJaccardPairs(subset, idCol, textCol, threshold, shingleN)
+    val sh = hashedShingles(df, idCol, textCol, shingleN)
+    val cands = lshPairsFromShingles(sh, idCol, k, bands)
+    val ids = cands
+      .select(explode(array(col(s"${idCol}_a"), col(s"${idCol}_b"))).as(idCol))
+      .distinct()
+    val shC = sh.join(ids, Seq(idCol), "left_semi").withColumnRenamed("h", "shingle")
+    jaccardFromShingles(shC, idCol, threshold)
       .join(cands, Seq(s"${idCol}_a", s"${idCol}_b"), "left_semi")
   }
 
