@@ -95,6 +95,28 @@ object ScaleSmoke {
         f"($rows rows intact)")
     }
 
+    // --- generation resolution overhead: with a dozen compacted hours
+    // (superseded live copies still on disk pre-vacuum) the resolved
+    // read must cost the same class as the plain one — resolution is a
+    // single root listing + a per-hour max, never a data pass.
+    {
+      val rewritten = 1 + (11L to 22L).count { h =>
+        val (b, a) = graft.store.Compaction.compactHour(spark, table, h, force = true)
+        b != a || b > 0
+      }
+      val t = System.nanoTime()
+      val both = EventsTable.read(spark, table).count()
+      val dualSec = (System.nanoTime() - t) / 1e9
+      val swept = graft.store.Compaction.vacuum(spark, table, graceMs = -1).size
+      val t2 = System.nanoTime()
+      val afterVac = EventsTable.read(spark, table).count()
+      val vacSec = (System.nanoTime() - t2) / 1e9
+      require(both == full && afterVac == full,
+        s"generation resolution changed row count: $full → $both/$afterVac")
+      println(f"[scale] resolved read, $rewritten compacted hours: pre-vacuum $dualSec%.2fs, " +
+        f"post-vacuum ($swept dirs swept) $vacSec%.2fs — rows intact at $full")
+    }
+
     val batch = spark.range(1000000).select(
       col("id").as("arrival"), concat(lit("d"), col("id") % 97).as("did"))
     batch.cache().count()
