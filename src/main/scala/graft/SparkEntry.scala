@@ -124,6 +124,9 @@ object SparkEntry {
     // learned-quantizer probe: no oracle by design (iterative FP k-means
     // isn't SQL-expressible); gated by RecallSpec's recall floor instead
     "ivf_probe_kmeans"   -> ExtQueries.ivfProbeKmeans _,
+    // --- round 7: sub-document boilerplate dedup + PII scrubbing
+    "chunk_dedup"        -> ExtQueries.chunkDedup _,
+    "pii_redact"         -> ExtQueries.piiRedact _,
     "payload_chunks"     -> ExtQueries.payloadChunks _,
     // --- round 4: retrieval, LM-quality, corpus-shrink, export ops
     "inverted_index"     -> ExtQueries.invertedIndex _,
@@ -782,6 +785,43 @@ object SparkEntry {
         |       len(regexp_extract_all(props, '[0-9]+'))::BIGINT AS n_digit_runs,
         |       regexp_matches(props, '"k": [0-9]{2}') AS two_digit_k
         |FROM events""".stripMargin,
+    "chunk_dedup" ->
+      // word-aligned 10-word chunks; corpus-frequency >= 3 on the
+      // md5-derived 32-bit chunk hash = boilerplate, dropped from every
+      // doc; numbers-table bound derived from the longest document
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, g.i AS pos,
+        |             array_to_string(ws[g.i*10+1 : g.i*10+10], ' ') AS chunk
+        |      FROM w, (SELECT unnest(range(0, (SELECT CAST(ceil(max(len(string_split(text, ' '))) / 10.0) AS BIGINT)
+        |                                       FROM documents))) AS i) g
+        |      WHERE g.i*10 < len(ws)),
+        |h AS (SELECT doc_id, pos, chunk,
+        |             ('0x' || substr(md5(chunk), 1, 8))::BIGINT AS hh FROM c),
+        |cnt AS (SELECT hh, count(*) AS n FROM h GROUP BY 1)
+        |SELECT doc_id,
+        |       coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE n < 3), '') AS clean_text,
+        |       count(*)::BIGINT AS n_chunks,
+        |       (count(*) FILTER (WHERE n >= 3))::BIGINT AS n_dropped
+        |FROM h JOIN cnt USING (hh)
+        |GROUP BY doc_id""".stripMargin,
+    "pii_redact" ->
+      // patterns restricted to the Java-regex ∩ RE2 common dialect;
+      // DuckDB regexp_replace needs the 'g' flag to match Spark's
+      // replace-all semantics
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         text || ' contact u' || doc_id || '@example.com via +1555000'
+        |              || (doc_id % 90 + 10) || ' from 10.0.' || (doc_id % 256) || '.7' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(regexp_replace(regexp_replace(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |         '\+\d{8,15}', '[PHONE]', 'g') AS redacted,
+        |       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |       len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+        |       len(regexp_extract_all(text, '\+\d{8,15}'))::BIGINT AS n_phones
+        |FROM t""".stripMargin,
     "set_except_all" ->
       """WITH v AS (SELECT user_id, ts::DATE AS event_date FROM events
         |           WHERE event_type = 'view'),

@@ -187,6 +187,51 @@ object Dedup {
       .join(cands, Seq(s"${idCol}_a", s"${idCol}_b"), "left_semi")
   }
 
+  /** Sub-document boilerplate removal (the C4/CCNet line-level dedup,
+    * adapted to word-aligned CHUNKS since the corpus is unstructured
+    * text): any `chunkWords`-word chunk appearing ≥ `boilerplateK`
+    * times across the corpus is boilerplate (headers, footers,
+    * templates, lorem) and is dropped from every document; documents
+    * are reassembled from their surviving chunks in order.
+    *
+    * Scale shape: chunking is narrow (one explode); the frequency
+    * count shuffles 8-byte chunk hashes with map-side combine; the
+    * boilerplate SET (chunks at count ≥ k) is small by construction —
+    * broadcast — so the drop is a broadcast anti-probe, not a join of
+    * the corpus against the full frequency table; reassembly is one
+    * groupBy on the doc id. Two corpus passes total, like every
+    * counting dedup.
+    *
+    * Returns (idCol, clean_text, n_chunks, n_dropped) — one row per
+    * input document, `clean_text` empty when everything was
+    * boilerplate.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 10, boilerplateK: Int = 3): DataFrame = {
+    val c = chunkWords
+    val chunks = df
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(w) / $c.0D) as int) - 1)," +
+          s" i -> concat_ws(' ', slice(w, i * $c + 1, $c)))")).as(Seq("pos", "chunk")))
+      .withColumn("h", h32(col("chunk")))
+    val boiler = chunks.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= boilerplateK)
+      .select(col("h"), lit(true).as("__boiler"))
+    chunks
+      .join(broadcast(boiler), Seq("h"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list( // nulls (boilerplate) drop out
+              when(col("__boiler").isNull, struct(col("pos"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_chunks"),
+        count(when(col("__boiler").isNotNull, 1)).as("n_dropped"))
+  }
+
   /** Benchmark decontamination (the n-gram-overlap check every
     * pretraining pipeline runs before training): corpus documents that
     * share at least one word n-gram with any document of `bench` are

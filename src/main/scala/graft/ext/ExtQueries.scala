@@ -239,6 +239,29 @@ object ExtQueries {
   def shardAssign(spark: SparkSession, dir: String): DataFrame =
     Sampling.shardStats(Tables.documents(spark, dir), "doc_id", "n_chars")
 
+  /** E1 — sub-document boilerplate removal ([[Dedup.chunkDedup]]):
+    * 10-word chunks repeated ≥3 times across the corpus are dropped
+    * from every document (the C4/CCNet line-dedup, word-chunk form).
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDedup(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** E3 — PII scrubbing ([[TextStats.redactPii]]). The fixture text
+    * carries no PII, so each doc is salted with a deterministic email
+    * + phone + IPv4 (derived from doc_id, reproduced verbatim by the
+    * oracle) — the redaction and its audit counts are then exercised
+    * for real on every row.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      concat(col("text"),
+        lit(" contact u"), col("doc_id"), lit("@example.com via +1555000"),
+        col("doc_id") % 90 + 10,
+        lit(" from 10.0."), col("doc_id") % 256, lit(".7")).as("text"))
+    TextStats.redactPii(withPii, "doc_id", "text")
+  }
+
   /** E1 — canonical representative + pruned-weight accounting per
     * near-dup component ([[Dedup.componentReps]] over the same verified
     * pairs as `dedup_components`).

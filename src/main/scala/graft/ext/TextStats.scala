@@ -239,4 +239,35 @@ object TextStats {
       .filter(col(valueCol) >= col("__thr"))
       .drop("__thr")
   }
+
+  /** PII pattern set shared with the oracle: every pattern is valid and
+    * equivalent under BOTH Java regex (Spark) and RE2 (DuckDB) — no
+    * backreferences, no lookaround, only classes/quantifiers the two
+    * dialects agree on.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\+\\d{8,15}"
+
+  /** PII scrubbing — the redaction pass every shared training corpus
+    * runs before release: emails, IPv4 addresses and +international
+    * phone numbers are replaced with typed placeholder tags, and each
+    * category's match count is reported per document (the audit
+    * signal; a spike flags a source for review). Pure row-local
+    * regexp work: narrow, codegen'd, no shuffle — at 100 TB this is
+    * scan-bound like every other row transform. Replacement order is
+    * email → IP → phone so no earlier tag's text can feed a later
+    * pattern.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailPattern, "[EMAIL]"),
+          Ipv4Pattern, "[IP]"),
+        PhonePattern, "[PHONE]").as("redacted"),
+      regexp_count(col(textCol), lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      regexp_count(col(textCol), lit(PhonePattern)).cast("long").as("n_phones"))
 }

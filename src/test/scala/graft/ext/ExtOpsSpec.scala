@@ -293,4 +293,35 @@ class ExtOpsSpec extends SparkSpec {
       .groupBy("id").count().as[(Long, Long)].collect().toMap
     assert(capped == Map(1L -> 2L, 2L -> 1L)) // per-video cap applies
   }
+
+  test("chunkDedup drops corpus-repeated chunks, reassembles the rest in order") {
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // one exact 10-word chunk
+    val docs = Seq(
+      (1L, s"$boiler u1 u2 u3"),
+      (2L, s"$boiler v1 v2"),
+      (3L, s"$boiler w1"),
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11")).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", chunkWords = 10, boilerplateK = 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "u1 u2 u3", 2L, 1L), // boilerplate chunk dropped, tail survives
+      (2L, "v1 v2", 2L, 1L),
+      (3L, "w1", 2L, 1L),
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11", 2L, 0L))) // unique: intact
+    // a doc that is ALL boilerplate reduces to the empty string
+    val all = Dedup.chunkDedup(
+      Seq((1L, boiler), (2L, boiler), (3L, boiler)).toDF("doc_id", "text"),
+      "doc_id", "text", chunkWords = 10, boilerplateK = 3)
+    assert(all.filter(col("clean_text") === "").count() == 3)
+  }
+
+  test("redactPii replaces every occurrence and reports audit counts") {
+    val out = TextStats.redactPii(Seq(
+      (1L, "mail a@b.io and c.d+x@e-f.org call +4915512345678 from 10.0.0.1 or 192.168.1.255"),
+      (2L, "clean text, no pii at all")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L,
+      "mail [EMAIL] and [EMAIL] call [PHONE] from [IP] or [IP]", 2L, 2L, 1L)))
+    assert(out(1) == ((2L, "clean text, no pii at all", 0L, 0L, 0L)))
+  }
 }
