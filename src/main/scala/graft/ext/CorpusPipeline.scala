@@ -13,14 +13,20 @@ import graft.Tables
   *   1. quality gates: Gopher rules ∧ per-language percentile gate —
   *      cheap row-local signals first, so later (join-heavy) stages see
   *      the smallest surviving corpus;
-  *   2. exact dedup: one doc per content digest (hash-groupBy);
-  *   3. near-dup prune: MinHash-LSH candidates → exact-Jaccard verify →
+  *   2. boilerplate removal: corpus-frequent word chunks dropped from
+  *      every document (chunkDedup), all-boilerplate docs removed —
+  *      BEFORE content dedup, so templated shells don't mask distinct
+  *      payloads (and duplicated cores surface as exact dups);
+  *   3. exact dedup: one doc per content digest (hash-groupBy);
+  *   4. near-dup prune: MinHash-LSH candidates → exact-Jaccard verify →
   *      connected components → keep each cluster's representative;
-  *   4. decontamination: drop docs sharing any 3-gram with the held-out
+  *   5. decontamination: drop docs sharing any 3-gram with the held-out
   *      benchmark set (broadcast probe);
-  *   5. sequence packing: per-source contiguous token packing into
+  *   6. PII scrubbing: typed redaction over the surviving corpus (run
+  *      late — no cycles spent scrubbing docs other stages drop);
+  *   7. sequence packing: per-source contiguous token packing into
   *      fixed budgets;
-  *   6. deterministic hash-shard export with a manifest.
+  *   8. deterministic hash-shard export with a manifest.
   *
   * Stage ORDER is the scale argument: stages 1-2 are narrow scans /
   * single-shuffle aggregates that typically drop most of a web corpus,
@@ -83,15 +89,24 @@ object CorpusPipeline {
         .join(topPerLang, Seq("doc_id"), "left_semi")
     }
 
-    // 2. exact dedup — keep the canonical (min id) of each digest
-    val exactDeduped = staged("exact_dedup", gated) { d =>
+    // 2. boilerplate removal — rewrite each doc to its non-boilerplate
+    // chunks; docs that were ALL boilerplate drop out
+    val deboiled = staged("boilerplate", gated) { d =>
+      d.drop("text")
+        .join(Dedup.chunkDedup(d, "doc_id", "text")
+          .select(col("doc_id"), col("clean_text").as("text")), "doc_id")
+        .filter(col("text") =!= "")
+    }
+
+    // 3. exact dedup — keep the canonical (min id) of each digest
+    val exactDeduped = staged("exact_dedup", deboiled) { d =>
       d.join(
         Dedup.exact(d, "doc_id", "text")
           .select(col("canonical_doc_id").as("doc_id")),
         Seq("doc_id"), "left_semi")
     }
 
-    // 3. near-dup prune — LSH→verify→components; drop non-representatives
+    // 4. near-dup prune — LSH→verify→components; drop non-representatives
     val nearDeduped = staged("neardup_prune", exactDeduped) { d =>
       val comps = Dedup.connectedComponents(
         Dedup.verifyCandidates(d, "doc_id", "text", threshold = 0.8),
@@ -101,7 +116,7 @@ object CorpusPipeline {
       d.join(dropped, Seq("doc_id"), "left_anti")
     }
 
-    // 4. decontamination — held-out set = doc_id % 50 == 0 (the same
+    // 5. decontamination — held-out set = doc_id % 50 == 0 (the same
     // convention as the decontam_flags oracle query)
     val decontaminated = staged("decontam", nearDeduped) { d =>
       val corpus = d.filter(col("doc_id") % 50 =!= 0)
@@ -111,8 +126,15 @@ object CorpusPipeline {
       corpus.join(contaminated, Seq("doc_id"), "left_anti")
     }
 
-    // 5. sequence packing — contiguous per-source fixed-budget packs
-    val packed = staged("sequence_pack", decontaminated) { d =>
+    // 6. PII scrubbing — typed redaction on the survivors only
+    val scrubbed = staged("pii_redact", decontaminated) { d =>
+      d.drop("text")
+        .join(TextStats.redactPii(d, "doc_id", "text")
+          .select(col("doc_id"), col("redacted").as("text")), "doc_id")
+    }
+
+    // 7. sequence packing — contiguous per-source fixed-budget packs
+    val packed = staged("sequence_pack", scrubbed) { d =>
       d.join(
         TextStats.sequencePack(d, "doc_id", "text", groupCol = "source",
           budget = packBudget)
@@ -120,7 +142,7 @@ object CorpusPipeline {
         "doc_id")
     }
 
-    // 6. shard export — hash-sharded parquet + manifest. Writers are
+    // 8. shard export — hash-sharded parquet + manifest. Writers are
     // per-shard independent; placement is a pure row-local function.
     // Both writes read the cached `packed`; the export count is taken
     // from the WRITTEN shards (footer row counts, no data scan), never

@@ -17,13 +17,15 @@ class CorpusPipelineSpec extends SparkSpec {
     val stages = CorpusPipeline.run(spark, sf, out, nShards = 4)
 
     val byName = stages.map(s => s.stage -> s).toMap
-    assert(stages.map(_.stage) == Seq("quality_gates", "exact_dedup",
-      "neardup_prune", "decontam", "sequence_pack", "shard_export"))
-    // every filtering stage shrinks (or holds); packing adds columns only
-    Seq("quality_gates", "exact_dedup", "neardup_prune", "decontam").foreach { s =>
-      assert(byName(s).docsOut <= byName(s).docsIn, s)
+    assert(stages.map(_.stage) == Seq("quality_gates", "boilerplate", "exact_dedup",
+      "neardup_prune", "decontam", "pii_redact", "sequence_pack", "shard_export"))
+    // every filtering stage shrinks (or holds); scrubbing and packing
+    // rewrite/annotate rows without dropping any
+    Seq("quality_gates", "boilerplate", "exact_dedup", "neardup_prune", "decontam")
+      .foreach { s => assert(byName(s).docsOut <= byName(s).docsIn, s) }
+    Seq("pii_redact", "sequence_pack").foreach { s =>
+      assert(byName(s).docsOut == byName(s).docsIn, s)
     }
-    assert(byName("sequence_pack").docsOut == byName("sequence_pack").docsIn)
     // stage chaining: each stage's input is the previous stage's output
     assert(stages.sliding(2).forall { case Seq(a, b) => b.docsIn == a.docsOut })
     // something must survive the whole gauntlet on the fixture
@@ -63,15 +65,17 @@ class CorpusPipelineSpec extends SparkSpec {
       // stage + connected-components' iterate/collect jobs + two export
       // writes + the written-parquet count, with AQE splitting multi-
       // shuffle counts into per-exchange sub-jobs. Measured on this
-      // fixture: single-pass = 67 jobs; the round-6 implementation —
-      // uncached in.count()/out.count() re-running the whole upstream
-      // DAG (LSH + components included) per stage, plus a post-write
-      // sharded.count() — measured 254. A re-execution regression busts
-      // this pin immediately.
-      assert(n <= 80, s"corpus pipeline ran $n jobs — stage lineage is re-executing")
+      // fixture: single-pass = 73 jobs for the 8-stage pipeline (67 at
+      // 6 stages); the round-6 implementation — uncached
+      // in.count()/out.count() re-running the whole upstream DAG (LSH +
+      // components included) per stage, plus a post-write
+      // sharded.count() — measured 254 at 6 stages. A re-execution
+      // regression busts this pin immediately.
+      info(s"pipeline ran $n jobs")
+      assert(n <= 95, s"corpus pipeline ran $n jobs — stage lineage is re-executing")
       // and the accounting itself must be unchanged by how it is taken
-      assert(stages.map(_.stage) == Seq("quality_gates", "exact_dedup",
-        "neardup_prune", "decontam", "sequence_pack", "shard_export"))
+      assert(stages.map(_.stage) == Seq("quality_gates", "boilerplate", "exact_dedup",
+        "neardup_prune", "decontam", "pii_redact", "sequence_pack", "shard_export"))
       assert(stages.sliding(2).forall { case Seq(a, b) => b.docsIn == a.docsOut })
     } finally spark.sparkContext.removeSparkListener(listener)
   }
