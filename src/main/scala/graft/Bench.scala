@@ -27,7 +27,7 @@ object Bench {
   val GrowthGated: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_verified",
     "dedup_components", "simhash_hamming", "dedup_embed_cosine",
-    "semdedup_prune")
+    "semdedup_prune", "chunk_dedup")
 
   /** Growth-budget violations: queries whose big-SF time exceeds
     * max(smallSec, floorSec) × rowsRatio^exponent. The floor keeps a
