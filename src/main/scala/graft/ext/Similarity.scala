@@ -234,6 +234,51 @@ object Similarity {
     array_max(array(scored: _*)).getField("j")
   }
 
+  /** argmax-cosine assignment via a broadcast centroid TABLE — the
+    * large-K twin of [[assignCell]] (literal codegen tops out around a
+    * few hundred cells; a 100 TB corpus' coarse quantizer has tens of
+    * thousands). One broadcast nested-loop pass streams corpus×K scored
+    * rows into a map-side-combined max(struct(score, cell)) keyed on
+    * the id — the shuffle carries one 16-byte row per vector, never the
+    * vectors themselves. Tie behavior matches [[assignCell]] exactly
+    * (struct ordering: higher cell index wins equal scores). Returns
+    * the (idCol, label) assignment table.
+    */
+  def assignCellsJoin(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    require(centroids.nonEmpty)
+    val s = df.sparkSession
+    import s.implicits._
+    val cents = centroids.zipWithIndex.map { case (c, j) =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      (j, c, if (n > 0) n else 1.0)
+    }.toDF("__j", "__c", "__n")
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("__s", dot(col(vecCol), col("__c")) / col("__n"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__s"), col("__j"))).getField("__j").as("label"))
+  }
+
+  /** Cell labels attached to every row, picking the assignment form by
+    * K: the codegen'd literal argmax under [[LiteralAssignMaxK]] cells,
+    * the broadcast-join form above it.
+    */
+  def withCellLabels(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], labelCol: String = "label"): DataFrame =
+    if (centroids.size <= LiteralAssignMaxK)
+      df.withColumn(labelCol, assignCell(vecCol, centroids))
+    else df.join(
+      assignCellsJoin(df, idCol, vecCol, centroids)
+        .withColumnRenamed("label", labelCol),
+      idCol)
+
+  /** Above this many cells, assignment switches from K literal
+    * expressions (one giant codegen'd projection) to the broadcast
+    * centroid-table join.
+    */
+  val LiteralAssignMaxK = 256
+
   /** Deterministic spherical k-means — the LEARNED coarse quantizer for
     * [[buildIvfKmeans]] when the corpus carries no precomputed cell
     * assignment. Init is a hash-ordered sample (md5 over the id:
@@ -254,7 +299,7 @@ object Similarity {
       .collect().map(_.getSeq[Double](1)).toIndexedSeq
     (1 to iters).foreach { _ =>
       val next = centroidComponents(
-        df.withColumn("__cell", assignCell(vecCol, cents)), "__cell", vecCol)
+        withCellLabels(df, idCol, vecCol, cents, "__cell"), "__cell", vecCol)
         .groupBy(col("__cell"))
         .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
           s => s.getField("c")).as("centroid"))
@@ -274,8 +319,7 @@ object Similarity {
   def buildIvfKmeans(df: DataFrame, idCol: String, vecCol: String, path: String,
       k: Int, iters: Int = 5): Unit = {
     val cents = kmeansCentroids(df, idCol, vecCol, k, iters)
-    buildIvf(df.withColumn("label", assignCell(vecCol, cents)),
-      idCol, "label", vecCol, path)
+    buildIvf(withCellLabels(df, idCol, vecCol, cents), idCol, "label", vecCol, path)
   }
 
   /** IVF index build — pay the layout cost ONCE (the posture of the
@@ -318,7 +362,7 @@ object Similarity {
     */
   def buildIvfPart(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], path: String): Unit = {
-    val labeled = df.withColumn("label", assignCell(vecCol, centroids))
+    val labeled = withCellLabels(df, idCol, vecCol, centroids)
     labeled.select(col(idCol), col(vecCol), col("label"))
       .write.mode("overwrite").partitionBy("label").parquet(s"$path/vectors")
     labeled

@@ -77,6 +77,15 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.8, f"learned-quantizer IVF recall $r%.3f below floor")
   }
 
+  test("broadcast-join assignment (large-K form) equals the literal argmax exactly") {
+    val cents = Similarity.kmeansCentroids(corpus.drop("label"), "vec_id", "embedding", K)
+    val literal = corpus.withColumn("cell", Similarity.assignCell("embedding", cents))
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val joined = Similarity.assignCellsJoin(corpus, "vec_id", "embedding", cents)
+      .as[(Long, Int)].collect().toMap
+    assert(joined == literal, "the two assignment forms must agree on every vector")
+  }
+
   test("kmeans assignment is deterministic and covers the corpus") {
     val c1 = Similarity.kmeansCentroids(corpus.drop("label"), "vec_id", "embedding", K)
     val c2 = Similarity.kmeansCentroids(corpus.drop("label"), "vec_id", "embedding", K)
