@@ -808,20 +808,26 @@ object SparkEntry {
       // patterns restricted to the Java-regex ∩ RE2 common dialect;
       // DuckDB regexp_replace needs the 'g' flag to match Spark's
       // replace-all semantics
+      // counts are taken on the text as the earlier passes left it
+      // (never double-reporting a match an earlier pattern consumed) —
+      // mirroring TextStats.redactPii exactly
       """WITH t AS (
         |  SELECT doc_id,
         |         text || ' contact u' || doc_id || '@example.com via +1555000'
         |              || (doc_id % 90 + 10) || ' from 10.0.' || (doc_id % 256) || '.7' AS text
-        |  FROM documents)
+        |  FROM documents),
+        |e AS (SELECT doc_id, text,
+        |             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+        |      FROM t),
+        |i AS (SELECT doc_id, text, t1,
+        |             regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t2
+        |      FROM e)
         |SELECT doc_id,
-        |       regexp_replace(regexp_replace(regexp_replace(text,
-        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
-        |         '\+\d{8,15}', '[PHONE]', 'g') AS redacted,
+        |       regexp_replace(t2, '\+\d{8,15}', '[PHONE]', 'g') AS redacted,
         |       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
-        |       len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
-        |       len(regexp_extract_all(text, '\+\d{8,15}'))::BIGINT AS n_phones
-        |FROM t""".stripMargin,
+        |       len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+        |       len(regexp_extract_all(t2, '\+\d{8,15}'))::BIGINT AS n_phones
+        |FROM i""".stripMargin,
     "set_except_all" ->
       """WITH v AS (SELECT user_id, ts::DATE AS event_date FROM events
         |           WHERE event_type = 'view'),

@@ -21,13 +21,16 @@ import org.apache.spark.sql.SparkSession
   * RECURSIVELY (every leaf file's relative path, length, mtime), so a
   * rewritten source snapshot — including a file rewritten in place
   * inside a nested partition dir — gets a fresh index and a stale one
-  * is never served. After a successful commit, sibling indexes of the
-  * same kind whose fingerprint no longer matches are garbage-collected
-  * (the source snapshot they indexed is gone, so no new probe can ask
-  * for them; a probe already mid-scan on a superseded snapshot's index
-  * races that delete — the same reader-vs-vacuum contract as any
-  * snapshot store, acceptable because the source itself was already
-  * rewritten under that reader).
+  * is never served. After a successful commit, committed sibling
+  * indexes of the same kind built from the SAME sources (per their
+  * `_SOURCES` manifest) whose fingerprint no longer matches are
+  * garbage-collected — superseded snapshots of this corpus only;
+  * other corpora sharing the kind under a shared root and other
+  * processes' in-flight builds are never touched. (A probe already
+  * mid-scan on a superseded snapshot's index races that delete — the
+  * same reader-vs-vacuum contract as any snapshot store, acceptable
+  * because the source itself was already rewritten under that
+  * reader.)
   *
   * Concurrency: builds are serialized per-path in-process, and
   * cross-process by an exclusive-create lock file (`$path.lock`) —
@@ -111,23 +114,31 @@ object IndexStore {
       def ready(): Boolean = fs.exists(new Path(p, "_READY"))
       if (!ready()) {
         val lockFile = new Path(s"$path.lock")
-        if (!tryLock(fs, lockFile)) awaitWinner(fs, p, lockFile)
-        if (!ready()) { // we hold the lock (or broke a stale one): build
+        // MUTUAL EXCLUSION INVARIANT: only a holder of the lock file
+        // ever builds, commits, or deletes at this path. A loser waits
+        // for the winner's commit; if the winner's lock goes stale (a
+        // crashed builder) the loser breaks it and RE-ACQUIRES through
+        // the same exclusive create — breaking a lock never grants it,
+        // so two builders cannot run from one broken lock.
+        var locked = tryLock(fs, lockFile)
+        while (!locked && !ready()) {
+          awaitWinner(fs, p, lockFile)
+          if (!ready()) locked = tryLock(fs, lockFile)
+        }
+        if (locked) {
           try {
-            val tmp = new Path(s"$path.build-${java.util.UUID.randomUUID().toString.take(8)}")
-            build(tmp.toString)
-            fs.create(new Path(tmp, "_READY"), true).close()
-            if (ready()) fs.delete(tmp, true) // a winner committed while we built: serve theirs
-            else {
+            if (!ready()) { // recheck under the lock: authoritative
+              val tmp = new Path(s"$path.build-${java.util.UUID.randomUUID().toString.take(8)}")
+              build(tmp.toString)
+              writeSources(fs, tmp, sources)
+              fs.create(new Path(tmp, "_READY"), true).close()
               fs.delete(p, true) // an uncommitted leftover never carries _READY
-              if (!fs.rename(tmp, p)) {
-                if (!ready()) throw new java.io.IOException(s"index commit failed for $path")
-                fs.delete(tmp, true)
-              }
+              if (!fs.rename(tmp, p))
+                throw new java.io.IOException(s"index commit failed for $path")
             }
-          } finally fs.delete(lockFile, false)
-          gcStale(fs, kind, fp)
-        } else fs.delete(lockFile, false)
+          } finally fs.delete(lockFile, false) // ours — acquired above
+          gcStale(fs, kind, fp, sources, spark)
+        }
       }
       path
     }
@@ -193,17 +204,50 @@ object IndexStore {
     if (!fs.exists(new Path(p, "_READY"))) fs.delete(lockFile, false) // break stale lock
   }
 
-  /** Drop committed sibling indexes of `kind` whose fingerprint is no
-    * longer `keepFp` (their source snapshot was rewritten) plus any
-    * orphaned build temps — the unbounded-growth guard. Current
-    * fingerprint's dir, lock and temps are kept.
+  /** The source paths an index was built from — the `_SOURCES`
+    * manifest GC scopes itself by: same kind + same sources =
+    * superseded snapshot of THIS corpus; anything else (another
+    * corpus sharing the kind under a shared root, another process's
+    * in-flight `.lock`/`.build-*`) is left strictly alone.
     */
-  private def gcStale(fs: FileSystem, kind: String, keepFp: String): Unit = {
+  private def writeSources(fs: FileSystem, dir: Path, sources: Seq[String]): Unit = {
+    val out = fs.create(new Path(dir, "_SOURCES"), true)
+    out.write(sources.sorted.mkString("\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readSources(fs: FileSystem, dir: Path): Option[Seq[String]] =
+    try {
+      val in = fs.open(new Path(dir, "_SOURCES"))
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      Some(new String(bytes.toByteArray, "UTF-8").split("\n").toSeq)
+    } catch { case _: java.io.IOException => None }
+
+  /** Drop COMMITTED sibling indexes of `kind` that are superseded
+    * snapshots of the SAME sources (their `_SOURCES` manifest matches,
+    * their fingerprint no longer does) — the unbounded-growth guard.
+    * Everything else is out of scope: other corpora of the same kind
+    * under a shared root, uncommitted dirs, and every `.lock` /
+    * `.build-*` entry (possibly another process's live build — GC must
+    * never turn a concurrent build into a silently partial commit).
+    */
+  private def gcStale(fs: FileSystem, kind: String, keepFp: String,
+      sources: Seq[String], spark: SparkSession): Unit = {
     val rootPath = new Path(root)
     if (!fs.exists(rootPath)) return
+    val mySources = sources.sorted
     fs.listStatus(rootPath)
-      .filter(_.getPath.getName.startsWith(s"$kind-"))
-      .filterNot(_.getPath.getName.startsWith(s"$kind-$keepFp"))
+      .filter { st =>
+        val name = st.getPath.getName
+        name.startsWith(s"$kind-") && !name.startsWith(s"$kind-$keepFp") &&
+          !name.contains(".lock") && !name.contains(".build-") &&
+          fs.exists(new Path(st.getPath, "_READY")) &&
+          readSources(fs, st.getPath).contains(mySources)
+      }
       .foreach(st => fs.delete(st.getPath, true))
   }
 }

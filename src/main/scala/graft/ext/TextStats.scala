@@ -259,15 +259,19 @@ object TextStats {
     * email → IP → phone so no earlier tag's text can feed a later
     * pattern.
     */
-  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // each category is counted on the text AS THE EARLIER PASSES LEFT
+    // IT, so a match consumed by an earlier pattern (a digit-dotted
+    // email local part that would also parse as an IP) is never
+    // double-reported: every count equals the number of that
+    // category's tags actually present in `redacted`
+    val afterEmail = regexp_replace(col(textCol), EmailPattern, "[EMAIL]")
+    val afterIp = regexp_replace(afterEmail, Ipv4Pattern, "[IP]")
     df.select(
       col(idCol),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col(textCol), EmailPattern, "[EMAIL]"),
-          Ipv4Pattern, "[IP]"),
-        PhonePattern, "[PHONE]").as("redacted"),
+      regexp_replace(afterIp, PhonePattern, "[PHONE]").as("redacted"),
       regexp_count(col(textCol), lit(EmailPattern)).cast("long").as("n_emails"),
-      regexp_count(col(textCol), lit(Ipv4Pattern)).cast("long").as("n_ips"),
-      regexp_count(col(textCol), lit(PhonePattern)).cast("long").as("n_phones"))
+      regexp_count(afterEmail, lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      regexp_count(afterIp, lit(PhonePattern)).cast("long").as("n_phones"))
+  }
 }

@@ -119,9 +119,13 @@ object SocketServe {
     acceptor.start()
 
     def writeView(conn: Conn, view: DataFrame): Unit = {
-      // serialize once per view, ship this subscriber's admitted lines
-      // to its pipe; flush per view so replay chunks stream promptly
-      Decode.toWire(view).select("wire").collect().foreach { r =>
+      // live views arrive pre-serialized (the shared wire cache below —
+      // the single marshal of server.go:73); replay views come off
+      // per-subscriber table scans and serialize here. Flush per view
+      // so replay chunks stream promptly.
+      val wired =
+        if (view.columns.contains("wire")) view else Decode.toWire(view)
+      wired.select("wire").collect().foreach { r =>
         conn.out.println(r.getString(0))
       }
       conn.out.flush()
@@ -137,7 +141,9 @@ object SocketServe {
         val spark = batch.sparkSession
         val active = conns.readOnlySnapshot().values.toSeq.sortBy(_.name)
         if (active.nonEmpty) {
-          val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
+          // serialize ONCE per micro-batch; every subscriber's live view
+          // filters the cached wired batch and ships the wire column
+          val cached = Decode.toWire(batch).persist(StorageLevel.MEMORY_AND_DISK)
           try {
             val headRow = cached.agg(max(col("time_us"))).head()
             if (!headRow.isNullAt(0))

@@ -171,11 +171,25 @@ object Compaction {
           .foreach(doomed += _)
       }
     }
-    // aborted builds: uncommitted gens (any hour) idle past the grace
+    // aborted builds: uncommitted gens (any hour) IDLE past the grace.
+    // Idleness is judged by the newest mtime INSIDE the dir, not the
+    // dir's own — FileOutputCommitter creates the dest at job start and
+    // task commits land under _temporary, so a long rewrite's top-level
+    // mtime never moves while it is very much alive; its children's do.
+    // depth 3 reaches the committer's _temporary/<appAttempt>/<task>
+    // dirs, whose mtimes move on every task commit
+    def newestMtime(p: Path, depth: Int = 3): Long = {
+      val own = fs.getFileStatus(p).getModificationTime
+      if (depth == 0) own
+      else (own +: fs.listStatus(p).map { st =>
+        if (st.isDirectory) newestMtime(st.getPath, depth - 1)
+        else st.getModificationTime
+      }.toSeq).max
+    }
     gens.collect {
       case ((h, g), (p, false))
           if current.get(h).forall(_._1 != g)
-            && now - fs.getFileStatus(p).getModificationTime > graceMs => p
+            && now - newestMtime(p) > graceMs => p
     }.foreach(doomed += _)
     doomed.toSeq.map { p => fs.delete(p, true); p.getName }
   }

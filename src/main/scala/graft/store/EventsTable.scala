@@ -50,11 +50,26 @@ object EventsTable {
     * path, hour predicates prune live partitions as before and skip
     * whole generation files via their constant `event_hour` column's
     * footer stats.
+    *
+    * `event_hour` is LONG on every path (partition-type inference
+    * would yield int for small hour values; the explicit cast keeps
+    * the schema IDENTICAL before and after the first generation
+    * commits — a standing streaming query that captured the schema on
+    * an uncompacted table must keep binding once compaction starts).
+    * Catalyst unwraps the cast in comparisons, so partition pruning is
+    * unaffected.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val gens = Compaction.committedGens(spark, path)
-    if (gens.isEmpty) spark.read.parquet(path)
-    else {
+    if (gens.isEmpty) {
+      // plain parquet dirs without the hour layout stay readable
+      // (ReplayTailSource's documented fallback) — cast only when the
+      // partition column exists
+      val plain = spark.read.parquet(path)
+      if (plain.columns.contains(PartitionCol))
+        plain.withColumn(PartitionCol, col(PartitionCol).cast("long"))
+      else plain
+    } else {
       val genDf = spark.read
         .parquet(gens.values.map(_._2.toString).toSeq.sorted: _*)
         .withColumn(PartitionCol, col(PartitionCol).cast("long"))
