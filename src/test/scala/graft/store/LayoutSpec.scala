@@ -26,6 +26,10 @@ class LayoutSpec extends SparkSpec {
 
     val before = EventsTable.read(spark, path)
       .select("time_us").as[Long].collect().sorted.toSeq
+    // schema stability: event_hour is LONG before any compaction...
+    val hourTypeBefore = EventsTable.read(spark, path)
+      .schema(EventsTable.PartitionCol).dataType
+    assert(hourTypeBefore == org.apache.spark.sql.types.LongType)
     // each append emits one file per batch partition: ≥ 8 small files
     val nSmall = Compaction.partitionFiles(spark, path, 0).size
     assert(nSmall >= 8)
@@ -36,6 +40,11 @@ class LayoutSpec extends SparkSpec {
     val after = EventsTable.read(spark, path)
       .select("time_us").as[Long].collect().sorted.toSeq
     assert(after == before, "compaction must not change the data")
+    // ...and IDENTICAL after the first generation commits — a standing
+    // streaming query's captured schema must keep binding (the type a
+    // mid-stream compaction must not flip)
+    assert(EventsTable.read(spark, path).schema(EventsTable.PartitionCol).dataType
+      == hourTypeBefore)
     // the partition column survives the rewrite (resolution-aware read)
     assert(EventsTable.read(spark, path)
       .filter(col(EventsTable.PartitionCol) === 0).count() == 400)
