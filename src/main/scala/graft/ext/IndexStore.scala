@@ -103,6 +103,18 @@ object IndexStore {
     * superseded same-kind indexes are garbage-collected.
     */
   def ensure(kind: String, spark: SparkSession, sources: Seq[String])
+      (build: String => Unit): String =
+    ensureScoped(kind, spark, sources, gcScope = sources)(build)
+
+  /** [[ensure]] with an explicit GC identity: `gcScope` names WHAT
+    * corpus this index belongs to for supersession purposes. Usually
+    * the sources themselves; [[ensureIncremental]]'s merged index uses
+    * the corpus DIR instead, because its source list (the partition
+    * set) changes on every append and would otherwise never match a
+    * predecessor's.
+    */
+  private[ext] def ensureScoped(kind: String, spark: SparkSession,
+      sources: Seq[String], gcScope: Seq[String])
       (build: String => Unit): String = {
     require(!kind.contains("-"), s"index kind must not contain '-': $kind")
     val fp = fingerprint(spark, sources)
@@ -130,14 +142,14 @@ object IndexStore {
             if (!ready()) { // recheck under the lock: authoritative
               val tmp = new Path(s"$path.build-${java.util.UUID.randomUUID().toString.take(8)}")
               build(tmp.toString)
-              writeSources(fs, tmp, sources)
+              writeSources(fs, tmp, gcScope)
               fs.create(new Path(tmp, "_READY"), true).close()
               fs.delete(p, true) // an uncommitted leftover never carries _READY
               if (!fs.rename(tmp, p))
                 throw new java.io.IOException(s"index commit failed for $path")
             }
           } finally fs.delete(lockFile, false) // ours — acquired above
-          gcStale(fs, kind, fp, sources, spark)
+          gcStale(fs, kind, fp, gcScope, spark)
         }
       }
       path
@@ -182,7 +194,10 @@ object IndexStore {
         buildPart(part.toString, tmp)
       }
     }
-    ensure(kind, spark, parts.map(_.toString)) { tmp =>
+    // GC identity = the corpus dir: the partition set (and so the
+    // source list) changes on every append, but each new merge still
+    // supersedes its predecessor for the same corpus
+    ensureScoped(kind, spark, parts.map(_.toString), gcScope = Seq(sourceDir)) { tmp =>
       merge(partIndexes, tmp)
     }
   }
@@ -236,10 +251,10 @@ object IndexStore {
     * never turn a concurrent build into a silently partial commit).
     */
   private def gcStale(fs: FileSystem, kind: String, keepFp: String,
-      sources: Seq[String], spark: SparkSession): Unit = {
+      gcScope: Seq[String], spark: SparkSession): Unit = {
     val rootPath = new Path(root)
     if (!fs.exists(rootPath)) return
-    val mySources = sources.sorted
+    val mySources = gcScope.sorted
     fs.listStatus(rootPath)
       .filter { st =>
         val name = st.getPath.getName
