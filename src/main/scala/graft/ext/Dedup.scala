@@ -196,11 +196,14 @@ object Dedup {
     *
     * Scale shape: chunking is narrow (one explode); the frequency
     * count shuffles 8-byte chunk hashes with map-side combine; the
-    * boilerplate SET (chunks at count ≥ k) is small by construction —
-    * broadcast — so the drop is a broadcast anti-probe, not a join of
-    * the corpus against the full frequency table; reassembly is one
-    * groupBy on the doc id. Two corpus passes total, like every
-    * counting dedup.
+    * drop joins the corpus against only the chunks at count ≥ k —
+    * small for typical boilerplate thresholds, in which case AQE turns
+    * the join into a broadcast probe at runtime, but NOT forced: on a
+    * duplicate-heavy corpus (this stage runs before content dedup) the
+    * boilerplate set scales with the chunk vocabulary, and a forced
+    * broadcast would be an unbounded driver collect — the planner's
+    * size estimate decides. Reassembly is one groupBy on the doc id.
+    * Two corpus passes total, like every counting dedup.
     *
     * Returns (idCol, clean_text, n_chunks, n_dropped) — one row per
     * input document, `clean_text` empty when everything was
@@ -219,7 +222,7 @@ object Dedup {
       .filter(col("n") >= boilerplateK)
       .select(col("h"), lit(true).as("__boiler"))
     chunks
-      .join(broadcast(boiler), Seq("h"), "left_outer")
+      .join(boiler, Seq("h"), "left_outer")
       .groupBy(col(idCol))
       .agg(
         array_join(

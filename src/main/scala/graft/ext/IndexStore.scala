@@ -61,10 +61,15 @@ object IndexStore {
       .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft-index")
 
   /** How long a lock-race loser waits for the winner's commit before
-    * treating the lock as a crashed builder's leftover.
+    * treating the lock as a crashed builder's leftover. MUST exceed the
+    * longest plausible index build: breaking the lock of a live-but-
+    * slow builder puts two builders in flight (the pre-swap `ready()`
+    * re-check keeps the second commit from clobbering the first, but
+    * the duplicate build work is wasted). Default 30 min; tune with
+    * `graft.index.lockWaitMs` for corpora whose builds run longer.
     */
   private def lockWaitMs: Long =
-    sys.props.get("graft.index.lockWaitMs").map(_.toLong).getOrElse(10L * 60 * 1000)
+    sys.props.get("graft.index.lockWaitMs").map(_.toLong).getOrElse(30L * 60 * 1000)
 
   /** md5 over the source trees' RECURSIVE file listings — the index
     * cache key. Every leaf file contributes `relative/path:len:mtime`,
@@ -144,12 +149,20 @@ object IndexStore {
               build(tmp.toString)
               writeSources(fs, tmp, gcScope)
               fs.create(new Path(tmp, "_READY"), true).close()
-              fs.delete(p, true) // an uncommitted leftover never carries _READY
-              if (!fs.rename(tmp, p))
-                throw new java.io.IOException(s"index commit failed for $path")
+              // re-check immediately before the swap: if our lock was
+              // stolen as stale mid-build (a build that outran
+              // lockWaitMs) and the thief already committed, PREFER the
+              // committed index — never delete a live one under its
+              // readers; our duplicate build is the discarded copy
+              if (ready()) fs.delete(tmp, true)
+              else {
+                fs.delete(p, true) // an uncommitted leftover never carries _READY
+                if (!fs.rename(tmp, p))
+                  throw new java.io.IOException(s"index commit failed for $path")
+              }
             }
           } finally fs.delete(lockFile, false) // ours — acquired above
-          gcStale(fs, kind, fp, gcScope, spark)
+          gcStale(fs, kind, fp, gcScope)
         }
       }
       path
@@ -180,24 +193,42 @@ object IndexStore {
       (merge: (Seq[String], String) => Unit): String = {
     val p = new Path(sourceDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // NOTE: `_`/`.`-prefixed dirs are skipped — a table whose partitions
+    // live elsewhere (an EventsTable with compacted hours in `_gen_*`
+    // generation dirs) must resolve its partitions itself and use
+    // [[ensureIncrementalParts]] with the resolved dirs
     val parts = fs.listStatus(p).toSeq
       .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_")
         && !st.getPath.getName.startsWith("."))
       .map(_.getPath).sortBy(_.getName)
     require(parts.nonEmpty, s"$sourceDir has no partition subdirectories")
-    val partIndexes = parts.map { part =>
+    ensureIncrementalParts(kind, spark, sourceDir,
+      parts.map(part => part.getName -> part.toString))(buildPart)(merge)
+  }
+
+  /** Explicit-parts form of [[ensureIncremental]]: the caller names
+    * each partition (name, path) directly — for layouts the plain
+    * subdirectory listing cannot see, e.g. an EventsTable whose hours
+    * resolve through compaction generations
+    * ([[graft.store.Compaction.currentCopy]] per hour). `corpusId` is
+    * the stable GC identity across appends (usually the table path).
+    */
+  def ensureIncrementalParts(kind: String, spark: SparkSession, corpusId: String,
+      parts: Seq[(String, String)])
+      (buildPart: (String, String) => Unit)
+      (merge: (Seq[String], String) => Unit): String = {
+    require(parts.nonEmpty, s"$corpusId has no partitions")
+    val partIndexes = parts.sortBy(_._1).map { case (name, path) =>
       // per-part kind: GC of one part's stale versions can never touch
       // a sibling part ('-' is the kind/fingerprint separator, so the
       // sanitized part name is embedded in the kind itself)
-      val partKind = s"${kind}p_${part.getName.replaceAll("[^A-Za-z0-9_]", "_")}"
-      ensure(partKind, spark, Seq(part.toString)) { tmp =>
-        buildPart(part.toString, tmp)
-      }
+      val partKind = s"${kind}p_${name.replaceAll("[^A-Za-z0-9_]", "_")}"
+      ensure(partKind, spark, Seq(path)) { tmp => buildPart(path, tmp) }
     }
-    // GC identity = the corpus dir: the partition set (and so the
-    // source list) changes on every append, but each new merge still
-    // supersedes its predecessor for the same corpus
-    ensureScoped(kind, spark, parts.map(_.toString), gcScope = Seq(sourceDir)) { tmp =>
+    // GC identity = the corpus, not the partition set: the source list
+    // changes on every append, but each new merge still supersedes its
+    // predecessor for the same corpus
+    ensureScoped(kind, spark, parts.map(_._2), gcScope = Seq(corpusId)) { tmp =>
       merge(partIndexes, tmp)
     }
   }
@@ -251,7 +282,7 @@ object IndexStore {
     * never turn a concurrent build into a silently partial commit).
     */
   private def gcStale(fs: FileSystem, kind: String, keepFp: String,
-      gcScope: Seq[String], spark: SparkSession): Unit = {
+      gcScope: Seq[String]): Unit = {
     val rootPath = new Path(root)
     if (!fs.exists(rootPath)) return
     val mySources = gcScope.sorted

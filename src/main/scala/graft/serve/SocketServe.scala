@@ -71,7 +71,8 @@ object SocketServe {
       val port: Int,
       serverSocket: ServerSocket,
       queryOf: () => StreamingQuery,
-      conns: scala.collection.concurrent.TrieMap[String, Conn]) {
+      conns: scala.collection.concurrent.TrieMap[String, Conn],
+      onClose: () => Unit) {
     lazy val query: StreamingQuery = queryOf()
     def subscriberCount: Int = conns.size
     def close(): Unit = {
@@ -79,6 +80,7 @@ object SocketServe {
       serverSocket.close()
       conns.values.foreach(c => c.socket.close())
       conns.clear()
+      onClose()
     }
   }
 
@@ -91,10 +93,19 @@ object SocketServe {
       checkpointDir: String,
       fanOutWidth: Int = ServeJob.DefaultFanOutWidth,
       trigger: Trigger = Trigger.ProcessingTime(0L),
-      nowUs: () => Long = () => System.currentTimeMillis() * 1000L): Server = {
+      nowUs: () => Long = () => System.currentTimeMillis() * 1000L,
+      writeTimeoutMs: Long = 30000L): Server = {
     val serverSocket = new ServerSocket(0)
     val conns = scala.collection.concurrent.TrieMap.empty[String, Conn]
     val counter = new java.util.concurrent.atomic.AtomicInteger
+    // slow-consumer watchdog: a subscriber that stops READING (pipe
+    // alive, kernel send buffer full) blocks the write forever —
+    // checkError only sees closed pipes. The watchdog closes the socket
+    // if a view's write exceeds the budget, which surfaces as the same
+    // dead-pipe IOException and drops the subscriber (the reference's
+    // slow-consumer close, server.go:168-175).
+    val watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => { val t = new Thread(r, "socket-serve-watchdog"); t.setDaemon(true); t })
 
     // acceptor: one request line → a registered CutoverSession; the
     // subscriber starts receiving at the next micro-batch
@@ -125,15 +136,28 @@ object SocketServe {
       // so replay chunks stream promptly.
       val wired =
         if (view.columns.contains("wire")) view else Decode.toWire(view)
-      wired.select("wire").collect().foreach { r =>
-        conn.out.println(r.getString(0))
-      }
-      conn.out.flush()
+      val rows = wired.select("wire").collect()
+      val kill = watchdog.schedule(
+        new Runnable { def run(): Unit = conn.socket.close() },
+        writeTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      try {
+        rows.foreach(r => conn.out.println(r.getString(0)))
+        conn.out.flush()
+      } finally kill.cancel(false)
       if (conn.out.checkError())
-        throw new java.io.IOException(s"${conn.name}: dead pipe")
+        throw new java.io.IOException(s"${conn.name}: dead or stalled pipe")
     }
 
-    val lastHeadUs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // the live head starts at the TABLE's current tail, not 0: a no-data
+    // first micro-batch must not hand replayStep serverSeqUs=0, which
+    // would declare any cursor caught-up and silently truncate a
+    // multi-chunk replay backlog
+    val initialHeadUs = scala.util.Try {
+      val row = graft.store.EventsTable.read(events.sparkSession, tablePath)
+        .agg(max(col("time_us"))).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }.getOrElse(0L)
+    val lastHeadUs = new java.util.concurrent.atomic.AtomicLong(initialHeadUs)
     val query = events.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -165,6 +189,7 @@ object SocketServe {
       }
       .start()
 
-    new Server(serverSocket.getLocalPort, serverSocket, () => query, conns)
+    new Server(serverSocket.getLocalPort, serverSocket, () => query, conns,
+      () => watchdog.shutdownNow())
   }
 }

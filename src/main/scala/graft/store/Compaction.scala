@@ -128,23 +128,38 @@ object Compaction {
     if (!force && files.size <= want) return (files.size, files.size)
 
     val Some((srcDir, srcGen)) = currentCopy(spark, tablePath, hour)
-    // skip past any crashed/in-flight attempt's number — never contend
-    // for a dir another writer may still be filling
-    val nextGen = (genDirs(spark, tablePath).keys.collect { case (h, g) if h == hour => g }
+    val fs = fsOf(spark, tablePath)
+    // claim the generation number by exclusive file create before any
+    // write: two concurrent compactions of the same hour (overlapping
+    // maintenance runs) get DISTINCT generations instead of clobbering
+    // one dir with SaveMode.Overwrite while readers resolve it. A
+    // crashed claimant's number stays burned (vacuum sweeps the claim
+    // and any partial dir); later attempts just take the next number.
+    var nextGen = (genDirs(spark, tablePath).keys.collect { case (h, g) if h == hour => g }
       ++ Seq(srcGen)).max + 1
+    while (!tryClaim(fs, new Path(s"$tablePath/${claimName(hour, nextGen)}")))
+      nextGen += 1
     val dest = new Path(s"$tablePath/${genDirName(hour, nextGen)}")
     val src = spark.read.parquet(srcDir.toString)
     val withHour = // live files don't carry the partition column; gens do
       if (src.columns.contains(EventsTable.PartitionCol)) src
       else src.withColumn(EventsTable.PartitionCol, lit(hour))
-    withHour
-      .repartitionByRange(want, col("time_us")) // contiguous time slices per file
-      .sortWithinPartitions(col("time_us"))
-      .write.mode(SaveMode.Overwrite).parquet(dest.toString)
-    // the job committer's _SUCCESS (written last) IS the commit: readers
-    // resolving this hour switch to the new generation atomically
+    try {
+      withHour
+        .repartitionByRange(want, col("time_us")) // contiguous time slices per file
+        .sortWithinPartitions(col("time_us"))
+        .write.mode(SaveMode.Overwrite).parquet(dest.toString)
+      // the job committer's _SUCCESS (written last) IS the commit: readers
+      // resolving this hour switch to the new generation atomically
+    } finally fs.delete(new Path(s"$tablePath/${claimName(hour, nextGen)}"), false)
     (files.size, partitionFiles(spark, tablePath, hour).size)
   }
+
+  private def claimName(hour: Long, gen: Int): String = s"_gen_claim_${hour}_$gen"
+
+  private def tryClaim(fs: FileSystem, claim: Path): Boolean =
+    try { fs.create(claim, false).close(); true }
+    catch { case _: java.io.IOException => false }
 
   /** Remove copies superseded by a commit older than `graceMs` (live
     * dir + older generations), and aborted builds (uncommitted gen dirs
@@ -156,6 +171,7 @@ object Compaction {
     */
   def vacuum(spark: SparkSession, tablePath: String,
       graceMs: Long = 15L * 60 * 1000): Seq[String] = {
+    migrateLegacy(spark, tablePath)
     val fs = fsOf(spark, tablePath)
     val now = System.currentTimeMillis()
     val gens = genDirs(spark, tablePath)
@@ -177,21 +193,74 @@ object Compaction {
     // task commits land under _temporary, so a long rewrite's top-level
     // mtime never moves while it is very much alive; its children's do.
     // depth 3 reaches the committer's _temporary/<appAttempt>/<task>
-    // dirs, whose mtimes move on every task commit
-    def newestMtime(p: Path, depth: Int = 3): Long = {
-      val own = fs.getFileStatus(p).getModificationTime
-      if (depth == 0) own
-      else (own +: fs.listStatus(p).map { st =>
-        if (st.isDirectory) newestMtime(st.getPath, depth - 1)
-        else st.getModificationTime
-      }.toSeq).max
-    }
+    // dirs, whose mtimes move on every task commit. A path vanishing
+    // mid-walk IS task-commit churn — that dir is active right now, so
+    // report `now` (never idle) instead of failing the maintenance run.
+    def newestMtime(p: Path, depth: Int = 3): Long =
+      try {
+        val own = fs.getFileStatus(p).getModificationTime
+        if (depth == 0) own
+        else (own +: fs.listStatus(p).map { st =>
+          if (st.isDirectory) newestMtime(st.getPath, depth - 1)
+          else st.getModificationTime
+        }.toSeq).max
+      } catch { case _: java.io.FileNotFoundException => now }
     gens.collect {
       case ((h, g), (p, false))
           if current.get(h).forall(_._1 != g)
             && now - newestMtime(p) > graceMs => p
     }.foreach(doomed += _)
+    // stale generation claims (crashed claimants): tiny root files,
+    // swept once idle past the grace — their numbers stay burned
+    val staleClaims = {
+      val root = new Path(tablePath)
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.filter { st =>
+        st.isFile && st.getPath.getName.startsWith("_gen_claim_") &&
+          now - st.getModificationTime > graceMs
+      }.map(_.getPath)
+    }
+    staleClaims.foreach(doomed += _)
     doomed.toSeq.map { p => fs.delete(p, true); p.getName }
+  }
+
+  /** Migrate crash leftovers of the PRE-generation protocol (the
+    * rename-swap that parked the live dir in `_compact_old_<h>` while
+    * installing `_compact_tmp_<h>`): a table that crashed between that
+    * protocol's two renames has its hour ONLY in those dirs, which the
+    * generation resolution ignores — silent reader-visible loss after
+    * an upgrade. Rolls a COMPLETE tmp forward as generation 1 (its
+    * `_SUCCESS` is already the commit marker), restores the backup as
+    * the live dir otherwise, and sweeps whatever remains. Idempotent;
+    * a no-op on tables the old protocol never touched. Runs at the
+    * head of every [[vacuum]] (and so every [[compactClosed]]).
+    */
+  def migrateLegacy(spark: SparkSession, tablePath: String): Seq[Long] = {
+    val fs = fsOf(spark, tablePath)
+    val names = rootEntries(spark, tablePath).map(_.getPath.getName)
+    val hours = names.collect {
+      case n if n.startsWith("_compact_old_") => n.stripPrefix("_compact_old_").toLong
+      case n if n.startsWith("_compact_tmp_") => n.stripPrefix("_compact_tmp_").toLong
+    }.distinct.sorted
+    hours.flatMap { hour =>
+      val tmp = new Path(s"$tablePath/_compact_tmp_$hour")
+      val backup = new Path(s"$tablePath/_compact_old_$hour")
+      val served = currentCopy(spark, tablePath, hour).isDefined
+      val migrated = if (!served) {
+        if (fs.exists(new Path(tmp, "_SUCCESS"))) { // roll FORWARD: tmp is complete
+          if (!fs.rename(tmp, new Path(s"$tablePath/${genDirName(hour, 1)}")))
+            throw new java.io.IOException(s"legacy migration: could not promote $tmp")
+          true
+        } else if (fs.exists(backup)) { // roll BACK: the backup is the only good copy
+          if (!fs.rename(backup, new Path(s"$tablePath/${EventsTable.PartitionCol}=$hour")))
+            throw new java.io.IOException(s"legacy migration: could not restore $backup")
+          true
+        } else false
+      } else false
+      fs.delete(tmp, true)
+      fs.delete(backup, true)
+      if (migrated) Some(hour) else None
+    }
   }
 
   /** Compact every hour strictly below `hwmHour` (the open hour and
