@@ -122,6 +122,59 @@ class LayoutSpec extends SparkSpec {
       == rows)
   }
 
+  test("legacy rename-swap crash leftovers migrate: no hour stays invisible after upgrade") {
+    import org.apache.hadoop.fs.Path
+    def mkTable(tag: String): (String, Seq[Long]) = {
+      val path = tmpDir(s"legacy-$tag")
+      (0 until 4).foreach { b =>
+        EventsTable.append(
+          (0 until 25).map(i => ((b * 25 + i) * 1000L, s"did$i", "c"))
+            .toDF("time_us", "did", "collection"), path)
+      }
+      // a second hour untouched by the crash keeps the table readable
+      // while hour 0 is parked in the legacy leftovers
+      EventsTable.append(Seq((HourUs + 1, "didx", "c")).toDF("time_us", "did", "collection"), path)
+      (path, EventsTable.read(spark, path).select("time_us").as[Long].collect().sorted.toSeq)
+    }
+    def liveDir(path: String) = new Path(s"$path/${EventsTable.PartitionCol}=0")
+    val fs = fsOf(tmpDir("legacy-fs"))
+
+    // --- old protocol crashed AFTER dir→backup with a COMPLETE tmp:
+    // migration promotes the rewrite as generation 1
+    val (p1, rows1) = mkTable("fwd")
+    spark.read.parquet(liveDir(p1).toString)
+      .withColumn(EventsTable.PartitionCol, lit(0L))
+      .repartitionByRange(1, col("time_us")).sortWithinPartitions(col("time_us"))
+      .write.parquet(s"$p1/_compact_tmp_0")
+    assert(fs.rename(liveDir(p1), new Path(s"$p1/_compact_old_0")))
+    assert(EventsTable.read(spark, p1).filter(col(EventsTable.PartitionCol) === 0).count() == 0,
+      "pre-migration: the crashed hour is invisible (the upgrade gap)")
+    assert(Compaction.migrateLegacy(spark, p1) == Seq(0L))
+    assert(EventsTable.read(spark, p1).select("time_us").as[Long].collect().sorted.toSeq
+      == rows1, "rolled forward: same rows, served as generation 1")
+    assert(Compaction.currentCopy(spark, p1, 0).exists(_._2 == 1))
+    assert(!fs.exists(new Path(s"$p1/_compact_old_0")) && !fs.exists(new Path(s"$p1/_compact_tmp_0")))
+
+    // --- INCOMPLETE tmp: migration restores the backup as the live dir
+    val (p2, rows2) = mkTable("bak")
+    spark.read.parquet(liveDir(p2).toString).write.parquet(s"$p2/_compact_tmp_0")
+    fs.delete(new Path(s"$p2/_compact_tmp_0/_SUCCESS"), false)
+    assert(fs.rename(liveDir(p2), new Path(s"$p2/_compact_old_0")))
+    // vacuum runs the migration automatically (the maintenance entry)
+    Compaction.vacuum(spark, p2, graceMs = 24L * 3600 * 1000)
+    assert(EventsTable.read(spark, p2).select("time_us").as[Long].collect().sorted.toSeq
+      == rows2, "rolled back: original live dir restored")
+    assert(!fs.exists(new Path(s"$p2/_compact_tmp_0")))
+
+    // --- leftovers beside a SERVED hour are swept, data untouched
+    val (p3, rows3) = mkTable("sweep")
+    spark.read.parquet(liveDir(p3).toString).write.parquet(s"$p3/_compact_tmp_0")
+    assert(Compaction.migrateLegacy(spark, p3) == Seq.empty)
+    assert(!fs.exists(new Path(s"$p3/_compact_tmp_0")), "stray tmp swept")
+    assert(EventsTable.read(spark, p3).select("time_us").as[Long].collect().sorted.toSeq
+      == rows3)
+  }
+
   test("readers racing repeated compactions never see a missing or partial hour") {
     val path = tmpDir("compact-race")
     (0 until 8).foreach { b =>
