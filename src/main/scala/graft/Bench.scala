@@ -82,10 +82,14 @@ object Bench {
     catch { case _: Throwable => () }
     // Index lifecycle: the probe queries are benched PROBE-ONLY — that
     // is the operators' contract (build once, serve many) — but the
-    // build must be (a) measured, not hidden, and (b) paid THIS run
-    // (the fresh per-run root above keeps a previous run's tmpdir cache
-    // from silently serving): the explicit pre-build below is timed and
-    // reported as index_build_sec alongside the probe timings.
+    // build must be (a) measured, not hidden, and (b) paid THIS run:
+    // the explicit pre-build below is timed and reported as
+    // index_build_sec alongside the probe timings. A SECOND fresh root
+    // here keeps the warmup pass's builds (which hit the target dir
+    // when sfDir == the warmup SF) from turning the measured pre-build
+    // into a cache hit.
+    System.setProperty("graft.index.dir",
+      java.nio.file.Files.createTempDirectory("graft-bench-index").toString)
     val probeOnly = Seq("bm25_topk", "ivf_probe", "ivf_probe2", "ivf_probe_kmeans")
     val indexBuildSec = {
       val t0 = System.nanoTime()

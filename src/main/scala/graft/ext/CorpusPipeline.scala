@@ -13,11 +13,15 @@ import graft.Tables
   *   1. quality gates: Gopher rules ∧ per-language percentile gate —
   *      cheap row-local signals first, so later (join-heavy) stages see
   *      the smallest surviving corpus;
-  *   2. boilerplate removal: corpus-frequent word chunks dropped from
-  *      every document (chunkDedup), all-boilerplate docs removed —
-  *      BEFORE content dedup, so templated shells don't mask distinct
-  *      payloads (and duplicated cores surface as exact dups);
-  *   3. exact dedup: one doc per content digest (hash-groupBy);
+  *   2. exact dedup: one doc per content digest (hash-groupBy) —
+  *      BEFORE boilerplate removal: chunk frequencies must be counted
+  *      over unique documents, or a document duplicated ≥ the
+  *      boilerplate threshold turns its OWN chunks into "boilerplate"
+  *      and every copy is annihilated instead of deduplicated to one;
+  *   3. boilerplate removal: corpus-frequent word chunks dropped from
+  *      every surviving document (chunkDedup — frequency ≥ k across
+  *      DISTINCT docs is template/header text), all-boilerplate docs
+  *      removed;
   *   4. near-dup prune: MinHash-LSH candidates → exact-Jaccard verify →
   *      connected components → keep each cluster's representative;
   *   5. decontamination: drop docs sharing any 3-gram with the held-out
@@ -89,25 +93,29 @@ object CorpusPipeline {
         .join(topPerLang, Seq("doc_id"), "left_semi")
     }
 
-    // 2. boilerplate removal — rewrite each doc to its non-boilerplate
-    // chunks; docs that were ALL boilerplate drop out
-    val deboiled = staged("boilerplate", gated) { d =>
-      d.drop("text")
-        .join(Dedup.chunkDedup(d, "doc_id", "text")
-          .select(col("doc_id"), col("clean_text").as("text")), "doc_id")
-        .filter(col("text") =!= "")
-    }
-
-    // 3. exact dedup — keep the canonical (min id) of each digest
-    val exactDeduped = staged("exact_dedup", deboiled) { d =>
+    // 2. exact dedup — keep the canonical (min id) of each digest.
+    // MUST precede boilerplate removal: chunk frequency counted over
+    // duplicate copies would turn a >=k-times-duplicated document's
+    // own chunks into "boilerplate" and delete every copy
+    val exactDeduped = staged("exact_dedup", gated) { d =>
       d.join(
         Dedup.exact(d, "doc_id", "text")
           .select(col("canonical_doc_id").as("doc_id")),
         Seq("doc_id"), "left_semi")
     }
 
+    // 3. boilerplate removal — rewrite each unique doc to its
+    // non-boilerplate chunks (frequency >= k across DISTINCT docs =
+    // template text); docs that were ALL boilerplate drop out
+    val deboiled = staged("boilerplate", exactDeduped) { d =>
+      d.drop("text")
+        .join(Dedup.chunkDedup(d, "doc_id", "text")
+          .select(col("doc_id"), col("clean_text").as("text")), "doc_id")
+        .filter(col("text") =!= "")
+    }
+
     // 4. near-dup prune — LSH→verify→components; drop non-representatives
-    val nearDeduped = staged("neardup_prune", exactDeduped) { d =>
+    val nearDeduped = staged("neardup_prune", deboiled) { d =>
       val comps = Dedup.connectedComponents(
         Dedup.verifyCandidates(d, "doc_id", "text", threshold = 0.8),
         "doc_id_a", "doc_id_b")

@@ -136,11 +136,14 @@ object IndexStore {
         // for the winner's commit; if the winner's lock goes stale (a
         // crashed builder) the loser breaks it and RE-ACQUIRES through
         // the same exclusive create — breaking a lock never grants it,
-        // so two builders cannot run from one broken lock.
-        var locked = tryLock(fs, lockFile)
+        // so two builders cannot run from one broken lock. The lock
+        // carries the holder's token, so release after a steal never
+        // removes the thief's legitimately held lock.
+        val lockToken = java.util.UUID.randomUUID().toString
+        var locked = graft.util.FsMutex.tryAcquire(fs, lockFile, lockToken)
         while (!locked && !ready()) {
           awaitWinner(fs, p, lockFile)
-          if (!ready()) locked = tryLock(fs, lockFile)
+          if (!ready()) locked = graft.util.FsMutex.tryAcquire(fs, lockFile, lockToken)
         }
         if (locked) {
           try {
@@ -161,7 +164,7 @@ object IndexStore {
                   throw new java.io.IOException(s"index commit failed for $path")
               }
             }
-          } finally fs.delete(lockFile, false) // ours — acquired above
+          } finally graft.util.FsMutex.releaseIfOwner(fs, lockFile, lockToken)
           gcStale(fs, kind, fp, gcScope)
         }
       }
@@ -233,11 +236,6 @@ object IndexStore {
     }
   }
 
-  /** Exclusive-create of the lock file: atomic on HDFS/local. */
-  private def tryLock(fs: FileSystem, lockFile: Path): Boolean =
-    try { fs.create(lockFile, false).close(); true }
-    catch { case _: java.io.IOException => false }
-
   /** Lock-race loser: poll for the winner's `_READY`; a lock older than
     * the wait budget is a crashed builder's leftover — break it and
     * build ourselves.
@@ -275,17 +273,21 @@ object IndexStore {
 
   /** Drop COMMITTED sibling indexes of `kind` that are superseded
     * snapshots of the SAME sources (their `_SOURCES` manifest matches,
-    * their fingerprint no longer does) — the unbounded-growth guard.
-    * Everything else is out of scope: other corpora of the same kind
-    * under a shared root, uncommitted dirs, and every `.lock` /
-    * `.build-*` entry (possibly another process's live build — GC must
-    * never turn a concurrent build into a silently partial commit).
+    * their fingerprint no longer does), plus ORPHANED build temps idle
+    * past the lock-wait budget (a crashed builder's full index copy —
+    * a live builder that slow has its lock broken under the same
+    * budget) — the unbounded-growth guard. Everything else is out of
+    * scope: other corpora of the same kind under a shared root, live
+    * `.lock`/`.build-*` entries within budget, and committed dirs with
+    * no `_SOURCES` manifest (pre-manifest indexes can't be attributed;
+    * sweep those once, manually, after upgrading).
     */
   private def gcStale(fs: FileSystem, kind: String, keepFp: String,
       gcScope: Seq[String]): Unit = {
     val rootPath = new Path(root)
     if (!fs.exists(rootPath)) return
     val mySources = gcScope.sorted
+    val now = System.currentTimeMillis()
     fs.listStatus(rootPath)
       .filter { st =>
         val name = st.getPath.getName
@@ -293,6 +295,13 @@ object IndexStore {
           !name.contains(".lock") && !name.contains(".build-") &&
           fs.exists(new Path(st.getPath, "_READY")) &&
           readSources(fs, st.getPath).contains(mySources)
+      }
+      .foreach(st => fs.delete(st.getPath, true))
+    fs.listStatus(rootPath)
+      .filter { st =>
+        st.getPath.getName.startsWith(s"$kind-") &&
+          st.getPath.getName.contains(".build-") &&
+          now - st.getModificationTime > lockWaitMs
       }
       .foreach(st => fs.delete(st.getPath, true))
   }

@@ -268,10 +268,11 @@ object Similarity {
       centroids: Seq[Seq[Double]], labelCol: String = "label"): DataFrame =
     if (centroids.size <= LiteralAssignMaxK)
       df.withColumn(labelCol, assignCell(vecCol, centroids))
-    else df.join(
-      assignCellsJoin(df, idCol, vecCol, centroids)
-        .withColumnRenamed("label", labelCol),
-      idCol)
+    else df.drop(labelCol) // REPLACE like withColumn — never a duplicate column
+      .join(
+        assignCellsJoin(df, idCol, vecCol, centroids)
+          .withColumnRenamed("label", labelCol),
+        idCol)
 
   /** Above this many cells, assignment switches from K literal
     * expressions (one giant codegen'd projection) to the broadcast

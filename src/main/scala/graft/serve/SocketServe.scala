@@ -104,8 +104,12 @@ object SocketServe {
     // if a view's write exceeds the budget, which surfaces as the same
     // dead-pipe IOException and drops the subscriber (the reference's
     // slow-consumer close, server.go:168-175).
-    val watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+    val watchdog = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
       (r: Runnable) => { val t = new Thread(r, "socket-serve-watchdog"); t.setDaemon(true); t })
+    // cancelled kill tasks leave the queue immediately — one is
+    // scheduled per view write, and at ProcessingTime(0) batch rates
+    // they would otherwise pile up for their full timeout
+    watchdog.setRemoveOnCancelPolicy(true)
 
     // acceptor: one request line → a registered CutoverSession; the
     // subscriber starts receiving at the next micro-batch

@@ -158,8 +158,7 @@ object Compaction {
   private def claimName(hour: Long, gen: Int): String = s"_gen_claim_${hour}_$gen"
 
   private def tryClaim(fs: FileSystem, claim: Path): Boolean =
-    try { fs.create(claim, false).close(); true }
-    catch { case _: java.io.IOException => false }
+    graft.util.FsMutex.tryAcquire(fs, claim)
 
   /** Remove copies superseded by a commit older than `graceMs` (live
     * dir + older generations), and aborted builds (uncommitted gen dirs
@@ -192,11 +191,14 @@ object Compaction {
     // dir's own — FileOutputCommitter creates the dest at job start and
     // task commits land under _temporary, so a long rewrite's top-level
     // mtime never moves while it is very much alive; its children's do.
-    // depth 3 reaches the committer's _temporary/<appAttempt>/<task>
-    // dirs, whose mtimes move on every task commit. A path vanishing
-    // mid-walk IS task-commit churn — that dir is active right now, so
-    // report `now` (never idle) instead of failing the maintenance run.
-    def newestMtime(p: Path, depth: Int = 3): Long =
+    // depth 5 reaches the committer's task-attempt FILES
+    // (_temporary/<appAttempt>/_temporary/<attempt>/part-*), whose
+    // mtimes move while tasks write. A path vanishing mid-walk IS
+    // task-commit churn — that dir is active right now, so report
+    // `now` (never idle) instead of failing the maintenance run. The
+    // residual contract: graceMs must exceed the longest gap between
+    // visible write activity, same as any lease-based liveness check.
+    def newestMtime(p: Path, depth: Int = 5): Long =
       try {
         val own = fs.getFileStatus(p).getModificationTime
         if (depth == 0) own

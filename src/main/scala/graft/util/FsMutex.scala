@@ -1,0 +1,41 @@
+package graft.util
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Exclusive-create-as-mutex over a Hadoop FileSystem — the one idiom
+  * shared by every rename-committed layout in this library (index
+  * build locks, compaction generation claims). `create(path,
+  * overwrite=false)` is atomic on HDFS-class and local filesystems; on
+  * an object store without atomic create-if-absent, the same caveat as
+  * every rename-committed protocol applies.
+  *
+  * Ownership: the creator's `token` is written as the file content, so
+  * release can refuse to delete a lock that was broken and re-acquired
+  * by someone else (the content read races the create's write by a
+  * moment — a mismatch or missing content errs toward NOT deleting,
+  * the safe direction).
+  */
+object FsMutex {
+
+  /** Atomically create `path` carrying `token`; false if it exists. */
+  def tryAcquire(fs: FileSystem, path: Path, token: String = ""): Boolean =
+    try {
+      val out = fs.create(path, false)
+      out.write(token.getBytes("UTF-8"))
+      out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+
+  /** Delete `path` only when its content matches `token` — never
+    * release a lock someone else now holds. Returns whether deleted.
+    */
+  def releaseIfOwner(fs: FileSystem, path: Path, token: String): Boolean =
+    try {
+      val in = fs.open(path)
+      val buf = new Array[Byte](256)
+      val n = in.read(buf)
+      in.close()
+      val content = if (n <= 0) "" else new String(buf, 0, n, "UTF-8")
+      if (content == token) fs.delete(path, false) else false
+    } catch { case _: java.io.IOException => false }
+}

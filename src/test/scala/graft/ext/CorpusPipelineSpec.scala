@@ -17,11 +17,11 @@ class CorpusPipelineSpec extends SparkSpec {
     val stages = CorpusPipeline.run(spark, sf, out, nShards = 4)
 
     val byName = stages.map(s => s.stage -> s).toMap
-    assert(stages.map(_.stage) == Seq("quality_gates", "boilerplate", "exact_dedup",
+    assert(stages.map(_.stage) == Seq("quality_gates", "exact_dedup", "boilerplate",
       "neardup_prune", "decontam", "pii_redact", "sequence_pack", "shard_export"))
     // every filtering stage shrinks (or holds); scrubbing and packing
     // rewrite/annotate rows without dropping any
-    Seq("quality_gates", "boilerplate", "exact_dedup", "neardup_prune", "decontam")
+    Seq("quality_gates", "exact_dedup", "boilerplate", "neardup_prune", "decontam")
       .foreach { s => assert(byName(s).docsOut <= byName(s).docsIn, s) }
     Seq("pii_redact", "sequence_pack").foreach { s =>
       assert(byName(s).docsOut == byName(s).docsIn, s)
@@ -49,6 +49,31 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("exact dedup before boilerplate removal: a 3x-duplicated doc survives as ONE copy") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dupText = (1 to 20).map(i => s"d$i").mkString(" ") // two 10-word chunks
+    val docs = Seq(
+      (1L, dupText), (2L, dupText), (3L, dupText), // three verbatim copies
+      (4L, (1 to 20).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+
+    // the hazard, demonstrated: chunk frequencies over the RAW corpus
+    // turn the duplicated doc's own chunks into "boilerplate" (freq 3)
+    // and annihilate every copy
+    val naive = Dedup.chunkDedup(docs, "doc_id", "text", chunkWords = 10, boilerplateK = 3)
+    assert(naive.filter(col("doc_id") <= 3).filter(col("clean_text") =!= "").count() == 0)
+
+    // the pipeline's order: exact dedup first, boilerplate over the
+    // survivors — one canonical copy keeps its full text
+    val deduped = docs.join(
+      Dedup.exact(docs, "doc_id", "text")
+        .select(col("canonical_doc_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val cleaned = Dedup.chunkDedup(deduped, "doc_id", "text", chunkWords = 10, boilerplateK = 3)
+    assert(cleaned.count() == 2)
+    assert(cleaned.filter(col("doc_id") === 1L).select("clean_text").as[String].head()
+      == dupText, "the canonical copy must survive intact")
+  }
+
   test("accounting is single-pass: each stage's DAG executes once (job-count pin)") {
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -74,7 +99,7 @@ class CorpusPipelineSpec extends SparkSpec {
       info(s"pipeline ran $n jobs")
       assert(n <= 95, s"corpus pipeline ran $n jobs — stage lineage is re-executing")
       // and the accounting itself must be unchanged by how it is taken
-      assert(stages.map(_.stage) == Seq("quality_gates", "boilerplate", "exact_dedup",
+      assert(stages.map(_.stage) == Seq("quality_gates", "exact_dedup", "boilerplate",
         "neardup_prune", "decontam", "pii_redact", "sequence_pack", "shard_export"))
       assert(stages.sliding(2).forall { case Seq(a, b) => b.docsIn == a.docsOut })
     } finally spark.sparkContext.removeSparkListener(listener)
