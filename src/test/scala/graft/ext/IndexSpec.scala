@@ -60,6 +60,30 @@ class IndexSpec extends SparkSpec {
     assert(fp1 != fp2)
   }
 
+  test("gcStale sweeps a crashed builder's orphaned temp once idle past the lock budget") {
+    val src = tmpDir("idx-gc-tmp")
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(src)
+    val fs = new org.apache.hadoop.fs.Path(IndexStore.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed builder's leftover: a full (possibly huge) temp copy
+    val orphan = new org.apache.hadoop.fs.Path(
+      s"${IndexStore.root}/gct-deadbeef.build-cafe0000")
+    fs.mkdirs(orphan)
+    val prevWait = System.getProperty("graft.index.lockWaitMs")
+    System.setProperty("graft.index.lockWaitMs", "1") // idle budget ~0 for the test
+    try {
+      Thread.sleep(5)
+      IndexStore.ensure("gct", spark, Seq(src)) { tmp =>
+        Seq((1L, 1L)).toDF("k", "n").write.parquet(s"$tmp/t")
+      }
+      assert(!fs.exists(orphan), "orphaned build temp must be swept on commit")
+    } finally {
+      if (prevWait == null) System.clearProperty("graft.index.lockWaitMs")
+      else System.setProperty("graft.index.lockWaitMs", prevWait)
+    }
+  }
+
   test("ensure does not clobber an index committed while waiting on the lock") {
     val src = tmpDir("idx-race")
     import spark.implicits._
