@@ -151,7 +151,11 @@ object Bench {
         medianed += name
         val extra = timedRep(name, run)
         minTimes(name) = math.min(best, extra)
-        (xs :+ extra).sorted.apply(xs.size / 2)
+        // true median of the combined sample for ANY reps count (the
+        // lower-middle index is only the median when the count is odd)
+        val ys = (xs :+ extra).sorted
+        val n = ys.size
+        if (n % 2 == 1) ys(n / 2) else (ys(n / 2 - 1) + ys(n / 2)) / 2
       } else { minTimes(name) = best; best }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -149,19 +149,30 @@ object IndexStore {
           try {
             if (!ready()) { // recheck under the lock: authoritative
               val tmp = new Path(s"$path.build-${java.util.UUID.randomUUID().toString.take(8)}")
-              build(tmp.toString)
-              writeSources(fs, tmp, gcScope)
-              fs.create(new Path(tmp, "_READY"), true).close()
-              // re-check immediately before the swap: if our lock was
-              // stolen as stale mid-build (a build that outran
-              // lockWaitMs) and the thief already committed, PREFER the
-              // committed index — never delete a live one under its
-              // readers; our duplicate build is the discarded copy
-              if (ready()) fs.delete(tmp, true)
-              else {
-                fs.delete(p, true) // an uncommitted leftover never carries _READY
-                if (!fs.rename(tmp, p))
-                  throw new java.io.IOException(s"index commit failed for $path")
+              try {
+                build(tmp.toString)
+                writeSources(fs, tmp, gcScope)
+                fs.create(new Path(tmp, "_READY"), true).close()
+                // re-check immediately before the swap: if our lock was
+                // stolen as stale mid-build (a build that outran
+                // lockWaitMs) and the thief already committed, PREFER the
+                // committed index — never delete a live one under its
+                // readers; our duplicate build is the discarded copy
+                if (ready()) fs.delete(tmp, true)
+                else {
+                  fs.delete(p, true) // an uncommitted leftover never carries _READY
+                  if (!fs.rename(tmp, p))
+                    throw new java.io.IOException(s"index commit failed for $path")
+                }
+              } catch {
+                case e: Throwable =>
+                  // A stolen lock's thief (or a sibling's GC) can
+                  // sabotage this build — temp deleted mid-write, rename
+                  // target raced. If a committed winner exists the
+                  // failure only killed a duplicate copy: serve the
+                  // winner instead of propagating.
+                  scala.util.Try(fs.delete(tmp, true))
+                  if (!ready()) throw e
               }
             }
           } finally graft.util.FsMutex.releaseIfOwner(fs, lockFile, lockToken)
@@ -297,11 +308,26 @@ object IndexStore {
           readSources(fs, st.getPath).contains(mySources)
       }
       .foreach(st => fs.delete(st.getPath, true))
+    // Orphan judgment uses the newest mtime INSIDE the temp, not the
+    // dir's own: a live build writes task output under _temporary (the
+    // FileOutputCommitter layout), so the top-level mtime never moves
+    // while the build is very much alive — its children's mtimes do.
+    // A path vanishing mid-walk IS active commit churn: report `now`
+    // (never idle) rather than judging a moving target.
+    def newestMtime(p: Path, depth: Int = 5): Long =
+      try {
+        val own = fs.getFileStatus(p).getModificationTime
+        if (depth == 0) own
+        else (own +: fs.listStatus(p).map { st =>
+          if (st.isDirectory) newestMtime(st.getPath, depth - 1)
+          else st.getModificationTime
+        }.toSeq).max
+      } catch { case _: java.io.FileNotFoundException => now }
     fs.listStatus(rootPath)
       .filter { st =>
         st.getPath.getName.startsWith(s"$kind-") &&
           st.getPath.getName.contains(".build-") &&
-          now - st.getModificationTime > lockWaitMs
+          now - newestMtime(st.getPath) > lockWaitMs
       }
       .foreach(st => fs.delete(st.getPath, true))
   }

@@ -250,8 +250,20 @@ object Compaction {
       val served = currentCopy(spark, tablePath, hour).isDefined
       val migrated = if (!served) {
         if (fs.exists(new Path(tmp, "_SUCCESS"))) { // roll FORWARD: tmp is complete
-          if (!fs.rename(tmp, new Path(s"$tablePath/${genDirName(hour, 1)}")))
-            throw new java.io.IOException(s"legacy migration: could not promote $tmp")
+          // Legacy tmps were written FROM the leaf hour dir, so they
+          // carry no event_hour column — but the generation read branch
+          // (EventsTable.read) requires it; a bare rename would make the
+          // whole table unreadable (AnalysisException on the cast) or
+          // silently null the hour under schema merging. Rewrite the tmp
+          // into generation 1 with the constant hour added; the job
+          // committer's _SUCCESS (written last) keeps the commit atomic.
+          val src = spark.read.parquet(tmp.toString)
+          val withHour =
+            if (src.columns.contains(EventsTable.PartitionCol)) src
+            else src.withColumn(EventsTable.PartitionCol, lit(hour))
+          withHour.sortWithinPartitions(col("time_us"))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$tablePath/${genDirName(hour, 1)}")
           true
         } else if (fs.exists(backup)) { // roll BACK: the backup is the only good copy
           if (!fs.rename(backup, new Path(s"$tablePath/${EventsTable.PartitionCol}=$hour")))

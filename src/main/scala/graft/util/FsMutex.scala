@@ -18,13 +18,24 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object FsMutex {
 
   /** Atomically create `path` carrying `token`; false if it exists. */
-  def tryAcquire(fs: FileSystem, path: Path, token: String = ""): Boolean =
+  def tryAcquire(fs: FileSystem, path: Path, token: String = ""): Boolean = {
+    var created = false
     try {
       val out = fs.create(path, false)
+      created = true
       out.write(token.getBytes("UTF-8"))
       out.close()
       true
-    } catch { case _: java.io.IOException => false }
+    } catch {
+      case _: java.io.IOException =>
+        // If the create itself won but stamping the token failed, the
+        // file on disk is a lock NOBODY owns (empty content ≠ any
+        // caller's token) — remove it rather than leak it until the
+        // full stale-break budget elapses.
+        if (created) scala.util.Try(fs.delete(path, false))
+        false
+    }
+  }
 
   /** Delete `path` only when its content matches `token` — never
     * release a lock someone else now holds. Returns whether deleted.

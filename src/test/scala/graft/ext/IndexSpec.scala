@@ -84,6 +84,41 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("gcStale spares a LIVE build: stale top-level mtime, fresh task-commit children") {
+    val src = tmpDir("idx-gc-live")
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(src)
+    val fs = new org.apache.hadoop.fs.Path(IndexStore.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a LIVE slow build: the temp's top-level mtime is ancient (the
+    // FileOutputCommitter creates the dest at job start and never
+    // touches it again) but a task-attempt file deep under _temporary
+    // was written moments ago — exactly the shape gcStale must spare
+    val live = new org.apache.hadoop.fs.Path(
+      s"${IndexStore.root}/gcl-deadbeef.build-feed0000")
+    val taskDir = new org.apache.hadoop.fs.Path(live, "_temporary/0/_temporary/attempt_0")
+    fs.mkdirs(taskDir)
+    val old = System.currentTimeMillis() - 3600 * 1000
+    fs.setTimes(live, old, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(live, "_temporary"), old, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(live, "_temporary/0"), old, -1)
+    fs.setTimes(taskDir, old, -1)
+    fs.create(new org.apache.hadoop.fs.Path(taskDir, "part-00000"), true).close() // fresh
+    val prevWait = System.getProperty("graft.index.lockWaitMs")
+    System.setProperty("graft.index.lockWaitMs", s"${10 * 60 * 1000}")
+    try {
+      IndexStore.ensure("gcl", spark, Seq(src)) { tmp =>
+        Seq((1L, 1L)).toDF("k", "n").write.parquet(s"$tmp/t")
+      }
+      assert(fs.exists(live),
+        "a build with recent child writes is ALIVE and must not be swept")
+    } finally {
+      fs.delete(live, true)
+      if (prevWait == null) System.clearProperty("graft.index.lockWaitMs")
+      else System.setProperty("graft.index.lockWaitMs", prevWait)
+    }
+  }
+
   test("ensure does not clobber an index committed while waiting on the lock") {
     val src = tmpDir("idx-race")
     import spark.implicits._

@@ -140,12 +140,16 @@ class LayoutSpec extends SparkSpec {
     val fs = fsOf(tmpDir("legacy-fs"))
 
     // --- old protocol crashed AFTER dir→backup with a COMPLETE tmp:
-    // migration promotes the rewrite as generation 1
+    // migration promotes the rewrite as generation 1. Real legacy tmps
+    // were written FROM the leaf hour dir and so carry NO event_hour
+    // column — fabricate exactly that format; migration must add the
+    // column or the generation read branch can't bind.
     val (p1, rows1) = mkTable("fwd")
     spark.read.parquet(liveDir(p1).toString)
-      .withColumn(EventsTable.PartitionCol, lit(0L))
       .repartitionByRange(1, col("time_us")).sortWithinPartitions(col("time_us"))
       .write.parquet(s"$p1/_compact_tmp_0")
+    assert(!spark.read.parquet(s"$p1/_compact_tmp_0").columns
+      .contains(EventsTable.PartitionCol), "fixture must match the real legacy format")
     assert(fs.rename(liveDir(p1), new Path(s"$p1/_compact_old_0")))
     assert(EventsTable.read(spark, p1).filter(col(EventsTable.PartitionCol) === 0).count() == 0,
       "pre-migration: the crashed hour is invisible (the upgrade gap)")
@@ -153,6 +157,10 @@ class LayoutSpec extends SparkSpec {
     assert(EventsTable.read(spark, p1).select("time_us").as[Long].collect().sorted.toSeq
       == rows1, "rolled forward: same rows, served as generation 1")
     assert(Compaction.currentCopy(spark, p1, 0).exists(_._2 == 1))
+    // hour predicates bind against the promoted generation (the column
+    // the migration must have added)
+    assert(EventsTable.read(spark, p1)
+      .filter(col(EventsTable.PartitionCol) === 0).count() == 100)
     assert(!fs.exists(new Path(s"$p1/_compact_old_0")) && !fs.exists(new Path(s"$p1/_compact_tmp_0")))
 
     // --- INCOMPLETE tmp: migration restores the backup as the live dir
