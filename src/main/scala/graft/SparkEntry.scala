@@ -120,6 +120,7 @@ object SparkEntry {
     "ann_lsh_buckets"    -> ExtQueries.annLshBuckets _,
     "embed_centroids"    -> ExtQueries.embedCentroids _,
     "multimodal_meta"    -> ExtQueries.multimodalMeta _,
+    "image_dims"         -> ExtQueries.imageDims _,
     "ivf_probe2"         -> ExtQueries.ivfProbe2 _,
     // learned-quantizer probe: no oracle by design (iterative FP k-means
     // isn't SQL-expressible); gated by RecallSpec's recall floor instead
@@ -748,6 +749,16 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |       md5(text) AS content_digest,
         |       substr(text, 1, 8) AS head
+        |FROM documents""".stripMargin,
+    "image_dims" ->
+      // the Spark side builds a REAL container per doc and parses its
+      // dimensions back off the magic bytes; the oracle recomputes the
+      // planted numbers arithmetically
+      """SELECT doc_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |            ELSE 'jpeg' END AS img_format,
+        |       (16 + doc_id % 1000)::BIGINT AS width,
+        |       (16 + (doc_id * 7) % 1000)::BIGINT AS height
         |FROM documents""".stripMargin,
     "ivf_probe2" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

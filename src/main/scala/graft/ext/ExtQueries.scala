@@ -394,4 +394,26 @@ object ExtQueries {
         octet_length(col("text")).cast("long").as("n_bytes"),
         md5(col("text")).as("content_digest"),
         substring(col("text"), 1, 8).as("head"))
+
+  /** Real image-header decode end-to-end: a valid PNG/GIF/JPEG container
+    * is synthesized per document (format and dimensions arithmetic in
+    * doc_id), then [[Multimodal.withImageDims]] parses the dimensions
+    * BACK out of the raw bytes with the real header parser
+    * ([[Multimodal.parseImageDims]]) — the oracle recomputes the same
+    * numbers arithmetically, so any parser or builder offset error
+    * hash-mismatches. The binary payload is born and dies inside one
+    * partition-local pipeline: nothing but (id, format, dims) survives.
+    */
+  def imageDims(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val payloads = ids.mapPartitions(_.map { id =>
+      val fmt = (id % 3) match { case 0 => "png"; case 1 => "gif"; case _ => "jpeg" }
+      val w = (16 + id % 1000).toInt
+      val h = (16 + (id * 7) % 1000).toInt
+      (id, Multimodal.syntheticImage(fmt, w, h))
+    }).toDF("doc_id", "payload")
+    Multimodal.withImageDims(payloads, "payload")
+      .select(col("doc_id"), col("img_format"), col("width"), col("height"))
+  }
 }

@@ -270,6 +270,57 @@ class ExtOpsSpec extends SparkSpec {
     assert(again == rows)
   }
 
+  test("parseImageDims reads real container headers: PNG/GIF/JPEG/BMP, big sizes, junk") {
+    // REAL bytes, not synthetic round-trips: a genuine 1x1 PNG and 1x1
+    // GIF89a as produced by standard encoders (public constants)
+    val png1x1 = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    val gif1x1 = java.util.Base64.getDecoder.decode(
+      "R0lGODlhAQABAAAAACH5BAEKAAEALAAAAAABAAEAAAICTAEAOw==")
+    assert(Multimodal.parseImageDims(png1x1).contains(("png", 1, 1)))
+    assert(Multimodal.parseImageDims(gif1x1).contains(("gif", 1, 1)))
+
+    // a JPEG whose SOF sits BEHIND other segments (DQT) and is
+    // progressive (SOF2) — the segment walk must skip to it
+    val jpeg = {
+      val out = new java.io.ByteArrayOutputStream()
+      def b(v: Int) = out.write(v & 0xff)
+      b(0xff); b(0xd8) // SOI
+      b(0xff); b(0xdb); b(0); b(67); (0 until 65).foreach(_ => b(0x10)) // DQT
+      b(0xff); b(0xc2); b(0); b(11); b(8) // SOF2 (progressive), precision 8
+      b(640 >> 8); b(640 & 0xff) // height 640
+      b(480 >> 8); b(480 & 0xff) // width 480
+      b(1); b(1); b(0x11); b(0)
+      b(0xff); b(0xd9)
+      out.toByteArray
+    }
+    assert(Multimodal.parseImageDims(jpeg).contains(("jpeg", 480, 640)))
+
+    // endianness at >255 dims, every builder format round-trips
+    for (fmt <- Seq("png", "gif", "jpeg", "bmp"); (w, h) <- Seq((1, 1), (1000, 2000), (65500, 3)))
+      assert(Multimodal.parseImageDims(Multimodal.syntheticImage(fmt, w, h))
+        .contains((fmt, w, h)), s"$fmt ${w}x$h")
+
+    // junk, truncation, empty: None — never a throw
+    assert(Multimodal.parseImageDims(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.parseImageDims("not an image at all".getBytes).isEmpty)
+    assert(Multimodal.parseImageDims(png1x1.take(12)).isEmpty)
+    assert(Multimodal.parseImageDims(Array[Byte](0xff.toByte, 0xd8.toByte, 0x00, 0x01)).isEmpty)
+  }
+
+  test("withImageDims: batched header decode over a binary column, nulls for junk") {
+    val df = Seq(
+      (1L, Multimodal.syntheticImage("png", 320, 240)),
+      (2L, Multimodal.syntheticImage("gif", 12, 34)),
+      (3L, "garbage".getBytes)).toDF("id", "payload")
+    val dims = Multimodal.withImageDims(df, "payload")
+      .select("id", "img_format", "width", "height").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(dims(1L) == (("png", Some(320L), Some(240L))))
+    assert(dims(2L) == (("gif", Some(12L), Some(34L))))
+    assert(dims(3L) == ((null, None, None)))
+  }
+
   test("multimodal resize + frame sampling keep the batched partition shape") {
     val vids = Seq(
       (1L, Array.tabulate(1000)(_.toByte)), // 1000 bytes → 3 stub frames
