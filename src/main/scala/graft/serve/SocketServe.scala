@@ -48,7 +48,10 @@ object SocketServe {
       name: String,
       session: CutoverSession,
       out: PrintWriter,
-      socket: Socket)
+      socket: Socket,
+      remote: String,
+      delivered: Metrics.Series,
+      bytesDelivered: Metrics.Series)
 
   /** Parse the request line's query parameters. */
   private[serve] def parseRequest(line: String, nowUs: Long)
@@ -72,14 +75,14 @@ object SocketServe {
       serverSocket: ServerSocket,
       queryOf: () => StreamingQuery,
       conns: scala.collection.concurrent.TrieMap[String, Conn],
+      drop: Conn => Unit,
       onClose: () => Unit) {
     lazy val query: StreamingQuery = queryOf()
     def subscriberCount: Int = conns.size
     def close(): Unit = {
       try query.stop() catch { case _: Throwable => () }
       serverSocket.close()
-      conns.values.foreach(c => c.socket.close())
-      conns.clear()
+      conns.values.foreach(drop) // closes sockets + settles the gauge
       onClose()
     }
   }
@@ -94,10 +97,25 @@ object SocketServe {
       fanOutWidth: Int = ServeJob.DefaultFanOutWidth,
       trigger: Trigger = Trigger.ProcessingTime(0L),
       nowUs: () => Long = () => System.currentTimeMillis() * 1000L,
-      writeTimeoutMs: Long = 30000L): Server = {
+      writeTimeoutMs: Long = 30000L,
+      metrics: Metrics.Registry = Metrics.default): Server = {
     val serverSocket = new ServerSocket(0)
     val conns = scala.collection.concurrent.TrieMap.empty[String, Conn]
     val counter = new java.util.concurrent.atomic.AtomicInteger
+    // the reference's serve-side series (metrics.go:7-31), incremented
+    // at the same boundaries: emit loop, delivery, connect/disconnect
+    val eventsEmitted = metrics.counter("graft_events_emitted_total",
+      "Total events emitted by the serving loop")
+    val bytesEmitted = metrics.counter("graft_bytes_emitted_total",
+      "Total wire bytes serialized by the serving loop")
+    def connectedGauge(remote: String) = metrics.gauge(
+      "graft_subscribers_connected",
+      "Subscribers currently connected", "remote" -> remote)
+    def dropConn(conn: Conn): Unit =
+      if (conns.remove(conn.name).isDefined) {
+        conn.socket.close()
+        connectedGauge(conn.remote).dec()
+      }
     // slow-consumer watchdog: a subscriber that stops READING (pipe
     // alive, kernel send buffer full) blocks the write forever —
     // checkError only sees closed pipes. The watchdog closes the socket
@@ -123,8 +141,14 @@ object SocketServe {
             if (line != null) {
               val (spec, cursor) = parseRequest(line, nowUs())
               val name = s"sub-${counter.incrementAndGet()}"
+              val remote = sock.getInetAddress.getHostAddress
               conns.put(name, Conn(name, new CutoverSession(spec, cursor),
-                new PrintWriter(sock.getOutputStream, false), sock))
+                new PrintWriter(sock.getOutputStream, false), sock, remote,
+                metrics.counter("graft_events_delivered_total",
+                  "Total events delivered to subscribers", "remote" -> remote),
+                metrics.counter("graft_bytes_delivered_total",
+                  "Total wire bytes delivered to subscribers", "remote" -> remote)))
+              connectedGauge(remote).inc()
             } else sock.close()
           } catch { case _: Throwable => sock.close() }
         }).start()
@@ -150,6 +174,13 @@ object SocketServe {
       } finally kill.cancel(false)
       if (conn.out.checkError())
         throw new java.io.IOException(s"${conn.name}: dead or stalled pipe")
+      // past checkError: count only deliveries that reached the pipe
+      // (server.go:151-152 counts after a successful write)
+      if (rows.nonEmpty) {
+        conn.delivered.add(rows.length.toDouble)
+        conn.bytesDelivered.add(
+          rows.iterator.map(_.getString(0).length + 1L).sum.toDouble)
+      }
     }
 
     // the live head starts at the TABLE's current tail, not 0: a no-data
@@ -173,9 +204,18 @@ object SocketServe {
           // filters the cached wired batch and ships the wire column
           val cached = Decode.toWire(batch).persist(StorageLevel.MEMORY_AND_DISK)
           try {
-            val headRow = cached.agg(max(col("time_us"))).head()
+            // one aggregate pass: live head + the emit-loop counters
+            // (server.go:71,80 counts each serialized event and its
+            // bytes once, before fan-out — same spot, same single
+            // serialization thanks to the shared wire cache)
+            val headRow = cached.agg(max(col("time_us")),
+              count(lit(1)), sum(octet_length(col("wire")))).head()
             if (!headRow.isNullAt(0))
               lastHeadUs.getAndAccumulate(headRow.getLong(0), math.max)
+            if (headRow.getLong(1) > 0L) {
+              eventsEmitted.add(headRow.getLong(1).toDouble)
+              bytesEmitted.add(headRow.getLong(2).toDouble)
+            }
             val serverSeqUs = lastHeadUs.get()
             ServeJob.onPool(active, fanOutWidth) { conn =>
               try {
@@ -184,8 +224,7 @@ object SocketServe {
                     view => writeView(conn, view))
                 writeView(conn, conn.session.liveEmit(cached))
               } catch { case _: java.io.IOException => // slow consumer /
-                conns.remove(conn.name) // disconnect: server.go:168-175
-                conn.socket.close()
+                dropConn(conn) // disconnect: server.go:168-175
               }
             }
           } finally cached.unpersist()
@@ -194,6 +233,6 @@ object SocketServe {
       .start()
 
     new Server(serverSocket.getLocalPort, serverSocket, () => query, conns,
-      () => watchdog.shutdownNow())
+      dropConn, () => watchdog.shutdownNow())
   }
 }
