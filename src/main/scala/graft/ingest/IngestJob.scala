@@ -63,8 +63,16 @@ object IngestJob {
       prevMaxUs: Long = 0L,
       nowUs: () => Long = () => System.currentTimeMillis() * 1000L,
       scalableThresholdRows: Long = ScalableStampThresholdRows,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      metrics: graft.serve.Metrics.Registry = graft.serve.Metrics.default): StreamingQuery = {
     val hwm = new AtomicLong(prevMaxUs)
+    // the reference's per-consumer sequenced/persisted counters
+    // (pkg/consumer/consumer.go:79-81), labeled by the table the way
+    // the reference labels by socket URL
+    val sequenced = metrics.counter("graft_consumer_events_sequenced_total",
+      "Total events stamped by the sequencer", "table" -> tablePath)
+    val persisted = metrics.counter("graft_consumer_events_persisted_total",
+      "Total events appended to the events table", "table" -> tablePath)
     decoded.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -75,7 +83,9 @@ object IngestJob {
             Sequencer.stampScalable(batch, orderCols, hwm.get(), nowUs, rows = n)
           else Sequencer.stamp(batch, orderCols, hwm.get(), nowUs, rows = n)
         if (seq.maxTimeUs > hwm.get()) {
+          sequenced.add(n.toDouble)
           EventsTable.append(seq.df, tablePath)
+          persisted.add(n.toDouble)
           hwm.set(seq.maxTimeUs)
         }
       }

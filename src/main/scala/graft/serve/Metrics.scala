@@ -41,6 +41,28 @@ object Metrics {
 
   private final case class Meta(typ: String, help: String)
 
+  /** A Prometheus histogram: cumulative `_bucket{le=…}` counts plus
+    * `_sum`/`_count`, all lock-free adders. Buckets are fixed at first
+    * registration (the exposition contract).
+    */
+  final class Histogram private[Metrics] (private[Metrics] val buckets: Array[Double]) {
+    private[Metrics] val counts =
+      Array.fill(buckets.length + 1)(new java.util.concurrent.atomic.LongAdder)
+    private[Metrics] val sum = new DoubleAdder
+    def observe(v: Double): Unit = {
+      var i = 0
+      while (i < buckets.length && v > buckets(i)) i += 1
+      counts(i).increment() // non-cumulative per-bucket; summed at render
+      sum.add(v)
+    }
+  }
+
+  /** The reference's default duration buckets
+    * (prometheus.ExponentialBuckets(0.0001, 2, 18), consumer metrics).
+    */
+  def exponentialBuckets(start: Double, factor: Double, count: Int): Array[Double] =
+    Array.iterate(start, count)(_ * factor)
+
   final class Registry {
     private val series =
       new java.util.concurrent.ConcurrentHashMap[(String, Seq[(String, String)]), Series]()
@@ -59,6 +81,16 @@ object Metrics {
 
     def gauge(name: String, help: String, labels: (String, String)*): Series =
       get(name, "gauge", help, labels)
+
+    private val histograms = new java.util.concurrent.ConcurrentHashMap[
+      (String, Seq[(String, String)]), Histogram]()
+
+    def histogram(name: String, help: String, buckets: Array[Double],
+        labels: (String, String)*): Histogram = {
+      metas.putIfAbsent(name, Meta("histogram", help))
+      histograms.computeIfAbsent((name, labels.sortBy(_._1)),
+        _ => new Histogram(buckets))
+    }
 
     /** Prometheus text format 0.0.4. Series are rendered grouped by
       * name with HELP/TYPE once per family, families and label sets in
@@ -80,6 +112,32 @@ object Metrics {
                 else labels.map { case (k, v) => s"""$k="${escapeLabel(v)}"""" }
                   .mkString("{", ",", "}")
               sb.append(s"$name$labelStr ${format(s.value)}\n")
+            }
+        }
+      histograms.asScala.toSeq
+        .groupBy { case ((name, _), _) => name }.toSeq.sortBy(_._1)
+        .foreach { case (name, members) =>
+          val meta = metas.get(name)
+          sb.append(s"# HELP $name ${escapeHelp(meta.help)}\n")
+          sb.append(s"# TYPE $name histogram\n")
+          members.sortBy { case ((_, labels), _) => labels.toString }
+            .foreach { case ((_, labels), h) =>
+              def withLe(le: String) =
+                (labels :+ ("le" -> le)).map { case (k, v) =>
+                  s"""$k="${escapeLabel(v)}"""" }.mkString("{", ",", "}")
+              val base =
+                if (labels.isEmpty) ""
+                else labels.map { case (k, v) => s"""$k="${escapeLabel(v)}"""" }
+                  .mkString("{", ",", "}")
+              var cum = 0L
+              h.buckets.indices.foreach { i =>
+                cum += h.counts(i).sum()
+                sb.append(s"${name}_bucket${withLe(format(h.buckets(i)))} $cum\n")
+              }
+              cum += h.counts(h.buckets.length).sum()
+              sb.append(s"${name}_bucket${withLe("+Inf")} $cum\n")
+              sb.append(s"${name}_sum$base ${format(h.sum.sum())}\n")
+              sb.append(s"${name}_count$base $cum\n")
             }
         }
       sb.toString

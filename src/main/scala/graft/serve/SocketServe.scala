@@ -44,10 +44,54 @@ import graft.ingest.Decode
   */
 object SocketServe {
 
+  /** Per-connection wire protocol: how a subscriber's request arrives
+    * and how wire JSON frames go back. One implementation per
+    * transport; the serving loop (sessions, cutover, fan-out, metrics,
+    * drops) is transport-agnostic.
+    */
+  private[serve] trait Transport {
+    /** Handshake a fresh connection: the request query string
+      * (`subscribe?cursor=…&wantedCollections=…`) and the frame
+      * writer, or None to reject (the socket is closed by the caller).
+      */
+    def open(sock: Socket): Option[(String, WireWriter)]
+  }
+
+  /** Writes one batch of wire frames; returns bytes put on the wire.
+    * MUST throw [[java.io.IOException]] on a dead or stalled pipe —
+    * that is the drop signal (server.go:168-175).
+    */
+  private[serve] trait WireWriter {
+    def writeFrames(frames: Array[String]): Long
+  }
+
+  /** The line protocol: one request line in, one JSON line per frame
+    * out (the round-6 serve surface, kept as the plain-TCP transport).
+    */
+  private[serve] object LineTransport extends Transport {
+    def open(sock: Socket): Option[(String, WireWriter)] = {
+      val line = new BufferedReader(
+        new InputStreamReader(sock.getInputStream, "UTF-8")).readLine()
+      Option(line).map { l =>
+        val out = new PrintWriter(sock.getOutputStream, false)
+        (l, new WireWriter {
+          def writeFrames(frames: Array[String]): Long = {
+            var bytes = 0L
+            frames.foreach { f => out.println(f); bytes += f.length + 1L }
+            out.flush()
+            if (out.checkError())
+              throw new java.io.IOException("dead or stalled pipe")
+            bytes
+          }
+        })
+      }
+    }
+  }
+
   private final case class Conn(
       name: String,
       session: CutoverSession,
-      out: PrintWriter,
+      writer: WireWriter,
       socket: Socket,
       remote: String,
       delivered: Metrics.Series,
@@ -98,7 +142,8 @@ object SocketServe {
       trigger: Trigger = Trigger.ProcessingTime(0L),
       nowUs: () => Long = () => System.currentTimeMillis() * 1000L,
       writeTimeoutMs: Long = 30000L,
-      metrics: Metrics.Registry = Metrics.default): Server = {
+      metrics: Metrics.Registry = Metrics.default,
+      transport: Transport = LineTransport): Server = {
     val serverSocket = new ServerSocket(0)
     val conns = scala.collection.concurrent.TrieMap.empty[String, Conn]
     val counter = new java.util.concurrent.atomic.AtomicInteger
@@ -129,27 +174,27 @@ object SocketServe {
     // they would otherwise pile up for their full timeout
     watchdog.setRemoveOnCancelPolicy(true)
 
-    // acceptor: one request line → a registered CutoverSession; the
-    // subscriber starts receiving at the next micro-batch
+    // acceptor: one transport handshake → a registered CutoverSession;
+    // the subscriber starts receiving at the next micro-batch
     val acceptor = new Thread(() => {
       try while (true) {
         val sock = serverSocket.accept()
         new Thread(() => {
           try {
-            val line = new BufferedReader(
-              new InputStreamReader(sock.getInputStream, "UTF-8")).readLine()
-            if (line != null) {
-              val (spec, cursor) = parseRequest(line, nowUs())
-              val name = s"sub-${counter.incrementAndGet()}"
-              val remote = sock.getInetAddress.getHostAddress
-              conns.put(name, Conn(name, new CutoverSession(spec, cursor),
-                new PrintWriter(sock.getOutputStream, false), sock, remote,
-                metrics.counter("graft_events_delivered_total",
-                  "Total events delivered to subscribers", "remote" -> remote),
-                metrics.counter("graft_bytes_delivered_total",
-                  "Total wire bytes delivered to subscribers", "remote" -> remote)))
-              connectedGauge(remote).inc()
-            } else sock.close()
+            transport.open(sock) match {
+              case Some((line, writer)) =>
+                val (spec, cursor) = parseRequest(line, nowUs())
+                val name = s"sub-${counter.incrementAndGet()}"
+                val remote = sock.getInetAddress.getHostAddress
+                conns.put(name, Conn(name, new CutoverSession(spec, cursor),
+                  writer, sock, remote,
+                  metrics.counter("graft_events_delivered_total",
+                    "Total events delivered to subscribers", "remote" -> remote),
+                  metrics.counter("graft_bytes_delivered_total",
+                    "Total wire bytes delivered to subscribers", "remote" -> remote)))
+                connectedGauge(remote).inc()
+              case None => sock.close()
+            }
           } catch { case _: Throwable => sock.close() }
         }).start()
       } catch { case _: Throwable => () } // server closed
@@ -168,18 +213,14 @@ object SocketServe {
       val kill = watchdog.schedule(
         new Runnable { def run(): Unit = conn.socket.close() },
         writeTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
-      try {
-        rows.foreach(r => conn.out.println(r.getString(0)))
-        conn.out.flush()
-      } finally kill.cancel(false)
-      if (conn.out.checkError())
-        throw new java.io.IOException(s"${conn.name}: dead or stalled pipe")
-      // past checkError: count only deliveries that reached the pipe
+      val bytes =
+        try conn.writer.writeFrames(rows.map(_.getString(0)))
+        finally kill.cancel(false)
+      // past writeFrames: count only deliveries that reached the pipe
       // (server.go:151-152 counts after a successful write)
       if (rows.nonEmpty) {
         conn.delivered.add(rows.length.toDouble)
-        conn.bytesDelivered.add(
-          rows.iterator.map(_.getString(0).length + 1L).sum.toDouble)
+        conn.bytesDelivered.add(bytes.toDouble)
       }
     }
 

@@ -45,6 +45,68 @@ class MetricsSpec extends SparkSpec {
     assert(out == reg.render)
   }
 
+  test("histogram renders cumulative buckets, sum and count") {
+    val reg = new Metrics.Registry
+    val h = reg.histogram("g_dur_seconds", "durations",
+      Array(0.1, 1.0, 10.0), "query" -> "q1")
+    h.observe(0.05); h.observe(0.5); h.observe(0.5); h.observe(99.0)
+    val out = reg.render
+    assert(out.contains("# TYPE g_dur_seconds histogram"))
+    assert(out.contains("""g_dur_seconds_bucket{query="q1",le="0.1"} 1"""))
+    assert(out.contains("""g_dur_seconds_bucket{query="q1",le="1"} 3"""), out)
+    assert(out.contains("""g_dur_seconds_bucket{query="q1",le="10"} 3"""))
+    assert(out.contains("""g_dur_seconds_bucket{query="q1",le="+Inf"} 4"""))
+    assert(out.contains("""g_dur_seconds_sum{query="q1"} 100.05"""))
+    assert(out.contains("""g_dur_seconds_count{query="q1"} 4"""))
+    // the reference's bucket layout: 18 exponential buckets from 1e-4
+    assert(graft.streaming.IngestMetrics.DurationBuckets.length == 18)
+    assert(math.abs(graft.streaming.IngestMetrics.DurationBuckets.last - 13.1072) < 1e-9)
+  }
+
+  test("ingest listener folds micro-batch progress into consumer_* series") {
+    val reg = new Metrics.Registry
+    val listener = graft.streaming.IngestMetrics.listener(reg)
+    spark.streams.addListener(listener)
+    val table = tmpDir("ingest-metrics-table")
+    try {
+      // a small real ingest: the listener sees its progress events
+      val src = tmpDir("ingest-metrics-src")
+      EventsTable.append((1 to 10).map(i => (i * 1000L, s"did:plc:u$i", "app.graft.doc"))
+        .toDF("time_us", "did", "collection"), src)
+      val tail = graft.streaming.LiveTail.withTailObservation(
+        spark.readStream.format("graft-replay")
+          .option("path", src).option("cursor", "0").load())
+      val q = graft.ingest.IngestJob.start(tail,
+        orderCols = Seq("time_us", "did"),
+        tablePath = table, checkpointDir = tmpDir("ingest-metrics-ckpt"),
+        metrics = reg)
+      val qid = q.id.toString
+      q.awaitTermination(120000)
+      // listener events are delivered async, and other suites' queries
+      // may also report into the session's listener bus: wait for and
+      // assert THIS query's series (labeled by its id)
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      def mine(name: String) = reg.render.contains(s"""$name{query="$qid"}""")
+      while (!mine("graft_consumer_last_seq") && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      val out = reg.render
+      assert((s"""graft_consumer_events_processed_total\\{query="$qid"\\} [1-9]""").r
+        .findFirstIn(out).isDefined, s"events_processed series missing:\n$out")
+      assert(mine("graft_consumer_last_seq"), out)
+      assert(mine("graft_consumer_last_evt_created_at"), out)
+      assert(mine("graft_consumer_last_evt_created_evt_processed_gap"), out)
+      assert(out.contains("graft_consumer_event_processing_duration_seconds_count"), out)
+      assert(("""graft_consumer_events_persisted_total\{table="[^"]*"\} 10""").r
+        .findFirstIn(out).isDefined, s"persisted counter:\n$out")
+      assert(("""graft_consumer_events_sequenced_total\{table="[^"]*"\} 10""").r
+        .findFirstIn(out).isDefined, out)
+      // last_seq carries the observed max event time of the tail
+      val seq = (s"""graft_consumer_last_seq\\{query="$qid"\\} (\\d+)""").r
+        .findFirstMatchIn(out).map(_.group(1).toLong)
+      assert(seq.exists(_ >= 10000L), s"last_seq from observe(): $seq\n$out")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("HTTP endpoint serves the registry at /metrics") {
     val reg = new Metrics.Registry
     reg.counter("g_http_total", "hits").add(5)

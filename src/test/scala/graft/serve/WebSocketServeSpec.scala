@@ -1,0 +1,106 @@
+package graft.serve
+
+import java.net.URI
+import java.net.http.{HttpClient, WebSocket}
+import java.util.concurrent.CompletionStage
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.store.EventsTable
+
+/** The reference's real subscribe surface end-to-end: a standard
+  * WebSocket client (the JDK's) dials `ws://…/subscribe?…`, the
+  * server upgrades per RFC 6455 and streams one TEXT frame per wire
+  * JSON event — cursor replay then live, filters applied, client
+  * CLOSE drops the subscriber (server.go:244-262, 144-175).
+  */
+class WebSocketServeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private final class WsClient(url: String) {
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    private val partial = new StringBuilder
+    val ws: WebSocket = HttpClient.newHttpClient().newWebSocketBuilder()
+      .buildAsync(URI.create(url), new WebSocket.Listener {
+        override def onText(w: WebSocket, data: CharSequence, last: Boolean)
+            : CompletionStage[_] = {
+          partial.append(data)
+          if (last) { lines.add(partial.toString); partial.setLength(0) }
+          w.request(1)
+          null
+        }
+      }).join()
+    def timesUs: Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      val re = """"time_us":(\d+)""".r
+      lines.asScala.toSeq.map(l => re.findFirstMatchIn(l).get.group(1).toLong)
+    }
+  }
+
+  private def eventually(timeoutMs: Long)(cond: => Boolean): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (!cond && System.nanoTime() < deadline) Thread.sleep(200)
+    assert(cond, s"condition not met within ${timeoutMs}ms")
+  }
+
+  test("JDK WebSocket client: cursored replay→live, filtered live tail, CLOSE drops") {
+    val table = tmpDir("ws-serve-table")
+    EventsTable.append((1 to 30).map(i => (i * 1000L, s"did:plc:u${i % 5}", "app.graft.doc"))
+      .toDF("time_us", "did", "collection"), table)
+    EventsTable.append((31 to 40).map(i => (i * 1000L, s"did:plc:u${i % 5}", "app.graft.other"))
+      .toDF("time_us", "did", "collection"), table)
+
+    val tail = spark.readStream.format("graft-replay")
+      .option("path", table).option("cursor", "41000").load()
+    val server = WebSocketServe.start(tail, table, tmpDir("ws-serve-ckpt"))
+    try {
+      val a = new WsClient(s"ws://localhost:${server.port}/subscribe?cursor=0")
+      val b = new WsClient(
+        s"ws://localhost:${server.port}/subscribe?wantedCollections=app.graft.doc")
+      eventually(30000)(server.subscriberCount == 2)
+
+      EventsTable.append((41 to 44).map(i => (i * 1000L, s"did:plc:u$i", "app.graft.doc"))
+        .toDF("time_us", "did", "collection"), table)
+      EventsTable.append((45 to 46).map(i => (i * 1000L, s"did:plc:u$i", "app.graft.other"))
+        .toDF("time_us", "did", "collection"), table)
+      eventually(90000)(a.lines.size >= 46 && b.lines.size >= 4)
+
+      val aTimes = a.timesUs
+      assert(aTimes == aTimes.sorted, "in order")
+      assert(aTimes.distinct.size == aTimes.size, "exactly once")
+      assert(aTimes.take(40) == (1 to 40).map(_ * 1000L), "full replay before live")
+      assert(b.timesUs.forall(_ >= 41000L), "live-only subscriber sees no history")
+      assert(b.timesUs.toSet == Set(41, 42, 43, 44).map(_ * 1000L),
+        "collection filter applied")
+
+      // client CLOSE → the drop path: the next emit write fails and the
+      // subscriber is removed (server.go:168-175 shape)
+      b.ws.sendClose(WebSocket.NORMAL_CLOSURE, "done").join()
+      EventsTable.append(Seq((47000L, "did:plc:u47", "app.graft.doc"))
+        .toDF("time_us", "did", "collection"), table)
+      eventually(90000)(server.subscriberCount == 1)
+      eventually(90000)(a.timesUs.contains(47000L))
+    } finally server.close()
+  }
+
+  test("non-websocket request is rejected with 400") {
+    val table = tmpDir("ws-serve-rej-table")
+    EventsTable.append(Seq((1000L, "did:plc:u1", "app.graft.doc"))
+      .toDF("time_us", "did", "collection"), table)
+    val tail = spark.readStream.format("graft-replay")
+      .option("path", table).option("cursor", "2000").load()
+    val server = WebSocketServe.start(tail, table, tmpDir("ws-serve-rej-ckpt"))
+    try {
+      val sock = new java.net.Socket("localhost", server.port)
+      sock.getOutputStream.write(
+        "GET /subscribe HTTP/1.1\r\nHost: x\r\n\r\n".getBytes("US-ASCII"))
+      sock.getOutputStream.flush()
+      val line = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, "US-ASCII")).readLine()
+      assert(line != null && line.contains("400"), s"got: $line")
+      assert(server.subscriberCount == 0)
+      sock.close()
+    } finally server.close()
+  }
+}
