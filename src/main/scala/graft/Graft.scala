@@ -25,11 +25,16 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object Graft {
-  /** Install the optimizer rule + function registry on a live session. */
+  /** Install the optimizer rule + planner strategy + function
+    * registry on a live session.
+    */
   def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.HourBounds))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.HourBounds
+    if (!spark.experimental.extraStrategies.contains(graft.plans.FenceStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.FenceStrategy
     graft.functions.GraftFunctions.register(spark)
   }
 }

@@ -65,7 +65,13 @@ object Decode {
     * (pkg/consumer/consumer.go:99-161's XRPCStreamEvent switch input).
     */
   def parseMixedFrames(raw: DataFrame, jsonCol: String = "value"): DataFrame =
-    raw.select(from_json(col(jsonCol), Event.rawFrameSchema).as("f"))
+    // the parse projection is FENCED: downstream filters/projections
+    // reference the parsed struct attribute instead of having the
+    // from_json alias substituted into each of them by pushdown/
+    // collapse — one JSON parse per row, not one per operator
+    // (graft.plans.Fence has the full why)
+    graft.plans.Fence.wrap(
+      raw.select(from_json(col(jsonCol), Event.rawFrameSchema).as("f")))
       .select(col("f.*"))
 
   /** Mixed frames → envelope events (the full HandleStreamEvent switch,

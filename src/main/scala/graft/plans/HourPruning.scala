@@ -114,8 +114,12 @@ object HourBounds extends Rule[LogicalPlan] {
   }
 }
 
-/** `spark.sql.extensions` entry point installing [[HourBounds]]. */
+/** `spark.sql.extensions` entry point installing [[HourBounds]] and
+  * the [[Fence]] planner strategy.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => HourBounds)
+    ext.injectPlannerStrategy(_ => FenceStrategy)
+  }
 }

@@ -29,4 +29,15 @@ object Bridge {
     */
   def waitListenerBusEmpty(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
+
+  /** Rebuild a DataFrame with a transformed logical plan (the
+    * `Dataset.ofRows` constructor is `private[sql]`) — how
+    * [[graft.plans.Fence]] wraps a plan node around a frame.
+    */
+  def withPlan(df: DataFrame,
+      f: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame = {
+    val cds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    org.apache.spark.sql.classic.Dataset.ofRows(cds.sparkSession, f(cds.logicalPlan))
+  }
 }
