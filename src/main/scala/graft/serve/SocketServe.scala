@@ -143,8 +143,10 @@ object SocketServe {
       nowUs: () => Long = () => System.currentTimeMillis() * 1000L,
       writeTimeoutMs: Long = 30000L,
       metrics: Metrics.Registry = Metrics.default,
-      transport: Transport = LineTransport): Server = {
-    val serverSocket = new ServerSocket(0)
+      transport: Transport = LineTransport,
+      maxSubRate: Option[Double] = None,
+      port: Int = 0): Server = {
+    val serverSocket = new ServerSocket(port)
     val conns = scala.collection.concurrent.TrieMap.empty[String, Conn]
     val counter = new java.util.concurrent.atomic.AtomicInteger
     // the reference's serve-side series (metrics.go:7-31), incremented
@@ -186,7 +188,11 @@ object SocketServe {
                 val (spec, cursor) = parseRequest(line, nowUs())
                 val name = s"sub-${counter.incrementAndGet()}"
                 val remote = sock.getInetAddress.getHostAddress
-                conns.put(name, Conn(name, new CutoverSession(spec, cursor),
+                // per-subscriber replay pacing at 10× the live cap
+                // (main.go:79-84 default, server.go:307)
+                val pacer = maxSubRate.map(r => TokenBucket.playback(liveRate = r))
+                conns.put(name, Conn(name,
+                  new CutoverSession(spec, cursor, playback = pacer),
                   writer, sock, remote,
                   metrics.counter("graft_events_delivered_total",
                     "Total events delivered to subscribers", "remote" -> remote),

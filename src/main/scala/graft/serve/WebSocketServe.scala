@@ -38,9 +38,11 @@ object WebSocketServe {
       trigger: Trigger = Trigger.ProcessingTime(0L),
       nowUs: () => Long = () => System.currentTimeMillis() * 1000L,
       writeTimeoutMs: Long = 30000L,
-      metrics: Metrics.Registry = Metrics.default): SocketServe.Server =
+      metrics: Metrics.Registry = Metrics.default,
+      maxSubRate: Option[Double] = None,
+      port: Int = 0): SocketServe.Server =
     SocketServe.start(events, tablePath, checkpointDir, fanOutWidth,
-      trigger, nowUs, writeTimeoutMs, metrics, WsTransport)
+      trigger, nowUs, writeTimeoutMs, metrics, WsTransport, maxSubRate, port)
 
   private[serve] object WsTransport extends SocketServe.Transport {
 

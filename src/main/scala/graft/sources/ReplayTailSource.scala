@@ -39,8 +39,15 @@ class ReplayTailProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-replay"
 
   private def tableSchema(sqlContext: SQLContext, params: Map[String, String]): StructType =
-    graft.store.EventsTable.read(sqlContext.sparkSession,
+    try graft.store.EventsTable.read(sqlContext.sparkSession,
       ReplayTailSource.path(params)).schema
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      // fresh boot: the ingest half hasn't created the table yet — a
+      // tail of a not-yet-existing table reads as empty with the
+      // canonical ingested schema (FileStreamSource's missing-dir
+      // contract), so serve can start before the first event lands
+      ReplayTailSource.bootstrapSchema(sqlContext.sparkSession)
+    }
 
   override def sourceSchema(
       sqlContext: SQLContext,
@@ -65,6 +72,22 @@ object ReplayTailSource {
   def path(params: Map[String, String]): String =
     params.getOrElse("path", throw new IllegalArgumentException(
       "graft-replay source requires a 'path' option (events table location)"))
+
+  /** The canonical ingested-table schema, derived from the REAL
+    * decode → sequence → layout chain over zero rows (no file IO, no
+    * hand-maintained copy to drift).
+    */
+  def bootstrapSchema(spark: org.apache.spark.sql.SparkSession): StructType = {
+    val emptyFrames = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.StringType))))
+    graft.store.EventsTable.withLayoutCols(
+      graft.ingest.Decode.decodeFrames(
+        graft.ingest.Decode.parseMixedFrames(emptyFrames))
+        .withColumn("time_us", org.apache.spark.sql.functions.lit(0L)))
+      .schema
+  }
 }
 
 class ReplayTailSource(
@@ -109,9 +132,16 @@ class ReplayTailSource(
   /** The events table through the compaction-generation resolution —
     * a micro-batch planned mid-compaction still sees every hour
     * (EventsTable.read; plain-parquet fast path when never compacted).
+    * A table that doesn't exist yet reads as empty with this source's
+    * schema — the fresh-boot window where serve starts before the
+    * ingest half's first append (see [[ReplayTailSource.bootstrapSchema]]).
     */
   private def table: DataFrame =
-    graft.store.EventsTable.read(sqlContext.sparkSession, tablePath)
+    try graft.store.EventsTable.read(sqlContext.sparkSession, tablePath)
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      sqlContext.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    }
 
   /** `time_us >= lowerUs AND time_us <= upperUs` with matching hour-partition
     * bounds, so every scan this source plans prunes to the hours the range

@@ -147,17 +147,24 @@ object WebSocketIngress {
   /** Start the standing ingest: `baseUrl` is dialed with the resume
     * cursor appended (`?cursor=<newest persisted event µs>`, 0 on a
     * fresh table), so restarts re-deliver instead of losing.
+    * `cursorOverrideUs ≥ 0` takes precedence over the stored cursor —
+    * S29's resolution order (cmd/jetstream/main.go:280-297).
     */
   def start(spark: SparkSession, baseUrl: String,
       tablePath: String, checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
-    val cursor = SocketIngress.resumeCursorUs(spark, tablePath)
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      cursorOverrideUs: Long = -1L,
+      metrics: graft.serve.Metrics.Registry = graft.serve.Metrics.default): StreamingQuery = {
+    val cursor = IngestJob.resolveStartCursor(
+      Some(cursorOverrideUs).filter(_ >= 0),
+      Some(SocketIngress.resumeCursorUs(spark, tablePath)))
+      .getOrElse(0L)
     val sep = if (baseUrl.contains("?")) "&" else "?"
     val prevMax = scala.util.Try(
       IngestJob.recoverMaxTimeUs(EventsTable.read(spark, tablePath))).getOrElse(0L)
     IngestJob.start(events(spark, s"$baseUrl${sep}cursor=$cursor"),
       orderCols = Seq("event_time_us", "did", "type"),
       tablePath = tablePath, checkpointDir = checkpointDir,
-      prevMaxUs = prevMax, trigger = trigger)
+      prevMaxUs = prevMax, trigger = trigger, metrics = metrics)
   }
 }

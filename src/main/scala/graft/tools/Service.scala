@@ -1,0 +1,175 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.serve.{Metrics, SocketServe, WebSocketServe}
+import graft.sources.WebSocketIngress
+import graft.store.{Compaction, EventsTable, Retention}
+import graft.streaming.{IngestMetrics, Watchdog}
+
+/** The standalone service: every piece of the engine composed into the
+  * reference's single-binary shape (cmd/jetstream/main.go:107-368) —
+  * upstream WebSocket ingest with cursor resume, the WebSocket
+  * subscribe server against the same events table, the Prometheus
+  * `/metrics` endpoint, TTL retention + compaction on a maintenance
+  * ticker (the reference's pebble TTL, persist.go:120-137), and the
+  * staleness self-check (main.go:184-214: no new sequence for 15 s →
+  * exit so the orchestrator restarts).
+  *
+  * Flags mirror the reference's (main.go:36-92), spelled `--k=v`:
+  *
+  * {{{
+  * runMain graft.tools.Service \
+  *   --ws-url=ws://upstream:6008/subscribe \
+  *   --listen-port=6008 --metrics-listen-port=6009 \
+  *   --data-dir=./data --event-ttl-hours=24 \
+  *   --max-sub-rate=5000 --override-relay-cursor=-1
+  * }}}
+  *
+  * `worker-count`/`max-queue-size` have no analog: Spark's scheduler
+  * owns parallelism (`local[N]` / executor count), and backpressure is
+  * the micro-batch boundary rather than a bounded channel.
+  */
+object Service {
+
+  final case class Config(
+      wsUrl: String,
+      listenPort: Int = 0, // 0 = ephemeral
+      metricsPort: Int = 0,
+      dataDir: String = "./data",
+      eventTtlHours: Double = 24.0,
+      maxSubRate: Double = 5000.0,
+      overrideCursorUs: Long = -1L,
+      maintenanceIntervalMs: Long = 5L * 60 * 1000,
+      staleAfterMs: Long = 15000L,
+      compactionGraceMs: Long = 15L * 60 * 1000)
+
+  /** A running service; `close()` tears everything down in reverse
+    * start order.
+    */
+  final class Running private[Service] (
+      val ingest: StreamingQuery,
+      val server: SocketServe.Server,
+      val metricsEndpoint: Metrics.Endpoint,
+      val watchdog: Watchdog,
+      spark: SparkSession,
+      listeners: Seq[org.apache.spark.sql.streaming.StreamingQueryListener],
+      maintenance: java.util.concurrent.ScheduledExecutorService) {
+    def servePort: Int = server.port
+    def metricsPort: Int = metricsEndpoint.port
+    def close(): Unit = {
+      maintenance.shutdownNow()
+      server.close()
+      try { ingest.stop(); ingest.awaitTermination(30000) }
+      catch { case _: Throwable => () }
+      listeners.foreach(l =>
+        try spark.streams.removeListener(l) catch { case _: Throwable => () })
+      metricsEndpoint.close()
+    }
+  }
+
+  /** Compose and start everything. `onStale` is the self-kill hook:
+    * called with the stalled query ids when the ingest stops advancing
+    * past `staleAfterMs` (the default in [[main]] exits the process,
+    * the reference's restart-by-orchestrator contract).
+    */
+  def start(spark: SparkSession, config: Config,
+      registry: Metrics.Registry = Metrics.default,
+      onStale: Seq[java.util.UUID] => Unit = _ => ()): Running = {
+    graft.Graft.install(spark)
+    val tablePath = s"${config.dataDir}/events"
+
+    // observability first, so the ingest's very first progress lands
+    val ingestListener = IngestMetrics.listener(registry)
+    val watchdog = new Watchdog()
+    spark.streams.addListener(ingestListener)
+    spark.streams.addListener(watchdog)
+    val metricsEndpoint = Metrics.serve(registry, config.metricsPort)
+
+    // ingest: dial upstream with the resolved cursor (override > stored
+    // > live), decode, sequence, persist
+    val ingest = WebSocketIngress.start(spark, config.wsUrl,
+      tablePath, s"${config.dataDir}/checkpoints/ingest",
+      cursorOverrideUs = config.overrideCursorUs, metrics = registry)
+
+    // serve: WebSocket subscribers against the same table; the serving
+    // tail starts at the table's current head — history is the
+    // sessions' replay job
+    val headUs = scala.util.Try {
+      val row = EventsTable.read(spark, tablePath)
+        .agg(org.apache.spark.sql.functions.max("time_us")).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }.getOrElse(0L)
+    val tail = spark.readStream.format("graft-replay")
+      .option("path", tablePath)
+      .option("cursor", (headUs + 1).toString)
+      .load()
+    val server = WebSocketServe.start(tail, tablePath,
+      s"${config.dataDir}/checkpoints/serve",
+      metrics = registry, maxSubRate = Some(config.maxSubRate),
+      port = config.listenPort)
+
+    // maintenance ticker: TTL trim + closed-hour compaction, and the
+    // staleness check (the reference runs these as goroutine tickers,
+    // main.go:152-214)
+    val maintenance = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
+      (r: Runnable) => { val t = new Thread(r, "graft-service-maintenance"); t.setDaemon(true); t })
+    val ttlUs = (config.eventTtlHours * 3600e6).toLong
+    maintenance.scheduleWithFixedDelay(() => {
+      try {
+        Retention.trim(spark, tablePath, ttlUs)
+        val hwmHour = System.currentTimeMillis() / 3600000L
+        Compaction.compactClosed(spark, tablePath, hwmHour,
+          graceMs = config.compactionGraceMs)
+      } catch { case e: Throwable =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"maintenance pass failed: ${e.getMessage}")
+      }
+    }, config.maintenanceIntervalMs, config.maintenanceIntervalMs,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    maintenance.scheduleWithFixedDelay(() => {
+      val stalled = watchdog.stalled(config.staleAfterMs)
+      if (stalled.contains(ingest.id)) onStale(stalled)
+    }, config.staleAfterMs, config.staleAfterMs / 3,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+
+    new Running(ingest, server, metricsEndpoint, watchdog, spark,
+      Seq(ingestListener, watchdog), maintenance)
+  }
+
+  private def parseArgs(args: Array[String]): Config =
+    args.foldLeft(Config(wsUrl = "")) { (c, arg) =>
+      arg.split("=", 2) match {
+        case Array("--ws-url", v)                => c.copy(wsUrl = v)
+        case Array("--listen-port", v)           => c.copy(listenPort = v.toInt)
+        case Array("--metrics-listen-port", v)   => c.copy(metricsPort = v.toInt)
+        case Array("--data-dir", v)              => c.copy(dataDir = v)
+        case Array("--event-ttl-hours", v)       => c.copy(eventTtlHours = v.toDouble)
+        case Array("--max-sub-rate", v)          => c.copy(maxSubRate = v.toDouble)
+        case Array("--override-relay-cursor", v) => c.copy(overrideCursorUs = v.toLong)
+        case Array("--maintenance-interval-ms", v) =>
+          c.copy(maintenanceIntervalMs = v.toLong)
+        case other => sys.error(s"unknown flag: ${other.mkString("=")}")
+      }
+    }
+
+  def main(args: Array[String]): Unit = {
+    val config = parseArgs(args)
+    require(config.wsUrl.nonEmpty, "--ws-url is required")
+    val spark = SparkSession.builder()
+      .appName("graft-service")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .getOrCreate()
+    val running = start(spark, config, onStale = { stalled =>
+      // the reference's self-kill: exit nonzero, the orchestrator
+      // restarts with the stored cursor (main.go:184-214)
+      System.err.println(s"ingest stalled (${stalled.mkString(",")}); exiting for restart")
+      System.exit(1)
+    })
+    println(s"graft service up: serve=ws://localhost:${running.servePort}/subscribe " +
+      s"metrics=http://localhost:${running.metricsPort}/metrics")
+    running.ingest.awaitTermination()
+  }
+}

@@ -26,6 +26,11 @@ class HourPruningSpec extends SparkSpec {
     val cursor = 4 * EventsTable.HourUs
     def query = spark.read.parquet(path).filter(col("time_us") >= cursor)
 
+    // own the precondition: another suite (e.g. ServiceSpec via
+    // Graft.install) may have left the rule on the shared session
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == HourBounds)
+
     // without the rule: the raw predicate reaches the scan as a data
     // filter only — every hour partition is listed
     val before = scanOf(query)
