@@ -65,6 +65,30 @@ object IngestMetrics {
           "Batch timestamp of the last progress, us", "query" -> q)
           .set(nowUs.toDouble)
         Option(p.observedMetrics.get(observationName)).foreach { row =>
+          // per-type / per-op-kind counts (events_processed{event_type},
+          // ops_processed{kind} — metrics.go:8-16; op_path is omitted:
+          // an unbounded-cardinality label doesn't fit a fixed
+          // observation row, the per-collection view is a query)
+          def counted(field: String, family: String, help: String,
+              label: (String, String)): Unit =
+            if (row.schema.fieldNames.contains(field) &&
+                !row.isNullAt(row.schema.fieldIndex(field))) {
+              val n = row.getLong(row.schema.fieldIndex(field))
+              if (n > 0)
+                registry.counter(family, help, "query" -> q, label).add(n.toDouble)
+            }
+          Seq("n_commit" -> graft.model.Event.TypeCommit,
+            "n_identity" -> graft.model.Event.TypeIdentity,
+            "n_account" -> graft.model.Event.TypeAccount).foreach { case (f, t) =>
+            counted(f, "graft_consumer_events_by_type_total",
+              "Events processed by envelope type", "event_type" -> t)
+          }
+          Seq("n_op_create" -> graft.model.Event.CommitCreate,
+            "n_op_update" -> graft.model.Event.CommitUpdate,
+            "n_op_delete" -> graft.model.Event.CommitDelete).foreach { case (f, k) =>
+            counted(f, "graft_consumer_ops_processed_total",
+              "Repo operations processed by kind", "kind" -> k)
+          }
           val i = row.schema.fieldIndex("max_time_us")
           if (!row.isNullAt(i)) {
             val maxUs = row.getLong(i)

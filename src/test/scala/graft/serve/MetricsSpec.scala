@@ -3,6 +3,8 @@ package graft.serve
 import java.io.{BufferedReader, InputStreamReader, PrintWriter}
 import java.net.{HttpURLConnection, Socket, URL}
 
+import org.apache.spark.sql.functions.{lit, struct}
+
 import graft.SparkSpec
 import graft.store.EventsTable
 
@@ -72,7 +74,9 @@ class MetricsSpec extends SparkSpec {
       // a small real ingest: the listener sees its progress events
       val src = tmpDir("ingest-metrics-src")
       EventsTable.append((1 to 10).map(i => (i * 1000L, s"did:plc:u$i", "app.graft.doc"))
-        .toDF("time_us", "did", "collection"), src)
+        .toDF("time_us", "did", "collection")
+        .withColumn("type", lit("com"))
+        .withColumn("commit", struct(lit("c").as("type"))), src)
       val tail = graft.streaming.LiveTail.withTailObservation(
         spark.readStream.format("graft-replay")
           .option("path", src).option("cursor", "0").load())
@@ -104,6 +108,9 @@ class MetricsSpec extends SparkSpec {
       val seq = (s"""graft_consumer_last_seq\\{query="$qid"\\} (\\d+)""").r
         .findFirstMatchIn(out).map(_.group(1).toLong)
       assert(seq.exists(_ >= 10000L), s"last_seq from observe(): $seq\n$out")
+      // per-type count: the fixture is all commit envelopes
+      assert((s"""graft_consumer_events_by_type_total\\{event_type="com",query="$qid"\\} [1-9]""").r
+        .findFirstIn(out).isDefined, s"typed counts from observe():\n$out")
     } finally spark.streams.removeListener(listener)
   }
 
