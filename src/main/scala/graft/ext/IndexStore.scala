@@ -309,25 +309,12 @@ object IndexStore {
       }
       .foreach(st => fs.delete(st.getPath, true))
     // Orphan judgment uses the newest mtime INSIDE the temp, not the
-    // dir's own: a live build writes task output under _temporary (the
-    // FileOutputCommitter layout), so the top-level mtime never moves
-    // while the build is very much alive — its children's mtimes do.
-    // A path vanishing mid-walk IS active commit churn: report `now`
-    // (never idle) rather than judging a moving target.
-    def newestMtime(p: Path, depth: Int = 5): Long =
-      try {
-        val own = fs.getFileStatus(p).getModificationTime
-        if (depth == 0) own
-        else (own +: fs.listStatus(p).map { st =>
-          if (st.isDirectory) newestMtime(st.getPath, depth - 1)
-          else st.getModificationTime
-        }.toSeq).max
-      } catch { case _: java.io.FileNotFoundException => now }
+    // dir's own (graft.util.FsIdle has the full why).
     fs.listStatus(rootPath)
       .filter { st =>
         st.getPath.getName.startsWith(s"$kind-") &&
           st.getPath.getName.contains(".build-") &&
-          now - newestMtime(st.getPath) > lockWaitMs
+          now - graft.util.FsIdle.newestMtime(fs, st.getPath, now) > lockWaitMs
       }
       .foreach(st => fs.delete(st.getPath, true))
   }

@@ -82,8 +82,11 @@ object IngestJob {
           if (n >= scalableThresholdRows)
             Sequencer.stampScalable(batch, orderCols, hwm.get(), nowUs, rows = n)
           else Sequencer.stamp(batch, orderCols, hwm.get(), nowUs, rows = n)
+        // sequenced counts every stamped batch — including replayed
+        // duplicates the hwm guard below skips — so the sequenced-vs-
+        // persisted gap is observable (consumer.go:79-81's two counters)
+        if (n > 0) sequenced.add(n.toDouble)
         if (seq.maxTimeUs > hwm.get()) {
-          sequenced.add(n.toDouble)
           EventsTable.append(seq.df, tablePath)
           persisted.add(n.toDouble)
           hwm.set(seq.maxTimeUs)

@@ -73,11 +73,18 @@ object SocketServe {
       val line = new BufferedReader(
         new InputStreamReader(sock.getInputStream, "UTF-8")).readLine()
       Option(line).map { l =>
-        val out = new PrintWriter(sock.getOutputStream, false)
+        // explicit UTF-8: the wire contract (and every reader) is
+        // UTF-8, not the platform default; byte accounting likewise
+        // counts encoded bytes, not UTF-16 chars
+        val out = new PrintWriter(new java.io.OutputStreamWriter(
+          sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8), false)
         (l, new WireWriter {
           def writeFrames(frames: Array[String]): Long = {
             var bytes = 0L
-            frames.foreach { f => out.println(f); bytes += f.length + 1L }
+            frames.foreach { f =>
+              out.println(f)
+              bytes += f.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 1L
+            }
             out.flush()
             if (out.checkError())
               throw new java.io.IOException("dead or stalled pipe")
@@ -120,10 +127,12 @@ object SocketServe {
       queryOf: () => StreamingQuery,
       conns: scala.collection.concurrent.TrieMap[String, Conn],
       drop: Conn => Unit,
+      closing: java.util.concurrent.atomic.AtomicBoolean,
       onClose: () => Unit) {
     lazy val query: StreamingQuery = queryOf()
     def subscriberCount: Int = conns.size
     def close(): Unit = {
+      closing.set(true) // before the sweep: in-flight handshakes self-drop
       try query.stop() catch { case _: Throwable => () }
       serverSocket.close()
       conns.values.foreach(drop) // closes sockets + settles the gauge
@@ -149,6 +158,10 @@ object SocketServe {
     val serverSocket = new ServerSocket(port)
     val conns = scala.collection.concurrent.TrieMap.empty[String, Conn]
     val counter = new java.util.concurrent.atomic.AtomicInteger
+    // set before close() sweeps conns: a handshake completing AFTER the
+    // sweep would otherwise register a conn nobody ever drops (open
+    // socket + connected gauge stuck at 1)
+    val closing = new java.util.concurrent.atomic.AtomicBoolean(false)
     // the reference's serve-side series (metrics.go:7-31), incremented
     // at the same boundaries: emit loop, delivery, connect/disconnect
     val eventsEmitted = metrics.counter("graft_events_emitted_total",
@@ -191,14 +204,16 @@ object SocketServe {
                 // per-subscriber replay pacing at 10× the live cap
                 // (main.go:79-84 default, server.go:307)
                 val pacer = maxSubRate.map(r => TokenBucket.playback(liveRate = r))
-                conns.put(name, Conn(name,
+                val conn = Conn(name,
                   new CutoverSession(spec, cursor, playback = pacer),
                   writer, sock, remote,
                   metrics.counter("graft_events_delivered_total",
                     "Total events delivered to subscribers", "remote" -> remote),
                   metrics.counter("graft_bytes_delivered_total",
-                    "Total wire bytes delivered to subscribers", "remote" -> remote)))
+                    "Total wire bytes delivered to subscribers", "remote" -> remote))
+                conns.put(name, conn)
                 connectedGauge(remote).inc()
+                if (closing.get()) dropConn(conn) // lost the race with close()
               case None => sock.close()
             }
           } catch { case _: Throwable => sock.close() }
@@ -280,6 +295,6 @@ object SocketServe {
       .start()
 
     new Server(serverSocket.getLocalPort, serverSocket, () => query, conns,
-      dropConn, () => watchdog.shutdownNow())
+      dropConn, closing, () => watchdog.shutdownNow())
   }
 }

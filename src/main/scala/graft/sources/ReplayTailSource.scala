@@ -73,6 +73,16 @@ object ReplayTailSource {
     params.getOrElse("path", throw new IllegalArgumentException(
       "graft-replay source requires a 'path' option (events table location)"))
 
+  /** Engine offsets arrive live (LongOffset) or checkpoint-recovered
+    * (SerializedOffset) — one coercion for every source in this
+    * package.
+    */
+  private[sources] def offsetToLong(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json.toLong
+  }
+
   /** The canonical ingested-table schema, derived from the REAL
     * decode → sequence → layout chain over zero rows (no file IO, no
     * hand-maintained copy to drift).
@@ -122,12 +132,6 @@ class ReplayTailSource(
     */
   private val hasHourCol =
     schema.fieldNames.contains(graft.store.EventsTable.PartitionCol)
-
-  private def toLong(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case s: SerializedOffset => LongOffset(s).offset
-    case other => other.json.toLong
-  }
 
   /** The events table through the compaction-generation resolution —
     * a micro-batch planned mid-compaction still sees every hour
@@ -195,8 +199,8 @@ class ReplayTailSource(
 
   /** Deliver `(start, end]` in sequence order, pruned at the scan. */
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val lower = start.map(toLong).getOrElse(cursorUs - 1)
-    val upper = toLong(end)
+    val lower = start.map(ReplayTailSource.offsetToLong).getOrElse(cursorUs - 1)
+    val upper = ReplayTailSource.offsetToLong(end)
     logInfo(s"graft-replay batch ($lower, $upper]")
     delivered = Some(math.max(delivered.getOrElse(Long.MinValue), upper))
     // time_us > lower ⇔ time_us >= lower+1, which pins the hour lower bound

@@ -4,6 +4,8 @@ import java.net.URI
 import java.net.http.{HttpClient, WebSocket}
 import java.util.concurrent.CompletionStage
 
+import org.apache.hadoop.fs.{FileSystem, Path}
+
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
@@ -55,26 +57,77 @@ class WebSocketFrameProvider extends StreamSourceProvider with DataSourceRegiste
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): Source =
-    new WebSocketFrameSource(sqlContext, parameters)
+    new WebSocketFrameSource(sqlContext, parameters, metadataPath)
 }
 
 object WebSocketFrameSource {
   val FrameSchema: StructType = StructType(Seq(StructField("value", StringType)))
 }
 
-class WebSocketFrameSource(sqlContext: SQLContext, params: Map[String, String])
-    extends Source with Logging {
+class WebSocketFrameSource(sqlContext: SQLContext, params: Map[String, String],
+    metadataPath: String = "") extends Source with Logging {
 
   override val schema: StructType = WebSocketFrameSource.FrameSchema
 
   private val url = params.getOrElse("url", throw new IllegalArgumentException(
     "graft-websocket source requires a 'url' option (ws://host:port/path)"))
 
+  // Offset continuity across incarnations (the FileStreamSource
+  // metadata-dir pattern): every ANNOUNCED head is persisted under the
+  // engine-provided metadataPath, and a restarted source seeds `base`
+  // from it — so fresh post-reconnect messages always number AFTER any
+  // offset a previous incarnation put in the checkpoint. Without this,
+  // a restart renumbers from 0: the engine sees "no new data" while
+  // recovered offsets exceed the head, and commit(<recovered>) trims
+  // messages no batch ever delivered — silently losing exactly the
+  // events the upstream re-sent after the persisted cursor.
+  private val hwmFiles: Option[(org.apache.hadoop.fs.FileSystem, Path, Path)] =
+    if (metadataPath.isEmpty) None
+    else {
+      val dir = new Path(metadataPath)
+      val fs = dir.getFileSystem(sqlContext.sparkSession.sessionState.newHadoopConf())
+      fs.mkdirs(dir)
+      Some((fs, new Path(dir, "head-offset"), new Path(dir, "head-offset.tmp")))
+    }
+
+  private def readLong(fs: org.apache.hadoop.fs.FileSystem, p: Path): Long =
+    try {
+      val in = fs.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong
+      finally in.close()
+    } catch { case _: Throwable => 0L }
+
+  /** Newest head any incarnation announced (max of main + tmp copies —
+    * the two-file write below can crash between steps, the max is
+    * always safe because heads only grow).
+    */
+  private def recoverHead(): Long =
+    hwmFiles.map { case (fs, main, tmp) =>
+      math.max(readLong(fs, main), readLong(fs, tmp))
+    }.getOrElse(0L)
+
+  /** Persist an announced head: tmp (overwrite) → delete main →
+    * rename. A crash at any step leaves at least one parseable copy
+    * whose value is a previously-announced head.
+    */
+  private def persistHead(head: Long): Unit =
+    hwmFiles.foreach { case (fs, main, tmp) =>
+      try {
+        val out = fs.create(tmp, true)
+        try out.write(head.toString.getBytes("UTF-8")) finally out.close()
+        fs.delete(main, false)
+        fs.rename(tmp, main)
+      } catch { case e: Throwable =>
+        logWarning(s"graft-websocket: head persist failed: ${e.getMessage}")
+      }
+    }
+
   // Driver-side message buffer: `base` counts messages already trimmed
   // by commit(), so offset N is always message N since connect — offsets
   // stay stable across trims. All access under `this` lock.
   private val buffer = scala.collection.mutable.ArrayBuffer.empty[String]
-  private var base = 0L
+  private var base = recoverHead()
+  private var persistedHead = base
   private val partial = new StringBuilder
 
   private val ws: WebSocket = HttpClient.newHttpClient().newWebSocketBuilder()
@@ -92,14 +145,23 @@ class WebSocketFrameSource(sqlContext: SQLContext, params: Map[String, String])
         logWarning(s"graft-websocket $url: ${error.getMessage}")
     }).join()
 
-  private def toLong(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case s: SerializedOffset => LongOffset(s).offset
-    case other => other.json.toLong
-  }
+  /** Checkpoint-recovery rebase: an offset beyond this incarnation's
+    * head can only come from a PREVIOUS incarnation's numbering (this
+    * source counts messages since ITS connect). Without rebasing,
+    * `commit(<recovered large offset>)` would trim the fresh
+    * post-reconnect buffer — messages never delivered by any batch,
+    * i.e. exactly the events the upstream re-sent strictly after the
+    * persisted cursor — silently breaking the at-least-once contract.
+    * Rebasing moves `base` up so buffered messages number AFTER the
+    * recovered offset: nothing is trimmed, and the next getOffset
+    * announces them as new data. Must be called with the lock held.
+    */
+  private def rebase(recovered: Long): Unit =
+    if (recovered > base + buffer.size) base = recovered
 
   override def getOffset: Option[Offset] = synchronized {
     val head = base + buffer.size
+    if (head > persistedHead) { persistHead(head); persistedHead = head }
     if (head == 0) None else Some(LongOffset(head))
   }
 
@@ -110,8 +172,9 @@ class WebSocketFrameSource(sqlContext: SQLContext, params: Map[String, String])
     */
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val rows = synchronized {
-      val lo = math.max(start.map(toLong).getOrElse(0L), base)
-      val hi = math.max(math.min(toLong(end), base + buffer.size), lo)
+      rebase(ReplayTailSource.offsetToLong(end)) // a recovered range re-runs as an empty batch
+      val lo = math.max(start.map(ReplayTailSource.offsetToLong).getOrElse(0L), base)
+      val hi = math.max(math.min(ReplayTailSource.offsetToLong(end), base + buffer.size), lo)
       buffer.slice((lo - base).toInt, (hi - base).toInt).toSeq
     }
     val spark = sqlContext.sparkSession
@@ -121,7 +184,8 @@ class WebSocketFrameSource(sqlContext: SQLContext, params: Map[String, String])
 
   /** Trim the committed prefix (the socket-source memory contract). */
   override def commit(end: Offset): Unit = synchronized {
-    val n = math.min(math.max(toLong(end) - base, 0L), buffer.size.toLong).toInt
+    rebase(ReplayTailSource.offsetToLong(end))
+    val n = math.min(math.max(ReplayTailSource.offsetToLong(end) - base, 0L), buffer.size.toLong).toInt
     if (n > 0) { buffer.remove(0, n); base += n }
   }
 

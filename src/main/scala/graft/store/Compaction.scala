@@ -187,30 +187,14 @@ object Compaction {
       }
     }
     // aborted builds: uncommitted gens (any hour) IDLE past the grace.
-    // Idleness is judged by the newest mtime INSIDE the dir, not the
-    // dir's own — FileOutputCommitter creates the dest at job start and
-    // task commits land under _temporary, so a long rewrite's top-level
-    // mtime never moves while it is very much alive; its children's do.
-    // depth 5 reaches the committer's task-attempt FILES
-    // (_temporary/<appAttempt>/_temporary/<attempt>/part-*), whose
-    // mtimes move while tasks write. A path vanishing mid-walk IS
-    // task-commit churn — that dir is active right now, so report
-    // `now` (never idle) instead of failing the maintenance run. The
-    // residual contract: graceMs must exceed the longest gap between
-    // visible write activity, same as any lease-based liveness check.
-    def newestMtime(p: Path, depth: Int = 5): Long =
-      try {
-        val own = fs.getFileStatus(p).getModificationTime
-        if (depth == 0) own
-        else (own +: fs.listStatus(p).map { st =>
-          if (st.isDirectory) newestMtime(st.getPath, depth - 1)
-          else st.getModificationTime
-        }.toSeq).max
-      } catch { case _: java.io.FileNotFoundException => now }
+    // Idleness is the newest mtime INSIDE the dir (graft.util.FsIdle
+    // has the full why). The residual contract: graceMs must exceed
+    // the longest gap between visible write activity, same as any
+    // lease-based liveness check.
     gens.collect {
       case ((h, g), (p, false))
           if current.get(h).forall(_._1 != g)
-            && now - newestMtime(p) > graceMs => p
+            && now - graft.util.FsIdle.newestMtime(fs, p, now) > graceMs => p
     }.foreach(doomed += _)
     // stale generation claims (crashed claimants): tiny root files,
     // swept once idle past the grace — their numbers stay burned

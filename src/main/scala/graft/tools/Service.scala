@@ -96,11 +96,9 @@ object Service {
     // serve: WebSocket subscribers against the same table; the serving
     // tail starts at the table's current head — history is the
     // sessions' replay job
-    val headUs = scala.util.Try {
-      val row = EventsTable.read(spark, tablePath)
-        .agg(org.apache.spark.sql.functions.max("time_us")).head()
-      if (row.isNullAt(0)) 0L else row.getLong(0)
-    }.getOrElse(0L)
+    val headUs = scala.util.Try(
+      graft.ingest.IngestJob.recoverMaxTimeUs(EventsTable.read(spark, tablePath)))
+      .getOrElse(0L)
     val tail = spark.readStream.format("graft-replay")
       .option("path", tablePath)
       .option("cursor", (headUs + 1).toString)
@@ -110,10 +108,12 @@ object Service {
       metrics = registry, maxSubRate = Some(config.maxSubRate),
       port = config.listenPort)
 
-    // maintenance ticker: TTL trim + closed-hour compaction, and the
-    // staleness check (the reference runs these as goroutine tickers,
+    // maintenance ticker: TTL trim + closed-hour compaction on one
+    // thread, the staleness check on ANOTHER — a multi-minute
+    // compaction pass must not delay stall detection past the 15 s
+    // contract (the reference runs independent goroutine tickers,
     // main.go:152-214)
-    val maintenance = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
+    val maintenance = new java.util.concurrent.ScheduledThreadPoolExecutor(2,
       (r: Runnable) => { val t = new Thread(r, "graft-service-maintenance"); t.setDaemon(true); t })
     val ttlUs = (config.eventTtlHours * 3600e6).toLong
     maintenance.scheduleWithFixedDelay(() => {

@@ -102,8 +102,11 @@ class MetricsSpec extends SparkSpec {
       assert(out.contains("graft_consumer_event_processing_duration_seconds_count"), out)
       assert(("""graft_consumer_events_persisted_total\{table="[^"]*"\} 10""").r
         .findFirstIn(out).isDefined, s"persisted counter:\n$out")
-      assert(("""graft_consumer_events_sequenced_total\{table="[^"]*"\} 10""").r
-        .findFirstIn(out).isDefined, out)
+      // sequenced counts every stamped batch, including hwm-skipped
+      // replays, so it is ≥ persisted
+      val sequenced = ("""graft_consumer_events_sequenced_total\{table="[^"]*"\} (\d+)""").r
+        .findFirstMatchIn(out).map(_.group(1).toLong)
+      assert(sequenced.exists(_ >= 10L), s"sequenced counter:\n$out")
       // last_seq carries the observed max event time of the tail
       val seq = (s"""graft_consumer_last_seq\\{query="$qid"\\} (\\d+)""").r
         .findFirstMatchIn(out).map(_.group(1).toLong)

@@ -157,6 +157,40 @@ class WebSocketIngressSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("restart with the SAME checkpoint dir: recovered offsets don't trim fresh messages") {
+    // the previous incarnation's committed offsets are in ITS numbering;
+    // without the rebase, commit(<recovered>) silently discards the
+    // post-reconnect buffer — exactly the events the upstream re-sent
+    // after the persisted cursor (at-least-once violated)
+    val table = tmpDir("ws-samechkpt")
+    val ckpt = tmpDir("ws-samechkpt-ckpt")
+    val srv = new WsServer
+    try {
+      srv.log = (1 to 3).map(frame).toVector
+      val q1 = WebSocketIngress.start(spark,
+        s"ws://localhost:${srv.port}/subscribe", table, ckpt)
+      eventually(90000) {
+        val n = EventsTable.read(spark, table).count()
+        if (n >= 3) Some(n) else None
+      }
+      q1.stop(); q1.awaitTermination(30000)
+
+      srv.log = (1 to 6).map(frame).toVector
+      val q2 = WebSocketIngress.start(spark,
+        s"ws://localhost:${srv.port}/subscribe", table, ckpt)
+      eventually(90000) {
+        val n = EventsTable.read(spark, table).count()
+        if (n >= 6) Some(n) else None
+      }
+      q2.stop(); q2.awaitTermination(30000)
+
+      val rows = EventsTable.read(spark, table)
+        .select("event_time_us").as[Long].collect().sorted.toSeq
+      assert(rows == (1 to 6).map(frame(_)._1),
+        "every upstream event exactly once across the same-checkpoint restart")
+    } finally srv.close()
+  }
+
   test("large frames fragment-safe: a >64KiB message is one row") {
     val table = tmpDir("ws-big")
     val srv = new WsServer
