@@ -84,16 +84,6 @@ class FullLoopSpec extends SparkSpec {
     def close(): Unit = sock.close()
   }
 
-  private def eventually(timeoutMs: Long)(cond: => Boolean): Unit = {
-    val deadline = System.nanoTime() + timeoutMs * 1000000L
-    var ok = try cond catch { case _: Throwable => false }
-    while (!ok && System.nanoTime() < deadline) {
-      Thread.sleep(200)
-      ok = try cond catch { case _: Throwable => false }
-    }
-    assert(ok, s"condition not met within ${timeoutMs}ms")
-  }
-
   test("ingest and serve run concurrently; mid-stream cursor is exactly-once across cutover") {
     val table = tmpDir("full-loop-table")
     val srv = new LineServer

@@ -10,6 +10,18 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Poll `cond` until true or `timeoutMs` — the one wait loop every
+    * cross-process spec needs (exceptions from a probe mid-setup count
+    * as not-yet).
+    */
+  def eventually(timeoutMs: Long)(cond: => Boolean): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    def probe = try cond catch { case _: Throwable => false }
+    var ok = probe
+    while (!ok && System.nanoTime() < deadline) { Thread.sleep(200); ok = probe }
+    assert(ok, s"condition not met within ${timeoutMs}ms")
+  }
 }
 
 object SparkSpec {

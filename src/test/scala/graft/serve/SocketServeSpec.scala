@@ -42,12 +42,6 @@ class SocketServeSpec extends SparkSpec {
     def close(): Unit = sock.close()
   }
 
-  private def eventually(timeoutMs: Long)(cond: => Boolean): Unit = {
-    val deadline = System.nanoTime() + timeoutMs * 1000000L
-    while (!cond && System.nanoTime() < deadline) Thread.sleep(200)
-    assert(cond, s"condition not met within ${timeoutMs}ms")
-  }
-
   test("TCP subscribers: cursored replay→live and filtered live tail, wire JSON in order") {
     val table = tmpDir("socket-serve-table")
     EventsTable.append(rows(1 to 30).toDF("time_us", "did", "collection"), table)

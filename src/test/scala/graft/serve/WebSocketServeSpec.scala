@@ -1,12 +1,8 @@
 package graft.serve
 
-import java.net.URI
-import java.net.http.{HttpClient, WebSocket}
-import java.util.concurrent.CompletionStage
+import java.net.http.WebSocket
 
-import org.apache.spark.sql.functions._
-
-import graft.SparkSpec
+import graft.{SparkSpec, WsTestKit}
 import graft.store.EventsTable
 
 /** The reference's real subscribe surface end-to-end: a standard
@@ -17,32 +13,6 @@ import graft.store.EventsTable
   */
 class WebSocketServeSpec extends SparkSpec {
   import spark.implicits._
-
-  private final class WsClient(url: String) {
-    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    private val partial = new StringBuilder
-    val ws: WebSocket = HttpClient.newHttpClient().newWebSocketBuilder()
-      .buildAsync(URI.create(url), new WebSocket.Listener {
-        override def onText(w: WebSocket, data: CharSequence, last: Boolean)
-            : CompletionStage[_] = {
-          partial.append(data)
-          if (last) { lines.add(partial.toString); partial.setLength(0) }
-          w.request(1)
-          null
-        }
-      }).join()
-    def timesUs: Seq[Long] = {
-      import scala.jdk.CollectionConverters._
-      val re = """"time_us":(\d+)""".r
-      lines.asScala.toSeq.map(l => re.findFirstMatchIn(l).get.group(1).toLong)
-    }
-  }
-
-  private def eventually(timeoutMs: Long)(cond: => Boolean): Unit = {
-    val deadline = System.nanoTime() + timeoutMs * 1000000L
-    while (!cond && System.nanoTime() < deadline) Thread.sleep(200)
-    assert(cond, s"condition not met within ${timeoutMs}ms")
-  }
 
   test("JDK WebSocket client: cursored replay→live, filtered live tail, CLOSE drops") {
     val table = tmpDir("ws-serve-table")
@@ -55,8 +25,8 @@ class WebSocketServeSpec extends SparkSpec {
       .option("path", table).option("cursor", "41000").load()
     val server = WebSocketServe.start(tail, table, tmpDir("ws-serve-ckpt"))
     try {
-      val a = new WsClient(s"ws://localhost:${server.port}/subscribe?cursor=0")
-      val b = new WsClient(
+      val a = new WsTestKit.Client(s"ws://localhost:${server.port}/subscribe?cursor=0")
+      val b = new WsTestKit.Client(
         s"ws://localhost:${server.port}/subscribe?wantedCollections=app.graft.doc")
       eventually(30000)(server.subscriberCount == 2)
 

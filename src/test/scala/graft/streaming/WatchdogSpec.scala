@@ -9,7 +9,7 @@ import graft.SparkSpec
 class WatchdogSpec extends SparkSpec {
   import spark.implicits._
 
-  private def eventually(timeoutMs: Long = 10000)(cond: => Boolean): Boolean = {
+  private def poll(timeoutMs: Long = 10000)(cond: => Boolean): Boolean = {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (System.currentTimeMillis() < deadline) {
       if (cond) return true
@@ -30,7 +30,7 @@ class WatchdogSpec extends SparkSpec {
       in.addData(1L, 2L, 3L)
       q.processAllAvailable()
       // listener delivery is async — wait for the progress to land
-      assert(eventually()(dog.progress.getOrElse(q.id, 0L) >= 3L))
+      assert(poll()(dog.progress.getOrElse(q.id, 0L) >= 3L))
       // fresh: not stalled at threshold 15s
       assert(dog.stalled(15000).isEmpty)
       // clock jumps 16s with no new input → stalled
@@ -39,9 +39,9 @@ class WatchdogSpec extends SparkSpec {
       // new data clears the staleness
       in.addData(4L)
       q.processAllAvailable()
-      assert(eventually()(dog.stalled(15000).isEmpty))
+      assert(poll()(dog.stalled(15000).isEmpty))
       q.stop()
-      assert(eventually()(dog.progress.isEmpty)) // terminated → deregistered
+      assert(poll()(dog.progress.isEmpty)) // terminated → deregistered
     } finally spark.streams.removeListener(dog)
   }
 

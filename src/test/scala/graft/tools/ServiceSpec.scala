@@ -1,11 +1,8 @@
 package graft.tools
 
-import java.io.OutputStream
-import java.net.{HttpURLConnection, ServerSocket, URI, URL}
-import java.net.http.{HttpClient, WebSocket}
-import java.util.concurrent.CompletionStage
+import java.net.{HttpURLConnection, URL}
 
-import graft.SparkSpec
+import graft.{SparkSpec, WsTestKit}
 import graft.serve.Metrics
 import graft.store.EventsTable
 
@@ -25,95 +22,8 @@ class ServiceSpec extends SparkSpec {
       s""""ops":[{"action":"create","path":"app.graft.doc/k$i","cid":"c$i","recordCid":"c$i","record":{"v":$i}}]}"""
   }
 
-  /** Minimal RFC 6455 upstream: replays its log after the dialed
-    * cursor, then live-streams appends (the WebSocketIngressSpec
-    * server, trimmed).
-    */
-  private class Upstream {
-    val server = new ServerSocket(0)
-    def port: Int = server.getLocalPort
-    @volatile var log: Vector[(Long, String)] = Vector.empty
-    @volatile private var closed = false
-    private def sendText(out: OutputStream, s: String): Unit = {
-      val p = s.getBytes("UTF-8")
-      out.write(0x81)
-      if (p.length < 126) out.write(p.length)
-      else { out.write(126); out.write(p.length >> 8); out.write(p.length & 0xff) }
-      out.write(p); out.flush()
-    }
-    private val acceptor = new Thread(() => {
-      try while (!closed) {
-        val sock = server.accept()
-        new Thread(() => {
-          try {
-            val in = sock.getInputStream
-            val out = sock.getOutputStream
-            val req = new StringBuilder
-            def done = req.length >= 4 && req.substring(req.length - 4) == "\r\n\r\n"
-            var eof = false
-            while (!eof && !done) {
-              val b = in.read(); if (b == -1) eof = true else req.append(b.toChar)
-            }
-            val lines = req.toString.split("\r\n")
-            val cursor = """cursor=(\d+)""".r.findFirstMatchIn(lines.head)
-              .map(_.group(1).toLong).getOrElse(0L)
-            val key = lines.find(_.toLowerCase.startsWith("sec-websocket-key:"))
-              .map(_.split(":", 2)(1).trim).getOrElse(fail("no key"))
-            val accept = java.util.Base64.getEncoder.encodeToString(
-              java.security.MessageDigest.getInstance("SHA-1").digest(
-                (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").getBytes("US-ASCII")))
-            out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
-              "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
-              s"Sec-WebSocket-Accept: $accept\r\n\r\n").getBytes("US-ASCII"))
-            out.flush()
-            val drainer = new Thread(() => try { while (in.read() != -1) () } catch { case _: Throwable => () })
-            drainer.setDaemon(true); drainer.start()
-            var sent = 0
-            while (!closed) {
-              val snapshot = log
-              while (sent < snapshot.size) {
-                val (t, line) = snapshot(sent)
-                if (t > cursor) sendText(out, line)
-                sent += 1
-              }
-              Thread.sleep(20)
-            }
-          } catch { case _: Throwable => () }
-          finally sock.close()
-        }).start()
-      } catch { case _: Throwable => () }
-    })
-    acceptor.setDaemon(true); acceptor.start()
-    def close(): Unit = { closed = true; server.close() }
-  }
-
-  private final class WsClient(url: String) {
-    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    private val partial = new StringBuilder
-    val ws: WebSocket = HttpClient.newHttpClient().newWebSocketBuilder()
-      .buildAsync(URI.create(url), new WebSocket.Listener {
-        override def onText(w: WebSocket, data: CharSequence, last: Boolean)
-            : CompletionStage[_] = {
-          partial.append(data)
-          if (last) { lines.add(partial.toString); partial.setLength(0) }
-          w.request(1)
-          null
-        }
-      }).join()
-  }
-
-  private def eventually(timeoutMs: Long)(cond: => Boolean): Unit = {
-    val deadline = System.nanoTime() + timeoutMs * 1000000L
-    var ok = try cond catch { case _: Throwable => false }
-    while (!ok && System.nanoTime() < deadline) {
-      Thread.sleep(200)
-      ok = try cond catch { case _: Throwable => false }
-    }
-    assert(ok, s"condition not met within ${timeoutMs}ms")
-  }
-
   test("the composed service: upstream → ingest → table → serve → client, with metrics and staleness") {
-    val upstream = new Upstream
+    val upstream = new WsTestKit.ReplayServer
     val dataDir = tmpDir("service-data")
     val reg = new Metrics.Registry
     val staleFired = new java.util.concurrent.atomic.AtomicInteger
@@ -136,7 +46,7 @@ class ServiceSpec extends SparkSpec {
       eventually(90000)(EventsTable.read(spark, s"$dataDir/events").count() >= 4)
 
       // a standard WebSocket client subscribes with a full-replay cursor
-      val client = new WsClient(
+      val client = new WsTestKit.Client(
         s"ws://localhost:${running.servePort}/subscribe?cursor=0")
       eventually(30000)(running.server.subscriberCount == 1)
 
