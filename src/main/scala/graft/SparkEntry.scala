@@ -121,6 +121,7 @@ object SparkEntry {
     "embed_centroids"    -> ExtQueries.embedCentroids _,
     "multimodal_meta"    -> ExtQueries.multimodalMeta _,
     "image_dims"         -> ExtQueries.imageDims _,
+    "audio_meta"         -> ExtQueries.audioMeta _,
     "ivf_probe2"         -> ExtQueries.ivfProbe2 _,
     // learned-quantizer probe: no oracle by design (iterative FP k-means
     // isn't SQL-expressible); gated by RecallSpec's recall floor instead
@@ -759,6 +760,20 @@ object SparkEntry {
         |            ELSE 'jpeg' END AS img_format,
         |       (16 + doc_id % 1000)::BIGINT AS width,
         |       (16 + (doc_id * 7) % 1000)::BIGINT AS height
+        |FROM documents""".stripMargin,
+    "audio_meta" ->
+      // Spark builds a REAL canonical PCM WAV per doc and chunk-walks
+      // the RIFF header back; the oracle recomputes the planted
+      // parameters arithmetically. duration_ms mirrors the parser's
+      // integer math exactly: dataBytes * 8000 // (rate * ch * bits),
+      // dataBytes = nSamples * ch * 2 (16-bit)
+      """SELECT doc_id,
+        |       (1 + doc_id % 2)::BIGINT AS channels,
+        |       (8000 * (1 + doc_id % 5))::BIGINT AS sample_rate,
+        |       16::BIGINT AS bits,
+        |       (((100 + doc_id % 900) * (1 + doc_id % 2) * 2 * 8000)
+        |        // ((8000 * (1 + doc_id % 5)) * (1 + doc_id % 2) * 16))::BIGINT
+        |         AS duration_ms
         |FROM documents""".stripMargin,
     "ivf_probe2" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

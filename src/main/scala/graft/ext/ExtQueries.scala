@@ -416,4 +416,25 @@ object ExtQueries {
     Multimodal.withImageDims(payloads, "payload")
       .select(col("doc_id"), col("img_format"), col("width"), col("height"))
   }
+
+  /** E4 — REAL audio-container metadata, end to end: a canonical PCM
+    * WAV is built per doc (parameters derived from doc_id), then
+    * [[Multimodal.withAudioMeta]] parses channels / rate / bits /
+    * duration BACK off the RIFF chunk walk
+    * ([[Multimodal.parseWavMeta]]); the oracle recomputes the planted
+    * numbers arithmetically — same proof shape as [[imageDims]].
+    */
+  def audioMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val payloads = ids.mapPartitions(_.map { id =>
+      val ch = (1 + id % 2).toInt
+      val rate = (8000 * (1 + id % 5)).toInt
+      val n = (100 + id % 900).toInt
+      (id, Multimodal.syntheticWav(ch, rate, 16, n))
+    }).toDF("doc_id", "payload")
+    Multimodal.withAudioMeta(payloads, "payload")
+      .select(col("doc_id"), col("channels"), col("sample_rate"),
+        col("bits"), col("duration_ms"))
+  }
 }

@@ -173,6 +173,94 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** REAL RIFF/WAVE header parsing — channels, sample rate, bit depth
+    * and PCM duration straight off the chunk walk (RIFF container +
+    * canonical `fmt ` layout, public format knowledge; chunks are
+    * even-padded per the spec). Returns (channels, sampleRateHz,
+    * bitsPerSample, durationMs); None for non-WAV or truncated
+    * payloads. Duration is integer math over the `data` chunk size:
+    * `dataBytes * 8000 / (rate * channels * bits)` — reproducible in
+    * SQL for the oracle.
+    */
+  def parseWavMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | u8(i + 1) << 8
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def ascii(from: Int, until: Int) = new String(bytes.slice(from, until), "US-ASCII")
+    if (bytes.length < 12 || ascii(0, 4) != "RIFF" || ascii(8, 12) != "WAVE") None
+    else {
+      var i = 12
+      var fmt: Option[(Int, Int, Int)] = None
+      var dataBytes: Option[Long] = None
+      while ((fmt.isEmpty || dataBytes.isEmpty) && i + 8 <= bytes.length) {
+        val id = ascii(i, i + 4)
+        val size = le32(i + 4)
+        if (id == "fmt " && size >= 16 && i + 8 + 16 <= bytes.length)
+          fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
+        if (id == "data") dataBytes = Some(size)
+        if (size < 0 || size > Int.MaxValue) i = bytes.length // corrupt size
+        else i += 8 + size.toInt + (size.toInt & 1) // chunks even-padded
+      }
+      for {
+        (ch, rate, bits) <- fmt
+        ds <- dataBytes
+        if ch > 0 && rate > 0 && bits > 0
+      } yield (ch, rate, bits, ds * 8000L / (rate.toLong * ch * bits))
+    }
+  }
+
+  /** Batched per-partition WAV header decode: adds `channels` /
+    * `sample_rate` / `bits` / `duration_ms` (null for unrecognized
+    * payloads). Binary stays row-local, nothing shuffles — the audio
+    * twin of [[withImageDims]].
+    */
+  def withAudioMeta(df: DataFrame, binCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("channels", LongType),
+      StructField("sample_rate", LongType),
+      StructField("bits", LongType),
+      StructField("duration_ms", LongType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val meta = Option(r.getAs[Array[Byte]](binIdx)).flatMap(parseWavMeta)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ (meta match {
+          case Some((ch, rate, bits, ms)) =>
+            Seq(ch.toLong, rate.toLong, bits.toLong, ms)
+          case None => Seq(null, null, null, null)
+        }))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Minimal VALID 44-byte canonical PCM WAV + zeroed data chunk —
+    * real header bytes per the public spec, for fixtures and the
+    * registered `audio_meta` query.
+    */
+  def syntheticWav(channels: Int, sampleRateHz: Int, bitsPerSample: Int,
+      nSamplesPerChannel: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def le16(v: Int): Unit = { b(v); b(v >> 8) }
+    def le32(v: Int): Unit = { b(v); b(v >> 8); b(v >> 16); b(v >>> 24) }
+    val blockAlign = channels * bitsPerSample / 8
+    val dataBytes = nSamplesPerChannel * blockAlign
+    out.write("RIFF".getBytes("US-ASCII")); le32(36 + dataBytes)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1) // PCM
+    le16(channels); le32(sampleRateHz)
+    le32(sampleRateHz * blockAlign) // byte rate
+    le16(blockAlign); le16(bitsPerSample)
+    out.write("data".getBytes("US-ASCII")); le32(dataBytes)
+    (0 until dataBytes).foreach(_ => b(0))
+    out.toByteArray
+  }
+
   /** Feature dimension of the stub decoder. */
   val StubDims = 8
 

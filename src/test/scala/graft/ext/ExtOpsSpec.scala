@@ -308,6 +308,39 @@ class ExtOpsSpec extends SparkSpec {
     assert(Multimodal.parseImageDims(Array[Byte](0xff.toByte, 0xd8.toByte, 0x00, 0x01)).isEmpty)
   }
 
+  test("parseWavMeta chunk-walks real RIFF headers; junk and truncation never throw") {
+    // canonical 44-byte builder round-trips across parameters
+    for ((ch, rate, bits, n) <- Seq((1, 8000, 16, 100), (2, 44100, 16, 4410),
+        (2, 48000, 8, 999), (1, 16000, 24, 500))) {
+      val wav = Multimodal.syntheticWav(ch, rate, bits, n)
+      val dataBytes = n.toLong * ch * bits / 8
+      val wantMs = dataBytes * 8000L / (rate.toLong * ch * bits)
+      assert(Multimodal.parseWavMeta(wav).contains((ch, rate, bits, wantMs)),
+        s"$ch ch @ $rate Hz $bits bit")
+    }
+    // non-canonical chunk order: a LIST chunk (odd size → even padding)
+    // before fmt/data still parses — the walk follows the spec, not
+    // the fixed 44-byte layout
+    val withList = {
+      val out = new java.io.ByteArrayOutputStream()
+      val tail = Multimodal.syntheticWav(1, 8000, 16, 10).drop(12) // fmt+data
+      def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+      out.write("RIFF".getBytes("US-ASCII")); out.write(le32(4 + 8 + 5 + 1 + tail.length))
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write("LIST".getBytes("US-ASCII")); out.write(le32(5))
+      out.write("INFOx".getBytes("US-ASCII")); out.write(0) // odd size: pad byte
+      out.write(tail)
+      out.toByteArray
+    }
+    assert(Multimodal.parseWavMeta(withList).contains((1, 8000, 16, 1L)))
+    // junk / truncation / wrong container: None, never a throw
+    assert(Multimodal.parseWavMeta(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.parseWavMeta("RIFFxxxxAVI ".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.parseWavMeta(Multimodal.syntheticWav(1, 8000, 16, 10).take(20)).isEmpty)
+    assert(Multimodal.parseWavMeta(Multimodal.syntheticImage("png", 4, 4)).isEmpty)
+  }
+
   test("withImageDims: batched header decode over a binary column, nulls for junk") {
     val df = Seq(
       (1L, Multimodal.syntheticImage("png", 320, 240)),
