@@ -301,6 +301,41 @@ object ScaleSmoke {
       vecs.unpersist()
     }
 
+    // --- the FULL corpus pipeline at 2M docs (~120M tokens, ~2000× the
+    // sf0.001 fixture the spec pins), durable-checkpoint mode — the
+    // 100 TB posture where each stage lands on the store instead of
+    // executor cache. ~10% exact-dup rate (seed = id % 90%·N) so the
+    // dedup stages do real work; two leading stopwords + 60 vocab words
+    // per doc clear the Gopher gates.
+    {
+      val nDocs = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DOCS", "2000000").toLong
+      val vocab = array((0 until 1000).map(i => lit(s"word$i")): _*)
+      val seed = pmod(col("id"), lit((nDocs * 9) / 10))
+      val corpus = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (Seq(lit("the"), lit("and")) ++ (0 until 60).map(k =>
+          element_at(vocab,
+            (pmod(hash(seed * 60 + k), lit(1000)) + 1).cast("int")))): _*).as("text"),
+        element_at(array(lit("en"), lit("de"), lit("fr"), lit("es"), lit("pt")),
+          (pmod(hash(col("id") + 3), lit(5)) + 1).cast("int")).as("lang"),
+        concat(lit("src"), pmod(col("id"), lit(8))).as("source"))
+        .withColumn("n_chars", length(col("text")))
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-corpus-src").toString
+      corpus.write.mode("overwrite").parquet(s"$srcDir/docs")
+      val outDir = java.nio.file.Files.createTempDirectory("graft-corpus-out").toString
+      val ckptDir = java.nio.file.Files.createTempDirectory("graft-corpus-ckpt").toString
+      val t = System.nanoTime()
+      val stages = graft.ext.CorpusPipeline.runOn(spark,
+        spark.read.parquet(s"$srcDir/docs"), outDir,
+        checkpointDir = Some(ckptDir))
+      val sec = (System.nanoTime() - t) / 1e9
+      stages.foreach { s =>
+        println(f"[scale]   ${s.stage}%-15s ${s.docsIn}%8d → ${s.docsOut}%8d docs")
+      }
+      println(f"[scale] full corpus pipeline over $nDocs docs (durable checkpoints): " +
+        f"$sec%.1fs = ${nDocs / sec / 1000}%.0fk docs/s end-to-end")
+    }
+
     val big = spark.range(10000000).select(
       col("id").as("arrival"), concat(lit("d"), col("id") % 97).as("did"))
     big.cache().count()

@@ -60,23 +60,63 @@ object CorpusPipeline {
     * those multi-references from re-executing the upstream DAG.)
     * The export count comes from the WRITTEN parquet, not a re-run of
     * the lineage behind the write.
+    *
+    * `checkpointDir`: opt-in durable materialization for corpora that
+    * exceed executor storage. Each stage's output is WRITTEN to
+    * parquet under `checkpointDir/<stage>` and read back — the
+    * re-read truncates lineage (a stage failure recomputes from the
+    * last checkpoint, never from the raw corpus) and the footprint
+    * moves from executor memory/disk to the durable store, where a
+    * 100 TB intermediate is routine. The materializing count is the
+    * columnless scan of the written files (row-group metadata, no
+    * data pass). A stage's checkpoint is deleted as soon as its
+    * successor is durably written, so the dir holds at most two
+    * adjacent stage outputs and is empty when the run returns —
+    * identical to the cache discipline, swap-in replaceable
+    * (accounting is pinned equal by CorpusPipelineSpec).
     */
   def run(spark: SparkSession, dir: String, outDir: String,
-      packBudget: Long = 512L, nShards: Int = 16): Seq[Stage] = {
+      packBudget: Long = 512L, nShards: Int = 16,
+      checkpointDir: Option[String] = None): Seq[Stage] =
+    runOn(spark, Tables.documents(spark, dir), outDir, packBudget, nShards,
+      checkpointDir)
+
+  /** [[run]] over an already-loaded documents frame (same columns as
+    * the documents table: doc_id, text, lang, source, n_chars).
+    */
+  def runOn(spark: SparkSession, docs: DataFrame, outDir: String,
+      packBudget: Long = 512L, nShards: Int = 16,
+      checkpointDir: Option[String] = None): Seq[Stage] = {
     val acc = scala.collection.mutable.ListBuffer.empty[Stage]
-    val docs = Tables.documents(spark, dir)
     // the raw input is counted once; it is deliberately NOT cached — at
     // corpus scale the source parquet re-scan (column-pruned, pushed
     // down) is cheaper than caching 100 TB, and only stage 1 and the
     // decontam benchmark filter read it
     var prevCount = docs.count()
     var prevCached: Option[DataFrame] = None
+    var prevCkpt: Option[String] = None
+    def rmCkpt(p: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(path, true)
+    }
     def staged(name: String, in: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
-      val out = f(in).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = out.count() // materializes the cache: this stage's ONLY execution
+      val (out, n) = checkpointDir match {
+        case Some(cp) =>
+          val path = s"$cp/$name"
+          f(in).write.mode("overwrite").parquet(path)
+          val written = spark.read.parquet(path) // lineage ends HERE
+          (written, written.count()) // columnless scan: metadata only
+        case None =>
+          val cached = f(in)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          (cached, cached.count()) // materializes: this stage's ONLY execution
+      }
       acc += Stage(name, prevCount, n)
       prevCached.foreach(_.unpersist(false))
-      prevCached = Some(out)
+      prevCkpt.foreach(rmCkpt)
+      if (checkpointDir.isDefined) prevCkpt = Some(s"${checkpointDir.get}/$name")
+      else prevCached = Some(out)
       prevCount = n
       out
     }
@@ -164,6 +204,7 @@ object CorpusPipeline {
     acc += Stage("shard_export", prevCount,
       spark.read.parquet(s"$outDir/shards").count())
     prevCached.foreach(_.unpersist(false))
+    prevCkpt.foreach(rmCkpt)
 
     acc.toList
   }

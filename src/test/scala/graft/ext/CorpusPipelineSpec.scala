@@ -74,6 +74,25 @@ class CorpusPipelineSpec extends SparkSpec {
       == dupText, "the canonical copy must survive intact")
   }
 
+  test("durable-checkpoint run: accounting and export identical to the cached run; dir emptied") {
+    val outC = tmpDir("corpus-cached")
+    val outK = tmpDir("corpus-ckpt-out")
+    val cp = tmpDir("corpus-ckpt-stages")
+    val cached = CorpusPipeline.run(spark, sf, outC, nShards = 4)
+    val ckpt = CorpusPipeline.run(spark, sf, outK, nShards = 4,
+      checkpointDir = Some(cp))
+    // swap-in replaceable: the materialization strategy must not change
+    // a single count in the accounting
+    assert(ckpt == cached)
+    val ids = (out: String) => spark.read.parquet(s"$out/shards")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(outC) == ids(outK))
+    // the checkpoint dir holds at most two adjacent stages mid-run and
+    // is empty when the run returns
+    val left = Option(new java.io.File(cp).listFiles()).getOrElse(Array.empty)
+    assert(left.isEmpty, s"checkpoint dir not emptied: ${left.mkString(",")}")
+  }
+
   test("accounting is single-pass: each stage's DAG executes once (job-count pin)") {
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val listener = new org.apache.spark.scheduler.SparkListener {
