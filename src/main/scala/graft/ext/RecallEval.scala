@@ -28,7 +28,52 @@ object RecallEval {
     if (exact.isEmpty) 1.0
     else approx.toSet.intersect(exact.toSet).size.toDouble / exact.size
 
+  /** Measured recall@k curve of the labeled IVF probe over nprobe =
+    * 1..maxP: mean recall against the exact brute-force ranking over a
+    * `nQueries` sample. One small job per (query, nprobe) — an eval
+    * loop, not a data-path operator. Returns nprobe → mean recall.
+    */
+  def nprobeCurve(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, nQueries: Int = 20, k: Int = 10,
+      maxP: Int = 8): Seq[(Int, Double)] = {
+    val cached = df.cache()
+    val dims = cached.select(size(col(vecCol))).head().getInt(0)
+    require(dims > 0)
+    val queries = cached.filter(col(idCol) < nQueries)
+      .select(col(idCol), Similarity.toDoubleArr(col(vecCol)).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+    def ids(d: DataFrame): Seq[Long] =
+      d.select(col(idCol)).collect().map(_.getLong(0)).toSeq
+    val sums = Array.fill(maxP + 1)(0.0)
+    queries.foreach { case (qid, q) =>
+      val corpus = cached.filter(col(idCol) =!= qid)
+      val exact = ids(Similarity.cosineTopK(corpus, idCol, vecCol, q, k))
+      (1 to maxP).foreach { p =>
+        sums(p) += recall(exact,
+          ids(Similarity.ivfTopK(corpus, idCol, labelCol, vecCol, q, k, nprobe = p)))
+      }
+    }
+    (1 to maxP).map(p => p -> sums(p) / queries.length)
+  }
+
+  /** Auto-tune nprobe by measurement: the smallest nprobe whose mean
+    * recall@k on `df` (default: the planted-cluster fixture quantized
+    * by learned k-means at `nCells`) meets `targetRecall`. This is the
+    * calibration loop behind [[Similarity.nprobeFor]]'s closed-form
+    * default — run it when the corpus is at hand and the measured
+    * answer is worth a few hundred small jobs; use the closed form
+    * when it is not.
+    */
+  def tuneNprobe(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, targetRecall: Double = 0.9, nQueries: Int = 20,
+      k: Int = 10, maxP: Int = 8): Int = {
+    val curve = nprobeCurve(df, idCol, labelCol, vecCol, nQueries, k, maxP)
+    curve.collectFirst { case (p, r) if r >= targetRecall => p }
+      .getOrElse(maxP)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("curve")) { curveMain(args.drop(1)); return }
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val nQueries = args.drop(1).headOption.map(_.toInt).getOrElse(20)
     val k = args.drop(2).headOption.map(_.toInt).getOrElse(10)
@@ -80,6 +125,42 @@ object RecallEval {
     println(s"[recall] $dir, ${queries.length} queries, k=$k")
     variants.foreach { case (name, _) =>
       println(f"[recall] $name%-14s recall@$k = ${sums(name) / queries.length}%.3f")
+    }
+    spark.stop()
+  }
+
+  /** `runMain graft.ext.RecallEval curve [n] [dims] [clusters]` — the
+    * calibration sweep behind [[Similarity.nprobeFor]]: recall@10 vs
+    * nprobe on the planted-cluster fixture, quantized by learned
+    * k-means at a range of cell counts (below, at, and above the
+    * natural cluster count — over-segmentation is the realistic regime:
+    * a production quantizer has far more cells than the data has
+    * modes). Prints one curve per cell count plus the closed form's
+    * prediction at each target.
+    */
+  private def curveMain(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(2000)
+    val dims = args.drop(1).headOption.map(_.toInt).getOrElse(32)
+    val clusters = args.drop(2).headOption.map(_.toInt).getOrElse(16)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = ClusterFixture.clustered(spark, n, dims, clusters).cache()
+    Seq(clusters / 2, clusters, clusters * 2, clusters * 4).foreach { nCells =>
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", nCells)
+      val labeled = Similarity.withCellLabels(
+        emb, "vec_id", "embedding", cents, "kcell")
+      val curve = nprobeCurve(labeled, "vec_id", "kcell", "embedding")
+      println(s"[curve] nCells=$nCells: " + curve.map { case (p, r) =>
+        f"p$p=$r%.3f" }.mkString(" "))
+      Seq(0.8, 0.9, 0.95).foreach { t =>
+        val measured = curve.collectFirst { case (p, r) if r >= t => p }
+        println(f"[curve]   target $t%.2f: measured=${measured.getOrElse(-1)} " +
+          f"closed-form=${Similarity.nprobeFor(nCells, t)}")
+      }
     }
     spark.stop()
   }

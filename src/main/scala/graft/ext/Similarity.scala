@@ -280,6 +280,33 @@ object Similarity {
     */
   val LiteralAssignMaxK = 256
 
+  /** Default `nprobe` for an `nCells`-cell IVF index at a target
+    * recall — the closed form calibrated on the planted-cluster
+    * fixture's measured recall/nprobe curves (`RecallEval curve`
+    * sweep; see RecallSpec for the pinned numbers). The shape follows
+    * the standard IVF coverage model: probing p of K cells on
+    * clustered data leaves a miss mass that decays geometrically in p,
+    * and the per-probe gain shrinks as the quantizer over-segments
+    * (cells ≫ natural clusters), so the needed p grows ~√K. Hence
+    *
+    *   nprobe = ⌈√K/4 · ln(1/(1-target))⌉  clamped to [1, K]
+    *
+    * Measured against the fixture (16 natural clusters, `RecallEval
+    * curve`): at K ∈ {8,16,32,64} the closed form meets or exceeds
+    * every measured smallest-p at targets 0.8/0.9/0.95 (e.g. K=64
+    * t=0.9: measured 4, closed form 5; K=32 t=0.8: measured 2, closed
+    * form 3) — a safety margin of one-to-two probes, while the probed
+    * fraction vanishes at scale (K=4096 t=0.9 → 37 cells, 0.9 %). Use
+    * [[RecallEval.tuneNprobe]] instead when the corpus is at hand —
+    * measurement beats any closed form.
+    */
+  def nprobeFor(nCells: Int, targetRecall: Double = 0.9): Int = {
+    require(nCells >= 1 && targetRecall > 0 && targetRecall < 1)
+    val p = math.ceil(math.sqrt(nCells.toDouble) / 4.0 *
+      math.log(1.0 / (1.0 - targetRecall))).toInt
+    math.min(nCells, math.max(1, p))
+  }
+
   /** Deterministic spherical k-means — the LEARNED coarse quantizer for
     * [[buildIvfKmeans]] when the corpus carries no precomputed cell
     * assignment. Init is a hash-ordered sample (md5 over the id:

@@ -77,6 +77,47 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.8, f"learned-quantizer IVF recall $r%.3f below floor")
   }
 
+  test("derived-default nprobe (nprobeFor) holds the recall floor on an over-segmented quantizer") {
+    // 2× over-segmentation (16 cells on 8 natural clusters) — the
+    // regime where nprobe=1 visibly loses neighbors and the default
+    // has to earn its keep
+    val nCells = 2 * K
+    val idx = tmpDir("recall-ivf-auto")
+    Similarity.buildIvfKmeans(corpus.drop("label"), "vec_id", "embedding", idx,
+      k = nCells, iters = 5)
+    val p = Similarity.nprobeFor(nCells, targetRecall = 0.9)
+    val r = meanRecall { (qid, q) =>
+      dropSelf(Similarity.ivfProbe(spark, idx, "vec_id", "label", "embedding",
+        q, k = TopK + 1, nprobe = p), qid)
+    }
+    info(f"ivf(kmeans, $nCells cells) derived nprobe=$p recall@$TopK = $r%.3f")
+    assert(r >= 0.8, f"derived-default recall $r%.3f below floor")
+  }
+
+  test("closed-form nprobeFor dominates the measured tuner and is well-behaved") {
+    // measured calibration: the smallest nprobe meeting target 0.9 on
+    // THIS corpus must never exceed the closed form's default — the
+    // closed form is the safe (over-)estimate for when measurement is
+    // not affordable
+    val nCells = 2 * K
+    val cents = Similarity.kmeansCentroids(corpus.drop("label"), "vec_id", "embedding", nCells)
+    val labeled = Similarity.withCellLabels(corpus.drop("label"),
+      "vec_id", "embedding", cents, "kcell")
+    val tuned = RecallEval.tuneNprobe(labeled, "vec_id", "kcell", "embedding",
+      targetRecall = 0.9, nQueries = 12, k = TopK, maxP = 6)
+    val closed = Similarity.nprobeFor(nCells, targetRecall = 0.9)
+    info(s"tuned=$tuned closed=$closed (nCells=$nCells)")
+    assert(tuned <= closed,
+      s"measured smallest nprobe $tuned exceeds the closed-form default $closed")
+    // shape: more cells or a higher target never DECREASE the default;
+    // bounds respected
+    assert(Similarity.nprobeFor(64, 0.9) >= Similarity.nprobeFor(16, 0.9))
+    assert(Similarity.nprobeFor(16, 0.95) >= Similarity.nprobeFor(16, 0.8))
+    assert(Similarity.nprobeFor(1, 0.99) == 1)
+    assert(Similarity.nprobeFor(4096, 0.9) <= 64,
+      "the probed fraction must vanish at scale, not grow linearly")
+  }
+
   test("broadcast-join assignment (large-K form) equals the literal argmax exactly") {
     val cents = Similarity.kmeansCentroids(corpus.drop("label"), "vec_id", "embedding", K)
     val literal = corpus.withColumn("cell", Similarity.assignCell("embedding", cents))
