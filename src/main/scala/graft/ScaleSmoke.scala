@@ -306,16 +306,19 @@ object ScaleSmoke {
     // 100 TB posture where each stage lands on the store instead of
     // executor cache. ~10% exact-dup rate (seed = id % 90%·N) so the
     // dedup stages do real work; two leading stopwords + 60 vocab words
-    // per doc clear the Gopher gates.
+    // per doc clear the Gopher gates. The vocabulary is 100k distinct
+    // words (hash-formed, not a literal array) so cross-doc shingle
+    // collisions are rare and decontam flags only the docs that REALLY
+    // share shingles with the held-out set (seed twins) — a 1k vocab
+    // makes the benchmark shingle set cover the whole shingle space
+    // and decontam degenerates to dropping everything.
     {
       val nDocs = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DOCS", "2000000").toLong
-      val vocab = array((0 until 1000).map(i => lit(s"word$i")): _*)
       val seed = pmod(col("id"), lit((nDocs * 9) / 10))
       val corpus = spark.range(nDocs).select(
         col("id").as("doc_id"),
         concat_ws(" ", (Seq(lit("the"), lit("and")) ++ (0 until 60).map(k =>
-          element_at(vocab,
-            (pmod(hash(seed * 60 + k), lit(1000)) + 1).cast("int")))): _*).as("text"),
+          concat(lit("w"), pmod(hash(seed * 60 + k), lit(100000))))): _*).as("text"),
         element_at(array(lit("en"), lit("de"), lit("fr"), lit("es"), lit("pt")),
           (pmod(hash(col("id") + 3), lit(5)) + 1).cast("int")).as("lang"),
         concat(lit("src"), pmod(col("id"), lit(8))).as("source"))
@@ -334,6 +337,26 @@ object ScaleSmoke {
       }
       println(f"[scale] full corpus pipeline over $nDocs docs (durable checkpoints): " +
         f"$sec%.1fs = ${nDocs / sec / 1000}%.0fk docs/s end-to-end")
+
+      // decontam broadcast growth-gate: the probe side is the bench's
+      // DISTINCT shingle hashes — grow the bench 10× and confirm the
+      // broadcast payload grows with the BENCH (sub-linear in it, by
+      // shingle dedup), never with the corpus, and that the size gate
+      // would switch to the shuffle join before an unbounded bench
+      // OOMs the executors
+      val src = spark.read.parquet(s"$srcDir/docs")
+      Seq(50L, 5L).foreach { mod => // 2% and 20% of the corpus as "bench"
+        val bench = src.filter(col("doc_id") % mod === 0)
+        val benchSh = graft.ext.Dedup.shingles(bench, "doc_id", "text", 3)
+          .select(graft.ext.Dedup.h32(col("shingle")).as("s")).distinct().count()
+        val t1 = System.nanoTime()
+        val flagged = graft.ext.Dedup.contaminationFlags(
+          src.filter(col("doc_id") % mod =!= 0), bench, "doc_id", "text").count()
+        println(f"[scale] decontam bench=1/$mod of $nDocs docs: " +
+          f"${benchSh / 1000}%dk distinct bench shingles broadcast " +
+          f"(~${benchSh * 4 / 1024 / 1024}%d MB hashed), $flagged flagged, " +
+          f"${(System.nanoTime() - t1) / 1e9}%.1fs")
+      }
     }
 
     val big = spark.range(10000000).select(

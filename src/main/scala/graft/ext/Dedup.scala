@@ -239,18 +239,31 @@ object Dedup {
     * pretraining pipeline runs before training): corpus documents that
     * share at least one word n-gram with any document of `bench` are
     * flagged with their overlapping-shingle count. The join is on the
-    * 32-bit shingle hash — at 100 TB the benchmark side is tiny (eval
-    * sets), so its distinct-shingle set broadcasts and the corpus makes
-    * ONE pass with a hash probe; no pairwise document comparison
-    * exists in the plan.
+    * 32-bit shingle hash — benchmarks are normally tiny (eval sets),
+    * so the distinct-shingle set broadcasts and the corpus makes ONE
+    * pass with a hash probe; no pairwise document comparison exists in
+    * the plan.
+    *
+    * The broadcast is SIZE-GATED, not assumed: the bench shingle
+    * count is measured first (a bench-side-only aggregate, negligible
+    * next to the corpus pass), and a bench above
+    * `broadcastMaxShingles` (default 50M ≈ a few hundred MB hashed)
+    * falls back to a shuffle join on the shingle hash — the spill
+    * path for a "benchmark" that is really a second corpus. The two
+    * paths are flag-identical (spec-pinned); only the exchange
+    * strategy differs.
     */
   def contaminationFlags(corpus: DataFrame, bench: DataFrame,
-      idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
+      idCol: String, textCol: String, shingleN: Int = 3,
+      broadcastMaxShingles: Long = 50000000L): DataFrame = {
     val benchSh = shingles(bench, idCol, textCol, shingleN)
       .select(h32(col("shingle")).as("s")).distinct()
+    val probeSide =
+      if (benchSh.count() <= broadcastMaxShingles) broadcast(benchSh)
+      else benchSh
     shingles(corpus, idCol, textCol, shingleN)
       .select(col(idCol), h32(col("shingle")).as("s"))
-      .join(broadcast(benchSh), "s")
+      .join(probeSide, "s")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
   }

@@ -399,6 +399,42 @@ class ExtOpsSpec extends SparkSpec {
     assert(all.filter(col("clean_text") === "").count() == 3)
   }
 
+  test("contaminationFlags: oversize-bench shuffle fallback is flag-identical to the broadcast path") {
+    val docs = graft.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    def flags(maxSh: Long) = Dedup.contaminationFlags(
+      corpus, bench, "doc_id", "text", broadcastMaxShingles = maxSh)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val viaBroadcast = flags(Long.MaxValue)
+    val viaShuffle = flags(0L) // force the over-bound path
+    assert(viaBroadcast.nonEmpty, "fixture must produce some overlap")
+    assert(viaShuffle == viaBroadcast,
+      "the size-gated fallback must change only the exchange, never a flag")
+    // the gate really switches strategies: with Spark's own
+    // auto-broadcast silenced (the fixture is small enough that the
+    // planner would broadcast regardless of our hint), the fallback
+    // plan must carry no broadcast join — only the hint the gate
+    // withheld could have produced one
+    val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = thresholds.map(k => k -> spark.conf.getOption(k))
+    thresholds.foreach(spark.conf.set(_, "-1"))
+    try {
+      val plan = Dedup.contaminationFlags(corpus, bench, "doc_id", "text",
+        broadcastMaxShingles = 0L).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"expected a shuffle join in the fallback plan, got:\n$plan")
+      val hinted = Dedup.contaminationFlags(corpus, bench, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      assert(hinted.contains("BroadcastHashJoin"),
+        s"expected the under-bound path to broadcast, got:\n$hinted")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("redactPii replaces every occurrence and reports audit counts") {
     val out = TextStats.redactPii(Seq(
       (1L, "mail a@b.io and c.d+x@e-f.org call +4915512345678 from 10.0.0.1 or 192.168.1.255"),
