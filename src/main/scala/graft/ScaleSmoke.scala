@@ -305,20 +305,31 @@ object ScaleSmoke {
     // sf0.001 fixture the spec pins), durable-checkpoint mode — the
     // 100 TB posture where each stage lands on the store instead of
     // executor cache. ~10% exact-dup rate (seed = id % 90%·N) so the
-    // dedup stages do real work; two leading stopwords + 60 vocab words
-    // per doc clear the Gopher gates. The vocabulary is 100k distinct
+    // dedup stages do real work; two stopwords + 60 vocab words per
+    // doc clear the Gopher gates. The vocabulary is 100k distinct
     // words (hash-formed, not a literal array) so cross-doc shingle
     // collisions are rare and decontam flags only the docs that REALLY
     // share shingles with the held-out set (seed twins) — a 1k vocab
     // makes the benchmark shingle set cover the whole shingle space
-    // and decontam degenerates to dropping everything.
+    // and decontam degenerates to dropping everything. The stopwords
+    // sit BETWEEN hash words (positions 10/40), never as a shared
+    // prefix: a corpus-constant two-word prefix leaves the adjacent
+    // shingle one word of entropy and decontam false-flags a third of
+    // the corpus through it.
     {
       val nDocs = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DOCS", "2000000").toLong
-      val seed = pmod(col("id"), lit((nDocs * 9) / 10))
+      // twin offset 0.9N+1: NOT divisible by the bench moduli (50, 5)
+      // below — an offset the modulus divides would map every bench
+      // doc's twin back onto the bench side and no real contamination
+      // would ever cross the boundary (the measurement would be
+      // vacuous, all noise)
+      val seed = pmod(col("id"), lit((nDocs * 9) / 10 + 1))
+      def word(k: Int) = concat(lit("w"), pmod(hash(seed * 60 + k), lit(100000)))
+      val tokens = (0 until 10).map(word) ++ Seq(lit("the")) ++
+        (10 until 40).map(word) ++ Seq(lit("and")) ++ (40 until 60).map(word)
       val corpus = spark.range(nDocs).select(
         col("id").as("doc_id"),
-        concat_ws(" ", (Seq(lit("the"), lit("and")) ++ (0 until 60).map(k =>
-          concat(lit("w"), pmod(hash(seed * 60 + k), lit(100000))))): _*).as("text"),
+        concat_ws(" ", tokens: _*).as("text"),
         element_at(array(lit("en"), lit("de"), lit("fr"), lit("es"), lit("pt")),
           (pmod(hash(col("id") + 3), lit(5)) + 1).cast("int")).as("lang"),
         concat(lit("src"), pmod(col("id"), lit(8))).as("source"))
@@ -343,7 +354,9 @@ object ScaleSmoke {
       // broadcast payload grows with the BENCH (sub-linear in it, by
       // shingle dedup), never with the corpus, and that the size gate
       // would switch to the shuffle join before an unbounded bench
-      // OOMs the executors
+      // OOMs the executors. Flag counts here = true seed twins of
+      // bench docs + the ~3% 32-bit-hash noise floor (60 shingles/doc
+      // probing millions of bench hashes in a 2^32 space).
       val src = spark.read.parquet(s"$srcDir/docs")
       Seq(50L, 5L).foreach { mod => // 2% and 20% of the corpus as "bench"
         val bench = src.filter(col("doc_id") % mod === 0)
@@ -354,8 +367,14 @@ object ScaleSmoke {
           src.filter(col("doc_id") % mod =!= 0), bench, "doc_id", "text").count()
         println(f"[scale] decontam bench=1/$mod of $nDocs docs: " +
           f"${benchSh / 1000}%dk distinct bench shingles broadcast " +
-          f"(~${benchSh * 4 / 1024 / 1024}%d MB hashed), $flagged flagged, " +
+          f"(~${benchSh * 8 / 1024 / 1024}%d MB of hashed longs), $flagged flagged, " +
           f"${(System.nanoTime() - t1) / 1e9}%.1fs")
+      }
+      // release the block's multi-GB /tmp footprint (the pipeline
+      // already emptied ckptDir itself)
+      Seq(srcDir, outDir, ckptDir).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
     }
 

@@ -73,7 +73,13 @@ object CorpusPipeline {
     * successor is durably written, so the dir holds at most two
     * adjacent stage outputs and is empty when the run returns —
     * identical to the cache discipline, swap-in replaceable
-    * (accounting is pinned equal by CorpusPipelineSpec).
+    * (accounting is pinned equal by CorpusPipelineSpec). A FAILED run
+    * deliberately leaves its last durable checkpoint (plus the failed
+    * partial) in place: that is the recovery point, and a
+    * delete-on-failure finally would destroy exactly what a 100 TB
+    * retry wants to resume from. Re-running with the same
+    * `checkpointDir` reclaims the space stage-by-stage through the
+    * overwrite-mode writes, so nothing accumulates across retries.
     */
   def run(spark: SparkSession, dir: String, outDir: String,
       packBudget: Long = 512L, nShards: Int = 16,

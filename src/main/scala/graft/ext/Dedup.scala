@@ -244,22 +244,30 @@ object Dedup {
     * pass with a hash probe; no pairwise document comparison exists in
     * the plan.
     *
-    * The broadcast is SIZE-GATED, not assumed: the bench shingle
-    * count is measured first (a bench-side-only aggregate, negligible
-    * next to the corpus pass), and a bench above
-    * `broadcastMaxShingles` (default 50M ≈ a few hundred MB hashed)
-    * falls back to a shuffle join on the shingle hash — the spill
-    * path for a "benchmark" that is really a second corpus. The two
-    * paths are flag-identical (spec-pinned); only the exchange
-    * strategy differs.
+    * The broadcast is SIZE-GATED, not assumed: the gate measures the
+    * bench's TOTAL shingle count — `Σ max(0, n_words-n+1)` per doc, a
+    * narrow map-side sum over the bench with no shuffle, an upper
+    * bound on the distinct count (so the gate errs toward the safe
+    * side) — and a bench above `broadcastMaxShingles` (default 50M ≈
+    * 400 MB of hashed longs) falls back to a shuffle join on the
+    * shingle hash: the spill path for a "benchmark" that is really a
+    * second corpus. The exact distinct count is deliberately NOT used
+    * — it would cost a wide shuffle over the bench and a second
+    * execution of the bench-shingle DAG exactly when the bench is
+    * huge. The gate job runs when the frame is CONSTRUCTED (one small
+    * aggregate; benchmarks are eval sets). The two paths are
+    * flag-identical (spec-pinned); only the exchange strategy differs.
     */
   def contaminationFlags(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3,
       broadcastMaxShingles: Long = 50000000L): DataFrame = {
     val benchSh = shingles(bench, idCol, textCol, shingleN)
       .select(h32(col("shingle")).as("s")).distinct()
+    val benchShinglesUpper = bench.select(coalesce(
+      sum(greatest(size(split(col(textCol), " ")) - (shingleN - 1), lit(0))),
+      lit(0L))).head().getLong(0)
     val probeSide =
-      if (benchSh.count() <= broadcastMaxShingles) broadcast(benchSh)
+      if (benchShinglesUpper <= broadcastMaxShingles) broadcast(benchSh)
       else benchSh
     shingles(corpus, idCol, textCol, shingleN)
       .select(col(idCol), h32(col("shingle")).as("s"))

@@ -30,35 +30,45 @@ object RecallEval {
 
   /** Measured recall@k curve of the labeled IVF probe over nprobe =
     * 1..maxP: mean recall against the exact brute-force ranking over a
-    * `nQueries` sample. One small job per (query, nprobe) — an eval
-    * loop, not a data-path operator. Returns nprobe → mean recall.
+    * `nQueries` sample (rows with `idCol` below `nQueries` — the
+    * sample must be non-empty or this throws). Per query the cell
+    * ranking runs ONCE ([[Similarity.rankCells]]) and each probe depth
+    * scans only its cell prefix — not one full centroid aggregate per
+    * (query, nprobe). The input is cached for the sweep and
+    * unpersisted on return. An eval loop, not a data-path operator.
+    * Returns nprobe → mean recall.
     */
   def nprobeCurve(df: DataFrame, idCol: String, labelCol: String,
       vecCol: String, nQueries: Int = 20, k: Int = 10,
       maxP: Int = 8): Seq[(Int, Double)] = {
     val cached = df.cache()
-    val dims = cached.select(size(col(vecCol))).head().getInt(0)
-    require(dims > 0)
-    val queries = cached.filter(col(idCol) < nQueries)
-      .select(col(idCol), Similarity.toDoubleArr(col(vecCol)).as("q"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
-    def ids(d: DataFrame): Seq[Long] =
-      d.select(col(idCol)).collect().map(_.getLong(0)).toSeq
-    val sums = Array.fill(maxP + 1)(0.0)
-    queries.foreach { case (qid, q) =>
-      val corpus = cached.filter(col(idCol) =!= qid)
-      val exact = ids(Similarity.cosineTopK(corpus, idCol, vecCol, q, k))
-      (1 to maxP).foreach { p =>
-        sums(p) += recall(exact,
-          ids(Similarity.ivfTopK(corpus, idCol, labelCol, vecCol, q, k, nprobe = p)))
+    try {
+      val queries = cached.filter(col(idCol) < nQueries)
+        .select(col(idCol), Similarity.toDoubleArr(col(vecCol)).as("q"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+      require(queries.nonEmpty,
+        s"no rows with $idCol < $nQueries — the query sample is empty")
+      def ids(d: DataFrame): Seq[Long] =
+        d.select(col(idCol)).collect().map(_.getLong(0)).toSeq
+      val sums = Array.fill(maxP + 1)(0.0)
+      queries.foreach { case (qid, q) =>
+        val corpus = cached.filter(col(idCol) =!= qid)
+        val exact = ids(Similarity.cosineTopK(corpus, idCol, vecCol, q, k))
+        val ranked = Similarity.rankCells(corpus, labelCol, vecCol, q)
+        (1 to maxP).foreach { p =>
+          sums(p) += recall(exact, ids(Similarity.probeCells(
+            corpus, idCol, labelCol, vecCol, q, k, ranked.take(p))))
+        }
       }
-    }
-    (1 to maxP).map(p => p -> sums(p) / queries.length)
+      (1 to maxP).map(p => p -> sums(p) / queries.length)
+    } finally cached.unpersist(false)
   }
 
-  /** Auto-tune nprobe by measurement: the smallest nprobe whose mean
-    * recall@k on `df` (default: the planted-cluster fixture quantized
-    * by learned k-means at `nCells`) meets `targetRecall`. This is the
+  /** Auto-tune nprobe by measurement: the smallest nprobe (≤ maxP)
+    * whose mean recall@k on `df` meets `targetRecall`, or None if no
+    * depth in the sweep reaches the target (a plateaued curve — the
+    * caller must widen maxP or lower the target, not silently deploy
+    * maxP as if it had been measured to suffice). This is the
     * calibration loop behind [[Similarity.nprobeFor]]'s closed-form
     * default — run it when the corpus is at hand and the measured
     * answer is worth a few hundred small jobs; use the closed form
@@ -66,10 +76,9 @@ object RecallEval {
     */
   def tuneNprobe(df: DataFrame, idCol: String, labelCol: String,
       vecCol: String, targetRecall: Double = 0.9, nQueries: Int = 20,
-      k: Int = 10, maxP: Int = 8): Int = {
+      k: Int = 10, maxP: Int = 8): Option[Int] = {
     val curve = nprobeCurve(df, idCol, labelCol, vecCol, nQueries, k, maxP)
     curve.collectFirst { case (p, r) if r >= targetRecall => p }
-      .getOrElse(maxP)
   }
 
   def main(args: Array[String]): Unit = {

@@ -502,19 +502,36 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, labelCol: String, vecCol: String,
       query: Seq[Double], k: Int = 10, nprobe: Int = 1, digits: Int = 6): DataFrame = {
     require(nprobe >= 1)
+    probeCells(df, idCol, labelCol, vecCol, query, k,
+      rankCells(df, labelCol, vecCol, query, digits).take(nprobe))
+  }
+
+  /** All cells of an inline-derived quantizer, ranked best-first
+    * against the query (the [[ivfTopK]] centroid aggregate, collected
+    * whole — K rows). Split out so an nprobe SWEEP ([[RecallEval]])
+    * ranks once and probes prefixes instead of re-running the
+    * full-corpus aggregate per probe depth.
+    */
+  def rankCells(df: DataFrame, labelCol: String, vecCol: String,
+      query: Seq[Double], digits: Int = 6): Seq[Any] = {
     val qLit = array(query.map(lit): _*)
-    val cells = centroidComponents(df, labelCol, vecCol)
+    centroidComponents(df, labelCol, vecCol)
       .groupBy(col(labelCol))
       .agg(pround(
         sum(col("c") * element_at(qLit, col("i") + 1)) / sqrt(sum(col("c") * col("c"))),
         digits).as("score"))
       .orderBy(col("score").desc, col(labelCol))
-      .limit(nprobe).collect().map(_.get(0))
+      .collect().map(_.get(0)).toSeq
+  }
+
+  /** Exact cosine top-k within an explicit cell set — the candidate
+    * scan half of [[ivfTopK]]. */
+  def probeCells(df: DataFrame, idCol: String, labelCol: String, vecCol: String,
+      query: Seq[Double], k: Int, cells: Seq[Any]): DataFrame =
     df.filter(col(labelCol).isin(cells: _*))
       .select(col(idCol), cosineTo(query, vecCol).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
-  }
 
   /** Symmetric int8 quantization accounting: per vector, the quantized
     * checksum and reconstruction error of `q_i = clamp(⌊v_i·s + ½⌋,

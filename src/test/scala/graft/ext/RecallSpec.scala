@@ -105,6 +105,7 @@ class RecallSpec extends SparkSpec {
       "vec_id", "embedding", cents, "kcell")
     val tuned = RecallEval.tuneNprobe(labeled, "vec_id", "kcell", "embedding",
       targetRecall = 0.9, nQueries = 12, k = TopK, maxP = 6)
+      .getOrElse(fail("target 0.9 unreachable within maxP=6 on the fixture"))
     val closed = Similarity.nprobeFor(nCells, targetRecall = 0.9)
     info(s"tuned=$tuned closed=$closed (nCells=$nCells)")
     assert(tuned <= closed,
