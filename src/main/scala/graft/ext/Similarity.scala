@@ -492,6 +492,23 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[ivfProbe]] with `nprobe` DERIVED instead of caller-chosen:
+    * reads the persisted index's cell count from its K-row centroids
+    * table (driver-side, an index lookup) and probes
+    * [[nprobeFor]](K, targetRecall) cells — the curve-calibrated
+    * default for a caller who knows their recall target but not the
+    * index geometry. RecallSpec pins the derived default clearing the
+    * 0.8 floor on an over-segmented quantizer.
+    */
+  def ivfProbeAuto(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      idCol: String, labelCol: String, vecCol: String,
+      query: Seq[Double], k: Int = 10, targetRecall: Double = 0.9,
+      digits: Int = 6): DataFrame = {
+    val nCells = spark.read.parquet(s"$indexPath/centroids").count().toInt
+    ivfProbe(spark, indexPath, idCol, labelCol, vecCol, query, k,
+      nprobe = nprobeFor(nCells, targetRecall), digits)
+  }
+
   /** One-shot IVF probe (build folded into the query): rank cells with
     * an inline centroid aggregate, then exact cosine top-k within the
     * `nprobe` best cells. For a SINGLE ad-hoc query this is the minimum

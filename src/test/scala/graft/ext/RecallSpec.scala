@@ -85,12 +85,14 @@ class RecallSpec extends SparkSpec {
     val idx = tmpDir("recall-ivf-auto")
     Similarity.buildIvfKmeans(corpus.drop("label"), "vec_id", "embedding", idx,
       k = nCells, iters = 5)
-    val p = Similarity.nprobeFor(nCells, targetRecall = 0.9)
+    // the integrated path: ivfProbeAuto reads K off the persisted
+    // index and derives nprobe = nprobeFor(K, target) itself
     val r = meanRecall { (qid, q) =>
-      dropSelf(Similarity.ivfProbe(spark, idx, "vec_id", "label", "embedding",
-        q, k = TopK + 1, nprobe = p), qid)
+      dropSelf(Similarity.ivfProbeAuto(spark, idx, "vec_id", "label", "embedding",
+        q, k = TopK + 1, targetRecall = 0.9), qid)
     }
-    info(f"ivf(kmeans, $nCells cells) derived nprobe=$p recall@$TopK = $r%.3f")
+    info(f"ivf(kmeans, $nCells cells) derived nprobe=" +
+      f"${Similarity.nprobeFor(nCells, 0.9)} recall@$TopK = $r%.3f")
     assert(r >= 0.8, f"derived-default recall $r%.3f below floor")
   }
 
