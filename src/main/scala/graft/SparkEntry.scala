@@ -650,7 +650,7 @@ object SparkEntry {
         |sh0 AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s0
         |        FROM words, (SELECT unnest(range(1, 1000)) AS i) n
         |        WHERE i + 2 <= len(l)),
-        |sh AS (SELECT doc_id, ('0x' || substr(md5(s0), 1, 8))::BIGINT AS s FROM sh0),
+        |sh AS (SELECT doc_id, ('0x' || substr(md5(s0), 1, 15))::BIGINT AS s FROM sh0),
         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
         |SELECT a.doc_id, count(*) AS n_overlap
         |FROM sh a JOIN bench b ON a.s = b.s

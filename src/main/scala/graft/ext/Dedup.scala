@@ -239,10 +239,14 @@ object Dedup {
     * pretraining pipeline runs before training): corpus documents that
     * share at least one word n-gram with any document of `bench` are
     * flagged with their overlapping-shingle count. The join is on the
-    * 32-bit shingle hash — benchmarks are normally tiny (eval sets),
-    * so the distinct-shingle set broadcasts and the corpus makes ONE
-    * pass with a hash probe; no pairwise document comparison exists in
-    * the plan.
+    * 60-BIT shingle hash ([[h60]]) — 32 bits is measurably wrong at
+    * scale: the false-flag floor is benchShingles/2^32 per corpus
+    * shingle, and a 200k-doc bench (12M distinct shingles) already
+    * false-flags ~17 % of a clean corpus (ScaleSmoke-measured); at
+    * 2^60 the same bench's floor is ~1e-10. Benchmarks are normally
+    * tiny (eval sets), so the distinct-shingle set broadcasts and the
+    * corpus makes ONE pass with a hash probe; no pairwise document
+    * comparison exists in the plan.
     *
     * The broadcast is SIZE-GATED, not assumed: the gate measures the
     * bench's TOTAL shingle count — `Σ max(0, n_words-n+1)` per doc, a
@@ -262,7 +266,7 @@ object Dedup {
       idCol: String, textCol: String, shingleN: Int = 3,
       broadcastMaxShingles: Long = 50000000L): DataFrame = {
     val benchSh = shingles(bench, idCol, textCol, shingleN)
-      .select(h32(col("shingle")).as("s")).distinct()
+      .select(h60(col("shingle")).as("s")).distinct()
     val benchShinglesUpper = bench.select(coalesce(
       sum(greatest(size(split(col(textCol), " ")) - (shingleN - 1), lit(0))),
       lit(0L))).head().getLong(0)
@@ -270,7 +274,7 @@ object Dedup {
       if (benchShinglesUpper <= broadcastMaxShingles) broadcast(benchSh)
       else benchSh
     shingles(corpus, idCol, textCol, shingleN)
-      .select(col(idCol), h32(col("shingle")).as("s"))
+      .select(col(idCol), h60(col("shingle")).as("s"))
       .join(probeSide, "s")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))

@@ -520,17 +520,26 @@ object Similarity {
       query: Seq[Double], k: Int = 10, nprobe: Int = 1, digits: Int = 6): DataFrame = {
     require(nprobe >= 1)
     probeCells(df, idCol, labelCol, vecCol, query, k,
-      rankCells(df, labelCol, vecCol, query, digits).take(nprobe))
+      rankedCellsDF(df, labelCol, vecCol, query, digits)
+        .limit(nprobe).collect().map(_.get(0)).toSeq)
   }
 
   /** All cells of an inline-derived quantizer, ranked best-first
     * against the query (the [[ivfTopK]] centroid aggregate, collected
-    * whole — K rows). Split out so an nprobe SWEEP ([[RecallEval]])
+    * whole — K rows). For an nprobe SWEEP ([[RecallEval]]) ONLY: it
     * ranks once and probes prefixes instead of re-running the
-    * full-corpus aggregate per probe depth.
+    * full-corpus aggregate per probe depth. [[ivfTopK]] itself keeps
+    * the `limit(nprobe)` pushdown — `labelCol` there may be any
+    * column, and collecting every distinct label's score for a
+    * high-cardinality label would be a driver regression.
     */
   def rankCells(df: DataFrame, labelCol: String, vecCol: String,
-      query: Seq[Double], digits: Int = 6): Seq[Any] = {
+      query: Seq[Double], digits: Int = 6): Seq[Any] =
+    rankedCellsDF(df, labelCol, vecCol, query, digits)
+      .collect().map(_.get(0)).toSeq
+
+  private def rankedCellsDF(df: DataFrame, labelCol: String, vecCol: String,
+      query: Seq[Double], digits: Int): DataFrame = {
     val qLit = array(query.map(lit): _*)
     centroidComponents(df, labelCol, vecCol)
       .groupBy(col(labelCol))
@@ -538,7 +547,7 @@ object Similarity {
         sum(col("c") * element_at(qLit, col("i") + 1)) / sqrt(sum(col("c") * col("c"))),
         digits).as("score"))
       .orderBy(col("score").desc, col(labelCol))
-      .collect().map(_.get(0)).toSeq
+      .select(col(labelCol))
   }
 
   /** Exact cosine top-k within an explicit cell set — the candidate

@@ -107,11 +107,7 @@ object Metrics {
           sb.append(s"# TYPE $name ${meta.typ}\n")
           members.sortBy { case ((_, labels), _) => labels.toString }
             .foreach { case ((_, labels), s) =>
-              val labelStr =
-                if (labels.isEmpty) ""
-                else labels.map { case (k, v) => s"""$k="${escapeLabel(v)}"""" }
-                  .mkString("{", ",", "}")
-              sb.append(s"$name$labelStr ${format(s.value)}\n")
+              sb.append(s"$name${renderLabels(labels)} ${format(s.value)}\n")
             }
         }
       histograms.asScala.toSeq
@@ -122,13 +118,8 @@ object Metrics {
           sb.append(s"# TYPE $name histogram\n")
           members.sortBy { case ((_, labels), _) => labels.toString }
             .foreach { case ((_, labels), h) =>
-              def withLe(le: String) =
-                (labels :+ ("le" -> le)).map { case (k, v) =>
-                  s"""$k="${escapeLabel(v)}"""" }.mkString("{", ",", "}")
-              val base =
-                if (labels.isEmpty) ""
-                else labels.map { case (k, v) => s"""$k="${escapeLabel(v)}"""" }
-                  .mkString("{", ",", "}")
+              def withLe(le: String) = renderLabels(labels :+ ("le" -> le))
+              val base = renderLabels(labels)
               var cum = 0L
               h.buckets.indices.foreach { i =>
                 cum += h.counts(i).sum()
@@ -148,6 +139,14 @@ object Metrics {
     * thread a registry share this one.
     */
   val default: Registry = new Registry
+
+  /** One rendering of a label set — the single place escaping and
+    * formatting of labels lives, so series and histogram families
+    * cannot drift apart. */
+  private def renderLabels(labels: Seq[(String, String)]): String =
+    if (labels.isEmpty) ""
+    else labels.map { case (k, v) => s"""$k="${escapeLabel(v)}"""" }
+      .mkString("{", ",", "}")
 
   private def escapeHelp(s: String): String =
     s.replace("\\", "\\\\").replace("\n", "\\n")

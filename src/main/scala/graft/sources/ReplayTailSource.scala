@@ -41,11 +41,14 @@ class ReplayTailProvider extends StreamSourceProvider with DataSourceRegister {
   private def tableSchema(sqlContext: SQLContext, params: Map[String, String]): StructType =
     try graft.store.EventsTable.read(sqlContext.sparkSession,
       ReplayTailSource.path(params)).schema
-    catch { case _: org.apache.spark.sql.AnalysisException =>
-      // fresh boot: the ingest half hasn't created the table yet — a
-      // tail of a not-yet-existing table reads as empty with the
-      // canonical ingested schema (FileStreamSource's missing-dir
-      // contract), so serve can start before the first event lands
+    catch { case e: org.apache.spark.sql.AnalysisException
+        if ReplayTailSource.isFreshBoot(e) =>
+      // fresh boot ONLY (path missing / nothing to infer): the ingest
+      // half hasn't created the table yet — a tail of a
+      // not-yet-existing table reads as empty with the canonical
+      // ingested schema (FileStreamSource's missing-dir contract), so
+      // serve can start before the first event lands. Any other
+      // analysis failure is table breakage and propagates.
       ReplayTailSource.bootstrapSchema(sqlContext.sparkSession)
     }
 
@@ -72,6 +75,18 @@ object ReplayTailSource {
   def path(params: Map[String, String]): String =
     params.getOrElse("path", throw new IllegalArgumentException(
       "graft-replay source requires a 'path' option (events table location)"))
+
+  /** True only for the analysis failures a FRESH BOOT produces — the
+    * events-table dir not created yet (PATH_NOT_FOUND) or created but
+    * holding no parquet to infer from (UNABLE_TO_INFER_SCHEMA).
+    * Everything else (schema drift, an unreadable generation, a failed
+    * partition-column cast) must PROPAGATE: mapping it to an empty
+    * stream would tail forever delivering zero rows with no error
+    * surfaced.
+    */
+  private[sources] def isFreshBoot(e: org.apache.spark.sql.AnalysisException): Boolean =
+    Option(e.getCondition).exists(c =>
+      c.startsWith("PATH_NOT_FOUND") || c.startsWith("UNABLE_TO_INFER_SCHEMA"))
 
   /** Engine offsets arrive live (LongOffset) or checkpoint-recovered
     * (SerializedOffset) — one coercion for every source in this
@@ -142,7 +157,8 @@ class ReplayTailSource(
     */
   private def table: DataFrame =
     try graft.store.EventsTable.read(sqlContext.sparkSession, tablePath)
-    catch { case _: org.apache.spark.sql.AnalysisException =>
+    catch { case e: org.apache.spark.sql.AnalysisException
+        if ReplayTailSource.isFreshBoot(e) =>
       sqlContext.sparkSession.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     }

@@ -41,24 +41,39 @@ object SocketIngress {
         .option("host", host).option("port", port).load()))
 
   /** The persisted table, or None while it is still empty/absent (a
-    * fresh ingest has nothing to recover from).
+    * fresh ingest has nothing to recover from). Only fresh-boot
+    * analysis failures map to None — a BROKEN table must fail the
+    * start, not silently resume with cursor 0 and re-ingest the whole
+    * upstream history as duplicates.
     */
   private def tableIfAny(spark: SparkSession, tablePath: String)
       : Option[DataFrame] = {
     val p = new Path(tablePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else scala.util.Try(EventsTable.read(spark, tablePath)).toOption
+    else try Some(EventsTable.read(spark, tablePath))
+    catch { case e: org.apache.spark.sql.AnalysisException
+        if ReplayTailSource.isFreshBoot(e) => None }
   }
 
   /** The cursor to present upstream on (re)connect: the newest
     * upstream event time already persisted (0 on a fresh table).
     */
   def resumeCursorUs(spark: SparkSession, tablePath: String): Long =
+    resumeState(spark, tablePath)._1
+
+  /** Both recovery marks — the upstream resume cursor
+    * (max event_time_us) and the sequencer high-water mark
+    * (max time_us) — in ONE aggregate pass over the table, so a
+    * restart scans the log once, not once per mark. (0, 0) on a fresh
+    * table.
+    */
+  def resumeState(spark: SparkSession, tablePath: String): (Long, Long) =
     tableIfAny(spark, tablePath).map { t =>
-      val row = t.agg(max(col("event_time_us"))).head()
-      if (row.isNullAt(0)) 0L else row.getLong(0)
-    }.getOrElse(0L)
+      val row = t.agg(max(col("event_time_us")), max(col("time_us"))).head()
+      (if (row.isNullAt(0)) 0L else row.getLong(0),
+        if (row.isNullAt(1)) 0L else row.getLong(1))
+    }.getOrElse((0L, 0L))
 
   /** Start the standing ingest: socket frames → decode → sequence →
     * events table. The sequencer high-water mark is recovered from the
@@ -69,8 +84,7 @@ object SocketIngress {
   def start(spark: SparkSession, host: String, port: Int,
       tablePath: String, checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
-    val prevMax = tableIfAny(spark, tablePath)
-      .map(IngestJob.recoverMaxTimeUs).getOrElse(0L)
+    val prevMax = resumeState(spark, tablePath)._2
     IngestJob.start(events(spark, host, port),
       orderCols = Seq("event_time_us", "did", "type"),
       tablePath = tablePath, checkpointDir = checkpointDir,

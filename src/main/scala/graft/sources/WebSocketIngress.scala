@@ -15,7 +15,6 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.ingest.{Decode, IngestJob}
-import graft.store.EventsTable
 
 /** S1 — the reference's ACTUAL transport: a WebSocket dial
   * (`wss://…/subscribe?cursor=…`, cmd/jetstream/main.go:299-317)
@@ -90,12 +89,25 @@ class WebSocketFrameSource(sqlContext: SQLContext, params: Map[String, String],
       Some((fs, new Path(dir, "head-offset"), new Path(dir, "head-offset.tmp")))
     }
 
+  /** Read one head copy. ONLY an absent file means 0 (fresh source) —
+    * a transient IO failure must PROPAGATE and fail the start, because
+    * silently mapping it to 0 renumbers the source below the engine's
+    * committed offset and the first batch after the head re-crosses it
+    * skips every re-sent message beneath — silent data loss, not a
+    * recoverable hiccup. A torn copy (unparseable content) counts as 0
+    * with a warning: the sibling copy of the two-file protocol still
+    * carries a previously-announced head, and max() keeps it.
+    */
   private def readLong(fs: org.apache.hadoop.fs.FileSystem, p: Path): Long =
     try {
       val in = fs.open(p)
       try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong
       finally in.close()
-    } catch { case _: Throwable => 0L }
+    } catch {
+      case _: java.io.FileNotFoundException => 0L
+      case e: NumberFormatException =>
+        logWarning(s"graft-websocket: torn head copy at $p: ${e.getMessage}"); 0L
+    }
 
   /** Newest head any incarnation announced (max of main + tmp copies —
     * the two-file write below can crash between steps, the max is
@@ -219,13 +231,13 @@ object WebSocketIngress {
       trigger: Trigger = Trigger.ProcessingTime(0L),
       cursorOverrideUs: Long = -1L,
       metrics: graft.serve.Metrics.Registry = graft.serve.Metrics.default): StreamingQuery = {
+    // one table pass recovers BOTH marks (resume cursor + sequencer
+    // high-water); a broken table fails here instead of resuming at 0
+    val (storedCursor, prevMax) = SocketIngress.resumeState(spark, tablePath)
     val cursor = IngestJob.resolveStartCursor(
-      Some(cursorOverrideUs).filter(_ >= 0),
-      Some(SocketIngress.resumeCursorUs(spark, tablePath)))
+      Some(cursorOverrideUs).filter(_ >= 0), Some(storedCursor))
       .getOrElse(0L)
     val sep = if (baseUrl.contains("?")) "&" else "?"
-    val prevMax = scala.util.Try(
-      IngestJob.recoverMaxTimeUs(EventsTable.read(spark, tablePath))).getOrElse(0L)
     IngestJob.start(events(spark, s"$baseUrl${sep}cursor=$cursor"),
       orderCols = Seq("event_time_us", "did", "type"),
       tablePath = tablePath, checkpointDir = checkpointDir,

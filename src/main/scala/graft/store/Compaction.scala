@@ -231,33 +231,46 @@ object Compaction {
     hours.flatMap { hour =>
       val tmp = new Path(s"$tablePath/_compact_tmp_$hour")
       val backup = new Path(s"$tablePath/_compact_old_$hour")
-      val served = currentCopy(spark, tablePath, hour).isDefined
-      val migrated = if (!served) {
-        if (fs.exists(new Path(tmp, "_SUCCESS"))) { // roll FORWARD: tmp is complete
-          // Legacy tmps were written FROM the leaf hour dir, so they
-          // carry no event_hour column — but the generation read branch
-          // (EventsTable.read) requires it; a bare rename would make the
-          // whole table unreadable (AnalysisException on the cast) or
-          // silently null the hour under schema merging. Rewrite the tmp
-          // into generation 1 with the constant hour added; the job
-          // committer's _SUCCESS (written last) keeps the commit atomic.
-          val src = spark.read.parquet(tmp.toString)
-          val withHour =
-            if (src.columns.contains(EventsTable.PartitionCol)) src
-            else src.withColumn(EventsTable.PartitionCol, lit(hour))
-          withHour.sortWithinPartitions(col("time_us"))
-            .write.mode(SaveMode.Overwrite)
-            .parquet(s"$tablePath/${genDirName(hour, 1)}")
-          true
-        } else if (fs.exists(backup)) { // roll BACK: the backup is the only good copy
-          if (!fs.rename(backup, new Path(s"$tablePath/${EventsTable.PartitionCol}=$hour")))
-            throw new java.io.IOException(s"legacy migration: could not restore $backup")
-          true
+      // Same per-(hour, gen) claim as compactHour: the roll-forward is
+      // a Spark OVERWRITE write (not an atomic rename), so two
+      // concurrent maintenance runs interleaving on the gen-1 dir
+      // could each delete the other's in-flight files and then BOTH
+      // delete the tmp — destroying the only good copy behind a
+      // corrupt promoted generation. The loser skips the hour (and
+      // must NOT delete tmp/backup while the winner may still be
+      // reading them); a crashed winner's claim goes stale and the
+      // next vacuum retries.
+      val claim = new Path(s"$tablePath/${claimName(hour, 1)}")
+      if (!tryClaim(fs, claim)) None
+      else try {
+        val served = currentCopy(spark, tablePath, hour).isDefined
+        val migrated = if (!served) {
+          if (fs.exists(new Path(tmp, "_SUCCESS"))) { // roll FORWARD: tmp is complete
+            // Legacy tmps were written FROM the leaf hour dir, so they
+            // carry no event_hour column — but the generation read branch
+            // (EventsTable.read) requires it; a bare rename would make the
+            // whole table unreadable (AnalysisException on the cast) or
+            // silently null the hour under schema merging. Rewrite the tmp
+            // into generation 1 with the constant hour added; the job
+            // committer's _SUCCESS (written last) keeps the commit atomic.
+            val src = spark.read.parquet(tmp.toString)
+            val withHour =
+              if (src.columns.contains(EventsTable.PartitionCol)) src
+              else src.withColumn(EventsTable.PartitionCol, lit(hour))
+            withHour.sortWithinPartitions(col("time_us"))
+              .write.mode(SaveMode.Overwrite)
+              .parquet(s"$tablePath/${genDirName(hour, 1)}")
+            true
+          } else if (fs.exists(backup)) { // roll BACK: the backup is the only good copy
+            if (!fs.rename(backup, new Path(s"$tablePath/${EventsTable.PartitionCol}=$hour")))
+              throw new java.io.IOException(s"legacy migration: could not restore $backup")
+            true
+          } else false
         } else false
-      } else false
-      fs.delete(tmp, true)
-      fs.delete(backup, true)
-      if (migrated) Some(hour) else None
+        fs.delete(tmp, true)
+        fs.delete(backup, true)
+        if (migrated) Some(hour) else None
+      } finally fs.delete(claim, false)
     }
   }
 

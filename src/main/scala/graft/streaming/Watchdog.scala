@@ -43,6 +43,21 @@ final class Watchdog(nowMs: () => Long = () => System.currentTimeMillis())
 
   override def onQueryIdle(event: QueryIdleEvent): Unit = ()
 
+  /** Arm the stall clock for a query that RESUMES over existing
+    * history: the reference recovers `seq` from its cursor file, so a
+    * restarted consumer with a hung upstream trips the nonzero-seq
+    * check even though THIS process never saw an event
+    * (main.go:199-203 with the read-back cursor). Without arming, a
+    * freshly restarted query keeps everProgressed=false and a dead
+    * upstream never triggers the self-kill. No-op for queries that
+    * already progressed.
+    */
+  def arm(id: java.util.UUID): Unit =
+    update(id) {
+      case Some(s) => s.copy(everProgressed = true)
+      case None => State(0L, nowMs(), everProgressed = true)
+    }
+
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
     states.set(states.get() - event.id)
 

@@ -99,6 +99,10 @@ object Service {
     val headUs = scala.util.Try(
       graft.ingest.IngestJob.recoverMaxTimeUs(EventsTable.read(spark, tablePath)))
       .getOrElse(0L)
+    // resumed-over-history restart: the reference's liveness check
+    // reads the cursor back and kills on a hung upstream even before
+    // this incarnation's first event — arm the stall clock to match
+    if (headUs > 0) watchdog.arm(ingest.id)
     val tail = spark.readStream.format("graft-replay")
       .option("path", tablePath)
       .option("cursor", (headUs + 1).toString)
