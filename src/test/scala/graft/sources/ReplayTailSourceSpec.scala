@@ -23,6 +23,27 @@ class ReplayTailSourceSpec extends SparkSpec {
     r.load()
   }
 
+  test("only fresh-boot analysis errors read as an empty table; breakage propagates") {
+    // fresh boot: dir absent → PATH_NOT_FOUND classifies as boot
+    val missing = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.read.parquet(tmpDir("no-such-table") + "/gone").collect()
+    }
+    assert(ReplayTailSource.isFreshBoot(missing))
+    // created-but-empty dir → UNABLE_TO_INFER_SCHEMA classifies as boot
+    val emptyDir = tmpDir("empty-table")
+    val inferFail = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.read.parquet(emptyDir).collect()
+    }
+    assert(ReplayTailSource.isFreshBoot(inferFail))
+    // genuine breakage (unresolvable column) must NOT classify as boot —
+    // mapping it to an empty stream would tail forever delivering zero
+    // rows with no error surfaced
+    val broken = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("a").select(org.apache.spark.sql.functions.col("nope"))
+    }
+    assert(!ReplayTailSource.isFreshBoot(broken))
+  }
+
   test("missing path option fails fast with a clear message") {
     val ex = intercept[Exception] {
       spark.readStream.format("graft-replay").load()

@@ -45,6 +45,38 @@ class WatchdogSpec extends SparkSpec {
     } finally spark.streams.removeListener(dog)
   }
 
+  test("armed query stalls without ever progressing (resumed-over-history restart)") {
+    // The reference reads its cursor back on restart, so a hung
+    // upstream trips the nonzero-seq liveness check before this
+    // incarnation's first event (main.go:199-203). arm() reproduces
+    // that: a query resumed over existing history must be stall-
+    // eligible immediately, not only after its first row.
+    val clock = new AtomicLong(1000000L)
+    val dog = new Watchdog(nowMs = () => clock.get())
+    spark.streams.addListener(dog)
+    try {
+      implicit val ctx = spark.sqlContext
+      val in = MemoryStream[Long]
+      val q = in.toDS().writeStream.format("memory")
+        .queryName("watchdog_armed_out").outputMode("append").start()
+      assert(poll()(dog.progress.contains(q.id))) // started, zero rows
+      // unarmed + never progressed: NOT stalled (fresh-boot contract,
+      // seq==0 in the reference check)
+      clock.addAndGet(16000L)
+      assert(!dog.stalled(15000).contains(q.id))
+      // armed (history existed at start): stalls once the clock passes
+      // the threshold with no input
+      dog.arm(q.id)
+      clock.addAndGet(16000L)
+      assert(dog.stalled(15000).contains(q.id))
+      // real progress clears it
+      in.addData(1L)
+      q.processAllAvailable()
+      assert(poll()(dog.stalled(15000).isEmpty))
+      q.stop()
+    } finally spark.streams.removeListener(dog)
+  }
+
   test("replay chunk + next cursor loop covers the log in rate-limited steps") {
     import graft.serve.Replay
     import graft.store.EventsTable
