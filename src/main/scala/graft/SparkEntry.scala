@@ -813,7 +813,7 @@ object SparkEntry {
         |FROM events""".stripMargin,
     "chunk_dedup" ->
       // word-aligned 10-word chunks; corpus-frequency >= 3 on the
-      // md5-derived 32-bit chunk hash = boilerplate, dropped from every
+      // md5-derived 60-bit chunk hash = boilerplate, dropped from every
       // doc; numbers-table bound derived from the longest document
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |c AS (SELECT doc_id, g.i AS pos,
@@ -822,7 +822,7 @@ object SparkEntry {
         |                                       FROM documents))) AS i) g
         |      WHERE g.i*10 < len(ws)),
         |h AS (SELECT doc_id, pos, chunk,
-        |             ('0x' || substr(md5(chunk), 1, 8))::BIGINT AS hh FROM c),
+        |             ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS hh FROM c),
         |cnt AS (SELECT hh, count(*) AS n FROM h GROUP BY 1)
         |SELECT doc_id,
         |       coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE n < 3), '') AS clean_text,

@@ -217,7 +217,10 @@ object Dedup {
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(0, cast(ceil(size(w) / $c.0D) as int) - 1)," +
           s" i -> concat_ws(' ', slice(w, i * $c + 1, $c)))")).as(Seq("pos", "chunk")))
-      .withColumn("h", h32(col("chunk")))
+      .withColumn("h", h60(col("chunk"))) // 60-bit: a 100 TB corpus has
+      // billions of DISTINCT chunks — in a 2^32 space every bucket
+      // conflates several, inflating counts past k and deleting unique
+      // text as "boilerplate"; at 2^60 conflation is ~never
     val boiler = chunks.groupBy(col("h")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= boilerplateK)
       .select(col("h"), lit(true).as("__boiler"))
