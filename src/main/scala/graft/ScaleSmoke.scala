@@ -355,13 +355,14 @@ object ScaleSmoke {
       // shingle dedup), never with the corpus, and that the size gate
       // would switch to the shuffle join before an unbounded bench
       // OOMs the executors. Flag counts here = true seed twins of
-      // bench docs + the ~3% 32-bit-hash noise floor (60 shingles/doc
-      // probing millions of bench hashes in a 2^32 space).
+      // bench docs (the 60-bit hash's false-flag floor is ~1e-10; the
+      // 32-bit floor this operator abandoned measured ~17% at the
+      // 200k-doc bench).
       val src = spark.read.parquet(s"$srcDir/docs")
       Seq(50L, 5L).foreach { mod => // 2% and 20% of the corpus as "bench"
         val bench = src.filter(col("doc_id") % mod === 0)
         val benchSh = graft.ext.Dedup.shingles(bench, "doc_id", "text", 3)
-          .select(graft.ext.Dedup.h32(col("shingle")).as("s")).distinct().count()
+          .select(graft.ext.Dedup.h60(col("shingle")).as("s")).distinct().count()
         val t1 = System.nanoTime()
         val flagged = graft.ext.Dedup.contaminationFlags(
           src.filter(col("doc_id") % mod =!= 0), bench, "doc_id", "text").count()

@@ -5,7 +5,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.serve.{Metrics, SocketServe, WebSocketServe}
 import graft.sources.WebSocketIngress
-import graft.store.{Compaction, EventsTable, Retention}
+import graft.store.{Compaction, Retention}
 import graft.streaming.{IngestMetrics, Watchdog}
 
 /** The standalone service: every piece of the engine composed into the
@@ -96,9 +96,9 @@ object Service {
     // serve: WebSocket subscribers against the same table; the serving
     // tail starts at the table's current head — history is the
     // sessions' replay job
-    val headUs = scala.util.Try(
-      graft.ingest.IngestJob.recoverMaxTimeUs(EventsTable.read(spark, tablePath)))
-      .getOrElse(0L)
+    // same fresh-boot-vs-breakage discipline as the ingest side: a
+    // broken table fails the start instead of serving from head 0
+    val headUs = graft.sources.SocketIngress.resumeState(spark, tablePath)._2
     // resumed-over-history restart: the reference's liveness check
     // reads the cursor back and kills on a hung upstream even before
     // this incarnation's first event — arm the stall clock to match
