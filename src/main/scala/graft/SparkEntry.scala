@@ -123,6 +123,7 @@ object SparkEntry {
     "image_dims"         -> ExtQueries.imageDims _,
     "audio_meta"         -> ExtQueries.audioMeta _,
     "ivf_probe2"         -> ExtQueries.ivfProbe2 _,
+    "ivf_probe_auto"     -> ExtQueries.ivfProbeAuto _,
     // learned-quantizer probe: no oracle by design (iterative FP k-means
     // isn't SQL-expressible); gated by RecallSpec's recall floor instead
     "ivf_probe_kmeans"   -> ExtQueries.ivfProbeKmeans _,
@@ -775,6 +776,30 @@ object SparkEntry {
         |        // ((8000 * (1 + doc_id % 5)) * (1 + doc_id % 2) * 16))::BIGINT
         |         AS duration_ms
         |FROM documents""".stripMargin,
+    "ivf_probe_auto" ->
+      // same centroid ranking as ivf_probe, but nprobe is DERIVED from
+      // the cell count exactly as Similarity.nprobeFor(K, 0.9) does:
+      // ceil(sqrt(K)/4 * ln(1/(1-0.9))), clamped to [1, K]
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |rest AS (SELECT * FROM embeddings WHERE vec_id != 0),
+        |cdims AS (SELECT label, i.i AS i, avg(e.embedding[i.i]::DOUBLE) AS c
+        |          FROM rest e, (SELECT unnest(range(1, 65)) AS i) i
+        |          GROUP BY label, i.i),
+        |scores AS (SELECT cd.label,
+        |                  floor((sum(cd.c * q.qe[cd.i]::DOUBLE) / sqrt(sum(cd.c * cd.c)))
+        |                        * 1e6 + 0.5) / 1e6 AS score
+        |           FROM cdims cd, q GROUP BY cd.label),
+        |best AS (SELECT label FROM scores ORDER BY score DESC, label
+        |         LIMIT (SELECT greatest(1, least(count(*),
+        |                  ceil(sqrt(count(*)::DOUBLE) / 4 * ln(10.0))))::BIGINT
+        |                FROM scores)),
+        |dims AS (SELECT e.vec_id, e.embedding[i.i]::DOUBLE AS x, q.qe[i.i]::DOUBLE AS y
+        |         FROM rest e JOIN best b ON e.label = b.label, q,
+        |              (SELECT unnest(range(1, 65)) AS i) i)
+        |SELECT vec_id,
+        |       floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 AS cos
+        |FROM dims GROUP BY vec_id
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "ivf_probe2" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |rest AS (SELECT * FROM embeddings WHERE vec_id != 0),

@@ -345,6 +345,18 @@ object ExtQueries {
     Similarity.ivfProbe(spark, ivfIndexFor(spark, dir),
       "vec_id", "label", "embedding", queryVec(spark, dir), k = 10, nprobe = 2)
 
+  /** E2 — IVF probe with the DERIVED nprobe default
+    * ([[Similarity.ivfProbeAuto]]): the caller states a recall target
+    * and the probe reads the cell count off the persisted index and
+    * applies the curve-calibrated closed form `nprobeFor(K, target)`.
+    * The oracle derives the same nprobe from K in SQL, so the formula
+    * itself is under the hash gate.
+    */
+  def ivfProbeAuto(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfProbeAuto(spark, ivfIndexFor(spark, dir),
+      "vec_id", "label", "embedding", queryVec(spark, dir), k = 10,
+      targetRecall = 0.9)
+
   /** The LEARNED-quantizer IVF index: no label column consumed — cells
     * come from [[Similarity.buildIvfKmeans]] (deterministic spherical
     * k-means, K ≈ √(n/8)). Built once per corpus snapshot.
