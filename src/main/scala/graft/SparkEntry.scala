@@ -122,6 +122,8 @@ object SparkEntry {
     "multimodal_meta"    -> ExtQueries.multimodalMeta _,
     "image_dims"         -> ExtQueries.imageDims _,
     "audio_meta"         -> ExtQueries.audioMeta _,
+    "video_meta"         -> ExtQueries.videoMeta _,
+    "cbor_roundtrip"     -> ScalarQueries.cborRoundtrip _,
     "ivf_probe2"         -> ExtQueries.ivfProbe2 _,
     "ivf_probe_auto"     -> ExtQueries.ivfProbeAuto _,
     // learned-quantizer probe: no oracle by design (iterative FP k-means
@@ -775,6 +777,25 @@ object SparkEntry {
         |       (((100 + doc_id % 900) * (1 + doc_id % 2) * 2 * 8000)
         |        // ((8000 * (1 + doc_id % 5)) * (1 + doc_id % 2) * 16))::BIGINT
         |         AS duration_ms
+        |FROM documents""".stripMargin,
+    "video_meta" ->
+      // Spark builds a REAL ISO BMFF (ftyp + moov/mvhd + trak/tkhd) per
+      // doc and walks the box tree back; the oracle recomputes the
+      // planted parameters arithmetically. duration_ms is exact because
+      // the planted timescale is a multiple of 1000.
+      """SELECT doc_id,
+        |       'isom' AS brand,
+        |       (500 + doc_id % 10000)::BIGINT AS duration_ms,
+        |       (16 + doc_id % 640)::BIGINT AS width,
+        |       (16 + (doc_id * 3) % 480)::BIGINT AS height,
+        |       (1 + doc_id % 2)::BIGINT AS n_tracks
+        |FROM documents""".stripMargin,
+    "cbor_roundtrip" ->
+      // the Spark side serializes each row to JSON, encodes canonical
+      // DAG-CBOR, decodes back, and extracts the fields from the
+      // round-tripped document; the oracle projects the same fields
+      // directly — any codec defect hash-mismatches
+      """SELECT doc_id, lang, n_chars, md5(text) AS text_md5
         |FROM documents""".stripMargin,
     "ivf_probe_auto" ->
       // same centroid ranking as ivf_probe, but nprobe is DERIVED from

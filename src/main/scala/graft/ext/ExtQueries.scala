@@ -449,4 +449,28 @@ object ExtQueries {
       .select(col("doc_id"), col("channels"), col("sample_rate"),
         col("bits"), col("duration_ms"))
   }
+
+  /** E4 — REAL video-container metadata, end to end: a valid ISO BMFF
+    * (MP4) file is built per doc — `ftyp` + `moov/mvhd` + video
+    * `trak/tkhd`, parameters arithmetic in doc_id, timescale varied per
+    * row — then [[Multimodal.withVideoMeta]] walks the box tree BACK
+    * out of the raw bytes ([[Multimodal.parseMp4Meta]]): brand, movie
+    * duration via timescale math, 16.16-fixed dimensions, track count.
+    * The oracle recomputes the planted numbers arithmetically — same
+    * proof shape as [[imageDims]]/[[audioMeta]].
+    */
+  def videoMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val payloads = ids.mapPartitions(_.map { id =>
+      val w = (16 + id % 640).toInt
+      val h = (16 + (id * 3) % 480).toInt
+      val durMs = 500L + id % 10000
+      val ts = 1000L * (1 + id % 3)
+      (id, Multimodal.syntheticMp4(w, h, durMs, ts, extraTracks = (id % 2).toInt))
+    }).toDF("doc_id", "payload")
+    Multimodal.withVideoMeta(payloads, "payload")
+      .select(col("doc_id"), col("brand"), col("duration_ms"),
+        col("width"), col("height"), col("n_tracks"))
+  }
 }

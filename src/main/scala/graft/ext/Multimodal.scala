@@ -261,6 +261,164 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** REAL ISO BMFF (MP4) container parsing — movie duration off the
+    * `moov/mvhd` box (timescale + duration, v0 and v1 layouts), frame
+    * dimensions off the first `trak/tkhd` with nonzero 16.16-fixed
+    * width/height, track count by `trak` walk, brand off `ftyp`. Box
+    * grammar ([size:be32][type:4cc], size==1 → 64-bit largesize,
+    * size==0 → to end) is public format knowledge. Returns (brand,
+    * durationMs, width, height, nTracks); None for non-BMFF or corrupt
+    * box structure. durationMs is integer math `units * 1000 /
+    * timescale` — reproducible in SQL for the oracle.
+    */
+  def parseMp4Meta(bytes: Array[Byte]): Option[(String, Long, Long, Long, Long)] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def be32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def ascii(from: Int, until: Int) = new String(bytes.slice(from, until), "US-ASCII")
+
+    // walk child boxes of [from, until); f(type, payloadFrom, payloadUntil);
+    // returns false when the box structure is corrupt
+    def walk(from: Int, until: Int)(f: (String, Int, Int) => Unit): Boolean = {
+      var i = from
+      var ok = true
+      while (ok && i + 8 <= until) {
+        val size32 = be32(i)
+        val typ = ascii(i + 4, i + 8)
+        var hdr = 8L
+        val boxSize =
+          if (size32 == 1L) { hdr = 16L; if (i + 16 <= until) be64(i + 8) else -1L }
+          else if (size32 == 0L) (until - i).toLong
+          else size32
+        if (boxSize < hdr || i + boxSize > until) ok = false
+        else {
+          f(typ, i + hdr.toInt, i + boxSize.toInt)
+          i += boxSize.toInt
+        }
+      }
+      ok
+    }
+
+    if (bytes.length < 16 || ascii(4, 8) != "ftyp") None
+    else {
+      var brand: Option[String] = None
+      var tsDur: Option[(Long, Long)] = None // (timescale, durationUnits)
+      var dims: Option[(Long, Long)] = None
+      var nTracks = 0L
+      val ok = walk(0, bytes.length) {
+        case ("ftyp", s, e) => if (e - s >= 4) brand = Some(ascii(s, s + 4))
+        case ("moov", ms, me) =>
+          walk(ms, me) {
+            case ("mvhd", s, e) =>
+              val v = if (e > s) u8(s) else -1
+              if (v == 1 && e - s >= 32) tsDur = Some((be32(s + 20), be64(s + 24)))
+              else if (v == 0 && e - s >= 20) tsDur = Some((be32(s + 12), be32(s + 16)))
+            case ("trak", ts, te) =>
+              nTracks += 1
+              walk(ts, te) {
+                case ("tkhd", s, e) =>
+                  val v = if (e > s) u8(s) else -1
+                  // v1 widens creation/modification/duration by 4 bytes each
+                  val (wOff, hOff) = if (v == 1) (88, 92) else (76, 80)
+                  if ((v == 0 || v == 1) && e - s >= hOff + 4 && dims.isEmpty) {
+                    val (w, h) = (be32(s + wOff) >> 16, be32(s + hOff) >> 16)
+                    if (w > 0 && h > 0) dims = Some((w, h))
+                  }
+                case _ =>
+              }
+            case _ =>
+          }
+        case _ =>
+      }
+      for {
+        _ <- if (ok) Some(()) else None
+        b <- brand
+        (ts, dur) <- tsDur
+        if ts > 0
+        (w, h) <- dims
+      } yield (b, dur * 1000L / ts, w, h, nTracks)
+    }
+  }
+
+  /** Batched per-partition MP4 header decode: adds `brand` /
+    * `duration_ms` / `width` / `height` / `n_tracks` (null for
+    * unrecognized payloads) — the video twin of [[withImageDims]] /
+    * [[withAudioMeta]]; binary stays row-local, nothing shuffles.
+    */
+  def withVideoMeta(df: DataFrame, binCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("brand", StringType),
+      StructField("duration_ms", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("n_tracks", LongType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val meta = Option(r.getAs[Array[Byte]](binIdx)).flatMap(parseMp4Meta)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ (meta match {
+          case Some((b, ms, w, h, n)) => Seq(b, ms, w, h, n)
+          case None => Seq(null, null, null, null, null)
+        }))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Minimal VALID ISO BMFF bytes — real `ftyp` + `moov/mvhd` (v0) +
+    * one video `trak/tkhd` carrying 16.16-fixed dimensions, plus
+    * `extraTracks` dimensionless (audio-like) tracks. Duration is
+    * planted as `durationMs * timescale / 1000` units so the parser's
+    * integer math recovers durationMs exactly when `timescale` is a
+    * multiple of 1000 — the fixture twin of [[syntheticImage]] /
+    * [[syntheticWav]].
+    */
+  def syntheticMp4(w: Int, h: Int, durationMs: Long, timescale: Long,
+      extraTracks: Int = 0): Array[Byte] = {
+    require(timescale > 0 && timescale % 1000 == 0, "timescale must be a multiple of 1000")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def be16(v: Int): Unit = { b(v >> 8); b(v) }
+    def be32(v: Long): Unit = { b((v >>> 24).toInt); b((v >> 16).toInt); b((v >> 8).toInt); b(v.toInt) }
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+
+    def tkhd(trackId: Int, width: Int, height: Int): Unit = {
+      be32(92); fourcc("tkhd")
+      be32(0) // version 0 + flags
+      be32(0); be32(0) // creation, modification
+      be32(trackId.toLong); be32(0) // track id, reserved
+      be32(0) // duration (track-level; movie duration is authoritative)
+      be32(0); be32(0) // reserved
+      be16(0); be16(0); be16(if (width > 0) 0 else 0x0100); be16(0) // layer, alt, volume, reserved
+      Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L).foreach(be32) // identity matrix
+      be32(width.toLong << 16); be32(height.toLong << 16) // 16.16 fixed
+    }
+
+    be32(20); fourcc("ftyp")
+    fourcc("isom"); be32(512); fourcc("isom") // major brand, minor, compat
+
+    val durUnits = durationMs * timescale / 1000
+    val trakSize = 8 + 92
+    val moovSize = 8 + 108 + (1 + extraTracks) * trakSize
+    be32(moovSize.toLong); fourcc("moov")
+    be32(108); fourcc("mvhd")
+    be32(0) // version 0 + flags
+    be32(0); be32(0) // creation, modification
+    be32(timescale); be32(durUnits)
+    be32(0x00010000L); be16(0x0100); be16(0) // rate 1.0, volume 1.0, reserved
+    be32(0); be32(0) // reserved
+    Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L).foreach(be32)
+    (0 until 6).foreach(_ => be32(0)) // pre_defined
+    be32(2L + extraTracks) // next track id
+    be32(trakSize.toLong); fourcc("trak"); tkhd(1, w, h)
+    (0 until extraTracks).foreach { i =>
+      be32(trakSize.toLong); fourcc("trak"); tkhd(2 + i, 0, 0)
+    }
+    out.toByteArray
+  }
+
   /** Feature dimension of the stub decoder. */
   val StubDims = 8
 

@@ -35,7 +35,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => VecDot(args(0), args(1))),
     ("vec_norm",
       new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
-      (args: Seq[Expression]) => VecNorm(args.head)))
+      (args: Seq[Expression]) => VecNorm(args.head)),
+    ("cbor_to_json",
+      new ExpressionInfo(classOf[CborToJson].getName, "cbor_to_json"),
+      (args: Seq[Expression]) => CborToJson(args.head)),
+    ("json_to_cbor",
+      new ExpressionInfo(classOf[JsonToCbor].getName, "json_to_cbor"),
+      (args: Seq[Expression]) => JsonToCbor(args.head)))
 
   /** Idempotently register all graft functions on a live session. */
   def register(spark: SparkSession): Unit =
@@ -50,4 +56,6 @@ object GraftFunctions {
   def did_valid(c: Column): Column = column(DidValid(expression(c)))
   def vec_dot(a: Column, b: Column): Column = column(VecDot(expression(a), expression(b)))
   def vec_norm(c: Column): Column = column(VecNorm(expression(c)))
+  def cbor_to_json(c: Column): Column = column(CborToJson(expression(c)))
+  def json_to_cbor(c: Column): Column = column(JsonToCbor(expression(c)))
 }

@@ -107,6 +107,28 @@ object ScalarQueries {
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
 
+  /** DAG-CBOR codec end-to-end (reference record codec,
+    * pkg/consumer/consumer.go:234 `data.UnmarshalCBOR` → `json.Marshal`):
+    * each document row is serialized to JSON, encoded to canonical
+    * DAG-CBOR ([[graft.functions.JsonToCbor]]), decoded back
+    * ([[graft.functions.CborToJson]]), and the fields are extracted
+    * from the round-tripped JSON — so the oracle's direct projection
+    * hash-mismatches on any codec defect (wrong int width, bad UTF-8,
+    * broken escaping, key-order instability). Both directions are
+    * native codegen expressions; the whole query is one narrow
+    * projection, no shuffle.
+    */
+  def cborRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.{cbor_to_json, json_to_cbor}
+    val j = to_json(struct(col("doc_id"), col("lang"), col("n_chars"), col("text")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), cbor_to_json(json_to_cbor(j)).as("rt"))
+      .select(col("doc_id"),
+        get_json_object(col("rt"), "$.lang").as("lang"),
+        get_json_object(col("rt"), "$.n_chars").cast("long").as("n_chars"),
+        md5(get_json_object(col("rt"), "$.text")).as("text_md5"))
+  }
+
   /** Approximate quantile sketch (no oracle — same reasoning). */
   def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

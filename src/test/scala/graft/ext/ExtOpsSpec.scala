@@ -341,6 +341,62 @@ class ExtOpsSpec extends SparkSpec {
     assert(Multimodal.parseWavMeta(Multimodal.syntheticImage("png", 4, 4)).isEmpty)
   }
 
+  test("parseMp4Meta walks real ISO BMFF box trees; junk and truncation never throw") {
+    // builder round-trips across parameters, incl. varied timescales and
+    // extra dimensionless (audio-like) tracks
+    for ((w, h, ms, ts, extra) <- Seq((640, 480, 1000L, 1000L, 0), (1920, 1080, 7503L, 3000L, 1),
+        (16, 16, 500L, 90000L, 2), (320, 240, 123456L, 1000L, 1))) {
+      val mp4 = Multimodal.syntheticMp4(w, h, ms, ts, extra)
+      assert(Multimodal.parseMp4Meta(mp4).contains(("isom", ms, w.toLong, h.toLong, 1L + extra)),
+        s"${w}x$h ${ms}ms ts=$ts +$extra")
+    }
+    // v1 mvhd (64-bit duration) + v1 tkhd + a 64-bit largesize moov
+    // header — the layouts differ from v0, so build them by hand with
+    // size-computed boxes
+    def be32a(v: Long) = Array[Byte]((v >>> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be64a(v: Long) = be32a(v >>> 32) ++ be32a(v & 0xffffffffL)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32a(payload.length + 8L) ++ typ.getBytes("US-ASCII") ++ payload
+    def largebox(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32a(1L) ++ typ.getBytes("US-ASCII") ++ be64a(payload.length + 16L) ++ payload
+    val matrix = (0 until 9).toArray.flatMap(i =>
+      be32a(if (i == 0 || i == 4) 0x00010000L else if (i == 8) 0x40000000L else 0L))
+    val mvhdV1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64a(0) ++ be64a(0) ++
+      be32a(2000L) ++ be64a(9000L) ++ // timescale 2000, duration 9000 → 4500 ms
+      be32a(0x00010000L) ++ be32a(0) ++ be64a(0) ++ matrix ++
+      Array.fill(24)(0: Byte) ++ be32a(2))
+    val tkhdV1 = box("tkhd", Array[Byte](1, 0, 0, 0) ++ be64a(0) ++ be64a(0) ++
+      be32a(1) ++ be32a(0) ++ be64a(0) ++ be64a(0) ++ be32a(0) ++ be32a(0) ++
+      matrix ++ be32a(800L << 16) ++ be32a(600L << 16))
+    val ftypV1 = box("ftyp", "mp42".getBytes("US-ASCII") ++ be32a(0))
+    val v1 = ftypV1 ++ largebox("moov", mvhdV1 ++ box("trak", tkhdV1))
+    assert(Multimodal.parseMp4Meta(v1).contains(("mp42", 4500L, 800L, 600L, 1L)))
+    // junk / truncation / wrong container: None, never a throw
+    assert(Multimodal.parseMp4Meta(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.parseMp4Meta("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.parseMp4Meta(Multimodal.syntheticMp4(64, 64, 1000L, 1000L).take(40)).isEmpty)
+    assert(Multimodal.parseMp4Meta(Multimodal.syntheticImage("png", 4, 4)).isEmpty)
+    // corrupt inner box size: None, not an infinite loop or throw
+    val corrupt = Multimodal.syntheticMp4(64, 64, 1000L, 1000L)
+    corrupt(28) = 0x7f.toByte // blow up mvhd's declared size past its parent
+    assert(Multimodal.parseMp4Meta(corrupt).isEmpty)
+  }
+
+  test("withVideoMeta: batched box-walk decode over a binary column, nulls for junk") {
+    val df = Seq(
+      (1L, Multimodal.syntheticMp4(640, 480, 2500L, 1000L, 1)),
+      (2L, "not a video".getBytes("US-ASCII")),
+      (3L, Multimodal.syntheticMp4(128, 96, 40L, 2000L)))
+      .toDF("id", "payload")
+    val out = Multimodal.withVideoMeta(df, "payload")
+      .select("id", "brand", "duration_ms", "width", "height", "n_tracks")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "isom" && out(1L).getLong(2) == 2500L &&
+      out(1L).getLong(3) == 640L && out(1L).getLong(4) == 480L && out(1L).getLong(5) == 2L)
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(2))
+    assert(out(3L).getLong(2) == 40L && out(3L).getLong(5) == 1L)
+  }
+
   test("withImageDims: batched header decode over a binary column, nulls for junk") {
     val df = Seq(
       (1L, Multimodal.syntheticImage("png", 320, 240)),
