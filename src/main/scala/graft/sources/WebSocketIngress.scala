@@ -35,10 +35,16 @@ import graft.ingest.{Decode, IngestJob}
   * a crash costs re-delivery, never loss (at-least-once; S16 dedup
   * covers the overlap).
   *
-  * Options: `url` (required, `ws://` or `wss://`). The client is JDK
-  * `java.net.http.WebSocket` — RFC 6455 handshake, masking, and
-  * fragmentation handled by the platform; partial messages (`last =
-  * false`) are reassembled before buffering.
+  * Options: `url` (required, `ws://` or `wss://`); `format` — `text`
+  * (default; one TEXT message = one JSON wire frame) or `cbor` (one
+  * BINARY message = one DAG-CBOR wire frame, the reference's actual
+  * upstream encoding — indigo's event frames are CBOR on the wire; the
+  * `value` column is then `binary` and [[WebSocketIngress.events]]
+  * decodes it IN THE PLAN with the native `cbor_to_json` expression,
+  * not on the driver). The client is JDK `java.net.http.WebSocket` —
+  * RFC 6455 handshake, masking, and fragmentation handled by the
+  * platform; partial messages (`last = false`) are reassembled before
+  * buffering, text and binary alike.
   */
 class WebSocketFrameProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-websocket"
@@ -48,7 +54,7 @@ class WebSocketFrameProvider extends StreamSourceProvider with DataSourceRegiste
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(WebSocketFrameSource.FrameSchema))
+    (shortName(), schema.getOrElse(WebSocketFrameSource.schemaFor(parameters)))
 
   override def createSource(
       sqlContext: SQLContext,
@@ -61,12 +67,27 @@ class WebSocketFrameProvider extends StreamSourceProvider with DataSourceRegiste
 
 object WebSocketFrameSource {
   val FrameSchema: StructType = StructType(Seq(StructField("value", StringType)))
+  val BinaryFrameSchema: StructType =
+    StructType(Seq(StructField("value", org.apache.spark.sql.types.BinaryType)))
+
+  private[sources] def isBinary(params: Map[String, String]): Boolean =
+    params.getOrElse("format", "text") match {
+      case "text" => false
+      case "cbor" => true
+      case other => throw new IllegalArgumentException(
+        s"graft-websocket: unknown format '$other' (text|cbor)")
+    }
+
+  def schemaFor(params: Map[String, String]): StructType =
+    if (isBinary(params)) BinaryFrameSchema else FrameSchema
 }
 
 class WebSocketFrameSource(sqlContext: SQLContext, params: Map[String, String],
     metadataPath: String = "") extends Source with Logging {
 
-  override val schema: StructType = WebSocketFrameSource.FrameSchema
+  private val binaryFrames = WebSocketFrameSource.isBinary(params)
+
+  override val schema: StructType = WebSocketFrameSource.schemaFor(params)
 
   private val url = params.getOrElse("url", throw new IllegalArgumentException(
     "graft-websocket source requires a 'url' option (ws://host:port/path)"))
@@ -136,19 +157,32 @@ class WebSocketFrameSource(sqlContext: SQLContext, params: Map[String, String],
 
   // Driver-side message buffer: `base` counts messages already trimmed
   // by commit(), so offset N is always message N since connect — offsets
-  // stay stable across trims. All access under `this` lock.
-  private val buffer = scala.collection.mutable.ArrayBuffer.empty[String]
+  // stay stable across trims. Elements are String (text mode) or
+  // Array[Byte] (cbor mode), never mixed. All access under `this` lock.
+  private val buffer = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
   private var base = recoverHead()
   private var persistedHead = base
   private val partial = new StringBuilder
+  private val binPartial = new java.io.ByteArrayOutputStream()
 
   private val ws: WebSocket = HttpClient.newHttpClient().newWebSocketBuilder()
     .buildAsync(URI.create(url), new WebSocket.Listener {
       override def onText(w: WebSocket, data: CharSequence, last: Boolean)
           : CompletionStage[_] = {
-        WebSocketFrameSource.this.synchronized {
+        if (!binaryFrames) WebSocketFrameSource.this.synchronized {
           partial.append(data)
           if (last) { buffer += partial.toString; partial.clear() }
+        }
+        w.request(1)
+        null
+      }
+      override def onBinary(w: WebSocket, data: java.nio.ByteBuffer, last: Boolean)
+          : CompletionStage[_] = {
+        if (binaryFrames) WebSocketFrameSource.this.synchronized {
+          val arr = new Array[Byte](data.remaining())
+          data.get(arr)
+          binPartial.write(arr, 0, arr.length)
+          if (last) { buffer += binPartial.toByteArray; binPartial.reset() }
         }
         w.request(1)
         null
@@ -191,7 +225,10 @@ class WebSocketFrameSource(sqlContext: SQLContext, params: Map[String, String],
     }
     val spark = sqlContext.sparkSession
     import spark.implicits._
-    org.apache.spark.sql.graft.Bridge.asStreaming(rows.toDF("value"))
+    val df =
+      if (binaryFrames) rows.map(_.asInstanceOf[Array[Byte]]).toDF("value")
+      else rows.map(_.asInstanceOf[String]).toDF("value")
+    org.apache.spark.sql.graft.Bridge.asStreaming(df)
   }
 
   /** Trim the committed prefix (the socket-source memory contract). */
@@ -215,10 +252,23 @@ class WebSocketFrameSource(sqlContext: SQLContext, params: Map[String, String],
   */
 object WebSocketIngress {
 
-  /** Decoded envelope events streaming off the WebSocket. */
-  def events(spark: SparkSession, url: String): DataFrame =
-    Decode.decodeFrames(Decode.parseMixedFrames(
-      spark.readStream.format("graft-websocket").option("url", url).load()))
+  /** Decoded envelope events streaming off the WebSocket. With
+    * `format = "cbor"` the wire frames are binary DAG-CBOR (the
+    * reference's upstream encoding) and the JSON materializes inside
+    * the plan via the native `cbor_to_json` expression — the decode is
+    * part of the same WholeStageCodegen span as the rest of the frame
+    * parse, not a driver-side loop.
+    */
+  def events(spark: SparkSession, url: String, format: String = "text"): DataFrame = {
+    val raw = spark.readStream.format("graft-websocket")
+      .option("url", url).option("format", format).load()
+    val json =
+      if (WebSocketFrameSource.isBinary(Map("format" -> format)))
+        raw.select(graft.functions.GraftFunctions.cbor_to_json(
+          org.apache.spark.sql.functions.col("value")).as("value"))
+      else raw
+    Decode.decodeFrames(Decode.parseMixedFrames(json))
+  }
 
   /** Start the standing ingest: `baseUrl` is dialed with the resume
     * cursor appended (`?cursor=<newest persisted event µs>`, 0 on a
@@ -230,6 +280,7 @@ object WebSocketIngress {
       tablePath: String, checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime(0L),
       cursorOverrideUs: Long = -1L,
+      format: String = "text",
       metrics: graft.serve.Metrics.Registry = graft.serve.Metrics.default): StreamingQuery = {
     // one table pass recovers BOTH marks (resume cursor + sequencer
     // high-water); a broken table fails here instead of resuming at 0
@@ -238,7 +289,7 @@ object WebSocketIngress {
       Some(cursorOverrideUs).filter(_ >= 0), Some(storedCursor))
       .getOrElse(0L)
     val sep = if (baseUrl.contains("?")) "&" else "?"
-    IngestJob.start(events(spark, s"$baseUrl${sep}cursor=$cursor"),
+    IngestJob.start(events(spark, s"$baseUrl${sep}cursor=$cursor", format),
       orderCols = Seq("event_time_us", "did", "type"),
       tablePath = tablePath, checkpointDir = checkpointDir,
       prevMaxUs = prevMax, trigger = trigger, metrics = metrics)

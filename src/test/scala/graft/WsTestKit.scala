@@ -13,10 +13,9 @@ import java.util.concurrent.CompletionStage
   */
 object WsTestKit {
 
-  /** Write one unmasked server TEXT frame. */
-  def sendText(out: OutputStream, s: String): Unit = {
-    val p = s.getBytes("UTF-8")
-    out.write(0x81) // FIN + text opcode
+  /** Write one unmasked server frame (TEXT or BINARY opcode). */
+  private def sendFrame(out: OutputStream, opcode: Int, p: Array[Byte]): Unit = {
+    out.write(0x80 | opcode) // FIN + opcode
     if (p.length < 126) out.write(p.length)
     else if (p.length < 65536) {
       out.write(126); out.write(p.length >> 8); out.write(p.length & 0xff)
@@ -27,14 +26,24 @@ object WsTestKit {
     out.write(p); out.flush()
   }
 
+  /** Write one unmasked server TEXT frame. */
+  def sendText(out: OutputStream, s: String): Unit =
+    sendFrame(out, 0x1, s.getBytes("UTF-8"))
+
+  /** Write one unmasked server BINARY frame. */
+  def sendBinary(out: OutputStream, p: Array[Byte]): Unit =
+    sendFrame(out, 0x2, p)
+
   /** A minimal RFC 6455 upstream: performs the Upgrade handshake,
     * parses the request path's `cursor` parameter, then streams one
-    * TEXT frame per `(timeUs, payload)` log entry with `timeUs >
-    * cursor` — continuing as the log grows (the live firehose shape of
-    * the reference's subscribe endpoint). Client (masked) frames are
-    * drained and ignored.
+    * frame per `(timeUs, payload)` log entry with `timeUs > cursor` —
+    * continuing as the log grows (the live firehose shape of the
+    * reference's subscribe endpoint). Client (masked) frames are
+    * drained and ignored. When `frameEncoder` is set, each log line is
+    * encoded and sent as a BINARY frame (the CBOR-wire shape);
+    * otherwise lines go as TEXT.
     */
-  final class ReplayServer {
+  final class ReplayServer(frameEncoder: Option[String => Array[Byte]] = None) {
     val server = new ServerSocket(0)
     def port: Int = server.getLocalPort
     @volatile var log: Vector[(Long, String)] = Vector.empty
@@ -78,7 +87,10 @@ object WsTestKit {
               val snapshot = log
               while (sent < snapshot.size) {
                 val (t, line) = snapshot(sent)
-                if (t > cursor) sendText(out, line)
+                if (t > cursor) frameEncoder match {
+                  case Some(enc) => sendBinary(out, enc(line))
+                  case None => sendText(out, line)
+                }
                 sent += 1
               }
               Thread.sleep(20)

@@ -86,6 +86,45 @@ class WebSocketIngressSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("binary DAG-CBOR frames: dial with format=cbor decodes in-plan and cursor-resumes") {
+    // the reference's actual upstream encoding: one BINARY message =
+    // one CBOR wire frame; the server encodes each fixture line with
+    // the codec (codec correctness is pinned separately in CborSpec),
+    // and the plan-side cbor_to_json must reproduce the JSON the text
+    // path would have carried — same table contents, same resume
+    val table = tmpDir("ws-cbor")
+    val srv = new WsTestKit.ReplayServer(
+      Some(graft.functions.CborCodec.fromJson _))
+    try {
+      srv.log = (1 to 3).map(frame).toVector
+      val q1 = WebSocketIngress.start(spark,
+        s"ws://localhost:${srv.port}/subscribe", table, tmpDir("ws-cbor-ckpt1"),
+        format = "cbor")
+      eventually(90000)(EventsTable.read(spark, table).count() >= 3)
+      q1.stop(); q1.awaitTermination(30000)
+
+      val rows1 = EventsTable.read(spark, table)
+        .select(col("event_time_us"),
+          get_json_object(col("commit.record"), "$.text").as("txt"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      assert(rows1.map(_._1).toSeq == (1 to 3).map(frame(_)._1))
+      assert(rows1.map(_._2).toSeq == (1 to 3).map(i => s"m$i"),
+        "record payloads survive the CBOR round trip")
+
+      // cursor-resumed re-dial over the binary transport
+      srv.log = (1 to 5).map(frame).toVector
+      val q2 = WebSocketIngress.start(spark,
+        s"ws://localhost:${srv.port}/subscribe", table, tmpDir("ws-cbor-ckpt2"),
+        format = "cbor")
+      eventually(90000)(EventsTable.read(spark, table).count() >= 5)
+      q2.stop(); q2.awaitTermination(30000)
+      val times = EventsTable.read(spark, table)
+        .select("event_time_us").as[Long].collect().sorted.toSeq
+      assert(times == (1 to 5).map(frame(_)._1),
+        "no loss, no duplication across the binary re-dial")
+    } finally srv.close()
+  }
+
   test("large frames fragment-safe: a >64KiB message is one row") {
     val table = tmpDir("ws-big")
     val srv = new WsTestKit.ReplayServer
