@@ -231,6 +231,7 @@ object CborCodec {
         val s = node.get("$link").textValue
         if (s.isEmpty || s.charAt(0) != 'b') fail("$link must be base32-lower (b...)")
         val cid = base32DecodeLower(s, 1)
+        if (cid.isEmpty) fail("$link carries no CID bytes") // keep encode/decode symmetric
         writeHead(out, 6, 42L)
         writeHead(out, 2, (cid.length + 1).toLong)
         out.write(0) // identity multibase prefix

@@ -121,12 +121,23 @@ object ScalarQueries {
   def cborRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.{cbor_to_json, json_to_cbor}
     val j = to_json(struct(col("doc_id"), col("lang"), col("n_chars"), col("text")))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), cbor_to_json(json_to_cbor(j)).as("rt"))
-      .select(col("doc_id"),
-        get_json_object(col("rt"), "$.lang").as("lang"),
-        get_json_object(col("rt"), "$.n_chars").cast("long").as("n_chars"),
-        md5(get_json_object(col("rt"), "$.text")).as("text_md5"))
+    // both projections FENCED (graft.plans.Fence): without it,
+    // CollapseProject would inline the encode→decode chain (and then
+    // the from_json) into every extracted column — the codec would run
+    // per-FIELD, not per-row. Struct field extraction above the fence
+    // is free.
+    val rt = graft.plans.Fence.wrap(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), cbor_to_json(json_to_cbor(j)).as("rt")))
+    val parsed = graft.plans.Fence.wrap(
+      rt.select(col("doc_id"), from_json(col("rt"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+        .as("d")))
+    parsed.select(col("doc_id"), col("d.lang").as("lang"),
+      col("d.n_chars").as("n_chars"), md5(col("d.text")).as("text_md5"))
   }
 
   /** Approximate quantile sketch (no oracle — same reasoning). */
