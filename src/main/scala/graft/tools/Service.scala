@@ -35,6 +35,7 @@ object Service {
 
   final case class Config(
       wsUrl: String,
+      wsFormat: String = "text", // "cbor" = binary DAG-CBOR wire frames
       listenPort: Int = 0, // 0 = ephemeral
       metricsPort: Int = 0,
       dataDir: String = "./data",
@@ -91,7 +92,8 @@ object Service {
     // > live), decode, sequence, persist
     val ingest = WebSocketIngress.start(spark, config.wsUrl,
       tablePath, s"${config.dataDir}/checkpoints/ingest",
-      cursorOverrideUs = config.overrideCursorUs, metrics = registry)
+      cursorOverrideUs = config.overrideCursorUs, format = config.wsFormat,
+      metrics = registry)
 
     // serve: WebSocket subscribers against the same table; the serving
     // tail starts at the table's current head — history is the
@@ -146,6 +148,7 @@ object Service {
     args.foldLeft(Config(wsUrl = "")) { (c, arg) =>
       arg.split("=", 2) match {
         case Array("--ws-url", v)                => c.copy(wsUrl = v)
+        case Array("--ws-format", v)             => c.copy(wsFormat = v)
         case Array("--listen-port", v)           => c.copy(listenPort = v.toInt)
         case Array("--metrics-listen-port", v)   => c.copy(metricsPort = v.toInt)
         case Array("--data-dir", v)              => c.copy(dataDir = v)

@@ -77,4 +77,42 @@ class ServiceSpec extends SparkSpec {
       upstream.close()
     }
   }
+
+  test("--ws-format=cbor: the service dials a binary DAG-CBOR upstream end to end") {
+    // the reference's real upstream encoding: the fake relay serves one
+    // BINARY CBOR frame per event; everything downstream of the dial
+    // (decode → sequence → table → serve → JSON to subscribers) is the
+    // same plumbing the text test pins
+    val upstream = new WsTestKit.ReplayServer(
+      Some(graft.functions.CborCodec.fromJson _))
+    val dataDir = tmpDir("service-cbor")
+    var running: Service.Running = null
+    try {
+      def us(i: Int) =
+        java.time.Instant.parse(f"2024-09-05T08:$i%02d:00.000Z").toEpochMilli * 1000L
+      upstream.log = (1 to 3).map(i => us(i) -> frame(i)).toVector
+
+      running = Service.start(spark,
+        Service.Config(
+          wsUrl = s"ws://localhost:${upstream.port}/subscribe",
+          wsFormat = "cbor",
+          dataDir = dataDir,
+          maintenanceIntervalMs = 60000L,
+          staleAfterMs = 600000L))
+
+      eventually(90000)(EventsTable.read(spark, s"$dataDir/events").count() >= 3)
+      // subscribers still receive JSON wire frames (CBOR is the
+      // upstream encoding only — jetstream's whole purpose)
+      val client = new WsTestKit.Client(
+        s"ws://localhost:${running.servePort}/subscribe?cursor=0")
+      eventually(120000)(client.lines.size >= 3)
+      val got = client.lines.toArray(Array.empty[String]).toSeq
+      assert(got.count(_.contains("did:plc:w2")) == 1,
+        "CBOR-ingested event serves as JSON exactly once")
+      client.ws.abort()
+    } finally {
+      if (running != null) running.close()
+      upstream.close()
+    }
+  }
 }
