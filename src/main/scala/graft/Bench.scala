@@ -27,7 +27,12 @@ object Bench {
   val GrowthGated: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_verified",
     "dedup_components", "simhash_hamming", "dedup_embed_cosine",
-    "semdedup_prune", "chunk_dedup")
+    "semdedup_prune", "chunk_dedup",
+    // row-local codec paths: linear by construction; gated to keep the
+    // measured small→big ratio on record alongside the candidate-
+    // generation queries (a regression to superlinear here would mean
+    // the codec stopped being row-local)
+    "cbor_roundtrip", "video_meta")
 
   /** Growth-budget violations: queries whose big-SF time exceeds
     * max(smallSec, floorSec) × rowsRatio^exponent. The floor keeps a

@@ -21,6 +21,14 @@ object Verify {
     // (the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      // an empty or misspelled filter must FAIL, not run zero queries
+      // and exit looking like a clean verify
+      require(names.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY matches nothing: " +
+          (if (names.isEmpty) "empty filter" else s"unknown ${unknown.mkString(",")}"))
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

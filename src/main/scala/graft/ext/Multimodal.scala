@@ -305,17 +305,20 @@ object Multimodal {
       var tsDur: Option[(Long, Long)] = None // (timescale, durationUnits)
       var dims: Option[(Long, Long)] = None
       var nTracks = 0L
+      // nested-walk corruption must propagate: a corrupt box INSIDE
+      // moov/trak after a valid mvhd/tkhd is still a corrupt file
+      var nestedOk = true
       val ok = walk(0, bytes.length) {
         case ("ftyp", s, e) => if (e - s >= 4) brand = Some(ascii(s, s + 4))
         case ("moov", ms, me) =>
-          walk(ms, me) {
+          nestedOk &= walk(ms, me) {
             case ("mvhd", s, e) =>
               val v = if (e > s) u8(s) else -1
               if (v == 1 && e - s >= 32) tsDur = Some((be32(s + 20), be64(s + 24)))
               else if (v == 0 && e - s >= 20) tsDur = Some((be32(s + 12), be32(s + 16)))
             case ("trak", ts, te) =>
               nTracks += 1
-              walk(ts, te) {
+              nestedOk &= walk(ts, te) {
                 case ("tkhd", s, e) =>
                   val v = if (e > s) u8(s) else -1
                   // v1 widens creation/modification/duration by 4 bytes each
@@ -331,7 +334,7 @@ object Multimodal {
         case _ =>
       }
       for {
-        _ <- if (ok) Some(()) else None
+        _ <- if (ok && nestedOk) Some(()) else None
         b <- brand
         (ts, dur) <- tsDur
         if ts > 0

@@ -52,14 +52,22 @@ object CborCodec {
       val v = buf(pos) & 0xff; pos += 1; v
     }
     def take(n: Int): Array[Byte] = {
-      if (n < 0 || pos + n > buf.length) fail("truncated")
+      // overflow-safe: `pos + n` can wrap negative for a forged 2^31-ish
+      // length and slip past the bound into a VM-limit OutOfMemoryError
+      // (an Error, which the null-on-failure bridges do NOT swallow)
+      if (n < 0 || n > buf.length - pos) fail("truncated")
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; out
     }
     def done: Boolean = pos == buf.length
   }
 
-  /** Reads one head, returns (major, info, argument). Indefinite lengths
-    * and reserved infos are DAG-CBOR violations.
+  /** Reads one head, returns (major, info, argument). Indefinite
+    * lengths, reserved infos, and NON-MINIMAL integer widths are
+    * DAG-CBOR violations (canonical form requires the shortest head;
+    * accepting `18 00` for `00` would let two byte strings decode to
+    * the same JSON, breaking the decode-side canonicity the scaladoc
+    * promises). The width check does not apply to major 7, where info
+    * 27 means float64, not a widened integer.
     */
   private def head(r: Reader): (Int, Int, Long) = {
     val b = r.u8()
@@ -76,6 +84,16 @@ object CborCodec {
         while (i < 8) { v = (v << 8) | r.u8(); i += 1 }
         v
       case _ => fail(s"indefinite/reserved length info $info")
+    }
+    if (major != 7) {
+      val minimal = info match {
+        case 24 => arg >= 24
+        case 25 => arg >= (1 << 8)
+        case 26 => arg >= (1 << 16)
+        case 27 => arg < 0 || arg >= (1L << 32) // <0 = wrapped u64 ≥ 2^63
+        case _ => true
+      }
+      if (!minimal) fail(s"non-minimal head (info $info for value $arg)")
     }
     (major, info, arg)
   }
@@ -117,7 +135,7 @@ object CborCodec {
           .append(java.util.Base64.getEncoder.withoutPadding.encodeToString(b))
           .append("\"}")
       case 3 =>
-        appendJsonString(sb, new String(r.take(lengthArg(arg)), UTF_8))
+        appendJsonString(sb, utf8Strict(r.take(lengthArg(arg))))
       case 4 =>
         sb.append('[')
         var i = 0L
@@ -130,11 +148,20 @@ object CborCodec {
       case 5 =>
         sb.append('{')
         var i = 0L
+        var prevKey: Array[Byte] = null
         while (i < arg) {
           if (i > 0) sb.append(',')
           val (km, _, ka) = head(r)
           if (km != 3) fail(s"non-text map key (major $km)")
-          appendJsonString(sb, new String(r.take(lengthArg(ka)), UTF_8))
+          val key = r.take(lengthArg(ka))
+          // canonical order is STRICTLY increasing (length, then
+          // bytewise) — this also rejects duplicate keys, which would
+          // otherwise decode to duplicate-key JSON that downstream
+          // parsers resolve last-wins, a consumer-dependent value
+          if (prevKey != null && !keyLess(prevKey, key))
+            fail("map keys not in canonical order (or duplicated)")
+          prevKey = key
+          appendJsonString(sb, utf8Strict(key))
           sb.append(':')
           decodeItem(r, sb, depth + 1)
           i += 1
@@ -166,6 +193,24 @@ object CborCodec {
     arg.toInt
   }
 
+  /** Canonical DAG-CBOR key order: length first, then bytewise. */
+  private def keyLess(a: Array[Byte], b: Array[Byte]): Boolean =
+    if (a.length != b.length) a.length < b.length
+    else java.util.Arrays.compareUnsigned(a, b) < 0
+
+  /** Strict UTF-8 decode — malformed sequences are a profile violation,
+    * not U+FFFD: a corrupt record must land in the NULL audit bucket,
+    * not silently serve replacement-character garbage that hashes as
+    * genuine.
+    */
+  private def utf8Strict(bytes: Array[Byte]): String = {
+    val dec = UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch { case _: java.nio.charset.CharacterCodingException => fail("invalid UTF-8") }
+  }
+
   /** Decode one DAG-CBOR item to its atproto JSON form. Throws
     * [[CborError]] on malformed or non-DAG-CBOR input, including
     * trailing bytes after the item.
@@ -180,7 +225,10 @@ object CborCodec {
 
   // ---------------------------------------------------------------- encode
 
+  // trailing tokens are a parse error: "{"a":1} {"b":2}" must be null,
+  // not a silently truncated encode of the first document
   private val mapper = new ObjectMapper()
+    .enable(com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
 
   private def writeHead(out: ByteArrayOutputStream, major: Int, value: Long): Unit = {
     val m = major << 5
@@ -309,6 +357,10 @@ object CborCodec {
       }
       i += 1
     }
+    // nonzero leftover padding bits mean a non-canonical string: "bmz"
+    // and "bmy" would otherwise alias to the same byte and re-encode
+    // differently than the input — reject instead of silently rewriting
+    if (bits > 0 && (buffer & ((1L << bits) - 1)) != 0) fail("non-canonical base32 padding")
     out.toByteArray
   }
 

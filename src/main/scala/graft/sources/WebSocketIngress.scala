@@ -37,14 +37,22 @@ import graft.ingest.{Decode, IngestJob}
   *
   * Options: `url` (required, `ws://` or `wss://`); `format` — `text`
   * (default; one TEXT message = one JSON wire frame) or `cbor` (one
-  * BINARY message = one DAG-CBOR wire frame, the reference's actual
-  * upstream encoding — indigo's event frames are CBOR on the wire; the
+  * BINARY message = one DAG-CBOR encoding of the same wire event; the
   * `value` column is then `binary` and [[WebSocketIngress.events]]
   * decodes it IN THE PLAN with the native `cbor_to_json` expression,
-  * not on the driver). The client is JDK `java.net.http.WebSocket` —
-  * RFC 6455 handshake, masking, and fragmentation handled by the
-  * platform; partial messages (`last = false`) are reassembled before
-  * buffering, text and binary alike.
+  * not on the driver). NOTE the honest scope: the raw XRPC relay
+  * protocol frames TWO concatenated CBOR items per message (header +
+  * body, decoded inside indigo's `events.HandleRepoStream`,
+  * main.go:317) and carries CAR blocks in the body — that
+  * deserialization boundary is S5, excluded by SURVEY §2.1's design
+  * note (events arrive decoded). `format=cbor` is therefore the
+  * compact binary twin of the decoded-event JSON wire: one
+  * self-contained DAG-CBOR item per message, same schema as the text
+  * frames — not the raw relay protocol.
+  * The client is JDK `java.net.http.WebSocket` — RFC 6455
+  * handshake, masking, and fragmentation handled by the platform;
+  * partial messages (`last = false`) are reassembled before buffering,
+  * text and binary alike.
   */
 class WebSocketFrameProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-websocket"

@@ -380,6 +380,14 @@ class ExtOpsSpec extends SparkSpec {
     val corrupt = Multimodal.syntheticMp4(64, 64, 1000L, 1000L)
     corrupt(28) = 0x7f.toByte // blow up mvhd's declared size past its parent
     assert(Multimodal.parseMp4Meta(corrupt).isEmpty)
+    // corruption AFTER a valid mvhd+tkhd must still poison the parse
+    // (review finding: nested walk results were discarded): blow up the
+    // SECOND trak's size — layout ftyp(20) moov-hdr(8) mvhd(108)
+    // trak(100) trak(100) puts its size field at offset 236
+    val lateCorrupt = Multimodal.syntheticMp4(64, 64, 1000L, 1000L, extraTracks = 1)
+    lateCorrupt(236) = 0x7f.toByte
+    assert(Multimodal.parseMp4Meta(lateCorrupt).isEmpty,
+      "corrupt box after valid mvhd/tkhd still yields None")
   }
 
   test("withVideoMeta: batched box-walk decode over a binary column, nulls for junk") {

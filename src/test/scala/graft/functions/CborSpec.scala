@@ -70,6 +70,33 @@ class CborSpec extends AnyFunSuite {
     intercept[CborCodec.CborError](CborCodec.toJson(hex("62e6"))) // truncated
   }
 
+  test("decode: canonical-form violations rejected (review findings, execution-confirmed)") {
+    // forged 2^31-ish byte length must be 'truncated', not an int-overflow
+    // OutOfMemoryError escaping the null bridges
+    intercept[CborCodec.CborError](CborCodec.toJson(hex("5a7fffffff01")))
+    assert(CborCodec.toJsonU(hex("5a7fffffff01")) == null)
+    // duplicate map keys (a2 "a":1 "a":2) — consumer-dependent JSON otherwise
+    intercept[CborCodec.CborError](CborCodec.toJson(hex("a2616101616102")))
+    // unsorted map keys (b before a)
+    intercept[CborCodec.CborError](CborCodec.toJson(hex("a2616201616102")))
+    // non-minimal integer head (18 00 for 00)
+    intercept[CborCodec.CborError](CborCodec.toJson(hex("1800")))
+    intercept[CborCodec.CborError](CborCodec.toJson(hex("190017"))) // 19 for value 23
+    // invalid UTF-8 in a text string — must land in the null audit
+    // bucket, not silently become U+FFFD garbage that hashes as genuine
+    intercept[CborCodec.CborError](CborCodec.toJson(hex("61e6")))
+  }
+
+  test("encode: trailing JSON tokens and non-canonical $link rejected") {
+    intercept[Exception](CborCodec.fromJson("""{"a":1} {"b":2}"""))
+    intercept[Exception](CborCodec.fromJson("123 456"))
+    assert(CborCodec.fromJsonU(
+      org.apache.spark.unsafe.types.UTF8String.fromString("""{"a":1} {"b":2}""")) == null)
+    // "bmz" has nonzero leftover padding bits — it would alias with "bmy"
+    intercept[CborCodec.CborError](CborCodec.fromJson("""{"$link":"bmz"}"""))
+    assert(CborCodec.toJson(CborCodec.fromJson("""{"$link":"bmy"}""")) == """{"$link":"bmy"}""")
+  }
+
   test("decode: arrays and maps") {
     assert(CborCodec.toJson(hex("80")) == "[]")
     assert(CborCodec.toJson(hex("83010203")) == "[1,2,3]")

@@ -87,8 +87,8 @@ class WebSocketIngressSpec extends SparkSpec {
   }
 
   test("binary DAG-CBOR frames: dial with format=cbor decodes in-plan and cursor-resumes") {
-    // the reference's actual upstream encoding: one BINARY message =
-    // one CBOR wire frame; the server encodes each fixture line with
+    // the binary twin of the JSON wire: one BINARY message = one
+    // self-contained CBOR frame; the server encodes each fixture line with
     // the codec (codec correctness is pinned separately in CborSpec),
     // and the plan-side cbor_to_json must reproduce the JSON the text
     // path would have carried — same table contents, same resume

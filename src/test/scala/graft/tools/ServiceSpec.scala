@@ -79,8 +79,8 @@ class ServiceSpec extends SparkSpec {
   }
 
   test("--ws-format=cbor: the service dials a binary DAG-CBOR upstream end to end") {
-    // the reference's real upstream encoding: the fake relay serves one
-    // BINARY CBOR frame per event; everything downstream of the dial
+    // binary-frame upstream: the fake relay serves one self-contained
+    // CBOR frame per event; everything downstream of the dial
     // (decode → sequence → table → serve → JSON to subscribers) is the
     // same plumbing the text test pins
     val upstream = new WsTestKit.ReplayServer(
