@@ -391,6 +391,47 @@ object ScaleSmoke {
     println(f"[scale] 10M-row sequencer: window(single-task) $s1%.2fs (${n1 / s1 / 1000}%.0fk/s) " +
       f"vs range-partitioned $s2%.2fs (${n2 / s2 / 1000}%.0fk/s)")
 
+    // --- DAG-CBOR codec throughput: realistic commit wire frames,
+    // encode and decode as the native expressions the ingest/serve
+    // paths run — row-local, so rows/s here IS the per-core scale
+    // posture (multiply by executor cores at 100 TB)
+    {
+      import graft.functions.GraftFunctions.{cbor_to_json, json_to_cbor}
+      val nFrames = math.max(1000000L, n / 10)
+      val frames = spark.range(nFrames).select(to_json(struct(
+        lit("#commit").as("t"),
+        concat(lit("did:plc:u"), pmod(hash(col("id")), lit(100000))).as("did"),
+        concat(lit("r"), col("id")).as("rev"),
+        col("id").as("seq"),
+        lit("2024-09-05T07:00:00.000Z").as("time"),
+        array(struct(
+          lit("create").as("action"),
+          concat(lit("app.bsky.feed.post/k"), col("id")).as("path"),
+          concat(lit("c"), col("id")).as("cid"),
+          struct(concat(lit("text for document number "), col("id")).as("text"),
+            array(lit("en"), lit("es")).as("langs")).as("record"))).as("ops"))).as("j"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val jsonBytes = frames.agg(sum(octet_length(col("j")))).head().getLong(0)
+
+      val tEnc = System.nanoTime()
+      val cborBytes = frames.agg(sum(octet_length(json_to_cbor(col("j"))))).head().getLong(0)
+      val encSec = (System.nanoTime() - tEnc) / 1e9
+
+      val cbor = frames.select(json_to_cbor(col("j")).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cbor.count() // materialize so decode timing excludes encode
+      val tDec = System.nanoTime()
+      val decoded = cbor.agg(sum(octet_length(cbor_to_json(col("c"))))).head().getLong(0)
+      val decSec = (System.nanoTime() - tDec) / 1e9
+      require(decoded > 0)
+      println(f"[scale] DAG-CBOR codec over $nFrames frames: encode $encSec%.2fs " +
+        f"(${nFrames / encSec / 1000}%.0fk frames/s), decode $decSec%.2fs " +
+        f"(${nFrames / decSec / 1000}%.0fk frames/s); " +
+        f"wire ${cborBytes * 100.0 / jsonBytes}%.0f%% of JSON bytes " +
+        f"(${jsonBytes / nFrames} → ${cborBytes / nFrames} B/frame)")
+      frames.unpersist(); cbor.unpersist()
+    }
+
     spark.stop()
   }
 }
