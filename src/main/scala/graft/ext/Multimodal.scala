@@ -199,8 +199,10 @@ object Multimodal {
         if (id == "fmt " && size >= 16 && i + 8 + 16 <= bytes.length)
           fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
         if (id == "data") dataBytes = Some(size)
-        if (size < 0 || size > Int.MaxValue) i = bytes.length // corrupt size
-        else i += 8 + size.toInt + (size.toInt & 1) // chunks even-padded
+        // advance in Long: a declared size near Int.MaxValue must end
+        // the walk, not wrap `i` negative into an out-of-bounds read
+        val next = i.toLong + 8L + size + (size & 1L) // chunks even-padded
+        i = if (size < 0 || next > bytes.length) bytes.length else next.toInt
       }
       for {
         (ch, rate, bits) <- fmt

@@ -113,6 +113,13 @@ object WebSocketServe {
                   len = 0L
                   (0 until 8).foreach(_ => len = (len << 8) | in.read())
                 }
+                // client payloads are drained and (except PING) ignored,
+                // so a forged 64-bit length must not drive an allocation:
+                // cap well above any legitimate control/close frame and
+                // drop the connection past it (RFC 6455 only bounds
+                // control frames; data frames need this explicit cap)
+                if (len < 0 || len > 64 * 1024)
+                  throw new java.io.IOException(s"client frame too large ($len)")
                 val mask = if (masked) Array.fill(4)(in.read()) else Array.empty[Int]
                 val payload = new Array[Byte](len.toInt)
                 var off = 0

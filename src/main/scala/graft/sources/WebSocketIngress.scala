@@ -49,6 +49,9 @@ import graft.ingest.{Decode, IngestJob}
   * compact binary twin of the decoded-event JSON wire: one
   * self-contained DAG-CBOR item per message, same schema as the text
   * frames — not the raw relay protocol.
+  * `maxBufferedFrames` (default 262144) bounds the driver-side buffer;
+  * past it the listener stops requesting and TCP backpressure holds
+  * the upstream.
   * The client is JDK `java.net.http.WebSocket` — RFC 6455
   * handshake, masking, and fragmentation handled by the platform;
   * partial messages (`last = false`) are reassembled before buffering,
@@ -167,32 +170,73 @@ class WebSocketFrameSource(sqlContext: SQLContext, params: Map[String, String],
   // by commit(), so offset N is always message N since connect — offsets
   // stay stable across trims. Elements are String (text mode) or
   // Array[Byte] (cbor mode), never mixed. All access under `this` lock.
+  //
+  // The buffer is BOUNDED (`maxBufferedFrames`, default 262144 ≈ 64 MB
+  // of 250 B frames): past the high-water mark of UNDELIVERED messages
+  // the listener stops issuing `request(1)`, so the JDK client stops
+  // reading and TCP backpressure reaches the upstream — a stalled
+  // micro-batch loop (GC pause, slow append, compaction contention)
+  // holds the line instead of growing driver heap to OOM.
+  //
+  // Resume is keyed to DELIVERY (getBatch), not commit: MicroBatch-
+  // Execution only calls `commit()` when the NEXT batch runs, and a
+  // paused source announces no new offsets — resuming on commit would
+  // deadlock (pause → no offsets → no next batch → no commit → paused
+  // forever; this bit the first implementation). Delivered-not-yet-
+  // committed messages stay buffered until commit trims them, so peak
+  // memory is bounded by maxBuffered undelivered + one in-flight
+  // batch ≤ 2× the mark. Fragments of an incomplete message are
+  // always requested, so a fragmented frame cannot wedge the pause.
+  private val maxBuffered = params.getOrElse("maxBufferedFrames", "262144").toInt
+  require(maxBuffered > 0, "maxBufferedFrames must be positive")
   private val buffer = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
   private var base = recoverHead()
   private var persistedHead = base
+  private var deliveredHi = base // highest offset handed to a batch
+  private var paused = false
   private val partial = new StringBuilder
   private val binPartial = new java.io.ByteArrayOutputStream()
+
+  /** Undelivered backlog; callers hold the lock. */
+  private def undelivered: Long = base + buffer.size - deliveredHi
+
+  /** Append a completed message; returns whether to keep requesting. */
+  private def push(msg: AnyRef): Boolean = synchronized {
+    buffer += msg
+    paused = undelivered >= maxBuffered
+    !paused
+  }
 
   private val ws: WebSocket = HttpClient.newHttpClient().newWebSocketBuilder()
     .buildAsync(URI.create(url), new WebSocket.Listener {
       override def onText(w: WebSocket, data: CharSequence, last: Boolean)
           : CompletionStage[_] = {
-        if (!binaryFrames) WebSocketFrameSource.this.synchronized {
-          partial.append(data)
-          if (last) { buffer += partial.toString; partial.clear() }
-        }
-        w.request(1)
+        val keepGoing = if (!binaryFrames) {
+          WebSocketFrameSource.this.synchronized(partial.append(data))
+          if (last) {
+            val msg = WebSocketFrameSource.this.synchronized {
+              val s = partial.toString; partial.clear(); s
+            }
+            push(msg)
+          } else true
+        } else true
+        if (keepGoing) w.request(1)
         null
       }
       override def onBinary(w: WebSocket, data: java.nio.ByteBuffer, last: Boolean)
           : CompletionStage[_] = {
-        if (binaryFrames) WebSocketFrameSource.this.synchronized {
+        val keepGoing = if (binaryFrames) {
           val arr = new Array[Byte](data.remaining())
           data.get(arr)
-          binPartial.write(arr, 0, arr.length)
-          if (last) { buffer += binPartial.toByteArray; binPartial.reset() }
-        }
-        w.request(1)
+          WebSocketFrameSource.this.synchronized(binPartial.write(arr, 0, arr.length))
+          if (last) {
+            val msg = WebSocketFrameSource.this.synchronized {
+              val b = binPartial.toByteArray; binPartial.reset(); b
+            }
+            push(msg)
+          } else true
+        } else true
+        if (keepGoing) w.request(1)
         null
       }
       override def onError(w: WebSocket, error: Throwable): Unit =
@@ -211,7 +255,10 @@ class WebSocketFrameSource(sqlContext: SQLContext, params: Map[String, String],
     * announces them as new data. Must be called with the lock held.
     */
   private def rebase(recovered: Long): Unit =
-    if (recovered > base + buffer.size) base = recovered
+    if (recovered > base + buffer.size) {
+      base = recovered
+      deliveredHi = math.max(deliveredHi, base) // keep the backlog gauge sane
+    }
 
   override def getOffset: Option[Offset] = synchronized {
     val head = base + buffer.size
@@ -225,12 +272,17 @@ class WebSocketFrameSource(sqlContext: SQLContext, params: Map[String, String],
     * path.
     */
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val rows = synchronized {
+    val (rows, resume) = synchronized {
       rebase(ReplayTailSource.offsetToLong(end)) // a recovered range re-runs as an empty batch
       val lo = math.max(start.map(ReplayTailSource.offsetToLong).getOrElse(0L), base)
       val hi = math.max(math.min(ReplayTailSource.offsetToLong(end), base + buffer.size), lo)
-      buffer.slice((lo - base).toInt, (hi - base).toInt).toSeq
+      deliveredHi = math.max(deliveredHi, hi)
+      val out = buffer.slice((lo - base).toInt, (hi - base).toInt).toSeq
+      val r = paused && undelivered <= maxBuffered / 2
+      if (r) paused = false
+      (out, r)
     }
+    if (resume) ws.request(1) // outside the lock: request() may call back
     val spark = sqlContext.sparkSession
     import spark.implicits._
     val df =
@@ -244,6 +296,7 @@ class WebSocketFrameSource(sqlContext: SQLContext, params: Map[String, String],
     rebase(ReplayTailSource.offsetToLong(end))
     val n = math.min(math.max(ReplayTailSource.offsetToLong(end) - base, 0L), buffer.size.toLong).toInt
     if (n > 0) { buffer.remove(0, n); base += n }
+    deliveredHi = math.max(deliveredHi, base)
   }
 
   override def stop(): Unit =

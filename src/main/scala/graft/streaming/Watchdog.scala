@@ -23,10 +23,11 @@ final class Watchdog(nowMs: () => Long = () => System.currentTimeMillis())
 
   private val states = new AtomicReference[Map[java.util.UUID, State]](Map.empty)
 
-  private def update(id: java.util.UUID)(f: Option[State] => State): Unit = {
-    val cur = states.get()
-    states.set(cur + (id -> f(cur.get(id))))
-  }
+  // CAS loop, not get-then-set: `arm()` is called off the listener-bus
+  // thread (Service.start), and a lost update there would silently
+  // erase the arm — the resumed-over-history self-kill would never fire
+  private def update(id: java.util.UUID)(f: Option[State] => State): Unit =
+    states.updateAndGet(cur => cur + (id -> f(cur.get(id))))
 
   override def onQueryStarted(event: QueryStartedEvent): Unit =
     update(event.id)(_ => State(0L, nowMs(), everProgressed = false))
@@ -59,7 +60,7 @@ final class Watchdog(nowMs: () => Long = () => System.currentTimeMillis())
     }
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
-    states.set(states.get() - event.id)
+    states.updateAndGet(_ - event.id)
 
   /** Queries that processed data before but have seen no input rows for
     * more than `staleAfterMs` (reference: 15 s, main.go:188).

@@ -125,6 +125,29 @@ class WebSocketIngressSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("bounded buffer: a tiny maxBufferedFrames pauses and resumes without losing frames") {
+    // high-water 2 on a 25-frame burst: the listener must stop
+    // requesting at the mark and commit() must resume it — every frame
+    // still arrives, just paced by the micro-batch loop instead of
+    // accumulating on the driver
+    val srv = new WsTestKit.ReplayServer
+    try {
+      srv.log = (1 to 25).map(i => (i.toLong, s"""{"n":$i}""")).toVector
+      val q = spark.readStream.format("graft-websocket")
+        .option("url", s"ws://localhost:${srv.port}/subscribe")
+        .option("maxBufferedFrames", "2")
+        .load()
+        .writeStream.format("memory").queryName("ws_bounded")
+        .option("checkpointLocation", tmpDir("ws-bounded-ckpt")).start()
+      try eventually(90000)(
+        spark.sql("SELECT count(*) FROM ws_bounded").head().getLong(0) >= 25)
+      finally { q.stop(); q.awaitTermination(30000) }
+      val vals = spark.sql("SELECT value FROM ws_bounded").collect()
+        .map(_.getString(0)).toSeq
+      assert(vals.distinct.size == 25, "no frame lost or duplicated across pauses")
+    } finally srv.close()
+  }
+
   test("large frames fragment-safe: a >64KiB message is one row") {
     val table = tmpDir("ws-big")
     val srv = new WsTestKit.ReplayServer
