@@ -176,7 +176,13 @@ object IndexStore {
               }
             }
           } finally graft.util.FsMutex.releaseIfOwner(fs, lockFile, lockToken)
-          gcStale(fs, kind, fp, gcScope)
+          // GC only while OUR fingerprint is still the current one: if
+          // the source was rewritten during this build, a sibling may
+          // have committed a NEWER index that our stale keepFp would
+          // read as "superseded" and delete out from under its readers
+          // — the process with the current view owns supersession
+          if (scala.util.Try(fingerprint(spark, sources)).toOption.contains(fp))
+            gcStale(fs, kind, fp, gcScope)
         }
       }
       path
@@ -249,14 +255,29 @@ object IndexStore {
 
   /** Lock-race loser: poll for the winner's `_READY`; a lock older than
     * the wait budget is a crashed builder's leftover — break it and
-    * build ourselves.
+    * build ourselves. The break is IDENTITY-CHECKED: only the exact
+    * lock file observed at wait start (same mtime+length) is deleted.
+    * Without that check, two losers timing out seconds apart would
+    * each break a lock — the second deleting the FIRST loser's fresh
+    * re-acquired lock and starting a concurrent duplicate build,
+    * exactly the two-builders-from-one-broken-lock case the invariant
+    * above forbids. A changed or vanished lock means someone else is
+    * live; the caller's loop re-enters with a fresh budget against the
+    * new lock.
     */
   private def awaitWinner(fs: FileSystem, p: Path, lockFile: Path): Unit = {
+    def statLock(): Option[(Long, Long)] =
+      try {
+        val st = fs.getFileStatus(lockFile)
+        Some((st.getModificationTime, st.getLen))
+      } catch { case _: java.io.FileNotFoundException => None }
+    val observed = statLock()
     val deadline = System.nanoTime() + lockWaitMs * 1000000L
     while (!fs.exists(new Path(p, "_READY")) && fs.exists(lockFile)
         && System.nanoTime() < deadline)
       Thread.sleep(100)
-    if (!fs.exists(new Path(p, "_READY"))) fs.delete(lockFile, false) // break stale lock
+    if (!fs.exists(new Path(p, "_READY")) && observed.nonEmpty && statLock() == observed)
+      fs.delete(lockFile, false) // break ONLY the stale lock we waited on
   }
 
   /** The source paths an index was built from — the `_SOURCES`

@@ -37,16 +37,27 @@ object FsMutex {
     }
   }
 
+  /** The lock's current content, read to EOF (a single `read` may
+    * legitimately short-read on HDFS-class streams — comparing a
+    * partial buffer would spuriously fail the ownership check and leak
+    * the lock for the full stale-break budget). None on any IO error.
+    */
+  def readToken(fs: FileSystem, path: Path): Option[String] =
+    try {
+      val in = fs.open(path)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      Some(new String(bytes, "UTF-8"))
+    } catch { case _: java.io.IOException => None }
+
+  /** Whether `path` currently carries `token` (this caller's lock). */
+  def isOwner(fs: FileSystem, path: Path, token: String): Boolean =
+    readToken(fs, path).contains(token)
+
   /** Delete `path` only when its content matches `token` — never
     * release a lock someone else now holds. Returns whether deleted.
     */
   def releaseIfOwner(fs: FileSystem, path: Path, token: String): Boolean =
     try {
-      val in = fs.open(path)
-      val buf = new Array[Byte](256)
-      val n = in.read(buf)
-      in.close()
-      val content = if (n <= 0) "" else new String(buf, 0, n, "UTF-8")
-      if (content == token) fs.delete(path, false) else false
+      if (readToken(fs, path).contains(token)) fs.delete(path, false) else false
     } catch { case _: java.io.IOException => false }
 }
