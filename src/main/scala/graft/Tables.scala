@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the shared parquet fixture tables (TESTDATA.md).
   *
@@ -12,11 +14,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The `events` fixture stores ts as parquet TIMESTAMP(NANOS), which
-    // Spark only reads via this legacy conf — as LongType nanoseconds.
+    // The `events` fixture has stored ts two ways across driver fixture
+    // generations: parquet TIMESTAMP(NANOS) (readable only via this legacy
+    // conf, as LongType nanoseconds) and TIMESTAMP(MICROS) without UTC
+    // adjustment (read as TIMESTAMP_NTZ). The engine's internal contract is
+    // LongType *nanoseconds* — the firehose wire domain — so normalize at
+    // the boundary: sessions run in UTC, making the NTZ→epoch conversion
+    // exact and identical to DuckDB's epoch_us(ts) on the same file.
     // Queries derive `time_us = ts div 1000` (µs domain, lossless here).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df
+    }
   }
 
   def events(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "events")

@@ -4,19 +4,20 @@ import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (build brief): image/audio/video payloads
-  * as opaque `binary` columns with typed metadata, plus a feature-extract
-  * stage whose Spark-side shape (schema, batching, partition parallelism)
-  * is real while the codec itself is stubbed — the image/audio libraries
-  * are not available in this environment, so `decodeStub` derives a
-  * deterministic fake feature vector from the bytes. Swapping in a real
-  * codec changes ONE function body, not the pipeline.
+  * as opaque `binary` columns with typed metadata, plus feature-extract /
+  * resize / frame-sample stages. Container HEADER parsing (PNG/GIF/JPEG/
+  * BMP dims, WAV, MP4) and PIXEL decoding (PNG via zlib-inflate +
+  * unfilter, BMP, GIF incl. full LZW — see [[PixelCodec]]) are REAL,
+  * pure-JDK implementations of the public formats. The only remaining
+  * stubs are entropy codecs a real imaging library provides (JPEG
+  * Huffman+DCT, video sample decode): unrecognized payloads fall back to
+  * the deterministic digest stubs, stated per method.
   *
   * Scale notes: binary payloads never shuffle — metadata extraction is a
   * narrow projection, and downstream joins/aggregations use the digest or
-  * the (small) feature vector. Real decode belongs in `mapPartitions`
-  * over batched rows (amortizing codec init per partition, exactly like
-  * a Pandas-UDF batch on the PySpark side); `decodeFeatures` shows that
-  * structure.
+  * the (small) feature vector. Decode runs in `mapPartitions` over
+  * batched rows (amortizing codec state per partition, exactly like a
+  * Pandas-UDF batch on the PySpark side).
   */
 object Multimodal {
 
@@ -424,13 +425,15 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Feature dimension of the stub decoder. */
+  /** Feature dimension of [[decodeFeatures]] (4×2 luma grid; the
+    * digest fallback emits the same width).
+    */
   val StubDims = 8
 
-  /** STUB — deterministic fake "decode + feature extract": derives
-    * `StubDims` floats from the content digest. A real implementation
-    * replaces this body with an actual codec (e.g. JPEG decode + pooled
-    * embedding); signature and pipeline stay identical.
+  /** FALLBACK — deterministic digest features for payloads no pure-JDK
+    * codec can rasterize (JPEG entropy coding, video samples): derives
+    * `StubDims` floats from the content digest. Recognized rasters
+    * never reach this path — see [[decodeFeatures]].
     */
   private[ext] def stubFeatures(bytes: Array[Byte]): Array[Float] = {
     val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
@@ -440,8 +443,12 @@ object Multimodal {
     }.toArray
   }
 
-  /** Batched per-partition decode: the production shape for codec work —
-    * one codec context per partition, rows streamed through it. Returns
+  /** Batched per-partition decode + feature extract — REAL for
+    * PNG/BMP/GIF payloads: [[PixelCodec.decodeImage]] rasterizes the
+    * container (zlib inflate + unfilter / LZW) and
+    * [[PixelCodec.pooledLuma]] grid-pools mean luminance into a
+    * `StubDims`-wide embedding. Payloads needing an entropy codec
+    * (JPEG/video) fall back to [[stubFeatures]], stated above. Returns
     * (passthrough columns..., features array<float>).
     */
   def decodeFeatures(df: DataFrame, binCol: String): DataFrame = {
@@ -452,27 +459,32 @@ object Multimodal {
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
     val binIdx = df.schema.fieldIndex(binCol)
     val rdd = df.rdd.mapPartitions { rows =>
-      // (real codec init would happen once, here)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ stubFeatures(bytes).toSeq)
+        val feats = PixelCodec.decodeImage(bytes) match {
+          case Some(img) => PixelCodec.pooledLuma(img, 4, 2)
+          case None => stubFeatures(bytes)
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ feats.toSeq)
       }
     }
     spark.createDataFrame(rdd, schema)
   }
 
-  /** STUB — deterministic fake "decode → scale → re-encode": digest of
-    * (bytes, target dims). A real implementation swaps this body for an
-    * image codec; the pipeline below is unchanged.
+  /** FALLBACK — digest stand-in for resize of payloads no pure-JDK
+    * codec can rasterize; recognized rasters take the real path in
+    * [[resize]].
     */
   private[ext] def stubResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
     java.security.MessageDigest.getInstance("MD5")
       .digest(bytes ++ s"${w}x$h".getBytes("UTF-8"))
 
-  /** Image resize stage: per-partition batched re-encode producing
-    * (passthrough..., resized binary, width, height). Same codec-per-
-    * partition shape as [[decodeFeatures]]; row count unchanged; binary
-    * stays columnar and never shuffles.
+  /** Image resize stage — REAL for PNG/BMP/GIF: decode
+    * ([[PixelCodec.decodeImage]]) → nearest-neighbor resample → PNG
+    * re-encode with real CRCs ([[PixelCodec.encodePng]]); the output
+    * binary decodes in any PNG reader. Unrasterizable payloads fall
+    * back to [[stubResize]]. Per-partition batched; row count
+    * unchanged; binary stays columnar and never shuffles.
     */
   def resize(df: DataFrame, binCol: String, width: Int, height: Int): DataFrame = {
     import org.apache.spark.sql.types._
@@ -485,17 +497,20 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        org.apache.spark.sql.Row.fromSeq(
-          r.toSeq ++ Seq(stubResize(bytes, width, height), width, height))
+        val resized = PixelCodec.decodeImage(bytes) match {
+          case Some(img) => PixelCodec.encodePng(PixelCodec.resizeNearest(img, width, height))
+          case None => stubResize(bytes, width, height)
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(resized, width, height))
       }
     }
     spark.createDataFrame(rdd, schema)
   }
 
-  /** STUB — deterministic fake frame extraction: frame count derived
-    * from payload length (one per 256 bytes, ≥1), each frame's bytes a
-    * digest of (payload, index). A real implementation demuxes the
-    * container and decodes the keyframe at `idx`.
+  /** FALLBACK frame model for containers without a pure-JDK sample
+    * decoder (MP4 et al): frame count derived from payload length (one
+    * per 256 bytes, ≥1), frame bytes a digest of (payload, index). GIF
+    * payloads never reach this — see [[frameSample]].
     */
   private[ext] def stubFrameCount(bytes: Array[Byte]): Int =
     math.max(1, bytes.length / 256)
@@ -505,8 +520,12 @@ object Multimodal {
       .digest(bytes ++ s"frame:$idx".getBytes("UTF-8"))
 
   /** Video frame sampling: one output row per kept frame — every
-    * `everyNth` frame up to `maxFrames` per video. The 1→N explode
-    * happens inside the per-partition iterator (lazily — no frame list
+    * `everyNth` frame up to `maxFrames` per video. REAL for animated
+    * GIF: [[PixelCodec.decodeGifFrames]] LZW-decodes and composites
+    * each frame (disposal + transparency honored) and the kept frames
+    * are re-encoded as standalone PNGs. Other containers use the
+    * digest fallback above, stated there. The 1→N explode happens
+    * inside the per-partition iterator (lazily — no frame list
     * materialized per video), which is the production demux shape: a
     * container is opened once and frames stream out. Output adds
     * (frame_idx int, frame binary).
@@ -523,8 +542,17 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        (0 until stubFrameCount(bytes) by everyNth).iterator.take(maxFrames).map { i =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(i, stubFrame(bytes, i)))
+        PixelCodec.decodeGifFrames(bytes) match {
+          case Some(frames) =>
+            frames.iterator.zipWithIndex
+              .filter(_._2 % everyNth == 0).take(maxFrames).map { case (f, i) =>
+                org.apache.spark.sql.Row.fromSeq(
+                  r.toSeq ++ Seq(i, PixelCodec.encodePng(f.image)))
+              }
+          case None =>
+            (0 until stubFrameCount(bytes) by everyNth).iterator.take(maxFrames).map { i =>
+              org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(i, stubFrame(bytes, i)))
+            }
         }
       }
     }
