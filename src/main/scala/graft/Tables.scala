@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, unix_micros}
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, timestamp_micros, unix_micros}
+import org.apache.spark.sql.types.{DataType, TimestampNTZType, TimestampType}
 
 /** Loaders for the shared parquet fixture tables (TESTDATA.md).
   *
@@ -13,22 +13,66 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * relation it can push filters / prune columns into.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The `events` fixture has stored ts two ways across driver fixture
-    // generations: parquet TIMESTAMP(NANOS) (readable only via this legacy
-    // conf, as LongType nanoseconds) and TIMESTAMP(MICROS) without UTC
-    // adjustment (read as TIMESTAMP_NTZ). The engine's internal contract is
-    // LongType *nanoseconds* — the firehose wire domain — so normalize at
-    // the boundary: sessions run in UTC, making the NTZ→epoch conversion
-    // exact and identical to DuckDB's epoch_us(ts) on the same file.
-    // Queries derive `time_us = ts div 1000` (µs domain, lossless here).
+
+  /** The `events` fixture has stored ts two ways across driver fixture
+    * generations: parquet TIMESTAMP(NANOS) (readable only via the legacy
+    * conf, as LongType nanoseconds) and TIMESTAMP(MICROS) without UTC
+    * adjustment (read as TIMESTAMP_NTZ). The engine's internal contract is
+    * LongType *nanoseconds* — the firehose wire domain — so we normalize at
+    * the boundary. Sessions must run in UTC for the NTZ→epoch conversion to
+    * be exact and identical to DuckDB's epoch_us(ts) on the same file, so
+    * load() pins the conf itself rather than trusting every entrypoint.
+    */
+  private def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.find(_.name == "ts").map(_.dataType) match {
-      case Some(TimestampNTZType) | Some(TimestampType) =>
-        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
-      case _ => df
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  private def tsType(df: DataFrame): Option[DataType] =
+    df.schema.find(_.name == "ts").map(_.dataType)
+
+  /** Rewrite a timestamp-typed ts into the Long-ns engine domain. Queries
+    * derive `time_us = ts div 1000` (µs domain, lossless here). Range
+    * predicates must NOT be written against this derived column — parquet
+    * would receive only IsNotNull — use [[eventsRange]] instead, which
+    * filters in the storage domain below this projection.
+    */
+  private def normalizeTs(df: DataFrame): DataFrame = tsType(df) match {
+    case Some(TimestampNTZType) | Some(TimestampType) =>
+      df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    case _ => df
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTs(loadRaw(spark, dir, name))
+
+  /** `events` restricted to the µs-domain range [fromUs, untilUs), with the
+    * predicates applied in the STORAGE domain — compared against a literal
+    * of the raw column's own type, below the ns normalization — so parquet
+    * receives a real range filter (`GreaterThanOrEqual(ts, …)`) and prunes
+    * row groups / partitions, whichever fixture generation is on disk.
+    * This is the batch analog of the reference's cursor seek
+    * (pkg/consumer/persist.go:152-155, LSM LowerBound): a scan that starts
+    * at the cursor instead of reading the whole log and filtering after.
+    * The returned frame has ts already normalized to Long ns, like load().
+    */
+  def eventsRange(spark: SparkSession, dir: String,
+                  fromUs: Option[Long] = None,
+                  untilUs: Option[Long] = None): DataFrame = {
+    val raw = loadRaw(spark, dir, "events")
+    // Literal built in the column's exact storage type: the comparison then
+    // needs no cast on the column side (casts on the literal fold away),
+    // which is what keeps it translatable to a parquet filter.
+    val storageLit: Long => Column = tsType(raw) match {
+      case Some(t @ (TimestampNTZType | TimestampType)) =>
+        us => timestamp_micros(lit(us)).cast(t) // exact: session is UTC
+      case _ =>
+        us => lit(us * 1000L) // legacy generation: LongType nanoseconds
     }
+    val conds = fromUs.map(us => col("ts") >= storageLit(us)) ++
+      untilUs.map(us => col("ts") < storageLit(us))
+    normalizeTs(conds.foldLeft(raw)(_.filter(_)))
   }
 
   def events(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "events")

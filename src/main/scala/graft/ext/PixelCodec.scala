@@ -184,7 +184,10 @@ object PixelCodec {
       var off = 0
       while (off < out.length && !inf.finished()) {
         val n = inf.inflate(out, off, out.length - off)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // any zero-progress iteration is fatal: needsInput (truncated
+        // stream) or needsDictionary (FDICT preset, unsupported) — looping
+        // on would hang the executor thread
+        if (n == 0) return None
         off += n
       }
       if (off == out.length) Some(out) else None
@@ -391,7 +394,7 @@ object PixelCodec {
                 left + iw > sw || top + ih > sh) { ok = false }
             else {
               val interlaced = (flags & 0x40) != 0
-              decodeLzwImage(bytes, j) match {
+              decodeLzwImage(bytes, j, iw * ih) match {
                 case None => ok = false
                 case Some((indices, after)) =>
                   if (indices.length < iw * ih) ok = false
@@ -463,8 +466,13 @@ object PixelCodec {
 
   /** GIF-LZW decode starting at the min-code-size byte; returns the
     * palette-index array and the offset just past the block terminator.
+    * Decoding stops once `maxPixels` indices are produced: a crafted
+    * stream of max-length table references can otherwise expand a few MB
+    * of codes into tens of GB, and the frame needs only iw*ih pixels —
+    * the caller discards anything past that anyway.
     */
-  private def decodeLzwImage(bytes: Array[Byte], start: Int): Option[(Array[Byte], Int)] = {
+  private def decodeLzwImage(bytes: Array[Byte], start: Int,
+                             maxPixels: Int): Option[(Array[Byte], Int)] = {
     def u8(i: Int) = bytes(i) & 0xff
     if (start >= bytes.length) return None
     val minCode = u8(start)
@@ -515,7 +523,7 @@ object PixelCodec {
       }
     }
     var code = readCode()
-    while (!finished && code >= 0) {
+    while (!finished && code >= 0 && out.size() < maxPixels) {
       if (code == clear) {
         nextCode = eoi + 1; codeWidth = minCode + 1; prev = -1
       } else if (code == eoi) {

@@ -47,11 +47,10 @@ object EventQueries {
     * (no global sort materialization).
     */
   def replayScan(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      // predicate on the RAW ts column (cursor re-scaled to the storage
-      // domain) so it pushes to parquet row-group min/max — a filter on
-      // the derived `ts div 1000` would scan everything
-      .filter(col("ts") >= CursorUs * 1000L)
+    // cursor compared in the STORAGE domain (Tables.eventsRange) so it
+    // pushes to parquet row-group min/max — a filter on the normalized
+    // `ts` projection would scan everything
+    Tables.eventsRange(spark, dir, fromUs = Some(CursorUs))
       .select(col("event_id"), timeUs.as("time_us"), col("user_id"), col("event_type"))
       .orderBy(col("time_us"), col("event_id"))
       .limit(5000)
@@ -77,11 +76,10 @@ object EventQueries {
     * three to the scan.
     */
   def subscribeFilter(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .filter( // all three conjuncts on raw columns → all pushed to the scan
+    Tables.eventsRange(spark, dir, fromUs = Some(HwmUs + 1)) // time_us > hwm
+      .filter( // remaining conjuncts on raw columns → pushed to the scan
         col("event_type").isin("click", "view", "purchase") &&
-          col("user_id").isin(0L, 2L, 4L, 6L, 8L, 10L, 12L, 14L) &&
-          col("ts") >= (HwmUs + 1) * 1000L) // time_us > hwm in the ns domain
+          col("user_id").isin(0L, 2L, 4L, 6L, 8L, 10L, 12L, 14L))
       .select(col("event_id"), timeUs.as("time_us"), col("user_id"), col("event_type"))
 
   /** S9 — monotonic sequencer, batch twin: assign a strictly increasing,
@@ -206,12 +204,12 @@ object EventQueries {
     * dropDuplicatesWithinWatermark (graft.streaming).
     */
   def overlapDedup(spark: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.events(spark, dir)
-    def slice(cond: Column) = raw.filter(cond) // raw-ts predicates → pushed
-      .select(col("event_id"), timeUs.as("time_us"), col("event_type"))
-    val replay = slice(col("ts") >= CursorUs * 1000L &&
-      col("ts") < (HwmUs + 86400000000L) * 1000L)
-    val live   = slice(col("ts") >= (HwmUs + 1) * 1000L)
+    // each slice ranges in the storage domain (Tables.eventsRange) → pushed
+    def slice(fromUs: Long, untilUs: Option[Long] = None) =
+      Tables.eventsRange(spark, dir, fromUs = Some(fromUs), untilUs = untilUs)
+        .select(col("event_id"), timeUs.as("time_us"), col("event_type"))
+    val replay = slice(CursorUs, Some(HwmUs + 86400000000L))
+    val live   = slice(HwmUs + 1)
     replay.union(live)
       .groupBy(col("event_id"))
       .agg(min(col("time_us")).as("time_us"), min(col("event_type")).as("event_type"))

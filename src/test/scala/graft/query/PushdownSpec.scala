@@ -40,6 +40,27 @@ class PushdownSpec extends SparkSpec {
       pushed.contains("GreaterThanOrEqual(ts"), s"got: $pushed")
   }
 
+  test("eventsRange pushes the range on the legacy Long-ns generation too") {
+    // The other fixture generation: ts visible as LongType nanoseconds
+    // (TIMESTAMP(NANOS) under the nanosAsLong conf reads the same way).
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = java.nio.file.Files.createTempDirectory("graft-legacy-gen").toString
+    spark.range(0, 1000)
+      .selectExpr("id as event_id", "(1704067200000000 + id * 1000000) * 1000 as ts",
+        "id % 7 as user_id", "'click' as event_type", "cast(id as double) as value",
+        "'{}' as props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val fromUs = 1704067200000000L + 500L * 1000000
+    val df = graft.Tables.eventsRange(spark, dir, fromUs = Some(fromUs))
+    assert(df.count() === 500)
+    val scan = scans(graft.Tables.eventsRange(spark, dir, fromUs = Some(fromUs))).head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(ts"), s"got: $pushed")
+    // and the returned domain is identical to the current generation's
+    assert(df.agg(expr("min(ts)")).head.getLong(0) === fromUs * 1000L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("q1: scan reads only the columns the aggregation needs") {
     val scan = scans(RelationalQueries.q1PricingSummary(spark, sf)).head
     val schema = scan.metadata.getOrElse("ReadSchema", "")
