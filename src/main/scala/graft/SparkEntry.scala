@@ -48,6 +48,7 @@ object SparkEntry {
     "sessionize"         -> EventQueries.sessionize _,
     "funnel_conversion"  -> EventQueries.funnelConversion _,
     "retention_cohorts"  -> EventQueries.retentionCohorts _,
+    "car_decode"         -> EventQueries.carDecode _,
     // --- general relational surface (SURVEY §2.2) over TPC-H fixtures
     "q1_pricing_summary" -> RelationalQueries.q1PricingSummary _,
     "q3_top_revenue"     -> RelationalQueries.q3TopRevenue _,
@@ -209,6 +210,25 @@ object SparkEntry {
       |               / len(string_split(text, ' ')))) * 1e4 + 0.5) / 1e4""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "car_decode" ->
+      // Spark synthesizes a REAL XRPC commit frame per doc (records →
+      // CAR blocks → MST → commit → two-item framing) and decodes it
+      // back through the native CAR/MST/CID path; the oracle recomputes
+      // the surviving ops arithmetically: 3 creates per doc minus the
+      // forged-CID op (doc_id%7=3 drops suffix 'a'), plus a delete op
+      // on every 5th doc
+      """SELECT 'did:plc:car' || doc_id AS did, 'c' AS op_type,
+        |       'app.graft.doc' AS collection,
+        |       'rk' || doc_id || sub.sfx AS rkey,
+        |       doc_id AS k, (doc_id * 7 + sub.j) % 1000 AS v,
+        |       't' || doc_id AS s
+        |FROM documents
+        |CROSS JOIN (VALUES (0, 'a'), (1, 'b'), (2, 'c')) AS sub(j, sfx)
+        |WHERE NOT (doc_id % 7 = 3 AND sub.j = 0)
+        |UNION ALL
+        |SELECT 'did:plc:car' || doc_id, 'd', 'app.graft.doc',
+        |       'rkdel' || doc_id, NULL, NULL, NULL
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
     "replay_scan" ->
       s"""SELECT event_id, epoch_us(ts) AS time_us, user_id, event_type
          |FROM events WHERE epoch_us(ts) >= ${EventQueries.CursorUs}

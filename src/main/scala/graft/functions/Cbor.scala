@@ -230,7 +230,7 @@ object CborCodec {
   private val mapper = new ObjectMapper()
     .enable(com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
 
-  private def writeHead(out: ByteArrayOutputStream, major: Int, value: Long): Unit = {
+  private[functions] def writeHead(out: ByteArrayOutputStream, major: Int, value: Long): Unit = {
     val m = major << 5
     if (value < 24) out.write(m | value.toInt)
     else if (value < (1 << 8)) { out.write(m | 24); out.write(value.toInt) }

@@ -41,7 +41,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => CborToJson(args.head)),
     ("json_to_cbor",
       new ExpressionInfo(classOf[JsonToCbor].getName, "json_to_cbor"),
-      (args: Seq[Expression]) => JsonToCbor(args.head)))
+      (args: Seq[Expression]) => JsonToCbor(args.head)),
+    ("xrpc_frame_to_json",
+      new ExpressionInfo(classOf[XrpcFrameToJson].getName, "xrpc_frame_to_json"),
+      (args: Seq[Expression]) => XrpcFrameToJson(args.head)))
 
   /** Idempotently register all graft functions on a live session. */
   def register(spark: SparkSession): Unit =
@@ -58,4 +61,5 @@ object GraftFunctions {
   def vec_norm(c: Column): Column = column(VecNorm(expression(c)))
   def cbor_to_json(c: Column): Column = column(CborToJson(expression(c)))
   def json_to_cbor(c: Column): Column = column(JsonToCbor(expression(c)))
+  def xrpc_frame_to_json(c: Column): Column = column(XrpcFrameToJson(expression(c)))
 }

@@ -397,4 +397,54 @@ object EventQueries {
         col("event_type"), col("n_events"),
         pround(col("n_events") / col("total"), 6).as("share"))
   }
+
+  /** S5 — the RAW relay wire, end to end: per document a REAL XRPC
+    * commit frame is synthesized (canonical DAG-CBOR records →
+    * sha-256-addressed blocks → canonical MST → commit object → CARv1 →
+    * cborgen-shaped body + header, [[graft.functions.Car.buildCommitFrame]]),
+    * then decoded BACK in-plan by the native `xrpc_frame_to_json`
+    * expression — CAR section framing, hash verification, MST walk per
+    * op, strict record CBOR — through the standard mixed-frame decode
+    * chain (the full consumer.go:99-305 path). Planted adversarial
+    * cases prove the checks bite: every 7th doc's first op declares a
+    * FORGED CID (dropped by the cid==recordCid filter,
+    * consumer.go:227-231), every 5th doc adds a delete op (no record,
+    * kept). The oracle recomputes the surviving rows arithmetically —
+    * a decode, framing, MST, or CID defect hash-mismatches.
+    *
+    * Scale: frame synthesis and decode are row-local (mapPartitions +
+    * codegen'd expression); no shuffle until the final comparison-free
+    * projection — the plan is the ingest hot path itself.
+    */
+  def carDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Car
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val frames = ids.mapPartitions(_.map { id =>
+      val creates = Seq("a", "b", "c").zipWithIndex.map { case (sfx, j) =>
+        val forged = id % 7 == 3 && j == 0
+        Car.WireOp("create", s"app.graft.doc/rk$id$sfx",
+          Some(s"""{"k":$id,"v":${(id * 7 + j) % 1000},"s":"t$id"}"""),
+          cidOverride =
+            if (forged) Some(Car.cidForBlock(Array[Byte](1, 2, 3))) else None)
+      }
+      val dels =
+        if (id % 5 == 0) Seq(Car.WireOp("delete", s"app.graft.doc/rkdel$id", None))
+        else Seq.empty
+      Car.buildCommitFrame(s"did:plc:car$id", id, "2024-01-01T00:00:00Z",
+        s"rev$id", creates ++ dels)
+    }).toDF("frame")
+    val decoded = graft.ingest.Decode.decodeFrames(
+      graft.ingest.Decode.parseMixedFrames(
+        frames.select(graft.functions.GraftFunctions
+          .xrpc_frame_to_json(col("frame")).as("value"))))
+    decoded.select(
+      col("did"),
+      col("commit.type").as("op_type"),
+      col("commit.collection").as("collection"),
+      col("commit.rkey").as("rkey"),
+      get_json_object(col("commit.record"), "$.k").cast("long").as("k"),
+      get_json_object(col("commit.record"), "$.v").cast("long").as("v"),
+      get_json_object(col("commit.record"), "$.s").as("s"))
+  }
 }

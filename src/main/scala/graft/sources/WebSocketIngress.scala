@@ -40,15 +40,16 @@ import graft.ingest.{Decode, IngestJob}
   * BINARY message = one DAG-CBOR encoding of the same wire event; the
   * `value` column is then `binary` and [[WebSocketIngress.events]]
   * decodes it IN THE PLAN with the native `cbor_to_json` expression,
-  * not on the driver). NOTE the honest scope: the raw XRPC relay
-  * protocol frames TWO concatenated CBOR items per message (header +
-  * body, decoded inside indigo's `events.HandleRepoStream`,
-  * main.go:317) and carries CAR blocks in the body — that
-  * deserialization boundary is S5, excluded by SURVEY §2.1's design
-  * note (events arrive decoded). `format=cbor` is therefore the
-  * compact binary twin of the decoded-event JSON wire: one
-  * self-contained DAG-CBOR item per message, same schema as the text
-  * frames — not the raw relay protocol.
+  * not on the driver), or `firehose` (one BINARY message = one RAW
+  * XRPC relay frame: TWO concatenated CBOR items per message (header +
+  * body, the framing indigo's `events.HandleRepoStream` decodes,
+  * main.go:317) with CAR blocks in a `#commit` body — the S5 boundary,
+  * decoded in-plan by the native `xrpc_frame_to_json` expression:
+  * CARv1 sections, commit object, MST walk per op, hash-verified
+  * blocks, canonical record CBOR → wire JSON; see
+  * [[graft.functions.Car]]). `format=cbor` remains the compact binary
+  * twin of the decoded-event JSON wire: one self-contained DAG-CBOR
+  * item per message, same schema as the text frames.
   * `maxBufferedFrames` (default 262144) bounds the driver-side buffer;
   * past it the listener stops requesting and TCP backpressure holds
   * the upstream.
@@ -84,9 +85,9 @@ object WebSocketFrameSource {
   private[sources] def isBinary(params: Map[String, String]): Boolean =
     params.getOrElse("format", "text") match {
       case "text" => false
-      case "cbor" => true
+      case "cbor" | "firehose" => true
       case other => throw new IllegalArgumentException(
-        s"graft-websocket: unknown format '$other' (text|cbor)")
+        s"graft-websocket: unknown format '$other' (text|cbor|firehose)")
     }
 
   def schemaFor(params: Map[String, String]): StructType =
@@ -323,11 +324,18 @@ object WebSocketIngress {
   def events(spark: SparkSession, url: String, format: String = "text"): DataFrame = {
     val raw = spark.readStream.format("graft-websocket")
       .option("url", url).option("format", format).load()
-    val json =
-      if (WebSocketFrameSource.isBinary(Map("format" -> format)))
+    val json = format match {
+      case "cbor" =>
         raw.select(graft.functions.GraftFunctions.cbor_to_json(
           org.apache.spark.sql.functions.col("value")).as("value"))
-      else raw
+      case "firehose" =>
+        // the REAL relay wire (S5): header+body CBOR items with CAR
+        // blocks — the full CAR/MST/CID decode runs in-plan via the
+        // native xrpc_frame_to_json expression (graft.functions.Car)
+        raw.select(graft.functions.GraftFunctions.xrpc_frame_to_json(
+          org.apache.spark.sql.functions.col("value")).as("value"))
+      case _ => raw
+    }
     Decode.decodeFrames(Decode.parseMixedFrames(json))
   }
 

@@ -125,6 +125,69 @@ class WebSocketIngressSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  /** Re-encode a fixture wire line as a RAW relay message: records →
+    * CAR blocks → MST → commit object → two-item XRPC framing — the
+    * true upstream bytes (what `events.HandleRepoStream` consumes,
+    * main.go:317), built by [[graft.functions.Car.buildCommitFrame]].
+    */
+  private def firehoseEncode(line: String): Array[Byte] = {
+    val j = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    val ops = {
+      val it = j.get("ops").elements()
+      val b = Seq.newBuilder[graft.functions.Car.WireOp]
+      while (it.hasNext) {
+        val op = it.next()
+        b += graft.functions.Car.WireOp(op.get("action").asText(),
+          op.get("path").asText(),
+          Option(op.get("record")).map(_.toString))
+      }
+      b.result()
+    }
+    graft.functions.Car.buildCommitFrame(j.get("did").asText(),
+      j.get("seq").asLong(), j.get("time").asText(), j.get("rev").asText(), ops)
+  }
+
+  test("raw relay frames: format=firehose decodes CAR/MST/CID in-plan and cursor-resumes") {
+    // the S5 boundary live: one BINARY message = header+body CBOR items
+    // with the records inside a CARv1 archive; the plan-side
+    // xrpc_frame_to_json walks CAR sections, verifies hashes, resolves
+    // each op through the MST, and re-emits the wire JSON — same table
+    // contents, same resume, as the decoded-event transports
+    val table = tmpDir("ws-firehose")
+    val srv = new WsTestKit.ReplayServer(Some(firehoseEncode _))
+    try {
+      srv.log = (1 to 3).map(frame).toVector
+      val q1 = WebSocketIngress.start(spark,
+        s"ws://localhost:${srv.port}/subscribe", table, tmpDir("ws-fh-ckpt1"),
+        format = "firehose")
+      eventually(90000)(EventsTable.read(spark, table).count() >= 3)
+      q1.stop(); q1.awaitTermination(30000)
+
+      val rows1 = EventsTable.read(spark, table)
+        .select(col("event_time_us"),
+          get_json_object(col("commit.record"), "$.text").as("txt"),
+          col("commit.cid").as("cid"))
+        .as[(Long, String, String)].collect().sortBy(_._1)
+      assert(rows1.map(_._1).toSeq == (1 to 3).map(frame(_)._1))
+      assert(rows1.map(_._2).toSeq == (1 to 3).map(i => s"m$i"),
+        "record payloads survive the CAR extraction")
+      assert(rows1.forall(_._3.startsWith("b")),
+        "cids are the hash-verified CIDv1 strings, not the fixture placeholders")
+
+      // cursor-resumed re-dial over the raw relay transport
+      srv.log = (1 to 5).map(frame).toVector
+      val q2 = WebSocketIngress.start(spark,
+        s"ws://localhost:${srv.port}/subscribe", table, tmpDir("ws-fh-ckpt2"),
+        format = "firehose")
+      eventually(90000)(EventsTable.read(spark, table).count() >= 5)
+      q2.stop(); q2.awaitTermination(30000)
+      val times = EventsTable.read(spark, table)
+        .select("event_time_us").as[Long].collect().sorted.toSeq
+      assert(times == (1 to 5).map(frame(_)._1),
+        "no loss, no duplication across the firehose re-dial")
+    } finally srv.close()
+  }
+
   test("bounded buffer: a tiny maxBufferedFrames pauses and resumes without losing frames") {
     // high-water 2 on a 25-frame burst: the listener must stop
     // requesting at the mark and commit() must resume it — every frame
