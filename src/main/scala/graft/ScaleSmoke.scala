@@ -191,10 +191,9 @@ object ScaleSmoke {
     }
 
     // --- distributed connected components at edge volumes the driver
-    // union-find refuses (driverThreshold = 0 forces the min-label
-    // loop): 10M edges in 2M chains of 5 nodes (diameter 4 — the loop
-    // converges in a handful of key-partitioned join+agg rounds). This
-    // is the 100 TB code path the ≤1M-edge driver shortcut hands off to.
+    // union-find refuses (driverThreshold = 0 forces star contraction):
+    // 10M edges in 2M chains of 5 nodes. This is the 100 TB code path
+    // the ≤1M-edge driver shortcut hands off to.
     {
       val nEdges = 10000000L
       // node ids: chain c holds nodes c*6 .. c*6+5; edges (v, v+1) ×2 dirs
@@ -211,8 +210,29 @@ object ScaleSmoke {
       val sec = (System.nanoTime() - t) / 1e9
       println(f"[scale] distributed connected components: $nEdges edges → " +
         f"$nNodes nodes, $nComps components in $sec%.2fs " +
-        f"(${nEdges / sec / 1e6}%.1fM edges/s, min-label loop)")
+        f"(${nEdges / sec / 1e6}%.1fM edges/s, star contraction)")
       require(nComps == nEdges / 5, s"expected ${nEdges / 5} chains, got $nComps")
+    }
+
+    // --- chain-shaped component: the adversarial shape for label
+    // propagation, whose round count is the component DIAMETER — a
+    // 100k-long chain of near-dups (template drift over time, real in
+    // web corpora) would need ~100k Spark jobs. Star contraction must
+    // close it in ≤ log₂(n)+2 rounds.
+    {
+      val n = 100000L
+      val oriented = spark.range(1L, n)
+        .select((col("id") + 1).as("src"), col("id").as("dst"))
+      val t = System.nanoTime()
+      val (labels, rounds) = graft.ext.Dedup.starContraction(oriented)
+      val r = labels.agg(count(lit(1)), countDistinct(col("comp"))).head()
+      val sec = (System.nanoTime() - t) / 1e9
+      val bound = (math.log(n.toDouble) / math.log(2)).ceil.toInt + 2
+      println(f"[scale] star contraction, one $n-node chain: $rounds rounds " +
+        f"(bound log2(n)+2 = $bound), ${r.getLong(0)} nodes → " +
+        f"${r.getLong(1)} component in $sec%.2fs")
+      require(r.getLong(1) == 1L && rounds <= bound,
+        s"chain contraction: ${r.getLong(1)} comps in $rounds rounds (bound $bound)")
     }
 
     // --- sessionization over the synthetic log: lag + running-sum +

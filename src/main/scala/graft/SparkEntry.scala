@@ -522,6 +522,20 @@ object SparkEntry {
         |       floor((corr(value, (epoch_us(ts) % 1000000)::DOUBLE)) * 1e6 + 0.5) / 1e6
         |         AS corr_vt
         |FROM events GROUP BY event_type""".stripMargin,
+    // Sketch gates: the sketch VALUES are engine-specific (DuckDB cannot
+    // reproduce Spark's HLL registers or percentile sketch), so the
+    // Spark query verifies the sketch against the exact answer IN-QUERY
+    // and emits booleans; the oracle recomputes the exact columns and
+    // asserts TRUE. A sketch drifting past its stated error bound flips
+    // a boolean → hash mismatch → the gate fails.
+    "hll_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |       TRUE AS within_bound
+        |FROM events GROUP BY event_type""".stripMargin,
+    "approx_quantiles" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+        |FROM events GROUP BY event_type""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |       len(string_split(text, ' ')) AS n_words,

@@ -288,12 +288,19 @@ object Dedup {
     * the canonical-representative assignment a dedup pipeline applies
     * after pair verification (keep `comp`, drop the rest).
     *
-    * Min-label propagation: each iteration is one key-partitioned join
-    * + partial-aggregated min, and the iteration count is the cluster
-    * diameter — near-dup clusters are tiny (pairs/triples), so this
-    * converges in 2-3 rounds regardless of corpus size. Convergence is
-    * detected by the strictly-decreasing label sum (no per-row compare
-    * pass). The driver loop schedules Spark jobs; no data is collected.
+    * The distributed path is alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond"): each round rewires every node's larger neighbors
+    * (large-star) and then its smaller neighbors plus itself
+    * (small-star) to the minimum of the neighborhood, halving the
+    * effective diameter — O(log n) rounds on ANY component shape. The
+    * earlier min-label propagation needed O(diameter) rounds, which is
+    * fine for the common pair/triple near-dup clusters but degenerate
+    * on a chain-shaped component (template drift over time — real in
+    * web corpora): a 10k-long chain meant 10k Spark jobs. Convergence
+    * is a count+hash signature of the edge multiset going stable (one
+    * small aggregate per round). The driver loop schedules Spark jobs;
+    * no data is collected.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20, driverThreshold: Long = 1000000L): DataFrame = {
@@ -352,31 +359,84 @@ object Dedup {
         return ids.map(id => (id, find(id))).toDF("id", "comp")
       } finally edges.unpersist()
     }
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).cache()
-    try {
-      var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
-      var iter = 0
-      var done = false
-      while (!done && iter < maxIter) {
-        iter += 1
-        val nbrMin = edges.as("e")
-          .join(labels.as("l"), col("e.dst") === col("l.id"))
-          .groupBy(col("e.src"))
-          .agg(min(col("l.comp")).as("nmin"))
-          .select(col("src").as("nid"), col("nmin"))
-        val next = labels.as("l0")
-          .join(nbrMin, col("l0.id") === col("nid"), "left")
-          .select(col("l0.id").as("id"),
-            least(col("l0.comp"), coalesce(col("nmin"), col("l0.comp"))).as("comp"))
-          .cache()
-        val s = next.agg(sum(col("comp"))).head().getLong(0)
-        labels.unpersist()
-        labels = next
-        if (s == prevSum) done = true else prevSum = s
-      }
-      labels
-    } finally edges.unpersist()
+    // the cached both-direction edge set already holds each undirected
+    // edge twice; src > dst selects the oriented copy for star rounds
+    try starContraction(edges.filter(col("src") > col("dst")), maxIter)._1
+    finally edges.unpersist()
+  }
+
+  /** Alternating large-star/small-star contraction over an ORIENTED
+    * (src > dst, self-loop-free) edge list; returns the `(id, comp)`
+    * labeling (comp = min id of the component; nodes that appear in at
+    * least one edge) and the number of rounds executed.
+    *
+    * Per round (Kiveris et al. 2014):
+    *   - large-star(u): with m = min(Γ(u) ∪ {u}), rewire every STRICTLY
+    *     LARGER neighbor v > u to m — emitted edges stay oriented since
+    *     m ≤ u < v;
+    *   - small-star(u): over the rewired list (grouped by the larger
+    *     endpoint), with m = min of u's smaller neighbors, rewire those
+    *     neighbors and u itself to m.
+    * Both halves are one groupBy-min + one key-partitioned join each, so
+    * a round is a fixed number of shuffles whose volume SHRINKS as stars
+    * form; total rounds are O(log n) on any component shape (measured
+    * ≤ log₂(n)+2 on a pure chain, the worst case for the min-label
+    * propagation this replaced). Convergence = the (count, hash-sum)
+    * signature of the edge multiset repeating — one tiny aggregate per
+    * round, no per-row compare pass.
+    *
+    * Each round's output is an EAGER localCheckpoint, not a cache: the
+    * round's plan references the previous round's subtree four times
+    * (two neighbor directions × join + groupBy), so a cached-but-lazy
+    * lineage grows ~4^rounds — at seven rounds Spark OOMs just
+    * RENDERING the plan string for the cache name. The checkpoint
+    * flattens the logical plan to the materialized rows; superseded
+    * round RDDs are freed by the context cleaner, and round outputs
+    * shrink geometrically as stars form, so peak block storage is a
+    * small multiple of the input edge list.
+    */
+  def starContraction(oriented: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
+    // xor-fold, not sum: order-independent over the distinct edge set
+    // and immune to ANSI long-overflow, which a 64-bit hash sum trips
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edges = oriented.select(col("src"), col("dst")).localCheckpoint(true)
+    var s = sig(edges)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxIter) {
+      rounds += 1
+      // large-star over FULL neighborhoods (both directions of the
+      // oriented list)
+      val nbrs = edges.select(col("src").as("u"), col("dst").as("v"))
+        .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // small-star: ls is oriented (src > dst) by construction
+      val smins = ls.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val ss0 = ls.join(smins, "src")
+        .select(col("dst").as("node"), col("m"))
+        .union(smins.select(col("src").as("node"), col("m")))
+        .filter(col("node") =!= col("m"))
+        .select(col("node").as("src"), col("m").as("dst"))
+        .distinct()
+      val next = ss0.localCheckpoint(true)
+      val s2 = sig(next)
+      edges = next
+      if (s2 == s) done = true else s = s2
+    }
+    val labels = edges.select(col("src").as("id"), col("dst").as("comp"))
+      .union(edges.select(col("dst").as("id"), col("dst").as("comp")))
+      .distinct()
+    (labels, rounds)
   }
 
   /** Canonical-representative reduction over a component labeling (the

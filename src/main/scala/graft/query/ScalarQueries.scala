@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -82,11 +82,6 @@ object ScalarQueries {
         pround(corr(col("value"), col("t")), 6).as("corr_vt"))
   }
 
-  /** HLL sketch: approx distinct users per type — registered WITHOUT an
-    * oracle (sketch internals are engine-specific; `distinct_users` is
-    * the exact gate). At scale this is the right default for "distinct
-    * DIDs seen": constant memory per group vs a full distinct shuffle.
-    */
   /** Regex scalar family over the raw JSON payload: group-capturing
     * extract, extract-all cardinality, and a pattern predicate — the
     * regex-on-payload triad of log pipelines. All three are codegen'd
@@ -102,10 +97,29 @@ object ScalarQueries {
           .as("n_digit_runs"),
         col("props").rlike("\"k\": [0-9]{2}").as("two_digit_k"))
 
+  /** HLL sketch, ORACLE-BOUNDED: the sketch's register contents are
+    * engine-specific (DuckDB cannot reproduce Spark's estimate), so the
+    * gate is an in-query error-bound check instead of a value compare:
+    * the query computes BOTH the HLL estimate and the exact distinct
+    * count per group and emits `within_bound` — true iff the estimate
+    * is within 5 standard errors (rsd 0.05 default ⇒ 25 % relative,
+    * plus an absolute floor of 16 for tiny groups where HLL is exact by
+    * its sparse representation). The oracle asserts `TRUE`, so a broken
+    * sketch (estimate drifts past 5σ) hash-mismatches and fails the
+    * gate — a real oracle, not a rows-only check. The exact twin rides
+    * along only for the gate; at 100 TB callers use the sketch alone
+    * (constant memory per group vs the full distinct shuffle).
+    */
   def hllDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(
+        col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") <=
+          greatest(lit(16.0), col("exact_users") * lit(0.25))).as("within_bound"))
 
   /** DAG-CBOR codec end-to-end (reference record codec,
     * pkg/consumer/consumer.go:234 `data.UnmarshalCBOR` → `json.Marshal`):
@@ -141,12 +155,38 @@ object ScalarQueries {
   }
 
   /** Approximate quantile sketch (no oracle — same reasoning). */
-  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"))
+  /** Approximate percentiles (KLL-style sketch), ORACLE-BOUNDED by rank
+    * error: `approx_percentile` guarantees the returned value's rank is
+    * within ε·n of the target (ε = 1/accuracy = 1e-4 at the default
+    * 10 000). The query joins the per-group sketch output back to the
+    * values and verifies the guarantee directly — for each quantile q,
+    * count(value ≤ p_q) ≥ q·n − slack and count(value < p_q) ≤ q·n +
+    * slack, with slack = max(1, 0.005·n) (50× the nominal ε, so VM-
+    * independent). The oracle asserts the three booleans TRUE; a broken
+    * sketch (wrong merge, rank drift) flips one and hash-mismatches.
+    * The sketch side is one partial-aggregated pass; the rank audit is
+    * a broadcast join of a |event_type|-row table — gate-only cost.
+    */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val sk = ev.groupBy(col("event_type"))
       .agg(expr("approx_percentile(value, array(0.5, 0.95, 0.99))").as("p"))
-      .select(col("event_type"),
+      .select(col("event_type").as("et"),
         col("p").getItem(0).as("p50"),
         col("p").getItem(1).as("p95"),
         col("p").getItem(2).as("p99"))
+    def rankOk(p: Column, q: Double): Column = {
+      val n = count(lit(1)).cast("double")
+      val slack = greatest(lit(1.0), n * lit(0.005))
+      (sum(when(col("value") <= p, 1L).otherwise(0L)).cast("double") >= n * q - slack) &&
+        (sum(when(col("value") < p, 1L).otherwise(0L)).cast("double") <= n * q + slack)
+    }
+    ev.join(broadcast(sk), col("event_type") === col("et"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        rankOk(col("p50"), 0.50).as("p50_ok"),
+        rankOk(col("p95"), 0.95).as("p95_ok"),
+        rankOk(col("p99"), 0.99).as("p99_ok"))
+  }
 }

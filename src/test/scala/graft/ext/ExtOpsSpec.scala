@@ -49,11 +49,26 @@ class ExtOpsSpec extends SparkSpec {
     val driver = Dedup.connectedComponents(pairs, "doc_id_a", "doc_id_b")
       .as[(Long, Long)].collect().toMap
     assert(driver == expected)
-    // distributed min-label path must produce the identical assignment
+    // distributed star-contraction path must produce the identical
+    // assignment
     val dist = Dedup.connectedComponents(pairs, "doc_id_a", "doc_id_b",
       driverThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     assert(dist == expected)
+
+    // adversarial shape: one 64-node CHAIN (diameter 63 — the case the
+    // old min-label propagation needed 63 rounds for). Star contraction
+    // must label it in O(log n) rounds.
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+    val chainDist = Dedup.connectedComponents(chain, "doc_id_a", "doc_id_b",
+      driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(chainDist == (1L to 64L).map(_ -> 1L).toMap)
+    val oriented = chain.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst"))
+    val (labels, rounds) = Dedup.starContraction(oriented)
+    assert(labels.as[(Long, Long)].collect().toMap == (1L to 64L).map(_ -> 1L).toMap)
+    // log₂(64) = 6; +2 covers the convergence-detection round
+    assert(rounds <= 8, s"star contraction took $rounds rounds on a 64-chain")
 
     // non-integral ids are rejected up front with a clear message —
     // previously the driver path NPE'd on them while the distributed
