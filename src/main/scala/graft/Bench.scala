@@ -28,11 +28,45 @@ object Bench {
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_verified",
     "dedup_components", "simhash_hamming", "dedup_embed_cosine",
     "semdedup_prune", "chunk_dedup",
+    // round-8-touched paths pinned before they drift (VERDICT r8 #7):
+    // dedup_reps' key-partitioned aggregate and decontam_flags' size-gated
+    // broadcast-vs-shuffle probe must both stay sub-quadratic
+    "dedup_reps", "decontam_flags",
     // row-local codec paths: linear by construction; gated to keep the
     // measured small→big ratio on record alongside the candidate-
     // generation queries (a regression to superlinear here would mean
     // the codec stopped being row-local)
     "cbor_roundtrip", "video_meta")
+
+  /** Committed quiet-VM reading of [[calibrationSec]] (min of 3, idle
+    * builder machine). BENCH numbers from a loaded VM divide out as
+    * `noise_factor = calib_sec / CalibRefSec`: r8's official bench read
+    * 74.79 s against a committed 50.0 s on identical code — a 1.9×
+    * loaded-VM artifact the raw wall time cannot distinguish from a
+    * regression. The normalized value can.
+    */
+  val CalibRefSec = 0.49
+
+  /** Fixed calibration workload: a deterministic shuffle+codegen-bound
+    * job (range → hash → shuffle agg) whose cost depends only on machine
+    * speed and load — never on SF, fixtures, or the code under test.
+    * Measured before AND after the timed pass (min of 3 each, min of
+    * both phases): load that arrives mid-run still registers in one of
+    * the two phases, and the min across both is the run's best estimate
+    * of the machine's noise-free speed.
+    */
+  def calibrationSec(spark: SparkSession): Double =
+    (1 to 3).map { _ =>
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      spark.range(0L, 40000000L, 1L, 32)
+        .selectExpr("xxhash64(id) % 4096 AS k", "id AS v")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("v"),
+          org.apache.spark.sql.functions.count("*"))
+        .agg(org.apache.spark.sql.functions.count("*")).head()
+      (System.nanoTime() - t0) / 1e9
+    }.min
 
   /** Growth-budget violations: queries whose big-SF time exceeds
     * max(smallSec, floorSec) × rowsRatio^exponent. The floor keeps a
@@ -105,6 +139,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // calibration phase 1: machine speed before any timed query
+    val calibBefore = calibrationSec(spark)
+
     def cleanSlate(): Unit = {
       // no cross-query cached blocks or pending old-gen garbage skewing
       // an unrelated query's wall time
@@ -137,11 +174,13 @@ object Bench {
     def finite(best: Double): Double = if (best.isInfinity) -1.0 else best
     // Heavy queries jitter: on this VM a >1 s query's two reps can
     // disagree ±40 % (r5→r6 flagged fake regressions on untouched
-    // code). When the min-of-reps estimator is that unstable — spread
-    // over 25 % of a >0.5 s best — one extra rep is run and the MEDIAN
-    // of the three reported; the affected names are listed in the
-    // output so round-over-round readers know which numbers changed
-    // estimator.
+    // code). EVERY query whose best rep exceeds 1 s gets one extra rep
+    // and reports the MEDIAN of the sample (r8 verdict: the expensive
+    // tail is exactly where noise dominates, so it always earns the
+    // extra rep); a sub-second query escalates the same way only when
+    // its spread exceeds 25 % of a >0.5 s best. Affected names are
+    // listed in the output so round-over-round readers know which
+    // numbers changed estimator.
     val medianed = scala.collection.mutable.ListBuffer.empty[String]
     // min-of-reps per query, kept alongside the reported estimator: the
     // growth gate compares ONLY mins on both sides — mixing a median
@@ -152,7 +191,7 @@ object Bench {
       val xs = (1 to reps).map(_ => timedRep(name, run))
       val best = xs.min
       val spread = if (best > 0 && !best.isInfinity) (xs.max - best) / best else 0.0
-      if (!best.isInfinity && best > 0.5 && spread > 0.25) {
+      if (!best.isInfinity && (best > 1.0 || (best > 0.5 && spread > 0.25))) {
         medianed += name
         val extra = timedRep(name, run)
         minTimes(name) = math.min(best, extra)
@@ -190,6 +229,11 @@ object Bench {
       growth.map { case (n, (s, b, _)) => n -> (s, b) },
       growth.headOption.map(_._2._3).getOrElse(1.0))
 
+    // calibration phase 2 (load that arrived mid-run); the run's
+    // calibration is the best the machine showed at either end
+    val calibSec = math.min(calibBefore, calibrationSec(spark))
+    val noiseFactor = calibSec / CalibRefSec
+
     // Full-precision detail goes to the BENCH.json FILE; stdout carries a
     // COMPACT line. The harness captures only a bounded TAIL of stdout
     // (~2000 chars, measured from BENCH_r03's `tail` field), so the
@@ -216,7 +260,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val line = {
       val lineBudget = 1700 // < 2000-char tail − sbt prefix/suffix lines
-      val head = s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","n_queries":${results.size},"queries":{"""
+      val head = s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","value_norm":${jnum(total / noiseFactor, 2)},"noise_factor":${jnum(noiseFactor, 2)},"n_queries":${results.size},"queries":{"""
       val tailFmt = s"""},"queries_omitted":NNN,"index_build_sec":${jnum(indexBuildSec, 2)},"growth":$gsCompact,"sf":"$sfDir"}"""
       var used = head.length + tailFmt.length
       val kept = scala.collection.mutable.ListBuffer.empty[String]
@@ -234,7 +278,7 @@ object Bench {
     // Machine-readable full-precision copy, free of sbt's [info]/[error]
     // line prefixes. Default is RELATIVE to the working directory so any
     // checkout works; SPARK_GRAFT_BENCH_OUT overrides.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","value_norm":${total / noiseFactor},"calib_sec":$calibSec,"calib_ref_sec":$CalibRefSec,"noise_factor":$noiseFactor,"queries":${
       results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     },"growth":$gsFull,"growth_exponent":1.3,"index_build_sec":$indexBuildSec,"probe_only":${
       probeOnly.map("\"" + _ + "\"").mkString("[", ",", "]")

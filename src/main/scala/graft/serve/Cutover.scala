@@ -54,9 +54,12 @@ final class CutoverSession(
     if (toUs > seqVar) seqVar = toUs
   }
 
-  /** Subscriber predicate + hwm dedup (emitToSubscriber, server.go:118-134). */
+  /** Subscriber predicate + hwm dedup (emitToSubscriber, server.go:118-134);
+    * collection/did resolved against the frame's actual shape (flat
+    * fixture columns or the nested wire envelope).
+    */
   private def deliverable(df: DataFrame): DataFrame =
-    df.filter(Subscribe.filterFor(spec.copy(hwmUs = seqVar)))
+    df.filter(Subscribe.filterForDf(spec.copy(hwmUs = seqVar), df))
 
   private def maxTimeUs(df: DataFrame): Option[Long] = {
     val row = df.agg(max(col("time_us"))).head()
@@ -125,5 +128,41 @@ final class CutoverSession(
     val view = deliverable(gated).orderBy(col("time_us"))
     maxTimeUs(view).foreach(advanceSeq)
     view
+  }
+
+  // wanted-sets as hash sets for the in-process emit loop — the Seq
+  // forms stay on the spec for the Column path, but a per-frame
+  // `Seq.contains` would make the loop O(frames × wanted) driver CPU
+  private[this] val collSet = spec.wantedCollections.toSet
+  private[this] val didSet = spec.wantedDids.toSet
+
+  /** The live `Emit` branch over the ONCE-collected micro-batch — the
+    * in-process twin of [[liveEmit]], applying the same gate, predicate
+    * and hwm dedup per frame in plain JVM code so the serving loop runs
+    * ONE Spark job per micro-batch regardless of subscriber count
+    * (the reference's emit loop is exactly this shape: one serialized
+    * batch in memory, a per-subscriber predicate pass in process,
+    * server.go:87-134). `frames` must be time-ordered (the caller sorts
+    * the collected batch once); the returned wires are then in order,
+    * and the hwm advances to the delivered tail like [[liveEmit]].
+    */
+  def liveEmitFrames(frames: Array[Subscribe.WireFrame]): Array[String] = {
+    if (replaying) return Array.empty // replay-lag gate (server.go:100-103)
+    val hwm = seqVar
+    val out = Array.newBuilder[String]
+    var last = Long.MinValue
+    var i = 0
+    while (i < frames.length) {
+      val f = frames(i)
+      if (f.timeUs > hwm &&
+          (collSet.isEmpty || (f.collection != null && collSet(f.collection))) &&
+          (didSet.isEmpty || (f.did != null && didSet(f.did)))) {
+        out += f.wire
+        last = f.timeUs
+      }
+      i += 1
+    }
+    if (last != Long.MinValue) advanceSeq(last)
+    out.result()
   }
 }

@@ -6,7 +6,6 @@ import java.net.{ServerSocket, Socket}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.storage.StorageLevel
 
 import graft.ingest.Decode
 
@@ -34,13 +33,18 @@ import graft.ingest.Decode
   * drops the subscriber exactly like the reference's slow-consumer
   * close (server.go:168-175).
   *
-  * Scale posture: per-subscriber views are computed distributed (the
-  * same pruned scans CutoverSessionSpec pins) and only each
-  * subscriber's ADMITTED lines are collected to the serving edge — the
-  * single-node fan-out edge the reference also is. A multi-node serving
-  * tier runs one of these per edge node against the shared table (the
-  * sessions hold two longs of state each); the table, not the server,
-  * is the scale axis.
+  * Scale posture: the LIVE path costs ONE Spark job per micro-batch at
+  * any subscriber count — the batch is wire-serialized distributed,
+  * collected once with its routing columns, and fanned out by the
+  * in-process emit loop ([[CutoverSession.liveEmitFrames]]), the same
+  * shape as the reference's single-marshal + per-subscriber-predicate
+  * loop (server.go:73,87-134). REPLAY views stay distributed — pruned,
+  * chunk-bounded table scans per session. The driver is the egress
+  * edge, exactly as the reference's process is: its ceiling (measured
+  * in ScaleSmoke, documented in PERF.md) is wire-bytes × subscribers
+  * through one process's sockets; a multi-node serving tier runs one of
+  * these per edge node against the shared table (sessions hold two
+  * longs of state each) — the table, not the server, is the scale axis.
   */
 object SocketServe {
 
@@ -223,26 +227,28 @@ object SocketServe {
     acceptor.setDaemon(true)
     acceptor.start()
 
-    def writeView(conn: Conn, view: DataFrame): Unit = {
-      // live views arrive pre-serialized (the shared wire cache below —
-      // the single marshal of server.go:73); replay views come off
-      // per-subscriber table scans and serialize here. Flush per view
-      // so replay chunks stream promptly.
-      val wired =
-        if (view.columns.contains("wire")) view else Decode.toWire(view)
-      val rows = wired.select("wire").collect()
+    def writeWire(conn: Conn, wires: Array[String]): Unit = {
       val kill = watchdog.schedule(
         new Runnable { def run(): Unit = conn.socket.close() },
         writeTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
       val bytes =
-        try conn.writer.writeFrames(rows.map(_.getString(0)))
+        try conn.writer.writeFrames(wires)
         finally kill.cancel(false)
       // past writeFrames: count only deliveries that reached the pipe
       // (server.go:151-152 counts after a successful write)
-      if (rows.nonEmpty) {
-        conn.delivered.add(rows.length.toDouble)
+      if (wires.nonEmpty) {
+        conn.delivered.add(wires.length.toDouble)
         conn.bytesDelivered.add(bytes.toDouble)
       }
+    }
+    // replay views come off per-subscriber PRUNED table scans (the
+    // distributed half of the session) and serialize + collect here —
+    // chunk-bounded and playback-paced, so each collect is ≤ chunkSize
+    // admitted rows. Flush per view so replay chunks stream promptly.
+    def writeView(conn: Conn, view: DataFrame): Unit = {
+      val wired =
+        if (view.columns.contains("wire")) view else Decode.toWire(view)
+      writeWire(conn, wired.select("wire").collect().map(_.getString(0)))
     }
 
     // the live head starts at the TABLE's current tail, not 0: a no-data
@@ -262,34 +268,49 @@ object SocketServe {
         val spark = batch.sparkSession
         val active = conns.readOnlySnapshot().values.toSeq.sortBy(_.name)
         if (active.nonEmpty) {
-          // serialize ONCE per micro-batch; every subscriber's live view
-          // filters the cached wired batch and ships the wire column
-          val cached = Decode.toWire(batch).persist(StorageLevel.MEMORY_AND_DISK)
-          try {
-            // one aggregate pass: live head + the emit-loop counters
-            // (server.go:71,80 counts each serialized event and its
-            // bytes once, before fan-out — same spot, same single
-            // serialization thanks to the shared wire cache)
-            val headRow = cached.agg(max(col("time_us")),
-              count(lit(1)), sum(octet_length(col("wire")))).head()
-            if (!headRow.isNullAt(0))
-              lastHeadUs.getAndAccumulate(headRow.getLong(0), math.max)
-            if (headRow.getLong(1) > 0L) {
-              eventsEmitted.add(headRow.getLong(1).toDouble)
-              bytesEmitted.add(headRow.getLong(2).toDouble)
+          // ONE Spark job per micro-batch, at ANY subscriber count:
+          // serialize once distributed (the single marshal of
+          // server.go:73) and collect the wire frames WITH their routing
+          // columns to the serving edge; everything below is the
+          // in-process emit loop (server.go:87-134) — per-subscriber
+          // predicate + hwm over the shared frame array, zero further
+          // jobs. The earlier shape (a filtered view + collect per
+          // subscriber) was 2·S jobs per batch; at S=100 the job-
+          // scheduling overhead alone dominated the batch. Driver memory
+          // holds one live micro-batch of wire bytes — bounded by the
+          // trigger interval, and the same window the reference keeps in
+          // process for its emit loop.
+          val wiredBatch = Decode.toWire(batch)
+          val frames = wiredBatch
+            .select(col("time_us"),
+              Subscribe.resolvedCollection(wiredBatch).as("collection"),
+              col("did"), col("wire"))
+            .collect()
+            .map(r => Subscribe.WireFrame(r.getLong(0),
+              if (r.isNullAt(1)) null else r.getString(1),
+              if (r.isNullAt(2)) null else r.getString(2),
+              r.getString(3)))
+            .sortBy(_.timeUs)
+          if (frames.nonEmpty) {
+            // live head + the emit-loop counters (server.go:71,80 counts
+            // each serialized event and its bytes once, before fan-out)
+            lastHeadUs.getAndAccumulate(frames.last.timeUs, math.max)
+            eventsEmitted.add(frames.length.toDouble)
+            bytesEmitted.add(frames.iterator.map(f =>
+              f.wire.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+              .sum.toDouble)
+          }
+          val serverSeqUs = lastHeadUs.get()
+          ServeJob.onPool(active, fanOutWidth) { conn =>
+            try {
+              if (conn.session.replaying)
+                conn.session.replayStep(spark, tablePath, serverSeqUs)(
+                  view => writeView(conn, view))
+              writeWire(conn, conn.session.liveEmitFrames(frames))
+            } catch { case _: java.io.IOException => // slow consumer /
+              dropConn(conn) // disconnect: server.go:168-175
             }
-            val serverSeqUs = lastHeadUs.get()
-            ServeJob.onPool(active, fanOutWidth) { conn =>
-              try {
-                if (conn.session.replaying)
-                  conn.session.replayStep(spark, tablePath, serverSeqUs)(
-                    view => writeView(conn, view))
-                writeView(conn, conn.session.liveEmit(cached))
-              } catch { case _: java.io.IOException => // slow consumer /
-                dropConn(conn) // disconnect: server.go:168-175
-              }
-            }
-          } finally cached.unpersist()
+          }
         }
       }
       .start()

@@ -45,6 +45,63 @@ object Subscribe {
     else Right(spec)
   }
 
+  /** One serialized live event at the serving edge: the routing columns
+    * the subscriber predicates need plus the wire JSON — the in-process
+    * shape of the reference's emit-loop event (server.go:62-73: marshal
+    * once, keep the bytes plus the envelope fields for per-subscriber
+    * predicate checks).
+    */
+  final case class WireFrame(timeUs: Long, collection: String, did: String, wire: String)
+
+  /** JVM twin of [[filterFor]] for the driver-side emit loop — same
+    * three conjuncts, same null semantics: a null collection/did FAILS a
+    * non-empty wanted-set (Column `isin` on null is null ⇒ filtered) and
+    * passes an empty one (`lit(true)` passes every row).
+    */
+  def admits(spec: SubscriberSpec, f: WireFrame): Boolean =
+    (spec.wantedCollections.isEmpty ||
+      (f.collection != null && spec.wantedCollections.contains(f.collection))) &&
+    (spec.wantedDids.isEmpty ||
+      (f.did != null && spec.wantedDids.contains(f.did))) &&
+    f.timeUs > spec.hwmUs
+
+  /** Resolve the event's collection for a concrete frame shape: the
+    * flat `collection` column (the fixture/bench table shape) or the
+    * envelope's `commit.collection` (the wire event shape — the
+    * reference reads `event.Commit.Collection`, server.go:119-123).
+    * Null when neither exists: identity/account events carry no
+    * collection and fail any non-empty wanted-set, which is exactly the
+    * reference's nil-commit check.
+    */
+  def resolvedCollection(df: DataFrame): Column = {
+    import org.apache.spark.sql.types.{StringType, StructType}
+    if (df.columns.contains("collection")) col("collection")
+    else df.schema.fields.find(_.name == "commit").map(_.dataType) match {
+      case Some(s: StructType) if s.fieldNames.contains("collection") =>
+        col("commit.collection")
+      case _ => lit(null).cast(StringType)
+    }
+  }
+
+  private def resolvedDid(df: DataFrame): Column = {
+    import org.apache.spark.sql.types.StringType
+    if (df.columns.contains("did")) col("did") else lit(null).cast(StringType)
+  }
+
+  /** [[filterFor]] with the collection/did conjuncts resolved against
+    * `df`'s actual shape — flat fixture columns or the nested wire
+    * envelope. Use at any serving boundary that must accept both.
+    */
+  def filterForDf(spec: SubscriberSpec, df: DataFrame): Column = {
+    val collOk: Column =
+      if (spec.wantedCollections.isEmpty) lit(true)
+      else resolvedCollection(df).isin(spec.wantedCollections: _*)
+    val didOk: Column =
+      if (spec.wantedDids.isEmpty) lit(true)
+      else resolvedDid(df).isin(spec.wantedDids: _*)
+    collOk && didOk && (col("time_us") > spec.hwmUs)
+  }
+
   /** The compound subscriber predicate (empty set ⇒ pass-all). */
   def filterFor(spec: SubscriberSpec,
       collectionCol: String = "collection",

@@ -159,4 +159,58 @@ class CutoverSpec extends SparkSpec {
     assert(delivered.size == 5)
     assert(bucket.available == 95, s"only the 5 scanned events consume budget, saw ${bucket.available}")
   }
+
+  test("liveEmitFrames ≡ liveEmit: gate, predicate, nulls, hwm advance") {
+    import graft.ingest.Decode
+
+    // a mixed batch incl. a null collection (non-commit event) and a
+    // timestamp below the hwm once one round has been delivered
+    def batch = Seq(
+      (1 * Step, "did0", "post"),
+      (2 * Step, "did1", "like"),
+      (3 * Step, "did0", null: String),
+      (4 * Step, "did2", "post"))
+      .toDF("time_us", "did", "collection")
+    def frames(df: DataFrame) = Decode.toWire(df)
+      .select("time_us", "collection", "did", "wire").collect()
+      .map(r => Subscribe.WireFrame(r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2), r.getString(3)))
+      .sortBy(_.timeUs)
+    def wiresOf(df: DataFrame) = {
+      val wired = if (df.columns.contains("wire")) df else Decode.toWire(df)
+      wired.select("wire").collect().map(_.getString(0)).toSeq
+    }
+
+    for (spec <- Seq(
+        Subscribe.SubscriberSpec(), // pass-all
+        Subscribe.SubscriberSpec(wantedCollections = Seq("post")),
+        Subscribe.SubscriberSpec(wantedDids = Seq("did0", "did2")),
+        Subscribe.SubscriberSpec(Seq("post", "like"), Seq("did1")))) {
+      // a replaying session suppresses live on both paths
+      val replayingDf = new CutoverSession(spec, startCursorUs = 0L)
+      val replayingRow = new CutoverSession(spec, startCursorUs = 0L)
+      assert(wiresOf(replayingDf.liveEmit(batch)).isEmpty)
+      assert(replayingRow.liveEmitFrames(frames(batch)).isEmpty)
+
+      // live (cursor at the one-event head, first step cuts over):
+      // identical wires and identical hwm; a second identical batch
+      // dedups fully on both paths
+      val path = tmpDir(s"cutover-parity")
+      append(path, 1 to 1)
+      val dfSess = new CutoverSession(spec, startCursorUs = 1 * Step)
+      val rowSess = new CutoverSession(spec, startCursorUs = 1 * Step)
+      dfSess.replayStep(spark, path, 1 * Step)(_ => ())
+      rowSess.replayStep(spark, path, 1 * Step)(_ => ())
+      assert(!dfSess.replaying && !rowSess.replaying)
+      val viaDf = wiresOf(dfSess.liveEmit(batch))
+      val viaRows = rowSess.liveEmitFrames(frames(batch)).toSeq
+      assert(viaRows == viaDf, s"parity for $spec")
+      if (spec.wantedCollections.isEmpty && spec.wantedDids.isEmpty)
+        assert(viaRows.nonEmpty, "pass-all parity must not be vacuous")
+      assert(rowSess.seqUs == dfSess.seqUs, s"hwm parity for $spec")
+      assert(rowSess.liveEmitFrames(frames(batch)).isEmpty, "hwm dedups the overlap")
+      assert(wiresOf(dfSess.liveEmit(batch)).isEmpty)
+    }
+  }
 }

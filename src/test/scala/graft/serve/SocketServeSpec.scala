@@ -97,4 +97,57 @@ class SocketServeSpec extends SparkSpec {
       }
     } finally server.close()
   }
+
+  test("100 subscribers: the one-job-per-batch live fan-out delivers every spec shape") {
+    val table = tmpDir("socket-serve-100-table")
+    EventsTable.append(rows(1 to 20).toDF("time_us", "did", "collection"), table)
+
+    val tail = spark.readStream.format("graft-replay")
+      .option("path", table)
+      .option("cursor", "21000") // serve the post-attach tail; history via cursors
+      .load()
+    val server = SocketServe.start(tail, table, tmpDir("socket-serve-100-ckpt"))
+    val clients = scala.collection.mutable.ArrayBuffer.empty[Client]
+    try {
+      // three spec shapes at once: collection-filtered live, did-filtered
+      // live, and cursored full-replay — the mix a real serving edge holds
+      val collClients = (1 to 45).map { _ =>
+        val c = new Client(server.port, "subscribe?wantedCollections=app.graft.doc")
+        clients += c; c
+      }
+      val didClients = (0 until 45).map { i =>
+        val c = new Client(server.port, s"subscribe?wantedDids=did:plc:u${i % 5}")
+        clients += c; c
+      }
+      val cursored = (1 to 10).map { _ =>
+        val c = new Client(server.port, "subscribe?cursor=0")
+        clients += c; c
+      }
+      eventually(60000)(server.subscriberCount == 100)
+
+      EventsTable.append(rows(21 to 30).toDF("time_us", "did", "collection"), table)
+      EventsTable.append(rows(31 to 35, "app.graft.other").toDF("time_us", "did", "collection"), table)
+
+      val docSet = (21 to 30).map(_ * 1000L).toSet
+      def didSet(k: Int) = (21 to 35).filter(_ % 5 == k).map(_ * 1000L).toSet
+      val allSet = (1 to 35).map(_ * 1000L).toSet
+      eventually(120000) {
+        collClients.forall(_.lines.size >= docSet.size) &&
+        didClients.zipWithIndex.forall { case (c, i) => c.lines.size >= didSet(i % 5).size } &&
+        cursored.forall(_.lines.size >= allSet.size)
+      }
+      collClients.foreach(c => assert(c.timesUs.toSet == docSet))
+      didClients.zipWithIndex.foreach { case (c, i) =>
+        assert(c.timesUs.toSet == didSet(i % 5), s"did client $i")
+      }
+      cursored.foreach { c =>
+        val ts = c.timesUs
+        assert(ts.toSet == allSet, "full replay→live across 100-way fan-out")
+        assert(ts == ts.sorted && ts.distinct.size == ts.size, "in order, exactly once")
+      }
+    } finally {
+      clients.foreach(c => scala.util.Try(c.close()))
+      server.close()
+    }
+  }
 }

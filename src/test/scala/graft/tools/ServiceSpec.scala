@@ -49,6 +49,15 @@ class ServiceSpec extends SparkSpec {
       val client = new WsTestKit.Client(
         s"ws://localhost:${running.servePort}/subscribe?cursor=0")
       eventually(30000)(running.server.subscriberCount == 1)
+      // the wire schema's collection lives at commit.collection — a
+      // wanted-collections subscriber must filter on the NESTED field,
+      // during replay and live alike (server.go:119-123 reads
+      // event.Commit.Collection)
+      val filtered = new WsTestKit.Client(
+        s"ws://localhost:${running.servePort}/subscribe?cursor=0&wantedCollections=app.graft.doc")
+      val excluded = new WsTestKit.Client(
+        s"ws://localhost:${running.servePort}/subscribe?cursor=0&wantedCollections=app.graft.other")
+      eventually(30000)(running.server.subscriberCount == 3)
 
       // live events flow upstream → ingest → serve → client; the client
       // also receives the replayed history
@@ -57,6 +66,10 @@ class ServiceSpec extends SparkSpec {
       val got = client.lines.toArray(Array.empty[String]).toSeq
       assert(got.count(_.contains("did:plc:w1")) == 1, "history replayed exactly once")
       assert(got.count(_.contains("did:plc:w6")) == 1, "live event delivered")
+      eventually(120000)(filtered.lines.size >= 6)
+      assert(excluded.lines.isEmpty,
+        "a non-matching wanted-collection receives nothing on the wire schema")
+      filtered.ws.abort(); excluded.ws.abort()
 
       // the metrics endpoint serves both halves' series
       val conn = new URL(s"http://localhost:${running.metricsPort}/metrics")
