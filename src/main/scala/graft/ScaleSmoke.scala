@@ -190,6 +190,73 @@ object ScaleSmoke {
       batch.unpersist()
     }
 
+    // --- driver egress ceiling at 100 subscribers: the serving edge's
+    // in-process half — the per-subscriber predicate pass (the
+    // liveEmitFrames loop; Subscribe.admits is its spec-pinned twin)
+    // plus real loopback TCP writes through the fan-out pool. ONE
+    // SocketServe process tops out here regardless of how big the
+    // cluster behind the table is; PERF.md records the number as the
+    // per-edge-node capacity (the reference's single process has the
+    // same ceiling shape, server.go:87-134 + the per-conn write loop).
+    {
+      import java.net.{ServerSocket, Socket}
+      import java.nio.charset.StandardCharsets.UTF_8
+      val nFrames = 100000
+      val frames = Array.tabulate(nFrames) { i =>
+        Subscribe.WireFrame(i.toLong,
+          if (i % 5 == 0) "app.bsky.feed.post" else "app.bsky.feed.like",
+          s"did:plc:u${i % 1000}",
+          s"""{"did":"did:plc:u${i % 1000}","time_us":$i,"kind":"commit","commit":""" +
+            s"""{"collection":"app.bsky.feed.post","rkey":"k$i","rev":"r$i","operation":"create"}}""")
+      }
+      val nSubs = 100
+      val server = new ServerSocket(0)
+      val accepted = new java.util.concurrent.LinkedBlockingQueue[Socket]()
+      val acceptor = new Thread(() =>
+        (1 to nSubs).foreach(_ => accepted.add(server.accept())))
+      acceptor.start()
+      val clients = (1 to nSubs).map { _ =>
+        val s = new Socket("localhost", server.getLocalPort)
+        val t = new Thread(() => { // a well-behaved consumer: drain and discard
+          val buf = new Array[Byte](65536)
+          try { val in = s.getInputStream; while (in.read(buf) != -1) () }
+          catch { case _: Throwable => () }
+        })
+        t.setDaemon(true); t.start(); s
+      }
+      acceptor.join()
+      val conns = (0 until nSubs).map { i =>
+        val spec =
+          if (i % 2 == 0) Subscribe.SubscriberSpec() // pass-all tailer
+          else Subscribe.SubscriberSpec(wantedCollections = Seq("app.bsky.feed.post"))
+        (new java.io.BufferedOutputStream(accepted.take().getOutputStream, 65536), spec)
+      }
+      val delivered = new java.util.concurrent.atomic.AtomicLong
+      val bytes = new java.util.concurrent.atomic.AtomicLong
+      val t0 = System.nanoTime()
+      graft.serve.ServeJob.onPool(conns, 100) { case (out, spec) =>
+        var i = 0; var n = 0L; var b = 0L
+        while (i < nFrames) {
+          val f = frames(i)
+          if (Subscribe.admits(spec, f)) {
+            val w = f.wire.getBytes(UTF_8)
+            out.write(w); out.write('\n'); n += 1; b += w.length + 1
+          }
+          i += 1
+        }
+        out.flush()
+        delivered.addAndGet(n); bytes.addAndGet(b)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] driver egress ceiling, $nSubs subscribers × $nFrames frames: " +
+        f"$sec%.2fs — ${delivered.get / sec / 1e6}%.1fM frames/s, " +
+        f"${bytes.get / sec / 1e9}%.2f GB/s aggregate " +
+        f"(${delivered.get / sec / nSubs / 1e3}%.0fk fr/s per subscriber; " +
+        f"reference sub cap is 5k ev/s)")
+      clients.foreach(s => scala.util.Try(s.close()))
+      server.close()
+    }
+
     // --- distributed connected components at edge volumes the driver
     // union-find refuses (driverThreshold = 0 forces star contraction):
     // 10M edges in 2M chains of 5 nodes. This is the 100 TB code path

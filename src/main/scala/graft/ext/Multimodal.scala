@@ -109,6 +109,68 @@ object Multimodal {
     } else None
   }
 
+  /** EXIF Orientation (IFD0 tag 0x0112) from a JPEG's APP1 segment —
+    * the one EXIF field a resize/feature pipeline must honor: a
+    * camera-rotated capture stores the sensor's dims plus orientation
+    * 5-8 (transpose family), so downstream crops/resizes that ignore it
+    * work on sideways images. Pure public-spec parsing: segment walk to
+    * APP1 `Exif\0\0`, TIFF header (II little / MM big endian, magic 42),
+    * IFD0 entry scan. Returns the raw 1-8 value; None when the payload
+    * is not a JPEG, carries no EXIF, omits the tag, or is malformed —
+    * never a throw.
+    */
+  def parseExifOrientation(bytes: Array[Byte]): Option[Int] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def be16(i: Int) = u8(i) << 8 | u8(i + 1)
+    if (bytes.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var i = 2
+    while (i + 3 < bytes.length) {
+      if (u8(i) != 0xff) return None
+      var m = i + 1
+      while (u8(m) == 0xff && m + 1 < bytes.length) m += 1 // fill bytes
+      val marker = u8(m)
+      if (marker >= 0xd0 && marker <= 0xd9) i = m + 1 // standalone RSTn/EOI
+      else if (marker == 0xda) return None // entropy stream: EXIF sits before SOS
+      else if (m + 2 >= bytes.length) return None
+      else {
+        val segLen = be16(m + 1)
+        if (segLen < 2) return None
+        if (marker == 0xe1 && segLen >= 16 && m + 1 + segLen <= bytes.length &&
+            u8(m + 3) == 'E' && u8(m + 4) == 'x' && u8(m + 5) == 'i' &&
+            u8(m + 6) == 'f' && u8(m + 7) == 0 && u8(m + 8) == 0) {
+          val t = m + 9 // TIFF header
+          val end = m + 1 + segLen // APP1 payload bound: offsets must stay inside
+          val little = u8(t) == 'I' && u8(t + 1) == 'I'
+          val big = u8(t) == 'M' && u8(t + 1) == 'M'
+          if (!little && !big) return None
+          def u16(p: Int) = if (little) u8(p) | u8(p + 1) << 8 else be16(p)
+          def u32(p: Int): Long =
+            if (little) (u8(p) | u8(p + 1) << 8 | u8(p + 2) << 16).toLong | (u8(p + 3).toLong << 24)
+            else (u8(p).toLong << 24) | (u8(p + 1) << 16 | u8(p + 2) << 8 | u8(p + 3)).toLong
+          if (u16(t + 2) != 42) return None
+          val ifdOff = u32(t + 4)
+          if (ifdOff < 8 || t + ifdOff + 2 > end) return None
+          val ifd = t + ifdOff.toInt
+          val n = u16(ifd)
+          var e = 0
+          while (e < n) {
+            val p = ifd + 2 + e * 12
+            if (p + 12 > end) return None
+            // tag 0x0112, type 3 (SHORT), count 1: value inline at +8
+            if (u16(p) == 0x0112 && u16(p + 2) == 3 && u32(p + 4) == 1L) {
+              val v = u16(p + 8)
+              return if (v >= 1 && v <= 8) Some(v) else None
+            }
+            e += 1
+          }
+          return None
+        }
+        i = m + 1 + segLen
+      }
+    }
+    None
+  }
+
   /** Batched per-partition header decode over an opaque binary column:
     * adds `img_format` / `width` / `height` (null for unrecognized
     * payloads). Same codec-per-partition shape as [[decodeFeatures]],

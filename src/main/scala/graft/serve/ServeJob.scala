@@ -119,7 +119,7 @@ object ServeJob {
   /** Run `f` over `items` on a bounded pool, rethrowing the first
     * failure. Pool width is the reference's fan-out semaphore.
     */
-  private[serve] def onPool[A](items: Seq[A], width: Int)(f: A => Unit): Unit = {
+  private[graft] def onPool[A](items: Seq[A], width: Int)(f: A => Unit): Unit = {
     if (items.isEmpty) return
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(width, items.size))

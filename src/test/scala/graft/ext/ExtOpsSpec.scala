@@ -323,6 +323,74 @@ class ExtOpsSpec extends SparkSpec {
     assert(Multimodal.parseImageDims(Array[Byte](0xff.toByte, 0xd8.toByte, 0x00, 0x01)).isEmpty)
   }
 
+  test("JPEG torture: EXIF-rotated (both TIFF endiannesses), fill bytes, progressive behind APP1") {
+    // builder: SOI + optional APP1(EXIF, orientation) + padding/fill +
+    // SOFn + EOI — the camera-output segment layout
+    def jpeg(sof: Int, w: Int, h: Int,
+        exif: Option[(Boolean, Int)] = None, // (littleEndian, orientation)
+        fillBytes: Int = 0, app1Pad: Int = 0): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def b(v: Int) = out.write(v & 0xff)
+      def b16(v: Int) = { b(v >> 8); b(v & 0xff) }
+      b(0xff); b(0xd8) // SOI
+      exif.foreach { case (little, orient) =>
+        // APP1: "Exif\0\0" + TIFF header + IFD0 with 2 entries (a
+        // decoy Make tag first, then Orientation), trailing pad
+        val tiff = new java.io.ByteArrayOutputStream()
+        def t16(v: Int) = if (little) { tiff.write(v & 0xff); tiff.write(v >> 8) }
+          else { tiff.write(v >> 8); tiff.write(v & 0xff) }
+        def t32(v: Int) = if (little) { t16(v & 0xffff); t16(v >>> 16) }
+          else { t16(v >>> 16); t16(v & 0xffff) }
+        tiff.write(if (little) 'I' else 'M'); tiff.write(if (little) 'I' else 'M')
+        t16(42); t32(8) // magic + IFD0 at offset 8
+        t16(2) // two entries
+        t16(0x010f); t16(2); t32(4); t32(0) // Make, ASCII, decoy
+        t16(0x0112); t16(3); t32(1); t16(orient); t16(0) // Orientation SHORT
+        t32(0) // next-IFD pointer
+        val payload = tiff.toByteArray
+        b(0xff); b(0xe1); b16(2 + 6 + payload.length + app1Pad)
+        out.write("Exif".getBytes("US-ASCII")); b(0); b(0)
+        out.write(payload)
+        (0 until app1Pad).foreach(_ => b(0))
+      }
+      (0 until fillBytes).foreach(_ => b(0xff)) // inter-segment fill
+      b(0xff); b(sof); b16(11); b(8); b16(h); b16(w); b(1); b(1); b(0x11); b(0)
+      b(0xff); b(0xd9)
+      out.toByteArray
+    }
+
+    // EXIF-rotated progressive JPEG, big-endian TIFF: dims come off the
+    // SOF unchanged, orientation off IFD0
+    val rotBig = jpeg(0xc2, 3024, 4032, exif = Some((false, 6)))
+    assert(Multimodal.parseImageDims(rotBig).contains(("jpeg", 3024, 4032)))
+    assert(Multimodal.parseExifOrientation(rotBig).contains(6))
+
+    // little-endian TIFF, baseline SOF0, fill bytes before markers,
+    // padded APP1 (real cameras over-allocate the segment)
+    val rotLit = jpeg(0xc0, 640, 480, exif = Some((true, 3)), fillBytes = 3, app1Pad = 64)
+    assert(Multimodal.parseImageDims(rotLit).contains(("jpeg", 640, 480)))
+    assert(Multimodal.parseExifOrientation(rotLit).contains(3))
+
+    // every SOF variant a scan can hit: baseline, extended, progressive,
+    // lossless, differential/arithmetic family
+    for (sof <- Seq(0xc0, 0xc1, 0xc2, 0xc3, 0xc5, 0xc6, 0xc7, 0xc9, 0xca, 0xcb, 0xcd, 0xce, 0xcf))
+      assert(Multimodal.parseImageDims(jpeg(sof, 123, 45)).contains(("jpeg", 123, 45)), f"SOF $sof%02x")
+
+    // no EXIF / no orientation tag / out-of-range value / truncation:
+    // None, never a throw
+    assert(Multimodal.parseExifOrientation(jpeg(0xc0, 10, 10)).isEmpty)
+    assert(Multimodal.parseExifOrientation(jpeg(0xc0, 10, 10, Some((false, 9)))).isEmpty)
+    val truncated = rotBig.take(18)
+    assert(Multimodal.parseExifOrientation(truncated).isEmpty)
+    assert(Multimodal.parseExifOrientation("noise".getBytes).isEmpty)
+    // a malformed IFD offset pointing past the segment must not escape it
+    val evil = rotBig.clone()
+    // TIFF header starts at SOI(2)+marker(2)+len(2)+"Exif\0\0"(6) = offset 12;
+    // IFD0 offset field is at TIFF+4 (big-endian here) — point it far away
+    evil(12 + 4) = 0x7f.toByte
+    assert(Multimodal.parseExifOrientation(evil).isEmpty)
+  }
+
   test("parseWavMeta chunk-walks real RIFF headers; junk and truncation never throw") {
     // canonical 44-byte builder round-trips across parameters
     for ((ch, rate, bits, n) <- Seq((1, 8000, 16, 100), (2, 44100, 16, 4410),
