@@ -6,12 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (build brief): image/audio/video payloads
   * as opaque `binary` columns with typed metadata, plus feature-extract /
   * resize / frame-sample stages. Container HEADER parsing (PNG/GIF/JPEG/
-  * BMP dims, WAV, MP4) and PIXEL decoding (PNG via zlib-inflate +
-  * unfilter, BMP, GIF incl. full LZW — see [[PixelCodec]]) are REAL,
-  * pure-JDK implementations of the public formats. The only remaining
-  * stubs are entropy codecs a real imaging library provides (JPEG
-  * Huffman+DCT, video sample decode): unrecognized payloads fall back to
-  * the deterministic digest stubs, stated per method.
+  * BMP dims, EXIF orientation, WAV, MP4) and PIXEL decoding (PNG incl.
+  * Adam7 via zlib-inflate + unfilter, BMP, GIF incl. full LZW, baseline
+  * JPEG incl. full Huffman+IDCT entropy decode — see [[PixelCodec]] /
+  * [[JpegCodec]]) are REAL, pure-JDK implementations of the public
+  * formats. The only remaining stubs are progressive-JPEG and video
+  * sample decode: those payloads fall back to the deterministic digest
+  * stubs, stated per method.
   *
   * Scale notes: binary payloads never shuffle — metadata extraction is a
   * narrow projection, and downstream joins/aggregations use the digest or
@@ -492,10 +493,11 @@ object Multimodal {
     */
   val StubDims = 8
 
-  /** FALLBACK — deterministic digest features for payloads no pure-JDK
-    * codec can rasterize (JPEG entropy coding, video samples): derives
-    * `StubDims` floats from the content digest. Recognized rasters
-    * never reach this path — see [[decodeFeatures]].
+  /** FALLBACK — deterministic digest features for payloads no codec
+    * here can rasterize (progressive JPEG, video samples): derives
+    * `StubDims` floats from the content digest. Recognized rasters —
+    * PNG/BMP/GIF/baseline JPEG — never reach this path, see
+    * [[decodeFeatures]].
     */
   private[ext] def stubFeatures(bytes: Array[Byte]): Array[Float] = {
     val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
@@ -506,12 +508,13 @@ object Multimodal {
   }
 
   /** Batched per-partition decode + feature extract — REAL for
-    * PNG/BMP/GIF payloads: [[PixelCodec.decodeImage]] rasterizes the
-    * container (zlib inflate + unfilter / LZW) and
-    * [[PixelCodec.pooledLuma]] grid-pools mean luminance into a
-    * `StubDims`-wide embedding. Payloads needing an entropy codec
-    * (JPEG/video) fall back to [[stubFeatures]], stated above. Returns
-    * (passthrough columns..., features array<float>).
+    * PNG/BMP/GIF/baseline-JPEG payloads: [[PixelCodec.decodeImage]]
+    * rasterizes the container (zlib inflate + unfilter / LZW /
+    * Huffman+IDCT) and [[PixelCodec.pooledLuma]] grid-pools mean
+    * luminance into a `StubDims`-wide embedding. The remaining
+    * unrasterizable payloads (progressive JPEG, video) fall back to
+    * [[stubFeatures]], stated above. Returns (passthrough columns...,
+    * features array<float>).
     */
   def decodeFeatures(df: DataFrame, binCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -541,7 +544,7 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5")
       .digest(bytes ++ s"${w}x$h".getBytes("UTF-8"))
 
-  /** Image resize stage — REAL for PNG/BMP/GIF: decode
+  /** Image resize stage — REAL for PNG/BMP/GIF/baseline JPEG: decode
     * ([[PixelCodec.decodeImage]]) → nearest-neighbor resample → PNG
     * re-encode with real CRCs ([[PixelCodec.encodePng]]); the output
     * binary decodes in any PNG reader. Unrasterizable payloads fall

@@ -7,8 +7,8 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *
   *   - PNG decode: zlib-inflate the IDAT stream, undo all five standard
   *     scanline filters (None/Sub/Up/Average/Paeth), expand gray /
-  *     palette / gray+alpha / RGBA to RGB. Bit depth 8, non-interlaced
-  *     (Adam7 returns None, stated below).
+  *     palette / gray+alpha / RGBA to RGB. Bit depth 8, both
+  *     non-interlaced and Adam7 interlaced (seven scattered passes).
   *   - PNG encode: per-row filter of the caller's choice, zlib-deflate,
   *     real CRC-32 chunk trailers — output decodes in any PNG reader.
   *   - BMP decode: uncompressed 24-bit BITMAPINFOHEADER, bottom-up and
@@ -22,10 +22,10 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *     literal-codes-with-periodic-clear construction.
   *
   * These give [[Multimodal]] real bodies for decode / feature-extract /
-  * resize / frame-sample on PNG, BMP and GIF payloads. JPEG entropy
-  * decoding (Huffman+DCT) stays out of scope — that is a genuine codec
-  * library's job — and unrecognized payloads fall back to the
-  * deterministic stubs, stated at each call site.
+  * resize / frame-sample on PNG, BMP, GIF and baseline JPEG payloads
+  * (the latter via [[JpegCodec]] — full Huffman+IDCT entropy decode).
+  * Progressive JPEG and video samples remain the stated stub fallbacks
+  * at each call site.
   *
   * Everything here is row-local byte work: one payload in, one pixel
   * buffer out, no Spark types — the distribution shape (per-partition
@@ -59,11 +59,11 @@ object PixelCodec {
   private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
   /** PNG → RGB. Supports bit depth 8, color types 0 (gray), 2 (RGB),
-    * 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced. Alpha is
-    * dropped (composited over nothing — the raw channel values are
-    * kept), matching the feature-extraction use. Returns None for other
-    * depths, Adam7 interlace, truncated streams, or inflate errors —
-    * never throws on malformed input.
+    * 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced and Adam7
+    * interlaced. Alpha is dropped (composited over nothing — the raw
+    * channel values are kept), matching the feature-extraction use.
+    * Returns None for other depths, truncated streams, or inflate
+    * errors — never throws on malformed input.
     */
   def decodePng(bytes: Array[Byte]): Option[RgbImage] = {
     if (bytes.length < PngSig.length + 25 || !bytes.startsWith(PngSig)) return None
@@ -92,79 +92,94 @@ object PixelCodec {
       }
       i = ds + len + 4
     }
-    if (w <= 0 || depth != 8 || interlace != 0 || !dimsSane(w, h)) return None
+    if (w <= 0 || depth != 8 || (interlace != 0 && interlace != 1) || !dimsSane(w, h)) return None
     val channels = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
       case _ => return None
     }
     if (colorType == 3 && (palette == null || palette.length % 3 != 0)) return None
 
-    val rowBytes = w * channels
-    val raw = inflate(idat.toByteArray, (rowBytes + 1).toLong * h) match {
+    // Adam7 (interlace 1) stores seven independently-filtered reduced
+    // images; non-interlaced is the same loop with one full-frame pass.
+    // Per pass p, source pixel (x, y) lands at (x0 + x·dx, y0 + y·dy).
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def ceilDiv(a: Int, b: Int) = (a + b - 1) / b
+    val dims = passes.map { case (x0, y0, dx, dy) =>
+      (math.max(0, ceilDiv(w - x0, dx)), math.max(0, ceilDiv(h - y0, dy)))
+    }
+    val expected = dims.map { case (pw, ph) =>
+      if (pw == 0 || ph == 0) 0L else ph.toLong * (pw.toLong * channels + 1)
+    }.sum
+    val raw = inflate(idat.toByteArray, expected) match {
       case Some(r) => r
       case None => return None
     }
-    // Undo per-row filters in place over a two-row window
     val out = new Array[Byte](w * h * 3)
-    val prev = new Array[Byte](rowBytes)
-    val cur = new Array[Byte](rowBytes)
     val bpp = channels // bit depth 8: filter distance = channel count
-    var y = 0
-    while (y < h) {
-      val base = y * (rowBytes + 1)
-      val ft = raw(base) & 0xff
-      System.arraycopy(raw, base + 1, cur, 0, rowBytes)
-      ft match {
-        case 0 =>
-        case 1 =>
-          var x = bpp
-          while (x < rowBytes) { cur(x) = (cur(x) + cur(x - bpp)).toByte; x += 1 }
-        case 2 =>
-          var x = 0
-          while (x < rowBytes) { cur(x) = (cur(x) + prev(x)).toByte; x += 1 }
-        case 3 =>
-          var x = 0
-          while (x < rowBytes) {
-            val left = if (x >= bpp) cur(x - bpp) & 0xff else 0
-            cur(x) = (cur(x) + ((left + (prev(x) & 0xff)) >> 1)).toByte
-            x += 1
+    var base = 0
+    for (((x0, y0, dx, dy), (pw, ph)) <- passes.zip(dims) if pw > 0 && ph > 0) {
+      val rowBytes = pw * channels
+      // Undo per-row filters over a two-row window; filters never cross
+      // pass boundaries (each pass's first row sees a zero prior row)
+      val prev = new Array[Byte](rowBytes)
+      val cur = new Array[Byte](rowBytes)
+      var y = 0
+      while (y < ph) {
+        val ft = raw(base) & 0xff
+        System.arraycopy(raw, base + 1, cur, 0, rowBytes)
+        base += rowBytes + 1
+        ft match {
+          case 0 =>
+          case 1 =>
+            var x = bpp
+            while (x < rowBytes) { cur(x) = (cur(x) + cur(x - bpp)).toByte; x += 1 }
+          case 2 =>
+            var x = 0
+            while (x < rowBytes) { cur(x) = (cur(x) + prev(x)).toByte; x += 1 }
+          case 3 =>
+            var x = 0
+            while (x < rowBytes) {
+              val left = if (x >= bpp) cur(x - bpp) & 0xff else 0
+              cur(x) = (cur(x) + ((left + (prev(x) & 0xff)) >> 1)).toByte
+              x += 1
+            }
+          case 4 =>
+            var x = 0
+            while (x < rowBytes) {
+              val a = if (x >= bpp) cur(x - bpp) & 0xff else 0
+              val b = prev(x) & 0xff
+              val c = if (x >= bpp) prev(x - bpp) & 0xff else 0
+              cur(x) = (cur(x) + paeth(a, b, c)).toByte
+              x += 1
+            }
+          case _ => return None
+        }
+        // expand to RGB, scattering to the pass's interleaved positions
+        var x = 0
+        while (x < pw) {
+          val o = ((y0 + y * dy) * w + (x0 + x * dx)) * 3
+          colorType match {
+            case 0 =>
+              val g = cur(x); out(o) = g; out(o + 1) = g; out(o + 2) = g
+            case 2 =>
+              out(o) = cur(3 * x); out(o + 1) = cur(3 * x + 1); out(o + 2) = cur(3 * x + 2)
+            case 3 =>
+              val pi = (cur(x) & 0xff) * 3
+              if (pi + 2 >= palette.length) return None
+              out(o) = palette(pi); out(o + 1) = palette(pi + 1); out(o + 2) = palette(pi + 2)
+            case 4 =>
+              val g = cur(2 * x); out(o) = g; out(o + 1) = g; out(o + 2) = g
+            case 6 =>
+              out(o) = cur(4 * x); out(o + 1) = cur(4 * x + 1); out(o + 2) = cur(4 * x + 2)
           }
-        case 4 =>
-          var x = 0
-          while (x < rowBytes) {
-            val a = if (x >= bpp) cur(x - bpp) & 0xff else 0
-            val b = prev(x) & 0xff
-            val c = if (x >= bpp) prev(x - bpp) & 0xff else 0
-            cur(x) = (cur(x) + paeth(a, b, c)).toByte
-            x += 1
-          }
-        case _ => return None
+          x += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, rowBytes)
+        y += 1
       }
-      // expand to RGB
-      var x = 0
-      var o = y * w * 3
-      colorType match {
-        case 0 =>
-          while (x < w) { val g = cur(x); out(o) = g; out(o + 1) = g; out(o + 2) = g; x += 1; o += 3 }
-        case 2 =>
-          System.arraycopy(cur, 0, out, o, rowBytes)
-        case 3 =>
-          while (x < w) {
-            val pi = (cur(x) & 0xff) * 3
-            if (pi + 2 >= palette.length) return None
-            out(o) = palette(pi); out(o + 1) = palette(pi + 1); out(o + 2) = palette(pi + 2)
-            x += 1; o += 3
-          }
-        case 4 =>
-          while (x < w) { val g = cur(2 * x); out(o) = g; out(o + 1) = g; out(o + 2) = g; x += 1; o += 3 }
-        case 6 =>
-          while (x < w) {
-            out(o) = cur(4 * x); out(o + 1) = cur(4 * x + 1); out(o + 2) = cur(4 * x + 2)
-            x += 1; o += 3
-          }
-      }
-      System.arraycopy(cur, 0, prev, 0, rowBytes)
-      y += 1
     }
     Some(RgbImage(w, h, out))
   }
@@ -689,9 +704,10 @@ object PixelCodec {
     out
   }
 
-  /** Decode any supported raster container: PNG, BMP, or GIF (first
-    * frame). JPEG needs an entropy codec and is NOT supported here —
-    * callers fall back to their stub for it, stated at the call site.
+  /** Decode any supported raster container: PNG (incl. Adam7), BMP,
+    * GIF (first frame), or baseline JPEG ([[JpegCodec.decode]] — full
+    * Huffman+IDCT entropy decode). Progressive JPEG still returns None
+    * — callers fall back to their stub for it, stated at the call site.
     */
   def decodeImage(bytes: Array[Byte]): Option[RgbImage] =
     if (bytes == null || bytes.length < 2) None
@@ -701,5 +717,7 @@ object PixelCodec {
       (new String(bytes, 0, 6, "US-ASCII") == "GIF87a" ||
         new String(bytes, 0, 6, "US-ASCII") == "GIF89a"))
       decodeGifFrames(bytes).map(_.head.image)
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      JpegCodec.decode(bytes)
     else None
 }

@@ -126,4 +126,97 @@ class PixelCodecSpec extends AnyFunSuite with TimeLimits {
     val frames = PixelCodec.decodeGifFrames(gif)
     assert(frames.exists(_.size == 1))
   }
+
+  /** Adam7-interlaced PNG encoder (color type 2, RGB): extracts the
+    * seven reduced images, filters each pass row with a rotating filter
+    * (hits every unfilter path inside passes), zlib-deflates, real
+    * CRCs. Test-local — the production encoder stays non-interlaced.
+    */
+  private def encodeAdam7(img: PixelCodec.RgbImage): Array[Byte] = {
+    val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def ceilDiv(a: Int, b: Int) = (a + b - 1) / b
+    val raw = new java.io.ByteArrayOutputStream()
+    for ((px0, py0, dx, dy) <- passes) {
+      val pw = math.max(0, ceilDiv(img.width - px0, dx))
+      val ph = math.max(0, ceilDiv(img.height - py0, dy))
+      if (pw > 0 && ph > 0) {
+        val rowBytes = pw * 3
+        val prevRow = new Array[Int](rowBytes)
+        for (y <- 0 until ph) {
+          val cur = new Array[Int](rowBytes)
+          for (x <- 0 until pw; c <- 0 until 3)
+            cur(3 * x + c) =
+              img.rgb(((py0 + y * dy) * img.width + (px0 + x * dx)) * 3 + c) & 0xff
+          val ft = (y + pw) % 5
+          raw.write(ft)
+          for (i <- 0 until rowBytes) {
+            val left = if (i >= 3) cur(i - 3) else 0
+            val up = prevRow(i)
+            val ul = if (i >= 3) prevRow(i - 3) else 0
+            val v = cur(i)
+            val f = ft match {
+              case 0 => v
+              case 1 => v - left
+              case 2 => v - up
+              case 3 => v - ((left + up) >> 1)
+              case 4 =>
+                val p = left + up - ul
+                val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+                v - (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+            }
+            raw.write(f & 0xff)
+          }
+          System.arraycopy(cur, 0, prevRow, 0, rowBytes)
+        }
+      }
+    }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw.toByteArray); d.finish()
+      val buf = new Array[Byte](65536)
+      val o = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) { val n = d.deflate(buf); o.write(buf, 0, n) }
+      d.end(); o.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    def be32(v: Int): Unit = {
+      out.write(v >>> 24); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      be32(data.length)
+      val tb = typ.getBytes("US-ASCII"); out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      be32(crc.getValue.toInt)
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    def ib32(v: Int): Unit = {
+      ihdr.write(v >>> 24); ihdr.write((v >>> 16) & 0xff)
+      ihdr.write((v >>> 8) & 0xff); ihdr.write(v & 0xff)
+    }
+    ib32(img.width); ib32(img.height)
+    ihdr.write(8); ihdr.write(2); ihdr.write(0); ihdr.write(0); ihdr.write(1) // interlace 1
+    chunk("IHDR", ihdr.toByteArray)
+    chunk("IDAT", deflated)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  test("Adam7 interlaced PNG decodes identically to its non-interlaced twin") {
+    // odd dims exercise empty and partial passes; 1x1 hits the
+    // one-pixel pass-7-only degenerate case
+    for ((w, h) <- Seq((1, 1), (2, 2), (3, 3), (7, 5), (8, 8), (9, 10), (13, 7), (16, 17))) {
+      val rgb = Array.tabulate(w * h * 3)(i => ((i * 31 + 7) % 253).toByte)
+      val img = PixelCodec.RgbImage(w, h, rgb)
+      val decoded = PixelCodec.decodePng(encodeAdam7(img))
+      assert(decoded.exists(d =>
+        d.width == w && d.height == h && d.rgb.sameElements(rgb)), s"${w}x$h")
+    }
+    // truncated interlaced IDAT: None, never a throw
+    val full = encodeAdam7(PixelCodec.RgbImage(9, 10, Array.tabulate(270)(_.toByte)))
+    assert(PixelCodec.decodePng(full.take(full.length / 2)).isEmpty)
+  }
 }
