@@ -6,14 +6,16 @@ package graft.ext
   * construction (F.2.2.3), zigzag order, the FDCT/IDCT definitions of
   * §A.3.3, JFIF YCbCr conversion.
   *
-  * Decode: DQT/DHT/SOF0-1/DRI/SOS segment walk, byte-stuffed entropy
+  * Decode: DQT/DHT/SOF/DRI/SOS segment walk, byte-stuffed entropy
   * scan (DC prediction + AC run-length), dequantize + dezigzag,
   * separable double-precision IDCT, restart markers, any h/v sampling
   * ≤ 4 (nearest-neighbor chroma upsampling), 3-component YCbCr and
-  * 1-component grayscale. Progressive (SOF2), lossless, arithmetic and
-  * 12-bit streams return None — callers keep their stated fallback.
-  * Never throws on malformed input; all allocations are bounded by
-  * [[PixelCodec.MaxPixels]].
+  * 1-component grayscale — for both SEQUENTIAL (SOF0/1) and
+  * PROGRESSIVE (SOF2: spectral-selection bands, EOB runs,
+  * successive-approximation DC/AC refinement, T.81 G.1.2) streams.
+  * Lossless, arithmetic and 12-bit streams return None — callers keep
+  * their stated fallback. Never throws on malformed input; all
+  * allocations are bounded by [[PixelCodec.MaxPixels]].
   *
   * Encode: standard Annex K quantization tables scaled by the public
   * libjpeg quality formula, Annex K.3 Huffman tables (written to the
@@ -129,6 +131,12 @@ object JpegCodec {
     var plane: Array[Byte] = null
     var q: Array[Int] = null
     var dc, ac: HuffDecoder = null
+    // progressive state: the full coefficient plane (zigzag index order
+    // per block), MCU-padded grid plus the actual (non-padded) block
+    // counts that non-interleaved scans cover
+    var coefs: Array[Short] = null
+    var blocksW, blocksH = 0 // padded to whole MCUs
+    var bw, bh = 0 // ceil(componentSamples / 8): non-interleaved scan extent
   }
 
   // ------------------------------------------------------------- (I)DCT
@@ -194,8 +202,8 @@ object JpegCodec {
 
   // ------------------------------------------------------------- decode
 
-  /** Baseline JPEG → RGB; None on anything this profile doesn't cover
-    * or any malformed stream — never a throw.
+  /** Baseline or progressive JPEG → RGB; None on anything the profile
+    * doesn't cover or any malformed stream — never a throw.
     */
   def decode(bytes: Array[Byte]): Option[RgbImage] = {
     if (bytes == null || bytes.length < 4 ||
@@ -217,6 +225,8 @@ object JpegCodec {
     var restartInterval = 0
     var w = 0; var h = 0
     var comps: Array[Comp] = null
+    var progressive = false
+    var progSosAt = -1 // marker-byte index of the first SOS (progressive path)
     var scanStart = -1
     var i = 2
     while (scanStart < 0) {
@@ -265,8 +275,9 @@ object JpegCodec {
               else acTabs(th) = new HuffDecoder(bits, vals)
               p += 17 + n
             }
-          case 0xc0 | 0xc1 => // baseline / extended sequential (Huffman)
+          case 0xc0 | 0xc1 | 0xc2 => // baseline / ext. sequential / progressive (Huffman)
             if (de - ds < 6 || u8(ds) != 8) return None // 12-bit precision unsupported
+            progressive = marker == 0xc2
             h = be16(ds + 1); w = be16(ds + 3)
             val nc = u8(ds + 5)
             if ((nc != 1 && nc != 3) || !dimsSane(w, h) || de - ds < 6 + 3 * nc) return None
@@ -277,29 +288,36 @@ object JpegCodec {
             comps.foreach { c =>
               if (c.hi < 1 || c.hi > 4 || c.vi < 1 || c.vi > 4 || c.tq > 3) fail()
             }
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-            return None // progressive / lossless / differential / arithmetic
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // lossless / differential / arithmetic
           case 0xdd =>
             if (de - ds < 2) fail()
             restartInterval = be16(ds)
-          case 0xda => // SOS: interleaved single scan (the baseline shape)
+          case 0xda =>
             if (comps == null) fail()
-            val ns = u8(ds)
-            if (ns != comps.length || de - ds < 1 + 2 * ns + 3) return None
-            var s = 0
-            while (s < ns) {
-              val cid = u8(ds + 1 + 2 * s); val tt = u8(ds + 2 + 2 * s)
-              val comp = comps.find(_.id == cid).getOrElse(fail())
-              comp.td = tt >> 4; comp.ta = tt & 15
-              if (comp.td > 3 || comp.ta > 3) fail()
-              s += 1
+            if (progressive) { progSosAt = m; scanStart = de } // multi-scan path below
+            else {
+              // baseline: one interleaved scan covering every component
+              val ns = u8(ds)
+              if (ns != comps.length || de - ds < 1 + 2 * ns + 3) return None
+              var s = 0
+              while (s < ns) {
+                val cid = u8(ds + 1 + 2 * s); val tt = u8(ds + 2 + 2 * s)
+                val comp = comps.find(_.id == cid).getOrElse(fail())
+                comp.td = tt >> 4; comp.ta = tt & 15
+                if (comp.td > 3 || comp.ta > 3) fail()
+                s += 1
+              }
+              scanStart = de
             }
-            scanStart = de
           case _ => // APPn / COM / DNL etc: skip
         }
         i = m + 1 + segLen
       }
     }
+    if (progressive)
+      return decodeProgressive(bytes, progSosAt, quant, dcTabs, acTabs,
+        restartInterval, w, h, comps)
 
     val hmax = comps.map(_.hi).max
     val vmax = comps.map(_.vi).max
@@ -386,7 +404,329 @@ object JpegCodec {
       my += 1
     }
 
-    // upsample (nearest) + color convert (JFIF YCbCr)
+    Some(colorConvert(comps, w, h, hmax, vmax))
+  }
+
+  /** Progressive JPEG (SOF2) decode: the scans after the first SOS are
+    * processed in sequence (T.81 G.1.2 — DC first/refine, AC spectral
+    * bands with EOB runs, successive-approximation refinement), each
+    * accumulating into full per-component coefficient planes; at EOI
+    * everything dequantizes and IDCTs once. `firstSosMarker` is the
+    * marker-byte index of the first SOS; DHT/DQT/DRI may be redefined
+    * between scans and are honored per scan.
+    */
+  private def decodeProgressive(
+      bytes: Array[Byte], firstSosMarker: Int,
+      quant: Array[Array[Int]], dcTabs: Array[HuffDecoder], acTabs: Array[HuffDecoder],
+      ri0: Int, w: Int, h: Int, comps: Array[Comp]): Option[RgbImage] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def be16(i: Int) = u8(i) << 8 | u8(i + 1)
+
+    val hmax = comps.map(_.hi).max
+    val vmax = comps.map(_.vi).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    comps.foreach { c =>
+      c.blocksW = mcusX * c.hi
+      c.blocksH = mcusY * c.vi
+      if (c.blocksW.toLong * c.blocksH * 64 > 4L * MaxPixels) fail()
+      c.coefs = new Array[Short](c.blocksW * c.blocksH * 64)
+      // non-interleaved scans cover only the component's true extent
+      c.bw = ((w * c.hi + hmax - 1) / hmax + 7) / 8
+      c.bh = ((h * c.vi + vmax - 1) / vmax + 7) / 8
+    }
+
+    var restartInterval = ri0
+    var sawScan = false
+    var done = false
+    var i = firstSosMarker - 1 // the SOS marker's leading 0xFF
+    while (!done) {
+      if (i + 1 >= bytes.length) fail()
+      if (u8(i) != 0xff) fail()
+      var m = i + 1
+      while (u8(m) == 0xff) { m += 1; if (m >= bytes.length) fail() }
+      val marker = u8(m)
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i = m + 1
+      else if (marker == 0xd9) done = true // EOI
+      else {
+        if (m + 2 >= bytes.length) fail()
+        val segLen = be16(m + 1)
+        if (segLen < 2 || m + 1 + segLen > bytes.length) fail()
+        val ds = m + 3
+        val de = m + 1 + segLen
+        marker match {
+          case 0xdb =>
+            var p = ds
+            while (p < de) {
+              val pq = u8(p) >> 4; val tq = u8(p) & 15
+              if (pq > 1 || tq > 3) fail()
+              val step = if (pq == 1) 2 else 1
+              if (p + 1 + 64 * step > de) fail()
+              val tab = new Array[Int](64)
+              var k = 0
+              while (k < 64) {
+                tab(k) = if (pq == 1) be16(p + 1 + 2 * k) else u8(p + 1 + k)
+                if (tab(k) == 0) fail()
+                k += 1
+              }
+              quant(tq) = tab
+              p += 1 + 64 * step
+            }
+            i = m + 1 + segLen
+          case 0xc4 =>
+            var p = ds
+            while (p < de) {
+              if (p + 17 > de) fail()
+              val tc = u8(p) >> 4; val th = u8(p) & 15
+              if (tc > 1 || th > 3) fail()
+              val bits = Array.tabulate(16)(k => u8(p + 1 + k))
+              val n = bits.sum
+              if (n > 256 || p + 17 + n > de) fail()
+              val vals = java.util.Arrays.copyOfRange(bytes, p + 17, p + 17 + n)
+              if (tc == 0) dcTabs(th) = new HuffDecoder(bits, vals)
+              else acTabs(th) = new HuffDecoder(bits, vals)
+              p += 17 + n
+            }
+            i = m + 1 + segLen
+          case 0xdd =>
+            if (de - ds < 2) fail()
+            restartInterval = be16(ds)
+            i = m + 1 + segLen
+          case 0xda =>
+            val ns = u8(ds)
+            if (ns < 1 || ns > comps.length || de - ds < 1 + 2 * ns + 3) fail()
+            val scomps = Array.tabulate(ns) { s =>
+              comps.find(_.id == u8(ds + 1 + 2 * s)).getOrElse(fail())
+            }
+            var s = 0
+            while (s < ns) {
+              val tt = u8(ds + 2 + 2 * s)
+              scomps(s).td = tt >> 4; scomps(s).ta = tt & 15
+              if (scomps(s).td > 3 || scomps(s).ta > 3) fail()
+              scomps(s).dc = dcTabs(scomps(s).td)
+              scomps(s).ac = acTabs(scomps(s).ta)
+              s += 1
+            }
+            val ss = u8(de - 3); val se = u8(de - 2)
+            val ah = u8(de - 1) >> 4; val al = u8(de - 1) & 15
+            if (ss > 63 || se > 63 || ss > se || ah > 13 || al > 13) fail()
+            if (ss == 0 && se != 0) fail() // DC scans carry only k=0
+            if (ss > 0 && ns != 1) fail() // AC scans are single-component
+            i = runScan(bytes, de, scomps, ss, se, ah, al,
+              restartInterval, mcusX, mcusY)
+            sawScan = true
+          case 0xc0 | 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            fail() // a second frame is out of scope
+          case _ =>
+            i = m + 1 + segLen // APPn / COM etc
+        }
+      }
+    }
+    if (!sawScan) fail()
+
+    // reconstruct: dequantize + dezigzag + IDCT every (padded) block
+    val coefN = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    val pix = new Array[Double](64)
+    comps.foreach { c =>
+      c.pw = c.blocksW * 8
+      c.ph = c.blocksH * 8
+      c.plane = new Array[Byte](c.pw * c.ph)
+      val q = quant(c.tq); if (q == null) fail()
+      var by = 0
+      while (by < c.blocksH) {
+        var bx = 0
+        while (bx < c.blocksW) {
+          val base = (by * c.blocksW + bx) * 64
+          var k = 0
+          while (k < 64) { coefN(ZigZag(k)) = c.coefs(base + k).toDouble * q(k); k += 1 }
+          idct(coefN, tmp, pix)
+          val ox = bx * 8; val oy = by * 8
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              val vD = pix(yy * 8 + xx) + 128.5
+              val v = if (vD < 0) 0 else if (vD > 255) 255 else vD.toInt
+              c.plane((oy + yy) * c.pw + ox + xx) = v.toByte
+              xx += 1
+            }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    Some(colorConvert(comps, w, h, hmax, vmax))
+  }
+
+  /** One progressive scan (T.81 G.1.2). Returns the index of the next
+    * marker's 0xFF after the scan's entropy data.
+    */
+  private def runScan(bytes: Array[Byte], dataStart: Int, scomps: Array[Comp],
+      ss: Int, se: Int, ah: Int, al: Int, ri: Int, mcusX: Int, mcusY: Int): Int = {
+    val br = new BitReader(bytes, dataStart)
+    var eobrun = 0
+    scomps.foreach(_.pred = 0)
+    val isDc = ss == 0
+    val p1 = 1 << al
+    val m1 = -1 << al
+
+    def dcFirst(c: Comp, base: Int): Unit = {
+      if (c.dc == null) fail()
+      val t = c.dc.decode(br)
+      if (t > 15) fail()
+      val diff = if (t == 0) 0 else extend(br.receive(t), t)
+      c.pred += diff
+      c.coefs(base) = (c.pred << al).toShort
+    }
+    def dcRefine(c: Comp, base: Int): Unit =
+      if (br.bit() == 1) c.coefs(base) = (c.coefs(base) | p1).toShort
+
+    def acFirst(c: Comp, base: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      if (c.ac == null) fail()
+      var k = ss
+      var ended = false
+      while (k <= se && !ended) {
+        val rs = c.ac.decode(br)
+        val r = rs >> 4; val s = rs & 15
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += br.receive(r)
+            ended = true
+          }
+        } else {
+          k += r
+          if (k > se) fail()
+          c.coefs(base + k) = (extend(br.receive(s), s) << al).toShort
+          k += 1
+        }
+      }
+    }
+
+    def acRefine(c: Comp, base: Int): Unit = {
+      if (c.ac == null) fail()
+      def refineAt(idx: Int): Unit = {
+        val cv: Int = c.coefs(idx)
+        if (br.bit() == 1 && (cv & p1) == 0)
+          c.coefs(idx) = (cv + (if (cv >= 0) p1 else m1)).toShort
+      }
+      var k = ss
+      if (eobrun == 0) {
+        var ended = false
+        while (k <= se && !ended) {
+          val rs = c.ac.decode(br)
+          var r = rs >> 4
+          val s = rs & 15
+          var newval = 0
+          if (s == 0) {
+            if (r < 15) { // EOBn: refine the tail, then the run covers whole blocks
+              eobrun = 1 << r
+              if (r > 0) eobrun += br.receive(r)
+              ended = true
+            } // r == 15 (ZRL): skip 16 zero-history coefficients below
+          } else {
+            if (s != 1) fail() // refinement only appends ±1 at this bit
+            newval = if (br.bit() == 1) p1 else m1
+          }
+          if (!ended) {
+            var placed = false
+            while (k <= se && !placed) {
+              if (c.coefs(base + k) != 0) refineAt(base + k)
+              else {
+                if (r == 0) {
+                  if (s != 0) c.coefs(base + k) = newval.toShort
+                  placed = true
+                } else r -= 1
+              }
+              k += 1
+            }
+            if (s != 0 && !placed) fail() // ran off the band
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          if (c.coefs(base + k) != 0) refineAt(base + k)
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    def decodeUnit(c: Comp, base: Int): Unit =
+      if (isDc) { if (ah == 0) dcFirst(c, base) else dcRefine(c, base) }
+      else { if (ah == 0) acFirst(c, base) else acRefine(c, base) }
+
+    var rstM = 0
+    var unit = 0
+    def maybeRestart(): Unit =
+      if (ri > 0 && unit > 0 && unit % ri == 0) {
+        br.restart(rstM)
+        rstM = (rstM + 1) & 7
+        scomps.foreach(_.pred = 0)
+        eobrun = 0
+      }
+
+    if (scomps.length > 1) {
+      // interleaved DC scan over the padded MCU grid
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          maybeRestart()
+          var ci = 0
+          while (ci < scomps.length) {
+            val c = scomps(ci)
+            var by = 0
+            while (by < c.vi) {
+              var bx = 0
+              while (bx < c.hi) {
+                decodeUnit(c, ((my * c.vi + by) * c.blocksW + (mx * c.hi + bx)) * 64)
+                bx += 1
+              }
+              by += 1
+            }
+            ci += 1
+          }
+          unit += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // non-interleaved: the component's true block extent, one block
+      // per restart unit
+      val c = scomps(0)
+      var by = 0
+      while (by < c.bh) {
+        var bx = 0
+        while (bx < c.bw) {
+          maybeRestart()
+          decodeUnit(c, (by * c.blocksW + bx) * 64)
+          unit += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+
+    // locate the next marker (skipping pad bytes and any stray RSTn)
+    var p = br.pos
+    while (p + 1 < bytes.length && !((bytes(p) & 0xff) == 0xff && {
+      val nx = bytes(p + 1) & 0xff
+      nx != 0 && (nx < 0xd0 || nx > 0xd7)
+    })) p += 1
+    if (p + 1 >= bytes.length) fail()
+    p
+  }
+
+  /** Upsample (nearest) + JFIF YCbCr → RGB over decoded planes. */
+  private def colorConvert(comps: Array[Comp], w: Int, h: Int, hmax: Int, vmax: Int): RgbImage = {
     val out = new Array[Byte](w * h * 3)
     def clamp(v: Double): Byte = {
       val i2 = (v + 0.5).toInt
@@ -424,7 +764,7 @@ object JpegCodec {
         y += 1
       }
     }
-    Some(RgbImage(w, h, out))
+    RgbImage(w, h, out)
   }
 
   // ------------------------------------------------------------- encode

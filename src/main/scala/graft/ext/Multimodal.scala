@@ -8,11 +8,11 @@ import org.apache.spark.sql.functions._
   * resize / frame-sample stages. Container HEADER parsing (PNG/GIF/JPEG/
   * BMP dims, EXIF orientation, WAV, MP4) and PIXEL decoding (PNG incl.
   * Adam7 via zlib-inflate + unfilter, BMP, GIF incl. full LZW, baseline
-  * JPEG incl. full Huffman+IDCT entropy decode — see [[PixelCodec]] /
-  * [[JpegCodec]]) are REAL, pure-JDK implementations of the public
-  * formats. The only remaining stubs are progressive-JPEG and video
-  * sample decode: those payloads fall back to the deterministic digest
-  * stubs, stated per method.
+  * JPEG incl. full Huffman+IDCT entropy decode, sequential and
+  * progressive — see [[PixelCodec]] / [[JpegCodec]]) are REAL,
+  * pure-JDK implementations of the public formats. The only remaining
+  * stub is video sample decode: those payloads fall back to the
+  * deterministic digest stubs, stated per method.
   *
   * Scale notes: binary payloads never shuffle — metadata extraction is a
   * narrow projection, and downstream joins/aggregations use the digest or
@@ -494,10 +494,9 @@ object Multimodal {
   val StubDims = 8
 
   /** FALLBACK — deterministic digest features for payloads no codec
-    * here can rasterize (progressive JPEG, video samples): derives
+    * here can rasterize (video samples): derives
     * `StubDims` floats from the content digest. Recognized rasters —
-    * PNG/BMP/GIF/baseline JPEG — never reach this path, see
-    * [[decodeFeatures]].
+    * PNG/BMP/GIF/JPEG — never reach this path, see [[decodeFeatures]].
     */
   private[ext] def stubFeatures(bytes: Array[Byte]): Array[Float] = {
     val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
@@ -508,11 +507,11 @@ object Multimodal {
   }
 
   /** Batched per-partition decode + feature extract — REAL for
-    * PNG/BMP/GIF/baseline-JPEG payloads: [[PixelCodec.decodeImage]]
+    * PNG/BMP/GIF/JPEG payloads: [[PixelCodec.decodeImage]]
     * rasterizes the container (zlib inflate + unfilter / LZW /
-    * Huffman+IDCT) and [[PixelCodec.pooledLuma]] grid-pools mean
-    * luminance into a `StubDims`-wide embedding. The remaining
-    * unrasterizable payloads (progressive JPEG, video) fall back to
+    * Huffman+IDCT incl. progressive) and [[PixelCodec.pooledLuma]]
+    * grid-pools mean luminance into a `StubDims`-wide embedding. The
+    * remaining unrasterizable payloads (video samples) fall back to
     * [[stubFeatures]], stated above. Returns (passthrough columns...,
     * features array<float>).
     */
@@ -544,7 +543,7 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5")
       .digest(bytes ++ s"${w}x$h".getBytes("UTF-8"))
 
-  /** Image resize stage — REAL for PNG/BMP/GIF/baseline JPEG: decode
+  /** Image resize stage — REAL for PNG/BMP/GIF/JPEG: decode
     * ([[PixelCodec.decodeImage]]) → nearest-neighbor resample → PNG
     * re-encode with real CRCs ([[PixelCodec.encodePng]]); the output
     * binary decodes in any PNG reader. Unrasterizable payloads fall

@@ -22,10 +22,10 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *     literal-codes-with-periodic-clear construction.
   *
   * These give [[Multimodal]] real bodies for decode / feature-extract /
-  * resize / frame-sample on PNG, BMP, GIF and baseline JPEG payloads
-  * (the latter via [[JpegCodec]] — full Huffman+IDCT entropy decode).
-  * Progressive JPEG and video samples remain the stated stub fallbacks
-  * at each call site.
+  * resize / frame-sample on PNG, BMP, GIF and JPEG payloads (the latter
+  * via [[JpegCodec]] — full Huffman+IDCT entropy decode, sequential
+  * and progressive). Video samples remain the stated stub fallback at
+  * each call site.
   *
   * Everything here is row-local byte work: one payload in, one pixel
   * buffer out, no Spark types — the distribution shape (per-partition
@@ -705,9 +705,9 @@ object PixelCodec {
   }
 
   /** Decode any supported raster container: PNG (incl. Adam7), BMP,
-    * GIF (first frame), or baseline JPEG ([[JpegCodec.decode]] — full
-    * Huffman+IDCT entropy decode). Progressive JPEG still returns None
-    * — callers fall back to their stub for it, stated at the call site.
+    * GIF (first frame), or JPEG ([[JpegCodec.decode]] — full entropy
+    * decode, sequential AND progressive). Video payloads remain the
+    * callers' stated stub fallback.
     */
   def decodeImage(bytes: Array[Byte]): Option[RgbImage] =
     if (bytes == null || bytes.length < 2) None

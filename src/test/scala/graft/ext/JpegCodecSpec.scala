@@ -168,12 +168,35 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(mean <= 2.5, s"restart stream parity mean=$mean")
   }
 
+  test("progressive (SOF2) foreign streams decode to parity with ImageIO") {
+    // neutral-chroma content: subsampling-filter differences can't
+    // contribute; the stream is a REAL multi-scan progressive JPEG
+    // (spectral selection + successive approximation) produced by an
+    // independent encoder
+    for ((w, h) <- Seq((24, 24), (41, 23), (64, 48))) {
+      val img = grayCard(w, h)
+      val progressive = imageIoEncode(img, 0.85f, progressive = true)
+      // really SOF2 on the wire, not a sequential fallback
+      assert(progressive.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2), "stream must be SOF2")
+      val ours = JpegCodec.decode(progressive)
+      assert(ours.isDefined, s"progressive ${w}x$h must decode")
+      val (worst, mean) = maxMeanDiff(ours.get, imageIoDecode(progressive))
+      assert(worst <= 6 && mean <= 1.5, s"progressive parity ${w}x$h worst=$worst mean=$mean")
+    }
+    // color progressive: same bound as the color sequential case
+    val cimg = grayCard(32, 32)
+    val colorProg = imageIoEncode(cimg, 0.85f, progressive = true)
+    val oursC = JpegCodec.decode(colorProg)
+    assert(oursC.isDefined, "color progressive must decode")
+    val (worstC, meanC) = maxMeanDiff(oursC.get, imageIoDecode(colorProg))
+    assert(worstC <= 6 && meanC <= 1.5, s"color progressive parity worst=$worstC mean=$meanC")
+    // truncated progressive: None, never a throw
+    assert(JpegCodec.decode(colorProg.take(colorProg.length / 2)).isEmpty)
+  }
+
   test("unsupported profiles and malformed streams: None, never a throw") {
     val img = grayCard(24, 24)
-    // progressive (SOF2): stated fallback
-    val progressive = imageIoEncode(img, 0.8f, progressive = true)
-    assert(JpegCodec.decode(progressive).isEmpty, "progressive must return None")
-
     val good = JpegCodec.encode(img, quality = 80)
     // truncation at every interesting boundary
     for (cut <- Seq(2, 4, 20, good.length / 4, good.length / 2, good.length - 3))
