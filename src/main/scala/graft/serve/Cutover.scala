@@ -44,6 +44,17 @@ final class CutoverSession(
   @volatile private[this] var cursorOpt: Option[Long] = Some(startCursorUs)
   @volatile private[this] var seqVar: Long = Long.MinValue
 
+  /** Diagnostic breadcrumb trail of session-state transitions (hwm
+    * advances with their source, cutover decisions) — bounded, cheap,
+    * and invaluable when a distributed-delivery assertion fails: specs
+    * print it instead of guessing at interleavings.
+    */
+  private[serve] val trace = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  private def traced(msg: String): Unit = {
+    if (trace.size > 512) trace.poll()
+    trace.add(msg)
+  }
+
   /** Still in replay mode? (sub.cursor != nil, server.go:100) */
   def replaying: Boolean = cursorOpt.isDefined
 
@@ -73,41 +84,80 @@ final class CutoverSession(
     * server.go:114,183-186); `deliver` receives the in-order view and
     * must consume it before the call returns.
     */
+  /** One table scan → an immutable driver-local snapshot. Every further
+    * action in a replay step runs over the snapshot (a LocalRelation),
+    * NEVER re-reading the table: `.cache()` cannot pin a parquet scan
+    * here because a concurrent append to the same path INVALIDATES the
+    * cached plan (Spark recaches by path on write), so two actions over
+    * one "cached" chunk can see two different table states — observed
+    * as a step whose scan-tail said 40 rows, whose delivery collected
+    * 44, and whose hwm advanced to a 46-row state's max: the hwm then
+    * deduped events that never reached the wire. The reference replays
+    * from one LSM iterator and cannot race this way (persist.go:147-204).
+    * Snapshots are bounded: ≤ chunkSize rows (replay) or the ≤ ½ s
+    * cutover window (gap-fill).
+    */
+  private def snapshot(spark: SparkSession, df: DataFrame): (DataFrame, Option[Long]) = {
+    val rows = df.collect()
+    val snap = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+    val ti = df.schema.fieldIndex("time_us")
+    val maxUs = if (rows.isEmpty) None else Some(rows.iterator.map(_.getLong(ti)).max)
+    (snap, maxUs)
+  }
+
   def replayStep(spark: SparkSession, path: String, serverSeqUs: Long)(
       deliver: DataFrame => Unit): Boolean = cursorOpt match {
     case None => false
     case Some(cursor) =>
       val budget = playback.map(_.acquireUpTo(chunkSize.toLong).toInt).getOrElse(chunkSize)
       if (budget == 0) return true // paced out this tick (persist.go:147-149)
-      val chunk = Replay.replayChunk(spark, path, cursor, budget).cache()
-      try {
-        // refund the budget the chunk didn't fill (tail of the backlog):
-        // only events actually scanned consume playback tokens
-        playback.foreach(_.refund(budget - chunk.count()))
-        // scan tail — the reference's ReplayEvents return value (persist.go:199-203)
-        val lastSeq = maxTimeUs(chunk).getOrElse(cursor - 1)
-        val view = deliverable(chunk).orderBy(col("time_us"))
-        deliver(view)
-        maxTimeUs(view).foreach(advanceSeq)
-        if (Replay.caughtUp(lastSeq, serverSeqUs)) {
-          // gap-fill (lastSeq, serverSeqUs]: what live suppressed while we
-          // replayed — hwm-deduped, so anything the open gate already
-          // delivered is skipped (the exactly-once strengthening)
-          val gap = deliverable(
-            EventsTable.read(spark, path)
-              .filter(col(EventsTable.PartitionCol) >= (lastSeq + 1) / 3600000000L &&
-                col(EventsTable.PartitionCol) <= serverSeqUs / 3600000000L &&
-                col("time_us") > lastSeq && col("time_us") <= serverSeqUs))
-            .orderBy(col("time_us"))
+      val (chunk, chunkMax) =
+        snapshot(spark, Replay.replayChunk(spark, path, cursor, budget))
+      // refund the budget the chunk didn't fill (tail of the backlog):
+      // only events actually scanned consume playback tokens
+      playback.foreach(_.refund(budget - chunk.count()))
+      // scan tail — the reference's ReplayEvents return value (persist.go:199-203)
+      val lastSeq = chunkMax.getOrElse(cursor - 1)
+      val view = deliverable(chunk).orderBy(col("time_us"))
+      deliver(view)
+      val viewMax = maxTimeUs(view)
+      traced(s"chunk cursor=$cursor lastSeq=$lastSeq srv=$serverSeqUs viewMax=$viewMax")
+      viewMax.foreach(advanceSeq)
+      if (Replay.caughtUp(lastSeq, serverSeqUs)) {
+        // gap-fill (lastSeq, serverSeqUs]: what live suppressed while we
+        // replayed — hwm-deduped, so anything the open gate already
+        // delivered is skipped (the exactly-once strengthening)
+        val (gapAll, gapAllMax) = snapshot(spark,
+          EventsTable.read(spark, path)
+            .filter(col(EventsTable.PartitionCol) >= (lastSeq + 1) / 3600000000L &&
+              col(EventsTable.PartitionCol) <= serverSeqUs / 3600000000L &&
+              col("time_us") > lastSeq && col("time_us") <= serverSeqUs))
+        // Visibility barrier: serverSeqUs IS an observed event's
+        // timestamp (the serving loop's live head), so a gap scan that
+        // cannot see that event raced an append's file commit —
+        // certifying the suppressed window as delivered off that stale
+        // listing would LOSE the rows the commit was still moving into
+        // place. Keep the cursor and retry: the next tick re-lists a
+        // fresher table. serverSeqUs == 0 means "no live head observed
+        // yet" — nothing to certify.
+        if (serverSeqUs > math.max(lastSeq, 0L) && !gapAllMax.contains(serverSeqUs)) {
+          traced(s"barrier hold lastSeq=$lastSeq srv=$serverSeqUs gapAllMax=$gapAllMax")
+          cursorOpt = Some(lastSeq + 1)
+          true
+        } else {
+          val gap = deliverable(gapAll).orderBy(col("time_us"))
           deliver(gap)
-          maxTimeUs(gap).foreach(advanceSeq)
+          val gapMax = maxTimeUs(gap)
+          traced(s"cutover lastSeq=$lastSeq srv=$serverSeqUs gapAllMax=$gapAllMax gapMax=$gapMax")
+          gapMax.foreach(advanceSeq)
           cursorOpt = None // sub.cursor = nil (server.go:334-336)
           false
-        } else {
-          cursorOpt = Some(lastSeq + 1) // next chunk (server.go:327-330)
-          true
         }
-      } finally chunk.unpersist()
+      } else {
+        cursorOpt = Some(lastSeq + 1) // next chunk (server.go:327-330)
+        true
+      }
   }
 
   /** The live `Emit` branch for this subscriber (server.go:87-111): while
@@ -143,26 +193,41 @@ final class CutoverSession(
     * (the reference's emit loop is exactly this shape: one serialized
     * batch in memory, a per-subscriber predicate pass in process,
     * server.go:87-134). `frames` must be time-ordered (the caller sorts
-    * the collected batch once); the returned wires are then in order,
-    * and the hwm advances to the delivered tail like [[liveEmit]].
+    * the collected batch once); the returned wires are then in order.
+    *
+    * The hwm does NOT advance here: the caller confirms via
+    * [[delivered]] AFTER the wire write succeeds — the reference
+    * advances `sub.seq` only past a successful write
+    * (server.go:131-152). Advancing first would dedup-forever frames
+    * whose write then failed.
     */
-  def liveEmitFrames(frames: Array[Subscribe.WireFrame]): Array[String] = {
-    if (replaying) return Array.empty // replay-lag gate (server.go:100-103)
+  def liveEmitFrames(frames: Array[Subscribe.WireFrame]): (Array[String], Long) = {
+    if (replaying) return (Array.empty, Long.MinValue) // replay-lag gate (server.go:100-103)
     val hwm = seqVar
     val out = Array.newBuilder[String]
     var last = Long.MinValue
     var i = 0
     while (i < frames.length) {
       val f = frames(i)
+      // a missing collection passes any wanted-set (server.go:119's
+      // `collection != ""` guard — identity/account events flow to all)
       if (f.timeUs > hwm &&
-          (collSet.isEmpty || (f.collection != null && collSet(f.collection))) &&
+          (collSet.isEmpty || f.collection == null || f.collection.isEmpty ||
+            collSet(f.collection)) &&
           (didSet.isEmpty || (f.did != null && didSet(f.did)))) {
         out += f.wire
         last = f.timeUs
       }
       i += 1
     }
-    if (last != Long.MinValue) advanceSeq(last)
-    out.result()
+    (out.result(), last)
   }
+
+  /** Confirm a successful wire write of [[liveEmitFrames]] output up to
+    * `tailUs` — advances the hwm (sub.seq = timeUS after the write,
+    * server.go:131-152). No-op for the Long.MinValue "nothing emitted"
+    * sentinel.
+    */
+  def delivered(tailUs: Long): Unit =
+    if (tailUs != Long.MinValue) { traced(s"live tail=$tailUs"); advanceSeq(tailUs) }
 }

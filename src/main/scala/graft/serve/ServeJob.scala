@@ -45,7 +45,7 @@ object ServeJob {
   val MaxComboRowsPerSpec = 4096
 
   /** Every subscriber's admission count over the cached wire batch in a
-    * CONSTANT number of Spark jobs (≤4), independent of subscriber
+    * CONSTANT number of Spark jobs (≤6), independent of subscriber
     * count. Specs with explicit wanted-sets become rows of a tiny
     * broadcast table — (sub, collection, did, hwm) combos, or the
     * single-key variants — and ONE hash-join pass per key shape tags
@@ -81,12 +81,24 @@ object ServeJob {
         s.wantedCollections.size <= MaxComboRowsPerSpec
     }
 
+    // rows with no collection (identity/account events) pass the
+    // collection half of every spec (server.go:119's `collection != ""`
+    // guard) — counted separately below, per shape
+    val noColl = col(collectionCol).isNull || col(collectionCol) === ""
+
     val bothCounts = if (both.isEmpty) Map.empty[String, Long] else grouped {
       val combos = both.toSeq.flatMap { case (n, s) =>
         for (c <- s.wantedCollections; d <- s.wantedDids) yield (n, c, d, s.hwmUs)
       }.toDF("__sub", "__coll", "__did", "__hwm")
       wire.join(broadcast(combos),
         col(collectionCol) === col("__coll") && col(didCol) === col("__did"))
+    }
+    // non-commit rows reaching a coll+did spec: did must still match
+    val bothNullCounts = if (both.isEmpty) Map.empty[String, Long] else grouped {
+      val dids = both.toSeq.flatMap { case (n, s) =>
+        s.wantedDids.distinct.map(d => (n, d, s.hwmUs))
+      }.toDF("__sub", "__did", "__hwm")
+      wire.filter(noColl).join(broadcast(dids), col(didCol) === col("__did"))
     }
     val didCounts = if (didOnly.isEmpty) Map.empty[String, Long] else grouped {
       val dids = didOnly.toSeq.flatMap { case (n, s) =>
@@ -100,6 +112,14 @@ object ServeJob {
       }.toDF("__sub", "__coll", "__hwm")
       wire.join(broadcast(colls), col(collectionCol) === col("__coll"))
     }
+    // non-commit rows pass a collection-only spec outright; only the
+    // hwm differs per spec, and distinct hwms are few — one aggregation
+    val collNullByHwm: Map[Long, Long] = if (collOnly.isEmpty) Map.empty else {
+      val hwms = collOnly.values.map(_.hwmUs).toSeq.distinct
+      val aggs = hwms.map(hv => count(when(col("time_us") > hv, true)).as(s"h$hv"))
+      val row = wire.filter(noColl).agg(aggs.head, aggs.tail: _*).head()
+      hwms.zipWithIndex.map { case (hv, i) => hv -> row.getLong(i) }.toMap
+    }
     // pass-all specs (and oversized wanted-sets): one aggregation of
     // per-spec conditional counts — cheap predicates, and typically few
     val scanCounts = if (scanned.isEmpty) Map.empty[String, Long] else {
@@ -111,8 +131,13 @@ object ServeJob {
       names.zipWithIndex.map { case (n, i) => n -> row.getLong(i) }.toMap
     }
     specs.keys.map { n =>
-      n -> (bothCounts.orElse(didCounts).orElse(collCounts).orElse(scanCounts)
-        .applyOrElse(n, (_: String) => 0L))
+      val base = bothCounts.orElse(didCounts).orElse(collCounts).orElse(scanCounts)
+        .applyOrElse(n, (_: String) => 0L)
+      val nullPart =
+        if (both.contains(n)) bothNullCounts.getOrElse(n, 0L)
+        else if (collOnly.contains(n)) collNullByHwm.getOrElse(collOnly(n).hwmUs, 0L)
+        else 0L
+      n -> (base + nullPart)
     }.toMap
   }
 

@@ -46,7 +46,7 @@ import graft.ingest.Decode
   * these per edge node against the shared table (sessions hold two
   * longs of state each) — the table, not the server, is the scale axis.
   */
-object SocketServe {
+object SocketServe extends org.apache.spark.internal.Logging {
 
   /** Per-connection wire protocol: how a subscriber's request arrives
     * and how wire JSON frames go back. One implementation per
@@ -135,6 +135,18 @@ object SocketServe {
       onClose: () => Unit) {
     lazy val query: StreamingQuery = queryOf()
     def subscriberCount: Int = conns.size
+    /** Sessions still in replay mode — cursors not yet cut over. */
+    def replayingCount: Int = conns.values.count(_.session.replaying)
+    /** Per-session lifecycle view: (name, replaying, hwmUs). */
+    def sessionStates: Seq[(String, Boolean, Long)] =
+      conns.values.toSeq.sortBy(_.name)
+        .map(c => (c.name, c.session.replaying, c.session.seqUs))
+    /** Per-session transition breadcrumbs (diagnostics). */
+    def sessionTraces: Map[String, Seq[String]] = {
+      import scala.jdk.CollectionConverters._
+      conns.values.toSeq.sortBy(_.name)
+        .map(c => c.name -> c.session.trace.asScala.toSeq).toMap
+    }
     def close(): Unit = {
       closing.set(true) // before the sweep: in-flight handshakes self-drop
       try query.stop() catch { case _: Throwable => () }
@@ -261,11 +273,65 @@ object SocketServe {
       if (row.isNullAt(0)) 0L else row.getLong(0)
     }.getOrElse(0L)
     val lastHeadUs = new java.util.concurrent.atomic.AtomicLong(initialHeadUs)
+
+    // AQE-off session clone for the session replay scans: the pump and
+    // the batch loop run these small chunk scans concurrently with the
+    // engine's own queries, and AQE's final-plan wait has a lost-wakeup
+    // race under exactly that concurrency (see ReplayTailSource's
+    // probeSession note); adaptive planning buys nothing on a pruned
+    // ≤chunkSize scan.
+    val replaySession = {
+      val s = events.sparkSession.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.experimental.extraOptimizations =
+        events.sparkSession.experimental.extraOptimizations
+      s
+    }
+
+    // replay pump: the reference serves a cursored subscriber's replay
+    // from its own goroutine, INDEPENDENT of live traffic
+    // (server.go:305-337). Micro-batches only fire when new events
+    // arrive, so without this thread a subscriber attaching to an idle
+    // stream would wait for the next live event before its replay even
+    // starts — and starve forever on a quiet one. Per-conn work is
+    // `conn.synchronized` here and in the batch loop, so a session's
+    // replay chunks and its live emission never interleave; delivery
+    // order and exactly-once still come from the session's gate + hwm.
+    val pump = new Thread(() => {
+      try while (!closing.get()) {
+        try {
+          val replaying =
+            conns.readOnlySnapshot().values.filter(_.session.replaying).toSeq.sortBy(_.name)
+          if (replaying.nonEmpty) {
+            ServeJob.onPool(replaying, fanOutWidth) { conn =>
+              try conn.synchronized {
+                // the head is read INSIDE the lock, right before the
+                // step: a pre-read value can go stale while this worker
+                // waits behind a micro-batch that suppressed newer live
+                // frames for this session — a stale head then lets the
+                // cutover barrier pass and the suppressed window is lost
+                if (conn.session.replaying)
+                  conn.session.replayStep(replaySession, tablePath, lastHeadUs.get())(
+                    view => writeView(conn, view))
+              } catch { case _: java.io.IOException => dropConn(conn) }
+            }
+          }
+        } catch {
+          case e: InterruptedException => throw e
+          // a transient table-read race (file listing during a
+          // concurrent append/compaction) must not kill the pump —
+          // the streaming side gets the same retry from Spark itself
+          case _: Throwable => ()
+        }
+        Thread.sleep(25) // also bounds the paced-out (budget 0) spin
+      } catch { case _: InterruptedException => () }
+    }, "socket-serve-replay-pump")
+    pump.setDaemon(true)
+    pump.start()
     val query = events.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
         val active = conns.readOnlySnapshot().values.toSeq.sortBy(_.name)
         if (active.nonEmpty) {
           // ONE Spark job per micro-batch, at ANY subscriber count:
@@ -300,15 +366,24 @@ object SocketServe {
               f.wire.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
               .sum.toDouble)
           }
-          val serverSeqUs = lastHeadUs.get()
           ServeJob.onPool(active, fanOutWidth) { conn =>
-            try {
+            try conn.synchronized { // excludes the replay pump per conn
+              // head read inside the lock — see the pump's note
               if (conn.session.replaying)
-                conn.session.replayStep(spark, tablePath, serverSeqUs)(
+                conn.session.replayStep(replaySession, tablePath, lastHeadUs.get())(
                   view => writeView(conn, view))
-              writeWire(conn, conn.session.liveEmitFrames(frames))
-            } catch { case _: java.io.IOException => // slow consumer /
-              dropConn(conn) // disconnect: server.go:168-175
+              val (wires, tailUs) = conn.session.liveEmitFrames(frames)
+              writeWire(conn, wires)
+              conn.session.delivered(tailUs) // hwm past the SUCCESSFUL write
+            } catch {
+              case _: java.io.IOException => // slow consumer / disconnect:
+                dropConn(conn) // server.go:168-175
+              case e: Throwable =>
+                // one subscriber's failure must not kill the serving
+                // query for everyone — drop it like the reference drops
+                // a broken conn, and keep the loop alive
+                logWarning(s"dropping ${conn.name} on unexpected error", e)
+                dropConn(conn)
             }
           }
         }
@@ -316,6 +391,6 @@ object SocketServe {
       .start()
 
     new Server(serverSocket.getLocalPort, serverSocket, () => query, conns,
-      dropConn, closing, () => watchdog.shutdownNow())
+      dropConn, closing, () => { pump.interrupt(); watchdog.shutdownNow() })
   }
 }

@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * A subscription is three independent predicates ANDed, each with
   * "empty ⇒ pass-all" semantics:
-  *   - wantedCollections (S14, server.go:119-123)
-  *   - wantedDids        (S15, server.go:125-129)
+  *   - wantedCollections (S14, server.go:119-123) — applies ONLY to
+  *     events that carry a collection: the reference guards the check
+  *     with `collection != ""`, so non-commit events (identity/account,
+  *     whose collection is empty) pass every collection filter
+  *   - wantedDids        (S15, server.go:125-129) — applies to ALL events
   *   - time_us > hwm     (S16, server.go:131-134 — the per-subscriber
   *                        high-water mark that dedups the replay/live
   *                        overlap)
@@ -54,13 +57,15 @@ object Subscribe {
   final case class WireFrame(timeUs: Long, collection: String, did: String, wire: String)
 
   /** JVM twin of [[filterFor]] for the driver-side emit loop — same
-    * three conjuncts, same null semantics: a null collection/did FAILS a
-    * non-empty wanted-set (Column `isin` on null is null ⇒ filtered) and
-    * passes an empty one (`lit(true)` passes every row).
+    * three conjuncts. A missing (null/empty) collection PASSES any
+    * wanted-set (the reference's `collection != ""` guard,
+    * server.go:119: collection filters only filter commits; identity/
+    * account events flow to every subscriber). A null did still fails a
+    * non-empty did set — the reference's did check has no such guard.
     */
   def admits(spec: SubscriberSpec, f: WireFrame): Boolean =
-    (spec.wantedCollections.isEmpty ||
-      (f.collection != null && spec.wantedCollections.contains(f.collection))) &&
+    (spec.wantedCollections.isEmpty || f.collection == null || f.collection.isEmpty ||
+      spec.wantedCollections.contains(f.collection)) &&
     (spec.wantedDids.isEmpty ||
       (f.did != null && spec.wantedDids.contains(f.did))) &&
     f.timeUs > spec.hwmUs
@@ -70,8 +75,8 @@ object Subscribe {
     * envelope's `commit.collection` (the wire event shape — the
     * reference reads `event.Commit.Collection`, server.go:119-123).
     * Null when neither exists: identity/account events carry no
-    * collection and fail any non-empty wanted-set, which is exactly the
-    * reference's nil-commit check.
+    * collection and PASS every wanted-set (the reference's
+    * `collection != ""` guard at server.go:119).
     */
   def resolvedCollection(df: DataFrame): Column = {
     import org.apache.spark.sql.types.{StringType, StructType}
@@ -95,21 +100,28 @@ object Subscribe {
   def filterForDf(spec: SubscriberSpec, df: DataFrame): Column = {
     val collOk: Column =
       if (spec.wantedCollections.isEmpty) lit(true)
-      else resolvedCollection(df).isin(spec.wantedCollections: _*)
+      else {
+        val c = resolvedCollection(df)
+        c.isNull || c === "" || c.isin(spec.wantedCollections: _*)
+      }
     val didOk: Column =
       if (spec.wantedDids.isEmpty) lit(true)
       else resolvedDid(df).isin(spec.wantedDids: _*)
     collOk && didOk && (col("time_us") > spec.hwmUs)
   }
 
-  /** The compound subscriber predicate (empty set ⇒ pass-all). */
+  /** The compound subscriber predicate (empty set ⇒ pass-all; a
+    * missing collection passes any wanted-set — server.go:119's
+    * `collection != ""` guard).
+    */
   def filterFor(spec: SubscriberSpec,
       collectionCol: String = "collection",
       didCol: String = "did",
       timeCol: String = "time_us"): Column = {
     val collOk: Column =
       if (spec.wantedCollections.isEmpty) lit(true)
-      else col(collectionCol).isin(spec.wantedCollections: _*)
+      else col(collectionCol).isNull || col(collectionCol) === "" ||
+        col(collectionCol).isin(spec.wantedCollections: _*)
     val didOk: Column =
       if (spec.wantedDids.isEmpty) lit(true)
       else col(didCol).isin(spec.wantedDids: _*)

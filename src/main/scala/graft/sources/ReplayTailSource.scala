@@ -155,11 +155,31 @@ class ReplayTailSource(
     * schema — the fresh-boot window where serve starts before the
     * ingest half's first append (see [[ReplayTailSource.bootstrapSchema]]).
     */
-  private def table: DataFrame =
-    try graft.store.EventsTable.read(sqlContext.sparkSession, tablePath)
+  /** AQE-off session clone for the offset PROBES only. getOffset runs a
+    * tiny `max(time_us)` head() every trigger, CONCURRENTLY with
+    * whatever else the shared session is executing (e.g. the serve
+    * loop's replay pump); AQE's final-plan wait has a lost-wakeup race
+    * under that concurrency — observed as the stream thread parked
+    * forever in `AdaptiveSparkPlanExec.withFinalPlanUpdate` while every
+    * executor thread idled — and adaptive planning buys nothing on a
+    * footer-sized scan anyway. getBatch plans stay on the engine's own
+    * session (the streaming planner already runs them AQE-less).
+    */
+  private lazy val probeSession = {
+    val s = sqlContext.sparkSession.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.experimental.extraOptimizations =
+      sqlContext.sparkSession.experimental.extraOptimizations
+    s
+  }
+
+  private def table: DataFrame = tableFor(sqlContext.sparkSession)
+
+  private def tableFor(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    try graft.store.EventsTable.read(spark, tablePath)
     catch { case e: org.apache.spark.sql.AnalysisException
         if ReplayTailSource.isFreshBoot(e) =>
-      sqlContext.sparkSession.createDataFrame(
+      spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     }
 
@@ -168,9 +188,10 @@ class ReplayTailSource(
     * covers instead of listing all 24h × 100 TB of the log
     * (≙ pebble iterator LowerBound/UpperBound, persist.go:152-155).
     */
-  private[sources] def rangeScan(lowerUs: Long, upperUs: Option[Long]): DataFrame = {
+  private[sources] def rangeScan(lowerUs: Long, upperUs: Option[Long],
+      over: DataFrame = table): DataFrame = {
     val hourCol = col(graft.store.EventsTable.PartitionCol)
-    var df = table.filter(col("time_us") >= lowerUs)
+    var df = over.filter(col("time_us") >= lowerUs)
     if (hasHourCol) df = df.filter(hourCol >= lowerUs / UsPerHour)
     upperUs.foreach { u =>
       df = df.filter(col("time_us") <= u)
@@ -186,14 +207,15 @@ class ReplayTailSource(
     // into an earlier batch, so both scans below start at the tail — on a
     // 24h log this prunes every hour before the current position.
     val lowerUs = prev.map(_ + 1).getOrElse(cursorUs)
-    val row = rangeScan(lowerUs, None).agg(max(col("time_us"))).head()
+    val probe = tableFor(probeSession)
+    val row = rangeScan(lowerUs, None, probe).agg(max(col("time_us"))).head()
     if (row.isNullAt(0)) prev.map(LongOffset(_)) // no new data: re-announce tail
     else {
       val head = row.getLong(0)
       val capped = maxPerBatch match {
         case Some(cap) =>
           // rate cap: advance the offset only to the cap-th event of the range
-          val chunk = rangeScan(lowerUs, Some(head))
+          val chunk = rangeScan(lowerUs, Some(head), probe)
             .orderBy(col("time_us")).limit(cap.toInt)
             .agg(max(col("time_us"))).head()
           if (chunk.isNullAt(0)) head else chunk.getLong(0)

@@ -160,6 +160,30 @@ class CutoverSpec extends SparkSpec {
     assert(bucket.available == 95, s"only the 5 scanned events consume budget, saw ${bucket.available}")
   }
 
+  test("cutover visibility barrier: a gap scan that can't see the live head keeps replaying") {
+    // the serving loop observed an event at serverSeq that the table
+    // listing doesn't show yet (append file-commit race): certifying
+    // the gap off that stale read would lose the suppressed window —
+    // the session must hold its cursor and retry, then cut over once
+    // the table catches up
+    val path = tmpDir("cutover-barrier")
+    append(path, 1 to 10)
+    val session = new CutoverSession(Subscribe.SubscriberSpec(), startCursorUs = 1 * Step)
+    val delivered = ArrayBuffer.empty[Long]
+    val laggingHead = 12 * Step // a live head the table does NOT contain yet
+    assert(session.replayStep(spark, path, laggingHead)(df => delivered ++= collectUs(df)),
+      "must stay replaying: the head event is not visible in the table")
+    assert(session.replaying)
+    assert(delivered == (1 to 10).map(_ * Step), "the visible backlog still flows")
+
+    // table catches up (the racing commit lands): next tick cuts over
+    // and the gap rows arrive exactly once, in order
+    append(path, 11 to 12)
+    assert(!session.replayStep(spark, path, laggingHead)(df => delivered ++= collectUs(df)))
+    assert(!session.replaying)
+    assert(delivered == (1 to 12).map(_ * Step), "gap delivered exactly once, in order")
+  }
+
   test("liveEmitFrames ≡ liveEmit: gate, predicate, nulls, hwm advance") {
     import graft.ingest.Decode
 
@@ -191,7 +215,7 @@ class CutoverSpec extends SparkSpec {
       val replayingDf = new CutoverSession(spec, startCursorUs = 0L)
       val replayingRow = new CutoverSession(spec, startCursorUs = 0L)
       assert(wiresOf(replayingDf.liveEmit(batch)).isEmpty)
-      assert(replayingRow.liveEmitFrames(frames(batch)).isEmpty)
+      assert(replayingRow.liveEmitFrames(frames(batch))._1.isEmpty)
 
       // live (cursor at the one-event head, first step cuts over):
       // identical wires and identical hwm; a second identical batch
@@ -204,12 +228,14 @@ class CutoverSpec extends SparkSpec {
       rowSess.replayStep(spark, path, 1 * Step)(_ => ())
       assert(!dfSess.replaying && !rowSess.replaying)
       val viaDf = wiresOf(dfSess.liveEmit(batch))
-      val viaRows = rowSess.liveEmitFrames(frames(batch)).toSeq
+      val (viaRowsArr, tailUs) = rowSess.liveEmitFrames(frames(batch))
+      rowSess.delivered(tailUs) // the caller's post-write confirmation
+      val viaRows = viaRowsArr.toSeq
       assert(viaRows == viaDf, s"parity for $spec")
       if (spec.wantedCollections.isEmpty && spec.wantedDids.isEmpty)
         assert(viaRows.nonEmpty, "pass-all parity must not be vacuous")
       assert(rowSess.seqUs == dfSess.seqUs, s"hwm parity for $spec")
-      assert(rowSess.liveEmitFrames(frames(batch)).isEmpty, "hwm dedups the overlap")
+      assert(rowSess.liveEmitFrames(frames(batch))._1.isEmpty, "hwm dedups the overlap")
       assert(wiresOf(dfSess.liveEmit(batch)).isEmpty)
     }
   }

@@ -168,14 +168,19 @@ class MetricsSpec extends SparkSpec {
         .toDF("time_us", "did", "collection"), table)
       eventually(90000)(got.get() >= 21)
 
-      val out = reg.render
-      def series(name: String): Double =
+      def series(out: String, name: String): Double =
         ("""(?m)^""" + name + """(\{[^}]*\})? (\S+)$""").r
           .findAllMatchIn(out).map(_.group(2).toDouble).sum
-      assert(series("graft_events_emitted_total") >= 1d, s"emitted in:\n$out")
-      assert(series("graft_bytes_emitted_total") > 0d)
-      assert(series("graft_events_delivered_total") >= 21d, s"delivered in:\n$out")
-      assert(series("graft_bytes_delivered_total") > 0d)
+      // the replay pump can deliver the whole backlog before the live
+      // micro-batch lands; the emit-loop counters move when it does —
+      // wait for them rather than assuming delivery implies a batch
+      eventually(90000) {
+        val out = reg.render
+        series(out, "graft_events_emitted_total") >= 1d &&
+        series(out, "graft_bytes_emitted_total") > 0d &&
+        series(out, "graft_events_delivered_total") >= 21d &&
+        series(out, "graft_bytes_delivered_total") > 0d
+      }
 
       server.close()
       assert(reg.gauge("graft_subscribers_connected", "",

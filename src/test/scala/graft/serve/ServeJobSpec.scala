@@ -119,9 +119,13 @@ class ServeJobSpec extends SparkSpec {
   }
 
   test("admissionCounts (broadcast-tag probe) = per-spec filter counts for every spec shape") {
+    // every 7th row is a non-commit event (null collection): those pass
+    // the collection half of every spec (server.go:119), and the probe
+    // counts must agree with filterFor on them too
     val batch = (1 to 500).map { i =>
       (s"did:plc:u${i % 20}", i.toLong,
-        if (i % 2 == 0) "app.bsky.feed.post" else "app.bsky.feed.like")
+        if (i % 7 == 0) null
+        else if (i % 2 == 0) "app.bsky.feed.post" else "app.bsky.feed.like")
     }.toDF("did", "time_us", "collection")
     val specs = Map(
       "both"      -> Subscribe.SubscriberSpec(

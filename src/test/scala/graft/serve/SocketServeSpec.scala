@@ -59,8 +59,11 @@ class SocketServeSpec extends SparkSpec {
       // B: filtered live-only (no cursor = future cursor, server.go:283-286)
       val b = new Client(server.port, "subscribe?wantedCollections=app.graft.doc")
       eventually(30000)(server.subscriberCount == 2)
-      // no micro-batch has fired yet (the tail is idle): nothing delivered
-      assert(a.lines.isEmpty && b.lines.isEmpty)
+      // the replay pump serves A's backlog immediately, before any live
+      // micro-batch (server.go:305-337's independent replay goroutine);
+      // live-only B has nothing to receive yet
+      eventually(60000)(a.lines.size >= 40)
+      assert(b.lines.isEmpty)
 
       // live events arrive and drive the serving loop: A replays the
       // whole table then cuts over within the same session; B receives
@@ -95,6 +98,27 @@ class SocketServeSpec extends SparkSpec {
         }
         server.subscriberCount == 1
       }
+    } finally server.close()
+  }
+
+  test("idle stream: a cursored subscriber replays without any live traffic (server.go:305-337)") {
+    // the reference's replay goroutine runs independently of Emit; a
+    // subscriber attaching to a QUIET stream must still receive its
+    // backlog — no micro-batch ever fires here
+    val table = tmpDir("socket-serve-idle-table")
+    EventsTable.append(rows(1 to 25).toDF("time_us", "did", "collection"), table)
+    val tail = spark.readStream.format("graft-replay")
+      .option("path", table)
+      .option("cursor", "26000")
+      .load()
+    val server = SocketServe.start(tail, table, tmpDir("socket-serve-idle-ckpt"))
+    try {
+      val a = new Client(server.port, "subscribe?cursor=0")
+      val b = new Client(server.port, "subscribe?cursor=0&wantedCollections=app.graft.doc")
+      eventually(60000)(a.lines.size >= 25 && b.lines.size >= 25)
+      val ts = a.timesUs
+      assert(ts == ts.sorted && ts.toSet == (1 to 25).map(_ * 1000L).toSet,
+        "full in-order replay with zero live events")
     } finally server.close()
   }
 

@@ -39,6 +39,43 @@ class SubscribeSpec extends SparkSpec {
     }
   }
 
+  test("a missing collection passes any wanted-set; a missing did fails one (server.go:119,125)") {
+    // identity/account events carry no collection — the reference's
+    // `collection != ""` guard delivers them through collection filters;
+    // the did check has no such guard
+    val mixed = Seq(
+      ("did:plc:u1", 10L, "app.bsky.feed.post"),
+      ("did:plc:u1", 20L, null: String), // identity event
+      ("did:plc:u1", 30L, ""), // empty-string form
+      ("did:plc:u2", 40L, null: String),
+      (null: String, 50L, "app.bsky.feed.post"))
+      .toDF("did", "time_us", "collection")
+
+    val collSpec = SubscriberSpec(wantedCollections = Seq("app.bsky.feed.post"))
+    assert(mixed.filter(filterFor(collSpec)).count() == 5,
+      "collection filter passes commits of the set AND every no-collection event")
+    val otherColl = SubscriberSpec(wantedCollections = Seq("app.bsky.graph.follow"))
+    assert(mixed.filter(filterFor(otherColl)).select("time_us").as[Long].collect().toSet
+      == Set(20L, 30L, 40L), "only the no-collection events pass a non-matching set")
+    val bothSpec = SubscriberSpec(Seq("app.bsky.graph.follow"), Seq("did:plc:u1"))
+    assert(mixed.filter(filterFor(bothSpec)).select("time_us").as[Long].collect().toSet
+      == Set(20L, 30L), "no-collection events still face the did filter")
+    val didSpec = SubscriberSpec(wantedDids = Seq("did:plc:u9"))
+    assert(mixed.filter(filterFor(didSpec)).count() == 0,
+      "a null did fails a non-empty did set")
+
+    // the JVM twin agrees frame by frame
+    for (spec <- Seq(collSpec, otherColl, bothSpec, didSpec)) {
+      val viaCol = mixed.filter(filterFor(spec)).select("time_us").as[Long].collect().toSet
+      val viaJvm = mixed.collect().filter { r =>
+        admits(spec, WireFrame(r.getLong(1),
+          if (r.isNullAt(2)) null else r.getString(2),
+          if (r.isNullAt(0)) null else r.getString(0), ""))
+      }.map(_.getLong(1)).toSet
+      assert(viaCol == viaJvm, s"admits parity for $spec")
+    }
+  }
+
   test("NSID/DID validation accepts reference examples, rejects garbage") {
     // FIXTURES.md §A: valid/invalid subscription parameters
     assert(validate(SubscriberSpec(Seq("app.bsky.feed.post"),

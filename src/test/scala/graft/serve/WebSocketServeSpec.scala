@@ -34,7 +34,21 @@ class WebSocketServeSpec extends SparkSpec {
         .toDF("time_us", "did", "collection"), table)
       EventsTable.append((45 to 46).map(i => (i * 1000L, s"did:plc:u$i", "app.graft.other"))
         .toDF("time_us", "did", "collection"), table)
-      eventually(90000)(a.lines.size >= 46 && b.lines.size >= 4)
+      try {
+        eventually(180000)(a.lines.size >= 46)
+        eventually(60000)(b.lines.size >= 4)
+      } catch { case e: Throwable =>
+        val m = Metrics.default.render.linesIterator
+          .filter(l => l.startsWith("graft_") && !l.startsWith("# ")).mkString(" | ")
+        val tableCount = EventsTable.read(spark, table).count()
+        val qState = scala.util.Try(
+          s"active=${server.query.isActive} exc=${server.query.exception.map(_.cause.toString.take(300))}")
+        throw new AssertionError(s"a=${a.lines.size} b=${b.lines.size} " +
+          s"query=$qState sessions=${server.sessionStates} tableCount=$tableCount " +
+          s"traces=${server.sessionTraces} " +
+          s"aMax=${scala.util.Try(a.timesUs.max).getOrElse(-1L)} " +
+          s"bTimes=${b.timesUs.sorted.mkString(",")} metrics: $m", e)
+      }
 
       val aTimes = a.timesUs
       assert(aTimes == aTimes.sorted, "in order")
