@@ -18,9 +18,11 @@ import graft.util.Portable.pround
   *   - exact/fingerprint shuffle 32-byte digests, never document bodies;
   *   - MinHash-LSH is the candidate generator (join on band buckets
   *     only — no all-pairs stage exists in any plan here);
-  *   - `ngramJaccardPairs` is the exact verifier: run it on everything
-  *     at fixture scale, or on LSH candidates at corpus scale
-  *     (`verifyCandidates`).
+  *   - `ngramJaccardPairs` is the exact all-pairs verifier, prefix-
+  *     filtered (ppjoin) so its collision join touches only each doc's
+  *     rarest shingles — sub-quadratic under vocabulary saturation and
+  *     still exactly equal to the exhaustive join; LSH + verify
+  *     (`verifyCandidates`) remains the recall-tunable scale path.
   */
 object Dedup {
 
@@ -123,14 +125,82 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similar pairs at `threshold` (on the pround-ed
-    * value), via the shingle-collision join. The join key is the 32-bit
-    * shingle hash, not the shingle text — an 8-byte shuffle/compare key
-    * instead of a ~20-char string; the oracle applies the identical
-    * hash, so results (including any hash-collision effects on set
-    * sizes) match exactly.
+    * value) via PREFIX FILTERING (the all-pairs/ppjoin family — Bayardo
+    * et al. WWW'07, Xiao et al. WWW'08): each document's shingle hashes
+    * are ordered by a global total order (corpus doc-frequency, ties by
+    * hash) and only each doc's first `n − ⌈t·n⌉ + 1` shingles — its
+    * PREFIX — enter the collision self-join.
+    *
+    * Exactness (the prefix lemma): if J(a,b) ≥ t then |a∩b| ≥ ⌈t·max(n_a,
+    * n_b)⌉ = α, and two sets whose prefixes of length n−α+1 are disjoint
+    * share < α elements (the smallest common element, in the order, lies
+    * inside both prefixes or the overlap is ≤ n−prefix = α−1). So every
+    * qualifying pair collides inside the prefixes — zero false negatives
+    * at ANY threshold on ANY data — and the exact verify below removes
+    * all false positives. Results are therefore IDENTICAL to the
+    * exhaustive collision join ([[ngramJaccardPairsExhaustive]], pinned
+    * by DedupSpec's identity spec), while the join touches only prefix
+    * buckets: rare shingles by construction, so Σ(bucket²) stays near-
+    * linear where the exhaustive join's Σ(df²) goes quadratic under a
+    * saturated/boilerplate-heavy shingle vocabulary.
+    *
+    * Two further exact prunes inside the join (ppjoin): the LENGTH
+    * filter (min(n_a,n_b) ≥ t/(1+t)·(n_a+n_b), else J < t is forced)
+    * and the POSITIONAL filter (a collision at ranks (r_a, r_b) leaves
+    * at most 1 + min(n_a−r_a, n_b−r_b) common elements). Both prune with
+    * a 1e-9 slack so FP rounding can only keep a boundary pair, never
+    * drop one (same for the prefix length's ⌈t·n⌉ — 0.8·50 must not
+    * round up past 40 and shorten the prefix).
+    *
+    * Verify is per-candidate-pair `array_intersect` over the docs'
+    * sorted hash arrays — linear in candidates × doc length, never a
+    * second corpus collision join. One wide shuffle total (the per-doc
+    * aggregation); the prefix join carries ≤ ~(1−t)·|shingles| rows.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, shingleN: Int = 3): DataFrame =
+      threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+    val t = threshold
+    val sh = hashedShingles(df, idCol, textCol, shingleN)
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // one aggregation yields both the rarity-ranked prefix source and
+    // the verify arrays; docs are row-local (bounded shingle counts)
+    val docs = sh.join(dfreq, "h")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("byRarity"))
+      .withColumn("n", size(col("byRarity")))
+      .withColumn("hs", array_sort(expr("transform(byRarity, x -> x.h)")))
+    val pref = docs
+      .select(col(idCol), col("n"), posexplode(expr(
+        s"slice(byRarity, 1, cast(n - ceiling($t * n - 1e-9) + 1 as int))")))
+      .select(col(idCol), col("n"), (col("pos") + lit(1)).as("rn"),
+        col("col.h").as("h"))
+    def alpha(na: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) =
+      lit(t / (1 + t)) * (na + nb) - lit(1e-9)
+    val cands = pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol") &&
+          least(col("a.n"), col("b.n")) >= alpha(col("a.n"), col("b.n")) &&
+          (lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))) >=
+            alpha(col("a.n"), col("b.n")))
+      .select(col(s"a.$idCol").as("__ida"), col(s"b.$idCol").as("__idb"))
+      .distinct()
+    val dA = docs.select(col(idCol).as("__ida"), col("n").as("n_a"), col("hs").as("hs_a"))
+    val dB = docs.select(col(idCol).as("__idb"), col("n").as("n_b"), col("hs").as("hs_b"))
+    cands.join(dA, "__ida").join(dB, "__idb")
+      .withColumn("n_common", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jaccard", pround(col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= t)
+      .select(col("__ida").as(s"${idCol}_a"), col("__idb").as(s"${idCol}_b"),
+        col("jaccard"))
+  }
+
+  /** The exhaustive form of [[ngramJaccardPairs]] — the full shingle-
+    * collision join, Σ(df²) cost. Kept as the identity yardstick for
+    * DedupSpec (prefix-filtered results must equal it exactly) and for
+    * callers that want the verifier semantics on an already-pruned set.
+    */
+  private[graft] def ngramJaccardPairsExhaustive(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.8, shingleN: Int = 3): DataFrame =
     jaccardFromShingles(
       hashedShingles(df, idCol, textCol, shingleN).withColumnRenamed("h", "shingle"),
       idCol, threshold)

@@ -49,9 +49,11 @@ object ExtQueries {
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
 
-  /** E1 — exact n-gram Jaccard near-dup pairs at J ≥ 0.8 (the verifier
-    * stage; at corpus scale it runs on MinHash-LSH candidates via
-    * [[Dedup.verifyCandidates]]).
+  /** E1 — exact n-gram Jaccard near-dup pairs at J ≥ 0.8, via the
+    * prefix-filtered all-pairs join (ppjoin): result-identical to the
+    * exhaustive collision join on any data, sub-quadratic on
+    * boilerplate-saturated corpora. [[Dedup.verifyCandidates]] remains
+    * the recall-tunable LSH alternative.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text", threshold = 0.8)
@@ -60,9 +62,9 @@ object ExtQueries {
 
   /** E1 — the production near-dup pipeline: MinHash-LSH candidates
     * exact-verified with n-gram Jaccard ≥ 0.8 ([[Dedup.verifyCandidates]]).
-    * This is the scale path — the Jaccard join runs only over docs that
-    * LSH flagged, so cost is Σ(bucket²) not corpus², and the exhaustive
-    * [[dedupNgramJaccard]] stays a fixture-scale verifier.
+    * The Jaccard join runs only over docs that LSH flagged, so cost is
+    * Σ(bucket²) not corpus² — the recall-tunable alternative to the
+    * exact prefix-filtered [[dedupNgramJaccard]].
     */
   def dedupVerified(spark: SparkSession, dir: String): DataFrame =
     Dedup.verifyCandidates(Tables.documents(spark, dir), "doc_id", "text", threshold = 0.8)

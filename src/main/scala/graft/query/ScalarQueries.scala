@@ -154,7 +154,6 @@ object ScalarQueries {
       col("d.n_chars").as("n_chars"), md5(col("d.text")).as("text_md5"))
   }
 
-  /** Approximate quantile sketch (no oracle — same reasoning). */
   /** Approximate percentiles (KLL-style sketch), ORACLE-BOUNDED by rank
     * error: `approx_percentile` guarantees the returned value's rank is
     * within ε·n of the target (ε = 1/accuracy = 1e-4 at the default

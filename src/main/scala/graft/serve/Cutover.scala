@@ -39,10 +39,22 @@ final class CutoverSession(
     spec: Subscribe.SubscriberSpec,
     startCursorUs: Long,
     chunkSize: Int = 10000,
-    playback: Option[TokenBucket] = None) {
+    playback: Option[TokenBucket] = None)
+    extends org.apache.spark.internal.Logging {
 
   @volatile private[this] var cursorOpt: Option[Long] = Some(startCursorUs)
   @volatile private[this] var seqVar: Long = Long.MinValue
+
+  // Consecutive visibility-barrier holds at one (lastSeq, serverSeqUs)
+  // pair. The barrier exists for the transient append-commit race and
+  // normally releases within a tick or two; if the observed live-head
+  // event becomes PERMANENTLY invisible (retention/compaction removed
+  // the head hour), the barrier can never be satisfied and the session
+  // would replay forever with only a trace breadcrumb as evidence.
+  // Bound the silence: warn at BarrierWarnHolds and every multiple after.
+  private[this] var barrierHolds = 0
+  private[this] var barrierHoldKey = (Long.MinValue, Long.MinValue)
+  private val BarrierWarnHolds = 200 // ≈5 s at the pump's 40 Hz tick
 
   /** Diagnostic breadcrumb trail of session-state transitions (hwm
     * advances with their source, cutover decisions) — bounded, cheap,
@@ -143,9 +155,19 @@ final class CutoverSession(
         // yet" — nothing to certify.
         if (serverSeqUs > math.max(lastSeq, 0L) && !gapAllMax.contains(serverSeqUs)) {
           traced(s"barrier hold lastSeq=$lastSeq srv=$serverSeqUs gapAllMax=$gapAllMax")
+          val key = (lastSeq, serverSeqUs)
+          if (key == barrierHoldKey) barrierHolds += 1
+          else { barrierHoldKey = key; barrierHolds = 1 }
+          if (barrierHolds % BarrierWarnHolds == 0)
+            logWarning(s"cutover barrier held $barrierHolds consecutive " +
+              s"ticks at lastSeq=$lastSeq srv=$serverSeqUs — the observed " +
+              "live head may be permanently invisible (retention or " +
+              "compaction removed it); session keeps replaying until a " +
+              "fresher head is observed")
           cursorOpt = Some(lastSeq + 1)
           true
         } else {
+          barrierHolds = 0; barrierHoldKey = (Long.MinValue, Long.MinValue)
           val gap = deliverable(gapAll).orderBy(col("time_us"))
           deliver(gap)
           val gapMax = maxTimeUs(gap)

@@ -86,9 +86,15 @@ object ServeJob {
     // guard) — counted separately below, per shape
     val noColl = col(collectionCol).isNull || col(collectionCol) === ""
 
+    // every broadcast spec table dedupes its wanted values: a
+    // user-supplied duplicate (wantedDids=a,a) would otherwise produce
+    // duplicate join rows and double-count admitted events — inflating
+    // the counts that drive pacing/overflow drops (the Column path's
+    // isin() is naturally set-semantic; the probe tables must agree)
     val bothCounts = if (both.isEmpty) Map.empty[String, Long] else grouped {
       val combos = both.toSeq.flatMap { case (n, s) =>
-        for (c <- s.wantedCollections; d <- s.wantedDids) yield (n, c, d, s.hwmUs)
+        for (c <- s.wantedCollections.distinct; d <- s.wantedDids.distinct)
+          yield (n, c, d, s.hwmUs)
       }.toDF("__sub", "__coll", "__did", "__hwm")
       wire.join(broadcast(combos),
         col(collectionCol) === col("__coll") && col(didCol) === col("__did"))
@@ -102,13 +108,13 @@ object ServeJob {
     }
     val didCounts = if (didOnly.isEmpty) Map.empty[String, Long] else grouped {
       val dids = didOnly.toSeq.flatMap { case (n, s) =>
-        s.wantedDids.map(d => (n, d, s.hwmUs))
+        s.wantedDids.distinct.map(d => (n, d, s.hwmUs))
       }.toDF("__sub", "__did", "__hwm")
       wire.join(broadcast(dids), col(didCol) === col("__did"))
     }
     val collCounts = if (collOnly.isEmpty) Map.empty[String, Long] else grouped {
       val colls = collOnly.toSeq.flatMap { case (n, s) =>
-        s.wantedCollections.map(c => (n, c, s.hwmUs))
+        s.wantedCollections.distinct.map(c => (n, c, s.hwmUs))
       }.toDF("__sub", "__coll", "__hwm")
       wire.join(broadcast(colls), col(collectionCol) === col("__coll"))
     }

@@ -48,6 +48,25 @@ import graft.ingest.Decode
   */
 object SocketServe extends org.apache.spark.internal.Logging {
 
+  /** Throttled warning: at most one log line per (context, exception
+    * class) per interval. The serve loops run at 40 Hz / per-batch —
+    * a persistent failure (schema drift, corrupted table) must surface
+    * in the log without flooding it, and a transient one (file listing
+    * racing a concurrent append/compaction) must not spam at all.
+    */
+  private val lastWarnMs =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def warnThrottled(context: String, e: Throwable,
+      intervalMs: Long = 5000L): Unit = {
+    val key = context + ":" + e.getClass.getName
+    val now = System.currentTimeMillis()
+    val prev = lastWarnMs.getOrElse(key, 0L)
+    if (now - prev >= intervalMs && lastWarnMs.replace(key, prev, now) ||
+        lastWarnMs.putIfAbsent(key, now).isEmpty)
+      logWarning(s"$context: ${e.getClass.getName}: ${e.getMessage} " +
+        "(retrying; this warning is throttled)")
+  }
+
   /** Per-connection wire protocol: how a subscriber's request arrives
     * and how wire JSON frames go back. One implementation per
     * transport; the serving loop (sessions, cutover, fan-out, metrics,
@@ -320,8 +339,11 @@ object SocketServe extends org.apache.spark.internal.Logging {
           case e: InterruptedException => throw e
           // a transient table-read race (file listing during a
           // concurrent append/compaction) must not kill the pump —
-          // the streaming side gets the same retry from Spark itself
-          case _: Throwable => ()
+          // the streaming side gets the same retry from Spark itself.
+          // But a PERSISTENT failure (schema drift, corrupted table)
+          // would otherwise spin at 40 Hz with cursored subscribers
+          // starved and zero diagnostics — surface it, throttled.
+          case e: Throwable => warnThrottled("replay pump", e)
         }
         Thread.sleep(25) // also bounds the paced-out (budget 0) spin
       } catch { case _: InterruptedException => () }
@@ -370,8 +392,20 @@ object SocketServe extends org.apache.spark.internal.Logging {
             try conn.synchronized { // excludes the replay pump per conn
               // head read inside the lock — see the pump's note
               if (conn.session.replaying)
-                conn.session.replayStep(replaySession, tablePath, lastHeadUs.get())(
+                try conn.session.replayStep(replaySession, tablePath, lastHeadUs.get())(
                   view => writeView(conn, view))
+                catch {
+                  // write-path failure: the drop signal — rethrow to the
+                  // outer handler
+                  case e: java.io.IOException => throw e
+                  // the same transient table-read race the pump tolerates
+                  // (file listing during a concurrent append/compaction)
+                  // can land here instead; a healthy subscriber must not
+                  // be dropped for it. Leave the conn attached — the next
+                  // tick (pump or batch) retries; the session stays in
+                  // replay so the live gate below keeps suppressing.
+                  case e: Throwable => warnThrottled("batch-loop replay", e)
+                }
               val (wires, tailUs) = conn.session.liveEmitFrames(frames)
               writeWire(conn, wires)
               conn.session.delivered(tailUs) // hwm past the SUCCESSFUL write
@@ -379,11 +413,12 @@ object SocketServe extends org.apache.spark.internal.Logging {
               case _: java.io.IOException => // slow consumer / disconnect:
                 dropConn(conn) // server.go:168-175
               case e: Throwable =>
-                // one subscriber's failure must not kill the serving
-                // query for everyone — drop it like the reference drops
-                // a broken conn, and keep the loop alive
-                logWarning(s"dropping ${conn.name} on unexpected error", e)
-                dropConn(conn)
+                // non-IO here means the in-memory emit half failed — a
+                // bug, not a broken pipe. Dropping would hide it behind a
+                // clean disconnect; keep the conn attached (its gate/hwm
+                // are untouched, so nothing is lost) and surface the
+                // error, throttled, while the next batch retries.
+                warnThrottled(s"live emit for ${conn.name}", e)
             }
           }
         }

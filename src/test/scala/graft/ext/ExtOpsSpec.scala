@@ -41,6 +41,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(verified.nonEmpty)
   }
 
+  test("prefix-filtered ngramJaccardPairs ≡ exhaustive collision join") {
+    // the prefix lemma's identity claim, pinned on real fixture data:
+    // the ppjoin path (prefix + length + positional filters, array-
+    // intersect verify) must return EXACTLY the exhaustive join's pairs
+    // and jaccard values — any over-pruning (FP rounding shortening a
+    // prefix, a filter dropping a boundary pair) breaks this
+    val docs = graft.Tables.documents(spark, sf)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id_a", "doc_id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    assert(norm(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.8)) ==
+      norm(Dedup.ngramJaccardPairsExhaustive(docs, "doc_id", "text", 0.8)))
+    // and at a second threshold, where prefixes are longer (t=0.5 →
+    // half the doc) and the α arithmetic exercises different rounding
+    assert(norm(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)) ==
+      norm(Dedup.ngramJaccardPairsExhaustive(docs, "doc_id", "text", 0.5)))
+  }
+
   test("connectedComponents merges transitive chains to the min id (both paths)") {
     // chain 1-2-3-4 (diameter 3) + isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
