@@ -128,7 +128,7 @@ object Dedup {
     * value) via PREFIX FILTERING (the all-pairs/ppjoin family — Bayardo
     * et al. WWW'07, Xiao et al. WWW'08): each document's shingle hashes
     * are ordered by a global total order (corpus doc-frequency, ties by
-    * hash) and only each doc's first `n − ⌈t·n⌉ + 1` shingles — its
+    * hash) and only each doc's first `n − ⌈tₑ·n⌉ + 1` shingles — its
     * PREFIX — enter the collision self-join.
     *
     * Exactness (the prefix lemma): if J(a,b) ≥ t then |a∩b| ≥ ⌈t·max(n_a,
@@ -139,28 +139,53 @@ object Dedup {
     * at ANY threshold on ANY data — and the exact verify below removes
     * all false positives. Results are therefore IDENTICAL to the
     * exhaustive collision join ([[ngramJaccardPairsExhaustive]], pinned
-    * by DedupSpec's identity spec), while the join touches only prefix
-    * buckets: rare shingles by construction, so Σ(bucket²) stays near-
-    * linear where the exhaustive join's Σ(df²) goes quadratic under a
-    * saturated/boilerplate-heavy shingle vocabulary.
+    * by ExtOpsSpec's identity specs — two thresholds on real text plus
+    * the adversarial boundary-pair fixture below), while the join
+    * touches only prefix buckets: rare shingles by construction, so
+    * Σ(bucket²) stays near-linear where the exhaustive join's Σ(df²)
+    * goes quadratic under a saturated/boilerplate-heavy vocabulary.
     *
     * Two further exact prunes inside the join (ppjoin): the LENGTH
-    * filter (min(n_a,n_b) ≥ t/(1+t)·(n_a+n_b), else J < t is forced)
+    * filter (min(n_a,n_b) ≥ tₑ/(1+tₑ)·(n_a+n_b), else J < tₑ is forced)
     * and the POSITIONAL filter (a collision at ranks (r_a, r_b) leaves
-    * at most 1 + min(n_a−r_a, n_b−r_b) common elements). Both prune with
-    * a 1e-9 slack so FP rounding can only keep a boundary pair, never
-    * drop one (same for the prefix length's ⌈t·n⌉ — 0.8·50 must not
-    * round up past 40 and shorten the prefix).
+    * at most 1 + min(n_a−r_a, n_b−r_b) common elements).
+    *
+    * THE EFFECTIVE PRUNING THRESHOLD tₑ = t − 5e-5: the verify keeps a
+    * pair when its 4-digit-rounded Jaccard ≥ t, i.e. raw J down to
+    * t − 5e-5 (half-ULP of `pround(·,4)`). Prunes computed from raw t
+    * would be allowed to drop a boundary pair with raw J ∈ [t−5e-5, t)
+    * that the rounded verify keeps — reachable once docs carry ≳ t/5e-5
+    * distinct shingles — silently breaking the identity with the
+    * exhaustive join (whose only filter IS the rounded verify). All
+    * three prunes (prefix length, length filter, positional filter)
+    * therefore use tₑ, admitting every pair the rounded verify can
+    * keep; a further 1e-9 slack guards FP rounding on top, so both can
+    * only ADMIT extra candidates (removed by verify), never drop one.
     *
     * Verify is per-candidate-pair `array_intersect` over the docs'
     * sorted hash arrays — linear in candidates × doc length, never a
-    * second corpus collision join. One wide shuffle total (the per-doc
-    * aggregation); the prefix join carries ≤ ~(1−t)·|shingles| rows.
+    * second corpus collision join. All shuffles are linear-width (the
+    * per-doc aggregation is the wide one; the df computation and its
+    * join back to the shingle set add corpus-proportional but
+    * linear-width shuffles on `h`); the prefix join carries
+    * ≤ ~(1−t)·|shingles| rows.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+      threshold: Double = 0.8, shingleN: Int = 3): DataFrame =
+    ppjoinFromShingles(hashedShingles(df, idCol, textCol, shingleN),
+      idCol, threshold)
+
+  /** The ppjoin core of [[ngramJaccardPairs]] over an already-hashed
+    * shingle set `(idCol, h)` — factored out so the exactness identity
+    * (vs [[jaccardFromShingles]]) is testable on CRAFTED shingle sets,
+    * in particular the boundary-pair fixture (raw J ∈ [t−5e-5, t),
+    * rounded J ≥ t, uniques globally rarest) that raw-t prunes would
+    * drop — ExtOpsSpec pins it.
+    */
+  private[ext] def ppjoinFromShingles(sh: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
     val t = threshold
-    val sh = hashedShingles(df, idCol, textCol, shingleN)
+    val te = t - 5e-5 // effective PRUNING threshold — see scaladoc above
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // one aggregation yields both the rarity-ranked prefix source and
     // the verify arrays; docs are row-local (bounded shingle counts)
@@ -171,11 +196,11 @@ object Dedup {
       .withColumn("hs", array_sort(expr("transform(byRarity, x -> x.h)")))
     val pref = docs
       .select(col(idCol), col("n"), posexplode(expr(
-        s"slice(byRarity, 1, cast(n - ceiling($t * n - 1e-9) + 1 as int))")))
+        s"slice(byRarity, 1, cast(n - ceiling($te * n - 1e-9) + 1 as int))")))
       .select(col(idCol), col("n"), (col("pos") + lit(1)).as("rn"),
         col("col.h").as("h"))
     def alpha(na: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) =
-      lit(t / (1 + t)) * (na + nb) - lit(1e-9)
+      lit(te / (1 + te)) * (na + nb) - lit(1e-9)
     val cands = pref.as("a").join(pref.as("b"),
         col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol") &&
           least(col("a.n"), col("b.n")) >= alpha(col("a.n"), col("b.n")) &&
@@ -196,7 +221,7 @@ object Dedup {
 
   /** The exhaustive form of [[ngramJaccardPairs]] — the full shingle-
     * collision join, Σ(df²) cost. Kept as the identity yardstick for
-    * DedupSpec (prefix-filtered results must equal it exactly) and for
+    * ExtOpsSpec (prefix-filtered results must equal it exactly) and for
     * callers that want the verifier semantics on an already-pruned set.
     */
   private[graft] def ngramJaccardPairsExhaustive(df: DataFrame, idCol: String,

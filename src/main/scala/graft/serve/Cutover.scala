@@ -39,7 +39,8 @@ final class CutoverSession(
     spec: Subscribe.SubscriberSpec,
     startCursorUs: Long,
     chunkSize: Int = 10000,
-    playback: Option[TokenBucket] = None)
+    playback: Option[TokenBucket] = None,
+    barrierRecoverHolds: Int = 1200)
     extends org.apache.spark.internal.Logging {
 
   @volatile private[this] var cursorOpt: Option[Long] = Some(startCursorUs)
@@ -49,9 +50,13 @@ final class CutoverSession(
   // pair. The barrier exists for the transient append-commit race and
   // normally releases within a tick or two; if the observed live-head
   // event becomes PERMANENTLY invisible (retention/compaction removed
-  // the head hour), the barrier can never be satisfied and the session
-  // would replay forever with only a trace breadcrumb as evidence.
-  // Bound the silence: warn at BarrierWarnHolds and every multiple after.
+  // the head hour), the barrier can never be satisfied. Bound the
+  // silence: warn at BarrierWarnHolds and every multiple after, and at
+  // `barrierRecoverHolds` consecutive holds (≈30 s at the pump's 40 Hz
+  // tick — far beyond any append-commit latency) ABANDON the barrier:
+  // treat the observed head as permanently invisible, deliver the
+  // surviving gap window and cut over, instead of replaying forever
+  // against a head that can never be seen again.
   private[this] var barrierHolds = 0
   private[this] var barrierHoldKey = (Long.MinValue, Long.MinValue)
   private val BarrierWarnHolds = 200 // ≈5 s at the pump's 40 Hz tick
@@ -153,20 +158,37 @@ final class CutoverSession(
         // place. Keep the cursor and retry: the next tick re-lists a
         // fresher table. serverSeqUs == 0 means "no live head observed
         // yet" — nothing to certify.
-        if (serverSeqUs > math.max(lastSeq, 0L) && !gapAllMax.contains(serverSeqUs)) {
-          traced(s"barrier hold lastSeq=$lastSeq srv=$serverSeqUs gapAllMax=$gapAllMax")
+        val barrierHeld =
+          serverSeqUs > math.max(lastSeq, 0L) && !gapAllMax.contains(serverSeqUs)
+        if (barrierHeld) {
           val key = (lastSeq, serverSeqUs)
           if (key == barrierHoldKey) barrierHolds += 1
           else { barrierHoldKey = key; barrierHolds = 1 }
+        }
+        if (barrierHeld && barrierHolds < barrierRecoverHolds) {
+          traced(s"barrier hold lastSeq=$lastSeq srv=$serverSeqUs gapAllMax=$gapAllMax")
           if (barrierHolds % BarrierWarnHolds == 0)
             logWarning(s"cutover barrier held $barrierHolds consecutive " +
               s"ticks at lastSeq=$lastSeq srv=$serverSeqUs — the observed " +
               "live head may be permanently invisible (retention or " +
-              "compaction removed it); session keeps replaying until a " +
-              "fresher head is observed")
+              "compaction removed it); session keeps replaying until " +
+              s"$barrierRecoverHolds holds, then cuts over past it")
           cursorOpt = Some(lastSeq + 1)
           true
         } else {
+          if (barrierHeld) {
+            // recovery: the head stayed invisible for the full hold
+            // budget — no append commit takes ≈30 s, so retention or
+            // compaction removed the observed hour. The gap scan over
+            // the CURRENT table is everything that survives; deliver it
+            // and cut over (holding longer can never deliver more).
+            traced(s"barrier abandoned holds=$barrierHolds lastSeq=$lastSeq srv=$serverSeqUs")
+            logWarning(s"cutover barrier abandoned after $barrierHolds " +
+              s"consecutive ticks at lastSeq=$lastSeq srv=$serverSeqUs: " +
+              "the observed live head is permanently invisible (retention " +
+              "or compaction removed it); cutting over with the surviving " +
+              "gap window")
+          }
           barrierHolds = 0; barrierHoldKey = (Long.MinValue, Long.MinValue)
           val gap = deliverable(gapAll).orderBy(col("time_us"))
           deliver(gap)
@@ -252,4 +274,21 @@ final class CutoverSession(
     */
   def delivered(tailUs: Long): Unit =
     if (tailUs != Long.MinValue) { traced(s"live tail=$tailUs"); advanceSeq(tailUs) }
+
+  /** Re-arm a LIVE session back into replay at its current hwm — the
+    * recovery path for a live delivery that failed AFTER frames were
+    * computed (a non-IO write failure): the skipped window cannot be
+    * re-emitted from memory (the next micro-batch carries only newer
+    * events) but is still in the table. Replay re-reads from hwm+1
+    * (never before the subscriber's start cursor), the hwm dedup skips
+    * anything already confirmed, and the normal gap-fill cutover
+    * returns the session to live exactly-once. No-op while replaying.
+    */
+  def rearmReplay(): Unit = synchronized {
+    if (cursorOpt.isEmpty) {
+      val c = math.max(seqVar + 1, startCursorUs)
+      traced(s"rearm replay cursor=$c")
+      cursorOpt = Some(c)
+    }
+  }
 }

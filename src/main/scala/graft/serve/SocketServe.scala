@@ -63,8 +63,11 @@ object SocketServe extends org.apache.spark.internal.Logging {
     val prev = lastWarnMs.getOrElse(key, 0L)
     if (now - prev >= intervalMs && lastWarnMs.replace(key, prev, now) ||
         lastWarnMs.putIfAbsent(key, now).isEmpty)
+      // the full throwable, not just class+message: the non-IO emit path
+      // classifies its catch as "a bug, not a broken pipe" — the stack
+      // trace IS the diagnostic there (one per throttle window)
       logWarning(s"$context: ${e.getClass.getName}: ${e.getMessage} " +
-        "(retrying; this warning is throttled)")
+        "(retrying; this warning is throttled)", e)
   }
 
   /** Per-connection wire protocol: how a subscriber's request arrives
@@ -259,9 +262,18 @@ object SocketServe extends org.apache.spark.internal.Logging {
     acceptor.start()
 
     def writeWire(conn: Conn, wires: Array[String]): Unit = {
-      val kill = watchdog.schedule(
-        new Runnable { def run(): Unit = conn.socket.close() },
-        writeTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      // a terminated watchdog pool means close() already ran: this conn
+      // can never emit again — surface the drop signal (IOException),
+      // not a retryable bug, so shutdown races drop the conn cleanly
+      // instead of leaving it attached with its frames unwritten
+      val kill =
+        try watchdog.schedule(
+          new Runnable { def run(): Unit = conn.socket.close() },
+          writeTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch {
+          case e: java.util.concurrent.RejectedExecutionException =>
+            throw new java.io.IOException("server closing", e)
+        }
       val bytes =
         try conn.writer.writeFrames(wires)
         finally kill.cancel(false)
@@ -407,17 +419,34 @@ object SocketServe extends org.apache.spark.internal.Logging {
                   case e: Throwable => warnThrottled("batch-loop replay", e)
                 }
               val (wires, tailUs) = conn.session.liveEmitFrames(frames)
-              writeWire(conn, wires)
-              conn.session.delivered(tailUs) // hwm past the SUCCESSFUL write
+              try {
+                writeWire(conn, wires)
+                conn.session.delivered(tailUs) // hwm past the SUCCESSFUL write
+              } catch {
+                case e: java.io.IOException => throw e // → outer drop
+                case e: Throwable if wires.nonEmpty =>
+                  // non-IO with frames IN FLIGHT: keep-attached would
+                  // LOSE this batch's window for the subscriber — a live
+                  // session never re-reads the table, the next batch
+                  // carries only newer events, and its delivered() would
+                  // advance the hwm past the gap. Re-arm the session into
+                  // replay at the current hwm instead: the skipped window
+                  // is re-read from the table, the hwm dedup skips
+                  // anything already written, and the normal gap-fill
+                  // cutover returns it to live exactly-once.
+                  conn.session.rearmReplay()
+                  warnThrottled(s"live emit for ${conn.name} (re-armed replay)", e)
+              }
             } catch {
               case _: java.io.IOException => // slow consumer / disconnect:
                 dropConn(conn) // server.go:168-175
               case e: Throwable =>
-                // non-IO here means the in-memory emit half failed — a
-                // bug, not a broken pipe. Dropping would hide it behind a
-                // clean disconnect; keep the conn attached (its gate/hwm
-                // are untouched, so nothing is lost) and surface the
-                // error, throttled, while the next batch retries.
+                // non-IO BEFORE anything was emitted (the in-memory emit
+                // half failed) — a bug, not a broken pipe. Dropping would
+                // hide it behind a clean disconnect; keep the conn
+                // attached (its gate/hwm are untouched, so nothing is
+                // lost) and surface the error, throttled, while the next
+                // batch retries.
                 warnThrottled(s"live emit for ${conn.name}", e)
             }
           }

@@ -59,6 +59,31 @@ class ExtOpsSpec extends SparkSpec {
       norm(Dedup.ngramJaccardPairsExhaustive(docs, "doc_id", "text", 0.5)))
   }
 
+  test("ppjoin keeps the boundary pair: raw J ∈ [t−5e-5, t), rounded ≥ t") {
+    // adversarial fixture for the effective-threshold (tₑ = t − 5e-5)
+    // prunes: two docs, 4499 shingles each, 3999 common → raw
+    // J = 3999/4999 ≈ 0.79996 < 0.8 but pround(J,4) = 0.8 ≥ t, so the
+    // exhaustive join KEEPS the pair. Each doc's 500 unique shingles
+    // get df=1 — globally RAREST, so they fill the prefix front and
+    // every prefix collision lands at doc-rank ≥ 501, where a
+    // positional filter computed from raw t (α_t ≈ 3999.11 > the 3999
+    // remaining) would prune the pair. Prunes at tₑ (α_tₑ ≈ 3998.97)
+    // must admit it; verify then keeps it — identity holds.
+    val common = 10000L until 13999L
+    val a = (1L to 500L) ++ common
+    val b = (1001L to 1500L) ++ common
+    val sh = (a.map((1L, _)) ++ b.map((2L, _))).toDF("doc_id", "h")
+    val pp = Dedup.ppjoinFromShingles(sh, "doc_id", 0.8)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val exhaustive = Dedup.jaccardFromShingles(
+        sh.withColumnRenamed("h", "shingle"), "doc_id", 0.8)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exhaustive == Set((1L, 2L, 0.8)))
+    assert(pp == exhaustive)
+  }
+
   test("connectedComponents merges transitive chains to the min id (both paths)") {
     // chain 1-2-3-4 (diameter 3) + isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))

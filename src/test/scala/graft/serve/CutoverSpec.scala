@@ -239,4 +239,103 @@ class CutoverSpec extends SparkSpec {
       assert(wiresOf(dfSess.liveEmit(batch)).isEmpty)
     }
   }
+
+  test("barrier abandon: a retention-removed head hour cannot hold replay forever") {
+    // the observed live head sits in hour 1; mid-replay that hour is
+    // REMOVED (retention/compaction) so the visibility barrier can
+    // never be satisfied. After barrierRecoverHolds consecutive holds
+    // the session must abandon the barrier and cut over, delivering
+    // every SURVIVING event exactly once — not replay forever.
+    val path = tmpDir("cutover-abandon")
+    append(path, 35990 to 35998) // hour 0 tail: 3599.0s..3599.8s
+    append(path, 36001 to 36001) // hour 1: 3600.1s — the observed head
+    val headUs = 36001 * Step
+    // retention removes the head hour while the session replays
+    def rmHour1(): Unit = {
+      val dir = new java.io.File(path, s"${EventsTable.PartitionCol}=1")
+      assert(dir.isDirectory, s"fixture must have written $dir")
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+    val session = new CutoverSession(Subscribe.SubscriberSpec(),
+      startCursorUs = 35990 * Step, barrierRecoverHolds = 3)
+    val delivered = ArrayBuffer.empty[Long]
+    rmHour1()
+    var ticks = 0
+    while (session.replaying && ticks < 10) {
+      ticks += 1
+      session.replayStep(spark, path, headUs)(df => delivered ++= collectUs(df))
+    }
+    assert(!session.replaying, s"still replaying after $ticks ticks — barrier never abandoned")
+    assert(ticks > 1, "the barrier must hold at least once before abandoning")
+    assert(delivered.toSeq == (35990 to 35998).map(_ * Step),
+      "surviving events delivered exactly once, in order")
+    // post-recovery the session is live: new events flow, hwm dedups
+    val fresh = session.liveEmit(
+      Seq((36002 * Step, "did0", "post")).toDF("time_us", "did", "collection"))
+    assert(collectUs(fresh) == Seq(36002 * Step))
+  }
+
+  test("rearmReplay: a failed live write's window is re-read from the table") {
+    import graft.ingest.Decode
+    def frames(ids: Range) = Decode.toWire(
+        ids.map(i => (i * Step, s"did${i % 3}", if (i % 2 == 0) "post" else "like"))
+          .toDF("time_us", "did", "collection"))
+      .select("time_us", "collection", "did", "wire").collect()
+      .map(r => Subscribe.WireFrame(r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2), r.getString(3)))
+      .sortBy(_.timeUs)
+
+    val path = tmpDir("cutover-rearm")
+    append(path, 1 to 5)
+    val session = new CutoverSession(Subscribe.SubscriberSpec(), startCursorUs = 1 * Step)
+    val delivered = ArrayBuffer.empty[Long]
+    var ticks = 0
+    while (session.replaying && ticks < 20) {
+      ticks += 1
+      session.replayStep(spark, path, 5 * Step)(df => delivered ++= collectUs(df))
+    }
+    assert(!session.replaying)
+    assert(delivered.toSeq == (1 to 5).map(_ * Step))
+
+    // batch A: live delivery succeeds, hwm confirmed
+    append(path, 6 to 8)
+    val (wiresA, tailA) = session.liveEmitFrames(frames(6 to 8))
+    assert(wiresA.length == 3)
+    delivered ++= (6 to 8).map(_ * Step)
+    session.delivered(tailA)
+
+    // batch B: frames computed but the WRITE fails (non-IO) — the
+    // caller must NOT confirm; re-arm pulls the session back into
+    // replay at the hwm so the window is re-read from the table
+    append(path, 9 to 11)
+    val (wiresB, _) = session.liveEmitFrames(frames(9 to 11))
+    assert(wiresB.length == 3) // frames were in flight when the write failed
+    session.rearmReplay()
+    assert(session.replaying, "re-arm must put the session back into replay")
+
+    // batch C arrives during the re-replay: the gate suppresses it live
+    append(path, 12 to 13)
+    assert(session.liveEmitFrames(frames(12 to 13))._1.isEmpty)
+
+    // replay re-reads the failed window (9..11) AND the suppressed
+    // batch C from the table, then cuts over — nothing lost, nothing
+    // doubled
+    ticks = 0
+    while (session.replaying && ticks < 20) {
+      ticks += 1
+      session.replayStep(spark, path, 13 * Step)(df => delivered ++= collectUs(df))
+    }
+    assert(!session.replaying)
+
+    // batch D: live again
+    append(path, 14 to 14)
+    val (wiresD, tailD) = session.liveEmitFrames(frames(14 to 14))
+    assert(wiresD.length == 1)
+    delivered ++= Seq(14 * Step)
+    session.delivered(tailD)
+
+    assert(delivered.toSeq == (1 to 14).map(_ * Step),
+      s"exactly-once in order; got ${delivered.toSeq}")
+  }
 }

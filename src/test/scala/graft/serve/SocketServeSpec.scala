@@ -101,6 +101,50 @@ class SocketServeSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("non-IO live write failure: re-armed replay redelivers the window (no loss, no drop)") {
+    // a pluggable Transport that throws NON-IO after liveEmitFrames
+    // computed wires: keep-attached alone would lose that window (a
+    // live session never re-reads the table and the next delivered()
+    // advances the hwm past the gap) — the loop must re-arm the
+    // session into replay so the window is re-read, and must NOT drop
+    // a healthy subscriber for what is a server-side bug
+    val table = tmpDir("socket-serve-rearm-table")
+    EventsTable.append(rows(1 to 10).toDF("time_us", "did", "collection"), table)
+    val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val faulty = new SocketServe.Transport {
+      def open(sock: Socket): Option[(String, SocketServe.WireWriter)] =
+        SocketServe.LineTransport.open(sock).map { case (req, w) =>
+          (req, new SocketServe.WireWriter {
+            def writeFrames(frames: Array[String]): Long = {
+              if (frames.exists(_.contains("\"time_us\":15000")) &&
+                  failed.compareAndSet(false, true))
+                throw new RuntimeException("injected non-IO emit failure")
+              w.writeFrames(frames)
+            }
+          })
+        }
+    }
+    val tail = spark.readStream.format("graft-replay")
+      .option("path", table).option("cursor", "11000").load()
+    val server = SocketServe.start(tail, table,
+      tmpDir("socket-serve-rearm-ckpt"), transport = faulty)
+    try {
+      val c = new Client(server.port, "subscribe?cursor=0")
+      eventually(60000)(c.lines.size >= 10)
+      // live: the batch carrying 15000 fails non-IO exactly once
+      EventsTable.append(rows(11 to 15).toDF("time_us", "did", "collection"), table)
+      eventually(60000)(failed.get)
+      // keep live flowing; the re-replay pulls the failed window back
+      // out of the table and cuts over again
+      EventsTable.append(rows(16 to 18).toDF("time_us", "did", "collection"), table)
+      eventually(90000)(c.timesUs.toSet == (1 to 18).map(_ * 1000L).toSet)
+      val ts = c.timesUs
+      assert(ts == ts.sorted, "in order")
+      assert(ts.distinct.size == ts.size, "exactly once")
+      assert(server.subscriberCount == 1, "a non-IO bug must not drop the subscriber")
+    } finally server.close()
+  }
+
   test("idle stream: a cursored subscriber replays without any live traffic (server.go:305-337)") {
     // the reference's replay goroutine runs independently of Emit; a
     // subscriber attaching to a QUIET stream must still receive its
