@@ -488,15 +488,80 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** MJPEG-in-AVI sample extraction — the REAL video-sample path
+    * (reference: n/a — jetstream has no media pipeline; container
+    * layout per the public RIFF/AVI spec): walks the RIFF chunk tree
+    * lazily and yields each video sample chunk's payload (`##dc` /
+    * `##db`, compressed/uncompressed DIB ids — MJPEG files carry one
+    * JPEG per `dc` chunk), descending into the `movi` LIST and its
+    * nested `rec ` groups. Returns None unless the payload is a
+    * RIFF/AVI container; corrupt sizes end the walk at that nesting
+    * level instead of throwing (same posture as [[parseMp4Meta]]).
+    */
+  private[ext] def aviVideoSamples(bytes: Array[Byte]): Option[Iterator[Array[Byte]]] = {
+    def ascii(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    def le32(off: Int): Long =
+      (bytes(off) & 0xffL) | (bytes(off + 1) & 0xffL) << 8 |
+        (bytes(off + 2) & 0xffL) << 16 | (bytes(off + 3) & 0xffL) << 24
+    if (bytes == null || bytes.length < 12 || ascii(0) != "RIFF" || ascii(8) != "AVI ")
+      None
+    else Some(new Iterator[Array[Byte]] {
+      // (cursor, end, insideMovi) per open nesting level
+      private var stack = List((12, bytes.length, false))
+      private var staged: Array[Byte] = null
+      @annotation.tailrec
+      private def advance(): Unit =
+        if (staged == null && stack.nonEmpty) {
+          val (off, end, inMovi) = stack.head
+          if (off + 8 > end) stack = stack.tail
+          else {
+            val id = ascii(off)
+            val size = le32(off + 4)
+            val dataOff = off + 8
+            if (size > end - dataOff) stack = stack.tail // corrupt: stop level
+            else {
+              val dataEnd = dataOff + size.toInt
+              stack = (dataEnd + (size.toInt & 1), end, inMovi) :: stack.tail
+              if (id == "LIST" && size >= 4) {
+                val listType = ascii(dataOff)
+                if (listType == "movi" || (inMovi && listType == "rec "))
+                  stack = (dataOff + 4, dataEnd, true) :: stack
+              } else if (inMovi && size > 0 &&
+                  (id.endsWith("dc") || id.endsWith("db")))
+                staged = java.util.Arrays.copyOfRange(bytes, dataOff, dataEnd)
+            }
+          }
+          advance()
+        }
+      def hasNext: Boolean = { advance(); staged != null }
+      def next(): Array[Byte] = {
+        if (!hasNext) throw new NoSuchElementException("no more AVI samples")
+        val s = staged; staged = null; s
+      }
+    })
+  }
+
+  /** First rasterizable content of a payload: a still image
+    * (PNG/BMP/GIF/JPEG) directly, or the first decodable video sample
+    * of an MJPEG AVI. None means no codec here can rasterize it — the
+    * callers' stub fallbacks apply, flagged `decoded = false`.
+    */
+  private def firstRaster(bytes: Array[Byte]): Option[PixelCodec.RgbImage] =
+    PixelCodec.decodeImage(bytes).orElse(
+      aviVideoSamples(bytes).flatMap(samples =>
+        samples.map(PixelCodec.decodeImage).collectFirst { case Some(img) => img }))
+
   /** Feature dimension of [[decodeFeatures]] (4×2 luma grid; the
     * digest fallback emits the same width).
     */
   val StubDims = 8
 
   /** FALLBACK — deterministic digest features for payloads no codec
-    * here can rasterize (video samples): derives
-    * `StubDims` floats from the content digest. Recognized rasters —
-    * PNG/BMP/GIF/JPEG — never reach this path, see [[decodeFeatures]].
+    * here can rasterize: derives `StubDims` floats from the content
+    * digest, always flagged `decoded = false` so a downstream pipeline
+    * can machine-distinguish them from real features at any scale.
+    * Recognized rasters — PNG/BMP/GIF/JPEG stills and MJPEG AVI
+    * samples — never reach this path, see [[decodeFeatures]].
     */
   private[ext] def stubFeatures(bytes: Array[Byte]): Array[Float] = {
     val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
@@ -507,29 +572,31 @@ object Multimodal {
   }
 
   /** Batched per-partition decode + feature extract — REAL for
-    * PNG/BMP/GIF/JPEG payloads: [[PixelCodec.decodeImage]]
-    * rasterizes the container (zlib inflate + unfilter / LZW /
-    * Huffman+IDCT incl. progressive) and [[PixelCodec.pooledLuma]]
+    * PNG/BMP/GIF/JPEG payloads ([[PixelCodec.decodeImage]] rasterizes
+    * the container: zlib inflate + unfilter / LZW / Huffman+IDCT incl.
+    * progressive) AND for MJPEG AVI video (first sample rasterized via
+    * [[aviVideoSamples]] + the JPEG codec); [[PixelCodec.pooledLuma]]
     * grid-pools mean luminance into a `StubDims`-wide embedding. The
-    * remaining unrasterizable payloads (video samples) fall back to
-    * [[stubFeatures]], stated above. Returns (passthrough columns...,
-    * features array<float>).
+    * remaining unrasterizable payloads fall back to [[stubFeatures]].
+    * Returns (passthrough columns..., features array<float>, decoded
+    * boolean) — `decoded = false` marks the digest fallback, so stub
+    * outputs are machine-distinguishable at runtime.
     */
   def decodeFeatures(df: DataFrame, binCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
     val spark = df.sparkSession
-    val schema = org.apache.spark.sql.types.StructType(
-      df.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "features",
-        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("features", ArrayType(FloatType)),
+      StructField("decoded", BooleanType, nullable = false)))
     val binIdx = df.schema.fieldIndex(binCol)
     val rdd = df.rdd.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        val feats = PixelCodec.decodeImage(bytes) match {
-          case Some(img) => PixelCodec.pooledLuma(img, 4, 2)
-          case None => stubFeatures(bytes)
+        val (feats, decoded) = firstRaster(bytes) match {
+          case Some(img) => (PixelCodec.pooledLuma(img, 4, 2), true)
+          case None => (stubFeatures(bytes), false)
         }
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ feats.toSeq)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(feats.toSeq, decoded))
       }
     }
     spark.createDataFrame(rdd, schema)
@@ -543,12 +610,13 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5")
       .digest(bytes ++ s"${w}x$h".getBytes("UTF-8"))
 
-  /** Image resize stage — REAL for PNG/BMP/GIF/JPEG: decode
-    * ([[PixelCodec.decodeImage]]) → nearest-neighbor resample → PNG
-    * re-encode with real CRCs ([[PixelCodec.encodePng]]); the output
-    * binary decodes in any PNG reader. Unrasterizable payloads fall
-    * back to [[stubResize]]. Per-partition batched; row count
-    * unchanged; binary stays columnar and never shuffles.
+  /** Image resize stage — REAL for PNG/BMP/GIF/JPEG stills and MJPEG
+    * AVI first samples: decode ([[firstRaster]]) → nearest-neighbor
+    * resample → PNG re-encode with real CRCs ([[PixelCodec.encodePng]]);
+    * the output binary decodes in any PNG reader. Unrasterizable
+    * payloads fall back to [[stubResize]], flagged `decoded = false`.
+    * Per-partition batched; row count unchanged; binary stays columnar
+    * and never shuffles.
     */
   def resize(df: DataFrame, binCol: String, width: Int, height: Int): DataFrame = {
     import org.apache.spark.sql.types._
@@ -556,16 +624,18 @@ object Multimodal {
     val schema = StructType(df.schema.fields ++ Seq(
       StructField("resized", BinaryType),
       StructField("width", IntegerType, nullable = false),
-      StructField("height", IntegerType, nullable = false)))
+      StructField("height", IntegerType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false)))
     val binIdx = df.schema.fieldIndex(binCol)
     val rdd = df.rdd.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        val resized = PixelCodec.decodeImage(bytes) match {
-          case Some(img) => PixelCodec.encodePng(PixelCodec.resizeNearest(img, width, height))
-          case None => stubResize(bytes, width, height)
+        val (resized, decoded) = firstRaster(bytes) match {
+          case Some(img) =>
+            (PixelCodec.encodePng(PixelCodec.resizeNearest(img, width, height)), true)
+          case None => (stubResize(bytes, width, height), false)
         }
-        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(resized, width, height))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(resized, width, height, decoded))
       }
     }
     spark.createDataFrame(rdd, schema)
@@ -573,8 +643,9 @@ object Multimodal {
 
   /** FALLBACK frame model for containers without a pure-JDK sample
     * decoder (MP4 et al): frame count derived from payload length (one
-    * per 256 bytes, ≥1), frame bytes a digest of (payload, index). GIF
-    * payloads never reach this — see [[frameSample]].
+    * per 256 bytes, ≥1), frame bytes a digest of (payload, index),
+    * always flagged `decoded = false`. GIF and MJPEG AVI payloads
+    * never reach this — see [[frameSample]].
     */
   private[ext] def stubFrameCount(bytes: Array[Byte]): Int =
     math.max(1, bytes.length / 256)
@@ -585,14 +656,16 @@ object Multimodal {
 
   /** Video frame sampling: one output row per kept frame — every
     * `everyNth` frame up to `maxFrames` per video. REAL for animated
-    * GIF: [[PixelCodec.decodeGifFrames]] LZW-decodes and composites
-    * each frame (disposal + transparency honored) and the kept frames
-    * are re-encoded as standalone PNGs. Other containers use the
-    * digest fallback above, stated there. The 1→N explode happens
-    * inside the per-partition iterator (lazily — no frame list
-    * materialized per video), which is the production demux shape: a
-    * container is opened once and frames stream out. Output adds
-    * (frame_idx int, frame binary).
+    * GIF ([[PixelCodec.decodeGifFrames]] LZW-decodes and composites
+    * each frame, disposal + transparency honored) AND for MJPEG AVI
+    * ([[aviVideoSamples]] walks the `movi` list and each kept sample
+    * is JPEG-decoded); kept frames are re-encoded as standalone PNGs
+    * with `decoded = true`. Other containers use the digest fallback
+    * above, flagged `decoded = false`. The 1→N explode happens inside
+    * the per-partition iterator (lazily — no frame list materialized
+    * per video), which is the production demux shape: a container is
+    * opened once and frames stream out. Output adds (frame_idx int,
+    * frame binary, decoded boolean).
     */
   def frameSample(df: DataFrame, binCol: String,
       everyNth: Int = 1, maxFrames: Int = Int.MaxValue): DataFrame = {
@@ -601,22 +674,35 @@ object Multimodal {
     val spark = df.sparkSession
     val schema = StructType(df.schema.fields ++ Seq(
       StructField("frame_idx", IntegerType, nullable = false),
-      StructField("frame", BinaryType)))
+      StructField("frame", BinaryType),
+      StructField("decoded", BooleanType, nullable = false)))
     val binIdx = df.schema.fieldIndex(binCol)
     val rdd = df.rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
+        def row(i: Int, frame: Array[Byte], decoded: Boolean) =
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(i, frame, decoded))
         PixelCodec.decodeGifFrames(bytes) match {
           case Some(frames) =>
             frames.iterator.zipWithIndex
               .filter(_._2 % everyNth == 0).take(maxFrames).map { case (f, i) =>
-                org.apache.spark.sql.Row.fromSeq(
-                  r.toSeq ++ Seq(i, PixelCodec.encodePng(f.image)))
+                row(i, PixelCodec.encodePng(f.image), decoded = true)
               }
-          case None =>
-            (0 until stubFrameCount(bytes) by everyNth).iterator.take(maxFrames).map { i =>
-              org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(i, stubFrame(bytes, i)))
-            }
+          case None => aviVideoSamples(bytes) match {
+            case Some(samples) =>
+              samples.zipWithIndex
+                .filter(_._2 % everyNth == 0).take(maxFrames).map { case (jpeg, i) =>
+                  PixelCodec.decodeImage(jpeg) match {
+                    case Some(img) => row(i, PixelCodec.encodePng(img), decoded = true)
+                    // a corrupt sample inside a well-formed AVI: emit
+                    // the flagged digest stand-in, never silently real
+                    case None => row(i, stubFrame(bytes, i), decoded = false)
+                  }
+                }
+            case None =>
+              (0 until stubFrameCount(bytes) by everyNth).iterator.take(maxFrames)
+                .map(i => row(i, stubFrame(bytes, i), decoded = false))
+          }
         }
       }
     }

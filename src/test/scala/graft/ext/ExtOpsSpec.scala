@@ -568,6 +568,69 @@ class ExtOpsSpec extends SparkSpec {
     assert(capped == Map(1L -> 2L, 2L -> 1L)) // per-video cap applies
   }
 
+  test("MJPEG-in-AVI: real frame decode; decoded flag separates every stub output") {
+    // real JPEG frames (JDK encoder, test-side only) wrapped in a real
+    // RIFF/AVI layout: hdrl LIST + movi LIST with 00dc sample chunks
+    // (one frame odd-sized to exercise RIFF padding)
+    def jpegOf(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(id.getBytes("US-ASCII"))
+      val n = data.length
+      Seq(n, n >> 8, n >> 16, n >> 24).foreach(v => out.write(v & 0xff))
+      out.write(data)
+      if (n % 2 == 1) out.write(0) // RIFF chunks are word-aligned
+      out.toByteArray
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ body)
+    val jpegs = Seq(jpegOf(8, 6, 0xff0000), jpegOf(8, 6, 0x00ff00), jpegOf(8, 6, 0x0000ff))
+    val avi = chunk("RIFF", "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", chunk("avih", Array.fill[Byte](56)(0))) ++
+      list("movi", jpegs.map(chunk("00dc", _)).reduce(_ ++ _)))
+
+    val df = Seq((1L, avi), (2L, Array.tabulate(300)(_.toByte))).toDF("id", "payload")
+
+    // frameSample: every AVI sample becomes a REAL 8x6 PNG, decoded=true;
+    // the unrasterizable payload stays a flagged digest stub
+    val frames = Multimodal.frameSample(df, "payload")
+      .select("id", "frame_idx", "frame", "decoded").collect()
+    val f1 = frames.filter(_.getLong(0) == 1L).sortBy(_.getInt(1))
+    assert(f1.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(f1.forall(_.getBoolean(3)), "AVI samples must be flagged decoded")
+    f1.foreach(r => assert(Multimodal.parseImageDims(r.getAs[Array[Byte]]("frame"))
+      .contains(("png", 8, 6))))
+    val f2 = frames.filter(_.getLong(0) == 2L)
+    assert(f2.nonEmpty && f2.forall(!_.getBoolean(3)),
+      "stub frames must be machine-distinguishable via decoded=false")
+
+    // the three frames decode to three DIFFERENT rasters (red/green/blue
+    // planes — proves per-sample decode, not one frame repeated)
+    assert(f1.map(_.getAs[Array[Byte]]("frame").toSeq).distinct.length == 3)
+
+    // decodeFeatures: AVI → real first-frame pooled luma, decoded=true
+    val feats = Multimodal.decodeFeatures(df, "payload")
+      .select("id", "features", "decoded")
+      .as[(Long, Seq[Float], Boolean)].collect()
+      .map { case (k, v, d) => k -> ((v, d)) }.toMap
+    assert(feats(1L)._2 && !feats(2L)._2)
+    assert(feats(1L)._1 != feats(2L)._1 && feats(1L)._1.length == Multimodal.StubDims)
+
+    // resize: AVI first frame → real 4x4 PNG, decoded=true; stub flagged
+    val rs = Multimodal.resize(df, "payload", 4, 4)
+      .select("id", "resized", "decoded").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Array[Byte]]("resized"), r.getBoolean(2))).toMap
+    assert(rs(1L)._2 && Multimodal.parseImageDims(rs(1L)._1).contains(("png", 4, 4)))
+    assert(!rs(2L)._2 && rs(2L)._1.length == 16)
+  }
+
   test("chunkDedup drops corpus-repeated chunks, reassembles the rest in order") {
     val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // one exact 10-word chunk
     val docs = Seq(
