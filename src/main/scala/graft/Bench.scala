@@ -47,6 +47,92 @@ object Bench {
     */
   val CalibRefSec = 0.47
 
+  /** Committed quiet-VM PER-JOB scheduler latency (median of
+    * [[jobLatencySamples]], idle builder machine: 0.0795/0.0777 across
+    * two full runs — a 32-thread local scheduler round-trip is ~78 ms
+    * here). This is the λ_ref of the value_norm model (see
+    * [[MiniCalibRefSec]]): the segment factor is the RATIO
+    * λ_seg/λ_ref, never an absolute J·λ subtraction — Spark pipelines
+    * the jobs inside one action, so on an idle machine J·λ_ref can
+    * EXCEED a query's total wall time (funnel_conversion: 11 jobs ×
+    * 78 ms vs 360 ms measured) and any additive model over-corrects;
+    * the ratio is ≈ 1 on an idle run regardless of pipelining.
+    * Scheduler latency is the load signal that matters most here: a
+    * 111-query pass is ~550 Spark jobs, and under CPU contention
+    * trivial-job latency inflates ~2.4× while shuffle/codegen
+    * throughput inflates only ~1.5–2× (measured, 32-spinner load).
+    */
+  val JobLatRefSec = 0.078
+
+  /** Trivial-job latency samples: N× `spark.range(1).count()` — pure
+    * scheduler round-trips (no IO, no shuffle, one row). The MEDIAN is
+    * the estimator: unlike the min (noise-free machine speed), the
+    * typical per-job cost is what every real query in the timed pass
+    * actually paid on this run.
+    */
+  def jobLatencySamples(spark: SparkSession, n: Int = 12): Seq[Double] =
+    (1 to n).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+  def median(xs: Seq[Double]): Double = {
+    val ys = xs.sorted
+    val n = ys.size
+    if (n % 2 == 1) ys(n / 2) else (ys(n / 2 - 1) + ys(n / 2)) / 2
+  }
+
+  /** Mini-calibration: 1/8 of [[calibrationSec]]'s workload (~90 ms
+    * idle), same shuffle+codegen shape, min of 2. Cheap enough to
+    * re-measure machine speed THROUGHOUT the timed pass — the failure
+    * mode the two-ends calibration structurally misses is load that
+    * arrives MID-RUN and leaves before the closing calibration: both
+    * ends then read idle, noise_factor ≈ 1, and the inflated middle is
+    * indistinguishable from a regression (round 9's 1.8× ambiguity).
+    */
+  def miniCalibrationSec(spark: SparkSession): Double =
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 32)
+        .selectExpr("xxhash64(id) % 4096 AS k", "id AS v")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("v"),
+          org.apache.spark.sql.functions.count("*"))
+        .agg(org.apache.spark.sql.functions.count("*")).head()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  /** Committed quiet-VM reading of [[miniCalibrationSec]] (median of
+    * 14 in-run samples, idle builder machine; idle samples range
+    * 0.30–0.46 — per-segment noise of ±15% that averages out across
+    * segments in the total).
+    *
+    * value_norm: every [[CalibEveryQueries]] queries the run measures
+    * BOTH load signals — λ_seg (median of 4 trivial-job round-trips,
+    * the scheduler-latency signal) and g_seg (mini-calib
+    * compute+shuffle time / this reference, the throughput signal) —
+    * and each query in the segment normalizes as
+    *
+    *   norm(q) = t / max(λ_seg/λ_ref, g_seg)
+    *
+    * Why the max of the two: under a measured 32-spinner load the
+    * queries' true inflation (median 2.45×) EXCEEDED both probes
+    * (job latency 2.4×, compute mini 1.5–2.6×) — real queries pay
+    * clean-slate GC and task-dispatch costs the burst-shaped probes
+    * partially dodge, so even the larger signal still slightly
+    * UNDER-corrects; the smaller alone badly under-corrects. Idle:
+    * both signals ≈ 1 → norm ≈ raw. Sustained load divides out; a
+    * mid-run burst corrects exactly the queries it inflated while
+    * leaving idle segments untouched — the failure mode the two-ends
+    * calibration structurally missed (round 9's 1.8× ambiguity).
+    * Validated at sf0.001 (builder machine): idle run norm/raw =
+    * 0.98; a fully-loaded run (raw 2.9× the idle total) normalizes
+    * to 1.23× the idle total — both inside the ±25% gate.
+    */
+  val MiniCalibRefSec = 0.365
+  val CalibEveryQueries = 8
+
   /** Fixed calibration workload: a deterministic shuffle+codegen-bound
     * job (range → hash → shuffle agg) whose cost depends only on machine
     * speed and load — never on SF, fixtures, or the code under test.
@@ -139,8 +225,26 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // calibration phase 1: machine speed before any timed query
+    // calibration phase 1: machine speed + per-job scheduler latency
+    // before any timed query
     val calibBefore = calibrationSec(spark)
+    val jobLatBefore = jobLatencySamples(spark)
+
+    // per-query Spark-job counts for the overhead decomposition (see
+    // JobLatRefSec): a listener tally, snapshotted around each rep. The
+    // listener bus is async, but each rep's clean-slate GC gives it
+    // ample drain time — a ±1 job skew moves the correction by one
+    // jobLat (~20 ms idle), well under the noise floor.
+    val jobCount = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(); ()
+      }
+    })
+    // min across reps: AQE can add jobs on a cold store, and the
+    // MINIMUM matches the min/median time estimators' rep
+    val jobsPerQuery = scala.collection.mutable.Map.empty[String, Long]
 
     def cleanSlate(): Unit = {
       // no cross-query cached blocks or pending old-gen garbage skewing
@@ -162,8 +266,16 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timedRep(name: String, run: () => Unit): Double = {
       cleanSlate()
+      val j0 = jobCount.get()
       val t0 = System.nanoTime()
-      try { run(); (System.nanoTime() - t0) / 1e9 } catch {
+      try {
+        run()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val j = jobCount.get() - j0
+        jobsPerQuery(name) =
+          jobsPerQuery.get(name).map(math.min(_, j)).getOrElse(j)
+        dt
+      } catch {
         case e: Throwable =>
           errors.getOrElseUpdate(name, e.toString.take(200))
           Double.PositiveInfinity
@@ -202,12 +314,70 @@ object Bench {
         if (n % 2 == 1) ys(n / 2) else (ys(n / 2 - 1) + ys(n / 2)) / 2
       } else { minTimes(name) = best; best }
     }
+    // Growth-gated queries run their small-SF reps INTERLEAVED with
+    // the big-SF reps (big, small, big, small — every pair seconds
+    // apart under the same clean-slate protocol) instead of a separate
+    // small-SF phase after the whole timed pass: a load shift between
+    // two phases minutes apart skews the small/big ratio in whichever
+    // direction the load moved, and the superlinearity gate would read
+    // that as (anti-)growth. Same total work as the two-phase form.
+    val smallMins = scala.collection.mutable.Map.empty[String, Double]
+    def measuredInterleaved(name: String, bigRun: () => Unit,
+        smallRun: () => Unit): Double = {
+      var bigs = List.empty[Double]
+      var smalls = List.empty[Double]
+      def pair(): Unit = {
+        bigs = timedRep(name, bigRun) :: bigs
+        smalls = timedRep(s"$name@growth", smallRun) :: smalls
+      }
+      (1 to reps).foreach(_ => pair())
+      val best = bigs.min
+      val bigEst =
+        if (!best.isInfinity && best > 0.3) {
+          medianed += name
+          pair() // the extra (median) big rep keeps its small partner
+          val ys = bigs.sorted
+          val n = ys.size
+          if (n % 2 == 1) ys(n / 2) else (ys(n / 2 - 1) + ys(n / 2)) / 2
+        } else best
+      minTimes(name) = bigs.min
+      smallMins(name) = smalls.min
+      bigEst
+    }
+    // Per-segment machine-speed factor, refreshed every
+    // CalibEveryQueries queries (see MiniCalibRefSec): each query's
+    // normalized time divides by the factor measured seconds before it
+    // ran, so load is corrected where it actually landed.
+    val normTimes = scala.collection.mutable.Map.empty[String, Double]
+    val segFactors = scala.collection.mutable.ListBuffer.empty[Double]
+    val segLambdas = scala.collection.mutable.ListBuffer.empty[Double]
+    var qIdx = 0
+    var curFactor = 1.0
+    var curLambda = JobLatRefSec
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> finite(measured(name, () => fn(spark, sfDir).count()))
+      if (qIdx % CalibEveryQueries == 0) {
+        curLambda = math.max(median(jobLatencySamples(spark, 4)), 1e-4)
+        curFactor = miniCalibrationSec(spark) / MiniCalibRefSec
+        segLambdas += curLambda
+        segFactors += curFactor
+      }
+      qIdx += 1
+      val t =
+        if (GrowthGated.contains(name) && smallDir != sfDir)
+          finite(measuredInterleaved(name,
+            () => fn(spark, sfDir).count(), () => fn(spark, smallDir).count()))
+        else
+          finite(measured(name, () => fn(spark, sfDir).count()))
+      // divide by the segment's larger load signal (MiniCalibRefSec
+      // doc); floored at 0.25 so a pathological sample can never
+      // quadruple a query's normalized weight
+      normTimes(name) = if (t < 0) 0.0
+        else t / math.max(math.max(curLambda / JobLatRefSec, curFactor), 0.25)
+      name -> t
     }
 
-    // Growth pass: the gated queries at the smaller SF, same clean-slate
-    // protocol. Skipped when the two dirs coincide.
+    // Growth gate inputs: min-vs-min on both sides, both mins from the
+    // interleaved pairs above. Skipped when the two dirs coincide.
     val growth: Map[String, (Double, Double, Double)] =
       if (smallDir == sfDir) Map.empty
       else {
@@ -217,11 +387,8 @@ object Bench {
           big.toDouble / small
         }
         GrowthGated.flatMap { name =>
-          SparkEntry.queries.get(name).map { fn =>
-            val best = finite((1 to reps).map(_ =>
-              timedRep(s"$name@growth", () => fn(spark, smallDir).count())).min)
-            // min-vs-min: the big side must not be the (higher) median
-            name -> (best, finite(minTimes.getOrElse(name, results(name))), ratio)
+          smallMins.get(name).map { s =>
+            name -> (finite(s), finite(minTimes.getOrElse(name, results(name))), ratio)
           }
         }.toMap
       }
@@ -230,9 +397,18 @@ object Bench {
       growth.headOption.map(_._2._3).getOrElse(1.0))
 
     // calibration phase 2 (load that arrived mid-run); the run's
-    // calibration is the best the machine showed at either end
+    // calibration is the best the machine showed at either end, the
+    // per-job latency the MEDIAN across both ends (typical cost paid,
+    // not noise-free best — see JobLatRefSec)
     val calibSec = math.min(calibBefore, calibrationSec(spark))
     val noiseFactor = calibSec / CalibRefSec
+    val jobLatSec = median(jobLatBefore ++ jobLatencySamples(spark))
+
+    // value_norm: per-segment mini-calibration division (MiniCalibRefSec)
+    val valueNorm = normTimes.values.sum
+    // keysIterator, NOT keys: mapping a key SET to job counts would
+    // dedup equal counts before the sum
+    val jobsTotal = results.keysIterator.map(n => jobsPerQuery.getOrElse(n, 0L)).sum
 
     // Full-precision detail goes to the BENCH.json FILE; stdout carries a
     // COMPACT line. The harness captures only a bounded TAIL of stdout
@@ -260,7 +436,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val line = {
       val lineBudget = 1700 // < 2000-char tail − sbt prefix/suffix lines
-      val head = s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","value_norm":${jnum(total / noiseFactor, 2)},"noise_factor":${jnum(noiseFactor, 2)},"n_queries":${results.size},"queries":{"""
+      val head = s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","value_norm":${jnum(valueNorm, 2)},"noise_factor":${jnum(noiseFactor, 2)},"job_lat_ms":${jnum(jobLatSec * 1000, 1)},"n_queries":${results.size},"queries":{"""
       val tailFmt = s"""},"queries_omitted":NNN,"index_build_sec":${jnum(indexBuildSec, 2)},"growth":$gsCompact,"sf":"$sfDir"}"""
       var used = head.length + tailFmt.length
       val kept = scala.collection.mutable.ListBuffer.empty[String]
@@ -278,7 +454,13 @@ object Bench {
     // Machine-readable full-precision copy, free of sbt's [info]/[error]
     // line prefixes. Default is RELATIVE to the working directory so any
     // checkout works; SPARK_GRAFT_BENCH_OUT overrides.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","value_norm":${total / noiseFactor},"calib_sec":$calibSec,"calib_ref_sec":$CalibRefSec,"noise_factor":$noiseFactor,"queries":${
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","value_norm":$valueNorm,"calib_sec":$calibSec,"calib_ref_sec":$CalibRefSec,"noise_factor":$noiseFactor,"job_lat_sec":$jobLatSec,"job_lat_ref_sec":$JobLatRefSec,"jobs_total":$jobsTotal,"seg_factors":${
+      segFactors.map(f => jnum(f, 3)).mkString("[", ",", "]")
+    },"seg_job_lat_ms":${
+      segLambdas.map(l => jnum(l * 1000, 1)).mkString("[", ",", "]")
+    },"jobs":${
+      results.map { case (k, _) => "\"" + k + "\":" + jobsPerQuery.getOrElse(k, 0L) }.mkString("{", ",", "}")
+    },"queries":${
       results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     },"growth":$gsFull,"growth_exponent":1.3,"index_build_sec":$indexBuildSec,"probe_only":${
       probeOnly.map("\"" + _ + "\"").mkString("[", ",", "]")
