@@ -19,7 +19,11 @@ import graft.store.EventsTable
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(20000000L)
+    // `runMain graft.ScaleSmoke soak [minutes] [eventsPerSec]` — the
+    // operational soak of the composed service (graft.Soak); a
+    // 10-minute wall-clock section, so not part of the default pass
+    val soakMode = args.headOption.contains("soak")
+    val n = if (soakMode) 0L else args.headOption.map(_.toLong).getOrElse(20000000L)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -33,6 +37,14 @@ object ScaleSmoke {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.HourBounds
     spark.sparkContext.setLogLevel("WARN")
+
+    if (soakMode) {
+      Soak.run(spark,
+        minutes = args.lift(1).map(_.toInt).getOrElse(10),
+        ratePerSec = args.lift(2).map(_.toInt).getOrElse(10000))
+      spark.stop()
+      return
+    }
 
     def timed[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()

@@ -1,0 +1,427 @@
+package graft
+
+import java.lang.management.ManagementFactory
+import java.net.{ServerSocket, URI}
+import java.net.http.{HttpClient, WebSocket}
+import java.util.concurrent.CompletionStage
+
+import org.apache.spark.sql.SparkSession
+
+import graft.serve.Metrics
+import graft.store.EventsTable
+import graft.tools.Service
+
+/** Operational soak of the COMPOSED service — the validation posture
+  * the reference exercises in production (Prometheus + Grafana +
+  * self-kill, cmd/jetstream/main.go:184-214, grafana-dashboard.json)
+  * and that per-piece specs cannot: `tools.Service` runs for minutes
+  * under a sustained synthetic firehose while retention and compaction
+  * fire mid-run, with real WebSocket subscribers measuring end-to-end
+  * ingest→delivery latency.
+  *
+  * Invoked from [[ScaleSmoke]]: `runMain graft.ScaleSmoke soak
+  * [minutes] [eventsPerSec]` (not part of the default ScaleSmoke pass —
+  * a 10-minute wall-clock section would dominate it).
+  *
+  * What a PASS asserts:
+  *   - sustained ingest at the target rate (≥ 95% of generated events
+  *     persisted);
+  *   - a from-start subscriber receives the seeded history AND every
+  *     live event exactly once, in order — across a TTL retention trim
+  *     and a closed-hour compaction that both fire mid-soak;
+  *   - a LATE subscriber (joins after retention+compaction) replays the
+  *     surviving history exactly once, in order, and tails live;
+  *   - fd / thread counts stable (last-quarter max ≤ first-quarter max
+  *     × 1.25 + 16) — the socket/executor leak check;
+  *   - the staleness self-kill hook NEVER fires while the upstream is
+  *     healthy;
+  *   - p50/p99 ingest→delivery latency reported (generation wall-clock
+  *     stamped inside each record, measured at the subscriber).
+  */
+object Soak {
+
+  /** One raw firehose commit frame; `sw` = generation wall µs (the
+    * latency epoch measured at the subscriber), `n` = global sequence
+    * (loss/duplicate checks and seed/live discrimination).
+    */
+  private def mkFrame(n: Long, timeUs: Long, swUs: Long): String = {
+    val iso = java.time.Instant
+      .ofEpochSecond(timeUs / 1000000L, (timeUs % 1000000L) * 1000L).toString
+    s"""{"t":"#commit","did":"did:plc:s${n % 997}","rev":"r$n","seq":$n,""" +
+      s""""time":"$iso","tooBig":false,"ops":[{"action":"create",""" +
+      s""""path":"app.graft.doc/k$n","cid":"c$n","recordCid":"c$n",""" +
+      s""""record":{"sw":$swUs,"n":$n}}]}"""
+  }
+
+  /** Seed a historical hour DIRECTLY into the events table through the
+    * SAME batch pipeline the live ingest runs (parse → decode →
+    * sequencer stamp → append), with the sequencer clock injected to
+    * the historical hour — the production shape of a service
+    * RESTARTED over an aged table. (The live pipe cannot write old
+    * hours: the sequencer stamps time_us at ingest wall time, exactly
+    * like the reference's monotonic clock.)
+    */
+  private def seedHour(spark: SparkSession, tablePath: String,
+      frames: Seq[String], stampBaseUs: Long, prevMaxUs: Long): Long = {
+    import spark.implicits._
+    import graft.ingest.{Decode, Sequencer}
+    val decoded = Decode.decodeFrames(Decode.parseMixedFrames(frames.toDF("value")))
+    val seq = Sequencer.stamp(decoded, Seq("event_time_us", "did", "type"),
+      prevMaxUs, nowUs = () => stampBaseUs)
+    EventsTable.append(seq.df, tablePath)
+    seq.maxTimeUs
+  }
+
+  /** Ring-buffered RFC 6455 upstream that GENERATES the firehose: one
+    * wire frame per event at `ratePerSec`, `time` = real wall clock
+    * (strictly increasing µs), the generation timestamp embedded in
+    * the record (`sw`) for the subscriber-side latency measurement.
+    * Connections replay the ring from their `cursor`, then follow the
+    * head — the reference relay's subscribe shape.
+    */
+  private final class SyntheticFirehose(ratePerSec: Int, startSeq: Long) {
+    private val cap = 1 << 21 // ~2M events: minutes of slack at 10k/s
+    private val buf = new Array[(Long, String)](cap)
+    @volatile private var head = 0L
+    @volatile private var closed = false
+    @volatile var generated = 0L
+    private var seq = startSeq
+
+    private def append(timeUs: Long, frame: String): Unit = {
+      buf((head % cap).toInt) = (timeUs, frame)
+      head += 1 // single writer; volatile write publishes the slot
+      generated += 1
+    }
+
+    /** Generate live events at `ratePerSec` until `stop` flips. */
+    def generate(stop: () => Boolean): Unit = {
+      val tickMs = 20L
+      val perTick = math.max(1, ratePerSec / (1000 / tickMs).toInt)
+      var prevT = 0L
+      while (!stop() && !closed) {
+        val t0 = System.currentTimeMillis()
+        val nowUs = t0 * 1000L
+        var i = 0
+        while (i < perTick) {
+          prevT = math.max(prevT + 1, nowUs) // strictly increasing µs
+          append(prevT, mkFrame(seq, prevT, System.currentTimeMillis() * 1000L))
+          seq += 1
+          i += 1
+        }
+        val spent = System.currentTimeMillis() - t0
+        if (spent < tickMs) Thread.sleep(tickMs - spent)
+      }
+    }
+
+    private val server = new ServerSocket(0)
+    def port: Int = server.getLocalPort
+
+    private val acceptor = new Thread(() => {
+      try while (!closed) {
+        val sock = server.accept()
+        val conn = new Thread(() => {
+          try {
+            val in = sock.getInputStream
+            val out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
+            val req = new StringBuilder
+            def done = req.length >= 4 && req.substring(req.length - 4) == "\r\n\r\n"
+            var eof = false
+            while (!eof && !done) {
+              val b = in.read()
+              if (b == -1) eof = true else req.append(b.toChar)
+            }
+            val lines = req.toString.split("\r\n")
+            val cursor = """cursor=(\d+)""".r.findFirstMatchIn(lines.head)
+              .map(_.group(1).toLong).getOrElse(0L)
+            val key = lines.find(_.toLowerCase.startsWith("sec-websocket-key:"))
+              .map(_.split(":", 2)(1).trim).getOrElse("")
+            val accept = java.util.Base64.getEncoder.encodeToString(
+              java.security.MessageDigest.getInstance("SHA-1").digest(
+                (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").getBytes("US-ASCII")))
+            out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+              "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+              s"Sec-WebSocket-Accept: $accept\r\n\r\n").getBytes("US-ASCII"))
+            out.flush()
+            val drainer = new Thread(() =>
+              try { while (in.read() != -1) () } catch { case _: Throwable => () })
+            drainer.setDaemon(true); drainer.start()
+            def sendText(s: String): Unit = {
+              val p = s.getBytes("UTF-8")
+              out.write(0x81) // FIN + TEXT
+              if (p.length < 126) out.write(p.length)
+              else { out.write(126); out.write(p.length >> 8); out.write(p.length & 0xff) }
+              out.write(p)
+            }
+            // replay the ring past the cursor, then follow the head
+            var idx = math.max(head - cap, 0L)
+            while (!closed) {
+              val h = head
+              if (idx < h) {
+                if (h - idx > cap)
+                  throw new IllegalStateException("connection fell a full ring behind")
+                val (t, f) = buf((idx % cap).toInt)
+                if (t > cursor) sendText(f)
+                idx += 1
+                if (idx % 64 == 0 || idx == head) out.flush()
+              } else { out.flush(); Thread.sleep(2) }
+            }
+          } catch { case _: Throwable => () }
+          finally sock.close()
+        })
+        conn.setDaemon(true)
+        conn.start()
+      } catch { case _: Throwable => () }
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+    def close(): Unit = { closed = true; server.close() }
+  }
+
+  /** A JDK WebSocket subscriber: per frame, records (n, time_us,
+    * latency) — latency = receive wall − embedded generation wall.
+    * Stores primitives only; 6M events ≈ 100 MB.
+    */
+  private final class Subscriber(url: String) {
+    private val swRe = """sw\\?"\s*:\s*(\d+)""".r
+    private val nRe = """"n\\?"\s*:\s*(\d+)""".r // inside the escaped record
+    private val tRe = """"time_us":(\d+)""".r
+    private val lock = new Object
+    private var ns = new Array[Long](1 << 20)
+    private var ts = new Array[Long](1 << 20)
+    private var lats = new Array[Long](1 << 20)
+    private var count = 0
+    @volatile var parseFailures = 0L
+
+    private def add(n: Long, t: Long, lat: Long): Unit = lock.synchronized {
+      if (count == ns.length) {
+        ns = java.util.Arrays.copyOf(ns, count * 2)
+        ts = java.util.Arrays.copyOf(ts, count * 2)
+        lats = java.util.Arrays.copyOf(lats, count * 2)
+      }
+      ns(count) = n; ts(count) = t; lats(count) = lat; count += 1
+    }
+
+    private val partial = new StringBuilder
+    val ws: WebSocket = HttpClient.newHttpClient().newWebSocketBuilder()
+      .buildAsync(URI.create(url), new WebSocket.Listener {
+        override def onText(w: WebSocket, data: CharSequence, last: Boolean)
+            : CompletionStage[_] = {
+          partial.append(data)
+          if (last) {
+            val line = partial.toString; partial.setLength(0)
+            val nowUs = System.currentTimeMillis() * 1000L
+            (for {
+              n <- nRe.findFirstMatchIn(line)
+              t <- tRe.findFirstMatchIn(line)
+              sw <- swRe.findFirstMatchIn(line)
+            } yield add(n.group(1).toLong, t.group(1).toLong,
+              nowUs - sw.group(1).toLong)) getOrElse { parseFailures += 1 }
+          }
+          w.request(1)
+          null
+        }
+      }).join()
+
+    def size: Int = lock.synchronized(count)
+    /** (ns, time_us, latencies) snapshot, receive order. */
+    def snapshot(): (Array[Long], Array[Long], Array[Long]) = lock.synchronized {
+      (java.util.Arrays.copyOf(ns, count), java.util.Arrays.copyOf(ts, count),
+        java.util.Arrays.copyOf(lats, count))
+    }
+    def close(): Unit = try ws.abort() catch { case _: Throwable => () }
+  }
+
+  private def pct(sorted: Array[Long], q: Double): Long =
+    if (sorted.isEmpty) 0L
+    else sorted(math.min(sorted.length - 1, (q * sorted.length).toInt))
+
+  def run(spark: SparkSession, minutes: Int, ratePerSec: Int): Unit = {
+    val durMs = minutes * 60000L
+    println(s"[soak] ${minutes}m at $ratePerSec ev/s, local[${spark.sparkContext.defaultParallelism}]")
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-soak").toString
+    val tablePath = s"$dataDir/events"
+
+    // seed two historical hours through the same batch pipeline the
+    // live ingest runs, sequencer clock injected: H-3 (beyond the 2 h
+    // TTL → retention trims it mid-soak) and H-1 (closed → compaction
+    // rewrites it mid-soak). This is the shape of a service restarted
+    // over an aged table — stored-cursor resume included.
+    val nowUs = System.currentTimeMillis() * 1000L
+    val hourUs = 3600L * 1000000L
+    val seedPerHour = 50000
+    val swSeed = nowUs
+    val h3Base = (nowUs - 3 * hourUs) / hourUs * hourUs + hourUs / 4 // mid-hour
+    val h1Base = (nowUs - 1 * hourUs) / hourUs * hourUs + hourUs / 4
+    val h3Max = seedHour(spark, tablePath,
+      (0 until seedPerHour).map(i => mkFrame(i, h3Base + i, swSeed)), h3Base, 0L)
+    seedHour(spark, tablePath,
+      (seedPerHour until 2 * seedPerHour).map(i => mkFrame(i, h1Base + i, swSeed)),
+      h1Base, h3Max)
+    val seedCount = 2L * seedPerHour
+    val h3Hour = h3Base / hourUs
+    println(s"[soak] seeded $seedCount events into stamped hours " +
+      s"$h3Hour (TTL target) and ${h1Base / hourUs} (compaction target)")
+
+    // the firehose + generator come up BEFORE the service so the
+    // ingest's very first micro-batches carry live traffic (its
+    // watchdog arms at boot on a resumed table); the ring holds the
+    // boot window, nothing is lost
+    val fire = new SyntheticFirehose(ratePerSec, startSeq = seedCount)
+    @volatile var stopGen = false
+    val gen = new Thread(() => fire.generate(() => stopGen))
+    gen.setDaemon(true)
+    gen.start()
+
+    val staleFired = new java.util.concurrent.atomic.AtomicInteger
+    val registry = new Metrics.Registry
+    val running = Service.start(spark,
+      Service.Config(
+        wsUrl = s"ws://localhost:${fire.port}/subscribe",
+        dataDir = dataDir,
+        eventTtlHours = 2.0,
+        maxSubRate = 1e9, // the soak measures the pipeline, not the cap
+        maintenanceIntervalMs = 120000L, // retention+compaction at +2m, +4m, …
+        staleAfterMs = 15000L,
+        compactionGraceMs = 0L),
+      registry = registry,
+      onStale = _ => staleFired.incrementAndGet())
+
+    val subA = new Subscriber(s"ws://localhost:${running.servePort}/subscribe?cursor=0")
+
+    // health samples: (wall, fds, threads, heapUsed)
+    val health = scala.collection.mutable.ListBuffer.empty[(Long, Int, Int, Long)]
+    def sampleHealth(): Unit = {
+      val fds = Option(new java.io.File("/proc/self/fd").list()).map(_.length).getOrElse(-1)
+      val threads = ManagementFactory.getThreadMXBean.getThreadCount
+      val heap = Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+      health += ((System.currentTimeMillis(), fds, threads, heap))
+    }
+
+    val t0 = System.currentTimeMillis()
+    var subB: Subscriber = null
+    var staleAtGenEnd = -1
+    var maintenanceSeen = false
+    while (System.currentTimeMillis() - t0 < durMs) {
+      Thread.sleep(15000)
+      sampleHealth()
+      val elapsed = (System.currentTimeMillis() - t0) / 1000
+      val h = health.last
+      println(f"[soak] +${elapsed}s gen=${fire.generated} subA=${subA.size} " +
+        f"fds=${h._2} threads=${h._3} heapMB=${h._4 / 1048576}")
+      // the late subscriber joins AFTER the first two maintenance
+      // passes (retention trim + compaction both behind it)
+      if (subB == null && elapsed >= math.min(300, durMs / 1000 * 6 / 10))
+        subB = new Subscriber(s"ws://localhost:${running.servePort}/subscribe?cursor=0")
+      if (!maintenanceSeen && elapsed > 150) {
+        // retention should have dropped hour H-3 by now
+        val hours = Option(new java.io.File(tablePath).list()).getOrElse(Array.empty)
+          .filter(_.startsWith(s"${EventsTable.PartitionCol}=")).sorted
+        maintenanceSeen = hours.length > 0 &&
+          !hours.contains(s"${EventsTable.PartitionCol}=$h3Hour")
+      }
+    }
+    staleAtGenEnd = staleFired.get()
+    stopGen = true
+    val generatedLive = fire.generated
+    println(s"[soak] generation stopped: $generatedLive live events")
+
+    // drain: the pipeline's in-flight tail reaches the subscriber
+    val drainDeadline = System.currentTimeMillis() + 90000
+    var lastSize = -1
+    while (System.currentTimeMillis() < drainDeadline && subA.size != lastSize) {
+      lastSize = subA.size
+      Thread.sleep(3000)
+    }
+
+    // ---- verdicts ----
+    var failures = List.empty[String]
+    def check(ok: Boolean, msg: String): Unit = if (!ok) failures ::= msg
+
+    val persisted = EventsTable.read(spark, tablePath).count()
+    val (nsA, tsA, latA) = subA.snapshot()
+    // retention trimmed H-3 (seedPerHour events) out of the table
+    println(s"[soak] persisted(table, post-retention)=$persisted " +
+      s"generated=${seedCount + generatedLive}")
+    check(maintenanceSeen, "retention never dropped hour H-3 mid-soak")
+    check(staleAtGenEnd == 0, s"staleness hook fired $staleAtGenEnd times during healthy soak")
+    check(subA.parseFailures == 0, s"subscriber A failed to parse ${subA.parseFailures} frames")
+
+    // ingest throughput: ≥95% of the live stream persisted (the table
+    // also lost H-3 to retention, deliberately)
+    val persistedLive = persisted - seedPerHour /* H-1 seed retained */
+    check(persistedLive >= (generatedLive * 0.95).toLong,
+      s"ingest fell behind: $persistedLive/$generatedLive live events persisted")
+
+    // subscriber A: the full seed + every live event, exactly once, in order
+    val expectA = seedCount + generatedLive
+    check(nsA.length.toLong == expectA,
+      s"subscriber A received ${nsA.length}, expected $expectA")
+    check(nsA.toSet.size == nsA.length, "subscriber A saw duplicate events")
+    val sortedN = nsA.sorted
+    check(sortedN.headOption.contains(0L) && sortedN.lastOption.contains(expectA - 1),
+      "subscriber A's event set is not the contiguous generated range")
+    check(tsA.zip(tsA.tail).forall { case (a, b) => a < b },
+      "subscriber A's delivery order was not strictly time-ascending")
+
+    // subscriber B (post-retention+compaction): surviving seed (H-1
+    // only) + its live window, exactly once, in order
+    if (subB != null) {
+      val (nsB, tsB, _) = subB.snapshot()
+      check(nsB.nonEmpty, "late subscriber received nothing")
+      check(nsB.toSet.size == nsB.length, "late subscriber saw duplicates")
+      check(tsB.zip(tsB.tail).forall { case (a, b) => a < b },
+        "late subscriber's delivery order was not strictly time-ascending")
+      val seedB = nsB.count(_ < seedCount)
+      check(seedB == seedPerHour,
+        s"late subscriber replayed $seedB seed events; expected exactly the " +
+          s"$seedPerHour survivors of retention (H-1)")
+      // its live window is contiguous to the end
+      val liveB = nsB.filter(_ >= seedCount).sorted
+      check(liveB.isEmpty || liveB.last == expectA - 1,
+        "late subscriber's live tail is truncated")
+      check(liveB.isEmpty ||
+        liveB.zip(liveB.tail).forall { case (a, b) => b == a + 1 },
+        "late subscriber's live window has gaps")
+      println(s"[soak] late subscriber: ${nsB.length} events " +
+        s"($seedB surviving seed + ${liveB.length} live)")
+    } else check(false, "late subscriber never started (soak too short?)")
+
+    // fd/thread stability: last quarter vs first quarter
+    val quarters = health.toList.splitAt(health.size / 4)
+    val firstQ = quarters._1
+    val lastQ = health.toList.takeRight(math.max(1, health.size / 4))
+    def maxOf(f: ((Long, Int, Int, Long)) => Int, xs: List[(Long, Int, Int, Long)]) =
+      xs.map(f).max
+    if (firstQ.nonEmpty) {
+      check(maxOf(_._2, lastQ) <= maxOf(_._2, firstQ) * 5 / 4 + 16,
+        s"fd growth: ${maxOf(_._2, firstQ)} → ${maxOf(_._2, lastQ)}")
+      check(maxOf(_._3, lastQ) <= maxOf(_._3, firstQ) * 5 / 4 + 16,
+        s"thread growth: ${maxOf(_._3, firstQ)} → ${maxOf(_._3, lastQ)}")
+    }
+
+    // latency: live window only (seed replay latency measures the
+    // replay pump, not the pipeline; reported separately)
+    val liveLats = nsA.indices.collect { case i if nsA(i) >= seedCount => latA(i) }.toArray.sorted
+    val replayLats = nsA.indices.collect { case i if nsA(i) < seedCount => latA(i) }.toArray.sorted
+    def ms(us: Long) = us / 1000.0
+    println(f"[soak] live ingest→delivery latency over ${liveLats.length} events: " +
+      f"p50=${ms(pct(liveLats, 0.50))}%.0fms p90=${ms(pct(liveLats, 0.90))}%.0fms " +
+      f"p99=${ms(pct(liveLats, 0.99))}%.0fms max=${ms(liveLats.lastOption.getOrElse(0L))}%.0fms")
+    println(f"[soak] seed replay completed in ≤ ${ms(replayLats.lastOption.getOrElse(0L))}%.0fms")
+    val hm = health.toList
+    println(s"[soak] fds first→last: ${hm.headOption.map(_._2)}→${hm.lastOption.map(_._2)}; " +
+      s"threads ${hm.headOption.map(_._3)}→${hm.lastOption.map(_._3)}; " +
+      s"heapMB ${hm.map(_._4 / 1048576).min}..${hm.map(_._4 / 1048576).max}")
+    println(s"[soak] achieved live rate: ${generatedLive * 1000 / durMs} ev/s generated, " +
+      s"${nsA.length.toLong * 1000 / (System.currentTimeMillis() - t0)} ev/s delivered to A")
+
+    subA.close(); if (subB != null) subB.close()
+    running.close(); fire.close()
+
+    if (failures.nonEmpty) {
+      failures.reverse.foreach(f => System.err.println(s"[soak] FAIL: $f"))
+      sys.exit(1)
+    }
+    println("[soak] PASS")
+  }
+}

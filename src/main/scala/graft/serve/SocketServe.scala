@@ -192,7 +192,8 @@ object SocketServe extends org.apache.spark.internal.Logging {
       metrics: Metrics.Registry = Metrics.default,
       transport: Transport = LineTransport,
       maxSubRate: Option[Double] = None,
-      port: Int = 0): Server = {
+      port: Int = 0,
+      replayChunkSize: Int = 10000): Server = {
     val serverSocket = new ServerSocket(port)
     val conns = scala.collection.concurrent.TrieMap.empty[String, Conn]
     val counter = new java.util.concurrent.atomic.AtomicInteger
@@ -243,7 +244,8 @@ object SocketServe extends org.apache.spark.internal.Logging {
                 // (main.go:79-84 default, server.go:307)
                 val pacer = maxSubRate.map(r => TokenBucket.playback(liveRate = r))
                 val conn = Conn(name,
-                  new CutoverSession(spec, cursor, playback = pacer),
+                  new CutoverSession(spec, cursor, chunkSize = replayChunkSize,
+                    playback = pacer),
                   writer, sock, remote,
                   metrics.counter("graft_events_delivered_total",
                     "Total events delivered to subscribers", "remote" -> remote),

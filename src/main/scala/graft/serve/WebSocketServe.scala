@@ -40,9 +40,11 @@ object WebSocketServe {
       writeTimeoutMs: Long = 30000L,
       metrics: Metrics.Registry = Metrics.default,
       maxSubRate: Option[Double] = None,
-      port: Int = 0): SocketServe.Server =
+      port: Int = 0,
+      replayChunkSize: Int = 10000): SocketServe.Server =
     SocketServe.start(events, tablePath, checkpointDir, fanOutWidth,
-      trigger, nowUs, writeTimeoutMs, metrics, WsTransport, maxSubRate, port)
+      trigger, nowUs, writeTimeoutMs, metrics, WsTransport, maxSubRate, port,
+      replayChunkSize)
 
   private[serve] object WsTransport extends SocketServe.Transport {
 

@@ -44,7 +44,16 @@ object Service {
       overrideCursorUs: Long = -1L,
       maintenanceIntervalMs: Long = 5L * 60 * 1000,
       staleAfterMs: Long = 15000L,
-      compactionGraceMs: Long = 15L * 60 * 1000)
+      compactionGraceMs: Long = 15L * 60 * 1000,
+      // composed-binary batching posture, both soak-derived (PERF.md
+      // round 11): a 0 ms ingest trigger writes hundreds of tiny
+      // parquet files per minute, and every file inflates the listing
+      // cost EVERY chunked replay scan and live-tail batch pays — at a
+      // sustained 10k ev/s a replaying subscriber fell below the live
+      // rate and could never cut over. One-second batches cut the file
+      // count 10× and larger replay chunks amortize each scan.
+      ingestTriggerMs: Long = 1000L,
+      serveChunkSize: Int = 50000)
 
   /** A running service; `close()` tears everything down in reverse
     * start order.
@@ -92,6 +101,8 @@ object Service {
     // > live), decode, sequence, persist
     val ingest = WebSocketIngress.start(spark, config.wsUrl,
       tablePath, s"${config.dataDir}/checkpoints/ingest",
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(config.ingestTriggerMs),
       cursorOverrideUs = config.overrideCursorUs, format = config.wsFormat,
       metrics = registry)
 
@@ -112,7 +123,7 @@ object Service {
     val server = WebSocketServe.start(tail, tablePath,
       s"${config.dataDir}/checkpoints/serve",
       metrics = registry, maxSubRate = Some(config.maxSubRate),
-      port = config.listenPort)
+      port = config.listenPort, replayChunkSize = config.serveChunkSize)
 
     // maintenance ticker: TTL trim + closed-hour compaction on one
     // thread, the staleness check on ANOTHER — a multi-minute
