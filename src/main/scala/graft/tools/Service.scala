@@ -168,6 +168,8 @@ object Service {
         case Array("--override-relay-cursor", v) => c.copy(overrideCursorUs = v.toLong)
         case Array("--maintenance-interval-ms", v) =>
           c.copy(maintenanceIntervalMs = v.toLong)
+        case Array("--ingest-trigger-ms", v)     => c.copy(ingestTriggerMs = v.toLong)
+        case Array("--serve-chunk-size", v)      => c.copy(serveChunkSize = v.toInt)
         case other => sys.error(s"unknown flag: ${other.mkString("=")}")
       }
     }
