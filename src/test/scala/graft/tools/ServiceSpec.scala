@@ -91,6 +91,62 @@ class ServiceSpec extends SparkSpec {
     }
   }
 
+  test("restart over the same data dir: stored-cursor resume, nothing lost, nothing doubled") {
+    // the reference's restart-by-orchestrator contract end to end
+    // (main.go:280-297 cursor read-back): the process dies, the
+    // upstream keeps moving, a new incarnation over the same data dir
+    // must resume the dial at the STORED cursor — re-ingesting nothing,
+    // missing nothing — and serve the union of both incarnations'
+    // ingests as one seamless log
+    val upstream = new WsTestKit.ReplayServer
+    val dataDir = tmpDir("service-restart")
+    def us(i: Int) =
+      java.time.Instant.parse(f"2024-09-05T08:$i%02d:00.000Z").toEpochMilli * 1000L
+    def config = Service.Config(
+      wsUrl = s"ws://localhost:${upstream.port}/subscribe",
+      dataDir = dataDir,
+      maintenanceIntervalMs = 60000L,
+      staleAfterMs = 600000L)
+    upstream.log = (1 to 4).map(i => us(i) -> frame(i)).toVector
+    var running: Service.Running = null
+    try {
+      running = Service.start(spark, config)
+      eventually(90000)(EventsTable.read(spark, s"$dataDir/events").count() == 4)
+      running.close(); running = null
+
+      // the upstream keeps moving while the service is down
+      upstream.log = (1 to 8).map(i => us(i) -> frame(i)).toVector
+
+      running = Service.start(spark, config)
+      eventually(90000)(EventsTable.read(spark, s"$dataDir/events").count() >= 8)
+      // exactly once per upstream event across both incarnations: the
+      // stored cursor (max event_time_us) kept 1..4 from re-ingesting
+      val eventTimes = EventsTable.read(spark, s"$dataDir/events")
+        .select("event_time_us").as[Long].collect().sorted.toSeq
+      assert(eventTimes == (1 to 8).map(us),
+        s"table must hold each upstream event exactly once; got $eventTimes")
+      // sequencer stamps stay unique and monotonic across the restart
+      // (the hwm read-back — restarts never re-issue or regress time_us)
+      val stamps = EventsTable.read(spark, s"$dataDir/events")
+        .select("time_us").as[Long].collect().toSeq
+      assert(stamps.distinct.size == 8)
+
+      // one subscriber sees both incarnations' ingests as one log
+      val client = new WsTestKit.Client(
+        s"ws://localhost:${running.servePort}/subscribe?cursor=0")
+      eventually(120000)(client.lines.size >= 8)
+      val ts = client.timesUs
+      assert(ts == ts.sorted && ts.distinct.size == ts.size, "in order, exactly once")
+      (1 to 8).foreach(i => assert(
+        client.lines.toArray(Array.empty[String]).count(_.contains(s"did:plc:w$i")) == 1,
+        s"event $i delivered exactly once across the restart boundary"))
+      client.ws.abort()
+    } finally {
+      if (running != null) running.close()
+      upstream.close()
+    }
+  }
+
   test("--ws-format=cbor: the service dials a binary DAG-CBOR upstream end to end") {
     // binary-frame upstream: the fake relay serves one self-contained
     // CBOR frame per event; everything downstream of the dial
