@@ -307,11 +307,7 @@ object Bench {
         medianed += name
         val extra = timedRep(name, run)
         minTimes(name) = math.min(best, extra)
-        // true median of the combined sample for ANY reps count (the
-        // lower-middle index is only the median when the count is odd)
-        val ys = (xs :+ extra).sorted
-        val n = ys.size
-        if (n % 2 == 1) ys(n / 2) else (ys(n / 2 - 1) + ys(n / 2)) / 2
+        median(xs :+ extra)
       } else { minTimes(name) = best; best }
     }
     // Growth-gated queries run their small-SF reps INTERLEAVED with
@@ -336,9 +332,7 @@ object Bench {
         if (!best.isInfinity && best > 0.3) {
           medianed += name
           pair() // the extra (median) big rep keeps its small partner
-          val ys = bigs.sorted
-          val n = ys.size
-          if (n % 2 == 1) ys(n / 2) else (ys(n / 2 - 1) + ys(n / 2)) / 2
+          median(bigs)
         } else best
       minTimes(name) = bigs.min
       smallMins(name) = smalls.min

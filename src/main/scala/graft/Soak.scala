@@ -254,11 +254,21 @@ object Soak {
     val h1Base = (nowUs - 1 * hourUs) / hourUs * hourUs + hourUs / 4
     val h3Max = seedHour(spark, tablePath,
       (0 until seedPerHour).map(i => mkFrame(i, h3Base + i, swSeed)), h3Base, 0L)
-    seedHour(spark, tablePath,
-      (seedPerHour until 2 * seedPerHour).map(i => mkFrame(i, h1Base + i, swSeed)),
-      h1Base, h3Max)
+    // H-1 lands as FIVE separate appends: compactHour no-ops on an
+    // already-compact hour (files ≤ ceil(bytes/target)), so the
+    // compaction-fired assertion below needs a genuinely fragmented
+    // hour to compact
+    var h1Prev = h3Max
+    val h1Chunk = seedPerHour / 5
+    (0 until 5).foreach { k =>
+      val lo = seedPerHour + k * h1Chunk
+      h1Prev = seedHour(spark, tablePath,
+        (lo until lo + h1Chunk).map(i => mkFrame(i, h1Base + i, swSeed)),
+        h1Base + k, h1Prev)
+    }
     val seedCount = 2L * seedPerHour
     val h3Hour = h3Base / hourUs
+    val h1Hour = h1Base / hourUs
     println(s"[soak] seeded $seedCount events into stamped hours " +
       s"$h3Hour (TTL target) and ${h1Base / hourUs} (compaction target)")
 
@@ -308,9 +318,10 @@ object Soak {
       val h = health.last
       println(f"[soak] +${elapsed}s gen=${fire.generated} subA=${subA.size} " +
         f"fds=${h._2} threads=${h._3} heapMB=${h._4 / 1048576}")
-      // the late subscriber joins AFTER the first two maintenance
-      // passes (retention trim + compaction both behind it)
-      if (subB == null && elapsed >= math.min(300, durMs / 1000 * 6 / 10))
+      // the late subscriber joins AFTER at least one maintenance pass
+      // (retention trim + compaction behind it): never before the
+      // ticker's first 120 s fire, whatever the soak duration
+      if (subB == null && elapsed >= math.max(150, math.min(300, durMs / 1000 * 6 / 10)))
         subB = new Subscriber(s"ws://localhost:${running.servePort}/subscribe?cursor=0")
       if (!maintenanceSeen && elapsed > 150) {
         // retention should have dropped hour H-3 by now
@@ -322,15 +333,28 @@ object Soak {
     }
     staleAtGenEnd = staleFired.get()
     stopGen = true
+    // join before reading the count: the generator may be mid-burst
+    // when the flag flips, and those last appends must be in
+    // `generated` before the exact-count verdicts read it
+    gen.join(10000)
     val generatedLive = fire.generated
     println(s"[soak] generation stopped: $generatedLive live events")
 
-    // drain: the pipeline's in-flight tail reaches the subscriber
-    val drainDeadline = System.currentTimeMillis() + 90000
-    var lastSize = -1
-    while (System.currentTimeMillis() < drainDeadline && subA.size != lastSize) {
-      lastSize = subA.size
+    // drain: BOTH subscribers' in-flight tails settle. The late
+    // subscriber may still be mid-replay when generation stops (its
+    // catch-up margin over a 10k ev/s live stream is a few kev/s, so a
+    // short soak leaves it a backlog) — once live stops, replay runs
+    // at full rate and finishes; wait for it. THREE consecutive quiet
+    // polls, not one — a single 3 s window can alias an ingest batch
+    // stalled behind a concurrent compaction or GC pause and truncate
+    // the tail spuriously
+    val drainDeadline = System.currentTimeMillis() + 300000
+    var lastPair = (-1, -1)
+    var quietPolls = 0
+    while (System.currentTimeMillis() < drainDeadline && quietPolls < 3) {
       Thread.sleep(3000)
+      val p = (subA.size, if (subB == null) 0 else subB.size)
+      if (p == lastPair) quietPolls += 1 else { quietPolls = 0; lastPair = p }
     }
 
     // ---- verdicts ----
@@ -343,6 +367,14 @@ object Soak {
     println(s"[soak] persisted(table, post-retention)=$persisted " +
       s"generated=${seedCount + generatedLive}")
     check(maintenanceSeen, "retention never dropped hour H-3 mid-soak")
+    // compaction must actually have FIRED on the fragmented closed
+    // hour — a committed generation dir is its only durable evidence
+    // (Service swallows maintenance exceptions into a log warning, so
+    // without this check a always-throwing compactor would still PASS)
+    val h1Compacted = Option(new java.io.File(tablePath).list()).getOrElse(Array.empty)
+      .exists(n => n.startsWith(s"_gen_${h1Hour}_") &&
+        new java.io.File(s"$tablePath/$n/_SUCCESS").exists())
+    check(h1Compacted, "closed hour H-1 was never compacted mid-soak")
     check(staleAtGenEnd == 0, s"staleness hook fired $staleAtGenEnd times during healthy soak")
     check(subA.parseFailures == 0, s"subscriber A failed to parse ${subA.parseFailures} frames")
 

@@ -541,6 +541,15 @@ object Multimodal {
     })
   }
 
+  /** Chained decode stages carry ONE `decoded` flag — the latest
+    * stage's. Appending a second column of the same name would make
+    * every downstream `col("decoded")` ambiguous and parquet writes
+    * fail; callers wanting the upstream stage's flag rename it before
+    * chaining.
+    */
+  private def dropDecoded(df: DataFrame): DataFrame =
+    if (df.columns.contains("decoded")) df.drop("decoded") else df
+
   /** First rasterizable content of a payload: a still image
     * (PNG/BMP/GIF/JPEG) directly, or the first decodable video sample
     * of an MJPEG AVI. None means no codec here can rasterize it — the
@@ -584,12 +593,13 @@ object Multimodal {
     */
   def decodeFeatures(df: DataFrame, binCol: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val spark = df.sparkSession
-    val schema = StructType(df.schema.fields ++ Seq(
+    val in = dropDecoded(df) // chained ops REPLACE the flag, never duplicate it
+    val spark = in.sparkSession
+    val schema = StructType(in.schema.fields ++ Seq(
       StructField("features", ArrayType(FloatType)),
       StructField("decoded", BooleanType, nullable = false)))
-    val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val binIdx = in.schema.fieldIndex(binCol)
+    val rdd = in.rdd.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         val (feats, decoded) = firstRaster(bytes) match {
@@ -620,14 +630,15 @@ object Multimodal {
     */
   def resize(df: DataFrame, binCol: String, width: Int, height: Int): DataFrame = {
     import org.apache.spark.sql.types._
-    val spark = df.sparkSession
-    val schema = StructType(df.schema.fields ++ Seq(
+    val in = dropDecoded(df) // chained ops REPLACE the flag, never duplicate it
+    val spark = in.sparkSession
+    val schema = StructType(in.schema.fields ++ Seq(
       StructField("resized", BinaryType),
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
       StructField("decoded", BooleanType, nullable = false)))
-    val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val binIdx = in.schema.fieldIndex(binCol)
+    val rdd = in.rdd.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         val (resized, decoded) = firstRaster(bytes) match {
@@ -671,13 +682,14 @@ object Multimodal {
       everyNth: Int = 1, maxFrames: Int = Int.MaxValue): DataFrame = {
     require(everyNth >= 1 && maxFrames >= 1)
     import org.apache.spark.sql.types._
-    val spark = df.sparkSession
-    val schema = StructType(df.schema.fields ++ Seq(
+    val in = dropDecoded(df) // chained ops REPLACE the flag, never duplicate it
+    val spark = in.sparkSession
+    val schema = StructType(in.schema.fields ++ Seq(
       StructField("frame_idx", IntegerType, nullable = false),
       StructField("frame", BinaryType),
       StructField("decoded", BooleanType, nullable = false)))
-    val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val binIdx = in.schema.fieldIndex(binCol)
+    val rdd = in.rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         def row(i: Int, frame: Array[Byte], decoded: Boolean) =

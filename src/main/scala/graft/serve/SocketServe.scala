@@ -86,6 +86,15 @@ object SocketServe extends org.apache.spark.internal.Logging {
   /** Writes one batch of wire frames; returns bytes put on the wire.
     * MUST throw [[java.io.IOException]] on a dead or stalled pipe —
     * that is the drop signal (server.go:168-175).
+    *
+    * Failure contract: a NON-IO throw means NO frame of this batch
+    * reached the wire — the serving loop then re-arms the session into
+    * replay and the whole window is re-read exactly-once. An
+    * implementation that may have flushed part of the batch before
+    * failing must surface that as IOException (the drop signal; the
+    * client's cursor-resume dedups), or the re-replay would deliver
+    * the flushed prefix twice. The built-in transports satisfy this:
+    * they buffer and report flush failures as IOException.
     */
   private[serve] trait WireWriter {
     def writeFrames(frames: Array[String]): Long

@@ -629,6 +629,14 @@ class ExtOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getAs[Array[Byte]]("resized"), r.getBoolean(2))).toMap
     assert(rs(1L)._2 && Multimodal.parseImageDims(rs(1L)._1).contains(("png", 4, 4)))
     assert(!rs(2L)._2 && rs(2L)._1.length == 16)
+
+    // chaining decode stages carries ONE `decoded` flag (the last
+    // stage's), never a duplicate column
+    val chained = Multimodal.resize(
+      Multimodal.frameSample(df, "payload"), "frame", 4, 4)
+    assert(chained.columns.count(_ == "decoded") == 1)
+    assert(chained.filter(col("decoded")).count() == 3,
+      "the three real AVI frames re-rasterize through the chain")
   }
 
   test("chunkDedup drops corpus-repeated chunks, reassembles the rest in order") {
