@@ -2,10 +2,12 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Prints [[graft.Bench.calibrationSec]] on this machine — run it on a
-  * quiet VM to (re)derive `Bench.CalibRefSec` whenever the bench moves
-  * to new hardware. The reading is the min of three runs of the fixed
-  * workload, the same estimator the bench itself uses.
+/** Prints all three of the bench's machine-speed references on this
+  * machine — run it on a quiet VM to (re)derive `Bench.CalibRefSec`,
+  * `Bench.JobLatRefSec` and `Bench.MiniCalibRefSec` whenever the bench
+  * moves to new hardware. Each reading uses the same estimator the
+  * bench itself uses (min of 3 for the full calibration; median for
+  * the per-job latency; the mini's min-of-2, medianed over 5 probes).
   */
 object CalibProbe {
   def main(args: Array[String]): Unit = {
@@ -16,9 +18,14 @@ object CalibProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // discard a JIT-warmup reading first, then report the measurement
+    // discard a JIT-warmup reading first, then report the measurements
     graft.Bench.calibrationSec(spark)
-    println(f"calib_sec=${graft.Bench.calibrationSec(spark)}%.3f")
+    println(f"calib_sec=${graft.Bench.calibrationSec(spark)}%.3f (Bench.CalibRefSec)")
+    println(f"job_lat_sec=${graft.Bench.median(graft.Bench.jobLatencySamples(spark))}%.4f " +
+      "(Bench.JobLatRefSec)")
+    println(f"mini_calib_sec=${graft.Bench.median(
+      (1 to 5).map(_ => graft.Bench.miniCalibrationSec(spark)))}%.3f " +
+      "(Bench.MiniCalibRefSec)")
     spark.stop()
   }
 }
