@@ -144,6 +144,7 @@ object SparkEntry {
     "source_caps"        -> ExtQueries.sourceCaps _,
     "vocab_zipf"         -> ExtQueries.vocabZipf _,
     "dedup_reps"         -> ExtQueries.dedupReps _,
+    "dedup_reps_quality" -> ExtQueries.dedupRepsQuality _,
     "semdedup_prune"     -> ExtQueries.semdedupPrune _,
   )
 
@@ -1119,6 +1120,22 @@ object SparkEntry {
          |         AS n_chars_pruned
          |FROM comps c JOIN documents d ON c.doc_id = d.doc_id
          |GROUP BY c.comp""".stripMargin,
+    "dedup_reps_quality" ->
+      s"""WITH RECURSIVE $NearDupPairCtes,
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+         |          UNION SELECT doc_b, doc_a FROM verified),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comps AS (SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+         |members AS (SELECT c.comp, c.doc_id, d.n_chars, $QualityExpr AS quality
+         |            FROM comps c JOIN documents d ON c.doc_id = d.doc_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY comp
+         |             ORDER BY quality DESC, doc_id ASC) AS rn FROM members),
+         |sums AS (SELECT comp, count(*) AS n_members, sum(n_chars) AS total
+         |         FROM members GROUP BY comp)
+         |SELECT r.doc_id AS rep_doc, r.quality AS rep_quality, s.n_members,
+         |       (s.total - r.n_chars)::BIGINT AS n_chars_pruned
+         |FROM ranked r JOIN sums s USING (comp) WHERE r.rn = 1""".stripMargin,
     "semdedup_prune" ->
       """WITH cand AS (SELECT a.vec_id AS va, b.vec_id AS vb
         |              FROM embeddings a JOIN embeddings b

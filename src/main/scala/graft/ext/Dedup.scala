@@ -554,6 +554,30 @@ object Dedup {
         sum(when(col(idCol) =!= col(compCol), col(weightCol)).otherwise(lit(0L)))
           .cast("long").as(s"${weightCol}_pruned"))
 
+  /** Component representatives chosen by QUALITY, not by id — the
+    * keep-best-duplicate policy a training-data pipeline actually ships
+    * (of a near-dup cluster, keep the highest-`scoreCol` member; ties
+    * broken by lowest id so the choice is deterministic). ONE
+    * aggregation per component: `max_by` over (score, −id) picks the
+    * rep, its score and its weight in the same partial-aggregated pass
+    * that counts members and sums weights — no second join back, no
+    * window. Same 100 TB shape as [[componentReps]]: the only shuffle
+    * is the groupBy on the component key.
+    */
+  def componentRepsBy(comps: DataFrame, attrs: DataFrame, idCol: String,
+      compCol: String, scoreCol: String, weightCol: String): DataFrame = {
+    def pref = struct(col(scoreCol), (-col(idCol)).as("nid"))
+    comps.join(attrs, idCol)
+      .groupBy(col(compCol))
+      .agg(
+        max_by(col(idCol), pref).as("rep_doc"),
+        max(col(scoreCol)).as(s"rep_$scoreCol"),
+        count(lit(1)).as("n_members"),
+        (sum(col(weightCol)) - max_by(col(weightCol), pref))
+          .cast("long").as(s"${weightCol}_pruned"))
+      .drop(compCol)
+  }
+
   /** SimHash near-pairs within Hamming distance `maxDist` (< 4):
     * pigeonhole banding over the 60-bit signature — a pair differing in
     * ≤3 of the 4 15-bit pieces must agree on at least one piece, so

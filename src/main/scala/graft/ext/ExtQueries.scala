@@ -278,6 +278,23 @@ object ExtQueries {
       "doc_id", "comp", "n_chars")
   }
 
+  /** E1 — QUALITY-AWARE dedup representatives: of each near-duplicate
+    * component, keep the highest-quality member (ties → lowest doc_id)
+    * and account the pruned chars — the keep-best policy production
+    * dedup ships, vs [[dedupReps]]' canonical-min-id convention
+    * ([[Dedup.componentRepsBy]] over [[TextStats.qualityScore]]).
+    */
+  def dedupRepsQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val comps = Dedup.connectedComponents(
+      Dedup.verifyCandidates(docs, "doc_id", "text", threshold = 0.8),
+      "doc_id_a", "doc_id_b")
+      .withColumnRenamed("id", "doc_id")
+    val attrs = TextStats.qualityScore(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    Dedup.componentRepsBy(comps, attrs, "doc_id", "comp", "quality", "n_chars")
+  }
+
   /** E2 — SemDeDup semantic pruning: within-cluster (label) cosine ≥
     * 0.3 marks the higher vec_id pruned ([[Similarity.semDedupPrune]]).
     */
