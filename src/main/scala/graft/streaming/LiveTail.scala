@@ -27,6 +27,24 @@ object LiveTail {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("time_us")
 
+  /** STREAMING content dedup — the ingest-side twin of the batch
+    * exact-dedup family (ext.Dedup): drop events whose CONTENT
+    * fingerprint (whitespace-normalized lowercase hash of `textCol`)
+    * was already seen within the watermark window. The training-data
+    * shape: dedupe the firehose before it lands, so a repost storm or
+    * a crawler loop never bloats the persisted log. State is one
+    * fingerprint per distinct content within the watermark — bounded,
+    * unlike an unbounded seen-set; an exact cross-history dedup is the
+    * batch operators' job over the table.
+    */
+  def dedupContent(events: DataFrame, textCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    withEventTime(events)
+      .withColumn("content_fp",
+        md5(lower(regexp_replace(col(textCol), "\\s+", " "))))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("content_fp")
+
   /** Session windows: activity bursts per key separated by ≥`gap` of
     * silence (SURVEY §2.2 streaming-windows row) — e.g. per-DID posting
     * sessions. State is one open session per live key, closed by the

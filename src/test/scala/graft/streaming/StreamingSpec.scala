@@ -87,6 +87,30 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == (100L to 107L).map(_ * 1000000))
   }
 
+  test("dedupContent drops repeated content within watermark, normalized") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val deduped = LiveTail.dedupContent(in.toDF().toDF("time_us", "text"), "text")
+    val q = deduped.writeStream.format("memory").queryName("cdedup_out")
+      .outputMode("append").start()
+    // a repost storm: same content at different times, with whitespace
+    // and case variation the fingerprint must normalize away
+    in.addData(Seq(
+      (100L * 1000000, "hello  World"),
+      (101L * 1000000, "unique one"),
+      (102L * 1000000, "HELLO world"), // dup of 100 after normalization
+      (103L * 1000000, "hello world"))) // dup again
+    q.processAllAvailable()
+    in.addData(Seq(
+      (104L * 1000000, "hello\tworld"), // still inside the watermark: dup
+      (105L * 1000000, "unique two")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("cdedup_out").select("time_us").as[Long].collect().sorted
+    assert(out.toSeq == Seq(100L, 101L, 105L).map(_ * 1000000),
+      "one survivor per distinct content, earliest wins")
+  }
+
   test("stream-static enrichment joins the live tail against a dim table") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
