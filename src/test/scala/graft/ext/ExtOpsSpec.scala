@@ -59,6 +59,37 @@ class ExtOpsSpec extends SparkSpec {
       norm(Dedup.ngramJaccardPairsExhaustive(docs, "doc_id", "text", 0.5)))
   }
 
+  test("ppjoin ≡ exhaustive on randomized shingle corpora at random thresholds") {
+    // property form of the identity: docs drawing 20-60 shingles from
+    // an 80-hash vocabulary (dense overlap — high df everywhere, many
+    // boundary-ish pairs), across thresholds including ones whose
+    // ⌈t·n⌉ arithmetic lands on exact integers. Deterministic seed:
+    // failures reproduce.
+    val rnd = new scala.util.Random(20260814L)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id_a", "doc_id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    for (round <- 1 to 3; t <- Seq(0.25, 0.5, 0.75)) {
+      val random = (1 to 40).flatMap { d =>
+        val n = 20 + rnd.nextInt(41)
+        rnd.shuffle((1 to 80).toList).take(n).map(h => (d.toLong, h.toLong))
+      }
+      // planted near-dups so the HIGH thresholds are never vacuous: an
+      // exact clone pair and an 0.8-ish overlap pair
+      val base = rnd.shuffle((1 to 80).toList).take(40)
+      val planted =
+        base.map(h => (41L, h.toLong)) ++ base.map(h => (42L, h.toLong)) ++
+          base.drop(4).map(h => (43L, h.toLong))
+      val sh = (random ++ planted).toDF("doc_id", "h")
+      val pp = norm(Dedup.ppjoinFromShingles(sh, "doc_id", t))
+      val ex = norm(Dedup.jaccardFromShingles(
+        sh.withColumnRenamed("h", "shingle"), "doc_id", t))
+      assert(ex.nonEmpty, s"round $round t=$t: vacuous fixture")
+      assert(pp == ex, s"round $round t=$t: ppjoin diverged " +
+        s"(missing=${(ex -- pp).take(3)} extra=${(pp -- ex).take(3)})")
+    }
+  }
+
   test("ppjoin keeps the boundary pair: raw J ∈ [t−5e-5, t), rounded ≥ t") {
     // adversarial fixture for the effective-threshold (tₑ = t − 5e-5)
     // prunes: two docs, 4499 shingles each, 3999 common → raw
@@ -637,6 +668,38 @@ class ExtOpsSpec extends SparkSpec {
     assert(chained.columns.count(_ == "decoded") == 1)
     assert(chained.filter(col("decoded")).count() == 3,
       "the three real AVI frames re-rasterize through the chain")
+  }
+
+  test("aviVideoSamples walker: junk, truncation, corrupt bytes — never throws, always terminates") {
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(id.getBytes("US-ASCII"))
+      val n = data.length
+      Seq(n, n >> 8, n >> 16, n >> 24).foreach(v => out.write(v & 0xff))
+      out.write(data)
+      if (n % 2 == 1) out.write(0)
+      out.toByteArray
+    }
+    val avi = chunk("RIFF", "AVI ".getBytes("US-ASCII") ++
+      chunk("LIST", "movi".getBytes("US-ASCII") ++
+        chunk("00dc", Array[Byte](1, 2, 3)) ++ chunk("01db", Array[Byte](4))))
+    assert(Multimodal.aviVideoSamples(avi).get.map(_.toSeq).toList ==
+      List(Seq[Byte](1, 2, 3), Seq[Byte](4)))
+    // every truncation of a valid container: walk to exhaustion, no throw
+    (0 to avi.length).foreach { k =>
+      Multimodal.aviVideoSamples(avi.take(k)).foreach(_.foreach(_ => ()))
+    }
+    // every single-byte corruption (sizes, ids, payload): same property
+    avi.indices.foreach { i =>
+      val c = avi.clone(); c(i) = 0xff.toByte
+      Multimodal.aviVideoSamples(c).foreach(_.foreach(_ => ()))
+    }
+    // pure garbage of assorted sizes
+    val rnd = new scala.util.Random(7L)
+    (1 to 50).foreach { _ =>
+      val b = Array.fill[Byte](rnd.nextInt(200))(rnd.nextInt().toByte)
+      Multimodal.aviVideoSamples(b).foreach(_.foreach(_ => ()))
+    }
   }
 
   test("chunkDedup drops corpus-repeated chunks, reassembles the rest in order") {
