@@ -82,6 +82,40 @@ object ScaleSmoke {
     println(f"[scale] replay from 95%% cursor: $replayed rows in $replaySec%.2fs = " +
       f"${replayed / replaySec / 1000}%.0fk events/s (reference playback cap: 50k/s)")
 
+    // chunked SESSION replay over a FRAGMENTED table — the serving
+    // edge's per-subscriber catch-up ceiling the 10k ev/s soak exposed:
+    // every replayStep pays a listing + pruned scan, so file count and
+    // chunk size set the rate (a session catches up to a live stream
+    // only while this number exceeds the live event rate). 100 small
+    // appends ≈ a fast-trigger ingest's fragmentation before
+    // compaction; measured at the library-default and the composed
+    // service's chunk sizes.
+    timed("chunked session replay over 100-file hour (chunk 10k vs 50k)") {
+      val fragTable = java.nio.file.Files.createTempDirectory("graft-scale-frag").toString
+      val fragRows = 200000
+      (0 until 100).foreach { k =>
+        EventsTable.append(spark.range(k * 2000L, (k + 1) * 2000L).select(
+          (col("id") * 1000L).as("time_us"),
+          concat(lit("did:plc:u"), pmod(hash(col("id")), lit(1000))).as("did"),
+          lit("app.graft.doc").as("collection")), fragTable)
+      }
+      val headUs = (fragRows - 1) * 1000L
+      Seq(10000, 50000).foreach { chunk =>
+        val sess = new graft.serve.CutoverSession(Subscribe.SubscriberSpec(),
+          startCursorUs = 0L, chunkSize = chunk)
+        var delivered = 0L
+        var ticks = 0
+        val r0 = System.nanoTime()
+        while (sess.replaying && ticks < 1000) {
+          ticks += 1
+          sess.replayStep(spark, fragTable, headUs)(v => delivered += v.count())
+        }
+        val sec = (System.nanoTime() - r0) / 1e9
+        println(f"[scale] session replay chunk=$chunk: $delivered rows, " +
+          f"$ticks chunks in $sec%.1fs = ${delivered / sec / 1000}%.1fk ev/s")
+      }
+    }
+
     val t1 = System.nanoTime()
     val filtered = EventsTable.read(spark, table)
       .filter(Subscribe.filterFor(
