@@ -139,16 +139,22 @@ object SocketServe extends org.apache.spark.internal.Logging {
       delivered: Metrics.Series,
       bytesDelivered: Metrics.Series)
 
-  /** Parse the request line's query parameters. */
+  /** Parse the request line's query parameters. REPEATED occurrences
+    * accumulate — `wantedCollections=a&wantedCollections=b` is the
+    * reference's actual wire form (Go's `URL.Query()["k"]` slice,
+    * server.go:251,263); the comma-separated form inside one value is
+    * kept as this engine's extension. `cursor` takes the FIRST
+    * occurrence (Go's `Query().Get`, server.go:275).
+    */
   private[serve] def parseRequest(line: String, nowUs: Long)
       : (Subscribe.SubscriberSpec, Long) = {
-    val params = line.trim.stripPrefix("subscribe?").split("&").toSeq
+    val pairs = line.trim.stripPrefix("subscribe?").split("&").toSeq
       .map(_.split("=", 2)).collect {
         case Array(k, v) if v.nonEmpty => k -> v
-      }.toMap
-    def csv(k: String) =
-      params.get(k).map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
-    val cursor = params.get("cursor").map(_.toLong)
+      }
+    def vals(k: String) = pairs.collect { case (`k`, v) => v }
+    def csv(k: String) = vals(k).flatMap(_.split(",")).filter(_.nonEmpty)
+    val cursor = vals("cursor").headOption.map(_.toLong)
       .getOrElse(nowUs) // no cursor = future cursor = live-only
     (Subscribe.SubscriberSpec(csv("wantedCollections"), csv("wantedDids")), cursor)
   }

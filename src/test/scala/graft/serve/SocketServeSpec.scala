@@ -42,6 +42,21 @@ class SocketServeSpec extends SparkSpec {
     def close(): Unit = sock.close()
   }
 
+  test("parseRequest: repeated params accumulate (the reference's wire form); cursor takes the first") {
+    // Go's URL.Query()["k"] hands the reference EVERY occurrence
+    // (server.go:251,263) — a client sending the repeated form must get
+    // the union, not the last value; the comma form stays as this
+    // engine's extension and both compose
+    val (spec, cursor) = SocketServe.parseRequest(
+      "subscribe?wantedCollections=app.a&wantedCollections=app.b,app.c" +
+        "&wantedDids=did:plc:x&wantedDids=did:plc:y&cursor=5&cursor=9", nowUs = 111L)
+    assert(spec.wantedCollections == Seq("app.a", "app.b", "app.c"))
+    assert(spec.wantedDids == Seq("did:plc:x", "did:plc:y"))
+    assert(cursor == 5L) // Query().Get takes the first (server.go:275)
+    // no cursor → future cursor → live-only (server.go:283-286)
+    assert(SocketServe.parseRequest("subscribe?", 42L)._2 == 42L)
+  }
+
   test("TCP subscribers: cursored replay→live and filtered live tail, wire JSON in order") {
     val table = tmpDir("socket-serve-table")
     EventsTable.append(rows(1 to 30).toDF("time_us", "did", "collection"), table)
