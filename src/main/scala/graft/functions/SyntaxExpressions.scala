@@ -25,8 +25,10 @@ object SyntaxCheck {
   private val Did = java.util.regex.Pattern.compile(
     "did:[a-z]+:[a-zA-Z0-9._:%-]*[a-zA-Z0-9._-]")
 
-  def isNsid(s: UTF8String): Boolean = s != null && Nsid.matcher(s.toString).matches()
-  def isDid(s: UTF8String): Boolean = s != null && Did.matcher(s.toString).matches()
+  def isNsidStr(s: String): Boolean = s != null && Nsid.matcher(s).matches()
+  def isDidStr(s: String): Boolean = s != null && Did.matcher(s).matches()
+  def isNsid(s: UTF8String): Boolean = s != null && isNsidStr(s.toString)
+  def isDid(s: UTF8String): Boolean = s != null && isDidStr(s.toString)
 }
 
 abstract class SyntaxValidExpression extends UnaryExpression {

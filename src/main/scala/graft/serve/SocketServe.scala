@@ -253,6 +253,15 @@ object SocketServe extends org.apache.spark.internal.Logging {
             transport.open(sock) match {
               case Some((line, writer)) =>
                 val (spec, cursor) = parseRequest(line, nowUs())
+                // invalid filter params REJECT the subscription — the
+                // reference's ParseNSID/ParseDID error returns
+                // (server.go:253-271); a malformed cursor already
+                // rejects via the toLong throw → outer close
+                if (!spec.wantedCollections.forall(
+                      graft.functions.SyntaxCheck.isNsidStr) ||
+                    !spec.wantedDids.forall(
+                      graft.functions.SyntaxCheck.isDidStr))
+                  throw new IllegalArgumentException("invalid subscribe params")
                 val name = s"sub-${counter.incrementAndGet()}"
                 val remote = sock.getInetAddress.getHostAddress
                 // per-subscriber replay pacing at 10× the live cap

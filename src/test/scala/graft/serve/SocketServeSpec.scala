@@ -57,6 +57,25 @@ class SocketServeSpec extends SparkSpec {
     assert(SocketServe.parseRequest("subscribe?", 42L)._2 == 42L)
   }
 
+  test("invalid subscribe params are rejected at the handshake (server.go:253-271)") {
+    val table = tmpDir("socket-serve-reject-table")
+    EventsTable.append(rows(1 to 3).toDF("time_us", "did", "collection"), table)
+    val tail = spark.readStream.format("graft-replay")
+      .option("path", table).option("cursor", "4000").load()
+    val server = SocketServe.start(tail, table, tmpDir("socket-serve-reject-ckpt"))
+    try {
+      new Client(server.port, "subscribe?wantedCollections=not-an-nsid&cursor=0")
+      new Client(server.port, "subscribe?wantedDids=plc:no-did-prefix&cursor=0")
+      new Client(server.port, "subscribe?cursor=notanumber")
+      val good = new Client(server.port,
+        "subscribe?cursor=0&wantedCollections=app.graft.doc")
+      eventually(30000)(server.subscriberCount == 1)
+      eventually(60000)(good.lines.size >= 3)
+      assert(server.subscriberCount == 1,
+        "only the valid subscription registers; malformed ones are rejected")
+    } finally server.close()
+  }
+
   test("TCP subscribers: cursored replay→live and filtered live tail, wire JSON in order") {
     val table = tmpDir("socket-serve-table")
     EventsTable.append(rows(1 to 30).toDF("time_us", "did", "collection"), table)
