@@ -132,6 +132,8 @@ object SparkEntry {
     "ivf_probe_kmeans"   -> ExtQueries.ivfProbeKmeans _,
     // --- round 7: sub-document boilerplate dedup + PII scrubbing
     "chunk_dedup"        -> ExtQueries.chunkDedup _,
+    // --- round 11: exact substring-duplication spans (Lee et al. 2021)
+    "substring_spans"    -> ExtQueries.substringSpans _,
     "pii_redact"         -> ExtQueries.piiRedact _,
     "payload_chunks"     -> ExtQueries.payloadChunks _,
     // --- round 4: retrieval, LM-quality, corpus-shrink, export ops
@@ -911,6 +913,32 @@ object SparkEntry {
         |       (count(*) FILTER (WHERE n >= 3))::BIGINT AS n_dropped
         |FROM h JOIN cnt USING (hh)
         |GROUP BY doc_id""".stripMargin,
+    "substring_spans" ->
+      // duplicated-8-gram windows (corpus-wide count >= 2 on the
+      // md5-derived 60-bit window hash) merged per doc into maximal
+      // spans via gaps-and-islands; word offsets, span_end exclusive
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, n.i AS pos,
+        |             array_to_string(ws[n.i+1 : n.i+8], ' ') AS gram
+        |      FROM w, (SELECT unnest(range(0, (SELECT max(len(string_split(text, ' ')))
+        |                                       FROM documents))) AS i) n
+        |      WHERE n.i + 8 <= len(ws)),
+        |h AS (SELECT doc_id, pos,
+        |             ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hh FROM g),
+        |dup AS (SELECT hh FROM h GROUP BY hh HAVING count(*) >= 2),
+        |f AS (SELECT doc_id, pos, pos + 8 AS e FROM h JOIN dup USING (hh)),
+        |isl AS (SELECT doc_id, pos, e,
+        |               CASE WHEN pos > coalesce(max(e) OVER (
+        |                      PARTITION BY doc_id ORDER BY pos
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |                    THEN 1 ELSE 0 END AS ni
+        |        FROM f),
+        |isl2 AS (SELECT doc_id, pos, e,
+        |                sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |         FROM isl)
+        |SELECT doc_id, min(pos)::BIGINT AS span_start, max(e)::BIGINT AS span_end,
+        |       (max(e) - min(pos))::BIGINT AS span_words
+        |FROM isl2 GROUP BY doc_id, island""".stripMargin,
     "pii_redact" ->
       // patterns restricted to the Java-regex ∩ RE2 common dialect;
       // DuckDB regexp_replace needs the 'g' flag to match Spark's

@@ -333,6 +333,63 @@ object Dedup {
         count(when(col("__boiler").isNotNull, 1)).as("n_dropped"))
   }
 
+  /** Exact substring-duplication spans (the ExactSubstr operator of
+    * Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better"): for every document, the maximal word spans whose
+    * text also occurs elsewhere in the corpus (or again in the same
+    * document) at length >= n words. Output is one row per merged
+    * span: `(id, span_start, span_end, span_words)` with word offsets,
+    * `span_end` exclusive — the span list a pipeline cuts out of the
+    * training text.
+    *
+    * Distributed formulation (the paper builds a monolithic suffix
+    * array, which has no linear-shuffle equivalent): any duplicated
+    * substring of >= n words contains a duplicated n-gram, and every
+    * position covered by SOME globally-duplicated n-gram window is
+    * exactly a position inside a duplicated span of >= n words. So:
+    * slide an n-word window over each doc, hash it ([[h60]] — the same
+    * 2^60 collision argument as [[chunkDedup]]), count window hashes
+    * corpus-wide, keep windows whose hash occurs >= minCount times,
+    * and merge each doc's surviving windows [pos, pos+n) into maximal
+    * islands (touching or overlapping windows coalesce).
+    *
+    * Scale shape: one linear groupBy on the 8-byte window hash + one
+    * linear join back on the same key (the duplicated-window set is
+    * corpus-proportional in the worst case, so it is NOT broadcast —
+    * contrast [[contaminationFlags]] where the probe side is a small
+    * benchmark); the island merge is a window partitioned by doc id,
+    * bounded by document length. No stage is quadratic in corpus size.
+    */
+  def substringSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minCount: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= n) // sequence(0, negative) would descend
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(w) - $n)," +
+          s" i -> concat_ws(' ', slice(w, i + 1, $n)))")).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"), h60(col("gram")).as("h"))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select(col("h"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    grams.join(dup, Seq("h")) // inner: only duplicated windows survive
+      .withColumn("e", col("pos") + lit(n))
+      .withColumn("prevMaxE",
+        max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      // new island when this window starts past everything seen so far
+      // (strictly after: touching windows share a duplicated region)
+      .withColumn("isl", sum(
+        when(col("prevMaxE").isNull || col("pos") > col("prevMaxE"), 1)
+          .otherwise(0)).over(byDoc))
+      .groupBy(col(idCol), col("isl"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+      .select(col(idCol),
+        col("s").cast("long").as("span_start"),
+        col("e").cast("long").as("span_end"),
+        (col("e") - col("s")).cast("long").as("span_words"))
+  }
+
   /** Benchmark decontamination (the n-gram-overlap check every
     * pretraining pipeline runs before training): corpus documents that
     * share at least one word n-gram with any document of `bench` are

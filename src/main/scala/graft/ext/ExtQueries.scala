@@ -248,6 +248,13 @@ object ExtQueries {
   def chunkDedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.chunkDedup(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** E1 — exact substring-duplication spans ([[Dedup.substringSpans]],
+    * Lee et al. 2021 ExactSubstr): maximal >= 8-word spans of each
+    * document whose text recurs anywhere in the corpus.
+    */
+  def substringSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringSpans(Tables.documents(spark, dir), "doc_id", "text")
+
   /** E3 — PII scrubbing ([[TextStats.redactPii]]). The fixture text
     * carries no PII, so each doc is salted with a deterministic email
     * + phone + IPv4 (derived from doc_id, reproduced verbatim by the

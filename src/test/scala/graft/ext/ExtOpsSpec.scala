@@ -723,6 +723,52 @@ class ExtOpsSpec extends SparkSpec {
     assert(all.filter(col("clean_text") === "").count() == 3)
   }
 
+  test("substringSpans finds maximal cross-doc and self-repeated spans") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ") // 10 shared words
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared z1 z2"),            // shared run at offset 3
+      (2L, s"$shared b1 b2 b3 b4"),               // same run at offset 0
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11"), // unique: no spans
+      (4L, "c1 c2 c3 c4 c5 c6 c7 c8 " +           // self-repetition:
+        "c1 c2 c3 c4 c5 c6 c7 c8 t1 t2"),         //   touching windows merge
+      (5L, "w1 w2 w3")                            // shorter than n: no grams
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringSpans(docs, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // docs 1/2: exactly the shared 10-word run — boundary windows mixing
+    // unique context are not duplicated, so the span does not bleed
+    assert(out == Seq(
+      (1L, 3L, 13L, 10L),
+      (2L, 0L, 10L, 10L),
+      (4L, 0L, 16L, 16L))) // [0,8) and [8,16) touch → one merged span
+    // two duplicated sentences separated by unique words stay two spans
+    val gap = Seq(
+      (1L, s"$shared g1 g2 g3 $shared"),
+      (2L, shared)).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(gap, "doc_id", "text", n = 8)
+      .filter(col("doc_id") === 1L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(spans == Seq((1L, 0L, 10L, 10L), (1L, 13L, 23L, 10L)))
+    // structural invariants on the real fixture: spans >= n words, in
+    // bounds, non-overlapping with a gap between consecutive spans
+    val fx = graft.Tables.documents(spark, sf)
+    val fxSpans = Dedup.substringSpans(fx, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(fxSpans.nonEmpty, "fixture corpus must contain duplicated runs")
+    val lens = fx.select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    fxSpans.groupBy(_._1).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.foreach { case (_, s, e, w) =>
+        assert(s >= 0 && e <= lens(id) && w == e - s && w >= 8)
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1)
+        case _ =>
+      }
+    }
+  }
+
   test("contaminationFlags: oversize-bench shuffle fallback is flag-identical to the broadcast path") {
     val docs = graft.Tables.documents(spark, sf)
     val corpus = docs.filter(col("doc_id") % 50 =!= 0)
