@@ -32,6 +32,9 @@ object Bench {
     // dedup_reps' key-partitioned aggregate and decontam_flags' size-gated
     // broadcast-vs-shuffle probe must both stay sub-quadratic
     "dedup_reps", "decontam_flags",
+    // round 11: window-hash count + join-back must stay linear — a
+    // regression to an all-pairs gram join would trip here first
+    "substring_spans",
     // row-local codec paths: linear by construction; gated to keep the
     // measured small→big ratio on record alongside the candidate-
     // generation queries (a regression to superlinear here would mean
