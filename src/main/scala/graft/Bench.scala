@@ -433,7 +433,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val line = {
       val lineBudget = 1700 // < 2000-char tail − sbt prefix/suffix lines
-      val head = s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","value_norm":${jnum(valueNorm, 2)},"noise_factor":${jnum(noiseFactor, 2)},"job_lat_ms":${jnum(jobLatSec * 1000, 1)},"n_queries":${results.size},"queries":{"""
+      // "norm_v":2 tags the value_norm scheme (ADVICE r11): v2 = sum of
+      // per-segment mini-calibration-normalized times against
+      // MiniCalibRefSec/JobLatRefSec; v1 (≤ round 10) was total / a
+      // single run-level noise_factor. Cross-round value_norm compares
+      // are only meaningful within one scheme version.
+      val head = s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","value_norm":${jnum(valueNorm, 2)},"norm_v":2,"noise_factor":${jnum(noiseFactor, 2)},"job_lat_ms":${jnum(jobLatSec * 1000, 1)},"n_queries":${results.size},"queries":{"""
       val tailFmt = s"""},"queries_omitted":NNN,"index_build_sec":${jnum(indexBuildSec, 2)},"growth":$gsCompact,"sf":"$sfDir"}"""
       var used = head.length + tailFmt.length
       val kept = scala.collection.mutable.ListBuffer.empty[String]
@@ -451,7 +456,7 @@ object Bench {
     // Machine-readable full-precision copy, free of sbt's [info]/[error]
     // line prefixes. Default is RELATIVE to the working directory so any
     // checkout works; SPARK_GRAFT_BENCH_OUT overrides.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","value_norm":$valueNorm,"calib_sec":$calibSec,"calib_ref_sec":$CalibRefSec,"noise_factor":$noiseFactor,"job_lat_sec":$jobLatSec,"job_lat_ref_sec":$JobLatRefSec,"jobs_total":$jobsTotal,"seg_factors":${
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","value_norm":$valueNorm,"norm_v":2,"calib_sec":$calibSec,"calib_ref_sec":$CalibRefSec,"noise_factor":$noiseFactor,"job_lat_sec":$jobLatSec,"job_lat_ref_sec":$JobLatRefSec,"jobs_total":$jobsTotal,"seg_factors":${
       segFactors.map(f => jnum(f, 3)).mkString("[", ",", "]")
     },"seg_job_lat_ms":${
       segLambdas.map(l => jnum(l * 1000, 1)).mkString("[", ",", "]")

@@ -615,22 +615,28 @@ object Dedup {
     * keep-best-duplicate policy a training-data pipeline actually ships
     * (of a near-dup cluster, keep the highest-`scoreCol` member; ties
     * broken by lowest id so the choice is deterministic). ONE
-    * aggregation per component: `max_by` over (score, −id) picks the
+    * aggregation per component: `min_by` over (−score, id) picks the
     * rep, its score and its weight in the same partial-aggregated pass
     * that counts members and sums weights — no second join back, no
     * window. Same 100 TB shape as [[componentReps]]: the only shuffle
     * is the groupBy on the component key.
+    *
+    * The tiebreak negates the SCORE (numeric by contract — it is a
+    * quality score), never the id, so `idCol` may be any orderable type
+    * (Long doc ids, string DIDs/URIs alike): a negated STRING id would
+    * cast to a null double under non-ANSI SQL and silently
+    * de-determinize the choice (ADVICE r11).
     */
   def componentRepsBy(comps: DataFrame, attrs: DataFrame, idCol: String,
       compCol: String, scoreCol: String, weightCol: String): DataFrame = {
-    def pref = struct(col(scoreCol), (-col(idCol)).as("nid"))
+    def pref = struct((-col(scoreCol)).as("ns"), col(idCol))
     comps.join(attrs, idCol)
       .groupBy(col(compCol))
       .agg(
-        max_by(col(idCol), pref).as("rep_doc"),
+        min_by(col(idCol), pref).as("rep_doc"),
         max(col(scoreCol)).as(s"rep_$scoreCol"),
         count(lit(1)).as("n_members"),
-        (sum(col(weightCol)) - max_by(col(weightCol), pref))
+        (sum(col(weightCol)) - min_by(col(weightCol), pref))
           .cast("long").as(s"${weightCol}_pruned"))
       .drop(compCol)
   }

@@ -57,6 +57,16 @@ final class CutoverSession(
   // treat the observed head as permanently invisible, deliver the
   // surviving gap window and cut over, instead of replaying forever
   // against a head that can never be seen again.
+  //
+  // DEPLOYMENT CAVEAT (ADVICE r11): the ≈30 s default is tuned for
+  // local/HDFS-class listing latency. On storage whose listings can lag
+  // a committed write by longer than that (eventual-consistency object
+  // stores, an ingest commit stalled behind slow metadata), an abandon
+  // trades exactly-once for liveness on a window that was merely LATE,
+  // not removed. Scale `barrierRecoverHolds` to ≥ (worst observed
+  // commit-to-visible latency × 40 ticks/s) there — the abandon is
+  // always logged with the surviving window, so a mis-sized default is
+  // auditable after the fact.
   private[this] var barrierHolds = 0
   private[this] var barrierHoldKey = (Long.MinValue, Long.MinValue)
   private val BarrierWarnHolds = 200 // ≈5 s at the pump's 40 Hz tick

@@ -304,10 +304,18 @@ object SocketServe extends org.apache.spark.internal.Logging {
         try conn.writer.writeFrames(wires)
         finally kill.cancel(false)
       // past writeFrames: count only deliveries that reached the pipe
-      // (server.go:151-152 counts after a successful write)
+      // (server.go:151-152 counts after a successful write). This
+      // bookkeeping must be exception-free by construction: the frames
+      // are already flushed, so a throwable escaping here would reach
+      // the live-emit rearm handler and re-deliver the window just
+      // written (ADVICE r11). Metrics failures log; they never propagate.
       if (wires.nonEmpty) {
-        conn.delivered.add(wires.length.toDouble)
-        conn.bytesDelivered.add(bytes.toDouble)
+        try {
+          conn.delivered.add(wires.length.toDouble)
+          conn.bytesDelivered.add(bytes.toDouble)
+        } catch {
+          case e: Throwable => warnThrottled("delivery metrics", e)
+        }
       }
     }
     // replay views come off per-subscriber PRUNED table scans (the
@@ -445,24 +453,34 @@ object SocketServe extends org.apache.spark.internal.Logging {
                   case e: Throwable => warnThrottled("batch-loop replay", e)
                 }
               val (wires, tailUs) = conn.session.liveEmitFrames(frames)
-              try {
-                writeWire(conn, wires)
+              // The rearm try covers ONLY the wire write: writeWire's
+              // post-flush bookkeeping is exception-free by construction,
+              // so a non-IO escaping it means frames did NOT all reach
+              // the pipe — the one case where a rearm is lossless. The
+              // hwm advance runs OUTSIDE the try: after a successful
+              // flush a failure there must surface, never re-arm (a
+              // rearm would re-read and re-deliver the window just
+              // written — duplicates, ADVICE r11).
+              val flushed =
+                try { writeWire(conn, wires); true }
+                catch {
+                  case e: java.io.IOException => throw e // → outer drop
+                  case e: Throwable if wires.nonEmpty =>
+                    // non-IO with frames IN FLIGHT: keep-attached would
+                    // LOSE this batch's window for the subscriber — a live
+                    // session never re-reads the table, the next batch
+                    // carries only newer events, and its delivered() would
+                    // advance the hwm past the gap. Re-arm the session into
+                    // replay at the current hwm instead: the skipped window
+                    // is re-read from the table, the hwm dedup skips
+                    // anything already written, and the normal gap-fill
+                    // cutover returns it to live exactly-once.
+                    conn.session.rearmReplay()
+                    warnThrottled(s"live emit for ${conn.name} (re-armed replay)", e)
+                    false
+                }
+              if (flushed)
                 conn.session.delivered(tailUs) // hwm past the SUCCESSFUL write
-              } catch {
-                case e: java.io.IOException => throw e // → outer drop
-                case e: Throwable if wires.nonEmpty =>
-                  // non-IO with frames IN FLIGHT: keep-attached would
-                  // LOSE this batch's window for the subscriber — a live
-                  // session never re-reads the table, the next batch
-                  // carries only newer events, and its delivered() would
-                  // advance the hwm past the gap. Re-arm the session into
-                  // replay at the current hwm instead: the skipped window
-                  // is re-read from the table, the hwm dedup skips
-                  // anything already written, and the normal gap-fill
-                  // cutover returns it to live exactly-once.
-                  conn.session.rearmReplay()
-                  warnThrottled(s"live emit for ${conn.name} (re-armed replay)", e)
-              }
             } catch {
               case _: java.io.IOException => // slow consumer / disconnect:
                 dropConn(conn) // server.go:168-175

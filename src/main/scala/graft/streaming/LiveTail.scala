@@ -36,14 +36,24 @@ object LiveTail {
     * fingerprint per distinct content within the watermark — bounded,
     * unlike an unbounded seen-set; an exact cross-history dedup is the
     * batch operators' job over the table.
+    *
+    * Events with NULL text do not participate: a null fingerprint would
+    * group every textless event (deletes, likes, identity events — most
+    * of the firehose this operator is documented for) as "equal
+    * content" and collapse them to one. Textless rows pass through
+    * unchanged and pay no dedup state.
     */
   def dedupContent(events: DataFrame, textCol: String,
-      watermark: String = "10 minutes"): DataFrame =
-    withEventTime(events)
+      watermark: String = "10 minutes"): DataFrame = {
+    val stamped = withEventTime(events)
       .withColumn("content_fp",
         md5(lower(regexp_replace(col(textCol), "\\s+", " "))))
+    stamped
+      .filter(col("content_fp").isNotNull)
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("content_fp")
+      .unionByName(stamped.filter(col("content_fp").isNull))
+  }
 
   /** Session windows: activity bursts per key separated by ≥`gap` of
     * silence (SURVEY §2.2 streaming-windows row) — e.g. per-DID posting

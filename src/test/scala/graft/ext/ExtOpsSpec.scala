@@ -240,6 +240,23 @@ class ExtOpsSpec extends SparkSpec {
     assert(reps == Map(1L -> ((3L, 23L)), 10L -> ((2L, 9L))))
   }
 
+  test("componentRepsBy: string ids tiebreak deterministically (lowest id among max score)") {
+    // ADVICE r11: the tiebreak must not negate the id column — a negated
+    // string id casts to a null double and de-determinizes the choice.
+    // Scores tie at 0.9 inside comp "a": rep must be the LOWEST id.
+    val comps = Seq(("did:a1", "a"), ("did:a2", "a"), ("did:a3", "a"),
+      ("did:b1", "b")).toDF("doc_id", "comp")
+    val attrs = Seq(("did:a1", 0.9, 10L), ("did:a2", 0.9, 20L),
+      ("did:a3", 0.1, 30L), ("did:b1", 0.5, 7L))
+      .toDF("doc_id", "score", "n_chars")
+    val reps = Dedup.componentRepsBy(comps, attrs, "doc_id", "comp", "score", "n_chars")
+      .as[(String, Double, Long, Long)].collect()
+      .map { case (rep, s, n, pruned) => rep -> ((s, n, pruned)) }.toMap
+    assert(reps == Map(
+      "did:a1" -> ((0.9, 3L, 50L)), // ties 0.9: a1 < a2; pruned = 20+30
+      "did:b1" -> ((0.5, 1L, 0L))))
+  }
+
   test("percentileGate keeps the top (1-q) per stratum, not globally") {
     val df = ((1 to 10).map(i => ("a", i.toDouble)) ++
       Seq(("b", 100.0), ("b", 200.0), ("b", 300.0))).toDF("s", "v")

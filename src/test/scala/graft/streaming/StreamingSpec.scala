@@ -111,6 +111,28 @@ class StreamingSpec extends SparkSpec {
       "one survivor per distinct content, earliest wins")
   }
 
+  test("dedupContent passes null-text events through, never dedupes them") {
+    // ADVICE r11 (medium): deletes/likes/identity events carry no text;
+    // a null fingerprint must not group them as "equal content" and
+    // collapse the lot to one survivor.
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val deduped = LiveTail.dedupContent(in.toDF().toDF("time_us", "text"), "text")
+    val q = deduped.writeStream.format("memory").queryName("cdedup_null_out")
+      .outputMode("append").start()
+    in.addData(Seq(
+      (100L * 1000000, "real content"),
+      (101L * 1000000, null),
+      (102L * 1000000, null), // textless: must SURVIVE, not dedupe vs 101
+      (103L * 1000000, "real  CONTENT"), // dup of 100 after normalization
+      (104L * 1000000, null)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("cdedup_null_out").select("time_us").as[Long].collect().sorted
+    assert(out.toSeq == Seq(100L, 101L, 102L, 104L).map(_ * 1000000),
+      "every null-text event passes through; only real content dedupes")
+  }
+
   test("stream-static enrichment joins the live tail against a dim table") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
