@@ -35,6 +35,10 @@ object Bench {
     // round 11: window-hash count + join-back must stay linear — a
     // regression to an all-pairs gram join would trip here first
     "substring_spans",
+    // round 12: BPE learning is vocab-bound (k aggregations over the
+    // distinct-word table) and encode is a map-only pass — both must
+    // scale sublinearly-to-linearly in corpus rows
+    "bpe_merges", "bpe_encode",
     // row-local codec paths: linear by construction; gated to keep the
     // measured small→big ratio on record alongside the candidate-
     // generation queries (a regression to superlinear here would mean

@@ -111,6 +111,8 @@ object SparkEntry {
     "simhash_hamming"    -> ExtQueries.simhashHamming _,
     "dedup_embed_cosine" -> ExtQueries.dedupEmbedCosine _,
     "bpe_token_vocab"    -> ExtQueries.bpeTokenVocab _,
+    "bpe_merges"         -> ExtQueries.bpeMerges _,
+    "bpe_encode"         -> ExtQueries.bpeEncode _,
     "gopher_rules"       -> ExtQueries.gopherRules _,
     "repetition_stats"   -> ExtQueries.repetitionStats _,
     "decontam_flags"     -> ExtQueries.decontamFlags _,
@@ -709,6 +711,8 @@ object SparkEntry {
         |  SELECT unnest(regexp_extract_all(text, '([a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s])')) AS token
         |  FROM documents)
         |GROUP BY token""".stripMargin,
+    "bpe_merges" -> graft.ext.Bpe.mergesOracleSql(graft.ext.ExtQueries.BpeMergeRounds),
+    "bpe_encode" -> graft.ext.Bpe.encodeOracleSql(graft.ext.ExtQueries.BpeMergeRounds),
     "rolling_fingerprint" ->
       """SELECT doc_id,
         |       list_reduce(list_transform(string_split(text, ''), c -> unicode(c)::BIGINT),

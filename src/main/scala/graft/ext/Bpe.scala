@@ -1,0 +1,214 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding merge learning and encoding (Sennrich
+  * et al. 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units") — the real-tokenizer depth behind [[TextStats.bpeTokenVocab]]
+  * (which stops at pre-tokenization + vocabulary counting).
+  *
+  * Reference: n/a — jetstream has no text stack; this is a north-star
+  * (BASELINE.json) training-data-pipeline operator.
+  *
+  * == Algorithm, Spark-first ==
+  *
+  * Learning operates on the pre-tokenized WORD-FREQUENCY vocabulary,
+  * never the raw corpus — the classical BPE trick that makes the loop
+  * cheap: a 100 TB corpus folds to its distinct pre-tokens (sub-billion
+  * rows) in one aggregation, and every merge round after that is
+  *
+  *   1. one partial-aggregated pair count over the vocab
+  *      (explode adjacent symbol pairs weighted by word frequency), and
+  *   2. a 1-row argmax collect (max count, ties to the lexicographically
+  *      smallest pair — deterministic), the [[Similarity.kmeansCentroids]]
+  *      driver-loop shape already adjudicated for K-row collects.
+  *
+  * Words are carried as SPACE-DELIMITED symbol strings with sentinel
+  * spaces (`" l o w "`): symbols are pre-token substrings, so they can
+  * never contain a space, making the encoding unambiguous, and a merge
+  * (l, r) → lr is a plain string `replace(" l r ", " lr ")` — a
+  * codegen'd built-in, no UDF.
+  *
+  * == Greedy application in exactly two replace passes ==
+  *
+  * One `replace` pass is greedy left-to-right but misses an occurrence
+  * whose LEADING sentinel space was consumed by the immediately
+  * preceding match (`" a a a a "` → `" aa a a "`). Such misses are never
+  * adjacent to each other (a miss requires its left neighbor to have
+  * MATCHED), so after one pass every miss has both its spaces intact and
+  * a second pass catches them all: two passes are exact greedy
+  * left-to-right application, the subword-nmt encode order.
+  *
+  * The learning loop re-derives round r's tokenization by re-applying
+  * the r−1 learned merges to the CACHED base vocabulary (an O(k²·|vocab|)
+  * total re-tokenization cost) instead of materializing each round —
+  * at the k this operator is oracle-gated with, re-apply is cheaper than
+  * cache churn; a production run learning tens of thousands of merges
+  * would localCheckpoint the vocab every ~50 rounds to cut both the
+  * re-apply cost and the expression-tree depth.
+  */
+object Bpe {
+
+  /** Pre-tokenization split — identical to [[TextStats.bpeTokenVocab]]
+    * (letter runs, single digits, any other non-space symbol).
+    */
+  val PreTokenPattern = "([a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s])"
+
+  /** One learned merge rule: at `rank`, symbols `lhs` + `rhs` fuse;
+    * `pairCount` is the (word-frequency-weighted) adjacent-pair count
+    * that won the round.
+    */
+  final case class Merge(rank: Int, lhs: String, rhs: String, pairCount: Long)
+
+  /** Pre-tokenized word-frequency vocabulary: (word, freq). */
+  def wordVocab(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(regexp_extract_all(col(textCol), lit(PreTokenPattern), lit(0)))
+        .as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+
+  /** `"low"` → `" l o w "` — sentinel-spaced initial character symbols. */
+  private def spacedSyms(word: Column): Column =
+    concat(lit(" "), array_join(split(word, ""), " "), lit(" "))
+
+  /** Exact greedy left-to-right application of one merge (see the
+    * two-pass argument in the object doc).
+    */
+  private def applyMerge(s: Column, lhs: String, rhs: String): Column = {
+    val pat = lit(s" $lhs $rhs ")
+    val rep = lit(s" $lhs$rhs ")
+    replace(replace(s, pat, rep), pat, rep)
+  }
+
+  /** Adjacent symbol pairs of a spaced symbol string, as an array of
+    * (l, r) structs — empty for single-symbol words.
+    */
+  private def adjacentPairs(s: Column): Column = {
+    val sp = split(trim(s), " ")
+    zip_with(
+      slice(sp, lit(1), size(sp) - 1),
+      slice(sp, lit(2), size(sp) - 1),
+      (l, r) => struct(l.as("l"), r.as("r")))
+  }
+
+  /** Learn up to `k` merges over `df.textCol`'s pre-token vocabulary.
+    * Stops early if no adjacent pair remains (every word fused to one
+    * symbol). Deterministic: ties break to the lexicographically
+    * smallest (lhs, rhs).
+    */
+  def learnMerges(df: DataFrame, textCol: String, k: Int): Seq[Merge] = {
+    require(k >= 1, "k must be positive")
+    val vocab = wordVocab(df, textCol)
+      .select(spacedSyms(col("word")).as("s"), col("freq"))
+      .cache()
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+      var symExpr: Column = col("s")
+      var exhausted = false
+      while (out.length < k && !exhausted) {
+        val top = vocab
+          .select(explode(adjacentPairs(symExpr)).as("p"), col("freq"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val row = top(0)
+          val m = Merge(out.length + 1, row.getString(0), row.getString(1), row.getLong(2))
+          out += m
+          symExpr = applyMerge(symExpr, m.lhs, m.rhs)
+        }
+      }
+      out.toSeq
+    } finally { vocab.unpersist(); () }
+  }
+
+  /** The learned merge table as a DataFrame:
+    * (merge_rank, lhs, rhs, pair_count).
+    */
+  def mergeTable(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF()
+      .select(col("rank").as("merge_rank"), col("lhs"), col("rhs"),
+        col("pairCount").as("pair_count"))
+  }
+
+  /** Encode `textCol` with a learned merge table: pre-tokenize, apply
+    * the merges to each word in rank order (each one exact-greedy), and
+    * emit the space-joined token stream plus its token count. One
+    * narrow codegen'd projection — the 100 TB path is a map-only stage.
+    */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val ws = regexp_extract_all(col(textCol), lit(PreTokenPattern), lit(0))
+    val tokWords = transform(ws, w =>
+      trim(merges.foldLeft(spacedSyms(w))((s, m) => applyMerge(s, m.lhs, m.rhs))))
+    df.select(col(idCol), array_join(tokWords, " ").as("tokens"), size(ws).as("__nw"))
+      .select(col(idCol), col("tokens"),
+        when(col("__nw") === 0, lit(0L))
+          .otherwise(size(split(col("tokens"), " ")).cast("long")).as("n_tokens"))
+  }
+
+  // ------------------------------------------------------------- oracle
+
+  /** The shared learning CTE chain for the DuckDB oracle — the same
+    * algorithm unrolled: w0 is the spaced vocab, round i picks pair p_i
+    * (argmax with the same tiebreak) and w_i applies it with the same
+    * two replace passes. CTEs are MATERIALIZED: DuckDB inlines CTEs by
+    * default and each round references its predecessor four times, so
+    * the default would re-evaluate the chain 4^k times.
+    */
+  private def learnCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""nums AS MATERIALIZED (SELECT CAST(n AS BIGINT)+1 AS n FROM range(0, 511) t(n)),
+      |vocab AS MATERIALIZED (SELECT token AS word, count(*)::BIGINT AS freq FROM (
+      |  SELECT unnest(regexp_extract_all(text, '([a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s])')) AS token
+      |  FROM documents) GROUP BY 1),
+      |w0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s, freq FROM vocab)""".stripMargin
+    for (i <- 1 to k) {
+      // chr(1) = never-matching sentinel if the vocab runs out of pairs
+      sb ++= s""",
+        |p$i AS MATERIALIZED (SELECT sp[n] AS l, sp[n+1] AS r, sum(freq)::BIGINT AS cnt
+        |  FROM (SELECT string_split(trim(s), ' ') AS sp, freq FROM w${i - 1}), nums
+        |  WHERE n <= len(sp) - 1 GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |w$i AS MATERIALIZED (SELECT replace(replace(s,
+        |    coalesce((SELECT ' '||l||' '||r||' ' FROM p$i), chr(1)),
+        |    coalesce((SELECT ' '||l||r||' ' FROM p$i), chr(1))),
+        |    coalesce((SELECT ' '||l||' '||r||' ' FROM p$i), chr(1)),
+        |    coalesce((SELECT ' '||l||r||' ' FROM p$i), chr(1))) AS s, freq FROM w${i - 1})""".stripMargin
+    }
+    sb.result()
+  }
+
+  /** Oracle SQL equivalent of learnMerges(k) + [[mergeTable]]. */
+  def mergesOracleSql(k: Int): String =
+    "WITH " + learnCtes(k) + "\nSELECT * FROM (" +
+      (1 to k).map(i =>
+        s"SELECT $i AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count FROM p$i")
+        .mkString(" UNION ALL ") +
+      ") ORDER BY merge_rank"
+
+  /** Oracle SQL equivalent of learnMerges(k) + [[encode]] over the
+    * documents table.
+    */
+  def encodeOracleSql(k: Int): String = {
+    val pats = (1 to k).map(i =>
+      s"coalesce((SELECT ' '||l||' '||r||' ' FROM p$i), chr(1)) AS pat$i, " +
+        s"coalesce((SELECT ' '||l||r||' ' FROM p$i), chr(1)) AS rep$i").mkString(", ")
+    var chain = "' ' || array_to_string(string_split(w, ''), ' ') || ' '"
+    for (i <- 1 to k)
+      chain = s"replace(replace($chain, pat$i, rep$i), pat$i, rep$i)"
+    s"""WITH ${learnCtes(k)},
+       |pats AS MATERIALIZED (SELECT $pats),
+       |docw AS (SELECT doc_id, regexp_extract_all(text, '([a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s])') AS ws FROM documents)
+       |SELECT doc_id,
+       |  array_to_string(list_transform(ws, w -> trim($chain)), ' ') AS tokens,
+       |  (CASE WHEN len(ws)=0 THEN 0
+       |        ELSE len(string_split(array_to_string(list_transform(ws, w -> trim($chain)), ' '), ' '))
+       |   END)::BIGINT AS n_tokens
+       |FROM docw, pats""".stripMargin
+  }
+}

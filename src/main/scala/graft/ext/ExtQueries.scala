@@ -159,6 +159,29 @@ object ExtQueries {
   def bpeTokenVocab(spark: SparkSession, dir: String): DataFrame =
     TextStats.bpeTokenVocab(Tables.documents(spark, dir), "text")
 
+  /** How many BPE merges the registered bpe_* queries learn — bounded so
+    * the DuckDB oracle's unrolled CTE chain stays tractable; the
+    * operator itself takes any k.
+    */
+  val BpeMergeRounds = 12
+
+  /** E3 — learned BPE merge table: `BpeMergeRounds` rounds of
+    * distributed max-pair contraction over the pre-token vocabulary
+    * ([[Bpe.learnMerges]]).
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    Bpe.mergeTable(spark,
+      Bpe.learnMerges(Tables.documents(spark, dir), "text", BpeMergeRounds))
+
+  /** E3 — BPE-encode the corpus with merges learned on it: token stream
+    * + real token counts per document ([[Bpe.encode]]).
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Bpe.encode(docs, "doc_id", "text",
+      Bpe.learnMerges(docs, "text", BpeMergeRounds))
+  }
+
   /** E3 — rolling polynomial content hash. */
   def rollingFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextStats.rollingFingerprint(Tables.documents(spark, dir), "doc_id", "text")

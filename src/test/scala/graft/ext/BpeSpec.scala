@@ -1,0 +1,71 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** BPE merge learning + encoding against hand-computed expectations
+  * (the Sennrich et al. 2016 worked-example corpus shape).
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toyDocs = Seq(
+    (1L, "low low low low low"),
+    (2L, "lower lower widest"),
+    (3L, "newest newest newest widest")).toDF("doc_id", "text")
+
+  test("learnMerges reproduces the hand-computed merge sequence with deterministic ties") {
+    // vocab: low:5 lower:2 widest:2 newest:3
+    // r1: (l,o)=7 ties (o,w)=7 → lexicographically smaller (l,o)
+    // r2: (lo,w)=7
+    // r3: (e,s)=5 ties (s,t)=5, (w,e)=5 → (e,s)
+    // r4: (es,t)=5
+    // r5: (e,w)=3 (from n-e-w-est) ties nothing higher
+    // r6: (ew,est)=3
+    val merges = Bpe.learnMerges(toyDocs, "text", 6)
+    assert(merges == Seq(
+      Bpe.Merge(1, "l", "o", 7), Bpe.Merge(2, "lo", "w", 7),
+      Bpe.Merge(3, "e", "s", 5), Bpe.Merge(4, "es", "t", 5),
+      Bpe.Merge(5, "e", "w", 3), Bpe.Merge(6, "ew", "est", 3)))
+  }
+
+  test("encode applies merges greedily left-to-right per word") {
+    val merges = Bpe.learnMerges(toyDocs, "text", 6)
+    val out = Bpe.encode(toyDocs, "doc_id", "text", merges)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "low low low low low", 5L)))
+    // lower → low+e+r ('e r' never merged); widest → w i d est
+    assert(out(1) == ((2L, "low e r low e r w i d est", 10L)))
+    assert(out(2) == ((3L, "n ewest n ewest n ewest w i d est", 10L)))
+  }
+
+  test("overlapping pair runs merge with exact greedy semantics (two-pass replace)") {
+    // 'aaaa' must tokenize a a a a → aa aa → aaaa, never aa a a
+    val docs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "text", 2)
+    assert(merges.map(m => (m.lhs, m.rhs)) == Seq(("a", "a"), ("aa", "aa")))
+    // pair (a,a) appears 3× per word × 2 words = 6 (overlaps counted,
+    // Sennrich get_stats semantics)
+    assert(merges.head.pairCount == 6L)
+    val enc = Bpe.encode(docs, "doc_id", "text", merges)
+      .as[(Long, String, Long)].head()
+    assert(enc == ((1L, "aaaa aaaa", 2L)))
+  }
+
+  test("learnMerges stops early when every word is a single symbol") {
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "text", 10)
+    assert(merges.map(m => (m.lhs, m.rhs)) == Seq(("a", "b"), ("c", "d")))
+  }
+
+  test("merge table and single-char/empty-doc encode edges") {
+    val docs = Seq((1L, "x"), (2L, "")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "text", 3)
+    assert(merges.isEmpty)
+    val enc = Bpe.encode(docs, "doc_id", "text", merges)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(enc(0) == ((1L, "x", 1L)))
+    assert(enc(1) == ((2L, "", 0L)))
+    assert(Bpe.mergeTable(spark, merges).columns.toSeq ==
+      Seq("merge_rank", "lhs", "rhs", "pair_count"))
+  }
+}
