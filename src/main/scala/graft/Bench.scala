@@ -34,7 +34,7 @@ object Bench {
     "dedup_reps", "decontam_flags",
     // round 11: window-hash count + join-back must stay linear — a
     // regression to an all-pairs gram join would trip here first
-    "substring_spans",
+    "substring_spans", "substring_cut",
     // round 12: BPE learning is vocab-bound (k aggregations over the
     // distinct-word table) and encode is a map-only pass — both must
     // scale sublinearly-to-linearly in corpus rows

@@ -136,6 +136,7 @@ object SparkEntry {
     "chunk_dedup"        -> ExtQueries.chunkDedup _,
     // --- round 11: exact substring-duplication spans (Lee et al. 2021)
     "substring_spans"    -> ExtQueries.substringSpans _,
+    "substring_cut"      -> ExtQueries.substringCut _,
     "pii_redact"         -> ExtQueries.piiRedact _,
     "payload_chunks"     -> ExtQueries.payloadChunks _,
     // --- round 4: retrieval, LM-quality, corpus-shrink, export ops
@@ -943,6 +944,44 @@ object SparkEntry {
         |SELECT doc_id, min(pos)::BIGINT AS span_start, max(e)::BIGINT AS span_end,
         |       (max(e) - min(pos))::BIGINT AS span_words
         |FROM isl2 GROUP BY doc_id, island""".stripMargin,
+    "substring_cut" ->
+      // the same span derivation, then per-word excision: a word is cut
+      // when some merged span covers its 0-based position (span_end
+      // exclusive); surviving words reassemble in position order
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, n.i AS pos,
+        |             array_to_string(ws[n.i+1 : n.i+8], ' ') AS gram
+        |      FROM w, (SELECT unnest(range(0, (SELECT max(len(string_split(text, ' ')))
+        |                                       FROM documents))) AS i) n
+        |      WHERE n.i + 8 <= len(ws)),
+        |h AS (SELECT doc_id, pos,
+        |             ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hh FROM g),
+        |dup AS (SELECT hh FROM h GROUP BY hh HAVING count(*) >= 2),
+        |f AS (SELECT doc_id, pos, pos + 8 AS e FROM h JOIN dup USING (hh)),
+        |isl AS (SELECT doc_id, pos, e,
+        |               CASE WHEN pos > coalesce(max(e) OVER (
+        |                      PARTITION BY doc_id ORDER BY pos
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |                    THEN 1 ELSE 0 END AS ni
+        |        FROM f),
+        |isl2 AS (SELECT doc_id, pos, e,
+        |                sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |         FROM isl),
+        |sp AS (SELECT doc_id, min(pos) AS s, max(e) AS e
+        |       FROM isl2 GROUP BY doc_id, island),
+        |words AS (SELECT doc_id, n.i AS pos, ws[n.i+1] AS word
+        |          FROM w, (SELECT unnest(range(0, (SELECT max(len(ws)) FROM w))) AS i) n
+        |          WHERE n.i < len(ws)),
+        |kept AS (SELECT wd.doc_id, wd.pos, wd.word
+        |         FROM words wd LEFT JOIN sp ON wd.doc_id = sp.doc_id
+        |              AND wd.pos >= sp.s AND wd.pos < sp.e
+        |         WHERE sp.doc_id IS NULL),
+        |ka AS (SELECT doc_id, array_to_string(list(word ORDER BY pos), ' ') AS ct,
+        |              count(*)::BIGINT AS nk FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, coalesce(ka.ct, '') AS clean_text,
+        |       coalesce(ka.nk, 0)::BIGINT AS n_words_kept,
+        |       (len(w.ws) - coalesce(ka.nk, 0))::BIGINT AS n_words_cut
+        |FROM w LEFT JOIN ka USING (doc_id)""".stripMargin,
     "pii_redact" ->
       // patterns restricted to the Java-regex ∩ RE2 common dialect;
       // DuckDB regexp_replace needs the 'g' flag to match Spark's

@@ -390,6 +390,39 @@ object Dedup {
         (col("e") - col("s")).cast("long").as("span_words"))
   }
 
+  /** Span EXCISION — the deliverable of Lee et al. 2021's ExactSubstr
+    * operator: cut every duplicated span [[substringSpans]] finds out of
+    * its document and reassemble the surviving text. Returns one row per
+    * input document: (idCol, clean_text, n_words_kept, n_words_cut) —
+    * `clean_text` empty when the whole document was duplicated text.
+    *
+    * Scale shape: the spans fold to ONE array row per affected doc
+    * (islands are disjoint, their count is bounded by doc length / n),
+    * so the cut is an equi-join on the doc id — never a per-word range
+    * join — followed by a map-side indexed `filter` lambda over the
+    * word array and one `array_join`. Docs with no duplicated span pass
+    * through the left join unchanged. Word offsets follow
+    * [[substringSpans]]: 0-based, span_end exclusive.
+    */
+  def substringCut(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minCount: Int = 2): DataFrame = {
+    val spans = substringSpans(df, idCol, textCol, n, minCount)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("__spans"))
+    df.select(col(idCol), split(col(textCol), " ").as("__w"))
+      .join(spans, Seq(idCol), "left_outer")
+      .withColumn("__sp", coalesce(col("__spans"),
+        expr("CAST(array() AS array<struct<s:BIGINT,e:BIGINT>>)")))
+      .withColumn("__kept", filter(col("__w"), (w, i) =>
+        !exists(col("__sp"), sp =>
+          i.cast("long") >= sp.getField("s") && i.cast("long") < sp.getField("e"))))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("clean_text"),
+        size(col("__kept")).cast("long").as("n_words_kept"),
+        (size(col("__w")) - size(col("__kept"))).cast("long").as("n_words_cut"))
+  }
+
   /** Benchmark decontamination (the n-gram-overlap check every
     * pretraining pipeline runs before training): corpus documents that
     * share at least one word n-gram with any document of `bench` are

@@ -278,6 +278,13 @@ object ExtQueries {
   def substringSpans(spark: SparkSession, dir: String): DataFrame =
     Dedup.substringSpans(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** E1 — span excision ([[Dedup.substringCut]]): the cleaned text after
+    * cutting every duplicated >= 8-word span the corpus recurrence scan
+    * finds — ExactSubstr's actual deliverable.
+    */
+  def substringCut(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringCut(Tables.documents(spark, dir), "doc_id", "text")
+
   /** E3 — PII scrubbing ([[TextStats.redactPii]]). The fixture text
     * carries no PII, so each doc is salted with a deterministic email
     * + phone + IPv4 (derived from doc_id, reproduced verbatim by the

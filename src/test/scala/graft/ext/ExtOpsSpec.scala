@@ -240,6 +240,26 @@ class ExtOpsSpec extends SparkSpec {
     assert(reps == Map(1L -> ((3L, 23L)), 10L -> ((2L, 9L))))
   }
 
+  test("substringCut excises exactly the merged spans, span_end exclusive") {
+    val shared = (1 to 8).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $shared z1 z2"), // span [2,10) of 12 words
+      (2L, s"b1 $shared c1"), // span [1,9) of 10 words
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"), // no duplicated 8-gram
+      (4L, (1 to 8).map(i => s"e$i").mkString(" ")), // fully duplicated…
+      (5L, (1 to 8).map(i => s"e$i").mkString(" "))) // …with doc 4
+      .toDF("doc_id", "text")
+    val out = Dedup.substringCut(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "a1 a2 z1 z2", 4L, 8L)),
+      "cut is [2,10): word 10 ('z1') survives — span_end exclusive")
+    assert(out(1) == ((2L, "b1 c1", 2L, 8L)))
+    assert(out(2) == ((3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9", 9L, 0L)),
+      "a doc with no duplicated span passes through unchanged")
+    assert(out(3) == ((4L, "", 0L, 8L)), "fully-duplicated doc → empty text")
+    assert(out(4) == ((5L, "", 0L, 8L)))
+  }
+
   test("componentRepsBy: string ids tiebreak deterministically (lowest id among max score)") {
     // ADVICE r11: the tiebreak must not negate the id column — a negated
     // string id casts to a null double and de-determinizes the choice.
