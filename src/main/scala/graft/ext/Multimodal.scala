@@ -541,6 +541,182 @@ object Multimodal {
     })
   }
 
+  /** The first `vids` stream's `strf` payload (BITMAPINFOHEADER +
+    * palette) from the `hdrl` LIST — required to decode `##db`/`##dc`
+    * DIB samples, which carry raw pixel bits with no self-describing
+    * header (the MJPEG case is self-describing: each sample is a whole
+    * JPEG). Walks RIFF → LIST hdrl → LIST strl; within a strl, `strh`'s
+    * fccType (first 4 bytes of its payload) tags the stream type and
+    * the following `strf` is its format. Corrupt sizes end that nesting
+    * level; never throws.
+    */
+  private[ext] def aviVideoFormat(bytes: Array[Byte]): Option[Array[Byte]] = {
+    def ascii(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    def le32(off: Int): Long =
+      (bytes(off) & 0xffL) | (bytes(off + 1) & 0xffL) << 8 |
+        (bytes(off + 2) & 0xffL) << 16 | (bytes(off + 3) & 0xffL) << 24
+    if (bytes == null || bytes.length < 12 || ascii(0) != "RIFF" || ascii(8) != "AVI ")
+      return None
+    var found: Option[Array[Byte]] = None
+    def walkLevel(from: Int, end: Int, inStrl: Boolean): Unit = {
+      var off = from
+      var vids = false // last strh at THIS level was a video stream
+      while (found.isEmpty && off + 8 <= end) {
+        val id = ascii(off)
+        val size = le32(off + 4)
+        val dataOff = off + 8
+        if (size > end - dataOff) return // corrupt: stop this level
+        val dataEnd = dataOff + size.toInt
+        if (id == "LIST" && size >= 4) {
+          val lt = ascii(dataOff)
+          if (lt == "hdrl" || lt == "strl")
+            walkLevel(dataOff + 4, dataEnd, inStrl = lt == "strl")
+        } else if (inStrl && id == "strh" && size >= 4)
+          vids = ascii(dataOff) == "vids"
+        else if (inStrl && id == "strf" && vids && size >= 40)
+          found = Some(java.util.Arrays.copyOfRange(bytes, dataOff, dataEnd))
+        off = dataEnd + (size.toInt & 1)
+      }
+    }
+    walkLevel(12, bytes.length, inStrl = false)
+    found
+  }
+
+  /** Decode one AVI video sample: MJPEG samples are self-describing
+    * JPEGs (any still codec here may match); DIB samples need the
+    * stream's `strf` header ([[PixelCodec.decodeDib]] — BI_RGB 24-bit
+    * and BI_RLE8).
+    */
+  private def decodeAviSample(fmt: Option[Array[Byte]],
+      sample: Array[Byte]): Option[PixelCodec.RgbImage] =
+    PixelCodec.decodeImage(sample)
+      .orElse(fmt.flatMap(f => PixelCodec.decodeDib(f, sample)))
+
+  /** MJPEG-in-MP4 sample extraction: finds the first track whose
+    * `stsd` sample description is `jpeg` (QuickTime/BMFF motion-JPEG —
+    * every sample is a standalone baseline JPEG) and yields sample
+    * payloads by walking the `stbl` sample tables: `stsz` sizes,
+    * `stsc` sample-to-chunk runs, `stco`/`co64` chunk offsets (absolute
+    * file offsets into `mdat`). Returns None for non-BMFF payloads or
+    * when no jpeg track exists; corrupt or out-of-range tables end the
+    * iteration early instead of throwing.
+    */
+  private[ext] def mp4VideoSamples(bytes: Array[Byte]): Option[Iterator[Array[Byte]]] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def be32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def ascii(from: Int, until: Int) = new String(bytes.slice(from, until), "US-ASCII")
+    def walk(from: Int, until: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var i = from
+      var ok = true
+      while (ok && i + 8 <= until) {
+        val size32 = be32(i)
+        val typ = ascii(i + 4, i + 8)
+        var hdr = 8L
+        val boxSize =
+          if (size32 == 1L) { hdr = 16L; if (i + 16 <= until) be64(i + 8) else -1L }
+          else if (size32 == 0L) (until - i).toLong
+          else size32
+        if (boxSize < hdr || i + boxSize > until) ok = false
+        else { f(typ, i + hdr.toInt, i + boxSize.toInt); i += boxSize.toInt }
+      }
+    }
+    if (bytes == null || bytes.length < 16 || ascii(4, 8) != "ftyp") return None
+    val MaxSamples = 1 << 20 // absurd-count guard on corrupt tables
+    var sizes: Array[Long] = null // per-sample; null with fixedSize > 0 = constant
+    var fixedSize = 0L
+    var nSamples = 0L
+    var chunkOffs: Array[Long] = null
+    var stscRuns: Array[(Long, Long)] = null // (first_chunk 1-based, samples_per_chunk)
+    var isJpeg = false
+    var captured = false
+    walk(0, bytes.length) {
+      case ("moov", ms, me) => walk(ms, me) {
+        case ("trak", ts, te) if !captured => walk(ts, te) {
+          case ("mdia", ds, de) => walk(ds, de) {
+            case ("minf", fs, fe) => walk(fs, fe) {
+              case ("stbl", bs, be) =>
+                var jpeg = false
+                var sz: Array[Long] = null; var fx = 0L; var n = 0L
+                var co: Array[Long] = null; var sc: Array[(Long, Long)] = null
+                walk(bs, be) {
+                  case ("stsd", s, e) =>
+                    // v/f(4) entry_count(4) then [size(4) fourcc(4) …]
+                    if (e - s >= 16) jpeg = ascii(s + 12, s + 16) == "jpeg"
+                  case ("stsz", s, e) if e - s >= 12 =>
+                    fx = be32(s + 4)
+                    n = math.min(be32(s + 8), MaxSamples)
+                    if (fx == 0L && e - s >= 12 + 4 * n)
+                      sz = Array.tabulate(n.toInt)(k => be32(s + 12 + 4 * k))
+                  case ("stsc", s, e) if e - s >= 8 =>
+                    val cnt = math.min(be32(s + 4), MaxSamples)
+                    if (e - s >= 8 + 12 * cnt)
+                      sc = Array.tabulate(cnt.toInt)(k =>
+                        (be32(s + 8 + 12 * k), be32(s + 12 + 12 * k)))
+                  case ("stco", s, e) if e - s >= 8 =>
+                    val cnt = math.min(be32(s + 4), MaxSamples)
+                    if (e - s >= 8 + 4 * cnt)
+                      co = Array.tabulate(cnt.toInt)(k => be32(s + 8 + 4 * k))
+                  case ("co64", s, e) if e - s >= 8 =>
+                    val cnt = math.min(be32(s + 4), MaxSamples)
+                    if (e - s >= 8 + 8 * cnt)
+                      co = Array.tabulate(cnt.toInt)(k => be64(s + 8 + 8 * k))
+                  case _ =>
+                }
+                if (jpeg && n > 0 && co != null && sc != null &&
+                    (sz != null || fx > 0L)) {
+                  isJpeg = true; captured = true
+                  sizes = sz; fixedSize = fx; nSamples = n
+                  chunkOffs = co; stscRuns = sc
+                }
+              case _ =>
+            }
+            case _ =>
+          }
+          case _ =>
+        }
+        case _ =>
+      }
+      case _ =>
+    }
+    if (!isJpeg) None
+    else Some(new Iterator[Array[Byte]] {
+      private var sample = 0 // 0-based global sample index
+      private var chunk = 0 // 0-based chunk index
+      private var inChunk = 0 // sample index within chunk
+      private var offset: Long = if (chunkOffs.nonEmpty) chunkOffs(0) else -1L
+      private def samplesPerChunk(c: Int): Long = {
+        // stsc runs: last run whose first_chunk (1-based) <= c+1
+        var spc = 1L
+        var k = 0
+        while (k < stscRuns.length && stscRuns(k)._1 <= c + 1) {
+          spc = stscRuns(k)._2; k += 1
+        }
+        spc
+      }
+      private def sizeOf(s: Int): Long = if (sizes != null) sizes(s) else fixedSize
+      private def inRange: Boolean = {
+        if (sample >= nSamples || chunk >= chunkOffs.length || offset < 0) false
+        else {
+          val sz = sizeOf(sample)
+          sz > 0 && offset + sz <= bytes.length
+        }
+      }
+      def hasNext: Boolean = inRange
+      def next(): Array[Byte] = {
+        if (!hasNext) throw new NoSuchElementException("no more MP4 samples")
+        val sz = sizeOf(sample).toInt
+        val out = java.util.Arrays.copyOfRange(bytes, offset.toInt, offset.toInt + sz)
+        sample += 1; inChunk += 1; offset += sz
+        if (inChunk >= samplesPerChunk(chunk)) {
+          chunk += 1; inChunk = 0
+          offset = if (chunk < chunkOffs.length) chunkOffs(chunk) else -1L
+        }
+        out
+      }
+    })
+  }
+
   /** Chained decode stages carry ONE `decoded` flag — the latest
     * stage's. Appending a second column of the same name would make
     * every downstream `col("decoded")` ambiguous and parquet writes
@@ -551,13 +727,19 @@ object Multimodal {
     if (df.columns.contains("decoded")) df.drop("decoded") else df
 
   /** First rasterizable content of a payload: a still image
-    * (PNG/BMP/GIF/JPEG) directly, or the first decodable video sample
-    * of an MJPEG AVI. None means no codec here can rasterize it — the
-    * callers' stub fallbacks apply, flagged `decoded = false`.
+    * (PNG/BMP/GIF/JPEG) directly, the first decodable video sample of
+    * an MJPEG / uncompressed-DIB / RLE8-DIB AVI, or the first sample of
+    * an MJPEG-in-MP4 `jpeg` track. None means no codec here can
+    * rasterize it — the callers' stub fallbacks apply, flagged
+    * `decoded = false`.
     */
   private def firstRaster(bytes: Array[Byte]): Option[PixelCodec.RgbImage] =
-    PixelCodec.decodeImage(bytes).orElse(
-      aviVideoSamples(bytes).flatMap(samples =>
+    PixelCodec.decodeImage(bytes)
+      .orElse(aviVideoSamples(bytes).flatMap { samples =>
+        val fmt = aviVideoFormat(bytes)
+        samples.map(decodeAviSample(fmt, _)).collectFirst { case Some(img) => img }
+      })
+      .orElse(mp4VideoSamples(bytes).flatMap(samples =>
         samples.map(PixelCodec.decodeImage).collectFirst { case Some(img) => img }))
 
   /** Feature dimension of [[decodeFeatures]] (4×2 luma grid; the
@@ -668,10 +850,13 @@ object Multimodal {
   /** Video frame sampling: one output row per kept frame — every
     * `everyNth` frame up to `maxFrames` per video. REAL for animated
     * GIF ([[PixelCodec.decodeGifFrames]] LZW-decodes and composites
-    * each frame, disposal + transparency honored) AND for MJPEG AVI
-    * ([[aviVideoSamples]] walks the `movi` list and each kept sample
-    * is JPEG-decoded); kept frames are re-encoded as standalone PNGs
-    * with `decoded = true`. Other containers use the digest fallback
+    * each frame, disposal + transparency honored), for MJPEG /
+    * uncompressed-DIB / RLE8-DIB AVI ([[aviVideoSamples]] walks the
+    * `movi` list; JPEG samples self-decode, DIB samples decode against
+    * the stream's `strf` header via [[PixelCodec.decodeDib]]), and for
+    * MJPEG-in-MP4 ([[mp4VideoSamples]] walks the `jpeg` track's sample
+    * tables); kept frames are re-encoded as standalone PNGs with
+    * `decoded = true`. Other containers use the digest fallback
     * above, flagged `decoded = false`. The 1→N explode happens inside
     * the per-partition iterator (lazily — no frame list materialized
     * per video), which is the production demux shape: a container is
@@ -702,18 +887,29 @@ object Multimodal {
               }
           case None => aviVideoSamples(bytes) match {
             case Some(samples) =>
+              val fmt = aviVideoFormat(bytes)
               samples.zipWithIndex
-                .filter(_._2 % everyNth == 0).take(maxFrames).map { case (jpeg, i) =>
-                  PixelCodec.decodeImage(jpeg) match {
+                .filter(_._2 % everyNth == 0).take(maxFrames).map { case (sample, i) =>
+                  decodeAviSample(fmt, sample) match {
                     case Some(img) => row(i, PixelCodec.encodePng(img), decoded = true)
                     // a corrupt sample inside a well-formed AVI: emit
                     // the flagged digest stand-in, never silently real
                     case None => row(i, stubFrame(bytes, i), decoded = false)
                   }
                 }
-            case None =>
-              (0 until stubFrameCount(bytes) by everyNth).iterator.take(maxFrames)
-                .map(i => row(i, stubFrame(bytes, i), decoded = false))
+            case None => mp4VideoSamples(bytes) match {
+              case Some(samples) =>
+                samples.zipWithIndex
+                  .filter(_._2 % everyNth == 0).take(maxFrames).map { case (jpeg, i) =>
+                    PixelCodec.decodeImage(jpeg) match {
+                      case Some(img) => row(i, PixelCodec.encodePng(img), decoded = true)
+                      case None => row(i, stubFrame(bytes, i), decoded = false)
+                    }
+                  }
+              case None =>
+                (0 until stubFrameCount(bytes) by everyNth).iterator.take(maxFrames)
+                  .map(i => row(i, stubFrame(bytes, i), decoded = false))
+            }
           }
         }
       }

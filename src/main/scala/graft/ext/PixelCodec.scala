@@ -323,6 +323,104 @@ object PixelCodec {
     Some(RgbImage(w, h, out))
   }
 
+  /** Raw DIB sample decode — AVI `##db`/`##dc` chunks of an
+    * uncompressed or RLE8 video stream carry pixel BITS only; the
+    * describing BITMAPINFOHEADER (+ palette) lives in the stream's
+    * `strf` header chunk, passed here as `strf`. Supports the two DIB
+    * forms AVI files actually ship: BI_RGB 24-bit (decoded by
+    * synthesizing a BMP file header in front of `strf ++ bits` and
+    * reusing [[decodeBmp]]'s row walk) and BI_RLE8 8-bit palettized
+    * (run-length decode below). Returns None for anything else; all
+    * paths are bounds-checked and never throw.
+    */
+  def decodeDib(strf: Array[Byte], bits: Array[Byte]): Option[RgbImage] = {
+    if (strf == null || bits == null || strf.length < 40) return None
+    def u8(a: Array[Byte], i: Int) = a(i) & 0xff
+    def le16(i: Int) = u8(strf, i) | u8(strf, i + 1) << 8
+    def le32(i: Int) =
+      u8(strf, i) | u8(strf, i + 1) << 8 | u8(strf, i + 2) << 16 | u8(strf, i + 3) << 24
+    val hdrSize = le32(0)
+    if (hdrSize < 40 || hdrSize > strf.length) return None
+    val bpp = le16(14)
+    val comp = le32(16)
+    (comp, bpp) match {
+      case (0, 24) =>
+        // BI_RGB: a BMP is exactly fileheader ++ infoheader ++ bits
+        val dataOff = 14 + strf.length
+        val out = new java.io.ByteArrayOutputStream(dataOff + bits.length)
+        out.write('B'); out.write('M')
+        def le32w(v: Int): Unit =
+          { out.write(v & 0xff); out.write((v >> 8) & 0xff); out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+        le32w(dataOff + bits.length); le32w(0); le32w(dataOff)
+        out.write(strf); out.write(bits)
+        decodeBmp(out.toByteArray)
+      case (1, 8) => decodeRle8(strf, hdrSize, bits)
+      case _ => None
+    }
+  }
+
+  /** BI_RLE8 decode: (count, index) runs, escapes 0=EOL / 1=EOS /
+    * 2=delta(dx,dy) / n≥3 = n absolute indices word-padded; rows are
+    * stored bottom-up for positive height. Out-of-canvas writes clip;
+    * truncated streams end the decode with what was painted.
+    */
+  private def decodeRle8(strf: Array[Byte], hdrSize: Int,
+      bits: Array[Byte]): Option[RgbImage] = {
+    def u8(a: Array[Byte], i: Int) = a(i) & 0xff
+    def le32(i: Int) =
+      u8(strf, i) | u8(strf, i + 1) << 8 | u8(strf, i + 2) << 16 | u8(strf, i + 3) << 24
+    val w = le32(4)
+    val hRaw = le32(8)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (!dimsSane(w, h)) return None
+    val clrUsed = le32(32)
+    val nColors = if (clrUsed <= 0 || clrUsed > 256) 256 else clrUsed
+    if (strf.length < hdrSize + nColors * 4) return None
+    val idx = new Array[Byte](w * h) // storage-order index canvas, bg = 0
+    var x = 0
+    var y = 0
+    var i = 0
+    var eos = false
+    while (!eos && i + 1 < bits.length && y < h) {
+      val c = u8(bits, i); val v = u8(bits, i + 1); i += 2
+      if (c > 0) {
+        var k = 0
+        while (k < c && x < w) { idx(y * w + x) = v.toByte; x += 1; k += 1 }
+      } else v match {
+        case 0 => x = 0; y += 1 // EOL
+        case 1 => eos = true // EOS
+        case 2 =>
+          if (i + 1 < bits.length) { x += u8(bits, i); y += u8(bits, i + 1); i += 2 }
+          else eos = true
+        case n => // absolute mode, word-padded
+          var k = 0
+          while (k < n && i < bits.length) {
+            if (x < w && y < h) { idx(y * w + x) = bits(i); x += 1 }
+            i += 1; k += 1
+          }
+          if ((n & 1) == 1) i += 1
+      }
+    }
+    // palette (BGRA quads after the info header) maps index → RGB, with
+    // the bottom-up row flip decodeBmp applies
+    val out = new Array[Byte](w * h * 3)
+    var yy = 0
+    while (yy < h) {
+      val srcRow = if (topDown) yy else h - 1 - yy
+      var xx = 0
+      while (xx < w) {
+        val ci = math.min(nColors - 1, idx(srcRow * w + xx) & 0xff)
+        val p = hdrSize + ci * 4
+        val o = (yy * w + xx) * 3
+        out(o) = strf(p + 2); out(o + 1) = strf(p + 1); out(o + 2) = strf(p)
+        xx += 1
+      }
+      yy += 1
+    }
+    Some(RgbImage(w, h, out))
+  }
+
   // ---------------------------------------------------------------- GIF
 
   /** One decoded GIF frame: the full logical-screen canvas AFTER this

@@ -707,6 +707,144 @@ class ExtOpsSpec extends SparkSpec {
       "the three real AVI frames re-rasterize through the chain")
   }
 
+  // ---- shared byte-assembly helpers for the container fixtures ----
+  private def le16b(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32b(v: Int) = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def be32b(v: Int) = le32b(v).reverse
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val body = id.getBytes("US-ASCII") ++ le32b(data.length) ++ data
+    if (data.length % 2 == 1) body :+ 0.toByte else body
+  }
+  private def riffList(listType: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", listType.getBytes("US-ASCII") ++ body)
+  private def bmpInfo(w: Int, h: Int, bpp: Int, comp: Int,
+      palette: Array[Byte] = Array.empty): Array[Byte] =
+    le32b(40) ++ le32b(w) ++ le32b(h) ++ le16b(1) ++ le16b(bpp) ++
+      le32b(comp) ++ le32b(0) ++ le32b(0) ++ le32b(0) ++
+      le32b(palette.length / 4) ++ le32b(0) ++ palette
+  /** AVI with a real hdrl (vids strh + strf) and movi sample chunks. */
+  private def dibAvi(strf: Array[Byte], samples: Seq[Array[Byte]]): Array[Byte] =
+    riffChunk("RIFF", "AVI ".getBytes("US-ASCII") ++
+      riffList("hdrl", riffChunk("avih", Array.fill[Byte](56)(0)) ++
+        riffList("strl",
+          riffChunk("strh", "vids".getBytes("US-ASCII") ++ Array.fill[Byte](52)(0)) ++
+            riffChunk("strf", strf))) ++
+      riffList("movi", samples.map(riffChunk("00db", _)).reduce(_ ++ _)))
+  private def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32b(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+  /** MJPEG MP4: ftyp + mdat(jpegs) + moov/trak/mdia/minf/stbl with real
+    * sample tables — two chunks (2 samples + 1 sample) to exercise the
+    * stsc run walk.
+    */
+  private def mjpegMp4(jpegs: Seq[Array[Byte]]): Array[Byte] = {
+    require(jpegs.length == 3)
+    val ftyp = mp4Box("ftyp", "isom".getBytes("US-ASCII") ++ be32b(512))
+    val mdatDataOff = ftyp.length + 8
+    val chunk2Off = mdatDataOff + jpegs(0).length + jpegs(1).length
+    val stsd = mp4Box("stsd", be32b(0) ++ be32b(1) ++
+      mp4Box("jpeg", Array.fill[Byte](70)(0)))
+    val stsz = mp4Box("stsz", be32b(0) ++ be32b(0) ++ be32b(3) ++
+      jpegs.flatMap(j => be32b(j.length).toSeq))
+    val stsc = mp4Box("stsc", be32b(0) ++ be32b(2) ++
+      be32b(1) ++ be32b(2) ++ be32b(1) ++ // chunk 1: 2 samples
+      be32b(2) ++ be32b(1) ++ be32b(1)) // chunk 2+: 1 sample
+    val stco = mp4Box("stco", be32b(0) ++ be32b(2) ++
+      be32b(mdatDataOff) ++ be32b(chunk2Off))
+    ftyp ++ mp4Box("mdat", jpegs.reduce(_ ++ _)) ++
+      mp4Box("moov", mp4Box("trak", mp4Box("mdia", mp4Box("minf",
+        mp4Box("stbl", stsd ++ stsz ++ stsc ++ stco)))))
+  }
+
+  test("uncompressed-DIB AVI samples decode to real pixels via the stream strf") {
+    // 2x2 BI_RGB 24-bit, bottom-up, rows padded to 4 bytes:
+    // top row red,green / bottom row blue,white
+    def px(b: Int, g: Int, r: Int) = Array(b.toByte, g.toByte, r.toByte)
+    val pad = Array[Byte](0, 0)
+    val bits = // storage order: bottom row first
+      px(0xff, 0, 0) ++ px(0xff, 0xff, 0xff) ++ pad ++
+        px(0, 0, 0xff) ++ px(0, 0xff, 0) ++ pad
+    val avi = dibAvi(bmpInfo(2, 2, 24, 0), Seq(bits, bits))
+    val df = Seq((1L, avi)).toDF("id", "payload")
+    val frames = Multimodal.frameSample(df, "payload")
+      .select("frame_idx", "frame", "decoded").collect().sortBy(_.getInt(0))
+    assert(frames.length == 2 && frames.forall(_.getBoolean(2)),
+      "both DIB samples must decode for real")
+    val img = PixelCodec.decodeImage(frames(0).getAs[Array[Byte]]("frame")).get
+    assert(img.width == 2 && img.height == 2)
+    // top-down RGB: red green / blue white
+    assert(img.rgb.map(_ & 0xff).toSeq == Seq(
+      255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255))
+    // decodeFeatures takes the real path too
+    val feat = Multimodal.decodeFeatures(df, "payload").select("decoded").head()
+    assert(feat.getBoolean(0))
+  }
+
+  test("RLE8-DIB AVI samples decode runs, escapes and palette correctly") {
+    // palette: 0=red 1=green 2=blue (BGRA quads)
+    val palette = Array[Byte](0, 0, 0xff.toByte, 0, 0, 0xff.toByte, 0, 0,
+      0xff.toByte, 0, 0, 0)
+    // bottom row: (1,0)(1,1) EOL; top row: (2,2) EOS
+    val bits = Array[Byte](1, 0, 1, 1, 0, 0, 2, 2, 0, 1)
+    val avi = dibAvi(bmpInfo(2, 2, 8, 1, palette), Seq(bits))
+    val frames = Multimodal.frameSample(Seq((1L, avi)).toDF("id", "payload"), "payload")
+      .select("frame", "decoded").collect()
+    assert(frames.length == 1 && frames(0).getBoolean(1))
+    val img = PixelCodec.decodeImage(frames(0).getAs[Array[Byte]]("frame")).get
+    // top-down: blue blue / red green
+    assert(img.rgb.map(_ & 0xff).toSeq == Seq(
+      0, 0, 255, 0, 0, 255, 255, 0, 0, 0, 255, 0))
+  }
+
+  test("MJPEG-in-MP4: jpeg-track samples decode across stsc chunk runs") {
+    def jpegOf(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val mp4 = mjpegMp4(Seq(
+      jpegOf(8, 6, 0xff0000), jpegOf(8, 6, 0x00ff00), jpegOf(8, 6, 0x0000ff)))
+    val df = Seq((1L, mp4)).toDF("id", "payload")
+    val frames = Multimodal.frameSample(df, "payload")
+      .select("frame_idx", "frame", "decoded").collect().sortBy(_.getInt(0))
+    assert(frames.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    assert(frames.forall(_.getBoolean(2)), "all three MP4 samples decode for real")
+    frames.foreach(r => assert(Multimodal.parseImageDims(r.getAs[Array[Byte]]("frame"))
+      .contains(("png", 8, 6))))
+    assert(frames.map(_.getAs[Array[Byte]]("frame").toSeq).distinct.length == 3,
+      "red/green/blue planes decode to three different rasters")
+    assert(Multimodal.decodeFeatures(df, "payload").select("decoded").head().getBoolean(0))
+    // a non-jpeg stsd (the synthetic meta fixture) still stubs, flagged
+    val meta = Seq((2L, Multimodal.syntheticMp4(64, 48, 1500, 1000)))
+      .toDF("id", "payload")
+    val stub = Multimodal.frameSample(meta, "payload").select("decoded").collect()
+    assert(stub.nonEmpty && stub.forall(!_.getBoolean(0)))
+  }
+
+  test("DIB/MP4 sample walkers: truncation and corruption never throw") {
+    val pal = Array[Byte](0, 0, 0xff.toByte, 0, 0, 0xff.toByte, 0, 0)
+    val avi = dibAvi(bmpInfo(2, 2, 8, 1, pal), Seq(Array[Byte](1, 0, 0, 1)))
+    def jpegStub = Array.fill[Byte](40)(0x11)
+    val mp4 = mjpegMp4(Seq(jpegStub, jpegStub, jpegStub))
+    def drain(b: Array[Byte]): Unit = {
+      Multimodal.aviVideoSamples(b).foreach(ss =>
+        ss.foreach(s => PixelCodec.decodeDib(Multimodal.aviVideoFormat(b).orNull, s)))
+      Multimodal.mp4VideoSamples(b).foreach(_.foreach(_ => ()))
+    }
+    (0 to avi.length).foreach(k => drain(avi.take(k)))
+    (0 to mp4.length).foreach(k => drain(mp4.take(k)))
+    avi.indices.foreach { i => val c = avi.clone(); c(i) = 0xff.toByte; drain(c) }
+    mp4.indices.foreach { i => val c = mp4.clone(); c(i) = 0xff.toByte; drain(c) }
+    val rnd = new scala.util.Random(11L)
+    (1 to 50).foreach { _ =>
+      drain(Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt().toByte))
+    }
+  }
+
   test("aviVideoSamples walker: junk, truncation, corrupt bytes — never throws, always terminates") {
     def chunk(id: String, data: Array[Byte]): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
