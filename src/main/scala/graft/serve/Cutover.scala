@@ -46,6 +46,27 @@ final class CutoverSession(
   @volatile private[this] var cursorOpt: Option[Long] = Some(startCursorUs)
   @volatile private[this] var seqVar: Long = Long.MinValue
 
+  // Adaptive replay chunk (PERF.md round-11 ceiling table: the chunk
+  // size is the per-session catch-up lever — a 10k default replays at
+  // ~6k ev/s against a near-constant per-chunk listing cost, so a
+  // producer faster than that starves a fixed-chunk session forever).
+  // When replay lag (live head − cursor) fails to SHRINK between steps
+  // and the last chunk came back full, the effective chunk doubles, up
+  // to 16× the configured size (hard-capped at 1M rows to bound the
+  // per-step driver snapshot). The playback rate limiter still bounds
+  // actual admission — acquireUpTo grants at most the bucket's tokens
+  // and unfilled budget is refunded, so pacing semantics are unchanged;
+  // a paced session simply stops benefiting from growth at the bucket
+  // rate, which is the operator's stated intent.
+  private[this] val maxChunk: Int =
+    math.min(math.max(chunkSize, 16L * chunkSize), 1000000L).toInt
+  private[this] var effChunk: Int = chunkSize
+  private[this] var prevLagUs: Long = Long.MinValue
+  private[this] var lastChunkFull: Boolean = false
+
+  /** Current effective replay chunk (adaptive; starts at `chunkSize`). */
+  private[serve] def effectiveChunk: Int = effChunk
+
   // Consecutive visibility-barrier holds at one (lastSeq, serverSeqUs)
   // pair. The barrier exists for the transient append-commit race and
   // normally releases within a tick or two; if the observed live-head
@@ -137,13 +158,27 @@ final class CutoverSession(
       deliver: DataFrame => Unit): Boolean = cursorOpt match {
     case None => false
     case Some(cursor) =>
-      val budget = playback.map(_.acquireUpTo(chunkSize.toLong).toInt).getOrElse(chunkSize)
+      // adaptive growth check BEFORE this step: did the last full chunk
+      // fail to close the lag? (serverSeqUs == 0 = no live head yet —
+      // nothing to measure against)
+      if (serverSeqUs > 0) {
+        val lag = serverSeqUs - cursor
+        if (prevLagUs != Long.MinValue && lag >= prevLagUs &&
+            lastChunkFull && effChunk < maxChunk) {
+          effChunk = math.min(maxChunk.toLong, 2L * effChunk).toInt
+          traced(s"chunk grow eff=$effChunk lag=$lag")
+        }
+        prevLagUs = lag
+      }
+      val budget = playback.map(_.acquireUpTo(effChunk.toLong).toInt).getOrElse(effChunk)
       if (budget == 0) return true // paced out this tick (persist.go:147-149)
       val (chunk, chunkMax) =
         snapshot(spark, Replay.replayChunk(spark, path, cursor, budget))
       // refund the budget the chunk didn't fill (tail of the backlog):
       // only events actually scanned consume playback tokens
-      playback.foreach(_.refund(budget - chunk.count()))
+      val scanned = chunk.count()
+      playback.foreach(_.refund(budget - scanned))
+      lastChunkFull = scanned >= budget && scanned > 0
       // scan tail — the reference's ReplayEvents return value (persist.go:199-203)
       val lastSeq = chunkMax.getOrElse(cursor - 1)
       val view = deliverable(chunk).orderBy(col("time_us"))

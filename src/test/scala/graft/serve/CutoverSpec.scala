@@ -78,6 +78,62 @@ class CutoverSpec extends SparkSpec {
     assert(delivered.toSeq == delivered.toSeq.sorted, "delivery order not monotonic")
   }
 
+  test("adaptive chunk: a producer that starves the fixed chunk still cuts over") {
+    // chunk 4 vs 6 live events per tick: a FIXED chunk loses 2 events of
+    // ground per step and replays forever; the adaptive session doubles
+    // its effective chunk while the lag isn't shrinking (4→8>6) and
+    // catches up. Exactly-once must survive the growth.
+    val path = tmpDir("cutover-adapt")
+    append(path, 1 to 60)
+    var serverSeq = 60 * Step
+    val session = new CutoverSession(
+      Subscribe.SubscriberSpec(), startCursorUs = 1 * Step, chunkSize = 4)
+
+    val delivered = ArrayBuffer.empty[Long]
+    var liveNext = 61
+    var ticks = 0
+    while (session.replaying && ticks < 120) {
+      ticks += 1
+      session.replayStep(spark, path, serverSeq)(df => delivered ++= collectUs(df))
+      if (session.replaying) {
+        val batch = liveNext until liveNext + 6
+        append(path, batch)
+        serverSeq = batch.last * Step
+        delivered ++= collectUs(session.liveEmit(
+          batch.map(i => (i * Step, s"did${i % 3}", if (i % 2 == 0) "post" else "like"))
+            .toDF("time_us", "did", "collection")))
+        liveNext += 6
+      }
+    }
+    assert(!session.replaying,
+      s"adaptive session never cut over in $ticks ticks (effChunk=${session.effectiveChunk})")
+    assert(session.effectiveChunk > 4, "the chunk must have grown to catch up")
+    assert(session.effectiveChunk <= 4 * 16, "growth is capped at 16x the configured size")
+
+    val expected = (1L until liveNext).map(_ * Step)
+    assert(delivered.toSet == expected.toSet,
+      s"lost=${(expected.toSet -- delivered.toSet).toSeq.sorted.take(5)} " +
+        s"extra=${(delivered.toSet -- expected.toSet).toSeq.sorted.take(5)}")
+    assert(delivered.size == delivered.toSet.size, "an event was delivered twice")
+    assert(delivered.toSeq == delivered.toSeq.sorted, "delivery order not monotonic")
+  }
+
+  test("adaptive chunk: a shrinking lag never triggers growth") {
+    // static backlog, no live producer: lag shrinks every step, so the
+    // session must drain at exactly the configured chunk size
+    val path = tmpDir("cutover-noadapt")
+    append(path, 1 to 40)
+    val session = new CutoverSession(
+      Subscribe.SubscriberSpec(), startCursorUs = 1 * Step, chunkSize = 5)
+    var steps = 0
+    while (session.replaying && steps < 30) {
+      steps += 1
+      session.replayStep(spark, path, 40 * Step)(_ => ())
+    }
+    assert(!session.replaying)
+    assert(session.effectiveChunk == 5, "no growth on a shrinking lag")
+  }
+
   test("cutover happens within CutoverThresholdUs/2 of the live head (server.go:322)") {
     val path = tmpDir("cutover-margin")
     append(path, 1 to 50)
