@@ -39,9 +39,12 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
 
     if (soakMode) {
+      // soak [minutes] [eventsPerSec] [ingestTriggerMs] [multi]
       Soak.run(spark,
         minutes = args.lift(1).map(_.toInt).getOrElse(10),
-        ratePerSec = args.lift(2).map(_.toInt).getOrElse(10000))
+        ratePerSec = args.lift(2).map(_.toInt).getOrElse(10000),
+        ingestTriggerMs = args.lift(3).map(_.toLong).getOrElse(1000L),
+        multiEdge = args.lift(4).contains("multi"))
       spark.stop()
       return
     }

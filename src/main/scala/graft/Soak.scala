@@ -231,13 +231,34 @@ object Soak {
     def close(): Unit = try ws.abort() catch { case _: Throwable => () }
   }
 
+  /** Thread census: live thread names bucketed by prefix (digit runs
+    * collapsed to `#`), descending — names every pool behind the
+    * settled thread count (VERDICT r11 #5).
+    */
+  private def threadCensus(): Seq[(String, Int)] = {
+    import scala.jdk.CollectionConverters._
+    Thread.getAllStackTraces.keySet.asScala.toSeq
+      .map(t => t.getName.replaceAll("[0-9]+", "#"))
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (n, c) => (-c, n) }
+  }
+
+  private def printCensus(tag: String): Unit = {
+    val census = threadCensus()
+    println(s"[soak] thread census ($tag): ${census.map(_._2).sum} threads " +
+      s"in ${census.size} pools")
+    census.take(30).foreach { case (n, c) => println(f"[soak]   $c%5d  $n") }
+  }
+
   private def pct(sorted: Array[Long], q: Double): Long =
     if (sorted.isEmpty) 0L
     else sorted(math.min(sorted.length - 1, (q * sorted.length).toInt))
 
-  def run(spark: SparkSession, minutes: Int, ratePerSec: Int): Unit = {
+  def run(spark: SparkSession, minutes: Int, ratePerSec: Int,
+      ingestTriggerMs: Long = 1000L, multiEdge: Boolean = false): Unit = {
     val durMs = minutes * 60000L
-    println(s"[soak] ${minutes}m at $ratePerSec ev/s, local[${spark.sparkContext.defaultParallelism}]")
+    println(s"[soak] ${minutes}m at $ratePerSec ev/s, local[${spark.sparkContext.defaultParallelism}]" +
+      s", trigger=${ingestTriggerMs}ms" + (if (multiEdge) ", MULTI-EDGE" else ""))
     val dataDir = java.nio.file.Files.createTempDirectory("graft-soak").toString
     val tablePath = s"$dataDir/events"
 
@@ -292,11 +313,38 @@ object Soak {
         maxSubRate = 1e9, // the soak measures the pipeline, not the cap
         maintenanceIntervalMs = 120000L, // retention+compaction at +2m, +4m, …
         staleAfterMs = 15000L,
-        compactionGraceMs = 0L),
+        compactionGraceMs = 0L,
+        ingestTriggerMs = ingestTriggerMs),
       registry = registry,
       onStale = _ => staleFired.incrementAndGet())
 
     val subA = new Subscriber(s"ws://localhost:${running.servePort}/subscribe?cursor=0")
+
+    // MULTI-EDGE posture (VERDICT r11 #6): a second independent serve
+    // edge over the SAME table — own streaming tail, own checkpoint,
+    // own registry — killed mid-soak and later restarted. The survivor
+    // edge's subscriber (subA) must be bit-for-bit undisturbed; the
+    // restarted edge's late subscriber must replay the surviving
+    // history exactly-once and tail live, like any late joiner.
+    def startEdge(tag: String): graft.serve.SocketServe.Server = {
+      val headUs = graft.sources.SocketIngress.resumeState(spark, tablePath)._2
+      val tail = spark.readStream.format("graft-replay")
+        .option("path", tablePath)
+        .option("cursor", (headUs + 1).toString)
+        .load()
+      graft.serve.WebSocketServe.start(tail, tablePath,
+        s"$dataDir/checkpoints/serve-$tag",
+        metrics = new Metrics.Registry, maxSubRate = Some(1e9),
+        replayChunkSize = 50000)
+    }
+    var edge2: graft.serve.SocketServe.Server = if (multiEdge) startEdge("edge2") else null
+    var subC: Subscriber =
+      if (multiEdge) new Subscriber(s"ws://localhost:${edge2.port}/subscribe?cursor=0")
+      else null
+    var edge2Killed = false
+    var subCAtKill: (Array[Long], Array[Long], Array[Long]) = null
+    var edge3: graft.serve.SocketServe.Server = null
+    var subD: Subscriber = null
 
     // health samples: (wall, fds, threads, heapUsed)
     val health = scala.collection.mutable.ListBuffer.empty[(Long, Int, Int, Long)]
@@ -323,6 +371,20 @@ object Soak {
       // ticker's first 120 s fire, whatever the soak duration
       if (subB == null && elapsed >= math.max(150, math.min(300, durMs / 1000 * 6 / 10)))
         subB = new Subscriber(s"ws://localhost:${running.servePort}/subscribe?cursor=0")
+      // multi-edge lifecycle: kill edge2 at ~35%, restart at ~55% with a
+      // fresh checkpoint + late subscriber
+      if (multiEdge && !edge2Killed && elapsed >= durMs / 1000 * 35 / 100) {
+        subCAtKill = subC.snapshot()
+        edge2.close(); subC.close(); edge2Killed = true
+        println(s"[soak] edge2 KILLED at +${elapsed}s " +
+          s"(its subscriber had ${subCAtKill._1.length} events)")
+      }
+      if (multiEdge && edge2Killed && edge3 == null &&
+          elapsed >= math.max(durMs / 1000 * 55 / 100, 160)) {
+        edge3 = startEdge("edge3")
+        subD = new Subscriber(s"ws://localhost:${edge3.port}/subscribe?cursor=0")
+        println(s"[soak] edge3 (restarted edge) up at +${elapsed}s, late subscriber attached")
+      }
       if (!maintenanceSeen && elapsed > 150) {
         // retention should have dropped hour H-3 by now
         val hours = Option(new java.io.File(tablePath).list()).getOrElse(Array.empty)
@@ -349,11 +411,12 @@ object Soak {
     // stalled behind a concurrent compaction or GC pause and truncate
     // the tail spuriously
     val drainDeadline = System.currentTimeMillis() + 300000
-    var lastPair = (-1, -1)
+    var lastPair = (-1, -1, -1)
     var quietPolls = 0
     while (System.currentTimeMillis() < drainDeadline && quietPolls < 3) {
       Thread.sleep(3000)
-      val p = (subA.size, if (subB == null) 0 else subB.size)
+      val p = (subA.size, if (subB == null) 0 else subB.size,
+        if (subD == null) 0 else subD.size)
       if (p == lastPair) quietPolls += 1 else { quietPolls = 0; lastPair = p }
     }
 
@@ -418,6 +481,60 @@ object Soak {
         s"($seedB surviving seed + ${liveB.length} live)")
     } else check(false, "late subscriber never started (soak too short?)")
 
+    // multi-edge verdicts: the killed edge's partial feed was clean, the
+    // survivor was undisturbed (subA's checks above), and the restarted
+    // edge serves a late joiner exactly-once
+    if (multiEdge) {
+      check(edge2Killed, "multi-edge soak never reached the kill point (too short?)")
+      if (subCAtKill != null) {
+        val (nsC, tsC, _) = subCAtKill
+        check(nsC.toSet.size == nsC.length, "killed edge's subscriber saw duplicates")
+        check(tsC.zip(tsC.tail).forall { case (a, b) => a < b },
+          "killed edge's subscriber order was not strictly ascending")
+      }
+      if (subD != null) {
+        val (nsD, tsD, latD) = subD.snapshot()
+        check(nsD.nonEmpty, "restarted edge's late subscriber received nothing")
+        check(nsD.toSet.size == nsD.length, "restarted edge's subscriber saw duplicates")
+        check(tsD.zip(tsD.tail).forall { case (a, b) => a < b },
+          "restarted edge's delivery order was not strictly time-ascending")
+        val seedD = nsD.count(_ < seedCount)
+        check(seedD == seedPerHour,
+          s"restarted edge's subscriber replayed $seedD seed events; expected the " +
+            s"$seedPerHour retention survivors")
+        val liveD = nsD.filter(_ >= seedCount).sorted
+        check(liveD.isEmpty || liveD.last == seedCount + generatedLive - 1,
+          "restarted edge's live tail is truncated")
+        check(liveD.isEmpty || liveD.zip(liveD.tail).forall { case (a, b) => b == a + 1 },
+          "restarted edge's live window has gaps")
+        val liveLatD = nsD.indices.collect {
+          case i if nsD(i) >= seedCount => latD(i)
+        }.toArray.sorted
+        def msd(us: Long) = us / 1000.0
+        println(f"[soak] restarted-edge live latency over ${liveLatD.length} events: " +
+          f"p50=${msd(pct(liveLatD, 0.50))}%.0fms p99=${msd(pct(liveLatD, 0.99))}%.0fms")
+        println(s"[soak] restarted edge: ${nsD.length} events " +
+          s"($seedD surviving seed + ${liveD.length} live)")
+      } else check(false, "restarted edge never came up (soak too short?)")
+    }
+
+    // live-hour fragmentation: data files written per hour of soak at
+    // this ingest trigger — the serving-edge listing-cost knob
+    // (VERDICT r11 #8)
+    val liveFiles = Option(new java.io.File(tablePath).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && {
+        val h = d.getName.stripPrefix(s"${EventsTable.PartitionCol}=")
+        d.getName.startsWith(s"${EventsTable.PartitionCol}=") &&
+          scala.util.Try(h.toLong).toOption.exists(_ > h1Hour)
+      })
+      .map(d => Option(d.list()).getOrElse(Array.empty)
+        .count(f => f.endsWith(".parquet") || f.startsWith("part-"))).sum
+    println(f"[soak] live-hour fragmentation: $liveFiles data files in " +
+      f"${durMs / 60000L} min → ${liveFiles * 3600000.0 / durMs}%.0f files/hour " +
+      f"at trigger=${ingestTriggerMs}ms")
+
+    printCensus("end of soak")
+
     // fd/thread stability: last quarter vs first quarter
     val quarters = health.toList.splitAt(health.size / 4)
     val firstQ = quarters._1
@@ -448,6 +565,9 @@ object Soak {
       s"${nsA.length.toLong * 1000 / (System.currentTimeMillis() - t0)} ev/s delivered to A")
 
     subA.close(); if (subB != null) subB.close()
+    if (subD != null) subD.close()
+    if (edge3 != null) edge3.close()
+    if (edge2 != null && !edge2Killed) edge2.close()
     running.close(); fire.close()
 
     if (failures.nonEmpty) {

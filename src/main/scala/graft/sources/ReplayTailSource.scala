@@ -88,6 +88,22 @@ object ReplayTailSource {
     Option(e.getCondition).exists(c =>
       c.startsWith("PATH_NOT_FOUND") || c.startsWith("UNABLE_TO_INFER_SCHEMA"))
 
+  /** A FileNotFoundException anywhere in the cause chain: the listing
+    * raced a concurrent retention/compaction delete — re-listing
+    * resolves it, so callers retry instead of dying.
+    */
+  private[sources] def isTransientListing(e: Throwable): Boolean = {
+    var c = e
+    var depth = 0
+    while (c != null && depth < 12) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      val next = c.getCause
+      c = if (next eq c) null else next
+      depth += 1
+    }
+    false
+  }
+
   /** Engine offsets arrive live (LongOffset) or checkpoint-recovered
     * (SerializedOffset) — one coercion for every source in this
     * package.
@@ -175,13 +191,43 @@ class ReplayTailSource(
 
   private def table: DataFrame = tableFor(sqlContext.sparkSession)
 
-  private def tableFor(spark: org.apache.spark.sql.SparkSession): DataFrame =
-    try graft.store.EventsTable.read(spark, tablePath)
-    catch { case e: org.apache.spark.sql.AnalysisException
-        if ReplayTailSource.isFreshBoot(e) =>
-      spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+  /** Open the table for one scan. Two tolerated failure shapes:
+    *
+    *   - fresh boot (path missing / nothing to infer): empty frame with
+    *     the canonical schema, so serve can start before the ingest
+    *     half creates the table;
+    *   - TRANSIENT listing race: `EventsTable.read`'s schema-footer
+    *     read can land on a file that retention or compaction deleted
+    *     between the directory listing and the read — a
+    *     FileNotFoundException that would TERMINATE the streaming query
+    *     if it escaped getOffset/getBatch (the round-12 multi-edge soak
+    *     caught exactly this: the serve tail died at the first
+    *     maintenance pass). Deletes are not transactional, so the only
+    *     correct response is to re-list: retry with a short backoff —
+    *     the reading side loses nothing because the deleted hours are
+    *     behind every cursor this source plans. Persistent failures
+    *     still propagate after the retry budget.
+    */
+  private def tableFor(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    var attempt = 0
+    var out: DataFrame = null
+    while (out == null) {
+      try out = graft.store.EventsTable.read(spark, tablePath)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if ReplayTailSource.isFreshBoot(e) =>
+          out = spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        case e: Throwable
+            if attempt < 4 && ReplayTailSource.isTransientListing(e) =>
+          attempt += 1
+          logWarning(s"table listing raced a concurrent delete " +
+            s"(attempt $attempt/4, re-listing): ${e.getMessage}")
+          Thread.sleep(25L << attempt)
+      }
     }
+    out
+  }
 
   /** `time_us >= lowerUs AND time_us <= upperUs` with matching hour-partition
     * bounds, so every scan this source plans prunes to the hours the range

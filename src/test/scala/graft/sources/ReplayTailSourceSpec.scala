@@ -189,4 +189,22 @@ class ReplayTailSourceSpec extends SparkSpec {
     assert(spark.read.parquet(out).select("time_us").as[Long].collect().sorted.toSeq ==
       (1 to 80).map(_.toLong * 1000))
   }
+
+  test("isTransientListing: FNF anywhere in the cause chain, nothing else") {
+    // the retention-vs-schema-footer race surfaces as a SparkException
+    // wrapping (sometimes several levels deep) a FileNotFoundException;
+    // the tail source must retry those and ONLY those (round-12
+    // multi-edge soak postmortem)
+    val fnf = new java.io.FileNotFoundException("part-00000 does not exist")
+    assert(ReplayTailSource.isTransientListing(fnf))
+    assert(ReplayTailSource.isTransientListing(
+      new org.apache.spark.SparkException("awaitResult",
+        new RuntimeException("mid", fnf))))
+    assert(!ReplayTailSource.isTransientListing(new RuntimeException("boom")))
+    assert(!ReplayTailSource.isTransientListing(
+      new org.apache.spark.SparkException("x", new IllegalStateException())))
+    // self-referential cause chains terminate
+    val loop = new RuntimeException("loop")
+    assert(!ReplayTailSource.isTransientListing(loop))
+  }
 }
