@@ -410,10 +410,15 @@ object Soak {
     // polls, not one — a single 3 s window can alias an ingest batch
     // stalled behind a concurrent compaction or GC pause and truncate
     // the tail spuriously
+    // quiet window must OUTLAST the cutover barrier-abandon budget
+    // (~30 s at the pump's 40 Hz): a subscriber barrier-held on a
+    // retention-removed head looks frozen for up to that long before it
+    // delivers its surviving gap and cuts over — 3×3 s of quiet aliased
+    // exactly that in a round-12 run and truncated the verdict counts
     val drainDeadline = System.currentTimeMillis() + 300000
     var lastPair = (-1, -1, -1)
     var quietPolls = 0
-    while (System.currentTimeMillis() < drainDeadline && quietPolls < 3) {
+    while (System.currentTimeMillis() < drainDeadline && quietPolls < 13) {
       Thread.sleep(3000)
       val p = (subA.size, if (subB == null) 0 else subB.size,
         if (subD == null) 0 else subD.size)
@@ -423,6 +428,36 @@ object Soak {
     // ---- verdicts ----
     var failures = List.empty[String]
     def check(ok: Boolean, msg: String): Unit = if (!ok) failures ::= msg
+
+    /** Diagnostic: the missing sequence numbers of `got` vs [0, expect),
+      * folded into ranges with each range's approximate generation
+      * wall-offset — turns "lost 70,072 events" into "lost seconds
+      * 211-218", which correlates against the maintenance log.
+      */
+    def missingRanges(tag: String, got: Array[Long], expect: Long): Unit = {
+      val have = new java.util.HashSet[Long](got.length * 2)
+      got.foreach(n => have.add(n))
+      val ranges = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      var runStart = -1L
+      var prev = -1L
+      var n = 0L
+      while (n < expect) {
+        if (!have.contains(n)) {
+          if (runStart < 0) runStart = n
+          prev = n
+        } else if (runStart >= 0) { ranges += ((runStart, prev)); runStart = -1 }
+        n += 1
+      }
+      if (runStart >= 0) ranges += ((runStart, prev))
+      if (ranges.nonEmpty) {
+        val total = ranges.map(r => r._2 - r._1 + 1).sum
+        println(s"[soak] $tag missing $total events in ${ranges.size} ranges; first 10:")
+        ranges.take(10).foreach { case (a, b) =>
+          val offS = if (a >= seedCount) (a - seedCount) / math.max(1, ratePerSec) else -1
+          println(s"[soak]   [$a, $b] (${b - a + 1} events, ~gen +${offS}s)")
+        }
+      }
+    }
 
     val persisted = EventsTable.read(spark, tablePath).count()
     val (nsA, tsA, latA) = subA.snapshot()
@@ -451,6 +486,7 @@ object Soak {
     val expectA = seedCount + generatedLive
     check(nsA.length.toLong == expectA,
       s"subscriber A received ${nsA.length}, expected $expectA")
+    if (nsA.length.toLong != expectA) missingRanges("subscriber A", nsA, expectA)
     check(nsA.toSet.size == nsA.length, "subscriber A saw duplicate events")
     val sortedN = nsA.sorted
     check(sortedN.headOption.contains(0L) && sortedN.lastOption.contains(expectA - 1),

@@ -30,14 +30,79 @@ object EventsTable {
   def withLayoutCols(events: DataFrame): DataFrame =
     events.withColumn(PartitionCol, (col("time_us") / HourUs).cast("long"))
 
-  /** Append a (sequenced) batch of events to the table. */
-  def append(events: DataFrame, path: String): Unit =
+  /** Append a (sequenced) batch of events to the table with
+    * PREFIX-CLOSED VISIBILITY: at any instant, a concurrent listing that
+    * can see an event at time T can also see every appended event with
+    * time < T.
+    *
+    * Why this matters: a DataFrameWriter append commits its task files
+    * by moving them into the hour dirs one at a time in ARBITRARY
+    * order. A tail reader's head probe that lists mid-commit can
+    * observe a late-times file while an earlier-times sibling of the
+    * SAME batch is still pending — it then advances its offset past
+    * events that become visible milliseconds later, and they are
+    * skipped forever (observed in a round-12 soak: the table held every
+    * event, both subscribers had the same mid-stream gap). The fix is
+    * structural, not probe-side:
+    *
+    *   1. one file per hour per batch — `repartition(event_hour)` puts
+    *      each distinct hour wholly in one task, so the within-hour
+    *      move is a single atomic rename (and ingest fragmentation
+    *      drops to one file per hour per trigger);
+    *   2. the batch is written to a dot-prefixed STAGING dir (invisible
+    *      to Spark listings), then its hour files move into place in
+    *      ASCENDING hour order — so across hours, visibility is also
+    *      prefix-closed.
+    *
+    * Holds on filesystems with atomic rename (local, HDFS). Crash
+    * mid-append leaves a time-prefix of the batch plus a stale staging
+    * dir (purged by the next append); the streaming writer's checkpoint
+    * replays such a batch, which is the same exposure the stock
+    * committer had.
+    */
+  def append(events: DataFrame, path: String): Unit = {
+    val spark = events.sparkSession
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new Path(root, s".graft-staging-${java.util.UUID.randomUUID}")
+    purgeStaleStaging(fs, root)
     withLayoutCols(events)
+      .repartition(col(PartitionCol))
       .sortWithinPartitions(col("time_us"))
       .write
-      .mode(SaveMode.Append)
+      .mode(SaveMode.Overwrite)
       .partitionBy(PartitionCol)
-      .parquet(path)
+      .parquet(staging.toString)
+    try {
+      val hourDirs = fs.listStatus(staging)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$PartitionCol="))
+        .sortBy(_.getPath.getName.stripPrefix(s"$PartitionCol=").toLong)
+      hourDirs.foreach { hd =>
+        val dest = new Path(root, hd.getPath.getName)
+        fs.mkdirs(dest)
+        fs.listStatus(hd.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .foreach(f => fs.rename(f.getPath, new Path(dest, f.getPath.getName)))
+      }
+    } finally { fs.delete(staging, true); () }
+  }
+
+  /** Best-effort purge of staging dirs a crashed append left behind —
+    * anything older than 10 minutes cannot belong to an in-flight
+    * append (the single writer is the ingest query, whose batches run
+    * in seconds).
+    */
+  private def purgeStaleStaging(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit =
+    try {
+      if (fs.exists(root))
+        fs.listStatus(root)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(".graft-staging-") &&
+            s.getModificationTime < System.currentTimeMillis() - 600000L)
+          .foreach(s => fs.delete(s.getPath, true))
+    } catch { case _: Throwable => () }
 
   /** Read the table through the compaction-generation resolution: each
     * hour is served by its highest COMMITTED generation

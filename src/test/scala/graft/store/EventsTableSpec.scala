@@ -35,6 +35,70 @@ class EventsTableSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("time_us"))
   }
 
+  test("append writes ONE file per hour per batch, regardless of input parallelism") {
+    val path = tmpDir("events-onefile")
+    // 8-way parallel input spanning two hours: the stock committer would
+    // write up to 8 files per hour; the prefix-closed append must fold
+    // each hour to a single atomic rename
+    val df = (0L until 2000L)
+      .map(i => (i * (2 * HourUs) / 2000, s"did$i", "c"))
+      .toDF("time_us", "did", "collection").repartition(8)
+    EventsTable.append(df, path)
+    EventsTable.append(df.filter(col("time_us") < HourUs), path) // second batch, hour 0 only
+    def filesIn(hour: Long) = Option(
+      new java.io.File(path, s"${EventsTable.PartitionCol}=$hour").listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(filesIn(0) == 2, "hour 0: one file per append, two appends")
+    assert(filesIn(1) == 1, "hour 1: one file from the first append")
+    // no staging residue
+    assert(!new java.io.File(path).list().exists(_.startsWith(".graft-staging")))
+    // and the data round-trips exactly
+    assert(EventsTable.read(spark, path).count() == 3000)
+  }
+
+  test("append visibility is prefix-closed: a later hour is never visible before an earlier one") {
+    // Each batch spans hours (2k, 2k+1). With ascending-hour moves, a
+    // concurrent lister that can see batch k's hour-(2k+1) file MUST
+    // also see its hour-2k file. The stock committer moved files in
+    // arbitrary order and could violate this (the round-12 soak's
+    // delivery gap); this lister asserts the invariant under ~40 racing
+    // appends.
+    val path = tmpDir("events-prefix")
+    new java.io.File(path).mkdirs()
+    @volatile var done = false
+    @volatile var violation: String = null
+    val lister = new Thread(() => {
+      while (!done && violation == null) {
+        val root = new java.io.File(path)
+        def hasFile(h: Long) = {
+          val d = new java.io.File(root, s"${EventsTable.PartitionCol}=$h")
+          d.isDirectory && Option(d.list()).exists(_.exists(n =>
+            !n.startsWith("_") && !n.startsWith(".")))
+        }
+        var k = 0
+        while (k < 40 && violation == null) {
+          if (hasFile(2L * k + 1) && !hasFile(2L * k))
+            violation = s"hour ${2 * k + 1} visible before hour ${2 * k}"
+          k += 1
+        }
+      }
+    })
+    lister.setDaemon(true)
+    lister.start()
+    (0 until 40).foreach { k =>
+      val base = 2L * k * HourUs
+      val df = (0L until 200L)
+        .map(i => (base + i * (2 * HourUs) / 200, s"did$i", "c"))
+        .toDF("time_us", "did", "collection").repartition(4)
+      EventsTable.append(df, path)
+    }
+    done = true
+    lister.join(5000)
+    assert(violation == null, s"visibility violation: $violation")
+    assert(EventsTable.read(spark, path).count() == 40L * 200)
+  }
+
   test("appends accumulate (at-least-once append contract)") {
     val path = tmpDir("events-append")
     EventsTable.append(sampleEvents.limit(10), path)
