@@ -52,14 +52,16 @@ final class CutoverSession(
   // producer faster than that starves a fixed-chunk session forever).
   // When replay lag (live head − cursor) fails to SHRINK between steps
   // and the last chunk came back full, the effective chunk doubles, up
-  // to 16× the configured size (hard-capped at 1M rows to bound the
-  // per-step driver snapshot). The playback rate limiter still bounds
+  // to 16× the configured size, hard-capped at 400k rows: each step
+  // snapshots its chunk driver-side (the cache()-is-not-a-snapshot
+  // race, see `snapshot`), so the cap bounds that to ~150 MB of wire
+  // rows per stepping session. The playback rate limiter still bounds
   // actual admission — acquireUpTo grants at most the bucket's tokens
   // and unfilled budget is refunded, so pacing semantics are unchanged;
   // a paced session simply stops benefiting from growth at the bucket
   // rate, which is the operator's stated intent.
   private[this] val maxChunk: Int =
-    math.min(math.max(chunkSize, 16L * chunkSize), 1000000L).toInt
+    math.min(math.max(chunkSize, 16L * chunkSize), 400000L).toInt
   private[this] var effChunk: Int = chunkSize
   private[this] var prevLagUs: Long = Long.MinValue
   private[this] var lastChunkFull: Boolean = false
