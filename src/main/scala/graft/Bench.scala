@@ -38,7 +38,7 @@ object Bench {
     // round 12: BPE learning is vocab-bound (k aggregations over the
     // distinct-word table) and encode is a map-only pass — both must
     // scale sublinearly-to-linearly in corpus rows
-    "bpe_merges", "bpe_encode",
+    "bpe_merges", "bpe_encode", "sequence_pack_bpe",
     // row-local codec paths: linear by construction; gated to keep the
     // measured small→big ratio on record alongside the candidate-
     // generation queries (a regression to superlinear here would mean

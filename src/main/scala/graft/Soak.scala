@@ -345,6 +345,7 @@ object Soak {
     var subCAtKill: (Array[Long], Array[Long], Array[Long]) = null
     var edge3: graft.serve.SocketServe.Server = null
     var subD: Subscriber = null
+    var subDJoinSeq = Long.MaxValue
 
     // health samples: (wall, fds, threads, heapUsed)
     val health = scala.collection.mutable.ListBuffer.empty[(Long, Int, Int, Long)]
@@ -383,6 +384,7 @@ object Soak {
           elapsed >= math.max(durMs / 1000 * 55 / 100, 160)) {
         edge3 = startEdge("edge3")
         subD = new Subscriber(s"ws://localhost:${edge3.port}/subscribe?cursor=0")
+        subDJoinSeq = seedCount + fire.generated // events after this are subD's live tail
         println(s"[soak] edge3 (restarted edge) up at +${elapsed}s, late subscriber attached")
       }
       if (!maintenanceSeen && elapsed > 150) {
@@ -543,12 +545,20 @@ object Soak {
           "restarted edge's live tail is truncated")
         check(liveD.isEmpty || liveD.zip(liveD.tail).forall { case (a, b) => b == a + 1 },
           "restarted edge's live window has gaps")
+        // pipeline latency is measured over events GENERATED AFTER the
+        // subscriber joined; the replayed backlog's "latency" measures
+        // catch-up, reported separately
         val liveLatD = nsD.indices.collect {
-          case i if nsD(i) >= seedCount => latD(i)
+          case i if nsD(i) >= subDJoinSeq => latD(i)
+        }.toArray.sorted
+        val catchupD = nsD.indices.collect {
+          case i if nsD(i) >= seedCount && nsD(i) < subDJoinSeq => latD(i)
         }.toArray.sorted
         def msd(us: Long) = us / 1000.0
-        println(f"[soak] restarted-edge live latency over ${liveLatD.length} events: " +
-          f"p50=${msd(pct(liveLatD, 0.50))}%.0fms p99=${msd(pct(liveLatD, 0.99))}%.0fms")
+        println(f"[soak] restarted-edge post-join live latency over ${liveLatD.length} events: " +
+          f"p50=${msd(pct(liveLatD, 0.50))}%.0fms p99=${msd(pct(liveLatD, 0.99))}%.0fms; " +
+          f"backlog catch-up (${catchupD.length} events) completed in ≤ " +
+          f"${msd(catchupD.lastOption.getOrElse(0L))}%.0fms")
         println(s"[soak] restarted edge: ${nsD.length} events " +
           s"($seedD surviving seed + ${liveD.length} live)")
       } else check(false, "restarted edge never came up (soak too short?)")

@@ -113,6 +113,7 @@ object SparkEntry {
     "bpe_token_vocab"    -> ExtQueries.bpeTokenVocab _,
     "bpe_merges"         -> ExtQueries.bpeMerges _,
     "bpe_encode"         -> ExtQueries.bpeEncode _,
+    "sequence_pack_bpe"  -> ExtQueries.sequencePackBpe _,
     "gopher_rules"       -> ExtQueries.gopherRules _,
     "repetition_stats"   -> ExtQueries.repetitionStats _,
     "decontam_flags"     -> ExtQueries.decontamFlags _,
@@ -714,6 +715,8 @@ object SparkEntry {
         |GROUP BY token""".stripMargin,
     "bpe_merges" -> graft.ext.Bpe.mergesOracleSql(graft.ext.ExtQueries.BpeMergeRounds),
     "bpe_encode" -> graft.ext.Bpe.encodeOracleSql(graft.ext.ExtQueries.BpeMergeRounds),
+    "sequence_pack_bpe" ->
+      graft.ext.Bpe.packOracleSql(graft.ext.ExtQueries.BpeMergeRounds, 512L),
     "rolling_fingerprint" ->
       """SELECT doc_id,
         |       list_reduce(list_transform(string_split(text, ''), c -> unicode(c)::BIGINT),

@@ -142,14 +142,23 @@ object Bpe {
     * narrow codegen'd projection — the 100 TB path is a map-only stage.
     */
   def encode(df: DataFrame, idCol: String, textCol: String,
-      merges: Seq[Merge]): DataFrame = {
+      merges: Seq[Merge]): DataFrame =
+    withEncoded(df, textCol, merges).select(col(idCol), col("tokens"), col("n_tokens"))
+
+  /** Passthrough form of [[encode]]: appends `tokens` and `n_tokens` to
+    * the input's columns — the shape downstream stages (token-budget
+    * packing, shard accounting) consume without a join back.
+    */
+  def withEncoded(df: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
     val ws = regexp_extract_all(col(textCol), lit(PreTokenPattern), lit(0))
     val tokWords = transform(ws, w =>
       trim(merges.foldLeft(spacedSyms(w))((s, m) => applyMerge(s, m.lhs, m.rhs))))
-    df.select(col(idCol), array_join(tokWords, " ").as("tokens"), size(ws).as("__nw"))
-      .select(col(idCol), col("tokens"),
+    df.withColumn("__nw", size(ws))
+      .withColumn("tokens", array_join(tokWords, " "))
+      .withColumn("n_tokens",
         when(col("__nw") === 0, lit(0L))
-          .otherwise(size(split(col("tokens"), " ")).cast("long")).as("n_tokens"))
+          .otherwise(size(split(col("tokens"), " ")).cast("long")))
+      .drop("__nw")
   }
 
   // ------------------------------------------------------------- oracle
@@ -210,5 +219,31 @@ object Bpe {
        |        ELSE len(string_split(array_to_string(list_transform(ws, w -> trim($chain)), ' '), ' '))
        |   END)::BIGINT AS n_tokens
        |FROM docw, pats""".stripMargin
+  }
+
+  /** Oracle SQL for token-budget packing over REAL learned-BPE counts:
+    * the same learn + encode chain, then the contiguous running-sum
+    * pack assignment of `TextStats.sequencePackBy`.
+    */
+  def packOracleSql(k: Int, budget: Long): String = {
+    val pats = (1 to k).map(i =>
+      s"coalesce((SELECT ' '||l||' '||r||' ' FROM p$i), chr(1)) AS pat$i, " +
+        s"coalesce((SELECT ' '||l||r||' ' FROM p$i), chr(1)) AS rep$i").mkString(", ")
+    var chain = "' ' || array_to_string(string_split(w, ''), ' ') || ' '"
+    for (i <- 1 to k)
+      chain = s"replace(replace($chain, pat$i, rep$i), pat$i, rep$i)"
+    s"""WITH ${learnCtes(k)},
+       |pats AS MATERIALIZED (SELECT $pats),
+       |docw AS (SELECT doc_id, source, regexp_extract_all(text, '([a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s])') AS ws FROM documents),
+       |enc AS (SELECT doc_id, source,
+       |  (CASE WHEN len(ws)=0 THEN 0
+       |        ELSE len(string_split(array_to_string(list_transform(ws, w -> trim($chain)), ' '), ' '))
+       |   END)::BIGINT AS n_tokens
+       |  FROM docw, pats)
+       |SELECT source, doc_id, n_tokens,
+       |  ((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    - n_tokens) // $budget)::BIGINT AS pack_id
+       |FROM enc""".stripMargin
   }
 }

@@ -182,6 +182,18 @@ object ExtQueries {
       Bpe.learnMerges(docs, "text", BpeMergeRounds))
   }
 
+  /** E3 — token-budget sequence packing over REAL learned-BPE counts
+    * (what `sequence_pack` approximates with whitespace counts): learn
+    * merges, encode in place (no join back), pack contiguously per
+    * source ([[TextStats.sequencePackBy]]).
+    */
+  def sequencePackBpe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val enc = Bpe.withEncoded(docs, "text",
+      Bpe.learnMerges(docs, "text", BpeMergeRounds))
+    TextStats.sequencePackBy(enc, "doc_id", "source", "n_tokens", budget = 512L)
+  }
+
   /** E3 — rolling polynomial content hash. */
   def rollingFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextStats.rollingFingerprint(Tables.documents(spark, dir), "doc_id", "text")

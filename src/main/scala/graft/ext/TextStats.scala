@@ -184,12 +184,24 @@ object TextStats {
     * column (source/shard) bounds every window partition.
     */
   def sequencePack(df: DataFrame, idCol: String, textCol: String,
-      groupCol: String, budget: Long = 512L): DataFrame = {
+      groupCol: String, budget: Long = 512L): DataFrame =
+    sequencePackBy(
+      df.select(col(groupCol), col(idCol),
+        size(words(textCol)).cast("long").as("n_tokens")),
+      idCol, groupCol, "n_tokens", budget)
+
+  /** [[sequencePack]] over a PROVIDED token-count column — the form a
+    * real pipeline uses once counts come from an actual tokenizer
+    * ([[Bpe.encode]]'s n_tokens) instead of the whitespace heuristic.
+    * Input must carry (groupCol, idCol, nTokensCol); output is
+    * (groupCol, idCol, n_tokens, pack_id).
+    */
+  def sequencePackBy(df: DataFrame, idCol: String, groupCol: String,
+      nTokensCol: String, budget: Long = 512L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(groupCol), col(idCol),
-        size(words(textCol)).cast("long").as("n_tokens"))
+    df.select(col(groupCol), col(idCol), col(nTokensCol).cast("long").as("n_tokens"))
       .withColumn("pack_id",
         ((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget).cast("long"))
   }

@@ -57,6 +57,25 @@ class BpeSpec extends SparkSpec {
     assert(merges.map(m => (m.lhs, m.rhs)) == Seq(("a", "b"), ("c", "d")))
   }
 
+  test("withEncoded keeps the input columns; sequencePackBy packs by the real counts") {
+    val docs = Seq(
+      (1L, "s1", "low low low low low"), // 5 words → 5 tokens post-merge
+      (2L, "s1", "low low low"), // 3 tokens
+      (3L, "s1", "low low low"), // 3 tokens: cum-before = 8 → pack 1 at budget 8
+      (4L, "s2", "low")).toDF("doc_id", "source", "text")
+    val merges = Bpe.learnMerges(docs, "text", 2) // (l,o), (lo,w)
+    val enc = Bpe.withEncoded(docs, "text", merges)
+    assert(enc.columns.toSeq == Seq("doc_id", "source", "text", "tokens", "n_tokens"))
+    val packed = TextStats.sequencePackBy(enc, "doc_id", "source", "n_tokens", budget = 8L)
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (s, id, n, p) => id -> ((s, n, p)) }.toMap
+    assert(packed == Map(
+      1L -> (("s1", 5L, 0L)), // cum-before 0
+      2L -> (("s1", 3L, 0L)), // cum-before 5
+      3L -> (("s1", 3L, 1L)), // cum-before 8 → second pack
+      4L -> (("s2", 1L, 0L)))) // own group restarts
+  }
+
   test("merge table and single-char/empty-doc encode edges") {
     val docs = Seq((1L, "x"), (2L, "")).toDF("doc_id", "text")
     val merges = Bpe.learnMerges(docs, "text", 3)
