@@ -180,7 +180,12 @@ final class CutoverSession(
       // only events actually scanned consume playback tokens
       val scanned = chunk.count()
       playback.foreach(_.refund(budget - scanned))
-      lastChunkFull = scanned >= budget && scanned > 0
+      // "full" = the CHUNK SIZE was the binding limit: the scan filled an
+      // un-paced grant. A pacing-limited grant (budget < effChunk) must
+      // not count — growing the chunk cannot help a session whose
+      // admission is token-bound, and unchecked growth would burst-shape
+      // the paced stream for nothing.
+      lastChunkFull = scanned >= budget && scanned > 0 && budget == effChunk
       // scan tail — the reference's ReplayEvents return value (persist.go:199-203)
       val lastSeq = chunkMax.getOrElse(cursor - 1)
       val view = deliverable(chunk).orderBy(col("time_us"))
