@@ -143,6 +143,7 @@ object SparkEntry {
     // --- round 4: retrieval, LM-quality, corpus-shrink, export ops
     "inverted_index"     -> ExtQueries.invertedIndex _,
     "bm25_topk"          -> ExtQueries.bm25TopK _,
+    "phrase_search"      -> ExtQueries.phraseSearch _,
     "unigram_logprob"    -> ExtQueries.unigramLogprob _,
     "quality_lang_gate"  -> ExtQueries.qualityLangGate _,
     "shard_assign"       -> ExtQueries.shardAssign _,
@@ -1116,6 +1117,18 @@ object SparkEntry {
         |          FROM ranked WHERE rn <= 10 GROUP BY token)
         |SELECT s.token, s.tf, s.df, p.postings
         |FROM stats s JOIN posts p ON s.token = p.token""".stripMargin,
+    "phrase_search" ->
+      // positional-postings join: term i anchors on (doc, pos - i);
+      // single-space split so offsets match the substring/packing ops
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pts AS (SELECT doc_id, n.i AS pos, ws[n.i+1] AS token
+        |        FROM w, (SELECT unnest(range(0, (SELECT max(len(ws)) FROM w))) AS i) n
+        |        WHERE n.i < len(ws))
+        |SELECT a.doc_id, count(*)::BIGINT AS n_occurrences
+        |FROM (SELECT doc_id, pos AS p0 FROM pts WHERE token = 'data') a
+        |JOIN (SELECT doc_id, pos - 1 AS p0 FROM pts WHERE token = 'table') b
+        |  USING (doc_id, p0)
+        |GROUP BY a.doc_id""".stripMargin,
     "bm25_topk" ->
       """WITH dl AS (SELECT doc_id, len(regexp_split_to_array(text, '\s+'))::BIGINT AS dl
         |            FROM documents),

@@ -226,6 +226,14 @@ object ExtQueries {
     Retrieval.bm25Probe(spark, textIndexFor(spark, dir), "doc_id",
       terms = Seq("the", "of", "and"))
 
+  /** E3 — exact phrase search ([[Retrieval.phraseSearch]]): documents
+    * containing the consecutive bigram "data table" with occurrence
+    * counts — the positional-postings join shape.
+    */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.phraseSearch(Tables.documents(spark, dir), "doc_id", "text",
+      phrase = Seq("data", "table"))
+
   /** E3 — corpus unigram LM scored per document: mean negative
     * log-likelihood, the perplexity-proxy quality gate
     * ([[Retrieval.unigramLogProb]]).

@@ -235,6 +235,70 @@ object Retrieval {
     scored.orderBy(col("score").desc, col(idCol)).limit(k)
   }
 
+  /** Positional token stream: (idCol, pos, token) with 0-based word
+    * offsets — single-space split so offsets agree with the substring
+    * and packing operators' word positions.
+    */
+  private def positionalTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+
+  /** PHRASE search — exact consecutive-token match, the positional-
+    * index join shape: for phrase w₀..w_k, term i's positions align on
+    * the anchor key (doc, pos − i), so the plan is k equi-joins, each
+    * linear in that term's postings, never a per-document scan of the
+    * whole text. Self-overlapping occurrences count (standard postings
+    * semantics: "a a a" contains "a a" twice). Returns
+    * (idCol, n_occurrences) for documents with ≥1 occurrence.
+    */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame =
+    phraseFromPositions(positionalTokens(df, idCol, textCol), idCol, phrase)
+
+  private[ext] def phraseFromPositions(pts: DataFrame, idCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val anchor = pts.filter(col("token") === phrase.head)
+      .select(col(idCol), col("pos").cast("long").as("p0"))
+    val aligned = phrase.zipWithIndex.tail.foldLeft(anchor) { case (acc, (w, i)) =>
+      acc.join(
+        pts.filter(col("token") === w)
+          .select(col(idCol), (col("pos").cast("long") - i).as("p0")),
+        Seq(idCol, "p0"))
+    }
+    aligned.groupBy(col(idCol)).agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /** Positional index build — pay the tokenize/explode ONCE and serve
+    * every [[phraseProbe]] from the persisted layout: (token, id, pos)
+    * PARTITIONED BY a hash bucket of the token, so a probe's scan
+    * prunes to the ≤|phrase| buckets its terms hash into instead of
+    * re-reading the corpus. Bucketing (not token-partitioning) keeps
+    * the directory count fixed at any vocabulary size.
+    */
+  def buildPositionalIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, buckets: Int = 64): Unit =
+    positionalTokens(df, idCol, textCol)
+      .withColumn("tok_bucket", pmod(xxhash64(col("token")), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("tok_bucket").parquet(path)
+
+  /** Phrase probe over a [[buildPositionalIndex]] layout: identical
+    * results to the one-shot [[phraseSearch]] (IndexSpec-pinned), but
+    * the scan reads only the phrase terms' bucket partitions. The
+    * bucket values come from one 1-row Spark job so the driver-side
+    * filter uses the SAME xxhash64 the build used.
+    */
+  def phraseProbe(spark: SparkSession, indexPath: String, idCol: String,
+      phrase: Seq[String], buckets: Int = 64): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val wanted = spark.range(1).select(
+      phrase.distinct.map(w =>
+        pmod(xxhash64(lit(w)), lit(buckets.toLong)).as(s"b_$w")): _*)
+      .head().toSeq.map(_.asInstanceOf[Long]).distinct
+    val pts = spark.read.parquet(indexPath)
+      .filter(col("tok_bucket").isInCollection(wanted))
+    phraseFromPositions(pts, idCol, phrase)
+  }
+
   /** Corpus unigram LM scored back over each document: per doc, the
     * token count and the mean negative log-likelihood under
     * p(w) = count(w)/total — the cheap perplexity proxy used as a

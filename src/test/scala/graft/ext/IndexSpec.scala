@@ -175,6 +175,26 @@ class IndexSpec extends SparkSpec {
     assert(probe.count() == 10)
   }
 
+  test("phraseProbe over a positional index matches the one-shot phraseSearch, pruned") {
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = tmpDir("idx-phrase")
+    Retrieval.buildPositionalIndex(docs, "doc_id", "text", idx)
+    val phrase = Seq("data", "table")
+    val oneShot = Retrieval.phraseSearch(docs, "doc_id", "text", phrase)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(oneShot.nonEmpty, "fixture must contain the phrase")
+    val probe = Retrieval.phraseProbe(spark, idx, "doc_id", phrase)
+    assert(probe.as[(Long, Long)].collect().sorted.toSeq == oneShot)
+    // the probe reads ONLY the index, with a partition filter on the
+    // token bucket — never the raw corpus
+    val scans = fileScans(probe)
+    assert(scans.nonEmpty)
+    val roots = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(roots.forall(_.contains(idx)), s"non-index scans: $roots")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "index scan is not bucket-pruned")
+  }
+
   test("bm25Probe over a persisted index matches the one-shot bm25TopK") {
     val docs = graft.Tables.documents(spark, sf)
     val idx = tmpDir("idx-text")

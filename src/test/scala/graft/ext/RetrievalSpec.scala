@@ -15,6 +15,31 @@ class RetrievalSpec extends SparkSpec {
     (3L, "a rare word"),
   ).toDF("doc_id", "text")
 
+  test("phraseSearch: exact consecutive match, overlaps counted, order matters") {
+    val docs = Seq(
+      (1L, "big data table scan"), // one occurrence
+      (2L, "data table data table"), // two occurrences
+      (3L, "table data"), // reversed: no match
+      (4L, "data big table"), // not consecutive: no match
+      (5L, "a a a")) // self-overlap fixture for ("a","a")
+      .toDF("doc_id", "text")
+    val hits = Retrieval.phraseSearch(docs, "doc_id", "text", Seq("data", "table"))
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 1L, 2L -> 2L))
+    // self-overlapping occurrences count (postings semantics)
+    val aa = Retrieval.phraseSearch(docs, "doc_id", "text", Seq("a", "a"))
+      .as[(Long, Long)].collect().toMap
+    assert(aa == Map(5L -> 2L))
+    // 3-word phrase anchors align across two joins
+    val tri = Retrieval.phraseSearch(docs, "doc_id", "text", Seq("big", "data", "table"))
+      .as[(Long, Long)].collect().toMap
+    assert(tri == Map(1L -> 1L))
+    // single-word phrase degenerates to term occurrence counts
+    val one = Retrieval.phraseSearch(docs, "doc_id", "text", Seq("data"))
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("invertedIndex: df, tf, and ordered postings") {
     val idx = Retrieval.invertedIndex(corpus, "doc_id", "text")
       .collect()
