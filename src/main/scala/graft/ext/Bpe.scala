@@ -172,10 +172,15 @@ object Bpe {
     */
   private def learnCtes(k: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""nums AS MATERIALIZED (SELECT CAST(n AS BIGINT)+1 AS n FROM range(0, 511) t(n)),
-      |vocab AS MATERIALIZED (SELECT token AS word, count(*)::BIGINT AS freq FROM (
+    // nums spans the LONGEST word's symbol count (its char count bounds
+    // every later round) — a fixed cap here would silently truncate
+    // pair extraction for words longer than it, diverging from Spark
+    sb ++= s"""vocab AS MATERIALIZED (SELECT token AS word, count(*)::BIGINT AS freq FROM (
       |  SELECT unnest(regexp_extract_all(text, '([a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s])')) AS token
       |  FROM documents) GROUP BY 1),
+      |nums AS MATERIALIZED (SELECT CAST(u AS BIGINT)+1 AS n FROM (
+      |  SELECT unnest(range(0, (SELECT coalesce(max(len(string_split(word, ''))), 1)
+      |                          FROM vocab))) AS u)),
       |w0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s, freq FROM vocab)""".stripMargin
     for (i <- 1 to k) {
       // chr(1) = never-matching sentinel if the vocab runs out of pairs

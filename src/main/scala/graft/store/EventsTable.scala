@@ -84,7 +84,15 @@ object EventsTable {
         fs.listStatus(hd.getPath)
           .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
             !f.getPath.getName.startsWith("."))
-          .foreach(f => fs.rename(f.getPath, new Path(dest, f.getPath.getName)))
+          .foreach { f =>
+            val target = new Path(dest, f.getPath.getName)
+            // a false return is SILENT data loss (HDFS semantics for
+            // e.g. an existing target) — fail the append instead; the
+            // streaming writer's checkpoint replays the batch
+            if (!fs.rename(f.getPath, target))
+              throw new java.io.IOException(
+                s"append commit rename failed: ${f.getPath} -> $target")
+          }
       }
     } finally { fs.delete(staging, true); () }
   }
