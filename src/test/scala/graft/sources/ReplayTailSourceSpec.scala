@@ -190,6 +190,49 @@ class ReplayTailSourceSpec extends SparkSpec {
       (1 to 80).map(_.toLong * 1000))
   }
 
+  test("tail query survives retention deletes racing its probes; the tail loses nothing") {
+    // the round-12 soak failure as a suite tripwire: a standing tail
+    // probes the table at a fast trigger while old hour partitions are
+    // deleted file-by-file underneath it (retention's shape). Without
+    // the transient-listing retry the query occasionally dies on the
+    // schema-footer FNF race; with it the stream must survive every
+    // pass and deliver the complete live tail.
+    val path = tmpDir("tail-retention-race")
+    val HourUs = 3600000000L
+    def appendAt(hour: Long, ids: Range): Unit =
+      EventsTable.append(
+        ids.map(i => (hour * HourUs + i.toLong, s"did${i % 3}", "c"))
+          .toDF("time_us", "did", "collection"), path)
+    (0 until 12).foreach(h => appendAt(h.toLong, 0 until 50))
+    val liveHour = 100L
+    appendAt(liveHour, 0 until 1) // head at the live hour before the tail starts
+    val out = tmpDir("tail-race-out")
+    val ckpt = tmpDir("tail-race-ckpt")
+    val q = readTail(path, liveHour * HourUs)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+      .start()
+    try {
+      var next = 1
+      (0 until 12).foreach { k =>
+        appendAt(liveHour, next until next + 100)
+        next += 100
+        val dir = new java.io.File(path, s"${EventsTable.PartitionCol}=$k")
+        Option(dir.listFiles()).foreach(_.foreach { f => f.delete(); () })
+        dir.delete()
+        Thread.sleep(30)
+      }
+      q.processAllAvailable()
+      assert(q.exception.isEmpty,
+        s"tail query died during the retention storm: ${q.exception}")
+      val got = spark.read.parquet(out).select("time_us").as[Long].collect().sorted
+      assert(got.length == next,
+        s"tail lost ${next - got.length} of $next live events")
+      assert(got.toSeq == (0 until next).map(liveHour * HourUs + _))
+    } finally q.stop()
+  }
+
   test("isTransientListing: FNF anywhere in the cause chain, nothing else") {
     // the retention-vs-schema-footer race surfaces as a SparkException
     // wrapping (sometimes several levels deep) a FileNotFoundException;
