@@ -144,6 +144,7 @@ object SparkEntry {
     "inverted_index"     -> ExtQueries.invertedIndex _,
     "bm25_topk"          -> ExtQueries.bm25TopK _,
     "phrase_search"      -> ExtQueries.phraseSearch _,
+    "bigram_logprob"     -> ExtQueries.bigramLogProb _,
     "unigram_logprob"    -> ExtQueries.unigramLogprob _,
     "quality_lang_gate"  -> ExtQueries.qualityLangGate _,
     "shard_assign"       -> ExtQueries.shardAssign _,
@@ -1149,6 +1150,24 @@ object SparkEntry {
         |  GROUP BY t.doc_id)
         |SELECT doc_id, floor(s * 1e4 + 0.5) / 1e4 AS score
         |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "bigram_logprob" ->
+      // add-one-smoothed transitions p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V);
+      // single-space split to match the word-position operators; docs
+      // with <2 words keep a row with 0 bigrams and null NLL
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (SELECT doc_id, ws[n.i+1] AS w1, ws[n.i+2] AS w2
+        |       FROM w, (SELECT unnest(range(0, (SELECT max(len(ws)) FROM w))) AS i) n
+        |       WHERE n.i + 2 <= len(ws)),
+        |cp AS (SELECT w1, w2, count(*) AS cp FROM bg GROUP BY 1, 2),
+        |cl AS (SELECT w1, count(*) AS cl FROM bg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT word)::BIGINT AS v FROM (
+        |  SELECT unnest(ws) AS word FROM w)),
+        |sc AS (SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+        |              floor(avg(-ln((cp.cp + 1)::DOUBLE / (cl.cl + v.v)::DOUBLE)) * 1e4 + 0.5) / 1e4 AS mean_nll
+        |       FROM bg JOIN cp USING (w1, w2) JOIN cl USING (w1) CROSS JOIN v
+        |       GROUP BY bg.doc_id)
+        |SELECT w.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams, sc.mean_nll
+        |FROM w LEFT JOIN sc USING (doc_id)""".stripMargin,
     "unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
         |             FROM documents),

@@ -234,6 +234,13 @@ object ExtQueries {
     Retrieval.phraseSearch(Tables.documents(spark, dir), "doc_id", "text",
       phrase = Seq("data", "table"))
 
+  /** E3 — corpus bigram LM scored per document: add-one-smoothed
+    * transition NLL, the shuffled-text signal the unigram model misses
+    * ([[Retrieval.bigramLogProb]]).
+    */
+  def bigramLogProb(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.bigramLogProb(Tables.documents(spark, dir), "doc_id", "text")
+
   /** E3 — corpus unigram LM scored per document: mean negative
     * log-likelihood, the perplexity-proxy quality gate
     * ([[Retrieval.unigramLogProb]]).

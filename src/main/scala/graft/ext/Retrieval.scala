@@ -318,4 +318,47 @@ object Retrieval {
         pround(avg(-log(col("cnt").cast("double") / lit(total.toDouble))), digits)
           .as("mean_nll"))
   }
+
+  /** Corpus BIGRAM LM scored back over each document: per doc, the mean
+    * negative log-likelihood of each token given its predecessor under
+    * the add-one-smoothed conditional
+    *
+    *   p(w₂|w₁) = (c(w₁,w₂) + 1) / (c(w₁) + V)
+    *
+    * — one notch up the n-gram ladder from [[unigramLogProb]]: the
+    * quality signal that catches shuffled/templated text a unigram
+    * model scores as natural (same word histogram, broken transitions).
+    * Plan shape: the bigram stream is a map-side `zip_with` of two word
+    * slices (no self-join to form pairs); the model is two token-keyed
+    * aggregates (pair counts, left-word counts) joined back to the
+    * stream — vocabulary-sized sides Spark broadcasts by estimate.
+    * Docs with fewer than 2 words have no transitions and score null
+    * NLL with n_bigrams = 0.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      digits: Int = 4): DataFrame = {
+    val sp = split(col(textCol), " ")
+    val pairs = df.select(col(idCol),
+      explode(zip_with(
+        slice(sp, lit(1), size(sp) - 1),
+        slice(sp, lit(2), size(sp) - 1),
+        (l, r) => struct(l.as("w1"), r.as("w2")))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val pairCnt = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cp"))
+    val leftCnt = pairs.groupBy(col("w1")).agg(count(lit(1)).as("cl"))
+    val vocab = df.select(explode(sp).as("w")).agg(countDistinct(col("w"))).head().getLong(0)
+    val scored = pairs
+      .join(pairCnt, Seq("w1", "w2"))
+      .join(leftCnt, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        pround(avg(-log((col("cp") + lit(1)).cast("double") /
+          (col("cl") + lit(vocab)).cast("double"))), digits).as("mean_nll"))
+    // docs without transitions (0 or 1 word) still get a row
+    df.select(col(idCol)).join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("mean_nll"))
+  }
 }

@@ -15,6 +15,18 @@ class RetrievalSpec extends SparkSpec {
     (3L, "a rare word"),
   ).toDF("doc_id", "text")
 
+  test("bigramLogProb: add-one-smoothed transition NLL, hand-computed; short docs keep rows") {
+    val docs = Seq((1L, "a b a b"), (2L, "a")).toDF("doc_id", "text")
+    // bigrams: (a,b)x2 (b,a)x1; c(a)=2 c(b)=1; V = |{a,b}| = 2
+    // doc1 NLL = mean(-ln(3/4), -ln(2/3), -ln(3/4))
+    val exp = math.floor(
+      ((-math.log(3.0 / 4) - math.log(2.0 / 3) - math.log(3.0 / 4)) / 3) * 1e4 + 0.5) / 1e4
+    val out = Retrieval.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(out(1L) == ((3L, Some(exp))))
+    assert(out(2L) == ((0L, None)), "a 1-word doc has no transitions, keeps its row")
+  }
+
   test("phraseSearch: exact consecutive match, overlaps counted, order matters") {
     val docs = Seq(
       (1L, "big data table scan"), // one occurrence
