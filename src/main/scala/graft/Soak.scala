@@ -613,6 +613,9 @@ object Soak {
     subA.close(); if (subB != null) subB.close()
     if (subD != null) subD.close()
     if (edge3 != null) edge3.close()
+    // subC is closed on the kill path (at edge2's mid-run kill); a run
+    // that ends before the kill point must close it here too (ADVICE r12)
+    if (subC != null && !edge2Killed) subC.close()
     if (edge2 != null && !edge2Killed) edge2.close()
     running.close(); fire.close()
 

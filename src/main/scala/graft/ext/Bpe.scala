@@ -30,15 +30,38 @@ import org.apache.spark.sql.functions._
   * (l, r) → lr is a plain string `replace(" l r ", " lr ")` — a
   * codegen'd built-in, no UDF.
   *
-  * == Greedy application in exactly two replace passes ==
+  * == Greedy application ==
   *
-  * One `replace` pass is greedy left-to-right but misses an occurrence
-  * whose LEADING sentinel space was consumed by the immediately
-  * preceding match (`" a a a a "` → `" aa a a "`). Such misses are never
-  * adjacent to each other (a miss requires its left neighbor to have
-  * MATCHED), so after one pass every miss has both its spaces intact and
-  * a second pass catches them all: two passes are exact greedy
-  * left-to-right application, the subword-nmt encode order.
+  * For a merge with `lhs != rhs`: one `replace` pass is greedy
+  * left-to-right but misses an occurrence whose LEADING sentinel space
+  * was consumed by the immediately preceding match. Such misses are
+  * never adjacent to each other (a miss requires its left neighbor to
+  * have MATCHED), so after one pass every miss has both its spaces
+  * intact and a second pass catches them all: two passes are exact
+  * greedy left-to-right application, the subword-nmt encode order.
+  *
+  * For a SELF-PAIR merge (`lhs == rhs`) the two-pass argument breaks:
+  * in a run `" a a a a a "` pass 1's scan resumes past the consumed
+  * sentinel space and pairs the wrong symbols (`[aa, a, aa]` instead of
+  * greedy `[aa, aa, a]`), and no number of further passes can repair a
+  * mispaired run. Self-pairs instead use ONE `regexp_replace` pass whose
+  * pattern leaves the trailing sentinel space unconsumed via a
+  * lookahead (`"\Q a a\E(?= )"` → `" aa"`): the scan resumes AT the
+  * shared space, so runs pair strictly left-to-right — exact greedy.
+  * The branch is taken at DRIVER time (merge pairs are driver values),
+  * so each word still flows through one codegen'd projection.
+  *
+  * The DuckDB oracle cannot use the lookahead (RE2 dialect), so it
+  * applies every round with an equivalent uniform formulation: a
+  * `list_reduce` over the symbol list that appends symbol `x` to the
+  * accumulator, fusing it into the trailing token when that token is
+  * exactly `lhs` and `x = rhs`. A fused trailing token becomes
+  * `lhs||rhs`, which can never equal `lhs` again (rhs is non-empty), so
+  * a merged pair is never reused as the left element within a round —
+  * the same non-overlapping left-to-right greedy order as the scan
+  * form, for self-pairs and ordinary pairs alike (BpeSpec pins the
+  * scan/reduce equivalence property and the run fixtures on both
+  * sides).
   *
   * The learning loop re-derives round r's tokenization by re-applying
   * the r−1 learned merges to the CACHED base vocabulary (an O(k²·|vocab|)
@@ -73,13 +96,20 @@ object Bpe {
     concat(lit(" "), array_join(split(word, ""), " "), lit(" "))
 
   /** Exact greedy left-to-right application of one merge (see the
-    * two-pass argument in the object doc).
+    * two-pass and self-pair arguments in the object doc). `lhs`/`rhs`
+    * are driver values, so the self-pair branch costs nothing at plan
+    * time.
     */
-  private def applyMerge(s: Column, lhs: String, rhs: String): Column = {
-    val pat = lit(s" $lhs $rhs ")
-    val rep = lit(s" $lhs$rhs ")
-    replace(replace(s, pat, rep), pat, rep)
-  }
+  private def applyMerge(s: Column, lhs: String, rhs: String): Column =
+    if (lhs == rhs) {
+      val pat = java.util.regex.Pattern.quote(s" $lhs $rhs") + "(?= )"
+      val rep = java.util.regex.Matcher.quoteReplacement(s" $lhs$rhs")
+      regexp_replace(s, lit(pat), lit(rep))
+    } else {
+      val pat = lit(s" $lhs $rhs ")
+      val rep = lit(s" $lhs$rhs ")
+      replace(replace(s, pat, rep), pat, rep)
+    }
 
   /** Adjacent symbol pairs of a spaced symbol string, as an array of
     * (l, r) structs — empty for single-symbol words.
@@ -163,12 +193,26 @@ object Bpe {
 
   // ------------------------------------------------------------- oracle
 
+  /** One oracle-side greedy application round: `list_reduce` over the
+    * symbol list of `expr`, fusing symbol x into the trailing token when
+    * that token is exactly `l` and x = `r` (see the reduce-greedy
+    * argument in the object doc). NULL l/r (exhausted pair CTE) makes
+    * the fuse condition NULL → every symbol appends → no-op, matching
+    * learnMerges' early stop. RE2-safe: no lookahead, no regex at all.
+    */
+  private def reduceRound(expr: String, l: String, r: String): String =
+    s"' ' || list_reduce(string_split(trim($expr), ' '), " +
+      s"(acc, x) -> CASE WHEN x = $r AND ends_with(' ' || acc, ' ' || $l) " +
+      s"THEN acc || $r ELSE acc || ' ' || x END) || ' '"
+
   /** The shared learning CTE chain for the DuckDB oracle — the same
     * algorithm unrolled: w0 is the spaced vocab, round i picks pair p_i
-    * (argmax with the same tiebreak) and w_i applies it with the same
-    * two replace passes. CTEs are MATERIALIZED: DuckDB inlines CTEs by
-    * default and each round references its predecessor four times, so
-    * the default would re-evaluate the chain 4^k times.
+    * (argmax with the same tiebreak) and w_i applies it with the
+    * uniform reduce-greedy round (exact for self-pairs, where the old
+    * two-pass replace mispaired runs — ADVICE r12). CTEs are
+    * MATERIALIZED: DuckDB inlines CTEs by default and each round
+    * references its predecessor several times, so the default would
+    * re-evaluate the chain exponentially.
     */
   private def learnCtes(k: Int): String = {
     val sb = new StringBuilder
@@ -183,16 +227,15 @@ object Bpe {
       |                          FROM vocab))) AS u)),
       |w0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s, freq FROM vocab)""".stripMargin
     for (i <- 1 to k) {
-      // chr(1) = never-matching sentinel if the vocab runs out of pairs
+      // LEFT JOIN ON TRUE: an exhausted p_i (no pairs left) yields NULL
+      // l/r, which makes the reduce round a no-op — learnMerges' stop
+      val round = reduceRound("s", s"p$i.l", s"p$i.r")
       sb ++= s""",
         |p$i AS MATERIALIZED (SELECT sp[n] AS l, sp[n+1] AS r, sum(freq)::BIGINT AS cnt
         |  FROM (SELECT string_split(trim(s), ' ') AS sp, freq FROM w${i - 1}), nums
         |  WHERE n <= len(sp) - 1 GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
-        |w$i AS MATERIALIZED (SELECT replace(replace(s,
-        |    coalesce((SELECT ' '||l||' '||r||' ' FROM p$i), chr(1)),
-        |    coalesce((SELECT ' '||l||r||' ' FROM p$i), chr(1))),
-        |    coalesce((SELECT ' '||l||' '||r||' ' FROM p$i), chr(1)),
-        |    coalesce((SELECT ' '||l||r||' ' FROM p$i), chr(1))) AS s, freq FROM w${i - 1})""".stripMargin
+        |w$i AS MATERIALIZED (SELECT $round AS s, freq
+        |  FROM w${i - 1} LEFT JOIN p$i ON TRUE)""".stripMargin
     }
     sb.result()
   }
@@ -210,11 +253,10 @@ object Bpe {
     */
   def encodeOracleSql(k: Int): String = {
     val pats = (1 to k).map(i =>
-      s"coalesce((SELECT ' '||l||' '||r||' ' FROM p$i), chr(1)) AS pat$i, " +
-        s"coalesce((SELECT ' '||l||r||' ' FROM p$i), chr(1)) AS rep$i").mkString(", ")
+      s"(SELECT l FROM p$i) AS l$i, (SELECT r FROM p$i) AS r$i").mkString(", ")
     var chain = "' ' || array_to_string(string_split(w, ''), ' ') || ' '"
     for (i <- 1 to k)
-      chain = s"replace(replace($chain, pat$i, rep$i), pat$i, rep$i)"
+      chain = reduceRound(chain, s"l$i", s"r$i")
     s"""WITH ${learnCtes(k)},
        |pats AS MATERIALIZED (SELECT $pats),
        |docw AS (SELECT doc_id, regexp_extract_all(text, '([a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s])') AS ws FROM documents)
@@ -232,11 +274,10 @@ object Bpe {
     */
   def packOracleSql(k: Int, budget: Long): String = {
     val pats = (1 to k).map(i =>
-      s"coalesce((SELECT ' '||l||' '||r||' ' FROM p$i), chr(1)) AS pat$i, " +
-        s"coalesce((SELECT ' '||l||r||' ' FROM p$i), chr(1)) AS rep$i").mkString(", ")
+      s"(SELECT l FROM p$i) AS l$i, (SELECT r FROM p$i) AS r$i").mkString(", ")
     var chain = "' ' || array_to_string(string_split(w, ''), ' ') || ' '"
     for (i <- 1 to k)
-      chain = s"replace(replace($chain, pat$i, rep$i), pat$i, rep$i)"
+      chain = reduceRound(chain, s"l$i", s"r$i")
     s"""WITH ${learnCtes(k)},
        |pats AS MATERIALIZED (SELECT $pats),
        |docw AS (SELECT doc_id, source, regexp_extract_all(text, '([a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s])') AS ws FROM documents),

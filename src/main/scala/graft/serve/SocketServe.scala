@@ -314,7 +314,9 @@ object SocketServe extends org.apache.spark.internal.Logging {
           conn.delivered.add(wires.length.toDouble)
           conn.bytesDelivered.add(bytes.toDouble)
         } catch {
-          case e: Throwable => warnThrottled("delivery metrics", e)
+          // NonFatal only: an OOM/StackOverflow here must still crash
+          // the session, not vanish into a throttled warn (ADVICE r12)
+          case scala.util.control.NonFatal(e) => warnThrottled("delivery metrics", e)
         }
       }
     }

@@ -51,6 +51,58 @@ class BpeSpec extends SparkSpec {
     assert(enc == ((1L, "aaaa aaaa", 2L)))
   }
 
+  test("self-pair merges pair runs strictly left-to-right (ADVICE r12: n>=5 runs)") {
+    // The two-pass replace mispaired odd runs: 'aaaaa' → [aa, a, aa]
+    // (pass 1's scan resumes past the consumed sentinel space). Greedy
+    // is [aa, aa, a]; n=6 greedy is [aa, aa, aa] (3 tokens, not 4).
+    val docs = Seq((5L, "aaaaa"), (6L, "aaaaaa"), (7L, "aaaaaaa")).toDF("doc_id", "text")
+    val m = Seq(Bpe.Merge(1, "a", "a", 0L))
+    val out = Bpe.encode(docs, "doc_id", "text", m)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((5L, "aa aa a", 3L)))
+    assert(out(1) == ((6L, "aa aa aa", 3L)))
+    assert(out(2) == ((7L, "aa aa aa a", 4L)))
+  }
+
+  test("learnMerges on an odd run learns the greedy-consistent merge sequence") {
+    // vocab {aaaaa:1}: r1 (a,a)=4 → [aa,aa,a]; r2 ties (aa,a)=1 vs
+    // (aa,aa)=1 → lexicographic (aa,a) → [aa,aaa]; r3 (aa,aaa) → 1 token.
+    // The buggy application produced [aa,a,aa] after r1, whose r2
+    // tiebreak picks (a,aa) instead — a learned-merge divergence.
+    val docs = Seq((1L, "aaaaa")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "text", 3)
+    assert(merges.map(m => (m.lhs, m.rhs)) == Seq(("a", "a"), ("aa", "a"), ("aa", "aaa")))
+    val enc = Bpe.encode(docs, "doc_id", "text", merges)
+      .as[(Long, String, Long)].head()
+    assert(enc == ((1L, "aaaaa", 1L)))
+  }
+
+  test("encode matches a scan-greedy reference on random words (self and ordinary pairs)") {
+    def greedy(toks: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) { out += (l + r); i += 2 }
+        else { out += toks(i); i += 1 }
+      }
+      out.toList
+    }
+    val merges = Seq(
+      Bpe.Merge(1, "a", "a", 0L), Bpe.Merge(2, "a", "b", 0L),
+      Bpe.Merge(3, "b", "b", 0L), Bpe.Merge(4, "aa", "aa", 0L),
+      Bpe.Merge(5, "aa", "ab", 0L))
+    val rnd = new scala.util.Random(13)
+    val words = (1 to 60).map(i =>
+      (i.toLong, (1 to (1 + rnd.nextInt(12))).map(_ => if (rnd.nextBoolean()) "a" else "b").mkString))
+    val expected = words.map { case (id, w) =>
+      val toks = merges.foldLeft(w.split("").toList)((t, m) => greedy(t, m.lhs, m.rhs))
+      id -> ((toks.mkString(" "), toks.length.toLong))
+    }.toMap
+    val got = Bpe.encode(words.toDF("doc_id", "text"), "doc_id", "text", merges)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expected)
+  }
+
   test("learnMerges stops early when every word is a single symbol") {
     val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
     val merges = Bpe.learnMerges(docs, "text", 10)
