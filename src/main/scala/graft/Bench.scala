@@ -138,7 +138,7 @@ object Bench {
     * to 1.23× the idle total — both inside the ±25% gate.
     */
   val MiniCalibRefSec = 0.365
-  val CalibEveryQueries = 8
+  val CalibEveryQueries = 4
 
   /** Fixed calibration workload: a deterministic shuffle+codegen-bound
     * job (range → hash → shuffle agg) whose cost depends only on machine
@@ -346,22 +346,28 @@ object Bench {
       bigEst
     }
     // Per-segment machine-speed factor, refreshed every
-    // CalibEveryQueries queries (see MiniCalibRefSec): each query's
-    // normalized time divides by the factor measured seconds before it
-    // ran, so load is corrected where it actually landed.
+    // CalibEveryQueries queries (see MiniCalibRefSec). norm_v 3
+    // (round 13, the BenchDoctor diagnosis): each query divides by the
+    // larger of the signals BRACKETING its segment — the probe before
+    // it AND the probe after it — because the dominant noise on this
+    // VM is bursty JVM-internal churn (JIT compile storms + GC after
+    // new-plan codegen: a doctor A/B pass measured ±29% median
+    // single-rep jitter and 3.2× probe spikes with NO external load,
+    // BENCH doctor r13). A burst that lands mid-segment registers in
+    // the closing probe and still corrects the queries it inflated;
+    // start-only probes missed exactly that window (r12's "30% raw
+    // inflation at noise_factor 1.09").
     val normTimes = scala.collection.mutable.Map.empty[String, Double]
     val segFactors = scala.collection.mutable.ListBuffer.empty[Double]
     val segLambdas = scala.collection.mutable.ListBuffer.empty[Double]
+    val segOfQuery = scala.collection.mutable.Map.empty[String, Int]
     var qIdx = 0
-    var curFactor = 1.0
-    var curLambda = JobLatRefSec
     val results = SparkEntry.queries.map { case (name, fn) =>
       if (qIdx % CalibEveryQueries == 0) {
-        curLambda = math.max(median(jobLatencySamples(spark, 4)), 1e-4)
-        curFactor = miniCalibrationSec(spark) / MiniCalibRefSec
-        segLambdas += curLambda
-        segFactors += curFactor
+        segLambdas += math.max(median(jobLatencySamples(spark, 4)), 1e-4)
+        segFactors += miniCalibrationSec(spark) / MiniCalibRefSec
       }
+      segOfQuery(name) = segFactors.length - 1
       qIdx += 1
       val t =
         if (GrowthGated.contains(name) && smallDir != sfDir)
@@ -369,12 +375,20 @@ object Bench {
             () => fn(spark, sfDir).count(), () => fn(spark, smallDir).count()))
         else
           finite(measured(name, () => fn(spark, sfDir).count()))
-      // divide by the segment's larger load signal (MiniCalibRefSec
-      // doc); floored at 0.25 so a pathological sample can never
-      // quadruple a query's normalized weight
-      normTimes(name) = if (t < 0) 0.0
-        else t / math.max(math.max(curLambda / JobLatRefSec, curFactor), 0.25)
       name -> t
+    }
+    // closing probe: the bracket for the final segment
+    segLambdas += math.max(median(jobLatencySamples(spark, 4)), 1e-4)
+    segFactors += miniCalibrationSec(spark) / MiniCalibRefSec
+    def segSignal(i: Int): Double =
+      math.max(segLambdas(i) / JobLatRefSec, segFactors(i))
+    results.foreach { case (name, t) =>
+      val i = segOfQuery(name)
+      // max of the two bracketing probes; floored at 0.25 so a
+      // pathological sample can never quadruple a query's normalized
+      // weight
+      val bracket = math.max(segSignal(i), segSignal(i + 1))
+      normTimes(name) = if (t < 0) 0.0 else t / math.max(bracket, 0.25)
     }
 
     // Growth gate inputs: min-vs-min on both sides, both mins from the
@@ -393,9 +407,27 @@ object Bench {
           }
         }.toMap
       }
-    val violations = growthViolations(
+    val violations0 = growthViolations(
       growth.map { case (n, (s, b, _)) => n -> (s, b) },
       growth.headOption.map(_._2._3).getOrElse(1.0))
+    // substring_spans structural gate (VERDICT r12 #6): the duplicated-
+    // gram window-row COUNT must stay linear in corpus rows — a count is
+    // immune to the wall-clock noise that made the time ratio drift
+    // (3.97→5.13× across rounds on identical code). Slack ^1.05 over
+    // the rows ratio covers boundary effects only.
+    val spanRows: Option[(Long, Long, Double)] =
+      if (smallDir == sfDir) None
+      else try {
+        def cnt(dir: String) = graft.ext.Dedup.substringSpanWindowRows(
+          graft.Tables.documents(spark, dir), "doc_id", "text")
+        val (s, b) = (cnt(smallDir), cnt(sfDir))
+        val ratio = growth.headOption.map(_._2._3).getOrElse(1.0)
+        Some((s, b, ratio))
+      } catch { case _: Throwable => None }
+    val violations = violations0 ++ spanRows.toSeq.collect {
+      case (s, b, r) if b > math.max(s, 100L) * math.pow(r, 1.05) =>
+        f"substring_spans window rows superlinear: $s -> $b at $r%.0fx rows"
+    }
 
     // calibration phase 2 (load that arrived mid-run); the run's
     // calibration is the best the machine showed at either end, the
@@ -437,12 +469,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val line = {
       val lineBudget = 1700 // < 2000-char tail − sbt prefix/suffix lines
-      // "norm_v":2 tags the value_norm scheme (ADVICE r11): v2 = sum of
-      // per-segment mini-calibration-normalized times against
-      // MiniCalibRefSec/JobLatRefSec; v1 (≤ round 10) was total / a
-      // single run-level noise_factor. Cross-round value_norm compares
-      // are only meaningful within one scheme version.
-      val head = s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","value_norm":${jnum(valueNorm, 2)},"norm_v":2,"noise_factor":${jnum(noiseFactor, 2)},"job_lat_ms":${jnum(jobLatSec * 1000, 1)},"n_queries":${results.size},"queries":{"""
+      // norm_v tags the value_norm scheme (ADVICE r11): v3 (round 13) =
+      // per-query division by the larger of the two BRACKETING probe
+      // signals at 4-query segments; v2 (rounds 11-12) divided by the
+      // start-of-segment signal at 8-query segments; v1 (≤ round 10)
+      // was total / a single run-level noise_factor. Cross-round
+      // value_norm compares are only meaningful within one scheme
+      // version.
+      val head = s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","value_norm":${jnum(valueNorm, 2)},"norm_v":3,"noise_factor":${jnum(noiseFactor, 2)},"job_lat_ms":${jnum(jobLatSec * 1000, 1)},"n_queries":${results.size},"queries":{"""
       val tailFmt = s"""},"queries_omitted":NNN,"index_build_sec":${jnum(indexBuildSec, 2)},"growth":$gsCompact,"sf":"$sfDir"}"""
       var used = head.length + tailFmt.length
       val kept = scala.collection.mutable.ListBuffer.empty[String]
@@ -460,7 +494,16 @@ object Bench {
     // Machine-readable full-precision copy, free of sbt's [info]/[error]
     // line prefixes. Default is RELATIVE to the working directory so any
     // checkout works; SPARK_GRAFT_BENCH_OUT overrides.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","value_norm":$valueNorm,"norm_v":2,"calib_sec":$calibSec,"calib_ref_sec":$CalibRefSec,"noise_factor":$noiseFactor,"job_lat_sec":$jobLatSec,"job_lat_ref_sec":$JobLatRefSec,"jobs_total":$jobsTotal,"seg_factors":${
+    // JVM-churn counters (BenchDoctor r13): GC + JIT time over the run,
+    // for reading future raw-vs-norm divergence without a re-diagnosis
+    val gcMs = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+    }
+    val jitMs = java.lang.management.ManagementFactory
+      .getCompilationMXBean.getTotalCompilationTime
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","value_norm":$valueNorm,"norm_v":3,"calib_sec":$calibSec,"calib_ref_sec":$CalibRefSec,"noise_factor":$noiseFactor,"job_lat_sec":$jobLatSec,"job_lat_ref_sec":$JobLatRefSec,"jobs_total":$jobsTotal,"gc_ms":$gcMs,"jit_ms":$jitMs,"seg_factors":${
       segFactors.map(f => jnum(f, 3)).mkString("[", ",", "]")
     },"seg_job_lat_ms":${
       segLambdas.map(l => jnum(l * 1000, 1)).mkString("[", ",", "]")
@@ -468,7 +511,9 @@ object Bench {
       results.map { case (k, _) => "\"" + k + "\":" + jobsPerQuery.getOrElse(k, 0L) }.mkString("{", ",", "}")
     },"queries":${
       results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    },"growth":$gsFull,"growth_exponent":1.3,"index_build_sec":$indexBuildSec,"probe_only":${
+    },"growth":$gsFull,"growth_exponent":1.3,"span_window_rows":${
+      spanRows.map { case (s, b, _) => s"[$s,$b]" }.getOrElse("null")
+    },"index_build_sec":$indexBuildSec,"probe_only":${
       probeOnly.map("\"" + _ + "\"").mkString("[", ",", "]")
     },"median_estimator":${
       medianed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

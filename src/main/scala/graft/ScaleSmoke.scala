@@ -23,7 +23,8 @@ object ScaleSmoke {
     // operational soak of the composed service (graft.Soak); a
     // 10-minute wall-clock section, so not part of the default pass
     val soakMode = args.headOption.contains("soak")
-    val n = if (soakMode) 0L else args.headOption.map(_.toLong).getOrElse(20000000L)
+    val namedMode = args.headOption.exists(a => !a.forall(_.isDigit))
+    val n = if (namedMode) 0L else args.headOption.map(_.toLong).getOrElse(20000000L)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -46,6 +47,134 @@ object ScaleSmoke {
         ingestTriggerMs = args.lift(3).map(_.toLong).getOrElse(1000L),
         multiEdge = args.lift(4).contains("multi"))
       spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("append")) {
+      // `runMain graft.ScaleSmoke append [nEvents]` — the live-hour
+      // write ceiling before/after the sharded prefix-closed append
+      // (VERDICT r12 #3): one batch, ONE hour (the worst case for the
+      // one-file-per-hour form: the entire batch funnels through a
+      // single task), appended with shards=1 vs auto.
+      val rows = args.lift(1).map(_.toLong).getOrElse(5000000L)
+      import spark.implicits._
+      val batch = spark.range(0L, rows, 1L, 32).select(
+        (col("id") + 1000L).as("time_us"), // all inside hour 0
+        concat(lit("did"), col("id") % 100000).as("did"),
+        lit("app.bsky.feed.post").as("collection"),
+        lit("{\"k\":\"v\"}").as("record")).cache()
+      val n = batch.count() // materialize outside the timed window
+      Seq(1, EventsTable.autoShards(n)).foreach { shards =>
+        val dir = java.nio.file.Files.createTempDirectory("graft-appendbench").toString
+        val t0 = System.nanoTime()
+        EventsTable.append(batch, dir, shards)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[append] $n rows, one hour, shards=$shards: $sec%.1fs = ${n / sec / 1000}%.0fk ev/s")
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("spans")) {
+      // `runMain graft.ScaleSmoke spans` — substring_spans growth at a
+      // BIGGER small end (VERDICT r12 #6): the sf0.01→sf0.1 gate spans
+      // 500→5000 docs, where constants (JVM, planning, shuffle setup)
+      // dominate the small side and the TIME ratio wobbles round-over-
+      // round (3.97→5.13× on identical code). This family holds the
+      // corpus SHAPE fixed — 60-word docs from a 40-word vocab, 20% of
+      // docs carrying one of 25 fixed 16-word template sentences (the
+      // duplication source, linear in docs by construction) — and
+      // scales 5k→40k docs, where constants amortize.
+      import spark.implicits._
+      def corpus(nDocs: Long) =
+        spark.range(0L, nDocs, 1L, 32).selectExpr(
+          "id AS doc_id",
+          """CASE WHEN id % 5 = 0 THEN
+            |  concat_ws(' ',
+            |    array_join(transform(sequence(1, 22), i ->
+            |      element_at(split('key agg row scan slow fast table value part hash merge batch the a line sort window group big small query order data column join stream customer filter vector spark', ' '),
+            |        cast(1 + pmod(xxhash64(id * 131 + i), 30) AS int))), ' '),
+            |    array_join(transform(sequence(1, 16), i ->
+            |      element_at(split('key agg row scan slow fast table value part hash merge batch the a line sort', ' '),
+            |        cast(1 + pmod(xxhash64((id % 25) * 7 + i * 17), 16) AS int))), ' '),
+            |    array_join(transform(sequence(1, 22), i ->
+            |      element_at(split('key agg row scan slow fast table value part hash merge batch the a line sort window group big small query order data column join stream customer filter vector spark', ' '),
+            |        cast(1 + pmod(xxhash64(id * 977 + i), 30) AS int))), ' '))
+            |ELSE
+            |  array_join(transform(sequence(1, 60), i ->
+            |    element_at(split('key agg row scan slow fast table value part hash merge batch the a line sort window group big small query order data column join stream customer filter vector spark', ' '),
+            |      cast(1 + pmod(xxhash64(id * 31 + i), 30) AS int))), ' ')
+            |END AS text""".stripMargin)
+      Seq(5000L, 10000L, 20000L, 40000L).foreach { nDocs =>
+        val df = corpus(nDocs).cache()
+        df.count()
+        val wr = graft.ext.Dedup.substringSpanWindowRows(df, "doc_id", "text")
+        val secs = (1 to 2).map { _ =>
+          spark.catalog.clearCache(); df.cache(); df.count(); System.gc()
+          val t0 = System.nanoTime()
+          graft.ext.Dedup.substringSpans(df, "doc_id", "text").count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val spansN = graft.ext.Dedup.substringSpans(df, "doc_id", "text").count()
+        println(f"[spans] docs=$nDocs windowRows=$wr spans=$spansN sec=${secs.min}%.2f")
+        df.unpersist()
+        ()
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("bpe")) {
+      // `runMain graft.ScaleSmoke bpe [k] [sfDir]` — production-k BPE
+      // learning (VERDICT r12 #2): k rounds with the checkpoint cadence,
+      // per-round time must stay FLAT (the unbounded fold's re-apply
+      // cost grows linearly per round → quadratic total), then the
+      // corpus encodes through the iterative path with all k merges.
+      val k = args.lift(1).map(_.toInt).getOrElse(500)
+      // the sf0.1 fixture's vocabulary EXHAUSTS at ~89 merges (every
+      // word fuses to one symbol) — production-k needs a production-
+      // sized vocabulary, so the default corpus is synthetic: 50k docs
+      // × 20 words drawn from ~200k distinct 8-letter words (md5-
+      // derived, digits translated to letters so the pre-tokenizer
+      // keeps each word whole)
+      val corpus = args.lift(2).getOrElse("synthetic")
+      val docs =
+        if (corpus == "synthetic")
+          spark.range(0L, 50000L, 1L, 32).selectExpr(
+            """array_join(transform(sequence(0, 19), i ->
+              |  translate(substring(md5(cast((id * 97 + i * 131) % 200000 AS string)), 1, 8),
+              |            '0123456789', 'qrstuvwxyz')), ' ') AS text""".stripMargin)
+        else spark.read.parquet(s"$corpus/documents.parquet")
+      val roundSec = new Array[Double](k)
+      val t0 = System.nanoTime()
+      val merges = graft.ext.Bpe.learnMerges(docs, "text", k,
+        onRound = (r, s) => {
+          roundSec(r - 1) = s
+          if (r % 100 == 0) println(f"[bpe] round $r: last-100 mean ${roundSec.slice(r - 100, r).sum / 100}%.3fs")
+        })
+      val learnSec = (System.nanoTime() - t0) / 1e9
+      def blockMean(lo: Int, hi: Int) = {
+        val xs = roundSec.slice(lo, math.min(hi, merges.length))
+        if (xs.isEmpty) 0.0 else xs.sum / xs.length
+      }
+      val early = blockMean(50, 150) // skip the first 50: JIT + cold caches
+      val late = blockMean(merges.length - 100, merges.length)
+      println(f"[bpe] learned ${merges.length} merges in $learnSec%.1fs; " +
+        f"per-round mean rounds 51-150: $early%.3fs, last 100: $late%.3fs, " +
+        f"late/early ${late / math.max(early, 1e-9)}%.2f (flat ≈ 1)")
+      val tEnc = System.nanoTime()
+      val enc = graft.ext.Bpe.withEncoded(docs, "text", merges)
+      val toks = enc.agg(sum("n_tokens")).head().getLong(0)
+      println(f"[bpe] iterative encode of ${docs.count()} docs with ${merges.length} merges: " +
+        f"${(System.nanoTime() - tEnc) / 1e9}%.1fs, $toks tokens")
+      spark.stop()
+      if (late > early * 3) {
+        System.err.println(f"[bpe] FAIL: per-round time not flat (${late / early}%.2f×)")
+        sys.exit(1)
+      }
+      println("[bpe] PASS")
       return
     }
 

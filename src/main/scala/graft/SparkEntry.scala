@@ -144,6 +144,8 @@ object SparkEntry {
     "inverted_index"     -> ExtQueries.invertedIndex _,
     "bm25_topk"          -> ExtQueries.bm25TopK _,
     "phrase_search"      -> ExtQueries.phraseSearch _,
+    "phrase_search3"     -> ExtQueries.phraseSearch3 _,
+    "phrase_search_rep"  -> ExtQueries.phraseSearchRep _,
     "bigram_logprob"     -> ExtQueries.bigramLogProb _,
     "unigram_logprob"    -> ExtQueries.unigramLogprob _,
     "quality_lang_gate"  -> ExtQueries.qualityLangGate _,
@@ -1128,6 +1130,31 @@ object SparkEntry {
         |SELECT a.doc_id, count(*)::BIGINT AS n_occurrences
         |FROM (SELECT doc_id, pos AS p0 FROM pts WHERE token = 'data') a
         |JOIN (SELECT doc_id, pos - 1 AS p0 FROM pts WHERE token = 'table') b
+        |  USING (doc_id, p0)
+        |GROUP BY a.doc_id""".stripMargin,
+    "phrase_search3" ->
+      // 3-term anchor-align: term i joins on (doc, pos - i)
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pts AS (SELECT doc_id, n.i AS pos, ws[n.i+1] AS token
+        |        FROM w, (SELECT unnest(range(0, (SELECT max(len(ws)) FROM w))) AS i) n
+        |        WHERE n.i < len(ws))
+        |SELECT a.doc_id, count(*)::BIGINT AS n_occurrences
+        |FROM (SELECT doc_id, pos AS p0 FROM pts WHERE token = 'window') a
+        |JOIN (SELECT doc_id, pos - 1 AS p0 FROM pts WHERE token = 'fast') b
+        |  USING (doc_id, p0)
+        |JOIN (SELECT doc_id, pos - 2 AS p0 FROM pts WHERE token = 'query') c
+        |  USING (doc_id, p0)
+        |GROUP BY a.doc_id""".stripMargin,
+    "phrase_search_rep" ->
+      // repeated-token phrase: overlapping occurrences count ("a a a"
+      // contains "a a" twice — standard positional-postings semantics)
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pts AS (SELECT doc_id, n.i AS pos, ws[n.i+1] AS token
+        |        FROM w, (SELECT unnest(range(0, (SELECT max(len(ws)) FROM w))) AS i) n
+        |        WHERE n.i < len(ws))
+        |SELECT a.doc_id, count(*)::BIGINT AS n_occurrences
+        |FROM (SELECT doc_id, pos AS p0 FROM pts WHERE token = 'sort') a
+        |JOIN (SELECT doc_id, pos - 1 AS p0 FROM pts WHERE token = 'sort') b
         |  USING (doc_id, p0)
         |GROUP BY a.doc_id""".stripMargin,
     "bm25_topk" ->

@@ -63,13 +63,32 @@ import org.apache.spark.sql.functions._
   * scan/reduce equivalence property and the run fixtures on both
   * sides).
   *
+  * == Production k: checkpoint cadence + iterative encode ==
+  *
   * The learning loop re-derives round r's tokenization by re-applying
-  * the r−1 learned merges to the CACHED base vocabulary (an O(k²·|vocab|)
-  * total re-tokenization cost) instead of materializing each round —
-  * at the k this operator is oracle-gated with, re-apply is cheaper than
-  * cache churn; a production run learning tens of thousands of merges
-  * would localCheckpoint the vocab every ~50 rounds to cut both the
-  * re-apply cost and the expression-tree depth.
+  * the merges learned since the last MATERIALIZATION to the vocabulary.
+  * Every [[CheckpointEveryMerges]] rounds the re-tokenized vocab is
+  * localCheckpoint'ed (it is the DISTINCT-WORD table — small — never
+  * the corpus) and the pending fold resets, so per-round cost is
+  * bounded by O(cadence·|vocab|) and the codegen tree never exceeds
+  * cadence depth: per-round time stays flat at k in the thousands
+  * instead of the unbounded-fold O(k²·|vocab|) (ScaleSmoke `bpe`
+  * measures this at k=500). At the oracle-gated k the cadence never
+  * fires and the plan is the same single fold as before.
+  *
+  * Encoding with a production-sized merge table cannot be a k-deep
+  * column fold (the expression tree grows with k and Catalyst's
+  * project-collapse would re-inline any staged form): above
+  * [[FoldEncodeMaxMerges]] merges, [[withEncoded]] switches to an
+  * equivalent JVM encoder — per word, apply merges in rank order, each
+  * one exact-greedy left-to-right (IDENTICAL semantics to the fold,
+  * pinned by BpeSpec's cross-path equivalence test), with a
+  * symbol-presence skip (a merge whose lhs or rhs is not among the
+  * word's current symbols cannot apply) and a per-executor memo on
+  * distinct words (the same distinct-word collapse the learner uses:
+  * at 100 TB most words repeat, so the encoder is one narrow map-only
+  * stage whose per-row cost is a hash probe). No shuffle on either
+  * path.
   */
 object Bpe {
 
@@ -122,21 +141,43 @@ object Bpe {
       (l, r) => struct(l.as("l"), r.as("r")))
   }
 
+  /** Materialization cadence for [[learnMerges]]: after this many
+    * pending merges the re-tokenized vocab is localCheckpoint'ed and
+    * the fold resets (see the production-k section of the object doc).
+    */
+  val CheckpointEveryMerges = 50
+
+  /** Fold-encode ceiling for [[withEncoded]]: at or below this many
+    * merges the encode is the codegen'd column fold (the oracle-gated
+    * plan); above it, the equivalent memoized JVM encoder (expression
+    * depth would otherwise grow with k).
+    */
+  val FoldEncodeMaxMerges = 64
+
   /** Learn up to `k` merges over `df.textCol`'s pre-token vocabulary.
     * Stops early if no adjacent pair remains (every word fused to one
     * symbol). Deterministic: ties break to the lexicographically
-    * smallest (lhs, rhs).
+    * smallest (lhs, rhs). `checkpointEvery` bounds both the per-round
+    * re-apply cost and the expression depth (object doc); the result is
+    * identical at any cadence — materialization only changes WHERE the
+    * already-applied fold is evaluated, never its value (BpeSpec pins
+    * cadence-invariance).
     */
-  def learnMerges(df: DataFrame, textCol: String, k: Int): Seq[Merge] = {
+  def learnMerges(df: DataFrame, textCol: String, k: Int,
+      checkpointEvery: Int = CheckpointEveryMerges,
+      onRound: (Int, Double) => Unit = (_, _) => ()): Seq[Merge] = {
     require(k >= 1, "k must be positive")
-    val vocab = wordVocab(df, textCol)
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
+    var vocab = wordVocab(df, textCol)
       .select(spacedSyms(col("word")).as("s"), col("freq"))
       .cache()
     try {
       val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
       var symExpr: Column = col("s")
+      var pending = 0
       var exhausted = false
       while (out.length < k && !exhausted) {
+        val tRound = System.nanoTime()
         val top = vocab
           .select(explode(adjacentPairs(symExpr)).as("p"), col("freq"))
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
@@ -144,12 +185,25 @@ object Bpe {
           .orderBy(col("cnt").desc, col("l"), col("r"))
           .limit(1)
           .collect()
+        onRound(out.length + 1, (System.nanoTime() - tRound) / 1e9)
         if (top.isEmpty) exhausted = true
         else {
           val row = top(0)
           val m = Merge(out.length + 1, row.getString(0), row.getString(1), row.getLong(2))
           out += m
           symExpr = applyMerge(symExpr, m.lhs, m.rhs)
+          pending += 1
+          if (pending >= checkpointEvery && out.length < k) {
+            // materialize the re-tokenized DISTINCT-WORD table (small)
+            // and reset the fold: rounds after this re-apply at most
+            // `checkpointEvery` merges instead of all of them
+            val next = vocab.select(symExpr.as("s"), col("freq"))
+              .localCheckpoint(true)
+            vocab.unpersist()
+            vocab = next
+            symExpr = col("s")
+            pending = 0
+          }
         }
       }
       out.toSeq
@@ -175,16 +229,101 @@ object Bpe {
       merges: Seq[Merge]): DataFrame =
     withEncoded(df, textCol, merges).select(col(idCol), col("tokens"), col("n_tokens"))
 
+  /** Per-executor memo for the iterative encoder: distinct word →
+    * encoded symbol string, shared across the tasks of one encode call
+    * (keyed by a driver-generated call id). Bounded: inserts stop at
+    * `WordMemo.MaxEntries` per call, and the whole registry clears
+    * when more than a handful of calls have live memos.
+    */
+  private object WordMemo {
+    val MaxEntries = 2000000
+    private val memos =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentHashMap[String, String]]()
+    def forCall(id: String): java.util.concurrent.ConcurrentHashMap[String, String] = {
+      if (memos.size > 8) memos.clear()
+      memos.computeIfAbsent(id, _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+    }
+  }
+
+  /** Rank-order greedy JVM encoder — semantics identical to the column
+    * fold (BpeSpec cross-path equivalence), for merge tables too large
+    * to fold into an expression tree. Serializable; the memo is fetched
+    * per-executor through [[WordMemo]] by `callId`.
+    */
+  private final class IterativeEncoder(merges: Seq[Merge], callId: String)
+      extends Serializable {
+    private def greedyPass(syms: Array[String], l: String, r: String): Array[String] = {
+      val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+    private def encodeUncached(word: String): String = {
+      // initial symbols: one per CODE POINT — Spark's split(w, "")
+      // never splits inside a surrogate pair, while Java String.split
+      // does (caught by BpeSpec's astral-plane fixture)
+      var syms = word.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      val present = scala.collection.mutable.HashSet.empty[String]
+      present ++= syms
+      merges.foreach { m =>
+        // a merge whose lhs or rhs is not a current symbol cannot form
+        // an adjacent pair — the skip that makes production-k O(k) hash
+        // probes per DISTINCT word, not k greedy passes
+        if (present.contains(m.lhs) && present.contains(m.rhs)) {
+          val merged = greedyPass(syms, m.lhs, m.rhs)
+          if (merged.length != syms.length) {
+            syms = merged
+            present.clear(); present ++= syms
+          }
+        }
+      }
+      syms.mkString(" ")
+    }
+    def encodeWord(word: String): String = {
+      val memo = WordMemo.forCall(callId)
+      val hit = memo.get(word)
+      if (hit != null) hit
+      else {
+        val enc = encodeUncached(word)
+        if (memo.size < WordMemo.MaxEntries) memo.put(word, enc)
+        enc
+      }
+    }
+  }
+
   /** Passthrough form of [[encode]]: appends `tokens` and `n_tokens` to
     * the input's columns — the shape downstream stages (token-budget
-    * packing, shard accounting) consume without a join back.
+    * packing, shard accounting) consume without a join back. At or
+    * below [[FoldEncodeMaxMerges]] merges this is the codegen'd column
+    * fold; above it, the memoized JVM encoder (object doc) — both one
+    * narrow map-only projection, no shuffle.
     */
-  def withEncoded(df: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
+  def withEncoded(df: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame =
+    withEncodedPath(df, textCol, merges, merges.length > FoldEncodeMaxMerges)
+
+  /** Path-forced twin of [[withEncoded]] — the spec's cross-path
+    * equivalence hook.
+    */
+  private[ext] def withEncodedPath(df: DataFrame, textCol: String,
+      merges: Seq[Merge], iterative: Boolean): DataFrame = {
     val ws = regexp_extract_all(col(textCol), lit(PreTokenPattern), lit(0))
-    val tokWords = transform(ws, w =>
-      trim(merges.foldLeft(spacedSyms(w))((s, m) => applyMerge(s, m.lhs, m.rhs))))
+    val tokensCol =
+      if (!iterative) {
+        val tokWords = transform(ws, w =>
+          trim(merges.foldLeft(spacedSyms(w))((s, m) => applyMerge(s, m.lhs, m.rhs))))
+        array_join(tokWords, " ")
+      } else {
+        val enc = new IterativeEncoder(merges, java.util.UUID.randomUUID().toString)
+        val encodeWords = udf((words: Seq[String]) =>
+          if (words == null) null else words.map(enc.encodeWord).mkString(" "))
+        encodeWords(ws)
+      }
     df.withColumn("__nw", size(ws))
-      .withColumn("tokens", array_join(tokWords, " "))
+      .withColumn("tokens", tokensCol)
       .withColumn("n_tokens",
         when(col("__nw") === 0, lit(0L))
           .otherwise(size(split(col("tokens"), " ")).cast("long")))

@@ -390,6 +390,28 @@ object Dedup {
         (col("e") - col("s")).cast("long").as("span_words"))
   }
 
+  /** Structural counter for the growth gate (VERDICT r12 #6): the
+    * number of duplicated-gram occurrences entering [[substringSpans]]'
+    * per-doc island window — the quantity that must stay LINEAR in
+    * corpus rows. The r12 verdict saw the TIME ratio drift 3.97→5.13×
+    * while this count grew 10.3× at 10× rows (linear); gating the count
+    * itself makes a structural regression (an accidental all-pairs
+    * gram stage) trip on counts, immune to wall-clock noise.
+    */
+  def substringSpanWindowRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minCount: Int = 2): Long = {
+    val grams = df
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(w) - $n)," +
+          s" i -> concat_ws(' ', slice(w, i + 1, $n)))")).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"), h60(col("gram")).as("h"))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select(col("h"))
+    grams.join(dup, Seq("h")).count()
+  }
+
   /** Span EXCISION — the deliverable of Lee et al. 2021's ExactSubstr
     * operator: cut every duplicated span [[substringSpans]] finds out of
     * its document and reassemble the surviving text. Returns one row per

@@ -234,6 +234,22 @@ object ExtQueries {
     Retrieval.phraseSearch(Tables.documents(spark, dir), "doc_id", "text",
       phrase = Seq("data", "table"))
 
+  /** E3 — 3-term phrase (VERDICT r12 #5): the anchor-align fold beyond
+    * its simplest 2-term case — two consecutive joins on (doc, pos−i).
+    */
+  def phraseSearch3(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.phraseSearch(Tables.documents(spark, dir), "doc_id", "text",
+      phrase = Seq("window", "fast", "query"))
+
+  /** E3 — repeated-token phrase (VERDICT r12 #5): "sort sort" — the
+    * self-overlap semantics the positional join claims ("a a a" counts
+    * the phrase "a a" TWICE); the fixture corpus has triple-"sort" runs
+    * at both SFs, so the overlap term is live in the hash gate.
+    */
+  def phraseSearchRep(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.phraseSearch(Tables.documents(spark, dir), "doc_id", "text",
+      phrase = Seq("sort", "sort"))
+
   /** E3 — corpus bigram LM scored per document: add-one-smoothed
     * transition NLL, the shuffled-text signal the unigram model misses
     * ([[Retrieval.bigramLogProb]]).

@@ -281,6 +281,43 @@ object Retrieval {
       .withColumn("tok_bucket", pmod(xxhash64(col("token")), lit(buckets.toLong)))
       .write.mode("overwrite").partitionBy("tok_bucket").parquet(path)
 
+  /** Merge committed per-partition positional indexes ([[
+    * buildPositionalIndex]] over one source partition each) into one
+    * probe-ready layout: pure FILE COPY of each part under
+    * `path/part=N/` — zero reads, zero re-tokenization; the per-part
+    * `tok_bucket=` dirs ride along, so a probe's bucket filter prunes
+    * inside every part exactly as in a monolithic build (Spark infers
+    * the (part, tok_bucket) partition columns from the nested dirs).
+    * Unlike the text index there are no corpus-level stats to
+    * re-aggregate — positions are purely local facts.
+    */
+  def mergePositionalIndex(spark: SparkSession, partPaths: Seq[String],
+      path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    partPaths.zipWithIndex.foreach { case (pp, i) =>
+      val src = new org.apache.hadoop.fs.Path(pp)
+      val dst = new org.apache.hadoop.fs.Path(s"$path/part=$i")
+      val fs = src.getFileSystem(conf)
+      fs.mkdirs(dst.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+      ()
+    }
+  }
+
+  /** The incremental positional index for an append-only partitioned
+    * corpus (VERDICT r12 #7 — the [[ensureIncrementalTextIndex]]
+    * treatment for phrase search): appending an hour re-tokenizes ONLY
+    * that hour, the merge is a metadata-cheap copy, and [[phraseProbe]]
+    * over the merged layout is identical to a full rebuild
+    * (IncrementalIndexSpec pins probe ≡ rebuild).
+    */
+  def ensureIncrementalPositionalIndex(spark: SparkSession, kind: String,
+      sourceDir: String, idCol: String, textCol: String,
+      buckets: Int = 64): String =
+    IndexStore.ensureIncremental(kind, spark, sourceDir) { (part, tmp) =>
+      buildPositionalIndex(spark.read.parquet(part), idCol, textCol, tmp, buckets)
+    } { (parts, tmp) => mergePositionalIndex(spark, parts, tmp) }
+
   /** Phrase probe over a [[buildPositionalIndex]] layout: identical
     * results to the one-shot [[phraseSearch]] (IndexSpec-pinned), but
     * the scan reads only the phrase terms' bucket partitions. The

@@ -64,7 +64,8 @@ object IngestJob {
       nowUs: () => Long = () => System.currentTimeMillis() * 1000L,
       scalableThresholdRows: Long = ScalableStampThresholdRows,
       trigger: Trigger = Trigger.AvailableNow(),
-      metrics: graft.serve.Metrics.Registry = graft.serve.Metrics.default): StreamingQuery = {
+      metrics: graft.serve.Metrics.Registry = graft.serve.Metrics.default,
+      appendShards: Int = 0): StreamingQuery = {
     val hwm = new AtomicLong(prevMaxUs)
     // the reference's per-consumer sequenced/persisted counters
     // (pkg/consumer/consumer.go:79-81), labeled by the table the way
@@ -87,7 +88,11 @@ object IngestJob {
         // persisted gap is observable (consumer.go:79-81's two counters)
         if (n > 0) sequenced.add(n.toDouble)
         if (seq.maxTimeUs > hwm.get()) {
-          EventsTable.append(seq.df, tablePath)
+          // 0 = auto: small live triggers stay one-file-per-hour; big
+          // batches fan the write out across time-contiguous shards
+          // (prefix closure holds either way — EventsTable.append doc)
+          EventsTable.append(seq.df, tablePath,
+            if (appendShards > 0) appendShards else EventsTable.autoShards(n))
           persisted.add(n.toDouble)
           hwm.set(seq.maxTimeUs)
         }

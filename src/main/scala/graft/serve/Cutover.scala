@@ -40,7 +40,8 @@ final class CutoverSession(
     startCursorUs: Long,
     chunkSize: Int = 10000,
     playback: Option[TokenBucket] = None,
-    barrierRecoverHolds: Int = 1200)
+    barrierRecoverHolds: Int = 1200,
+    pool: CutoverSession.SnapshotPool = CutoverSession.SnapshotBudget)
     extends org.apache.spark.internal.Logging {
 
   @volatile private[this] var cursorOpt: Option[Long] = Some(startCursorUs)
@@ -65,6 +66,19 @@ final class CutoverSession(
   private[this] var effChunk: Int = chunkSize
   private[this] var prevLagUs: Long = Long.MinValue
   private[this] var lastChunkFull: Boolean = false
+  // VERDICT r12 #4a: a grown chunk DECAYS — but on UNDERFULL SCANS (two
+  // consecutive steps whose scan filled less than half the effective
+  // chunk), not on shrinking lag as first suggested: a lag-shrink decay
+  // oscillates mid-backlog (a grown chunk that outpaces the producer
+  // shrinks the lag, decays, starves again, regrows — observed as a
+  // 4↔8 thrash on the decay spec's starving fixture and never
+  // converging). An underfull scan is direct evidence the appetite
+  // exceeds the need (sparse region, pacing clamp, pool clamp, drained
+  // backlog); full chunks mid-catch-up never decay. Halves per firing,
+  // never below the configured size. rearmReplay() additionally RESETS
+  // the chunk outright: a re-armed session replays a small recovery
+  // window and must not reserve its old 400k appetite for it.
+  private[this] var underfullStreak = 0
 
   /** Current effective replay chunk (adaptive; starts at `chunkSize`). */
   private[serve] def effectiveChunk: Int = effChunk
@@ -174,18 +188,38 @@ final class CutoverSession(
       }
       val budget = playback.map(_.acquireUpTo(effChunk.toLong).toInt).getOrElse(effChunk)
       if (budget == 0) return true // paced out this tick (persist.go:147-149)
+      // VERDICT r12 #4b: the per-session 400k cap bounds ONE session's
+      // snapshot; the server-wide pool bounds their SUM — 100 catching-
+      // up sessions can no longer hold 100 × 150 MB of driver rows at
+      // once. A floor grant keeps every session live when the pool is
+      // hot (overshoot ≤ floor × sessions, see SnapshotBudget).
+      val grant = pool.reserve(budget.toLong).toInt
+      try {
       val (chunk, chunkMax) =
-        snapshot(spark, Replay.replayChunk(spark, path, cursor, budget))
-      // refund the budget the chunk didn't fill (tail of the backlog):
-      // only events actually scanned consume playback tokens
+        snapshot(spark, Replay.replayChunk(spark, path, cursor, grant))
+      // refund the budget the chunk didn't fill (tail of the backlog,
+      // or a pool-clamped grant): only scanned events consume playback
+      // tokens
       val scanned = chunk.count()
       playback.foreach(_.refund(budget - scanned))
       // "full" = the CHUNK SIZE was the binding limit: the scan filled an
-      // un-paced grant. A pacing-limited grant (budget < effChunk) must
-      // not count — growing the chunk cannot help a session whose
-      // admission is token-bound, and unchecked growth would burst-shape
+      // un-paced, un-clamped grant. A pacing-limited grant (budget <
+      // effChunk) or a pool-clamped one (grant < budget) must not count
+      // — growing the chunk cannot help a session whose admission is
+      // token- or pool-bound, and unchecked growth would burst-shape
       // the paced stream for nothing.
-      lastChunkFull = scanned >= budget && scanned > 0 && budget == effChunk
+      lastChunkFull = scanned >= grant && scanned > 0 &&
+        budget == effChunk && grant == budget
+      // underfull-decay (see the adaptive-chunk comment): two
+      // consecutive scans below half the effective chunk halve it
+      if (scanned * 2 < effChunk) {
+        underfullStreak += 1
+        if (underfullStreak >= 2 && effChunk > chunkSize) {
+          effChunk = math.max(chunkSize.toLong, effChunk.toLong / 2L).toInt
+          underfullStreak = 0
+          traced(s"chunk decay eff=$effChunk scanned=$scanned")
+        }
+      } else underfullStreak = 0
       // scan tail — the reference's ReplayEvents return value (persist.go:199-203)
       val lastSeq = chunkMax.getOrElse(cursor - 1)
       val view = deliverable(chunk).orderBy(col("time_us"))
@@ -254,6 +288,7 @@ final class CutoverSession(
         cursorOpt = Some(lastSeq + 1) // next chunk (server.go:327-330)
         true
       }
+      } finally pool.release(grant.toLong)
   }
 
   /** The live `Emit` branch for this subscriber (server.go:87-111): while
@@ -339,8 +374,63 @@ final class CutoverSession(
   def rearmReplay(): Unit = synchronized {
     if (cursorOpt.isEmpty) {
       val c = math.max(seqVar + 1, startCursorUs)
-      traced(s"rearm replay cursor=$c")
+      traced(s"rearm replay cursor=$c eff=$chunkSize (reset)")
+      // a recovery window is small; the old grown appetite must not be
+      // reserved for it (VERDICT r12 #4) — re-grow only on evidence
+      effChunk = chunkSize
+      prevLagUs = Long.MinValue
+      lastChunkFull = false
+      underfullStreak = 0
       cursorOpt = Some(c)
     }
   }
+}
+
+/** Server-wide snapshot accounting for replay sessions. */
+object CutoverSession {
+
+  /** Cap on the SUM of in-flight replay-snapshot rows across the
+    * sessions sharing one pool (VERDICT r12 #4): the per-session 400k
+    * cap bounds one session at ~150 MB of collected wire rows; the
+    * pool bounds their aggregate, so 100 catching-up sessions contend
+    * for one budget instead of holding 15 GB together. A session whose
+    * request cannot be met still receives up to `floorRows` (liveness:
+    * every session keeps stepping, just with small chunks), so the
+    * worst-case overshoot is floorRows × sessions — bounded and tiny
+    * next to the pool. `peak` records the high-water mark for the
+    * 50-session smoke's bounded-heap assertion. Sessions default to
+    * the server-wide [[SnapshotBudget]] instance; tests pass their own
+    * pool so shrinking it can never clamp unrelated suites.
+    */
+  final class SnapshotPool(@volatile var totalRows: Long,
+      val floorRows: Long = 1000L) {
+    private val used = new java.util.concurrent.atomic.AtomicLong
+    private val peakRows = new java.util.concurrent.atomic.AtomicLong
+
+    /** Reserve up to `requested` rows; returns the grant (≥ the floor,
+      * ≤ requested). Pair with [[release]].
+      */
+    def reserve(requested: Long): Long = {
+      val want = math.max(0L, requested)
+      var granted = 0L
+      var done = false
+      while (!done) {
+        val u = used.get()
+        val avail = math.max(totalRows - u, 0L)
+        granted = math.max(math.min(want, avail), math.min(want, floorRows))
+        done = used.compareAndSet(u, u + granted)
+      }
+      val _ = peakRows.getAndUpdate(p => math.max(p, used.get()))
+      granted
+    }
+
+    def release(n: Long): Unit = { used.addAndGet(-n); () }
+    def inFlight: Long = used.get()
+    def peak: Long = peakRows.get()
+  }
+
+  /** The server-wide default pool (~750 MB of wire rows at the soak's
+    * row width); deployments size `totalRows` to driver heap.
+    */
+  val SnapshotBudget = new SnapshotPool(2000000L)
 }

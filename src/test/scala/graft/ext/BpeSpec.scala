@@ -103,6 +103,61 @@ class BpeSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("learnMerges is checkpoint-cadence-invariant (production-k path)") {
+    // materialization only changes where the applied fold is evaluated,
+    // never its value: a cadence of 2 must learn the identical sequence
+    val base = Bpe.learnMerges(toyDocs, "text", 6)
+    val ck = Bpe.learnMerges(toyDocs, "text", 6, checkpointEvery = 2)
+    assert(ck == base)
+    val run = Seq((1L, "aaaaa bbbb")).toDF("doc_id", "text")
+    assert(Bpe.learnMerges(run, "text", 5, checkpointEvery = 1) ==
+      Bpe.learnMerges(run, "text", 5))
+  }
+
+  test("iterative encoder is path-equivalent to the column fold") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 40).map { i =>
+      val words = (1 to (1 + rnd.nextInt(6))).map(_ =>
+        (1 to (1 + rnd.nextInt(10))).map(_ => "abc".charAt(rnd.nextInt(3))).mkString)
+      (i.toLong, words.mkString(" "))
+    } :+ ((41L, "aaaaa!! 𝄞𝄞 x9"))
+    val df = docs.toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(df, "text", 10)
+    def run(iterative: Boolean) =
+      Bpe.withEncodedPath(df, "text", merges, iterative)
+        .select($"doc_id", $"tokens", $"n_tokens")
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(run(iterative = true) == run(iterative = false))
+  }
+
+  test("withEncoded auto-switches to the iterative path above FoldEncodeMaxMerges") {
+    val df = Seq((1L, "low lower aaaa")).toDF("doc_id", "text")
+    val real = Bpe.learnMerges(df, "text", 4)
+    // pad with never-applying merges to cross the fold ceiling: the
+    // switched path must still produce the fold result
+    val padded = real ++ (1 to (Bpe.FoldEncodeMaxMerges + 10)).map(i =>
+      Bpe.Merge(real.length + i, s"zz$i", s"qq$i", 0L))
+    assert(padded.length > Bpe.FoldEncodeMaxMerges)
+    val viaSwitch = Bpe.withEncoded(df, "text", padded)
+      .select($"doc_id", $"tokens", $"n_tokens").as[(Long, String, Long)].head()
+    val viaFold = Bpe.withEncodedPath(df, "text", real, iterative = false)
+      .select($"doc_id", $"tokens", $"n_tokens").as[(Long, String, Long)].head()
+    assert(viaSwitch == viaFold)
+  }
+
+  test("iterative encode plan size is independent of merge count") {
+    // the fold plan grows with k; the iterative plan must not — this is
+    // the bounded-depth contract for production merge tables
+    val df = Seq((1L, "low lower")).toDF("doc_id", "text")
+    def pad(k: Int) = (1 to k).map(i => Bpe.Merge(i, s"z$i", s"q$i", 0L))
+    def planLen(k: Int) =
+      Bpe.withEncodedPath(df, "text", pad(k), iterative = true)
+        .queryExecution.optimizedPlan.toString.length
+    val p100 = planLen(100)
+    val p400 = planLen(400)
+    assert(p400 <= p100 * 1.2, s"iterative plan grew with k: $p100 -> $p400")
+  }
+
   test("learnMerges stops early when every word is a single symbol") {
     val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
     val merges = Bpe.learnMerges(docs, "text", 10)

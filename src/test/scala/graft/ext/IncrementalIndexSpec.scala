@@ -58,6 +58,50 @@ class IncrementalIndexSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq == probed)
   }
 
+  test("incremental positional index: append rebuilds one partition; phrase probe equals full rebuild") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").cache()
+    val src = tmpDir("inc-pos-src")
+    docs.filter(col("doc_id") % 3 === 0).write.parquet(s"$src/part=0")
+    docs.filter(col("doc_id") % 3 === 1).write.parquet(s"$src/part=1")
+
+    var partBuilds = 0
+    def ensureInc(): String =
+      IndexStore.ensureIncremental("incpos", spark, src) { (part, tmp) =>
+        partBuilds += 1
+        Retrieval.buildPositionalIndex(spark.read.parquet(part), "doc_id", "text", tmp)
+      } { (parts, tmp) => Retrieval.mergePositionalIndex(spark, parts, tmp) }
+
+    val phrases = Seq(Seq("data", "table"), Seq("sort", "sort"))
+    def probe(idx: String, p: Seq[String]) =
+      Retrieval.phraseProbe(spark, idx, "doc_id", p)
+        .as[(Long, Long)].collect().sorted.toSeq
+
+    val i1 = ensureInc()
+    assert(partBuilds == 2)
+    assert(ensureInc() == i1 && partBuilds == 2) // idempotent cache hit
+    val twoThirds = docs.filter(col("doc_id") % 3 =!= 2)
+    phrases.foreach { p =>
+      assert(probe(i1, p) ==
+        Retrieval.phraseSearch(twoThirds, "doc_id", "text", p)
+          .as[(Long, Long)].collect().sorted.toSeq, s"phrase $p")
+    }
+
+    // --- a new hour arrives
+    docs.filter(col("doc_id") % 3 === 2).write.parquet(s"$src/part=2")
+    val i2 = ensureInc()
+    assert(partBuilds == 3, "only the appended partition may build")
+    // probe ≡ one-shot over the full corpus AND ≡ a monolithic rebuild
+    val mono = tmpDir("inc-pos-mono")
+    Retrieval.buildPositionalIndex(docs, "doc_id", "text", mono)
+    phrases.foreach { p =>
+      val inc = probe(i2, p)
+      assert(inc == Retrieval.phraseSearch(docs, "doc_id", "text", p)
+        .as[(Long, Long)].collect().sorted.toSeq, s"phrase $p vs one-shot")
+      assert(inc == probe(mono, p), s"phrase $p vs monolithic index")
+      assert(inc.nonEmpty, s"phrase $p must be live in the fixture")
+    }
+  }
+
   test("incremental IVF (frozen quantizer): append assigns one partition; probe equals monolithic") {
     val all = ClusterFixture.clustered(spark, 600, 24, 6).cache()
     val src = tmpDir("inc-ivf-src")

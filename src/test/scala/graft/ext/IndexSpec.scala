@@ -176,23 +176,38 @@ class IndexSpec extends SparkSpec {
   }
 
   test("phraseProbe over a positional index matches the one-shot phraseSearch, pruned") {
+    // VERDICT r12 #5: gated beyond the simplest 2-term case — a 3-term
+    // phrase (two anchor-align joins) and a repeated-token phrase
+    // ("sort sort", whose self-overlap must count "sort sort sort"
+    // twice) pin the fold, probe ≡ one-shot for each
     val docs = graft.Tables.documents(spark, sf)
     val idx = tmpDir("idx-phrase")
     Retrieval.buildPositionalIndex(docs, "doc_id", "text", idx)
-    val phrase = Seq("data", "table")
-    val oneShot = Retrieval.phraseSearch(docs, "doc_id", "text", phrase)
+    Seq(
+      Seq("data", "table"),
+      Seq("window", "fast", "query"),
+      Seq("sort", "sort")).foreach { phrase =>
+      val oneShot = Retrieval.phraseSearch(docs, "doc_id", "text", phrase)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(oneShot.nonEmpty, s"fixture must contain the phrase $phrase")
+      val probe = Retrieval.phraseProbe(spark, idx, "doc_id", phrase)
+      assert(probe.as[(Long, Long)].collect().sorted.toSeq == oneShot,
+        s"probe != one-shot for $phrase")
+      // the probe reads ONLY the index, with a partition filter on the
+      // token bucket — never the raw corpus
+      val scans = fileScans(probe)
+      assert(scans.nonEmpty)
+      val roots = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+      assert(roots.forall(_.contains(idx)), s"non-index scans: $roots")
+      assert(scans.forall(_.partitionFilters.nonEmpty),
+        s"index scan is not bucket-pruned for $phrase")
+    }
+    // self-overlap unit pin, independent of the fixture corpus
+    val runs = Seq((1L, "x sort sort sort y"), (2L, "sort sort"), (3L, "sort x sort"))
+      .toDF("doc_id", "text")
+    val rep = Retrieval.phraseSearch(runs, "doc_id", "text", Seq("sort", "sort"))
       .as[(Long, Long)].collect().sorted.toSeq
-    assert(oneShot.nonEmpty, "fixture must contain the phrase")
-    val probe = Retrieval.phraseProbe(spark, idx, "doc_id", phrase)
-    assert(probe.as[(Long, Long)].collect().sorted.toSeq == oneShot)
-    // the probe reads ONLY the index, with a partition filter on the
-    // token bucket — never the raw corpus
-    val scans = fileScans(probe)
-    assert(scans.nonEmpty)
-    val roots = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
-    assert(roots.forall(_.contains(idx)), s"non-index scans: $roots")
-    assert(scans.forall(_.partitionFilters.nonEmpty),
-      "index scan is not bucket-pruned")
+    assert(rep == Seq((1L, 2L), (2L, 1L)), s"self-overlap semantics broken: $rep")
   }
 
   test("bm25Probe over a persisted index matches the one-shot bm25TopK") {

@@ -134,6 +134,108 @@ class CutoverSpec extends SparkSpec {
     assert(session.effectiveChunk == 5, "no growth on a shrinking lag")
   }
 
+  test("adaptive chunk: a grown chunk decays on underfull scans and resets on rearm") {
+    // Phase 1: starve a chunk-4 paced session (full token grants) until
+    // the chunk grows. Phase 2: clamp the pacing clock — grants (and so
+    // scans) fall below half the chunk; two consecutive underfull steps
+    // must halve it, repeatedly, back to the configured size. A
+    // lag-shrink decay rule was REJECTED here: it oscillates 4↔8 on
+    // this very fixture (grown chunk outpaces producer → lag shrinks →
+    // decay → starves again → regrow, never converging). Phase 3: full
+    // tokens again — drain, cut over, then rearmReplay() must reset a
+    // regrown chunk outright.
+    val path = tmpDir("cutover-decay")
+    append(path, 1 to 400)
+    var serverSeq = 400 * Step
+    var nowUs = 0L
+    val bucket = new TokenBucket(1e6, 64, () => nowUs)
+    val session = new CutoverSession(
+      Subscribe.SubscriberSpec(), startCursorUs = 1 * Step, chunkSize = 4,
+      playback = Some(bucket))
+    var liveNext = 401
+    var ticks = 0
+    // 20 live events/tick: growth must pass 8 and 16 to outpace it
+    while (session.effectiveChunk < 32 && ticks < 40) {
+      ticks += 1
+      nowUs += 1000000L // refill to burst: full un-paced grants
+      session.replayStep(spark, path, serverSeq)(_ => ())
+      val batch = liveNext until liveNext + 20
+      append(path, batch)
+      serverSeq = batch.last * Step
+      liveNext += 20
+    }
+    val grown = session.effectiveChunk
+    assert(grown >= 32,
+      s"setup: chunk should have grown, got $grown; trace=${session.trace.toArray.mkString(" | ")}")
+    // phase 2: trickle tokens — budget ≈ 3 per step, scans underfull
+    var steps = 0
+    while (session.effectiveChunk > 4 && steps < 60) {
+      steps += 1
+      nowUs += 3
+      session.replayStep(spark, path, serverSeq)(_ => ())
+    }
+    assert(session.effectiveChunk == 4,
+      s"chunk never decayed back from $grown (at ${session.effectiveChunk}); " +
+        s"trace=${session.trace.toArray.mkString(" | ")}")
+    // phase 3: full speed, drain to cutover
+    steps = 0
+    while (session.replaying && steps < 400) {
+      steps += 1
+      nowUs += 1000000L
+      session.replayStep(spark, path, serverSeq)(_ => ())
+    }
+    assert(!session.replaying, "session must still cut over after decay")
+    // regrow by hand, then rearm must reset
+    session.rearmReplay()
+    assert(session.replaying && session.effectiveChunk == 4,
+      "rearm must re-enter replay at the configured chunk size")
+  }
+
+  test("snapshot budget: concurrent sessions share the pool; peak stays bounded; floor keeps them live") {
+    // 50 sessions × chunk 2000 against a 20k-row pool: unbounded, the
+    // aggregate appetite would be 100k rows in flight; the pool must cap
+    // the PEAK at totalRows + FloorRows × sessions while every session
+    // still drains its backlog to cutover (the floor guarantees
+    // progress when the pool is exhausted).
+    val path = tmpDir("cutover-budget")
+    append(path, 1 to 300)
+    // own pool: shrinking the SHARED default would clamp unrelated
+    // suites' sessions running concurrently in this JVM
+    val testPool = new CutoverSession.SnapshotPool(20000L)
+    try {
+      val sessions = (1 to 50).map(_ =>
+        new CutoverSession(Subscribe.SubscriberSpec(), startCursorUs = 1 * Step,
+          chunkSize = 2000, pool = testPool))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val counts = new java.util.concurrent.atomic.AtomicLongArray(50)
+      sessions.zipWithIndex.foreach { case (s, i) =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try {
+              var steps = 0
+              while (s.replaying && steps < 100) {
+                steps += 1
+                s.replayStep(spark, path, 300 * Step)(df =>
+                  counts.addAndGet(i, df.count()))
+              }
+            } catch { case t: Throwable => errs.add(t); () }
+        })
+      }
+      pool.shutdown()
+      assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS))
+      assert(errs.isEmpty, s"session error: ${errs.peek()}")
+      sessions.foreach(s => assert(!s.replaying, "a session never finished"))
+      // replay is cursor-INCLUSIVE: events 1..300
+      (0 until 50).foreach(i => assert(counts.get(i) == 300L,
+        s"session $i delivered ${counts.get(i)} of 300"))
+      val peak = testPool.peak
+      val cap = 20000L + testPool.floorRows * 50
+      assert(peak <= cap, s"snapshot peak $peak exceeded pool+floor cap $cap")
+      assert(testPool.inFlight == 0L, "leaked reservation")
+    } finally ()
+  }
+
   test("cutover happens within CutoverThresholdUs/2 of the live head (server.go:322)") {
     val path = tmpDir("cutover-margin")
     append(path, 1 to 50)

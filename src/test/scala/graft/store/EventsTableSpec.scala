@@ -99,6 +99,67 @@ class EventsTableSpec extends SparkSpec {
     assert(EventsTable.read(spark, path).count() == 40L * 200)
   }
 
+  test("sharded append visibility is prefix-closed WITHIN an hour (multi-file hours)") {
+    // shards=4 writes several time-contiguous files per hour, renamed in
+    // (hour, part-index) ascending order. The lister tracks, per hour
+    // dir and writer uuid, which part indices it has seen: a part index
+    // NEWLY appearing after a HIGHER index of the same write was already
+    // visible means a later time slice became visible first — the gap
+    // bug, one level finer than the hour-granularity pin above.
+    val path = tmpDir("events-prefix-sharded")
+    new java.io.File(path).mkdirs()
+    @volatile var done = false
+    @volatile var violation: String = null
+    val seen = scala.collection.mutable.Map.empty[(String, String), scala.collection.mutable.Set[Int]]
+    val lister = new Thread(() => {
+      while (!done && violation == null) {
+        val root = new java.io.File(path)
+        Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(d => d.isDirectory && d.getName.startsWith(s"${EventsTable.PartitionCol}="))
+          .sortBy(_.getName)
+          .foreach { d =>
+            Option(d.list()).getOrElse(Array.empty)
+              .filter(n => n.startsWith("part-") && !n.endsWith(".crc")).sorted
+              .foreach { n =>
+                val bits = n.split("-", 3)
+                if (bits.length >= 3) {
+                  val idx = bits(1).toInt
+                  val key = (d.getName, bits(2)) // (hour dir, writer uuid + suffix tail is uuid-unique per job)
+                  val s = seen.getOrElseUpdate(key, scala.collection.mutable.Set.empty)
+                  if (!s.contains(idx)) {
+                    if (s.exists(_ > idx))
+                      violation = s"${d.getName}: part $idx appeared after part ${s.filter(_ > idx).min}"
+                    s += idx
+                  }
+                }
+              }
+          }
+      }
+    })
+    lister.setDaemon(true)
+    lister.start()
+    (0 until 40).foreach { k =>
+      val base = 2L * k * HourUs
+      val df = (0L until 400L)
+        .map(i => (base + i * (2 * HourUs) / 400, s"did$i", "c"))
+        .toDF("time_us", "did", "collection").repartition(4)
+      EventsTable.append(df, path, shards = 4)
+    }
+    done = true
+    lister.join(5000)
+    assert(violation == null, s"visibility violation: $violation")
+    // multi-file hours actually happened (the point of the shards knob)
+    val multi = new java.io.File(path).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith(s"${EventsTable.PartitionCol}="))
+      .map(d => d.list().count(n => n.startsWith("part-") && !n.endsWith(".crc")))
+    assert(multi.exists(_ >= 2), s"expected multi-file hours, got ${multi.mkString(",")}")
+    assert(EventsTable.read(spark, path).count() == 40L * 400)
+    // the replay contract survives the sharded layout
+    val replayed = EventsTable.replay(spark, path, 0L).select("time_us")
+      .as[Long].collect()
+    assert(replayed.length == 40 * 400 && replayed.sameElements(replayed.sorted))
+  }
+
   test("appends accumulate (at-least-once append contract)") {
     val path = tmpDir("events-append")
     EventsTable.append(sampleEvents.limit(10), path)
