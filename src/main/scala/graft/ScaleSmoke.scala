@@ -77,6 +77,164 @@ object ScaleSmoke {
       return
     }
 
+    if (args.headOption.contains("tailcost")) {
+      // `runMain graft.ScaleSmoke tailcost` — per-trigger tail-read
+      // cost as the LIVE hour fragments (one file per 1 s ingest
+      // trigger): a 5-minute soak leaves ~300 files in the open hour,
+      // and every serve trigger re-plans/re-lists/re-reads it. Measures
+      // the cost of "read rows with time_us > hwm" (the serve tail's
+      // per-trigger scan) against hour dirs of 30/150/300/600 files.
+      import spark.implicits._
+      Seq(30, 150, 300, 600).foreach { files =>
+        val dir = java.nio.file.Files.createTempDirectory("graft-tailcost").toString
+        val perFile = 20000L
+        (0 until files).foreach { i =>
+          val base = i * perFile
+          spark.range(base, base + perFile).select(
+            (col("id") + 1000L).as("time_us"),
+            concat(lit("did"), col("id") % 1000).as("did"),
+            lit("app.bsky.feed.post").as("collection"),
+            lit("{\"k\":\"v\"}").as("record"))
+            .coalesce(1).write.mode("append")
+            .parquet(s"$dir/event_hour=0")
+        }
+        val hwm = (files - 1) * perFile + 1000L // only the last file's rows are new
+        val secs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val got = EventsTable.read(spark, dir)
+            .filter(col("time_us") > hwm).count()
+          assert(got == perFile - 1, s"got $got")
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[tailcost] files=$files: per-trigger tail read ${secs.min}%.3fs (min of 3)")
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("wsegress")) {
+      // `runMain graft.ScaleSmoke wsegress [nFrames]` — decompose the
+      // per-subscriber WebSocket delivery ceiling the 25k soak hit:
+      // a minimal RFC 6455 server blasts soak-shaped ~250 B frames at
+      // full speed to three readers in turn — (a) the JDK WebSocket
+      // client with the soak subscriber's 3-regex parse, (b) the JDK
+      // client counting only, (c) a raw-socket reader parsing frames
+      // off the InputStream directly. (a)-(b) = parse cost; (b)-(c) =
+      // the JDK client machinery itself; (c) = server framing + TCP.
+      val nFrames = args.lift(1).map(_.toInt).getOrElse(1000000)
+      val frame = """{"did":"did:plc:abcdefghijklmnop","time_us":1755237000000000,"type":"com","commit":{"rev":"3kz","type":"c","collection":"app.bsky.feed.post","rkey":"3kabc","record":"{\"sw\":1755237000000000,\"n\":123456,\"text\":\"hello world\"}","cid":"bafyrei"}}"""
+      val payload = frame.getBytes("UTF-8")
+      val server = new java.net.ServerSocket(0)
+      val t = new Thread(() => {
+        while (true) {
+          val s = server.accept()
+          val in = s.getInputStream
+          val req = new StringBuilder
+          while (req.length < 4 || req.substring(req.length - 4) != "\r\n\r\n") {
+            val b = in.read(); if (b == -1) throw new java.io.EOFException
+            req.append(b.toChar); ()
+          }
+          val key = req.toString.split("\r\n")
+            .find(_.toLowerCase.startsWith("sec-websocket-key:")).get.split(":", 2)(1).trim
+          val accept = java.util.Base64.getEncoder.encodeToString(
+            java.security.MessageDigest.getInstance("SHA-1").digest(
+              (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").getBytes("US-ASCII")))
+          val out = new java.io.BufferedOutputStream(s.getOutputStream, 1 << 16)
+          out.write(("HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n" +
+            s"Connection: Upgrade\r\nSec-WebSocket-Accept: $accept\r\n\r\n").getBytes("US-ASCII"))
+          out.flush()
+          var i = 0
+          while (i < nFrames) {
+            out.write(0x81); out.write(126)
+            out.write(payload.length >> 8); out.write(payload.length & 0xff)
+            out.write(payload)
+            i += 1
+          }
+          val end = "END".getBytes("UTF-8")
+          out.write(0x81); out.write(end.length); out.write(end); out.flush()
+        }
+      }, "wsegress-server")
+      t.setDaemon(true); t.start()
+      val uri = java.net.URI.create(s"ws://localhost:${server.getLocalPort}/subscribe")
+
+      def jdkClient(parse: Boolean): Double = {
+        val done = new java.util.concurrent.CountDownLatch(1)
+        val n = new java.util.concurrent.atomic.AtomicLong
+        val swRe = """sw\\?"\s*:\s*(\d+)""".r
+        val nRe = """"n\\?"\s*:\s*(\d+)""".r
+        val tRe = """"time_us":(\d+)""".r
+        val partial = new StringBuilder
+        val t0 = System.nanoTime()
+        val ws = java.net.http.HttpClient.newHttpClient().newWebSocketBuilder()
+          .buildAsync(uri, new java.net.http.WebSocket.Listener {
+            override def onText(w: java.net.http.WebSocket, data: CharSequence,
+                last: Boolean): java.util.concurrent.CompletionStage[_] = {
+              partial.append(data)
+              if (last) {
+                val line = partial.toString; partial.setLength(0)
+                if (line == "END") done.countDown()
+                else {
+                  if (parse) {
+                    nRe.findFirstMatchIn(line)
+                    tRe.findFirstMatchIn(line)
+                    swRe.findFirstMatchIn(line)
+                    ()
+                  }
+                  n.incrementAndGet(); ()
+                }
+              }
+              w.request(1)
+              null
+            }
+          }).join()
+        done.await()
+        val sec = (System.nanoTime() - t0) / 1e9
+        ws.abort()
+        n.get() / sec
+      }
+
+      def rawClient(): Double = {
+        val s = new java.net.Socket("localhost", server.getLocalPort)
+        val out = s.getOutputStream
+        out.write(("GET /subscribe HTTP/1.1\r\nHost: localhost\r\nUpgrade: websocket\r\n" +
+          "Connection: Upgrade\r\nSec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n" +
+          "Sec-WebSocket-Version: 13\r\n\r\n").getBytes("US-ASCII"))
+        out.flush()
+        val in = new java.io.BufferedInputStream(s.getInputStream, 1 << 16)
+        val head = new StringBuilder
+        while (head.length < 4 || head.substring(head.length - 4) != "\r\n\r\n") {
+          head.append(in.read().toChar); ()
+        }
+        val t0 = System.nanoTime()
+        var count = 0L
+        var endSeen = false
+        while (!endSeen) {
+          in.read() // FIN|TEXT
+          val l0 = in.read() & 0x7f
+          val len =
+            if (l0 < 126) l0
+            else if (l0 == 126) (in.read() << 8) | in.read()
+            else (0 until 8).foldLeft(0)((a, _) => (a << 8) | in.read())
+          val buf = new Array[Byte](len)
+          var off = 0
+          while (off < len) off += in.read(buf, off, len - off)
+          if (len == 3 && new String(buf, "UTF-8") == "END") endSeen = true
+          else count += 1
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        s.close()
+        count / sec
+      }
+
+      println(f"[wsegress] raw-socket reader:        ${rawClient() / 1000}%.0fk frames/s")
+      println(f"[wsegress] JDK WS client, count only: ${jdkClient(parse = false) / 1000}%.0fk frames/s")
+      println(f"[wsegress] JDK WS client, soak parse: ${jdkClient(parse = true) / 1000}%.0fk frames/s")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("spans")) {
       // `runMain graft.ScaleSmoke spans` — substring_spans growth at a
       // BIGGER small end (VERDICT r12 #6): the sf0.01→sf0.1 gate spans

@@ -146,6 +146,8 @@ object SparkEntry {
     "phrase_search"      -> ExtQueries.phraseSearch _,
     "phrase_search3"     -> ExtQueries.phraseSearch3 _,
     "phrase_search_rep"  -> ExtQueries.phraseSearchRep _,
+    "quality_lr_train"   -> ExtQueries.qualityLrTrain _,
+    "quality_lr_score"   -> ExtQueries.qualityLrScore _,
     "bigram_logprob"     -> ExtQueries.bigramLogProb _,
     "unigram_logprob"    -> ExtQueries.unigramLogprob _,
     "quality_lang_gate"  -> ExtQueries.qualityLangGate _,
@@ -1132,6 +1134,8 @@ object SparkEntry {
         |JOIN (SELECT doc_id, pos - 1 AS p0 FROM pts WHERE token = 'table') b
         |  USING (doc_id, p0)
         |GROUP BY a.doc_id""".stripMargin,
+    "quality_lr_train" -> graft.ext.Classifier.trainOracleSql(),
+    "quality_lr_score" -> graft.ext.Classifier.scoreOracleSql(),
     "phrase_search3" ->
       // 3-term anchor-align: term i joins on (doc, pos - i)
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -1,0 +1,194 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Portable.pround
+
+/** Trained document-quality classifier — fastText-flavored logistic
+  * regression over HASHED token features (Joulin et al. 2016's bag of
+  * hashed n-grams, without the embedding layer), trained by full-batch
+  * gradient descent where EVERY epoch is one pair of key-bounded
+  * aggregations — the [[Similarity.kmeansCentroids]]/[[Bpe.learnMerges]]
+  * driver-loop shape already adjudicated for K-row collects:
+  *
+  *   1. margins: features ⋈ broadcast weights → per-doc sum (one
+  *      shuffle keyed by doc);
+  *   2. gradient: per-doc error σ(m)−y joined back to features → per-
+  *      feature sum (one shuffle keyed by feature index, ≤ `dim` rows
+  *      collected).
+  *
+  * At 100 TB the corpus-proportional tables are (doc, feature-idx)
+  * pairs — linear, shuffled on bounded keys; the only driver state is
+  * the `dim`-sized weight vector. This is the LEARNED quality gate the
+  * rule-based gates ([[TextStats]] Gopher rules, quality_score) feed:
+  * train on a labeled slice (here: a deterministic rule label, so the
+  * whole pipeline is oracle-checkable), score the full corpus with one
+  * map-side pass.
+  *
+  * == Cross-engine exactness ==
+  *
+  * Iterative FP training normally diverges across engines (k-means is
+  * no-oracle for this reason). Here every epoch QUANTIZES at 1e-9 via
+  * [[pround]] — margins before the sigmoid, weights after the update.
+  * Summation-order noise (~1e-12 over the fixture's doc counts) and
+  * libm-vs-Java `exp` last-ulp differences (~1e-13 propagated) sit far
+  * below the quantum, so the trained weights are bit-identical in
+  * Spark and DuckDB and the queries hash-match like any other.
+  * Reference: n/a — jetstream has no ML surface; north-star operator
+  * (BASELINE.json).
+  */
+object Classifier {
+
+  /** Feature space size (hashed token buckets); bias lives at index
+    * `dim`.
+    */
+  val Dim = 256
+
+  /** md5-derived portable token hash into [0, dim) — the repo's
+    * standard cross-engine hash (README portability rules).
+    */
+  private def featIdx(token: Column, dim: Int): Column =
+    pmod(conv(substring(md5(token), 1, 8), 16, 10).cast("long"), lit(dim.toLong))
+
+  /** Distinct (id, feature_idx) pairs — binary presence features. */
+  def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = Dim): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .select(col(idCol), featIdx(col("token"), dim).as("feature_idx"))
+      .distinct()
+
+  /** The deterministic rule label the classifier learns to mimic:
+    * docs with ≥ 30 words and ≥ 35% distinct words are "quality".
+    * Integer cross-multiplication — no FP compare at the boundary.
+    */
+  def ruleLabel(textCol: Column): Column =
+    (size(split(textCol, " ")) >= 30 &&
+      size(array_distinct(split(textCol, " "))) * 100 >=
+        size(split(textCol, " ")) * 35).cast("double")
+
+  /** Train `epochs` of full-batch logistic regression; returns the
+    * (feature_idx, weight) table with the bias at feature_idx = dim.
+    * Deterministic (see the exactness note in the object doc).
+    */
+  def train(df: DataFrame, idCol: String, textCol: String,
+      epochs: Int = 3, lr: Double = 0.5, dim: Int = Dim): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docs = df.select(col(idCol).as("__id"), ruleLabel(col(textCol)).as("y")).cache()
+    val feats = hashedFeatures(df, idCol, textCol, dim)
+      .withColumnRenamed(idCol, "__id").cache()
+    try {
+      val n = docs.count().toDouble
+      val w = new Array[Double](dim + 1) // [0, dim) features, dim = bias
+      def q(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+      (1 to epochs).foreach { _ =>
+        val wDf = w.zipWithIndex.take(dim)
+          .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("feature_idx", "w")
+        val errs = feats
+          .join(broadcast(wDf), "feature_idx")
+          .groupBy(col("__id")).agg(sum(col("w")).as("m0"))
+          // right join keeps docs with no features (empty text): margin
+          // is the bias alone
+          .join(docs, Seq("__id"), "right_outer")
+          .select(col("__id"), col("y"),
+            (lit(1.0) / (lit(1.0) +
+              exp(-pround(coalesce(col("m0"), lit(0.0)) + lit(w(dim)), 9))) - col("y"))
+              .as("err"))
+          .cache()
+        val grad = errs.join(feats, "__id")
+          .groupBy(col("feature_idx")).agg(sum(col("err")).as("g"))
+          .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+        val gBias = errs.agg(sum(col("err"))).head().getDouble(0)
+        errs.unpersist()
+        (0 until dim).foreach(i => w(i) = q(w(i) - lr / n * grad.getOrElse(i, 0.0)))
+        w(dim) = q(w(dim) - lr / n * gBias)
+      }
+      w.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+        .toDF("feature_idx", "weight")
+    } finally { docs.unpersist(); feats.unpersist(); () }
+  }
+
+  /** Score every document with trained weights: σ(w·x + b), rounded for
+    * the oracle boundary, plus the predicted gate and its agreement
+    * with the rule label — ONE map-side-joinable pass over the corpus
+    * (weights broadcast; no iteration at scoring time).
+    */
+  def score(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, dim: Int = Dim): DataFrame = {
+    val bias = weights.filter(col("feature_idx") === dim)
+      .select(col("weight")).head().getDouble(0)
+    val feats = hashedFeatures(df, idCol, textCol, dim)
+    val margins = feats
+      .join(broadcast(weights.filter(col("feature_idx") < dim)), "feature_idx")
+      .groupBy(col(idCol)).agg(sum(col("weight")).as("m0"))
+    df.select(col(idCol), ruleLabel(col(textCol)).as("y"))
+      .join(margins, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        pround(lit(1.0) / (lit(1.0) +
+          exp(-pround(coalesce(col("m0"), lit(0.0)) + lit(bias), 9))), 6).as("score"))
+      .join(df.select(col(idCol), ruleLabel(col(textCol)).cast("long").as("rule_label")), idCol)
+      .withColumn("predicted", (col("score") >= 0.5).cast("long"))
+      .withColumn("agree", (col("predicted") === col("rule_label")).cast("long"))
+      .select(col(idCol), col("score"), col("predicted"), col("rule_label"), col("agree"))
+  }
+
+  // ------------------------------------------------------------- oracle
+
+  /** Shared DuckDB CTE chain: docs with the rule label, distinct hashed
+    * features, and `epochs` textually-unrolled training rounds — the
+    * same quantized update as [[train]]. Weight tables are generic in
+    * `dim` (no per-dimension text), only epochs unroll.
+    */
+  private def trainCtes(epochs: Int, lr: Double, dim: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""docs AS MATERIALIZED (SELECT doc_id,
+      |  CASE WHEN len(string_split(text, ' ')) >= 30
+      |        AND len(list_distinct(string_split(text, ' '))) * 100 >=
+      |            len(string_split(text, ' ')) * 35
+      |       THEN 1.0 ELSE 0.0 END AS y FROM documents),
+      |n AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM docs),
+      |feats AS MATERIALIZED (SELECT DISTINCT doc_id,
+      |  (('0x' || substr(md5(token), 1, 8))::BIGINT % $dim) AS feature_idx
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> ''),
+      |w0 AS MATERIALIZED (SELECT unnest(range(0, $dim))::BIGINT AS feature_idx, 0.0 AS w),
+      |b0 AS MATERIALIZED (SELECT 0.0 AS b)""".stripMargin
+    for (i <- 1 to epochs) {
+      val p = i - 1
+      sb ++= s""",
+        |e$i AS MATERIALIZED (SELECT d.doc_id,
+        |    1.0 / (1.0 + exp(-(floor((coalesce(m.m0, 0.0) + (SELECT b FROM b$p)) * 1e9 + 0.5) / 1e9))) - d.y AS err
+        |  FROM docs d LEFT JOIN (
+        |    SELECT f.doc_id, sum(w.w) AS m0 FROM feats f JOIN w$p w USING (feature_idx)
+        |    GROUP BY f.doc_id) m ON d.doc_id = m.doc_id),
+        |w$i AS MATERIALIZED (SELECT w.feature_idx,
+        |    floor((w.w - $lr / (SELECT n FROM n) * coalesce(g.g, 0.0)) * 1e9 + 0.5) / 1e9 AS w
+        |  FROM w$p w LEFT JOIN (
+        |    SELECT f.feature_idx, sum(e.err) AS g FROM e$i e JOIN feats f USING (doc_id)
+        |    GROUP BY f.feature_idx) g ON w.feature_idx = g.feature_idx),
+        |b$i AS MATERIALIZED (SELECT floor(((SELECT b FROM b$p) - $lr / (SELECT n FROM n) *
+        |    (SELECT sum(err) FROM e$i)) * 1e9 + 0.5) / 1e9 AS b)""".stripMargin
+    }
+    sb.result()
+  }
+
+  /** Oracle SQL twin of [[train]]. */
+  def trainOracleSql(epochs: Int = 3, lr: Double = 0.5, dim: Int = Dim): String =
+    s"WITH ${trainCtes(epochs, lr, dim)}\n" +
+      s"SELECT feature_idx, w AS weight FROM w$epochs " +
+      s"UNION ALL SELECT $dim::BIGINT AS feature_idx, b AS weight FROM b$epochs"
+
+  /** Oracle SQL twin of train + [[score]]. */
+  def scoreOracleSql(epochs: Int = 3, lr: Double = 0.5, dim: Int = Dim): String =
+    s"""WITH ${trainCtes(epochs, lr, dim)},
+       |margins AS (SELECT f.doc_id, sum(w.w) AS m0
+       |  FROM feats f JOIN w$epochs w USING (feature_idx) GROUP BY f.doc_id)
+       |SELECT d.doc_id,
+       |  floor((1.0 / (1.0 + exp(-(floor((coalesce(m.m0, 0.0) + (SELECT b FROM b$epochs)) * 1e9 + 0.5) / 1e9)))) * 1e6 + 0.5) / 1e6 AS score,
+       |  (floor((1.0 / (1.0 + exp(-(floor((coalesce(m.m0, 0.0) + (SELECT b FROM b$epochs)) * 1e9 + 0.5) / 1e9)))) * 1e6 + 0.5) / 1e6 >= 0.5)::BIGINT AS predicted,
+       |  d.y::BIGINT AS rule_label,
+       |  ((floor((1.0 / (1.0 + exp(-(floor((coalesce(m.m0, 0.0) + (SELECT b FROM b$epochs)) * 1e9 + 0.5) / 1e9)))) * 1e6 + 0.5) / 1e6 >= 0.5)::BIGINT = d.y::BIGINT)::BIGINT AS agree
+       |FROM docs d LEFT JOIN margins m ON d.doc_id = m.doc_id""".stripMargin
+}

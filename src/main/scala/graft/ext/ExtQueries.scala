@@ -250,6 +250,24 @@ object ExtQueries {
     Retrieval.phraseSearch(Tables.documents(spark, dir), "doc_id", "text",
       phrase = Seq("sort", "sort"))
 
+  /** E3 — TRAINED quality classifier, learning phase
+    * ([[Classifier.train]]): 3 epochs of full-batch logistic regression
+    * over hashed token features; returns the weight table (bias at
+    * feature_idx = Dim). Iterative FP made oracle-exact by per-epoch
+    * 1e-9 quantization.
+    */
+  def qualityLrTrain(spark: SparkSession, dir: String): DataFrame =
+    Classifier.train(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** E3 — trained-classifier scoring pass ([[Classifier.score]]): every
+    * document's σ(w·x+b), predicted gate, rule label, agreement.
+    */
+  def qualityLrScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Classifier.score(docs, "doc_id", "text",
+      Classifier.train(docs, "doc_id", "text"))
+  }
+
   /** E3 — corpus bigram LM scored per document: add-one-smoothed
     * transition NLL, the shuffled-text signal the unigram model misses
     * ([[Retrieval.bigramLogProb]]).

@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hashed-feature logistic-regression quality classifier: learning
+  * happens (loss drops, a separable rule is learned), training is
+  * deterministic, and the weight table has the documented shape.
+  */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // separable toy corpus: "quality" docs have 40 distinct words, junk
+  // docs are short or one word repeated (fails the distinct-ratio rule)
+  private def toyDocs = {
+    val rnd = new scala.util.Random(5)
+    val vocab = (1 to 300).map(i => s"w$i")
+    val good = (1L to 20L).map(i =>
+      (i, (1 to 40).map(_ => vocab(rnd.nextInt(vocab.size))).distinct.take(40).mkString(" ") +
+        " " + (1 to 10).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val junk = (21L to 40L).map(i =>
+      (i, if (i % 2 == 0) ("spam " * 50).trim else (1 to 8).map(_ => vocab(rnd.nextInt(8))).mkString(" ")))
+    (good ++ junk).toDF("doc_id", "text")
+  }
+
+  test("weight table shape: dim feature rows + one bias row") {
+    val w = Classifier.train(toyDocs, "doc_id", "text", epochs = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(w.size == Classifier.Dim + 1)
+    assert(w.contains(Classifier.Dim.toLong), "bias row missing")
+  }
+
+  test("training learns the separable rule: agreement ≥ 0.9, deterministic") {
+    val docs = toyDocs
+    def run() = {
+      val w = Classifier.train(docs, "doc_id", "text", epochs = 40, lr = 2.0)
+      Classifier.score(docs, "doc_id", "text", w)
+        .select("doc_id", "score", "predicted", "rule_label", "agree")
+        .as[(Long, Double, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    val a = run()
+    val agree = a.map(_._5).sum.toDouble / a.size
+    assert(agree >= 0.9, s"train-set agreement $agree after 40 epochs")
+    // determinism: the quantized updates make retraining bit-identical
+    assert(run() == a)
+  }
+
+  test("loss decreases from the zero-weight baseline") {
+    val docs = toyDocs.cache()
+    def loss(epochs: Int): Double = {
+      val w = Classifier.train(docs, "doc_id", "text", epochs = epochs, lr = 1.0)
+      val scored = Classifier.score(docs, "doc_id", "text", w)
+      scored.select(avg(
+        -(col("rule_label") * log(greatest(col("score"), lit(1e-9))) +
+          (lit(1.0) - col("rule_label")) *
+            log(greatest(lit(1.0) - col("score"), lit(1e-9))))))
+        .head().getDouble(0)
+    }
+    val l1 = loss(1)
+    val l10 = loss(10)
+    assert(l10 < l1, s"loss did not decrease: epoch1 $l1 -> epoch10 $l10")
+    assert(l1 < 0.6932, s"one epoch should already beat the 0.693 zero-weight loss, got $l1")
+    docs.unpersist()
+  }
+
+  test("scoring with given weights is one broadcast pass (no train-time loop)") {
+    val docs = toyDocs
+    val w = Classifier.train(docs, "doc_id", "text", epochs = 2)
+    val scored = Classifier.score(docs, "doc_id", "text", w)
+    assert(scored.columns.toSeq ==
+      Seq("doc_id", "score", "predicted", "rule_label", "agree"))
+    assert(scored.count() == 40)
+    // empty-text edge: margin is the bias alone, never a dropped row
+    val withEmpty = docs.union(Seq((99L, "")).toDF("doc_id", "text"))
+    assert(Classifier.score(withEmpty, "doc_id", "text", w).count() == 41)
+  }
+}
