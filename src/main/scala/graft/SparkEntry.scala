@@ -130,8 +130,9 @@ object SparkEntry {
     "cbor_roundtrip"     -> ScalarQueries.cborRoundtrip _,
     "ivf_probe2"         -> ExtQueries.ivfProbe2 _,
     "ivf_probe_auto"     -> ExtQueries.ivfProbeAuto _,
-    // learned-quantizer probe: no oracle by design (iterative FP k-means
-    // isn't SQL-expressible); gated by RecallSpec's recall floor instead
+    // learned-quantizer probe: ORACLE-GATED since round 13 (quantized
+    // k-means made the iterative learning SQL-expressible — Similarity
+    // .ivfKmeansProbeOracleSql), plus RecallSpec's recall floor
     "ivf_probe_kmeans"   -> ExtQueries.ivfProbeKmeans _,
     // --- round 7: sub-document boilerplate dedup + PII scrubbing
     "chunk_dedup"        -> ExtQueries.chunkDedup _,
@@ -148,6 +149,7 @@ object SparkEntry {
     "phrase_search_rep"  -> ExtQueries.phraseSearchRep _,
     "quality_lr_train"   -> ExtQueries.qualityLrTrain _,
     "quality_lr_score"   -> ExtQueries.qualityLrScore _,
+    "kmeans_centroids"   -> ExtQueries.kmeansCentroidsQuery _,
     "bigram_logprob"     -> ExtQueries.bigramLogProb _,
     "unigram_logprob"    -> ExtQueries.unigramLogprob _,
     "quality_lang_gate"  -> ExtQueries.qualityLangGate _,
@@ -1136,6 +1138,8 @@ object SparkEntry {
         |GROUP BY a.doc_id""".stripMargin,
     "quality_lr_train" -> graft.ext.Classifier.trainOracleSql(),
     "quality_lr_score" -> graft.ext.Classifier.scoreOracleSql(),
+    "kmeans_centroids" -> graft.ext.Similarity.kmeansOracleSql(k = 8, iters = 3),
+    "ivf_probe_kmeans" -> graft.ext.Similarity.ivfKmeansProbeOracleSql(),
     "phrase_search3" ->
       // 3-term anchor-align: term i joins on (doc, pos - i)
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

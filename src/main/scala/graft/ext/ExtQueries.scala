@@ -250,6 +250,23 @@ object ExtQueries {
     Retrieval.phraseSearch(Tables.documents(spark, dir), "doc_id", "text",
       phrase = Seq("sort", "sort"))
 
+  /** E2 — the learned k-means coarse quantizer's CENTROID TABLE,
+    * hash-gated ([[Similarity.kmeansCentroids]] with the round-13
+    * 1e-9 quantization): k=8 cells × 3 iterations over the embeddings
+    * corpus, exploded to (cell, dim_i, c) rows. This upgrades the
+    * k-means learning from "no-oracle by design" (iterative FP) to
+    * oracle-exact; `ivf_probe_kmeans` stays additionally gated by
+    * RecallSpec's recall floor.
+    */
+  def kmeansCentroidsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.kmeansCentroids(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, iters = 3)
+    import spark.implicits._
+    cents.zipWithIndex.flatMap { case (c, j) =>
+      c.zipWithIndex.map { case (v, i) => (j.toLong, i.toLong, v) }
+    }.toDF("cell", "dim_i", "c")
+  }
+
   /** E3 — TRAINED quality classifier, learning phase
     * ([[Classifier.train]]): 3 epochs of full-batch logistic regression
     * over hashed token features; returns the weight table (bias at
@@ -486,11 +503,14 @@ object ExtQueries {
     }
 
   /** E2 — IVF probe over the LEARNED coarse quantizer (the real-corpus
-    * path: no precomputed cell labels exist at 100 TB). Registered
-    * without an oracle BY DESIGN — iterative FP k-means is not
-    * SQL-expressible; its quality gate is RecallSpec's ≥0.8 recall@10
-    * floor on the planted-cluster fixture, and determinism (hash-seeded
-    * init) makes the result reproducible run-to-run.
+    * path: no precomputed cell labels exist at 100 TB). Oracle-gated
+    * since round 13: the 1e-9-quantized k-means update made the
+    * iterative learning SQL-expressible
+    * ([[Similarity.ivfKmeansProbeOracleSql]] unrolls learn → final
+    * assignment → served-centroid ranking → brute top-k within the
+    * probed cells), closing the engine's last no-oracle query.
+    * RecallSpec's ≥0.8 recall@10 floor still gates QUALITY (a
+    * hash-exact probe can still be a bad quantizer).
     */
   def ivfProbeKmeans(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfProbe(spark, ivfKmeansIndexFor(spark, dir),

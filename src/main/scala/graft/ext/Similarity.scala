@@ -219,16 +219,22 @@ object Similarity {
     * dot-products are native [[graft.functions.VecDot]] loops, so the
     * whole assignment stays inside WholeStageCodegen — one corpus pass,
     * no join, no shuffle. Ties take the higher cell index,
-    * deterministically (array_max over (score, j) structs). Sized for
-    * coarse quantizers (K up to a few hundred literal expressions);
-    * beyond that, switch to an explode+join assignment.
+    * deterministically (array_max over (score, j) structs). Scores are
+    * QUANTIZED at 1e-9 before the argmax (round 13): with the
+    * quantized update in [[kmeansCentroids]] this makes the learned
+    * quantizer bit-identical across engines — the technique that made
+    * iterative FP training oracle-exact in [[Classifier]] — while a
+    * genuine sub-1e-9 near-tie resolves by the same deterministic
+    * cell-index rule on both sides. Sized for coarse quantizers (K up
+    * to a few hundred literal expressions); beyond that, switch to an
+    * explode+join assignment.
     */
   def assignCell(vecCol: String, centroids: Seq[Seq[Double]]): Column = {
     require(centroids.nonEmpty)
     val scored = centroids.zipWithIndex.map { case (c, j) =>
       val norm = math.sqrt(c.map(x => x * x).sum)
       val safe = if (norm > 0) norm else 1.0
-      struct((dot(col(vecCol), array(c.map(lit): _*)) / lit(safe)).as("s"),
+      struct(pround(dot(col(vecCol), array(c.map(lit): _*)) / lit(safe), 9).as("s"),
         lit(j).as("j"))
     }
     array_max(array(scored: _*)).getField("j")
@@ -255,7 +261,9 @@ object Similarity {
     }.toDF("__j", "__c", "__n")
     df.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(cents))
-      .withColumn("__s", dot(col(vecCol), col("__c")) / col("__n"))
+      // same 1e-9 score quantization as assignCell (tie behavior and
+      // cross-engine exactness identical between the two forms)
+      .withColumn("__s", pround(dot(col(vecCol), col("__c")) / col("__n"), 9))
       .groupBy(col(idCol))
       .agg(max(struct(col("__s"), col("__j"))).getField("__j").as("label"))
   }
@@ -320,21 +328,115 @@ object Similarity {
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 5): Seq[Seq[Double]] = {
     require(k >= 1 && iters >= 0)
+    // 1e-9 quantization of init components, per-iteration means, and
+    // (in assignCell) argmax scores: corpus-order summation noise
+    // (~1e-14 at fixture scale) sits far below the quantum, so the
+    // learned quantizer is bit-identical in Spark and the DuckDB
+    // oracle's iteration unroll (the Classifier technique) — this is
+    // what upgraded k-means from "no-oracle by design" to hash-gated
+    // (`kmeans_centroids`, round 13)
+    def q(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
     var cents: IndexedSeq[Seq[Double]] = df
       .select(col(idCol).cast("string").as("__id"), toDoubleArr(col(vecCol)).as("__v"))
       .orderBy(md5(col("__id")), col("__id"))
       .limit(k)
-      .collect().map(_.getSeq[Double](1)).toIndexedSeq
+      .collect().map(_.getSeq[Double](1).map(q)).toIndexedSeq
     (1 to iters).foreach { _ =>
       val next = centroidComponents(
         withCellLabels(df, idCol, vecCol, cents, "__cell"), "__cell", vecCol)
         .groupBy(col("__cell"))
         .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
           s => s.getField("c")).as("centroid"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).map(q).toSeq).toMap
       cents = cents.indices.map(j => next.getOrElse(j, cents(j)))
     }
     cents.map(_.toSeq)
+  }
+
+  /** DuckDB oracle twin of [[kmeansCentroids]] (k cells × `iters`
+    * iterations, exploded to (cell, dim_i, c) rows): the same
+    * hash-ordered init, the same quantized argmax-cosine assignment
+    * (scores rounded at 1e-9, ties to the higher cell), the same
+    * quantized per-(cell, dim) mean update with empty-cell carry. Dot
+    * products and norms fold LEFT-TO-RIGHT via `list_reduce` — the
+    * exact evaluation order of the codegen'd [[graft.functions.VecDot]]
+    * loop — so the only cross-engine difference is corpus-order
+    * summation noise inside the mean, ~1e-14 at fixture scale, far
+    * below the 1e-9 quantum.
+    */
+  /** Parametric CTE chain for the quantized k-means unroll: `vSql`
+    * defines the corpus view (vec_id, e DOUBLE[]), `kSql` the scalar
+    * cell count. Produces v, dims, c0 and a_t/m_t/c_t per iteration.
+    */
+  private def kmeansCtes(vSql: String, kSql: String, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""v AS MATERIALIZED ($vSql),
+      |dims AS MATERIALIZED (SELECT unnest(range(0, (SELECT max(len(e)) FROM v)))::BIGINT AS i),
+      |c0 AS MATERIALIZED (
+      |  SELECT rn - 1 AS j, list_transform(e, x -> floor(x * 1e9 + 0.5) / 1e9) AS c
+      |  FROM (SELECT e, row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id::VARCHAR) AS rn
+      |        FROM v)
+      |  WHERE rn <= ($kSql))""".stripMargin
+    for (t <- 1 to iters) {
+      val dot = "list_reduce(list_transform(list_zip(v.e, c.c), p -> p[1] * p[2]), (x, y) -> x + y)"
+      val norm = "sqrt(list_reduce(list_transform(c.c, x -> x * x), (x, y) -> x + y))"
+      sb ++= s""",
+        |a$t AS MATERIALIZED (SELECT vec_id, e, j FROM (
+        |  SELECT v.vec_id, v.e, c.j,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      floor(($dot / (CASE WHEN $norm = 0 THEN 1.0 ELSE $norm END)) * 1e9 + 0.5) / 1e9 DESC,
+        |      c.j DESC) AS rn
+        |  FROM v, c${t - 1} c) WHERE rn = 1),
+        |m$t AS MATERIALIZED (SELECT a.j, d.i, floor(avg(a.e[d.i + 1]) * 1e9 + 0.5) / 1e9 AS m
+        |  FROM a$t a, dims d GROUP BY a.j, d.i),
+        |c$t AS MATERIALIZED (SELECT p.j, coalesce(n.c, p.c) AS c
+        |  FROM c${t - 1} p LEFT JOIN (
+        |    SELECT j, list(m ORDER BY i) AS c FROM m$t GROUP BY j) n ON p.j = n.j)""".stripMargin
+    }
+    sb.result()
+  }
+
+  def kmeansOracleSql(k: Int, iters: Int): String =
+    s"WITH ${kmeansCtes("SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings", k.toString, iters)}\n" +
+      s"SELECT c.j AS cell, d.i AS dim_i, c.c[d.i + 1] AS c FROM c$iters c, dims d"
+
+  /** DuckDB oracle twin of the FULL learned-quantizer probe chain
+    * (`ivf_probe_kmeans`): quantized k-means over the corpus (minus
+    * the query vector), k derived from the corpus size exactly like
+    * the query builder, one final assignment pass with the learned
+    * cells, SERVED centroids re-derived as the per-cell means
+    * ([[buildIvf]]'s layout), cells ranked by the 1e-6-rounded
+    * query-cosine (ties to the lower label — [[ivfProbe]]'s order),
+    * and brute top-k cosine within the nprobe best cells. Rounds 9-12
+    * registered this query no-oracle ("iterative FP k-means is not
+    * SQL-expressible"); the quantized update closed that.
+    */
+  def ivfKmeansProbeOracleSql(iters: Int = 5, nprobe: Int = 2, topk: Int = 10): String = {
+    val learn = kmeansCtes(
+      "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id != 0",
+      "SELECT greatest(4, ceil(sqrt(count(*) / 8.0))::BIGINT) FROM v", iters)
+    val dot = "list_reduce(list_transform(list_zip(v.e, c.c), p -> p[1] * p[2]), (x, y) -> x + y)"
+    val norm = "sqrt(list_reduce(list_transform(c.c, x -> x * x), (x, y) -> x + y))"
+    s"""WITH $learn,
+       |assign AS MATERIALIZED (SELECT vec_id, e, j FROM (
+       |  SELECT v.vec_id, v.e, c.j,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      floor(($dot / (CASE WHEN $norm = 0 THEN 1.0 ELSE $norm END)) * 1e9 + 0.5) / 1e9 DESC,
+       |      c.j DESC) AS rn
+       |  FROM v, c$iters c) WHERE rn = 1),
+       |qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+       |cdims AS (SELECT a.j, d.i, avg(a.e[d.i + 1]) AS c
+       |          FROM assign a, dims d GROUP BY a.j, d.i),
+       |cscores AS (SELECT cd.j,
+       |    floor((sum(cd.c * qv.qe[cd.i + 1]) / sqrt(sum(cd.c * cd.c))) * 1e6 + 0.5) / 1e6 AS s
+       |  FROM cdims cd, qv GROUP BY cd.j),
+       |best AS (SELECT j FROM cscores ORDER BY s DESC, j LIMIT $nprobe),
+       |dd AS (SELECT a.vec_id, a.e[d.i + 1] AS x, qv.qe[d.i + 1] AS y
+       |       FROM assign a JOIN best b ON a.j = b.j, dims d, qv)
+       |SELECT vec_id,
+       |       floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 AS cos
+       |FROM dd GROUP BY vec_id
+       |ORDER BY cos DESC, vec_id LIMIT $topk""".stripMargin
   }
 
   /** IVF index build over an UNLABELED corpus: learn the coarse
