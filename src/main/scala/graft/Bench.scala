@@ -39,6 +39,13 @@ object Bench {
     // distinct-word table) and encode is a map-only pass — both must
     // scale sublinearly-to-linearly in corpus rows
     "bpe_merges", "bpe_encode", "sequence_pack_bpe",
+    // round 13: the other iterative learners — logistic-regression
+    // training (per epoch: one doc-keyed + one feature-keyed
+    // aggregation) and quantized k-means (per iteration: one corpus
+    // argmax pass + a (cell,dim)-keyed aggregate) are corpus-LINEAR
+    // per round by construction; gated so a regression to anything
+    // superlinear trips automatically
+    "quality_lr_train", "quality_lr_score", "kmeans_centroids",
     // row-local codec paths: linear by construction; gated to keep the
     // measured small→big ratio on record alongside the candidate-
     // generation queries (a regression to superlinear here would mean
