@@ -46,6 +46,9 @@ object Bench {
     // per round by construction; gated so a regression to anything
     // superlinear trips automatically
     "quality_lr_train", "quality_lr_score", "kmeans_centroids",
+    // round 13: PQ codebook learning + encode — m sub-quantizers, each
+    // corpus-linear per iteration; the encode is one projection
+    "pq_codes",
     // row-local codec paths: linear by construction; gated to keep the
     // measured small→big ratio on record alongside the candidate-
     // generation queries (a regression to superlinear here would mean
@@ -389,13 +392,20 @@ object Bench {
     segFactors += miniCalibrationSec(spark) / MiniCalibRefSec
     def segSignal(i: Int): Double =
       math.max(segLambdas(i) / JobLatRefSec, segFactors(i))
+    val normMinTimes = scala.collection.mutable.Map.empty[String, Double]
     results.foreach { case (name, t) =>
       val i = segOfQuery(name)
       // max of the two bracketing probes; floored at 0.25 so a
       // pathological sample can never quadruple a query's normalized
       // weight
       val bracket = math.max(segSignal(i), segSignal(i + 1))
-      normTimes(name) = if (t < 0) 0.0 else t / math.max(bracket, 0.25)
+      val div = math.max(bracket, 0.25)
+      normTimes(name) = if (t < 0) 0.0 else t / div
+      // min-of-reps twin: the burst-robust total (a burst inflating one
+      // rep never reaches the min) — emitted alongside so future rounds
+      // can compare which estimator holds the tighter run-to-run floor
+      val tm = minTimes.getOrElse(name, t)
+      normMinTimes(name) = if (tm < 0) 0.0 else tm / div
     }
 
     // Growth gate inputs: min-vs-min on both sides, both mins from the
@@ -446,6 +456,7 @@ object Bench {
 
     // value_norm: per-segment mini-calibration division (MiniCalibRefSec)
     val valueNorm = normTimes.values.sum
+    val valueNormMin = normMinTimes.values.sum
     // keysIterator, NOT keys: mapping a key SET to job counts would
     // dedup equal counts before the sum
     val jobsTotal = results.keysIterator.map(n => jobsPerQuery.getOrElse(n, 0L)).sum
@@ -510,7 +521,7 @@ object Bench {
     }
     val jitMs = java.lang.management.ManagementFactory
       .getCompilationMXBean.getTotalCompilationTime
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","value_norm":$valueNorm,"norm_v":3,"calib_sec":$calibSec,"calib_ref_sec":$CalibRefSec,"noise_factor":$noiseFactor,"job_lat_sec":$jobLatSec,"job_lat_ref_sec":$JobLatRefSec,"jobs_total":$jobsTotal,"gc_ms":$gcMs,"jit_ms":$jitMs,"seg_factors":${
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","value_norm":$valueNorm,"value_norm_min":$valueNormMin,"norm_v":3,"calib_sec":$calibSec,"calib_ref_sec":$CalibRefSec,"noise_factor":$noiseFactor,"job_lat_sec":$jobLatSec,"job_lat_ref_sec":$JobLatRefSec,"jobs_total":$jobsTotal,"gc_ms":$gcMs,"jit_ms":$jitMs,"seg_factors":${
       segFactors.map(f => jnum(f, 3)).mkString("[", ",", "]")
     },"seg_job_lat_ms":${
       segLambdas.map(l => jnum(l * 1000, 1)).mkString("[", ",", "]")

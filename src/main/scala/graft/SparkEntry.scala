@@ -150,6 +150,9 @@ object SparkEntry {
     "quality_lr_train"   -> ExtQueries.qualityLrTrain _,
     "quality_lr_score"   -> ExtQueries.qualityLrScore _,
     "kmeans_centroids"   -> ExtQueries.kmeansCentroidsQuery _,
+    "pq_codes"           -> ExtQueries.pqCodes _,
+    "pq_adc_topk"        -> ExtQueries.pqAdcTopk _,
+    "pq_rerank_topk"     -> ExtQueries.pqRerankTopk _,
     "bigram_logprob"     -> ExtQueries.bigramLogProb _,
     "unigram_logprob"    -> ExtQueries.unigramLogprob _,
     "quality_lang_gate"  -> ExtQueries.qualityLangGate _,
@@ -1140,6 +1143,9 @@ object SparkEntry {
     "quality_lr_score" -> graft.ext.Classifier.scoreOracleSql(),
     "kmeans_centroids" -> graft.ext.Similarity.kmeansOracleSql(k = 8, iters = 3),
     "ivf_probe_kmeans" -> graft.ext.Similarity.ivfKmeansProbeOracleSql(),
+    "pq_codes" -> graft.ext.Similarity.pqCodesOracleSql(dim = 64, m = 4, ksub = 16),
+    "pq_adc_topk" -> graft.ext.Similarity.pqAdcOracleSql(dim = 64, m = 4, ksub = 16),
+    "pq_rerank_topk" -> graft.ext.Similarity.pqRerankOracleSql(dim = 64, m = 4, ksub = 16),
     "phrase_search3" ->
       // 3-term anchor-align: term i joins on (doc, pos - i)
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

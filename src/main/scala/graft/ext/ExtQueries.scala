@@ -267,6 +267,50 @@ object ExtQueries {
     }.toDF("cell", "dim_i", "c")
   }
 
+  /** E2 — product-quantization codes ([[Similarity.pqCodebooks]] +
+    * [[Similarity.pqEncode]]): 64-dim vectors → 4 subspace codewords
+    * (16 each, quantized-L2 k-means) + the stored norm — the m-bytes-
+    * per-vector representation behind billion-scale ANN (Jégou 2011).
+    * Hash-gated end to end (learning included) via the same 1e-9
+    * quantization as `kmeans_centroids`.
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 4, ksub = 16)
+    Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+  }
+
+  /** E2 — PQ asymmetric-distance top-k ([[Similarity.pqAdcTopK]]): the
+    * query stays exact, every corpus vector is scored from m table
+    * lookups over its codes — the scan never touches the original
+    * vectors.
+    */
+  def pqAdcTopk(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0)
+    val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
+      dim = 64, m = 4, ksub = 16)
+    Similarity.pqAdcTopK(
+      Similarity.pqEncode(corpus, "vec_id", "embedding", cb),
+      "vec_id", cb, queryVec(spark, dir))
+  }
+
+  /** E2 — PQ candidates + exact re-rank ([[Similarity.pqAdcRerank]]):
+    * the production PQ composition — ADC picks 50 candidate ids from
+    * the code scan, exact cosine over those 50 originals ranks the
+    * final 10. Raw ADC cannot rank within a tight neighborhood
+    * (cluster members share codes), which RecallSpec demonstrates and
+    * this chain repairs.
+    */
+  def pqRerankTopk(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0)
+    val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
+      dim = 64, m = 4, ksub = 16)
+    Similarity.pqAdcRerank(
+      Similarity.pqEncode(corpus, "vec_id", "embedding", cb),
+      corpus, "vec_id", "embedding", cb, queryVec(spark, dir))
+  }
+
   /** E3 — TRAINED quality classifier, learning phase
     * ([[Classifier.train]]): 3 epochs of full-batch logistic regression
     * over hashed token features; returns the weight table (bias at

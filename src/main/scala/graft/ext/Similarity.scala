@@ -364,36 +364,288 @@ object Similarity {
     * summation noise inside the mean, ~1e-14 at fixture scale, far
     * below the 1e-9 quantum.
     */
+  /** L2 twin of [[assignCell]] — argmin squared distance, via the
+    * reduced form ‖v−c‖² − ‖v‖² = −2·v·c + ‖c‖² (the ‖v‖² term is
+    * constant across cells and cancels): the per-cell key is the
+    * 1e-9-rounded reduced distance, NEGATED so the deterministic
+    * struct-max picks the minimum with ties to the higher cell index —
+    * the exact mirror of the oracle's `ORDER BY dist ASC, j DESC`.
+    * This is the PQ sub-quantizer's assignment (PQ minimizes
+    * reconstruction error, so L2, not cosine).
+    */
+  def assignCellL2(vecCol: Column, centroids: Seq[Seq[Double]]): Column = {
+    require(centroids.nonEmpty)
+    val scored = centroids.zipWithIndex.map { case (c, j) =>
+      val cSq = c.map(x => x * x).sum // sequential fold, oracle-identical
+      struct((-pround(lit(-2.0) * dot(vecCol, array(c.map(lit): _*)) + lit(cSq), 9)).as("s"),
+        lit(j).as("j"))
+    }
+    array_max(array(scored: _*)).getField("j")
+  }
+
+  /** Quantized L2 k-means over `vecCol` (same loop shape, init, update
+    * quantization and empty-cell carry as [[kmeansCentroids]], with the
+    * [[assignCellL2]] metric) — the PQ sub-quantizer learner.
+    */
+  def kmeansCentroidsL2(df: DataFrame, idCol: String, vecCol: Column,
+      k: Int, iters: Int = 3): Seq[Seq[Double]] = {
+    require(k >= 1 && iters >= 0)
+    def q(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    var cents: IndexedSeq[Seq[Double]] = df
+      .select(col(idCol).cast("string").as("__id"), toDoubleArr(vecCol).as("__v"))
+      .orderBy(md5(col("__id")), col("__id"))
+      .limit(k)
+      .collect().map(_.getSeq[Double](1).map(q)).toIndexedSeq
+    (1 to iters).foreach { _ =>
+      val next = centroidComponents(
+        df.withColumn("__cell", assignCellL2(toDoubleArr(vecCol), cents))
+          .withColumn("__v2", vecCol), "__cell", "__v2")
+        .groupBy(col("__cell"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          s => s.getField("c")).as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).map(q).toSeq).toMap
+      cents = cents.indices.map(j => next.getOrElse(j, cents(j)))
+    }
+    cents.map(_.toSeq)
+  }
+
+  /** Product-quantization codebooks: the D-dim space split into `m`
+    * contiguous subspaces of D/m dims, one quantized-L2 codebook of
+    * `ksub` codewords per subspace (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"). Learning cost:
+    * m × iters corpus passes over D/m-dim slices — same total work as
+    * one k-means at full dim. Returns m × ksub × (D/m).
+    */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ksub: Int, iters: Int = 3): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    (0 until m).map { s =>
+      kmeansCentroidsL2(df, idCol,
+        slice(toDoubleArr(col(vecCol)), s * sub + 1, sub), ksub, iters)
+    }
+  }
+
+  /** PQ encode: per vector, the m codeword indices (argmin-L2 per
+    * subspace) plus its exact norm (‖v‖, 1e-9-rounded) — the stored
+    * scalar that lets ADC approximate COSINE, not just inner product.
+    * One codegen'd projection: m × ksub literal distance expressions,
+    * no shuffle, no join — at 100 TB this is the map-only pass that
+    * shrinks a 256 B vector to m bytes + 8.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val sub = codebooks.head.head.size
+    val codeCols = codebooks.zipWithIndex.map { case (cb, s) =>
+      assignCellL2(slice(toDoubleArr(col(vecCol)), s * sub + 1, sub), cb)
+        .cast("long").as(s"code_$s")
+    }
+    df.select(
+      (col(idCol) +: codeCols) :+
+        pround(sqrt(dot(toDoubleArr(col(vecCol)), toDoubleArr(col(vecCol)))), 9).as("vnorm"): _*)
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes:
+    * the query stays EXACT, each corpus vector is its reconstruction —
+    * approx_dot(q, v) = Σₘ dot(q_m, codebook_m[code_m]), turned into an
+    * approximate cosine by the stored ‖v‖. The per-(subspace, codeword)
+    * dot table folds to m × ksub literals driver-side, so scoring a
+    * vector is m array lookups + a divide — the scan never touches the
+    * original vectors. Scores round at 1e-6 like every probe; ties
+    * break on the id.
+    */
+  def pqAdcTopK(codes: DataFrame, idCol: String,
+      codebooks: Seq[Seq[Seq[Double]]], query: Seq[Double],
+      k: Int = 10, digits: Int = 6): DataFrame = {
+    val sub = codebooks.head.head.size
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val safeQ = if (qNorm > 0) qNorm else 1.0
+    val tables = codebooks.zipWithIndex.map { case (cb, s) =>
+      val qSub = query.slice(s * sub, (s + 1) * sub)
+      cb.map(cw => cw.zip(qSub).foldLeft(0.0) { case (a, (c, q)) => a + c * q })
+    }
+    val approxDot = tables.zipWithIndex.map { case (t, s) =>
+      element_at(array(t.map(lit): _*), (col(s"code_$s") + 1).cast("int"))
+    }.reduce(_ + _)
+    codes.select(col(idCol),
+      pround(approxDot / (col("vnorm") * lit(safeQ)), digits).as("adc_cos"))
+      .orderBy(col("adc_cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** ADC candidates + EXACT re-rank — the standard PQ serving
+    * composition (Jégou 2011 §V): codes are too coarse to rank WITHIN
+    * a tight neighborhood (cluster members collapse to near-identical
+    * codes — measured 0.16 raw-ADC recall@10 on the planted fixture,
+    * where the true top-10 live inside an 80-member cluster), so ADC
+    * selects `rerank` candidates from the code scan and the original
+    * vectors are consulted ONLY for those — an id-equi-join against
+    * `rerank` ids, never a corpus scan. `rerank` should exceed the
+    * expected neighborhood size (RecallSpec pins ≥0.9 recall@10 at
+    * rerank=100 over 80-member clusters).
+    */
+  def pqAdcRerank(codes: DataFrame, vectors: DataFrame, idCol: String,
+      vecCol: String, codebooks: Seq[Seq[Seq[Double]]], query: Seq[Double],
+      k: Int = 10, rerank: Int = 50, digits: Int = 6): DataFrame = {
+    val cand = pqAdcTopK(codes, idCol, codebooks, query, rerank, digits)
+      .select(col(idCol))
+    vectors.join(broadcast(cand), idCol)
+      .select(col(idCol), cosineTo(query, vecCol).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Parametric CTE chain for the quantized k-means unroll: `vSql`
     * defines the corpus view (vec_id, e DOUBLE[]), `kSql` the scalar
-    * cell count. Produces v, dims, c0 and a_t/m_t/c_t per iteration.
+    * cell count, `px` prefixes every CTE name (so PQ can unroll one
+    * chain per subspace in a single query), `l2` picks the metric —
+    * cosine argmax (ties to the higher cell) or reduced-form L2 argmin
+    * (−2·v·c + ‖c‖², same tie rule; the mirror of [[assignCellL2]]).
+    * Produces {px}v, {px}dims, {px}c0 and {px}a_t/{px}m_t/{px}c_t.
     */
-  private def kmeansCtes(vSql: String, kSql: String, iters: Int): String = {
+  private def kmeansCtesGeneric(px: String, vSql: String, kSql: String,
+      iters: Int, l2: Boolean): String = {
     val sb = new StringBuilder
-    sb ++= s"""v AS MATERIALIZED ($vSql),
-      |dims AS MATERIALIZED (SELECT unnest(range(0, (SELECT max(len(e)) FROM v)))::BIGINT AS i),
-      |c0 AS MATERIALIZED (
+    sb ++= s"""${px}v AS MATERIALIZED ($vSql),
+      |${px}dims AS MATERIALIZED (SELECT unnest(range(0, (SELECT max(len(e)) FROM ${px}v)))::BIGINT AS i),
+      |${px}c0 AS MATERIALIZED (
       |  SELECT rn - 1 AS j, list_transform(e, x -> floor(x * 1e9 + 0.5) / 1e9) AS c
       |  FROM (SELECT e, row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id::VARCHAR) AS rn
-      |        FROM v)
+      |        FROM ${px}v)
       |  WHERE rn <= ($kSql))""".stripMargin
     for (t <- 1 to iters) {
-      val dot = "list_reduce(list_transform(list_zip(v.e, c.c), p -> p[1] * p[2]), (x, y) -> x + y)"
-      val norm = "sqrt(list_reduce(list_transform(c.c, x -> x * x), (x, y) -> x + y))"
       sb ++= s""",
-        |a$t AS MATERIALIZED (SELECT vec_id, e, j FROM (
+        |${px}a$t AS MATERIALIZED (SELECT vec_id, e, j FROM (
         |  SELECT v.vec_id, v.e, c.j,
         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |      floor(($dot / (CASE WHEN $norm = 0 THEN 1.0 ELSE $norm END)) * 1e9 + 0.5) / 1e9 DESC,
+        |      ${assignKey(l2)},
         |      c.j DESC) AS rn
-        |  FROM v, c${t - 1} c) WHERE rn = 1),
-        |m$t AS MATERIALIZED (SELECT a.j, d.i, floor(avg(a.e[d.i + 1]) * 1e9 + 0.5) / 1e9 AS m
-        |  FROM a$t a, dims d GROUP BY a.j, d.i),
-        |c$t AS MATERIALIZED (SELECT p.j, coalesce(n.c, p.c) AS c
-        |  FROM c${t - 1} p LEFT JOIN (
-        |    SELECT j, list(m ORDER BY i) AS c FROM m$t GROUP BY j) n ON p.j = n.j)""".stripMargin
+        |  FROM ${px}v v, ${px}c${t - 1} c) WHERE rn = 1),
+        |${px}m$t AS MATERIALIZED (SELECT a.j, d.i, floor(avg(a.e[d.i + 1]) * 1e9 + 0.5) / 1e9 AS m
+        |  FROM ${px}a$t a, ${px}dims d GROUP BY a.j, d.i),
+        |${px}c$t AS MATERIALIZED (SELECT p.j, coalesce(n.c, p.c) AS c
+        |  FROM ${px}c${t - 1} p LEFT JOIN (
+        |    SELECT j, list(m ORDER BY i) AS c FROM ${px}m$t GROUP BY j) n ON p.j = n.j)""".stripMargin
     }
     sb.result()
+  }
+
+  /** The assignment window's ORDER key: rounded score, best first. */
+  private def assignKey(l2: Boolean): String = {
+    val dot = "list_reduce(list_transform(list_zip(v.e, c.c), p -> p[1] * p[2]), (x, y) -> x + y)"
+    if (l2) {
+      val csq = "list_reduce(list_transform(c.c, x -> x * x), (x, y) -> x + y)"
+      s"floor((-2 * $dot + $csq) * 1e9 + 0.5) / 1e9 ASC"
+    } else {
+      val norm = "sqrt(list_reduce(list_transform(c.c, x -> x * x), (x, y) -> x + y))"
+      s"floor(($dot / (CASE WHEN $norm = 0 THEN 1.0 ELSE $norm END)) * 1e9 + 0.5) / 1e9 DESC"
+    }
+  }
+
+  private def kmeansCtes(vSql: String, kSql: String, iters: Int): String =
+    kmeansCtesGeneric("", vSql, kSql, iters, l2 = false)
+
+  /** Per-subspace learn + encode CTEs shared by the two PQ oracles:
+    * m prefixed L2-k-means chains over the slice views, plus one
+    * `enc{s}` assignment per subspace against its final codebook.
+    */
+  private def pqCtes(corpusWhere: String, dim: Int, m: Int, ksub: Int,
+      iters: Int): String = {
+    val sub = dim / m
+    val chains = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      kmeansCtesGeneric(s"s$s", // slice view of the corpus
+        s"SELECT vec_id, (embedding::DOUBLE[])[$lo:$hi] AS e FROM embeddings$corpusWhere",
+        ksub.toString, iters, l2 = true)
+    }.mkString(",\n")
+    val encs = (0 until m).map { s =>
+      s"""enc$s AS MATERIALIZED (SELECT vec_id, j AS code FROM (
+         |  SELECT v.vec_id, c.j,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${assignKey(l2 = true)}, c.j DESC) AS rn
+         |  FROM s${s}v v, s${s}c$iters c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$chains,
+       |vn AS MATERIALIZED (SELECT vec_id,
+       |  floor(sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (x, y) -> x + y)) * 1e9 + 0.5) / 1e9 AS vnorm
+       |  FROM embeddings$corpusWhere),
+       |$encs""".stripMargin
+  }
+
+  /** Oracle twin of [[pqCodebooks]] + [[pqEncode]] over the full
+    * embeddings table.
+    */
+  def pqCodesOracleSql(dim: Int, m: Int, ksub: Int, iters: Int = 3): String = {
+    val joins = (0 until m).map(s => s"JOIN enc$s e$s USING (vec_id)").mkString(" ")
+    val cols = (0 until m).map(s => s"e$s.code AS code_$s").mkString(", ")
+    s"""WITH ${pqCtes("", dim, m, ksub, iters)}
+       |SELECT vn.vec_id, $cols, vn.vnorm
+       |FROM vn $joins""".stripMargin
+  }
+
+  /** Oracle twin of the full PQ-ADC probe chain (`pq_adc_topk`):
+    * learn codebooks on the corpus minus the query vector, encode,
+    * score every code row by the asymmetric table lookup, normalize by
+    * the stored ‖v‖ and the exact ‖q‖, top-k.
+    */
+  def pqAdcOracleSql(dim: Int, m: Int, ksub: Int, iters: Int = 3,
+      topk: Int = 10): String = {
+    val sub = dim / m
+    val tables = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      s"""t$s AS MATERIALIZED (SELECT c.j,
+         |  list_reduce(list_transform(list_zip(c.c, (SELECT qe[$lo:$hi] FROM qv)), p -> p[1] * p[2]), (x, y) -> x + y) AS d
+         |  FROM s${s}c$iters c)""".stripMargin
+    }.mkString(",\n")
+    val encJoins = (0 until m).map(s => s"JOIN enc$s e$s USING (vec_id)").mkString(" ")
+    val tJoins = (0 until m).map(s => s"JOIN t$s ON e$s.code = t$s.j").mkString(" ")
+    val dotSum = (0 until m).map(s => s"t$s.d").mkString(" + ")
+    s"""WITH ${pqCtes(" WHERE vec_id != 0", dim, m, ksub, iters)},
+       |qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+       |qn AS (SELECT CASE WHEN n = 0 THEN 1.0 ELSE n END AS n FROM (
+       |  SELECT sqrt(list_reduce(list_transform(qe, x -> x * x), (x, y) -> x + y)) AS n FROM qv)),
+       |$tables
+       |SELECT vn.vec_id,
+       |  floor((($dotSum) / (vn.vnorm * (SELECT n FROM qn))) * 1e6 + 0.5) / 1e6 AS adc_cos
+       |FROM vn $encJoins $tJoins
+       |ORDER BY adc_cos DESC, vn.vec_id LIMIT $topk""".stripMargin
+  }
+
+  /** Oracle twin of the ADC + exact-rerank chain (`pq_rerank_topk`):
+    * the ADC CTE picks `rerank` candidate ids, the original vectors are
+    * consulted only for those, exact cosine ranks the final top-k.
+    */
+  def pqRerankOracleSql(dim: Int, m: Int, ksub: Int, iters: Int = 3,
+      rerank: Int = 50, topk: Int = 10): String = {
+    val sub = dim / m
+    val tables = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      s"""t$s AS MATERIALIZED (SELECT c.j,
+         |  list_reduce(list_transform(list_zip(c.c, (SELECT qe[$lo:$hi] FROM qv)), p -> p[1] * p[2]), (x, y) -> x + y) AS d
+         |  FROM s${s}c$iters c)""".stripMargin
+    }.mkString(",\n")
+    val encJoins = (0 until m).map(s => s"JOIN enc$s e$s USING (vec_id)").mkString(" ")
+    val tJoins = (0 until m).map(s => s"JOIN t$s ON e$s.code = t$s.j").mkString(" ")
+    val dotSum = (0 until m).map(s => s"t$s.d").mkString(" + ")
+    s"""WITH ${pqCtes(" WHERE vec_id != 0", dim, m, ksub, iters)},
+       |qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+       |qn AS (SELECT CASE WHEN n = 0 THEN 1.0 ELSE n END AS n FROM (
+       |  SELECT sqrt(list_reduce(list_transform(qe, x -> x * x), (x, y) -> x + y)) AS n FROM qv)),
+       |$tables,
+       |cand AS (SELECT vn.vec_id,
+       |    floor((($dotSum) / (vn.vnorm * (SELECT n FROM qn))) * 1e6 + 0.5) / 1e6 AS adc_cos
+       |  FROM vn $encJoins $tJoins
+       |  ORDER BY adc_cos DESC, vn.vec_id LIMIT $rerank),
+       |fulldims AS (SELECT unnest(range(0, (SELECT max(len(embedding)) FROM embeddings)))::BIGINT AS i),
+       |dd AS (SELECT e.vec_id, (e.embedding[d.i + 1])::DOUBLE AS x, qv.qe[d.i + 1] AS y
+       |       FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id,
+       |            fulldims d, qv)
+       |SELECT vec_id,
+       |       floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 AS cos
+       |FROM dd GROUP BY vec_id
+       |ORDER BY cos DESC, vec_id LIMIT $topk""".stripMargin
   }
 
   def kmeansOracleSql(k: Int, iters: Int): String =

@@ -54,6 +54,36 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.8, f"LSH multi-probe recall $r%.3f below floor")
   }
 
+  test("PQ: raw ADC cannot rank inside a cluster; ADC + exact rerank holds >= 0.9") {
+    // m=4 subspaces × 16 codewords over 32 dims: 4 bytes + a norm per
+    // vector. Inside an 80-member planted cluster the members collapse
+    // to near-identical codes, so RAW ADC recall@10 is structurally low
+    // (~0.16 measured — it picks 10 of the cluster's 80 essentially by
+    // id) — asserted BELOW 0.5 here so nobody mistakes raw ADC for a
+    // fine-ranking operator. The production composition — ADC selects
+    // rerank=100 candidates (> the cluster size), exact cosine over
+    // those originals ranks the 10 — must hold a 0.9 floor.
+    val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
+      dim = Dims, m = 4, ksub = 16)
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", cb).cache()
+    val raw = meanRecall { (qid, q) =>
+      dropSelf(Similarity.pqAdcTopK(codes, "vec_id", cb, q, TopK + 1), qid)
+    }
+    val rr = meanRecall { (qid, q) =>
+      dropSelf(Similarity.pqAdcRerank(codes, corpus, "vec_id", "embedding",
+        cb, q, k = TopK + 1, rerank = 100), qid)
+    }
+    info(f"pq raw-adc recall@$TopK = $raw%.3f; adc+rerank(100) = $rr%.3f")
+    assert(raw < 0.5, f"raw ADC recall $raw%.3f unexpectedly high — fixture no longer clustered?")
+    assert(rr >= 0.9, f"ADC+rerank recall $rr%.3f below floor")
+    // learning + encoding are deterministic (quantized updates)
+    val cb2 = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
+      dim = Dims, m = 4, ksub = 16)
+    assert(cb2 == cb)
+    codes.unpersist()
+    ()
+  }
+
   test("IVF probe (planted labels) nprobe=2 recall@10 >= 0.8") {
     val idx = tmpDir("recall-ivf")
     Similarity.buildIvf(corpus, "vec_id", "label", "embedding", idx)

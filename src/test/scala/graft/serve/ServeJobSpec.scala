@@ -248,6 +248,13 @@ class ServeJobSpec extends SparkSpec {
         next += 5
         q.processAllAvailable() // ≥1 interval consumed per round
       }
+      // the replay pump drains its backlog on its own thread; under a
+      // CPU-saturated parallel suite 4 rounds of wall time may not be
+      // enough pump ticks — wait for cutover, bounded (all events are
+      // already in the table, so this converges on any schedule)
+      val deadline = System.currentTimeMillis() + 60000
+      while (sessions("replayer").replaying && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
       assert(!sessions("replayer").replaying, "replayer never cut over")
       val rep = received("replayer")
       assert(rep == rep.sorted && rep.size == rep.distinct.size, "in-order, exactly-once")
