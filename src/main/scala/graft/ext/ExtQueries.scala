@@ -274,12 +274,23 @@ object ExtQueries {
     * Hash-gated end to end (learning included) via the same 1e-9
     * quantization as `kmeans_centroids`.
     */
-  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
-      dim = 64, m = 4, ksub = 16)
-    Similarity.pqEncode(emb, "vec_id", "embedding", cb)
-  }
+  // codebooks are a pure, deterministic function of (dir, corpus
+  // variant) — learned once per JVM and shared by the three PQ queries
+  // (each would otherwise re-run the identical m×iters learning)
+  private val pqCbCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Boolean), Seq[Seq[Seq[Double]]]]
+  private def pqCodebooksFor(spark: SparkSession, dir: String,
+      corpusOnly: Boolean): Seq[Seq[Seq[Double]]] =
+    pqCbCache.getOrElseUpdate((dir, corpusOnly), {
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.pqCodebooks(
+        if (corpusOnly) emb.filter(col("vec_id") =!= 0) else emb,
+        "vec_id", "embedding", dim = 64, m = 4, ksub = 16)
+    })
+
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncode(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      pqCodebooksFor(spark, dir, corpusOnly = false))
 
   /** E2 — PQ asymmetric-distance top-k ([[Similarity.pqAdcTopK]]): the
     * query stays exact, every corpus vector is scored from m table
@@ -288,8 +299,7 @@ object ExtQueries {
     */
   def pqAdcTopk(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0)
-    val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
-      dim = 64, m = 4, ksub = 16)
+    val cb = pqCodebooksFor(spark, dir, corpusOnly = true)
     Similarity.pqAdcTopK(
       Similarity.pqEncode(corpus, "vec_id", "embedding", cb),
       "vec_id", cb, queryVec(spark, dir))
@@ -304,8 +314,7 @@ object ExtQueries {
     */
   def pqRerankTopk(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0)
-    val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
-      dim = 64, m = 4, ksub = 16)
+    val cb = pqCodebooksFor(spark, dir, corpusOnly = true)
     Similarity.pqAdcRerank(
       Similarity.pqEncode(corpus, "vec_id", "embedding", cb),
       corpus, "vec_id", "embedding", cb, queryVec(spark, dir))
