@@ -232,7 +232,13 @@ object Bench {
     // into a cache hit.
     System.setProperty("graft.index.dir",
       java.nio.file.Files.createTempDirectory("graft-bench-index").toString)
-    val probeOnly = Seq("bm25_topk", "ivf_probe", "ivf_probe2", "ivf_probe_kmeans")
+    val probeOnly = Seq("bm25_topk", "ivf_probe", "ivf_probe2", "ivf_probe_kmeans",
+      // round 14: classifier training and PQ learning moved behind
+      // IndexStore (train/learn once per corpus snapshot, serve many) —
+      // their build cost is paid and measured here, the query timings
+      // below measure the serve shape
+      "quality_lr_train", "quality_lr_score",
+      "pq_codes", "pq_adc_topk", "pq_rerank_topk", "ivf_pq_topk")
     val indexBuildSec = {
       val t0 = System.nanoTime()
       probeOnly.foreach { n =>

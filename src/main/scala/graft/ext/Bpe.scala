@@ -231,17 +231,51 @@ object Bpe {
 
   /** Per-executor memo for the iterative encoder: distinct word →
     * encoded symbol string, shared across the tasks of one encode call
-    * (keyed by a driver-generated call id). Bounded: inserts stop at
-    * `WordMemo.MaxEntries` per call, and the whole registry clears
-    * when more than a handful of calls have live memos.
+    * (keyed by a driver-generated call id). Bounded two ways per call —
+    * entry count AND approximate chars (long words can't outgrow the
+    * count cap) — and the registry evicts least-recently-used CALLS
+    * past 8 live memos, so a concurrent in-flight encode keeps its
+    * memo while stale calls' memos go.
     */
   private object WordMemo {
     val MaxEntries = 2000000
-    private val memos =
-      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentHashMap[String, String]]()
-    def forCall(id: String): java.util.concurrent.ConcurrentHashMap[String, String] = {
-      if (memos.size > 8) memos.clear()
-      memos.computeIfAbsent(id, _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+    /** Approximate char budget per memo (~256 MB of String payload at 2
+      * bytes/char) — the byte-aware bound ADVICE r13 asked for: entry
+      * count alone lets 2M long words pressure executor heap.
+      */
+    val MaxChars = 128L * 1024 * 1024
+    final class Memo {
+      val map = new java.util.concurrent.ConcurrentHashMap[String, String]()
+      val chars = new java.util.concurrent.atomic.AtomicLong
+      def get(word: String): String = map.get(word)
+      def put(word: String, enc: String): Unit =
+        if (map.size < MaxEntries && chars.get() < MaxChars) {
+          if (map.putIfAbsent(word, enc) == null) {
+            chars.addAndGet(word.length.toLong + enc.length.toLong); ()
+          }
+        }
+    }
+    private val memos = new java.util.concurrent.ConcurrentHashMap[String, Memo]()
+    private val lastUse = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    private val tick = new java.util.concurrent.atomic.AtomicLong
+    /** Fetch (or create) the memo for one encode call. Above 8 live
+      * calls, evict the LEAST-RECENTLY-USED other calls' memos down to
+      * the cap — never the whole registry (ADVICE r13: `clear()` wiped
+      * concurrent in-flight encodes' memos, a thundering recompute).
+      * Recency is a monotonic counter, not wall time, so two calls in
+      * the same millisecond still order.
+      */
+    def forCall(id: String): Memo = {
+      lastUse.put(id, java.lang.Long.valueOf(tick.incrementAndGet()))
+      if (memos.size > 8) {
+        import scala.jdk.CollectionConverters._
+        val excess = memos.size - 8
+        memos.keySet.asScala.filter(_ != id).toSeq
+          .sortBy(k => Option(lastUse.get(k)).map(_.longValue).getOrElse(0L))
+          .take(excess)
+          .foreach { k => memos.remove(k); lastUse.remove(k) }
+      }
+      memos.computeIfAbsent(id, _ => new Memo)
     }
   }
 
@@ -289,7 +323,7 @@ object Bpe {
       if (hit != null) hit
       else {
         val enc = encodeUncached(word)
-        if (memo.size < WordMemo.MaxEntries) memo.put(word, enc)
+        memo.put(word, enc)
         enc
       }
     }

@@ -274,50 +274,53 @@ object ExtQueries {
     * Hash-gated end to end (learning included) via the same 1e-9
     * quantization as `kmeans_centroids`.
     */
-  // codebooks are a pure, deterministic function of (dir, corpus
-  // variant) — learned once per JVM and shared by the three PQ queries
-  // (each would otherwise re-run the identical m×iters learning)
-  private val pqCbCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Boolean), Seq[Seq[Seq[Double]]]]
-  private def pqCodebooksFor(spark: SparkSession, dir: String,
-      corpusOnly: Boolean): Seq[Seq[Seq[Double]]] =
-    pqCbCache.getOrElseUpdate((dir, corpusOnly), {
+  /** The persisted PQ index for `dir`'s embeddings ([[Similarity.buildPq]]
+    * behind [[IndexStore.ensure]] — round 14, VERDICT r13 #3 / ADVICE
+    * r13 #1: codebooks AND codes now persist keyed by the corpus
+    * fingerprint, replacing the per-JVM codebook memo that could serve
+    * stale codebooks to a regenerated corpus and re-encoded the corpus
+    * on every query). Two variants: the full corpus (`pq_codes`) and
+    * corpus-minus-query-vector (the ADC probe fixtures' convention).
+    */
+  private def pqIndexFor(spark: SparkSession, dir: String,
+      corpusOnly: Boolean): String = {
+    val kind = if (corpusOnly) "pq_noq" else "pq_all"
+    IndexStore.ensure(kind, spark, Seq(s"$dir/embeddings.parquet")) { tmp =>
       val emb = Tables.embeddings(spark, dir)
-      Similarity.pqCodebooks(
+      Similarity.buildPq(
         if (corpusOnly) emb.filter(col("vec_id") =!= 0) else emb,
-        "vec_id", "embedding", dim = 64, m = 4, ksub = 16)
-    })
+        "vec_id", "embedding", tmp, dim = 64, m = 4, ksub = 16)
+    }
+  }
 
   def pqCodes(spark: SparkSession, dir: String): DataFrame =
-    Similarity.pqEncode(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      pqCodebooksFor(spark, dir, corpusOnly = false))
+    spark.read.parquet(s"${pqIndexFor(spark, dir, corpusOnly = false)}/codes")
 
   /** E2 — PQ asymmetric-distance top-k ([[Similarity.pqAdcTopK]]): the
     * query stays exact, every corpus vector is scored from m table
-    * lookups over its codes — the scan never touches the original
-    * vectors.
+    * lookups over its PERSISTED codes — the scan never touches the
+    * original vectors (probe-only since round 14; the learn+encode is
+    * the index build).
     */
   def pqAdcTopk(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0)
-    val cb = pqCodebooksFor(spark, dir, corpusOnly = true)
-    Similarity.pqAdcTopK(
-      Similarity.pqEncode(corpus, "vec_id", "embedding", cb),
-      "vec_id", cb, queryVec(spark, dir))
+    val idx = pqIndexFor(spark, dir, corpusOnly = true)
+    Similarity.pqAdcTopK(spark.read.parquet(s"$idx/codes"), "vec_id",
+      Similarity.readPqCodebooks(spark, idx), queryVec(spark, dir))
   }
 
   /** E2 — PQ candidates + exact re-rank ([[Similarity.pqAdcRerank]]):
     * the production PQ composition — ADC picks 50 candidate ids from
-    * the code scan, exact cosine over those 50 originals ranks the
-    * final 10. Raw ADC cannot rank within a tight neighborhood
-    * (cluster members share codes), which RecallSpec demonstrates and
-    * this chain repairs.
+    * the persisted-code scan, exact cosine over those 50 originals
+    * ranks the final 10. Raw ADC cannot rank within a tight
+    * neighborhood (cluster members share codes), which RecallSpec
+    * demonstrates and this chain repairs.
     */
   def pqRerankTopk(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0)
-    val cb = pqCodebooksFor(spark, dir, corpusOnly = true)
-    Similarity.pqAdcRerank(
-      Similarity.pqEncode(corpus, "vec_id", "embedding", cb),
-      corpus, "vec_id", "embedding", cb, queryVec(spark, dir))
+    val idx = pqIndexFor(spark, dir, corpusOnly = true)
+    Similarity.pqAdcRerank(spark.read.parquet(s"$idx/codes"),
+      Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", Similarity.readPqCodebooks(spark, idx),
+      queryVec(spark, dir))
   }
 
   /** E3 — TRAINED quality classifier, learning phase
@@ -327,16 +330,32 @@ object ExtQueries {
     * 1e-9 quantization.
     */
   def qualityLrTrain(spark: SparkSession, dir: String): DataFrame =
-    Classifier.train(Tables.documents(spark, dir), "doc_id", "text")
+    lrWeightsFor(spark, dir)
+
+  /** The persisted trained weights for `dir`'s documents — trained ONCE
+    * per corpus snapshot ([[IndexStore.ensure]], so invalidation rides
+    * the same source fingerprint as every other index) and read by both
+    * quality_lr queries. Scoring is then the one-pass broadcast join it
+    * documents (VERDICT r13 #4: score used to retrain from scratch per
+    * query — honest for the oracle, wrong bench accounting and not the
+    * serve shape).
+    */
+  private def lrWeightsFor(spark: SparkSession, dir: String): DataFrame = {
+    val path = IndexStore.ensure("qlr", spark, Seq(s"$dir/documents.parquet")) { tmp =>
+      Classifier.train(Tables.documents(spark, dir), "doc_id", "text")
+        .coalesce(1) // 257 rows — one footer
+        .write.mode("overwrite").parquet(s"$tmp/weights")
+    }
+    spark.read.parquet(s"$path/weights")
+  }
 
   /** E3 — trained-classifier scoring pass ([[Classifier.score]]): every
-    * document's σ(w·x+b), predicted gate, rule label, agreement.
+    * document's σ(w·x+b), predicted gate, rule label, agreement, with
+    * the weights served from the persisted training run.
     */
-  def qualityLrScore(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    Classifier.score(docs, "doc_id", "text",
-      Classifier.train(docs, "doc_id", "text"))
-  }
+  def qualityLrScore(spark: SparkSession, dir: String): DataFrame =
+    Classifier.score(Tables.documents(spark, dir), "doc_id", "text",
+      lrWeightsFor(spark, dir))
 
   /** E3 — corpus bigram LM scored per document: add-one-smoothed
     * transition NLL, the shuffled-text signal the unigram model misses

@@ -495,6 +495,87 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist the PQ index family (VERDICT r13 #3): `$path/codebooks`
+    * holds the m × ksub learned codewords as (s, j, c) rows,
+    * `$path/codes` the corpus encoded — (id, code_0..code_{m-1},
+    * vnorm). Learning pays its m × iters corpus passes ONCE per corpus
+    * snapshot (wrap in [[IndexStore.ensure]]); every probe after reads
+    * the ~20×-smaller codes table plus the m·ksub-row codebooks and
+    * never touches the raw vectors. Replaces the per-JVM codebook memo
+    * (ADVICE r13 #1: a memo keyed only by path served stale codebooks
+    * to a regenerated corpus; the index store's source fingerprint
+    * cannot).
+    */
+  def buildPq(df: DataFrame, idCol: String, vecCol: String, path: String,
+      dim: Int, m: Int, ksub: Int, iters: Int = 3): Unit = {
+    val cbs = pqCodebooks(df, idCol, vecCol, dim, m, ksub, iters)
+    writePqCodebooks(df.sparkSession, cbs, path)
+    pqEncode(df, idCol, vecCol, cbs)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  private def writePqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      cbs: Seq[Seq[Seq[Double]]], path: String): Unit = {
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, j) => (s, j, c) }
+    }.toDF("s", "j", "c")
+      .coalesce(1) // m × ksub rows — one footer per probe
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** The learned codebooks back off a [[buildPq]] index — an m·ksub-row
+    * driver read (an index lookup, not a data collect); parquet doubles
+    * roundtrip exactly, so the values are bit-identical to the learn.
+    */
+  def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Seq[Double]]] =
+    spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+
+  /** Per-partition PQ encode against FROZEN codebooks — the incremental
+    * refresh unit: appending an hour encodes ONLY that hour (one
+    * map-only projection over the new rows); the quantizer moves only
+    * on a periodic full rebuild, same policy as [[buildIvfPart]].
+    */
+  def buildPqPart(df: DataFrame, idCol: String, vecCol: String,
+      cbs: Seq[Seq[Seq[Double]]], path: String): Unit =
+    pqEncode(df, idCol, vecCol, cbs)
+      .write.mode("overwrite").parquet(s"$path/codes")
+
+  /** Merge committed per-partition PQ indexes into a probe-ready
+    * [[buildPq]]-layout index: codes — the corpus-proportional table —
+    * merge by FILE COPY into `codes/part=N` (zero reads, zero
+    * shuffles; the extra `part` partition column rides along
+    * harmlessly), and the frozen codebooks are written once.
+    */
+  def mergePq(spark: org.apache.spark.sql.SparkSession,
+      cbs: Seq[Seq[Seq[Double]]], partPaths: Seq[String], path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    partPaths.zipWithIndex.foreach { case (pp, i) =>
+      val src = new org.apache.hadoop.fs.Path(s"$pp/codes")
+      val dst = new org.apache.hadoop.fs.Path(s"$path/codes/part=$i")
+      val fs = src.getFileSystem(conf)
+      fs.mkdirs(dst.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    }
+    writePqCodebooks(spark, cbs, path)
+  }
+
+  /** Incremental PQ index for an append-only partitioned corpus
+    * (frozen-codebook per-partition encodes + file-copy merge via
+    * [[IndexStore.ensureIncremental]]) — the lifecycle twin of
+    * [[ensureIncrementalIvf]].
+    */
+  def ensureIncrementalPq(spark: org.apache.spark.sql.SparkSession, kind: String,
+      sourceDir: String, idCol: String, vecCol: String,
+      cbs: Seq[Seq[Seq[Double]]]): String =
+    IndexStore.ensureIncremental(kind, spark, sourceDir) { (part, tmp) =>
+      buildPqPart(spark.read.parquet(part), idCol, vecCol, cbs, tmp)
+    } { (parts, tmp) => mergePq(spark, cbs, parts, tmp) }
+
   /** Parametric CTE chain for the quantized k-means unroll: `vSql`
     * defines the corpus view (vec_id, e DOUBLE[]), `kSql` the scalar
     * cell count, `px` prefixes every CTE name (so PQ can unroll one

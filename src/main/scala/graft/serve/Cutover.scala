@@ -231,11 +231,23 @@ final class CutoverSession(
         // gap-fill (lastSeq, serverSeqUs]: what live suppressed while we
         // replayed — hwm-deduped, so anything the open gate already
         // delivered is skipped (the exactly-once strengthening)
-        val (gapAll, gapAllMax) = snapshot(spark,
-          EventsTable.read(spark, path)
-            .filter(col(EventsTable.PartitionCol) >= (lastSeq + 1) / 3600000000L &&
-              col(EventsTable.PartitionCol) <= serverSeqUs / 3600000000L &&
-              col("time_us") > lastSeq && col("time_us") <= serverSeqUs))
+        val gapDf = EventsTable.read(spark, path)
+          .filter(col(EventsTable.PartitionCol) >= (lastSeq + 1) / 3600000000L &&
+            col(EventsTable.PartitionCol) <= serverSeqUs / 3600000000L &&
+            col("time_us") > lastSeq && col("time_us") <= serverSeqUs)
+        // The gap-fill collect counts against the SAME pool as replay
+        // chunks (ADVICE r13: N sessions cutting over simultaneously
+        // otherwise hold N gap windows of driver rows outside the
+        // budget). The reserve estimate is a pruned count of the gap
+        // window; a concurrent append can land rows between the count
+        // and the collect, but that overshoot is one append batch, not
+        // a window — and the floor grant keeps the session live when
+        // the pool is hot, same as the chunk path.
+        val gapGrant = pool.reserve(gapDf.count())
+        val (gapAll, gapAllMax) =
+          try snapshot(spark, gapDf)
+          catch { case e: Throwable => pool.release(gapGrant); throw e }
+        try {
         // Visibility barrier: serverSeqUs IS an observed event's
         // timestamp (the serving loop's live head), so a gap scan that
         // cannot see that event raced an append's file commit —
@@ -284,6 +296,7 @@ final class CutoverSession(
           cursorOpt = None // sub.cursor = nil (server.go:334-336)
           false
         }
+        } finally pool.release(gapGrant)
       } else {
         cursorOpt = Some(lastSeq + 1) // next chunk (server.go:327-330)
         true

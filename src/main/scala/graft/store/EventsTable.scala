@@ -102,8 +102,19 @@ object EventsTable {
         .sortBy(_.getPath.getName.stripPrefix(s"$PartitionCol=").toLong)
       // "part-00007-<uuid>…" — the range-partition index; within an
       // hour, ascending index = ascending time slice
+      // These staging files were written by THIS append moments ago, so
+      // a name the pattern can't parse is a broken invariant (a
+      // committer change), not an input condition: failing loudly beats
+      // silently collapsing the within-hour ordering to arbitrary and
+      // reopening the mid-hour visibility gap the sharded append closed
+      // (ADVICE r13).
       def partIdx(name: String): Int =
-        try name.split("-")(1).toInt catch { case _: Throwable => Int.MaxValue }
+        try name.split("-")(1).toInt catch {
+          case e: Throwable => throw new IllegalStateException(
+            s"staging part-file '$name' does not carry a parseable " +
+              "range-partition index; the sharded append cannot order it " +
+              "(did the output committer's file naming change?)", e)
+        }
       hourDirs.foreach { hd =>
         val dest = new Path(root, hd.getPath.getName)
         fs.mkdirs(dest)

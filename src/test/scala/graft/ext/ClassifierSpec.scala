@@ -46,6 +46,18 @@ class ClassifierSpec extends SparkSpec {
     assert(run() == a)
   }
 
+  test("training is partition-layout independent: quantized error kills summation-order noise") {
+    // different partition counts force different cross-partition merge
+    // orders in every sum the training runs; the per-doc error
+    // quantization (round 14) plus the margin/weight quantization must
+    // make the trained weights bit-identical regardless
+    val docs = toyDocs
+    def weights(parts: Int) =
+      Classifier.train(docs.repartition(parts), "doc_id", "text", epochs = 5, lr = 1.0)
+        .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(weights(1) == weights(32))
+  }
+
   test("loss decreases from the zero-weight baseline") {
     val docs = toyDocs.cache()
     def loss(epochs: Int): Double = {

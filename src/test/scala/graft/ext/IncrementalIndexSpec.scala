@@ -102,6 +102,55 @@ class IncrementalIndexSpec extends SparkSpec {
     }
   }
 
+  test("incremental PQ (frozen codebooks): append encodes one partition; ADC probe equals monolithic") {
+    val all = ClusterFixture.clustered(spark, 600, 24, 6).cache()
+    val src = tmpDir("inc-pq-src")
+    all.filter(col("vec_id") % 3 === 0).drop("label").write.parquet(s"$src/part=0")
+    all.filter(col("vec_id") % 3 === 1).drop("label").write.parquet(s"$src/part=1")
+    // codebooks are learned ONCE on the initial corpus and frozen;
+    // appended hours are encoded against them (map-only)
+    val initial = all.filter(col("vec_id") % 3 =!= 2).drop("label")
+    val cbs = Similarity.pqCodebooks(initial, "vec_id", "embedding",
+      dim = 24, m = 4, ksub = 8)
+
+    var partBuilds = 0
+    def ensureInc(): String =
+      IndexStore.ensureIncremental("incpq", spark, src) { (part, tmp) =>
+        partBuilds += 1
+        Similarity.buildPqPart(spark.read.parquet(part), "vec_id", "embedding", cbs, tmp)
+      } { (parts, tmp) => Similarity.mergePq(spark, cbs, parts, tmp) }
+
+    val q = all.filter(col("vec_id") === 0)
+      .select(Similarity.toDoubleArr(col("embedding"))).head().getSeq[Double](0).toSeq
+    def probe(idx: String): Seq[(Long, Double)] =
+      Similarity.pqAdcTopK(spark.read.parquet(s"$idx/codes"), "vec_id",
+        Similarity.readPqCodebooks(spark, idx), q)
+        .as[(Long, Double)].collect().toSeq
+    def inlineProbe(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      Similarity.pqAdcTopK(
+        Similarity.pqEncode(df, "vec_id", "embedding", cbs), "vec_id", cbs, q)
+        .as[(Long, Double)].collect().toSeq
+
+    val i1 = ensureInc()
+    assert(partBuilds == 2)
+    assert(ensureInc() == i1 && partBuilds == 2) // idempotent cache hit
+    // the merge's persisted codebooks are bit-identical to the learn
+    assert(Similarity.readPqCodebooks(spark, i1) == cbs)
+    assert(probe(i1) == inlineProbe(initial))
+    // monolithic buildPq over the same corpus learns the same
+    // (deterministic) codebooks and probes identically
+    val mono1 = tmpDir("inc-pq-mono1")
+    Similarity.buildPq(initial, "vec_id", "embedding", mono1,
+      dim = 24, m = 4, ksub = 8)
+    assert(probe(mono1) == probe(i1))
+
+    // --- a new hour of vectors arrives
+    all.filter(col("vec_id") % 3 === 2).drop("label").write.parquet(s"$src/part=2")
+    val i2 = ensureInc()
+    assert(partBuilds == 3, "only the appended partition may encode")
+    assert(probe(i2) == inlineProbe(all.drop("label")))
+  }
+
   test("incremental IVF (frozen quantizer): append assigns one partition; probe equals monolithic") {
     val all = ClusterFixture.clustered(spark, 600, 24, 6).cache()
     val src = tmpDir("inc-ivf-src")
