@@ -588,6 +588,32 @@ object ExtQueries {
     Similarity.ivfProbe(spark, ivfKmeansIndexFor(spark, dir),
       "vec_id", "label", "embedding", queryVec(spark, dir), k = 10, nprobe = 2)
 
+  /** The composed IVF-ADC index ([[Similarity.buildIvfPq]]): 8 learned
+    * coarse cells × (4 × 16)-codeword PQ, built once per corpus
+    * snapshot.
+    */
+  private def ivfPqIndexFor(spark: SparkSession, dir: String): String =
+    IndexStore.ensure("ivfpq", spark, Seq(s"$dir/embeddings.parquet")) { tmp =>
+      Similarity.buildIvfPq(
+        Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0).drop("label"),
+        "vec_id", "embedding", tmp, k = 8, dim = 64, m = 4, ksub = 16)
+    }
+
+  /** E2 — the production billion-scale ANN probe (VERDICT r13 #1,
+    * IVF-ADC): cells ranked against the K-row centroids table, ADC
+    * over ONLY the 2 best cells' persisted codes (partition-pruned —
+    * the scan reads corpus·nprobe/K code rows, ~12 B each), 50
+    * candidates exact-reranked against the pruned vectors. The whole
+    * learn → encode → probe chain is hash-gated
+    * ([[Similarity.ivfPqOracleSql]] composes the coarse-k-means and
+    * PQ quantized unrolls); RecallSpec holds the composed recall
+    * floor at ≥ 0.9.
+    */
+  def ivfPqTopk(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqProbe(spark, ivfPqIndexFor(spark, dir),
+      "vec_id", "label", "embedding", queryVec(spark, dir),
+      k = 10, nprobe = 2, rerank = 50)
+
   /** Multimodal — fixed 64-char payload chunking with per-chunk digest
     * ([[Multimodal.chunkPayload]] — the pre-decode chunking stage).
     */

@@ -434,15 +434,16 @@ object Similarity {
     * shrinks a 256 B vector to m bytes + 8.
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+      codebooks: Seq[Seq[Seq[Double]]], keep: Seq[String] = Nil): DataFrame = {
     val sub = codebooks.head.head.size
     val codeCols = codebooks.zipWithIndex.map { case (cb, s) =>
       assignCellL2(slice(toDoubleArr(col(vecCol)), s * sub + 1, sub), cb)
         .cast("long").as(s"code_$s")
     }
     df.select(
-      (col(idCol) +: codeCols) :+
-        pround(sqrt(dot(toDoubleArr(col(vecCol)), toDoubleArr(col(vecCol)))), 9).as("vnorm"): _*)
+      (col(idCol) +: codeCols) ++
+        (pround(sqrt(dot(toDoubleArr(col(vecCol)), toDoubleArr(col(vecCol)))), 9).as("vnorm") +:
+          keep.map(col)): _*)
   }
 
   /** ADC (asymmetric distance computation) top-k over PQ codes:
@@ -575,6 +576,76 @@ object Similarity {
     IndexStore.ensureIncremental(kind, spark, sourceDir) { (part, tmp) =>
       buildPqPart(spark.read.parquet(part), idCol, vecCol, cbs, tmp)
     } { (parts, tmp) => mergePq(spark, cbs, parts, tmp) }
+
+  /** IVF-ADC composed index (Jégou et al. 2011 §V's IVFADC shape,
+    * non-residual form — VERDICT r13 #1): ONE learned coarse quantizer
+    * ([[kmeansCentroids]], quantized spherical k-means) splits the
+    * corpus into K cells, and every vector's PQ codes are stored
+    * PARTITIONED BY its cell — so a probe touches nprobe cells' CODES
+    * (m bytes + a norm per vector), never the corpus and never even
+    * the full code table. This composes the two existing halves:
+    * cell ranking/pruning from [[buildIvf]]/[[ivfProbe]] and ADC +
+    * exact rerank from [[pqAdcTopK]]/[[pqAdcRerank]].
+    *
+    * Layout on top of [[buildIvf]] (centroids for ranking + cell-
+    * partitioned vectors for the exact rerank):
+    *   - `$path/centroids`, `$path/vectors` — exactly [[buildIvf]]
+    *   - `$path/codebooks` — the m × ksub learned PQ codewords
+    *   - `$path/codes` — (id, code_0.., vnorm) partitioned by cell
+    *
+    * At 100 TB the probe cost is corpus/K × nprobe CODE rows scanned
+    * (~12 B each at m=4) + rerank exact distances — the standard
+    * billion-scale serving shape.
+    *
+    * Design choice: codes encode the RAW vectors, not per-cell
+    * residuals (classic IVFADC encodes v − c(v) for tighter
+    * quantization at the same bit budget). Residual encoding is a
+    * drop-in — subtract the assigned centroid before [[pqEncode]] and
+    * build the ADC lookup table per probed cell — but it multiplies
+    * the oracle unroll for a fixture whose recall the rerank stage
+    * already saturates (RecallSpec ≥ 0.9); the non-residual form
+    * keeps the whole learn→encode→probe chain hash-gated end to end.
+    */
+  def buildIvfPq(df: DataFrame, idCol: String, vecCol: String, path: String,
+      k: Int, dim: Int, m: Int, ksub: Int,
+      coarseIters: Int = 3, pqIters: Int = 3): Unit = {
+    val cents = kmeansCentroids(df, idCol, vecCol, k, coarseIters)
+    val labeled = withCellLabels(df, idCol, vecCol, cents)
+    buildIvf(labeled, idCol, "label", vecCol, path)
+    val cbs = pqCodebooks(df, idCol, vecCol, dim, m, ksub, pqIters)
+    writePqCodebooks(df.sparkSession, cbs, path)
+    pqEncode(labeled, idCol, vecCol, cbs, keep = Seq("label"))
+      .write.mode("overwrite").partitionBy("label").parquet(s"$path/codes")
+  }
+
+  /** ANN probe over a [[buildIvfPq]] index: rank cells against the
+    * K-row centroids table (driver-side index lookup), ADC-score ONLY
+    * the nprobe best cells' codes (partition-pruned read; m array
+    * lookups + a divide per code row), take `rerank` candidates, then
+    * exact-rerank those against the cell-partitioned original vectors
+    * (a second pruned read + a broadcast id-join — never a corpus
+    * scan). IndexSpec pins both reads pruned; RecallSpec pins the
+    * composed recall floor.
+    */
+  def ivfPqProbe(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      idCol: String, labelCol: String, vecCol: String, query: Seq[Double],
+      k: Int = 10, nprobe: Int = 2, rerank: Int = 50, digits: Int = 6): DataFrame = {
+    require(nprobe >= 1 && rerank >= k)
+    val cells = rankIndexCells(spark, indexPath, query, digits).take(nprobe)
+    def pruned(table: String): DataFrame = {
+      val df = spark.read.parquet(s"$indexPath/$table")
+      val t = df.schema(df.schema.fieldIndex(labelCol)).dataType
+      df.filter(col(labelCol).isin(cells.map(c => lit(c).cast(t)): _*))
+    }
+    val cand = pqAdcTopK(pruned("codes"), idCol,
+      readPqCodebooks(spark, indexPath), query, rerank, digits)
+      .select(col(idCol))
+    pruned("vectors")
+      .join(broadcast(cand), idCol)
+      .select(col(idCol), cosineTo(query, vecCol, digits).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
 
   /** Parametric CTE chain for the quantized k-means unroll: `vSql`
     * defines the corpus view (vec_id, e DOUBLE[]), `kSql` the scalar
@@ -718,6 +789,68 @@ object Similarity {
        |cand AS (SELECT vn.vec_id,
        |    floor((($dotSum) / (vn.vnorm * (SELECT n FROM qn))) * 1e6 + 0.5) / 1e6 AS adc_cos
        |  FROM vn $encJoins $tJoins
+       |  ORDER BY adc_cos DESC, vn.vec_id LIMIT $rerank),
+       |fulldims AS (SELECT unnest(range(0, (SELECT max(len(embedding)) FROM embeddings)))::BIGINT AS i),
+       |dd AS (SELECT e.vec_id, (e.embedding[d.i + 1])::DOUBLE AS x, qv.qe[d.i + 1] AS y
+       |       FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id,
+       |            fulldims d, qv)
+       |SELECT vec_id,
+       |       floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 AS cos
+       |FROM dd GROUP BY vec_id
+       |ORDER BY cos DESC, vec_id LIMIT $topk""".stripMargin
+  }
+
+  /** DuckDB oracle twin of the FULL IVF-ADC chain (`ivf_pq_topk`):
+    * quantized coarse k-means over the corpus minus the query vector
+    * (prefix-`g` CTE chain), final cell assignment, SERVED centroids
+    * re-derived as per-cell means ([[buildIvf]]'s layout), cells
+    * ranked by 1e-6-rounded query cosine (ties to the lower label —
+    * [[rankIndexCells]]' order), m quantized-L2 PQ chains + encode
+    * ([[pqCtes]]), ADC scoring restricted to vectors ASSIGNED to the
+    * nprobe best cells, top-`rerank` candidates, exact cosine rerank.
+    * Every learner in the chain is individually oracle-exact via the
+    * 1e-9 quantization, so their composition is too.
+    */
+  def ivfPqOracleSql(dim: Int, m: Int, ksub: Int, k: Int,
+      coarseIters: Int = 3, pqIters: Int = 3, nprobe: Int = 2,
+      rerank: Int = 50, topk: Int = 10): String = {
+    val sub = dim / m
+    val learn = kmeansCtesGeneric("g",
+      "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id != 0",
+      k.toString, coarseIters, l2 = false)
+    val tables = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      s"""t$s AS MATERIALIZED (SELECT c.j,
+         |  list_reduce(list_transform(list_zip(c.c, (SELECT qe[$lo:$hi] FROM qv)), p -> p[1] * p[2]), (x, y) -> x + y) AS d
+         |  FROM s${s}c$pqIters c)""".stripMargin
+    }.mkString(",\n")
+    val encJoins = (0 until m).map(s => s"JOIN enc$s e$s USING (vec_id)").mkString(" ")
+    val tJoins = (0 until m).map(s => s"JOIN t$s ON e$s.code = t$s.j").mkString(" ")
+    val dotSum = (0 until m).map(s => s"t$s.d").mkString(" + ")
+    s"""WITH $learn,
+       |${pqCtes(" WHERE vec_id != 0", dim, m, ksub, pqIters)},
+       |qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+       |qn AS (SELECT CASE WHEN n = 0 THEN 1.0 ELSE n END AS n FROM (
+       |  SELECT sqrt(list_reduce(list_transform(qe, x -> x * x), (x, y) -> x + y)) AS n FROM qv)),
+       |assign AS MATERIALIZED (SELECT vec_id, e, j FROM (
+       |  SELECT v.vec_id, v.e, c.j,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${assignKey(l2 = false)},
+       |      c.j DESC) AS rn
+       |  FROM gv v, gc$coarseIters c) WHERE rn = 1),
+       |cdims AS (SELECT a.j, d.i, avg(a.e[d.i + 1]) AS c
+       |          FROM assign a, gdims d GROUP BY a.j, d.i),
+       |cscores AS (SELECT cd.j,
+       |    floor((sum(cd.c * qv.qe[cd.i + 1]) / sqrt(sum(cd.c * cd.c))) * 1e6 + 0.5) / 1e6 AS s
+       |  FROM cdims cd, qv GROUP BY cd.j),
+       |best AS (SELECT j FROM cscores ORDER BY s DESC, j LIMIT $nprobe),
+       |$tables,
+       |cand AS (SELECT vn.vec_id,
+       |    floor((($dotSum) / (vn.vnorm * (SELECT n FROM qn))) * 1e6 + 0.5) / 1e6 AS adc_cos
+       |  FROM vn $encJoins $tJoins
+       |    JOIN assign a ON vn.vec_id = a.vec_id
+       |    JOIN best b ON a.j = b.j
        |  ORDER BY adc_cos DESC, vn.vec_id LIMIT $rerank),
        |fulldims AS (SELECT unnest(range(0, (SELECT max(len(embedding)) FROM embeddings)))::BIGINT AS i),
        |dd AS (SELECT e.vec_id, (e.embedding[d.i + 1])::DOUBLE AS x, qv.qe[d.i + 1] AS y
@@ -893,10 +1026,13 @@ object Similarity {
     * ONLY the nprobe pruned partitions of the vectors table: the plan
     * never touches the raw corpus (PlanAuditSpec pins this).
     */
-  def ivfProbe(spark: org.apache.spark.sql.SparkSession, indexPath: String,
-      idCol: String, labelCol: String, vecCol: String,
-      query: Seq[Double], k: Int = 10, nprobe: Int = 1, digits: Int = 6): DataFrame = {
-    require(nprobe >= 1)
+  /** Every cell of a persisted index ranked best-first against the
+    * query — the K-row centroids read both persisted-probe forms
+    * ([[ivfProbe]], [[ivfPqProbe]]) share. An index lookup, never a
+    * data collect.
+    */
+  def rankIndexCells(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      query: Seq[Double], digits: Int = 6): Seq[Any] = {
     val ranked = spark.read.parquet(s"$indexPath/centroids").collect().map { r =>
       val c = r.getSeq[Double](1)
       var dot = 0.0; var nn = 0.0; var i = 0
@@ -909,14 +1045,21 @@ object Similarity {
     // exact Spark sort semantics (a zero-norm centroid scores NaN and
     // must rank the same here as in ivfTopK), and a strict weak
     // ordering so TimSort can't throw on it.
-    val cells = ranked.sortWith { case ((la, sa), (lb, sb)) =>
+    ranked.sortWith { case ((la, sa), (lb, sb)) =>
       val c = java.lang.Double.compare(sb, sa) // desc, NaN greatest
       if (c != 0) c < 0
       else (la, lb) match {
         case (x: Number, y: Number) => x.doubleValue < y.doubleValue
         case (x, y) => String.valueOf(x) < String.valueOf(y)
       }
-    }.take(nprobe).map(_._1)
+    }.map(_._1).toSeq
+  }
+
+  def ivfProbe(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      idCol: String, labelCol: String, vecCol: String,
+      query: Seq[Double], k: Int = 10, nprobe: Int = 1, digits: Int = 6): DataFrame = {
+    require(nprobe >= 1)
+    val cells = rankIndexCells(spark, indexPath, query, digits).take(nprobe)
     val vecs = spark.read.parquet(s"$indexPath/vectors")
     // the partition dir re-infers the label's type; cast the cell
     // literals to it so pruning applies to the partition column directly

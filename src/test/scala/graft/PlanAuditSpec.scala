@@ -23,7 +23,11 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("index probes plan zero raw-corpus scans (build once, probe many)") {
-    Seq("ivf_probe", "ivf_probe2", "bm25_topk").foreach { name =>
+    // (pq_rerank_topk is absent by design: the FLAT PQ form reranks
+    // against the raw corpus table — ivf_pq_topk is the composition
+    // whose rerank reads the index's cell-partitioned vectors instead)
+    Seq("ivf_probe", "ivf_probe2", "bm25_topk", "ivf_pq_topk",
+      "pq_adc_topk").foreach { name =>
       val scans = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.relation.location.rootPaths.map(_.toString)

@@ -84,6 +84,23 @@ class RecallSpec extends SparkSpec {
     ()
   }
 
+  test("IVF-ADC composed probe (ivfPqProbe) nprobe=2 + rerank holds recall@10 >= 0.9") {
+    // the production 100 TB ANN shape (VERDICT r13 #1): coarse cells
+    // prune the scan to nprobe cells' CODES, ADC picks rerank=100
+    // candidates (> the 80-member planted cluster), exact cosine ranks
+    // the final 10 — the composed floor must match the flat
+    // ADC+rerank's 0.9, not degrade to the coarse quantizer's 0.8
+    val idx = tmpDir("recall-ivfpq")
+    Similarity.buildIvfPq(corpus.drop("label"), "vec_id", "embedding", idx,
+      k = K, dim = Dims, m = 4, ksub = 16)
+    val r = meanRecall { (qid, q) =>
+      dropSelf(Similarity.ivfPqProbe(spark, idx, "vec_id", "label", "embedding",
+        q, k = TopK + 1, nprobe = 2, rerank = 100), qid)
+    }
+    info(f"ivf-adc nprobe=2 rerank=100 recall@$TopK = $r%.3f")
+    assert(r >= 0.9, f"IVF-ADC composed recall $r%.3f below floor")
+  }
+
   test("IVF probe (planted labels) nprobe=2 recall@10 >= 0.8") {
     val idx = tmpDir("recall-ivf")
     Similarity.buildIvf(corpus, "vec_id", "label", "embedding", idx)
