@@ -171,6 +171,46 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
+  /** Structural growth counters (VERDICT r13 #2a, extending r12 #6's
+    * substring_spans precedent to every churn-suspect heavy): exact
+    * work counts with ZERO run-to-run variance, measured at BOTH SFs
+    * alongside the wall-clock growth gate. Wall-clock ratios on this
+    * VM drift ±40% under bursty JIT/GC churn (r12 saw substring_spans'
+    * time ratio walk 3.97→5.13× on identical code; r13's dedup_reps
+    * read 19.7 s on an untouched chain), while these counts are
+    * noise-immune: a structural regression (an accidental all-pairs
+    * stage) trips the count gate instantly, and an inflated TIME
+    * reading next to a flat count adjudicates itself as churn, not
+    * code. Each counter is the work-proportional row count of the
+    * named queries' dominant stage:
+    *   - substring_spans/cut — duplicated-gram window rows
+    *   - dedup_verified/dedup_reps(_quality) — LSH candidate pairs
+    *     entering the exact verify (the Σ bucket² quantity)
+    *   - dedup_components/dedup_reps — verified near-dup edges
+    *     entering connected components
+    *   - car_decode — ops surviving the frame→CAR→MST→CID chain
+    *     (row-local decode; exactly linear in docs)
+    *   - bpe_encode/sequence_pack_bpe — total learned-BPE tokens
+    *     emitted (the encoder's output volume)
+    */
+  def structuralCounts(spark: SparkSession, dir: String): Map[String, Long] = {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val docs = graft.Tables.documents(spark, dir)
+    Map(
+      "substring_spans" ->
+        graft.ext.Dedup.substringSpanWindowRows(docs, "doc_id", "text"),
+      "dedup_candidates" ->
+        graft.ext.Dedup.minhashLshPairs(docs, "doc_id", "text").count(),
+      "dedup_edges" ->
+        graft.ext.Dedup.verifyCandidates(docs, "doc_id", "text", threshold = 0.8)
+          .count(),
+      "car_decode_rows" ->
+        graft.query.EventQueries.carDecode(spark, dir).count(),
+      "bpe_encode_tokens" ->
+        graft.ext.ExtQueries.bpeEncode(spark, dir)
+          .agg(fsum(col("n_tokens")).cast("long")).head().getLong(0))
+  }
+
   /** Growth-budget violations: queries whose big-SF time exceeds
     * max(smallSec, floorSec) × rowsRatio^exponent. The floor keeps a
     * noise-level small-SF time (fixed JVM/planning overhead) from
@@ -433,23 +473,21 @@ object Bench {
     val violations0 = growthViolations(
       growth.map { case (n, (s, b, _)) => n -> (s, b) },
       growth.headOption.map(_._2._3).getOrElse(1.0))
-    // substring_spans structural gate (VERDICT r12 #6): the duplicated-
-    // gram window-row COUNT must stay linear in corpus rows — a count is
-    // immune to the wall-clock noise that made the time ratio drift
-    // (3.97→5.13× across rounds on identical code). Slack ^1.05 over
-    // the rows ratio covers boundary effects only.
-    val spanRows: Option[(Long, Long, Double)] =
-      if (smallDir == sfDir) None
+    // Structural count gate (see structuralCounts): every counter must
+    // stay linear in corpus rows — slack ^1.05 over the rows ratio
+    // covers boundary effects only; floor 100 keeps a noise-level
+    // small-SF count from producing an impossible budget.
+    val structural: Map[String, (Long, Long, Double)] =
+      if (smallDir == sfDir) Map.empty
       else try {
-        def cnt(dir: String) = graft.ext.Dedup.substringSpanWindowRows(
-          graft.Tables.documents(spark, dir), "doc_id", "text")
-        val (s, b) = (cnt(smallDir), cnt(sfDir))
         val ratio = growth.headOption.map(_._2._3).getOrElse(1.0)
-        Some((s, b, ratio))
-      } catch { case _: Throwable => None }
-    val violations = violations0 ++ spanRows.toSeq.collect {
-      case (s, b, r) if b > math.max(s, 100L) * math.pow(r, 1.05) =>
-        f"substring_spans window rows superlinear: $s -> $b at $r%.0fx rows"
+        val s = structuralCounts(spark, smallDir)
+        val b = structuralCounts(spark, sfDir)
+        s.keySet.intersect(b.keySet).map(k => k -> ((s(k), b(k), ratio))).toMap
+      } catch { case _: Throwable => Map.empty }
+    val violations = violations0 ++ structural.toSeq.sorted.collect {
+      case (n, (s, b, r)) if b > math.max(s, 100L) * math.pow(r, 1.05) =>
+        f"$n structural count superlinear: $s -> $b at $r%.0fx rows"
     }
 
     // calibration phase 2 (load that arrived mid-run); the run's
@@ -536,7 +574,11 @@ object Bench {
     },"queries":${
       results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     },"growth":$gsFull,"growth_exponent":1.3,"span_window_rows":${
-      spanRows.map { case (s, b, _) => s"[$s,$b]" }.getOrElse("null")
+      structural.get("substring_spans").map { case (s, b, _) => s"[$s,$b]" }.getOrElse("null")
+    },"structural":${
+      structural.toSeq.sorted
+        .map { case (k, (s, b, _)) => "\"" + k + "\":[" + s + "," + b + "]" }
+        .mkString("{", ",", "}")
     },"index_build_sec":$indexBuildSec,"probe_only":${
       probeOnly.map("\"" + _ + "\"").mkString("[", ",", "]")
     },"median_estimator":${

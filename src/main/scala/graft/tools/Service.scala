@@ -33,6 +33,19 @@ import graft.streaming.{IngestMetrics, Watchdog}
   */
 object Service {
 
+  /** A derived index the maintenance ticker keeps fresh (VERDICT r13
+    * #6: retention + compaction ran on the ticker but a standing
+    * service's indexes silently aged). `refresh` is expected to be one
+    * of the `ensureIncremental*` family ([[graft.ext.IndexStore]]):
+    * idempotent, fingerprint-keyed, and metadata-cheap when nothing
+    * changed — appending an hour to the corpus builds exactly that
+    * hour's part index on the next tick, any other tick is a cache
+    * hit. Returns the committed index path so probes always read a
+    * complete snapshot.
+    */
+  final case class IndexRefresh(name: String,
+      refresh: SparkSession => String)
+
   final case class Config(
       wsUrl: String,
       wsFormat: String = "text", // "cbor" = binary DAG-CBOR wire frames
@@ -53,7 +66,11 @@ object Service {
       // rate and could never cut over. One-second batches cut the file
       // count 10× and larger replay chunks amortize each scan.
       ingestTriggerMs: Long = 1000L,
-      serveChunkSize: Int = 50000)
+      serveChunkSize: Int = 50000,
+      // derived indexes the ticker keeps fresh alongside retention +
+      // compaction (programmatic-composition only — no CLI flag: a
+      // refresher is a closure over its corpus and build parameters)
+      indexRefreshers: Seq[IndexRefresh] = Nil)
 
   /** A running service; `close()` tears everything down in reverse
     * start order.
@@ -142,6 +159,16 @@ object Service {
       } catch { case e: Throwable =>
         org.slf4j.LoggerFactory.getLogger(getClass)
           .warn(s"maintenance pass failed: ${e.getMessage}")
+      }
+      // registered index refresh, isolated per index: one corpus whose
+      // refresh throws (mid-append listing race, a TTL'd source) must
+      // not starve the others or the next retention pass
+      config.indexRefreshers.foreach { r =>
+        try r.refresh(spark)
+        catch { case e: Throwable =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"index refresh '${r.name}' failed: ${e.getMessage}")
+        }
       }
     }, config.maintenanceIntervalMs, config.maintenanceIntervalMs,
       java.util.concurrent.TimeUnit.MILLISECONDS)

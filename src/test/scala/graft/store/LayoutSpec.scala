@@ -13,6 +13,64 @@ class LayoutSpec extends SparkSpec {
 
   private val HourUs = 3600000000L
 
+  test("manifest commit: a tailing reader never skips under out-of-order object visibility") {
+    // VERDICT r13 #8: [[EventsTable.append]]'s prefix-closed visibility
+    // rides atomic rename ORDERING, which rename-less object stores do
+    // not provide. appendManifested's contract — readers see exactly
+    // the contiguous committed-manifest prefix, by name, never a
+    // listing — must hold when objects become visible out of order.
+    // ReplayTailSource's probe and range scan both go through
+    // EventsTable.read (ReplayTailSourceSpec pins that delegation), so
+    // the read-level invariant here IS the tailing reader's.
+    import org.apache.hadoop.fs.Path
+    val path = s"${tmpDir("manifest-events")}/events"
+    def us(h: Long, i: Long) = h * HourUs + i
+    def append(rows: Seq[Long]): Unit = EventsTable.appendManifested(
+      rows.toDF("time_us").withColumn("did", concat(lit("d"), col("time_us"))),
+      path, shards = 2)
+    def visible(): Seq[Long] =
+      EventsTable.read(spark, path).select("time_us").as[Long].collect().sorted.toSeq
+
+    append(Seq(us(10, 1), us(10, 2), us(11, 1)))
+    append(Seq(us(11, 2), us(11, 3)))
+    append(Seq(us(11, 4), us(12, 1)))
+    val all = Seq(us(10, 1), us(10, 2), us(11, 1), us(11, 2), us(11, 3),
+      us(11, 4), us(12, 1))
+    assert(visible() == all)
+
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+
+    // crash orphan: a data object no manifest names (a replayed batch's
+    // leftover) is structurally invisible — readers never list hour dirs
+    val hour11 = new Path(root, "event_hour=11")
+    val src = fs.listStatus(hour11).filter(_.isFile).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+      new Path(hour11, "part-09999-orphan.snappy.parquet"), false,
+      spark.sessionState.newHadoopConf())
+    assert(visible() == all, "an unmanifested object must stay invisible")
+
+    // out-of-order visibility: m-2 has not propagated while m-3 has —
+    // the view must truncate to the contiguous prefix (batch 1 only),
+    // NEVER show batch 3 over the hole (which a listing-ordered reader
+    // would, advancing its offset past batch 2 forever)
+    val m2 = new Path(root, f"${EventsTable.ManifestsDir}/m-${2L}%012d")
+    val hidden = new Path(root, f"${EventsTable.ManifestsDir}/.m2-in-flight")
+    assert(fs.rename(m2, hidden))
+    val prefix = visible()
+    assert(prefix == Seq(us(10, 1), us(10, 2), us(11, 1)),
+      s"view must truncate at the first manifest gap, got $prefix")
+    val probedHead = prefix.last // what a tail probe plans up to NOW
+
+    // the gap fills: everything reappears, and the set at/under the
+    // already-probed head is UNCHANGED — the tailing reader that
+    // advanced to probedHead missed nothing
+    assert(fs.rename(hidden, m2))
+    assert(visible() == all)
+    assert(visible().filter(_ <= probedHead) == prefix,
+      "no event at/under an already-probed head may appear later")
+  }
+
   test("compaction collapses micro-batch appends into sorted files; rows identical") {
     val path = tmpDir("compact-table")
     // 8 micro-batch appends into hour 0, one into hour 1 (the open hour)

@@ -147,6 +147,57 @@ class ServiceSpec extends SparkSpec {
     }
   }
 
+  test("maintenance ticker refreshes registered indexes: a probe after an appended hour sees the new docs") {
+    // VERDICT r13 #6: the ticker ran retention + compaction but never
+    // the ensureIncremental* family — a standing service's indexes
+    // silently aged. A registered refresher is fingerprint-keyed
+    // (IndexStore), so a tick with no corpus change is a cache hit and
+    // the tick after an append builds exactly the new hour's part index.
+    val upstream = new WsTestKit.ReplayServer
+    val dataDir = tmpDir("service-idx")
+    val corpus = tmpDir("service-idx-corpus")
+    def us(i: Int) =
+      java.time.Instant.parse(f"2024-09-05T08:$i%02d:00.000Z").toEpochMilli * 1000L
+    upstream.log = (1 to 2).map(i => us(i) -> frame(i)).toVector
+    Seq((1L, "alpha beta gamma"), (2L, "alpha delta")).toDF("doc_id", "text")
+      .write.parquet(s"$corpus/hour=0")
+    val lastPath = new java.util.concurrent.atomic.AtomicReference[String]
+    val ticks = new java.util.concurrent.atomic.AtomicInteger
+    var running: Service.Running = null
+    try {
+      running = Service.start(spark,
+        Service.Config(
+          wsUrl = s"ws://localhost:${upstream.port}/subscribe",
+          dataDir = dataDir,
+          maintenanceIntervalMs = 1000L,
+          staleAfterMs = 600000L,
+          indexRefreshers = Seq(Service.IndexRefresh("docs-text", { s =>
+            val p = graft.ext.Retrieval.ensureIncrementalTextIndex(
+              s, "svctext", corpus, "doc_id", "text")
+            lastPath.set(p); ticks.incrementAndGet(); p
+          }))))
+      // first tick builds hour 0's index; the probe serves it
+      eventually(60000)(ticks.get() >= 1)
+      assert(graft.ext.Retrieval
+        .bm25Probe(spark, lastPath.get(), "doc_id", Seq("gamma"))
+        .as[(Long, Double)].collect().map(_._1).toSeq == Seq(1L))
+
+      // a new hour lands in the corpus; a later tick must index it —
+      // the probe over the refresher's latest committed path sees the
+      // new doc without any caller-side ensure
+      Seq((3L, "zebra quagga")).toDF("doc_id", "text")
+        .write.parquet(s"$corpus/hour=1")
+      eventually(60000) {
+        graft.ext.Retrieval
+          .bm25Probe(spark, lastPath.get(), "doc_id", Seq("zebra"))
+          .as[(Long, Double)].collect().map(_._1).toSeq == Seq(3L)
+      }
+    } finally {
+      if (running != null) running.close()
+      upstream.close()
+    }
+  }
+
   test("--ws-format=cbor: the service dials a binary DAG-CBOR upstream end to end") {
     // binary-frame upstream: the fake relay serves one self-contained
     // CBOR frame per event; everything downstream of the dial
