@@ -277,7 +277,7 @@ object Bench {
       // IndexStore (train/learn once per corpus snapshot, serve many) —
       // their build cost is paid and measured here, the query timings
       // below measure the serve shape
-      "quality_lr_train", "quality_lr_score",
+      "quality_lr_train", "quality_lr_score", "quality_lr_bigram",
       "pq_codes", "pq_adc_topk", "pq_rerank_topk", "ivf_pq_topk")
     val indexBuildSec = {
       val t0 = System.nanoTime()

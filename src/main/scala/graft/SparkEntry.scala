@@ -149,6 +149,7 @@ object SparkEntry {
     "phrase_search_rep"  -> ExtQueries.phraseSearchRep _,
     "quality_lr_train"   -> ExtQueries.qualityLrTrain _,
     "quality_lr_score"   -> ExtQueries.qualityLrScore _,
+    "quality_lr_bigram"  -> ExtQueries.qualityLrBigram _,
     "kmeans_centroids"   -> ExtQueries.kmeansCentroidsQuery _,
     "pq_codes"           -> ExtQueries.pqCodes _,
     "pq_adc_topk"        -> ExtQueries.pqAdcTopk _,
@@ -1142,6 +1143,7 @@ object SparkEntry {
         |GROUP BY a.doc_id""".stripMargin,
     "quality_lr_train" -> graft.ext.Classifier.trainOracleSql(),
     "quality_lr_score" -> graft.ext.Classifier.scoreOracleSql(),
+    "quality_lr_bigram" -> graft.ext.Classifier.scoreOracleSql(bigrams = true),
     "kmeans_centroids" -> graft.ext.Similarity.kmeansOracleSql(k = 8, iters = 3),
     "ivf_probe_kmeans" -> graft.ext.Similarity.ivfKmeansProbeOracleSql(),
     "pq_codes" -> graft.ext.Similarity.pqCodesOracleSql(dim = 64, m = 4, ksub = 16),

@@ -63,6 +63,27 @@ object Classifier {
       .select(col(idCol), featIdx(col("token"), dim).as("feature_idx"))
       .distinct()
 
+  /** [[hashedFeatures]] plus hashed word BIGRAMS in the SAME bucket
+    * space (Joulin 2016 §2's bag of n-grams with the hashing trick —
+    * where the model's accuracy over unigram bags comes from: word
+    * order enters as "a b" tokens). Tokens never contain spaces (they
+    * are space-split), so a bigram string can't collide with a unigram
+    * except through the hash itself — which is the hashing trick's
+    * contract. One `zip_with` over the cleaned word array; no second
+    * corpus pass.
+    */
+  def hashedNgramFeatures(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = Dim): DataFrame = {
+    val words = filter(split(col(textCol), " "), w => w =!= "")
+    val tail = greatest(size(col("__w")) - 1, lit(0))
+    df.select(col(idCol), words.as("__w"))
+      .select(col(idCol), explode(concat(col("__w"),
+        zip_with(slice(col("__w"), lit(1), tail), slice(col("__w"), lit(2), tail),
+          (a, b) => concat(a, lit(" "), b)))).as("token"))
+      .select(col(idCol), featIdx(col("token"), dim).as("feature_idx"))
+      .distinct()
+  }
+
   /** The deterministic rule label the classifier learns to mimic:
     * docs with ≥ 30 words and ≥ 35% distinct words are "quality".
     * Integer cross-multiplication — no FP compare at the boundary.
@@ -77,11 +98,13 @@ object Classifier {
     * Deterministic (see the exactness note in the object doc).
     */
   def train(df: DataFrame, idCol: String, textCol: String,
-      epochs: Int = 3, lr: Double = 0.5, dim: Int = Dim): DataFrame = {
+      epochs: Int = 3, lr: Double = 0.5, dim: Int = Dim,
+      bigrams: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val docs = df.select(col(idCol).as("__id"), ruleLabel(col(textCol)).as("y")).cache()
-    val feats = hashedFeatures(df, idCol, textCol, dim)
+    val feats = (if (bigrams) hashedNgramFeatures(df, idCol, textCol, dim)
+                 else hashedFeatures(df, idCol, textCol, dim))
       .withColumnRenamed(idCol, "__id").cache()
     try {
       val n = docs.count().toDouble
@@ -125,10 +148,11 @@ object Classifier {
     * (weights broadcast; no iteration at scoring time).
     */
   def score(df: DataFrame, idCol: String, textCol: String,
-      weights: DataFrame, dim: Int = Dim): DataFrame = {
+      weights: DataFrame, dim: Int = Dim, bigrams: Boolean = false): DataFrame = {
     val bias = weights.filter(col("feature_idx") === dim)
       .select(col("weight")).head().getDouble(0)
-    val feats = hashedFeatures(df, idCol, textCol, dim)
+    val feats = if (bigrams) hashedNgramFeatures(df, idCol, textCol, dim)
+                else hashedFeatures(df, idCol, textCol, dim)
     val margins = feats
       .join(broadcast(weights.filter(col("feature_idx") < dim)), "feature_idx")
       .groupBy(col(idCol)).agg(sum(col("weight")).as("m0"))
@@ -150,7 +174,22 @@ object Classifier {
     * same quantized update as [[train]]. Weight tables are generic in
     * `dim` (no per-dimension text), only epochs unroll.
     */
-  private def trainCtes(epochs: Int, lr: Double, dim: Int): String = {
+  private def trainCtes(epochs: Int, lr: Double, dim: Int,
+      bigrams: Boolean = false): String = {
+    val tokensSql =
+      if (!bigrams)
+        s"""(SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+           |  WHERE token <> ''""".stripMargin
+      else
+        // unigrams ∪ bigrams over the empty-filtered word list — the
+        // hashedNgramFeatures twin ("a b" bigram tokens, same md5 space)
+        s"""(SELECT doc_id, unnest(cw) AS token
+           |     FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS cw FROM documents)
+           |   UNION ALL
+           |   SELECT doc_id, unnest(list_transform(
+           |       list_zip(cw[1:len(cw)-1], cw[2:len(cw)]), p -> p[1] || ' ' || p[2])) AS token
+           |     FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS cw FROM documents)
+           |     WHERE len(cw) >= 2)""".stripMargin
     val sb = new StringBuilder
     sb ++= s"""docs AS MATERIALIZED (SELECT doc_id,
       |  CASE WHEN len(string_split(text, ' ')) >= 30
@@ -160,8 +199,7 @@ object Classifier {
       |n AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM docs),
       |feats AS MATERIALIZED (SELECT DISTINCT doc_id,
       |  (('0x' || substr(md5(token), 1, 8))::BIGINT % $dim) AS feature_idx
-      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
-      |  WHERE token <> ''),
+      |  FROM $tokensSql),
       |w0 AS MATERIALIZED (SELECT unnest(range(0, $dim))::BIGINT AS feature_idx, 0.0 AS w),
       |b0 AS MATERIALIZED (SELECT 0.0 AS b)""".stripMargin
     for (i <- 1 to epochs) {
@@ -184,14 +222,16 @@ object Classifier {
   }
 
   /** Oracle SQL twin of [[train]]. */
-  def trainOracleSql(epochs: Int = 3, lr: Double = 0.5, dim: Int = Dim): String =
-    s"WITH ${trainCtes(epochs, lr, dim)}\n" +
+  def trainOracleSql(epochs: Int = 3, lr: Double = 0.5, dim: Int = Dim,
+      bigrams: Boolean = false): String =
+    s"WITH ${trainCtes(epochs, lr, dim, bigrams)}\n" +
       s"SELECT feature_idx, w AS weight FROM w$epochs " +
       s"UNION ALL SELECT $dim::BIGINT AS feature_idx, b AS weight FROM b$epochs"
 
   /** Oracle SQL twin of train + [[score]]. */
-  def scoreOracleSql(epochs: Int = 3, lr: Double = 0.5, dim: Int = Dim): String =
-    s"""WITH ${trainCtes(epochs, lr, dim)},
+  def scoreOracleSql(epochs: Int = 3, lr: Double = 0.5, dim: Int = Dim,
+      bigrams: Boolean = false): String =
+    s"""WITH ${trainCtes(epochs, lr, dim, bigrams)},
        |margins AS (SELECT f.doc_id, sum(w.w) AS m0
        |  FROM feats f JOIN w$epochs w USING (feature_idx) GROUP BY f.doc_id)
        |SELECT d.doc_id,

@@ -357,6 +357,24 @@ object ExtQueries {
     Classifier.score(Tables.documents(spark, dir), "doc_id", "text",
       lrWeightsFor(spark, dir))
 
+  /** E3 — the BIGRAM-featured trained classifier (VERDICT r13 #7 —
+    * Joulin 2016's accuracy lever is hashed n-grams, not the unigram
+    * bag): same LR loop, features = hashed unigrams ∪ word bigrams in
+    * one bucket space ([[Classifier.hashedNgramFeatures]]); weights
+    * persist per corpus snapshot exactly like the unigram model's.
+    * ClassifierSpec pins agreement ≥ the unigram model's on the
+    * fixture.
+    */
+  def qualityLrBigram(spark: SparkSession, dir: String): DataFrame = {
+    val path = IndexStore.ensure("qlrbi", spark, Seq(s"$dir/documents.parquet")) { tmp =>
+      Classifier.train(Tables.documents(spark, dir), "doc_id", "text", bigrams = true)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/weights")
+    }
+    Classifier.score(Tables.documents(spark, dir), "doc_id", "text",
+      spark.read.parquet(s"$path/weights"), bigrams = true)
+  }
+
   /** E3 — corpus bigram LM scored per document: add-one-smoothed
     * transition NLL, the shuffled-text signal the unigram model misses
     * ([[Retrieval.bigramLogProb]]).

@@ -24,6 +24,38 @@ class ClassifierSpec extends SparkSpec {
     (good ++ junk).toDF("doc_id", "text")
   }
 
+  test("bigram features separate what unigram bags provably cannot: repetition-templated text") {
+    // VERDICT r13 #7 (Joulin 2016's n-gram lever): 20 pairs sharing an
+    // IDENTICAL vocabulary — the fluent twin says each of its 40 words
+    // once (label 1: 40 words, 100% distinct), the templated twin says
+    // each word three times in a row (label 0: 120 words, 33% distinct
+    // — the boilerplate/repetition shape). Distinct-PRESENCE unigram
+    // features are identical within a pair, so the unigram model scores
+    // both twins identically and can never beat 0.5 pair accuracy;
+    // self-adjacency "w w" bigrams exist only in the templated twin, so
+    // the n-gram model separates them.
+    val vocab = (1 to 800).map(i => s"t$i")
+    val pairs = (0 until 20).flatMap { p =>
+      val ws = vocab.slice(p * 40, p * 40 + 40)
+      Seq((2L * p, ws.mkString(" ")),
+        (2L * p + 1, ws.flatMap(w => Seq(w, w, w)).mkString(" ")))
+    }
+    val docs = pairs.toDF("doc_id", "text").cache()
+    def agreement(bi: Boolean): Double = {
+      val w = Classifier.train(docs, "doc_id", "text", epochs = 40, lr = 2.0,
+        bigrams = bi)
+      Classifier.score(docs, "doc_id", "text", w, bigrams = bi)
+        .agg(avg(col("agree"))).head().getDouble(0)
+    }
+    val (uni, bi) = (agreement(false), agreement(true))
+    info(f"unigram agreement=$uni%.3f, bigram agreement=$bi%.3f")
+    assert(uni <= 0.5 + 1e-9,
+      "unigram presence bags must not split identical-vocabulary pairs")
+    assert(bi >= 0.95, f"bigram model must learn the repetition signal, got $bi%.3f")
+    docs.unpersist()
+    ()
+  }
+
   test("weight table shape: dim feature rows + one bias row") {
     val w = Classifier.train(toyDocs, "doc_id", "text", epochs = 1)
       .as[(Long, Double)].collect().toMap
