@@ -334,7 +334,21 @@ object Similarity {
     // learned quantizer is bit-identical in Spark and the DuckDB
     // oracle's iteration unroll (the Classifier technique) — this is
     // what upgraded k-means from "no-oracle by design" to hash-gated
-    // (`kmeans_centroids`, round 13)
+    // (`kmeans_centroids`, round 13).
+    // ADVICE r13 #2 (exact-vs-noise-margin gate), adjudicated as a
+    // DOCUMENTED BOUND: a per-(cell,dim) mean over n members carries
+    // worst-case sequential-sum error ≤ n·ε·|x| (ε = 2⁻⁵², |x| ≤ 1 on
+    // unit-ish vectors), so a value can cross the 0.5e-9 rounding
+    // boundary only once a single cell holds ≳ 2×10⁶ members — 30×
+    // the whole fixture corpus — and in expectation (√n random walk)
+    // not before ~10¹² members. The gate runs at fixture scale by
+    // construction; production corpora are served, not oracle-gated.
+    // A truly order-deterministic reduction was rejected: Spark's
+    // cross-partition merge order is scheduler-owned, so fixing it
+    // means collect_list+sorted-fold (unbounded per-group state, no
+    // map-side combine) or a second partial-quantization shuffle —
+    // real scale costs to close a gap the bound shows is unreachable
+    // at gate scale.
     def q(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
     var cents: IndexedSeq[Seq[Double]] = df
       .select(col(idCol).cast("string").as("__id"), toDoubleArr(col(vecCol)).as("__v"))
