@@ -296,7 +296,8 @@ object Bench {
       // their build cost is paid and measured here, the query timings
       // below measure the serve shape
       "quality_lr_train", "quality_lr_score", "quality_lr_bigram",
-      "pq_codes", "pq_adc_topk", "pq_rerank_topk", "ivf_pq_topk")
+      "pq_codes", "pq_adc_topk", "pq_rerank_topk", "ivf_pq_topk",
+      "ivf_pq_residual")
     val indexBuildSec = {
       val t0 = System.nanoTime()
       probeOnly.foreach { n =>

@@ -632,6 +632,22 @@ object ExtQueries {
       "vec_id", "label", "embedding", queryVec(spark, dir),
       k = 10, nprobe = 2, rerank = 50)
 
+  /** E2 — RESIDUAL IVF-ADC ([[Similarity.buildIvfPqResidual]], the
+    * classic Jégou 2011 IVFADC): PQ codes quantize v − c(v), probes add
+    * the cell's q·c back — within-cell resolution the raw-code form
+    * lacks at the same bit budget. Same pruned probe shape as
+    * `ivf_pq_topk`; hash-gated end to end.
+    */
+  def ivfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val idx = IndexStore.ensure("ivfpqres", spark, Seq(s"$dir/embeddings.parquet")) { tmp =>
+      Similarity.buildIvfPqResidual(
+        Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0).drop("label"),
+        "vec_id", "embedding", tmp, k = 8, dim = 64, m = 4, ksub = 16)
+    }
+    Similarity.ivfPqResidualProbe(spark, idx, "vec_id", "label", "embedding",
+      queryVec(spark, dir), k = 10, nprobe = 2, rerank = 50)
+  }
+
   /** Multimodal — fixed 64-char payload chunking with per-chunk digest
     * ([[Multimodal.chunkPayload]] — the pre-decode chunking stage).
     */

@@ -431,12 +431,21 @@ object Similarity {
     * one k-means at full dim. Returns m × ksub × (D/m).
     */
   def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ksub: Int, iters: Int = 3): Seq[Seq[Seq[Double]]] =
+    pqCodebooksOf(df, idCol, toDoubleArr(col(vecCol)), dim, m, ksub, iters)
+
+  /** [[pqCodebooks]] over an arbitrary vector EXPRESSION — the residual
+    * form learns its codebooks on v − c(v) without materializing a
+    * residual table (the expression rides into each sub-quantizer's
+    * corpus pass).
+    */
+  def pqCodebooksOf(df: DataFrame, idCol: String, vec: Column,
       dim: Int, m: Int, ksub: Int, iters: Int = 3): Seq[Seq[Seq[Double]]] = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val sub = dim / m
     (0 until m).map { s =>
-      kmeansCentroidsL2(df, idCol,
-        slice(toDoubleArr(col(vecCol)), s * sub + 1, sub), ksub, iters)
+      kmeansCentroidsL2(df, idCol, slice(vec, lit(s * sub + 1), lit(sub)),
+        ksub, iters)
     }
   }
 
@@ -448,15 +457,27 @@ object Similarity {
     * shrinks a 256 B vector to m bytes + 8.
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-      codebooks: Seq[Seq[Seq[Double]]], keep: Seq[String] = Nil): DataFrame = {
+      codebooks: Seq[Seq[Seq[Double]]], keep: Seq[String] = Nil): DataFrame =
+    pqEncodeOf(df, idCol, toDoubleArr(col(vecCol)), toDoubleArr(col(vecCol)),
+      codebooks, keep)
+
+  /** [[pqEncode]] with the CODE source decoupled from the NORM source:
+    * residual encoding quantizes v − c(v) (`codeVec`) while the stored
+    * scalar stays ‖v‖ of the ORIGINAL vector (`normVec`) — the cosine
+    * denominator is the real vector's norm regardless of what the
+    * codes approximate.
+    */
+  def pqEncodeOf(df: DataFrame, idCol: String, codeVec: Column,
+      normVec: Column, codebooks: Seq[Seq[Seq[Double]]],
+      keep: Seq[String] = Nil): DataFrame = {
     val sub = codebooks.head.head.size
     val codeCols = codebooks.zipWithIndex.map { case (cb, s) =>
-      assignCellL2(slice(toDoubleArr(col(vecCol)), s * sub + 1, sub), cb)
+      assignCellL2(slice(codeVec, lit(s * sub + 1), lit(sub)), cb)
         .cast("long").as(s"code_$s")
     }
     df.select(
       (col(idCol) +: codeCols) ++
-        (pround(sqrt(dot(toDoubleArr(col(vecCol)), toDoubleArr(col(vecCol)))), 9).as("vnorm") +:
+        (pround(sqrt(dot(normVec, normVec)), 9).as("vnorm") +:
           keep.map(col)): _*)
   }
 
@@ -471,7 +492,7 @@ object Similarity {
     */
   def pqAdcTopK(codes: DataFrame, idCol: String,
       codebooks: Seq[Seq[Seq[Double]]], query: Seq[Double],
-      k: Int = 10, digits: Int = 6): DataFrame = {
+      k: Int = 10, digits: Int = 6, dotBase: Column = lit(0.0)): DataFrame = {
     val sub = codebooks.head.head.size
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     val safeQ = if (qNorm > 0) qNorm else 1.0
@@ -479,9 +500,13 @@ object Similarity {
       val qSub = query.slice(s * sub, (s + 1) * sub)
       cb.map(cw => cw.zip(qSub).foldLeft(0.0) { case (a, (c, q)) => a + c * q })
     }
+    // dotBase: an additive per-row base for the approximate dot —
+    // lit(0.0) for plain PQ (codes approximate v itself); the residual
+    // form passes q·c(v) of the row's coarse cell, since there
+    // v ≈ c(v) + reconstruction and q·v ≈ q·c + Σ lookups
     val approxDot = tables.zipWithIndex.map { case (t, s) =>
       element_at(array(t.map(lit): _*), (col(s"code_$s") + 1).cast("int"))
-    }.reduce(_ + _)
+    }.foldLeft(dotBase)(_ + _)
     codes.select(col(idCol),
       pround(approxDot / (col("vnorm") * lit(safeQ)), digits).as("adc_cos"))
       .orderBy(col("adc_cos").desc, col(idCol))
@@ -661,6 +686,106 @@ object Similarity {
       .limit(k)
   }
 
+  /** RESIDUAL IVF-ADC (classic Jégou 2011 §V IVFADC — the depth the
+    * non-residual [[buildIvfPq]] deliberately deferred): PQ codes
+    * quantize the residual v − c(v) against the row's LEARNED coarse
+    * centroid instead of v itself. Residual magnitudes are a fraction
+    * of vector magnitudes, so the same m × ksub bit budget spends its
+    * codewords on a much smaller ball — WITHIN-CELL resolution the raw
+    * form provably lacks (members of one tight cluster collapse to
+    * near-identical raw codes; RecallSpec measures raw ADC at 0.16
+    * recall@10 there, residual ADC materially higher).
+    *
+    * Layout = [[buildIvfPq]] plus `$path/quantizer` — the learned
+    * K-row coarse centroid table the residuals were taken against
+    * (NOT the served per-cell means in `centroids`, which exist for
+    * cell RANKING): decode needs the exact encode-time quantizer, and
+    * probes add q·c(cell) back per scored row (v ≈ c(v) + recon ⇒
+    * q·v ≈ q·c + Σ table lookups). Residuals are IEEE subtractions of
+    * 1e-9-quantized centroids from exact inputs — deterministic and
+    * engine-identical, so the whole chain stays hash-gated
+    * ([[ivfPqResidualOracleSql]]).
+    */
+  def buildIvfPqResidual(df: DataFrame, idCol: String, vecCol: String,
+      path: String, k: Int, dim: Int, m: Int, ksub: Int,
+      coarseIters: Int = 3, pqIters: Int = 3): Unit = {
+    val cents = kmeansCentroids(df, idCol, vecCol, k, coarseIters)
+    val labeled = withCellLabels(df, idCol, vecCol, cents)
+    buildIvf(labeled, idCol, "label", vecCol, path)
+    writeQuantizer(df.sparkSession, cents, path)
+    val res = residualOf(col(vecCol), col("label"), cents)
+    val cbs = pqCodebooksOf(labeled, idCol, res, dim, m, ksub, pqIters)
+    writePqCodebooks(df.sparkSession, cbs, path)
+    pqEncodeOf(labeled, idCol, res, toDoubleArr(col(vecCol)), cbs,
+      keep = Seq("label"))
+      .write.mode("overwrite").partitionBy("label").parquet(s"$path/codes")
+  }
+
+  /** v − c(v): the per-row residual against the row's assigned learned
+    * centroid — a K-entry literal lookup plus one `zip_with`, map-only.
+    */
+  private def residualOf(vecCol: Column, labelCol: Column,
+      cents: Seq[Seq[Double]]): Column = {
+    val table = array(cents.map(c => array(c.map(lit): _*)): _*)
+    zip_with(toDoubleArr(vecCol),
+      element_at(table, labelCol.cast("int") + 1), (a, b) => a - b)
+  }
+
+  private def writeQuantizer(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[Seq[Double]], path: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, j) => (j, c) }.toDF("j", "c")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/quantizer")
+  }
+
+  private[ext] def readQuantizer(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$path/quantizer").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1).map(_._2).toSeq
+
+  /** Probe over a [[buildIvfPqResidual]] index: same pruned shape as
+    * [[ivfPqProbe]] (rank cells from the K-row table, ADC over ONLY the
+    * nprobe cells' codes, exact rerank against the pruned vectors) with
+    * one extra per-row term — the probed cell's q·c, a driver-side
+    * scalar per cell folded in as a literal CASE over the ≤ nprobe
+    * probed labels. Still zero corpus scans, still m lookups + an add
+    * per code row.
+    */
+  def ivfPqResidualProbe(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, idCol: String, labelCol: String, vecCol: String,
+      query: Seq[Double], k: Int = 10, nprobe: Int = 2, rerank: Int = 50,
+      digits: Int = 6): DataFrame = {
+    require(nprobe >= 1 && rerank >= k)
+    val cells = rankIndexCells(spark, indexPath, query, digits).take(nprobe)
+    val quant = readQuantizer(spark, indexPath)
+    def pruned(table: String): DataFrame = {
+      val df = spark.read.parquet(s"$indexPath/$table")
+      val t = df.schema(df.schema.fieldIndex(labelCol)).dataType
+      df.filter(col(labelCol).isin(cells.map(c => lit(c).cast(t)): _*))
+    }
+    val codes = pruned("codes")
+    val lt = codes.schema(codes.schema.fieldIndex(labelCol)).dataType
+    // q·c per probed cell; labels index the quantizer table directly
+    // (assignCell emits 0..K-1)
+    def qDot(label: Any): Double = {
+      val j = label.toString.toInt
+      quant(j).zip(query).foldLeft(0.0) { case (a, (c, q)) => a + c * q }
+    }
+    val cellDot = coalesce(
+      (cells.map(c =>
+        when(col(labelCol) === lit(c).cast(lt), lit(qDot(c)))) :+ lit(0.0)): _*)
+    val cand = pqAdcTopK(codes, idCol, readPqCodebooks(spark, indexPath),
+      query, rerank, digits, dotBase = cellDot)
+      .select(col(idCol))
+    pruned("vectors")
+      .join(broadcast(cand), idCol)
+      .select(col(idCol), cosineTo(query, vecCol, digits).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Parametric CTE chain for the quantized k-means unroll: `vSql`
     * defines the corpus view (vec_id, e DOUBLE[]), `kSql` the scalar
     * cell count, `px` prefixes every CTE name (so PQ can unroll one
@@ -735,6 +860,34 @@ object Similarity {
        |vn AS MATERIALIZED (SELECT vec_id,
        |  floor(sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (x, y) -> x + y)) * 1e9 + 0.5) / 1e9 AS vnorm
        |  FROM embeddings$corpusWhere),
+       |$encs""".stripMargin
+  }
+
+  /** [[pqCtes]] over a caller-defined (vec_id, e DOUBLE[]) VIEW — the
+    * residual oracle learns/encodes on a residual CTE instead of the
+    * raw embeddings; `vnWhere` still norms the ORIGINAL vectors (the
+    * cosine denominator is ‖v‖ whatever the codes approximate).
+    */
+  private def pqCtesFromView(view: String, vnWhere: String, dim: Int,
+      m: Int, ksub: Int, iters: Int): String = {
+    val sub = dim / m
+    val chains = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      kmeansCtesGeneric(s"s$s",
+        s"SELECT vec_id, e[$lo:$hi] AS e FROM $view",
+        ksub.toString, iters, l2 = true)
+    }.mkString(",\n")
+    val encs = (0 until m).map { s =>
+      s"""enc$s AS MATERIALIZED (SELECT vec_id, j AS code FROM (
+         |  SELECT v.vec_id, c.j,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${assignKey(l2 = true)}, c.j DESC) AS rn
+         |  FROM s${s}v v, s${s}c$iters c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$chains,
+       |vn AS MATERIALIZED (SELECT vec_id,
+       |  floor(sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (x, y) -> x + y)) * 1e9 + 0.5) / 1e9 AS vnorm
+       |  FROM embeddings$vnWhere),
        |$encs""".stripMargin
   }
 
@@ -865,6 +1018,75 @@ object Similarity {
        |  FROM vn $encJoins $tJoins
        |    JOIN assign a ON vn.vec_id = a.vec_id
        |    JOIN best b ON a.j = b.j
+       |  ORDER BY adc_cos DESC, vn.vec_id LIMIT $rerank),
+       |fulldims AS (SELECT unnest(range(0, (SELECT max(len(embedding)) FROM embeddings)))::BIGINT AS i),
+       |dd AS (SELECT e.vec_id, (e.embedding[d.i + 1])::DOUBLE AS x, qv.qe[d.i + 1] AS y
+       |       FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id,
+       |            fulldims d, qv)
+       |SELECT vec_id,
+       |       floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 AS cos
+       |FROM dd GROUP BY vec_id
+       |ORDER BY cos DESC, vec_id LIMIT $topk""".stripMargin
+  }
+
+  /** DuckDB oracle twin of the RESIDUAL IVF-ADC chain
+    * (`ivf_pq_residual`): the [[ivfPqOracleSql]] scaffold with three
+    * residual-specific pieces — `rres` (each assigned vector minus its
+    * LEARNED centroid, IEEE subtraction of already-quantized values),
+    * the PQ chains learned/encoded over `rres` instead of the raw
+    * corpus (norms still from the originals), and the per-cell q·c
+    * term (`qc`) added back into every ADC score. Every learner is
+    * individually 1e-9-quantized, residuals are deterministic
+    * arithmetic on quantized inputs, so the composition hash-matches
+    * like the rest.
+    */
+  def ivfPqResidualOracleSql(dim: Int, m: Int, ksub: Int, k: Int,
+      coarseIters: Int = 3, pqIters: Int = 3, nprobe: Int = 2,
+      rerank: Int = 50, topk: Int = 10): String = {
+    val sub = dim / m
+    val learn = kmeansCtesGeneric("g",
+      "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id != 0",
+      k.toString, coarseIters, l2 = false)
+    val tables = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      s"""t$s AS MATERIALIZED (SELECT c.j,
+         |  list_reduce(list_transform(list_zip(c.c, (SELECT qe[$lo:$hi] FROM qv)), p -> p[1] * p[2]), (x, y) -> x + y) AS d
+         |  FROM s${s}c$pqIters c)""".stripMargin
+    }.mkString(",\n")
+    val encJoins = (0 until m).map(s => s"JOIN enc$s e$s USING (vec_id)").mkString(" ")
+    val tJoins = (0 until m).map(s => s"JOIN t$s ON e$s.code = t$s.j").mkString(" ")
+    val dotSum = (0 until m).map(s => s"t$s.d").mkString(" + ")
+    s"""WITH $learn,
+       |qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+       |qn AS (SELECT CASE WHEN n = 0 THEN 1.0 ELSE n END AS n FROM (
+       |  SELECT sqrt(list_reduce(list_transform(qe, x -> x * x), (x, y) -> x + y)) AS n FROM qv)),
+       |assign AS MATERIALIZED (SELECT vec_id, e, j FROM (
+       |  SELECT v.vec_id, v.e, c.j,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${assignKey(l2 = false)},
+       |      c.j DESC) AS rn
+       |  FROM gv v, gc$coarseIters c) WHERE rn = 1),
+       |rres AS MATERIALIZED (SELECT a.vec_id,
+       |    list_transform(list_zip(a.e, c.c), p -> p[1] - p[2]) AS e
+       |  FROM assign a JOIN gc$coarseIters c ON a.j = c.j),
+       |${pqCtesFromView("rres", " WHERE vec_id != 0", dim, m, ksub, pqIters)},
+       |cdims AS (SELECT a.j, d.i, avg(a.e[d.i + 1]) AS c
+       |          FROM assign a, gdims d GROUP BY a.j, d.i),
+       |cscores AS (SELECT cd.j,
+       |    floor((sum(cd.c * qv.qe[cd.i + 1]) / sqrt(sum(cd.c * cd.c))) * 1e6 + 0.5) / 1e6 AS s
+       |  FROM cdims cd, qv GROUP BY cd.j),
+       |best AS (SELECT j FROM cscores ORDER BY s DESC, j LIMIT $nprobe),
+       |qc AS (SELECT c.j,
+       |    list_reduce(list_transform(list_zip(c.c, (SELECT qe FROM qv)), p -> p[1] * p[2]), (x, y) -> x + y) AS d
+       |  FROM gc$coarseIters c),
+       |$tables,
+       |cand AS (SELECT vn.vec_id,
+       |    floor(((qc.d + $dotSum) / (vn.vnorm * (SELECT n FROM qn))) * 1e6 + 0.5) / 1e6 AS adc_cos
+       |  FROM vn $encJoins $tJoins
+       |    JOIN assign a ON vn.vec_id = a.vec_id
+       |    JOIN best b ON a.j = b.j
+       |    JOIN qc ON a.j = qc.j
        |  ORDER BY adc_cos DESC, vn.vec_id LIMIT $rerank),
        |fulldims AS (SELECT unnest(range(0, (SELECT max(len(embedding)) FROM embeddings)))::BIGINT AS i),
        |dd AS (SELECT e.vec_id, (e.embedding[d.i + 1])::DOUBLE AS x, qv.qe[d.i + 1] AS y

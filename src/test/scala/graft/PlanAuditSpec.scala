@@ -27,7 +27,7 @@ class PlanAuditSpec extends SparkSpec {
     // against the raw corpus table — ivf_pq_topk is the composition
     // whose rerank reads the index's cell-partitioned vectors instead)
     Seq("ivf_probe", "ivf_probe2", "bm25_topk", "ivf_pq_topk",
-      "pq_adc_topk").foreach { name =>
+      "ivf_pq_residual", "pq_adc_topk").foreach { name =>
       val scans = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.relation.location.rootPaths.map(_.toString)
