@@ -103,15 +103,37 @@ object Compaction {
     committedGens(spark, tablePath).get(hour).map { case (g, p) => (p, g) }
       .orElse(liveHourDirs(spark, tablePath).get(hour).map(_ -> 0))
 
-  /** Files currently making up one hour (its resolved current copy). */
+  /** Files currently making up one hour (its resolved current copy).
+    * On a MANIFEST table ([[EventsTable.appendManifested]]) a LIVE
+    * hour's files come from the committed manifest prefix, never the
+    * dir listing — a listing would count (and [[compactHour]] would
+    * RESURRECT into a generation) crash orphans no manifest names.
+    * Generations are their own commit scope and list as before.
+    */
   def partitionFiles(spark: SparkSession, tablePath: String, hour: Long): Seq[(String, Long)] =
     currentCopy(spark, tablePath, hour) match {
       case None => Seq.empty
-      case Some((dir, _)) =>
-        fsOf(spark, tablePath).listStatus(dir).toSeq
-          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-          .map(f => (f.getPath.toString, f.getLen))
+      case Some((dir, gen)) =>
+        val fs = fsOf(spark, tablePath)
+        manifestLiveFiles(spark, tablePath, hour, gen) match {
+          case Some(files) =>
+            files.map(f => (f, fs.getFileStatus(new Path(f)).getLen))
+          case None =>
+            fs.listStatus(dir).toSeq
+              .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+              .map(f => (f.getPath.toString, f.getLen))
+        }
     }
+
+  /** The manifest-visible file set for a LIVE hour of a manifest-mode
+    * table; None for plain tables or generation-served hours.
+    */
+  private def manifestLiveFiles(spark: SparkSession, tablePath: String,
+      hour: Long, gen: Int): Option[Seq[String]] =
+    if (gen != 0) None
+    else EventsTable.manifestFiles(spark, tablePath).map(
+      _.filter(_.startsWith(s"${EventsTable.PartitionCol}=$hour/"))
+        .map(rel => s"$tablePath/$rel"))
 
   /** Compact one closed hour to ~`targetBytes` files as a NEW committed
     * generation. Returns (filesBefore, filesAfter); no-op when already
@@ -140,7 +162,12 @@ object Compaction {
     while (!tryClaim(fs, new Path(s"$tablePath/${claimName(hour, nextGen)}")))
       nextGen += 1
     val dest = new Path(s"$tablePath/${genDirName(hour, nextGen)}")
-    val src = spark.read.parquet(srcDir.toString)
+    // manifest-mode live hour: compact the VISIBLE file set by name
+    // (see partitionFiles) — never the dir listing
+    val src = manifestLiveFiles(spark, tablePath, hour, srcGen) match {
+      case Some(visible) => spark.read.parquet(visible: _*)
+      case None => spark.read.parquet(srcDir.toString)
+    }
     val withHour = // live files don't carry the partition column; gens do
       if (src.columns.contains(EventsTable.PartitionCol)) src
       else src.withColumn(EventsTable.PartitionCol, lit(hour))

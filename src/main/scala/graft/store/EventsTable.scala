@@ -204,6 +204,17 @@ object EventsTable {
     out.write(files.mkString("\n").getBytes("UTF-8"))
     out.close()
     val fin = new Path(dir, f"m-$next%012d")
+    // single-writer violation guard: POSIX rename OVERWRITES an existing
+    // target (RawLocalFileSystem inherits that), so two concurrent
+    // manifested appends racing to the same seq would silently clobber
+    // one batch's manifest — its data invisible forever, the exact skip
+    // this mode exists to prevent. Fail loudly instead (TOCTOU-narrow,
+    // but the contract is single-writer; this turns misuse into an
+    // error rather than data loss).
+    if (fs.exists(fin))
+      throw new java.lang.IllegalStateException(
+        s"manifest $fin already exists: concurrent manifested appends " +
+          "violate the single-writer contract")
     if (!fs.rename(tmp, fin))
       throw new java.io.IOException(s"manifest commit failed: $fin")
   }
@@ -300,11 +311,12 @@ object EventsTable {
     * generations supersede their hours' manifest entries exactly as
     * they supersede live dirs in [[readListed]]; entries under a
     * retention-dropped hour (the dir checked by name, not listed) are
-    * filtered here. NOTE: compaction over a manifest table must
-    * consume [[read]]-visible rows, not raw hour-dir listings — a
-    * listing could resurrect crash orphans into a generation; until
-    * that path is manifest-aware, run manifest tables with compaction
-    * disabled (retention composes fine).
+    * filtered here. Compaction composes: [[Compaction.compactHour]] is
+    * manifest-aware — a live hour compacts from its manifest-VISIBLE
+    * file set (crash orphans can never resurrect into a generation),
+    * and the committed generation then supersedes the hour's manifest
+    * entries here exactly as it supersedes live dirs. Retention
+    * composes unchanged (whole-hour drops).
     */
   private def readManifested(spark: SparkSession, path: String,
       files: Seq[String]): DataFrame = {

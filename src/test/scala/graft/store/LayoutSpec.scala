@@ -69,6 +69,17 @@ class LayoutSpec extends SparkSpec {
     assert(visible() == all)
     assert(visible().filter(_ <= probedHead) == prefix,
       "no event at/under an already-probed head may appear later")
+
+    // compaction composes with manifest mode: a live hour compacts from
+    // its manifest-VISIBLE files — the orphan planted above must NOT
+    // resurrect into the generation — and the committed generation then
+    // serves the hour with rows identical to the manifest view
+    val (before, after) = Compaction.compactHour(spark, path, 11, force = true)
+    assert(before >= 2 && after >= 1)
+    assert(Compaction.committedGens(spark, path).contains(11L),
+      "hour 11 must now be generation-served")
+    assert(visible() == all,
+      "compacting a manifest table must neither lose rows nor resurrect orphans")
   }
 
   test("compaction collapses micro-batch appends into sorted files; rows identical") {
