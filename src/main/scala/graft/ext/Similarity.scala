@@ -686,6 +686,60 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-partition COMPOSED IVF-PQ build against a FROZEN coarse
+    * quantizer and FROZEN PQ codebooks — the incremental-refresh unit
+    * of [[buildIvfPq]]: one assignment pass + one encode projection
+    * over only the new partition's rows. [[buildIvfPart]] contributes
+    * the cell-partitioned vectors and the summable centroid partials;
+    * this adds the cell-partitioned codes.
+    */
+  def buildIvfPqPart(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], cbs: Seq[Seq[Seq[Double]]],
+      path: String): Unit = {
+    buildIvfPart(df, idCol, vecCol, centroids, path)
+    pqEncode(withCellLabels(df, idCol, vecCol, centroids), idCol, vecCol,
+      cbs, keep = Seq("label"))
+      .write.mode("overwrite").partitionBy("label").parquet(s"$path/codes")
+  }
+
+  /** Merge committed per-partition IVF-PQ indexes into a probe-ready
+    * [[buildIvfPq]]-layout index: vectors + true combined-corpus
+    * centroid means via [[mergeIvf]], codes by FILE COPY into
+    * `codes/part=N/label=…` (the probe's cell filter partition-prunes
+    * across every part), frozen codebooks written once.
+    */
+  def mergeIvfPq(spark: org.apache.spark.sql.SparkSession,
+      cbs: Seq[Seq[Seq[Double]]], partPaths: Seq[String], path: String): Unit = {
+    mergeIvf(spark, partPaths, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    partPaths.zipWithIndex.foreach { case (pp, i) =>
+      val src = new org.apache.hadoop.fs.Path(s"$pp/codes")
+      val dst = new org.apache.hadoop.fs.Path(s"$path/codes/part=$i")
+      val fs = src.getFileSystem(conf)
+      fs.mkdirs(dst.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    }
+    writePqCodebooks(spark, cbs, path)
+  }
+
+  /** The incremental COMPOSED IVF-PQ index for an append-only
+    * partitioned corpus — [[ensureIncrementalIvf]] and
+    * [[ensureIncrementalPq]] fused on one lifecycle: appending an hour
+    * assigns + encodes ONLY that hour (two map-only projections), the
+    * merge is file copies plus the K-row centroid re-derivation, and
+    * [[ivfPqProbe]] over the merged layout is identical to a
+    * monolithic [[buildIvfPq]] under the same frozen learners
+    * (IncrementalIndexSpec pins it). Quantizer and codebooks move only
+    * on a periodic full rebuild — the standard billion-scale ANN
+    * maintenance posture.
+    */
+  def ensureIncrementalIvfPq(spark: org.apache.spark.sql.SparkSession,
+      kind: String, sourceDir: String, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], cbs: Seq[Seq[Seq[Double]]]): String =
+    IndexStore.ensureIncremental(kind, spark, sourceDir) { (part, tmp) =>
+      buildIvfPqPart(spark.read.parquet(part), idCol, vecCol, centroids, cbs, tmp)
+    } { (parts, tmp) => mergeIvfPq(spark, cbs, parts, tmp) }
+
   /** RESIDUAL IVF-ADC (classic Jégou 2011 §V IVFADC — the depth the
     * non-residual [[buildIvfPq]] deliberately deferred): PQ codes
     * quantize the residual v − c(v) against the row's LEARNED coarse

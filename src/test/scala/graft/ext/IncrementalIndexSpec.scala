@@ -151,6 +151,65 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(probe(i2) == inlineProbe(all.drop("label")))
   }
 
+  test("incremental composed IVF-PQ: append builds one partition; pruned probe equals monolithic") {
+    val all = ClusterFixture.clustered(spark, 600, 24, 6).cache()
+    val src = tmpDir("inc-ivfpq-src")
+    all.filter(col("vec_id") % 3 === 0).drop("label").write.parquet(s"$src/part=0")
+    all.filter(col("vec_id") % 3 === 1).drop("label").write.parquet(s"$src/part=1")
+    // BOTH learners are learned once on the initial corpus and frozen;
+    // appended hours get one assignment pass + one encode projection
+    val initial = all.filter(col("vec_id") % 3 =!= 2).drop("label")
+    val cents = Similarity.kmeansCentroids(initial, "vec_id", "embedding", 6, 3)
+    val cbs = Similarity.pqCodebooks(initial, "vec_id", "embedding",
+      dim = 24, m = 4, ksub = 8)
+
+    var partBuilds = 0
+    def ensureInc(): String =
+      IndexStore.ensureIncremental("incivfpq", spark, src) { (part, tmp) =>
+        partBuilds += 1
+        Similarity.buildIvfPqPart(spark.read.parquet(part), "vec_id", "embedding",
+          cents, cbs, tmp)
+      } { (parts, tmp) => Similarity.mergeIvfPq(spark, cbs, parts, tmp) }
+
+    val q = all.filter(col("vec_id") === 0)
+      .select(Similarity.toDoubleArr(col("embedding"))).head().getSeq[Double](0).toSeq
+    def probeDf(idx: String) =
+      Similarity.ivfPqProbe(spark, idx, "vec_id", "label", "embedding", q,
+        k = 10, nprobe = 2, rerank = 60)
+    def probe(idx: String): Seq[(Long, Double)] =
+      probeDf(idx).as[(Long, Double)].collect().toSeq
+    // monolithic-with-frozen-learners twin: the single-part merge IS
+    // buildIvfPq's layout under the same (deterministic) learners
+    def mono(df: org.apache.spark.sql.DataFrame, tag: String): String = {
+      val part = tmpDir(s"inc-ivfpq-$tag-part"); val out = tmpDir(s"inc-ivfpq-$tag")
+      Similarity.buildIvfPqPart(df, "vec_id", "embedding", cents, cbs, part)
+      Similarity.mergeIvfPq(spark, cbs, Seq(part), out)
+      out
+    }
+
+    val i1 = ensureInc()
+    assert(partBuilds == 2)
+    assert(ensureInc() == i1 && partBuilds == 2) // idempotent cache hit
+    assert(Similarity.readPqCodebooks(spark, i1) == cbs)
+    assert(probe(i1) == probe(mono(initial, "m1")))
+
+    // --- a new hour of vectors arrives
+    all.filter(col("vec_id") % 3 === 2).drop("label").write.parquet(s"$src/part=2")
+    val i2 = ensureInc()
+    assert(partBuilds == 3, "only the appended partition may assign+encode")
+    assert(probe(i2) == probe(mono(all.drop("label"), "m2")))
+    // the merged multi-part layout still partition-prunes the probe's
+    // code and vector reads on the cell label
+    val scans = probeDf(i2).queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    Seq("codes", "vectors").foreach { t =>
+      val ts = scans.filter(_.relation.location.rootPaths.exists(_.toString.contains(t)))
+      assert(ts.nonEmpty && ts.forall(_.partitionFilters.nonEmpty),
+        s"$t scan not pruned over the merged layout")
+    }
+  }
+
   test("incremental IVF (frozen quantizer): append assigns one partition; probe equals monolithic") {
     val all = ClusterFixture.clustered(spark, 600, 24, 6).cache()
     val src = tmpDir("inc-ivf-src")
