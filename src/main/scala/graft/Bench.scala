@@ -297,7 +297,7 @@ object Bench {
       // below measure the serve shape
       "quality_lr_train", "quality_lr_score", "quality_lr_bigram",
       "pq_codes", "pq_adc_topk", "pq_rerank_topk", "ivf_pq_topk",
-      "ivf_pq_residual")
+      "ivf_pq_residual", "ivf_pq_batch")
     val indexBuildSec = {
       val t0 = System.nanoTime()
       probeOnly.foreach { n =>

@@ -632,6 +632,25 @@ object ExtQueries {
       "vec_id", "label", "embedding", queryVec(spark, dir),
       k = 10, nprobe = 2, rerank = 50)
 
+  /** E2 — BATCH IVF-ADC ([[Similarity.ivfPqProbeBatch]]): 3 queries
+    * rank cells, ADC-scan, and exact-rerank in ONE set of distributed
+    * joins — the retrieval-pipeline serving shape (a driver loop of
+    * single probes is N jobs; the batch is one). Corpus = vec_id ≥ 3,
+    * queries = vec_id < 3; every window partitions by qid; hash-gated
+    * end to end by the per-qid-joined composition of the same
+    * quantized unrolls.
+    */
+  def ivfPqBatch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val idx = IndexStore.ensure("ivfpqb", spark, Seq(s"$dir/embeddings.parquet")) { tmp =>
+      Similarity.buildIvfPq(emb.filter(col("vec_id") >= 3).drop("label"),
+        "vec_id", "embedding", tmp, k = 8, dim = 64, m = 4, ksub = 16)
+    }
+    Similarity.ivfPqProbeBatch(spark, idx, "vec_id", "label", "embedding",
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 10, nprobe = 2, rerank = 50)
+  }
+
   /** E2 — RESIDUAL IVF-ADC ([[Similarity.buildIvfPqResidual]], the
     * classic Jégou 2011 IVFADC): PQ codes quantize v − c(v), probes add
     * the cell's q·c back — within-cell resolution the raw-code form

@@ -840,6 +840,84 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCH form of [[ivfPqProbe]] — the retrieval-pipeline serving
+    * shape at scale: N queries rank cells, scan codes, and rerank in
+    * ONE set of distributed joins, instead of N driver-looped probe
+    * jobs. `queries` is a (qid, vector) DataFrame; returns (qid,
+    * vec_id, cos), top-k per query.
+    *
+    * Plan shape: the K-row centroids and m·ksub-row codebooks fold to
+    * broadcast/literal lookups exactly as in the single-query path;
+    * the code scan is restricted to the BATCH'S probed-cell union via
+    * a broadcast hash join on the cell label (plan-time literal
+    * pruning needs per-query constants — for a batch, the probed-cell
+    * union IS the correct read set, and Spark's dynamic partition
+    * pruning applies the broadcast side to the partitioned scan).
+    * Every window is partitioned by qid — no global sorts anywhere.
+    */
+  def ivfPqProbeBatch(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, idCol: String, labelCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qVecCol: String,
+      k: Int = 10, nprobe: Int = 2, rerank: Int = 50,
+      digits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1 && rerank >= k)
+    val qs = queries.select(col(qidCol).as("__qid"),
+      toDoubleArr(col(qVecCol)).as("__qe"))
+    val qn = qs.withColumn("__qn", {
+      val n = sqrt(dot(col("__qe"), col("__qe")))
+      when(n === 0.0, lit(1.0)).otherwise(n)
+    })
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .select(col(labelCol).as("__cell"), toDoubleArr(col("centroid")).as("__c"))
+    // per-query cell ranking — the distributed twin of
+    // [[rankIndexCells]]: score = rounded dot/|c| (the query norm is
+    // constant per query and cancels), NaN (zero-norm centroid) sorts
+    // greatest in Spark exactly as in the driver-side sort, ties to
+    // the lower label
+    val wCell = Window.partitionBy(col("__qid"))
+      .orderBy(col("__s").desc, col("__cell").asc)
+    val probeSet = qn.join(broadcast(cents))
+      .withColumn("__s", pround(dot(col("__c"), col("__qe")) / l2Norm(col("__c")), digits))
+      .withColumn("__rn", row_number().over(wCell))
+      .filter(col("__rn") <= nprobe)
+      .select(col("__qid"), col("__qe"), col("__qn"), col("__cell"))
+    val cbs = readPqCodebooks(spark, indexPath)
+    val sub = cbs.head.head.size
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    val paired = codes.join(broadcast(probeSet),
+      codes(labelCol) === probeSet("__cell"))
+    // ADC per (query, code row): codeword vectors are m×ksub literal
+    // arrays indexed by the stored code; the per-subspace dot runs
+    // against the query's slice — same sequential dim-order fold as
+    // the single-query path's driver-side tables
+    val adcDot = cbs.zipWithIndex.map { case (cb, s) =>
+      val table = array(cb.map(cw => array(cw.map(lit): _*)): _*)
+      dot(slice(col("__qe"), lit(s * sub + 1), lit(sub)),
+        element_at(table, (col(s"code_$s") + 1).cast("int")))
+    }.foldLeft(lit(0.0))(_ + _)
+    val wCand = Window.partitionBy(col("__qid"))
+      .orderBy(col("__adc").desc, col(idCol).asc)
+    val cand = paired
+      .withColumn("__adc", pround(adcDot / (col("vnorm") * col("__qn")), digits))
+      .withColumn("__rn", row_number().over(wCand))
+      .filter(col("__rn") <= rerank)
+      .select(col("__qid"), col("__qe"), col("__cell"), col(idCol))
+    // exact rerank: original vectors consulted only for the candidate
+    // ids, read through the same cell-pruning broadcast join
+    val vecs = spark.read.parquet(s"$indexPath/vectors")
+    val wTop = Window.partitionBy(col("__qid"))
+      .orderBy(col("cos").desc, vecs(idCol).asc)
+    vecs.join(broadcast(cand),
+        vecs(labelCol) === cand("__cell") && vecs(idCol) === cand(idCol))
+      .withColumn("cos", pround(
+        dot(col("__qe"), toDoubleArr(vecs(vecCol))) /
+          (l2Norm(toDoubleArr(vecs(vecCol))) * l2Norm(col("__qe"))), digits))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as("qid"), vecs(idCol).as(idCol), col("cos"))
+  }
+
   /** Parametric CTE chain for the quantized k-means unroll: `vSql`
     * defines the corpus view (vec_id, e DOUBLE[]), `kSql` the scalar
     * cell count, `px` prefixes every CTE name (so PQ can unroll one
@@ -1150,6 +1228,77 @@ object Similarity {
        |       floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 AS cos
        |FROM dd GROUP BY vec_id
        |ORDER BY cos DESC, vec_id LIMIT $topk""".stripMargin
+  }
+
+  /** DuckDB oracle twin of the BATCH IVF-ADC probe (`ivf_pq_batch`):
+    * the [[ivfPqOracleSql]] scaffold with every per-query scalar
+    * turned into a per-qid join — queries are `vec_id < nQueries`,
+    * the corpus is the rest; cell ranking, the per-(query, codeword)
+    * dot tables, ADC, and the exact rerank all window PARTITION BY
+    * qid. Same quantized learners, so the batch composition
+    * hash-matches exactly like the single-query form.
+    */
+  def ivfPqBatchOracleSql(dim: Int, m: Int, ksub: Int, k: Int,
+      nQueries: Int, coarseIters: Int = 3, pqIters: Int = 3,
+      nprobe: Int = 2, rerank: Int = 50, topk: Int = 10): String = {
+    val sub = dim / m
+    val corpusWhere = s" WHERE vec_id >= $nQueries"
+    val learn = kmeansCtesGeneric("g",
+      s"SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings$corpusWhere",
+      k.toString, coarseIters, l2 = false)
+    val tables = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      s"""tq$s AS MATERIALIZED (SELECT q.qid, c.j,
+         |  list_reduce(list_transform(list_zip(q.qe[$lo:$hi], c.c), p -> p[1] * p[2]), (x, y) -> x + y) AS d
+         |  FROM s${s}c$pqIters c, qs q)""".stripMargin
+    }.mkString(",\n")
+    val encJoins = (0 until m).map(s => s"JOIN enc$s e$s USING (vec_id)").mkString(" ")
+    val tJoins = (0 until m)
+      .map(s => s"JOIN tq$s ON tq$s.qid = b.qid AND tq$s.j = e$s.code").mkString(" ")
+    val dotSum = (0 until m).map(s => s"tq$s.d").mkString(" + ")
+    s"""WITH $learn,
+       |${pqCtes(corpusWhere, dim, m, ksub, pqIters)},
+       |qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < $nQueries),
+       |qn AS (SELECT qid, CASE WHEN n = 0 THEN 1.0 ELSE n END AS n FROM (
+       |  SELECT qid, sqrt(list_reduce(list_transform(qe, x -> x * x), (x, y) -> x + y)) AS n FROM qs)),
+       |assign AS MATERIALIZED (SELECT vec_id, e, j FROM (
+       |  SELECT v.vec_id, v.e, c.j,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${assignKey(l2 = false)},
+       |      c.j DESC) AS rn
+       |  FROM gv v, gc$coarseIters c) WHERE rn = 1),
+       |cdims AS (SELECT a.j, d.i, avg(a.e[d.i + 1]) AS c
+       |          FROM assign a, gdims d GROUP BY a.j, d.i),
+       |cscores AS (SELECT q.qid, cd.j,
+       |    floor((sum(cd.c * q.qe[cd.i + 1]) / sqrt(sum(cd.c * cd.c))) * 1e6 + 0.5) / 1e6 AS s
+       |  FROM cdims cd, qs q GROUP BY q.qid, cd.j),
+       |best AS (SELECT qid, j FROM (
+       |  SELECT qid, j, row_number() OVER (PARTITION BY qid ORDER BY s DESC, j) AS rn
+       |  FROM cscores) WHERE rn <= $nprobe),
+       |$tables,
+       |cand AS (SELECT qid, vec_id FROM (
+       |  SELECT sc.qid, sc.vec_id,
+       |    row_number() OVER (PARTITION BY sc.qid ORDER BY sc.adc_cos DESC, sc.vec_id) AS rn
+       |  FROM (SELECT b.qid, vn.vec_id,
+       |      floor((($dotSum) / (vn.vnorm * qn.n)) * 1e6 + 0.5) / 1e6 AS adc_cos
+       |    FROM vn $encJoins
+       |      JOIN assign a ON vn.vec_id = a.vec_id
+       |      JOIN best b ON a.j = b.j
+       |      JOIN qn ON qn.qid = b.qid
+       |      $tJoins) sc) WHERE rn <= $rerank),
+       |fulldims AS (SELECT unnest(range(0, (SELECT max(len(embedding)) FROM embeddings)))::BIGINT AS i),
+       |dd AS (SELECT c.qid, e.vec_id, (e.embedding[d.i + 1])::DOUBLE AS x, q.qe[d.i + 1] AS y
+       |       FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id
+       |            JOIN qs q ON q.qid = c.qid, fulldims d),
+       |scored AS (SELECT qid, vec_id,
+       |    floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 AS cos
+       |  FROM dd GROUP BY qid, vec_id)
+       |SELECT qid, vec_id, cos FROM (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored) WHERE rn <= $topk
+       |ORDER BY qid, vec_id""".stripMargin
   }
 
   def kmeansOracleSql(k: Int, iters: Int): String =
