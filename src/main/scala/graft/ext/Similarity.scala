@@ -778,7 +778,7 @@ object Similarity {
   /** v − c(v): the per-row residual against the row's assigned learned
     * centroid — a K-entry literal lookup plus one `zip_with`, map-only.
     */
-  private def residualOf(vecCol: Column, labelCol: Column,
+  private[ext] def residualOf(vecCol: Column, labelCol: Column,
       cents: Seq[Seq[Double]]): Column = {
     val table = array(cents.map(c => array(c.map(lit): _*)): _*)
     zip_with(toDoubleArr(vecCol),
@@ -839,6 +839,38 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
+
+  /** Per-partition RESIDUAL IVF-PQ build against a frozen quantizer +
+    * frozen residual codebooks — [[buildIvfPqPart]]'s twin for the
+    * [[buildIvfPqResidual]] layout: the appended hour assigns to the
+    * frozen cells and encodes its RESIDUALS in one projection.
+    */
+  def buildIvfPqResidualPart(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], cbs: Seq[Seq[Seq[Double]]],
+      path: String): Unit = {
+    buildIvfPart(df, idCol, vecCol, centroids, path)
+    val labeled = withCellLabels(df, idCol, vecCol, centroids)
+    pqEncodeOf(labeled, idCol, residualOf(col(vecCol), col("label"), centroids),
+      toDoubleArr(col(vecCol)), cbs, keep = Seq("label"))
+      .write.mode("overwrite").partitionBy("label").parquet(s"$path/codes")
+  }
+
+  /** Incremental lifecycle for the RESIDUAL composed index: per-hour
+    * [[buildIvfPqResidualPart]] + [[mergeIvfPq]] plus the frozen
+    * quantizer persisted for the probe's q·c terms and residual
+    * decode. Probe ≡ monolithic under the same frozen learners
+    * (IncrementalIndexSpec).
+    */
+  def ensureIncrementalIvfPqResidual(spark: org.apache.spark.sql.SparkSession,
+      kind: String, sourceDir: String, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], cbs: Seq[Seq[Seq[Double]]]): String =
+    IndexStore.ensureIncremental(kind, spark, sourceDir) { (part, tmp) =>
+      buildIvfPqResidualPart(spark.read.parquet(part), idCol, vecCol,
+        centroids, cbs, tmp)
+    } { (parts, tmp) =>
+      mergeIvfPq(spark, cbs, parts, tmp)
+      writeQuantizer(spark, centroids, tmp)
+    }
 
   /** BATCH form of [[ivfPqProbe]] — the retrieval-pipeline serving
     * shape at scale: N queries rank cells, scan codes, and rerank in

@@ -210,6 +210,63 @@ class IncrementalIndexSpec extends SparkSpec {
     }
   }
 
+  test("incremental RESIDUAL IVF-PQ: append encodes one partition's residuals; probe equals monolithic") {
+    val all = ClusterFixture.clustered(spark, 600, 24, 6).cache()
+    val src = tmpDir("inc-ivfpqres-src")
+    all.filter(col("vec_id") % 3 === 0).drop("label").write.parquet(s"$src/part=0")
+    all.filter(col("vec_id") % 3 === 1).drop("label").write.parquet(s"$src/part=1")
+    val initial = all.filter(col("vec_id") % 3 =!= 2).drop("label")
+    // frozen learners, learned exactly as buildIvfPqResidual would
+    // (same deterministic quantized updates, same iters) — so the
+    // monolithic twin below relearning them lands on identical values
+    val cents = Similarity.kmeansCentroids(initial, "vec_id", "embedding", 6, 3)
+    val labeledInit = Similarity.withCellLabels(initial, "vec_id", "embedding", cents)
+    val cbs = Similarity.pqCodebooksOf(labeledInit, "vec_id",
+      Similarity.residualOf(col("embedding"), col("label"), cents),
+      dim = 24, m = 4, ksub = 8)
+
+    def ensureIncFull(): String =
+      Similarity.ensureIncrementalIvfPqResidual(spark, "incivfpqres", src,
+        "vec_id", "embedding", cents, cbs)
+
+    val q = all.filter(col("vec_id") === 0)
+      .select(Similarity.toDoubleArr(col("embedding"))).head().getSeq[Double](0).toSeq
+    def probe(idx: String): Seq[(Long, Double)] =
+      Similarity.ivfPqResidualProbe(spark, idx, "vec_id", "label", "embedding",
+        q, k = 10, nprobe = 2, rerank = 60).as[(Long, Double)].collect().toSeq
+
+    val i1 = ensureIncFull()
+    assert(ensureIncFull() == i1) // idempotent cache hit
+    assert(Similarity.readPqCodebooks(spark, i1) == cbs)
+    assert(Similarity.readQuantizer(spark, i1) == cents)
+    // monolithic twin: the REAL monolithic builder relearns the same
+    // deterministic learners over the same corpus
+    val mono1 = tmpDir("inc-ivfpqres-mono1")
+    Similarity.buildIvfPqResidual(initial, "vec_id", "embedding", mono1,
+      k = 6, dim = 24, m = 4, ksub = 8)
+    assert(probe(mono1) == probe(i1))
+
+    // --- a new hour arrives
+    all.filter(col("vec_id") % 3 === 2).drop("label").write.parquet(s"$src/part=2")
+    val i2 = ensureIncFull()
+    assert(i2 != i1)
+    val mono2 = tmpDir("inc-ivfpqres-mono2")
+    // monolithic over the combined corpus with the SAME frozen learners
+    // (the incremental contract: the quantizer/codebooks move only on a
+    // periodic full rebuild)
+    val part2 = tmpDir("inc-ivfpqres-mono2-part")
+    Similarity.buildIvfPqResidualPart(all.drop("label"), "vec_id", "embedding",
+      cents, cbs, part2)
+    Similarity.mergeIvfPq(spark, cbs, Seq(part2), mono2)
+    val fs = new org.apache.hadoop.fs.Path(mono2)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$i2/quantizer"), fs,
+      new org.apache.hadoop.fs.Path(s"$mono2/quantizer"), false,
+      spark.sessionState.newHadoopConf())
+    assert(probe(i2) == probe(mono2))
+  }
+
   test("incremental IVF (frozen quantizer): append assigns one partition; probe equals monolithic") {
     val all = ClusterFixture.clustered(spark, 600, 24, 6).cache()
     val src = tmpDir("inc-ivf-src")
