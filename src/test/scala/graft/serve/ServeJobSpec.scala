@@ -252,10 +252,17 @@ class ServeJobSpec extends SparkSpec {
       // CPU-saturated parallel suite 4 rounds of wall time may not be
       // enough pump ticks — wait for cutover, bounded (all events are
       // already in the table, so this converges on any schedule)
-      val deadline = System.currentTimeMillis() + 60000
+      // 180 s: a churn-loaded parallel suite has been observed to stall
+      // the pump past 60 s (round-14 flake, ~1-in-3 under repeated
+      // serve-package runs on a degraded box); on failure dump the
+      // session's breadcrumb trace — the round-9 lesson that turns a
+      // flake report into a diagnosis
+      val deadline = System.currentTimeMillis() + 180000
       while (sessions("replayer").replaying && System.currentTimeMillis() < deadline)
         Thread.sleep(100)
-      assert(!sessions("replayer").replaying, "replayer never cut over")
+      assert(!sessions("replayer").replaying,
+        "replayer never cut over; trace:\n  " + String.join("\n  ",
+          sessions("replayer").trace))
       val rep = received("replayer")
       assert(rep == rep.sorted && rep.size == rep.distinct.size, "in-order, exactly-once")
       assert(rep == (1L until next).map(_ * Step).toVector,
