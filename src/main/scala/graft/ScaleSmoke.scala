@@ -40,12 +40,13 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
 
     if (soakMode) {
-      // soak [minutes] [eventsPerSec] [ingestTriggerMs] [multi]
+      // soak [minutes] [eventsPerSec] [ingestTriggerMs] [multi] [manifest]
       Soak.run(spark,
         minutes = args.lift(1).map(_.toInt).getOrElse(10),
         ratePerSec = args.lift(2).map(_.toInt).getOrElse(10000),
         ingestTriggerMs = args.lift(3).map(_.toLong).getOrElse(1000L),
-        multiEdge = args.lift(4).contains("multi"))
+        multiEdge = args.drop(4).contains("multi"),
+        manifestMode = args.drop(4).contains("manifest"))
       spark.stop()
       return
     }

@@ -62,13 +62,15 @@ object Soak {
     * like the reference's monotonic clock.)
     */
   private def seedHour(spark: SparkSession, tablePath: String,
-      frames: Seq[String], stampBaseUs: Long, prevMaxUs: Long): Long = {
+      frames: Seq[String], stampBaseUs: Long, prevMaxUs: Long,
+      manifestMode: Boolean = false): Long = {
     import spark.implicits._
     import graft.ingest.{Decode, Sequencer}
     val decoded = Decode.decodeFrames(Decode.parseMixedFrames(frames.toDF("value")))
     val seq = Sequencer.stamp(decoded, Seq("event_time_us", "did", "type"),
       prevMaxUs, nowUs = () => stampBaseUs)
-    EventsTable.append(seq.df, tablePath)
+    if (manifestMode) EventsTable.appendManifested(seq.df, tablePath)
+    else EventsTable.append(seq.df, tablePath)
     seq.maxTimeUs
   }
 
@@ -255,10 +257,12 @@ object Soak {
     else sorted(math.min(sorted.length - 1, (q * sorted.length).toInt))
 
   def run(spark: SparkSession, minutes: Int, ratePerSec: Int,
-      ingestTriggerMs: Long = 1000L, multiEdge: Boolean = false): Unit = {
+      ingestTriggerMs: Long = 1000L, multiEdge: Boolean = false,
+      manifestMode: Boolean = false): Unit = {
     val durMs = minutes * 60000L
     println(s"[soak] ${minutes}m at $ratePerSec ev/s, local[${spark.sparkContext.defaultParallelism}]" +
-      s", trigger=${ingestTriggerMs}ms" + (if (multiEdge) ", MULTI-EDGE" else ""))
+      s", trigger=${ingestTriggerMs}ms" + (if (multiEdge) ", MULTI-EDGE" else "") +
+      (if (manifestMode) ", MANIFEST-COMMITS" else ""))
     val dataDir = java.nio.file.Files.createTempDirectory("graft-soak").toString
     val tablePath = s"$dataDir/events"
 
@@ -274,7 +278,8 @@ object Soak {
     val h3Base = (nowUs - 3 * hourUs) / hourUs * hourUs + hourUs / 4 // mid-hour
     val h1Base = (nowUs - 1 * hourUs) / hourUs * hourUs + hourUs / 4
     val h3Max = seedHour(spark, tablePath,
-      (0 until seedPerHour).map(i => mkFrame(i, h3Base + i, swSeed)), h3Base, 0L)
+      (0 until seedPerHour).map(i => mkFrame(i, h3Base + i, swSeed)), h3Base, 0L,
+      manifestMode)
     // H-1 lands as FIVE separate appends: compactHour no-ops on an
     // already-compact hour (files ≤ ceil(bytes/target)), so the
     // compaction-fired assertion below needs a genuinely fragmented
@@ -285,7 +290,7 @@ object Soak {
       val lo = seedPerHour + k * h1Chunk
       h1Prev = seedHour(spark, tablePath,
         (lo until lo + h1Chunk).map(i => mkFrame(i, h1Base + i, swSeed)),
-        h1Base + k, h1Prev)
+        h1Base + k, h1Prev, manifestMode)
     }
     val seedCount = 2L * seedPerHour
     val h3Hour = h3Base / hourUs
@@ -303,6 +308,41 @@ object Soak {
     gen.setDaemon(true)
     gen.start()
 
+    // --- registered index refreshers (VERDICT r14 #7): the standing
+    // service keeps a positional index and an IVF-PQ index fresh over a
+    // corpus DERIVED FROM THE EVENTS TABLE, exactly as a deployment
+    // would. Part 0 is derived from the seed now; part 1 is derived
+    // from LIVE-ingested events mid-run, and the soak asserts a
+    // post-append probe sees the new docs without any caller-side
+    // ensure — the aging-index hazard the refreshers exist to close.
+    val corpusDir = s"$dataDir/corpus"
+    import org.apache.spark.sql.functions._
+    /** events rows → (doc_id, text, vec_id, embedding): text from the
+      * wire fields, a deterministic 16-dim hash embedding — the derived
+      * corpus shape, no external data.
+      */
+    def deriveDocs(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      rows.select(
+        col("time_us").as("doc_id"),
+        concat_ws(" ", col("did"), col("collection"), col("rkey")).as("text"),
+        col("time_us").as("vec_id"),
+        transform(sequence(lit(0), lit(15)),
+          i => pmod(xxhash64(col("did"), col("time_us"), i), lit(1000L)) / 1000.0)
+          .as("embedding"))
+    deriveDocs(EventsTable.read(spark, tablePath).limit(2000))
+      .write.parquet(s"$corpusDir/part=0")
+    // frozen ANN learners, learned once on part 0 (the standard
+    // maintenance trade: appended hours are assigned, not re-learned)
+    val part0 = spark.read.parquet(s"$corpusDir/part=0")
+    val soakCents = graft.ext.Similarity.kmeansCentroids(part0, "vec_id", "embedding", 4, 2)
+    val soakCbs = graft.ext.Similarity.pqCodebooksOf(
+      graft.ext.Similarity.withCellLabels(part0, "vec_id", "embedding", soakCents),
+      "vec_id", graft.ext.Similarity.toDoubleArr(col("embedding")),
+      dim = 16, m = 4, ksub = 8)
+    val lastPosPath = new java.util.concurrent.atomic.AtomicReference[String]
+    val lastIvfPath = new java.util.concurrent.atomic.AtomicReference[String]
+    val refreshTicks = new java.util.concurrent.atomic.AtomicInteger
+
     val staleFired = new java.util.concurrent.atomic.AtomicInteger
     val registry = new Metrics.Registry
     val running = Service.start(spark,
@@ -314,7 +354,19 @@ object Soak {
         maintenanceIntervalMs = 120000L, // retention+compaction at +2m, +4m, …
         staleAfterMs = 15000L,
         compactionGraceMs = 0L,
-        ingestTriggerMs = ingestTriggerMs),
+        ingestTriggerMs = ingestTriggerMs,
+        manifestCommits = manifestMode,
+        indexRefreshers = Seq(
+          Service.IndexRefresh("soak-positional", { s =>
+            val p = graft.ext.Retrieval.ensureIncrementalPositionalIndex(
+              s, "soakpos", corpusDir, "doc_id", "text")
+            lastPosPath.set(p); refreshTicks.incrementAndGet(); p
+          }),
+          Service.IndexRefresh("soak-ivfpq", { s =>
+            val p = graft.ext.Similarity.ensureIncrementalIvfPq(
+              s, "soakivfpq", corpusDir, "vec_id", "embedding", soakCents, soakCbs)
+            lastIvfPath.set(p); p
+          }))),
       registry = registry,
       onStale = _ => staleFired.incrementAndGet())
 
@@ -360,6 +412,12 @@ object Soak {
     var subB: Subscriber = null
     var staleAtGenEnd = -1
     var maintenanceSeen = false
+    // mid-run corpus growth: a live-derived part + a marker doc whose
+    // post-refresh visibility is the aging-index verdict
+    val MarkerId = 999999999L
+    var corpusAppended = false
+    var ticksAtAppend = Int.MaxValue
+    var indexVerified = false
     while (System.currentTimeMillis() - t0 < durMs) {
       Thread.sleep(15000)
       sampleHealth()
@@ -393,6 +451,49 @@ object Soak {
           .filter(_.startsWith(s"${EventsTable.PartitionCol}=")).sorted
         maintenanceSeen = hours.length > 0 &&
           !hours.contains(s"${EventsTable.PartitionCol}=$h3Hour")
+      }
+      // corpus part 1 lands once maintenance has proven live (so the
+      // refreshers have run at least once over part 0): live-ingested
+      // events plus the marker doc
+      if (!corpusAppended && maintenanceSeen && refreshTicks.get() >= 1) {
+        try {
+          val live = deriveDocs(EventsTable.read(spark, tablePath)
+            .filter(col("time_us") > h1Prev).limit(1000))
+          val marker = spark.range(1).select(
+            lit(MarkerId).as("doc_id"),
+            lit("soakzebra soakquagga").as("text"),
+            lit(MarkerId).as("vec_id"),
+            array((0 until 16).map(_ => lit(100.0)): _*).as("embedding"))
+          live.unionByName(marker).write.parquet(s"$corpusDir/part=1")
+          corpusAppended = true
+          ticksAtAppend = refreshTicks.get()
+          println(s"[soak] corpus part=1 appended at +${elapsed}s " +
+            s"(refresh ticks so far: $ticksAtAppend)")
+        } catch { case e: Throwable =>
+          println(s"[soak] corpus append failed (will retry): $e")
+        }
+      }
+      // after a refresh tick has run OVER the appended part, the probes
+      // must see the marker — retried each loop pass until they do (a
+      // tick racing the part write fingerprints a partial dir and the
+      // NEXT tick self-heals; see IndexStore.ensureIncremental)
+      if (corpusAppended && !indexVerified && refreshTicks.get() > ticksAtAppend) {
+        try {
+          val posIds = graft.ext.Retrieval.phraseProbe(spark, lastPosPath.get(),
+            "doc_id", Seq("soakzebra", "soakquagga"))
+            .select("doc_id").collect().map(_.getLong(0)).toSet
+          val ivfIds = graft.ext.Similarity.ivfPqProbe(spark, lastIvfPath.get(),
+            "vec_id", "label", "embedding", Seq.fill(16)(100.0),
+            k = 5, nprobe = 2, rerank = 50)
+            .collect().map(_.getLong(0)).toSet
+          if (posIds.contains(MarkerId) && ivfIds.contains(MarkerId)) {
+            indexVerified = true
+            println(s"[soak] index refresh verified at +${elapsed}s: " +
+              "both probes see the mid-run marker doc")
+          }
+        } catch { case e: Throwable =>
+          println(s"[soak] index probe failed (will retry): $e")
+        }
       }
     }
     staleAtGenEnd = staleFired.get()
@@ -476,6 +577,28 @@ object Soak {
         new java.io.File(s"$tablePath/$n/_SUCCESS").exists())
     check(h1Compacted, "closed hour H-1 was never compacted mid-soak")
     check(staleAtGenEnd == 0, s"staleness hook fired $staleAtGenEnd times during healthy soak")
+
+    // registered index refreshers kept the derived indexes fresh
+    check(refreshTicks.get() >= 1, "index refreshers never ran on the maintenance ticker")
+    if (durMs >= 6 * 60000L) {
+      check(corpusAppended, "mid-run corpus part was never appended (maintenance never seen?)")
+      check(indexVerified,
+        "post-append probes never saw the marker doc: the registered " +
+          "refreshers did not keep the positional/IVF-PQ indexes fresh")
+    }
+
+    // manifest mode: commits checkpointed and GC'd — the object count a
+    // standing object-store deployment pays per read stays bounded
+    if (manifestMode) {
+      val mnames = Option(new java.io.File(s"$tablePath/${EventsTable.ManifestsDir}")
+        .list()).getOrElse(Array.empty[String])
+      check(mnames.exists(_.startsWith("c-")),
+        s"manifest checkpoint never rolled over ${mnames.count(_.startsWith("m-"))} manifests")
+      check(mnames.count(_.startsWith("m-")) <= 2 * EventsTable.ManifestCheckpointEvery + 8,
+        s"manifest objects unbounded: ${mnames.length} in ${EventsTable.ManifestsDir}")
+      println(s"[soak] manifest mode: ${mnames.count(_.startsWith("m-"))} manifests + " +
+        s"${mnames.count(_.startsWith("c-"))} checkpoints on disk at end")
+    }
     check(subA.parseFailures == 0, s"subscriber A failed to parse ${subA.parseFailures} frames")
 
     // ingest throughput: ≥95% of the live stream persisted (the table

@@ -65,7 +65,8 @@ object IngestJob {
       scalableThresholdRows: Long = ScalableStampThresholdRows,
       trigger: Trigger = Trigger.AvailableNow(),
       metrics: graft.serve.Metrics.Registry = graft.serve.Metrics.default,
-      appendShards: Int = 0): StreamingQuery = {
+      appendShards: Int = 0,
+      manifestCommits: Boolean = false): StreamingQuery = {
     val hwm = new AtomicLong(prevMaxUs)
     // the reference's per-consumer sequenced/persisted counters
     // (pkg/consumer/consumer.go:79-81), labeled by the table the way
@@ -90,9 +91,14 @@ object IngestJob {
         if (seq.maxTimeUs > hwm.get()) {
           // 0 = auto: small live triggers stay one-file-per-hour; big
           // batches fan the write out across time-contiguous shards
-          // (prefix closure holds either way — EventsTable.append doc)
-          EventsTable.append(seq.df, tablePath,
-            if (appendShards > 0) appendShards else EventsTable.autoShards(n))
+          // (prefix closure holds either way — EventsTable.append doc).
+          // manifestCommits = the object-store-safe visibility mode:
+          // rename-order prefix closure degrades silently on rename-less
+          // stores; the manifest commit moves the boundary off the
+          // listing entirely (EventsTable.appendManifested doc)
+          val shards = if (appendShards > 0) appendShards else EventsTable.autoShards(n)
+          if (manifestCommits) EventsTable.appendManifested(seq.df, tablePath, shards)
+          else EventsTable.append(seq.df, tablePath, shards)
           persisted.add(n.toDouble)
           hwm.set(seq.maxTimeUs)
         }

@@ -350,7 +350,8 @@ object WebSocketIngress {
       trigger: Trigger = Trigger.ProcessingTime(0L),
       cursorOverrideUs: Long = -1L,
       format: String = "text",
-      metrics: graft.serve.Metrics.Registry = graft.serve.Metrics.default): StreamingQuery = {
+      metrics: graft.serve.Metrics.Registry = graft.serve.Metrics.default,
+      manifestCommits: Boolean = false): StreamingQuery = {
     // one table pass recovers BOTH marks (resume cursor + sequencer
     // high-water); a broken table fails here instead of resuming at 0
     val (storedCursor, prevMax) = SocketIngress.resumeState(spark, tablePath)
@@ -361,6 +362,7 @@ object WebSocketIngress {
     IngestJob.start(events(spark, s"$baseUrl${sep}cursor=$cursor", format),
       orderCols = Seq("event_time_us", "did", "type"),
       tablePath = tablePath, checkpointDir = checkpointDir,
-      prevMaxUs = prevMax, trigger = trigger, metrics = metrics)
+      prevMaxUs = prevMax, trigger = trigger, metrics = metrics,
+      manifestCommits = manifestCommits)
   }
 }

@@ -115,12 +115,29 @@ object Compaction {
       case None => Seq.empty
       case Some((dir, gen)) =>
         val fs = fsOf(spark, tablePath)
+        val listed =
+          try fs.listStatus(dir).toSeq.filter(_.isFile)
+          catch { case _: java.io.FileNotFoundException => Seq.empty }
         manifestLiveFiles(spark, tablePath, hour, gen) match {
           case Some(files) =>
-            files.map(f => (f, fs.getFileStatus(new Path(f)).getLen))
+            // one listing, intersected by NAME (ADVICE r14: the per-file
+            // getFileStatus was N+1 RPCs on an object store and threw on
+            // any manually-removed manifest entry where the listing path
+            // degraded gracefully) — a named-but-missing entry is skipped
+            // with a warning, matching the listing path's posture
+            val byName = listed.map(f => f.getPath.getName -> f.getLen).toMap
+            files.flatMap { f =>
+              val name = f.substring(f.lastIndexOf('/') + 1)
+              byName.get(name) match {
+                case Some(len) => Some((f, len))
+                case None =>
+                  org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                    s"manifest names $f but the hour dir no longer holds it; skipping")
+                  None
+              }
+            }
           case None =>
-            fs.listStatus(dir).toSeq
-              .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+            listed.filter(f => !f.getPath.getName.startsWith("_"))
               .map(f => (f.getPath.toString, f.getLen))
         }
     }

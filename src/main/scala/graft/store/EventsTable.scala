@@ -181,13 +181,25 @@ object EventsTable {
 
   val ManifestsDir = "_manifests"
   private val ManifestName = raw"m-(\d{12})".r
+  private val CheckpointName = raw"c-(\d{12})".r
+
+  /** Roll a checkpoint every this many manifest commits (ADVICE r14:
+    * without it, every read parses every manifest ever committed —
+    * O(total appends) objects, ~86k/day at 1 append/s). A checkpoint
+    * `c-<seq>` is ONE object holding the full visible file list of the
+    * prefix [1..seq]; readers start from the newest checkpoint and add
+    * only the manifests after it, so steady-state read cost is O(1)
+    * checkpoint + ≤ 2·interval small manifests regardless of table age.
+    */
+  @volatile private[store] var manifestCheckpointEvery: Long = 64L
+  def ManifestCheckpointEvery: Long = manifestCheckpointEvery
 
   /** Commit one batch's file list as the next sequential manifest
-    * object. Write-then-rename: on HDFS-class filesystems the rename
+    * object, rolling a checkpoint every [[ManifestCheckpointEvery]]
+    * commits. Write-then-rename: on HDFS-class filesystems the rename
     * is atomic; on an object store the single-object copy is atomic
     * per object (a manifest is never served half-written either way).
-    * The dot-prefixed temp is invisible to both Spark and
-    * [[committedManifestSeqs]].
+    * The dot-prefixed temp is invisible to Spark and the name regexes.
     */
   private def commitManifest(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, files: Seq[String]): Unit = {
@@ -198,12 +210,50 @@ object EventsTable {
     // next = max committed + 1, so the sequence is gapless by
     // construction and a reader's first-gap rule only ever fires on
     // not-yet-visible manifests, never permanently
-    val next = committedManifestSeqs(fs, root).lastOption.getOrElse(0L) + 1
-    val tmp = new Path(dir, f".m-$next%012d.tmp")
+    val (ckpt, allManifestSeqs) = manifestNames(fs, root)
+    val next = math.max(ckpt, allManifestSeqs.lastOption.getOrElse(0L)) + 1
+    writeObject(fs, dir, f"m-$next%012d", files.mkString("\n"))
+    if (next % ManifestCheckpointEvery == 0L)
+      rollCheckpoint(fs, root, next)
+  }
+
+  /** Roll the full visible prefix [1..seq] into checkpoint `c-<seq>`,
+    * then garbage-collect objects superseded by the PREVIOUS checkpoint
+    * (lag-one deletion: a reader that listed any time after the previous
+    * roll resolves entirely from objects that still exist; the
+    * listing→open race across a whole checkpoint interval is further
+    * covered by [[manifestFiles]]'s re-resolve-on-missing retry).
+    * Entries under retention-dropped hour dirs are pruned here, so the
+    * checkpoint stays bounded by the LIVE table, not its total history.
+    */
+  private def rollCheckpoint(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, seq: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(root, ManifestsDir)
+    val all = resolveManifestFiles(fs, root)
+    val hourDirs = all.map(_.takeWhile(_ != '/')).distinct
+    val liveHourDirs = hourDirs.filter(h => fs.exists(new Path(root, h))).toSet
+    val pruned = all.filter(rel => liveHourDirs.contains(rel.takeWhile(_ != '/')))
+    writeObject(fs, dir, f"c-$seq%012d", pruned.mkString("\n"))
+    val prevCkpt = // newest checkpoint strictly below the one just rolled
+      checkpointSeqs(fs, root).filter(_ < seq).lastOption.getOrElse(0L)
+    fs.listStatus(dir).foreach { st =>
+      st.getPath.getName match {
+        case ManifestName(s) if s.toLong <= prevCkpt => fs.delete(st.getPath, false)
+        case CheckpointName(s) if s.toLong < prevCkpt => fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
+  }
+
+  private def writeObject(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, name: String, body: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(dir, s".$name.tmp")
     val out = fs.create(tmp, true)
-    out.write(files.mkString("\n").getBytes("UTF-8"))
+    out.write(body.getBytes("UTF-8"))
     out.close()
-    val fin = new Path(dir, f"m-$next%012d")
+    val fin = new Path(dir, name)
     // single-writer violation guard: POSIX rename OVERWRITES an existing
     // target (RawLocalFileSystem inherits that), so two concurrent
     // manifested appends racing to the same seq would silently clobber
@@ -213,48 +263,129 @@ object EventsTable {
     // error rather than data loss).
     if (fs.exists(fin))
       throw new java.lang.IllegalStateException(
-        s"manifest $fin already exists: concurrent manifested appends " +
-          "violate the single-writer contract")
+        s"manifest object $fin already exists: concurrent manifested " +
+          "appends violate the single-writer contract")
     if (!fs.rename(tmp, fin))
       throw new java.io.IOException(s"manifest commit failed: $fin")
   }
 
-  private[store] def committedManifestSeqs(fs: org.apache.hadoop.fs.FileSystem,
+  private def checkpointSeqs(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[Long] = {
     val dir = new org.apache.hadoop.fs.Path(root, ManifestsDir)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
-      case ManifestName(seq) => Some(seq.toLong)
+      case CheckpointName(seq) => Some(seq.toLong)
       case _ => None
     }).sorted
   }
 
-  /** The CONTIGUOUS visible prefix of the manifest sequence: stop at
-    * the first gap. Under out-of-order object visibility (m-3 listed
-    * before m-2 propagates) the view truncates to [1..1] — strictly
-    * earlier, never skipping — and extends monotonically as the gap
+  /** One listing → (newest checkpoint seq or 0, ALL manifest seqs
+    * sorted). The writer takes max over both; the reader prefix starts
+    * after the checkpoint.
+    */
+  private def manifestNames(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): (Long, Seq[Long]) = {
+    val dir = new org.apache.hadoop.fs.Path(root, ManifestsDir)
+    if (!fs.exists(dir)) (0L, Seq.empty)
+    else {
+      val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      val ckpt = names.collect { case CheckpointName(s) => s.toLong }
+        .sorted.lastOption.getOrElse(0L)
+      val ms = names.collect { case ManifestName(s) => s.toLong }.sorted
+      (ckpt, ms)
+    }
+  }
+
+  /** The CONTIGUOUS visible manifest prefix AFTER checkpoint `ckpt`:
+    * stop at the first gap. Under out-of-order object visibility (m-3
+    * listed before m-2 propagates) the view truncates to an earlier
+    * prefix — never skipping — and extends monotonically as the gap
     * fills.
     */
-  private[store] def manifestVisiblePrefix(seqs: Seq[Long]): Seq[Long] =
-    seqs.sorted.zipWithIndex.takeWhile { case (s, i) => s == i + 1L }.map(_._1)
+  private[store] def manifestVisiblePrefix(seqs: Seq[Long], ckpt: Long = 0L): Seq[Long] =
+    seqs.filter(_ > ckpt).sorted.zipWithIndex
+      .takeWhile { case (s, i) => s == ckpt + i + 1L }.map(_._1)
+
+  private def readObject(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(path)
+    val bytes = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    new String(bytes.toByteArray, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** Uncached full resolution: checkpoint body + every visible manifest
+    * after it.
+    */
+  private def resolveManifestFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Vector[String] = {
+    import org.apache.hadoop.fs.Path
+    val (ckpt, ms) = manifestNames(fs, root)
+    val base =
+      if (ckpt == 0L) Vector.empty[String]
+      else readObject(fs, new Path(root, f"$ManifestsDir/c-$ckpt%012d")).toVector
+    base ++ manifestVisiblePrefix(ms, ckpt).flatMap(seq =>
+      readObject(fs, new Path(root, f"$ManifestsDir/m-$seq%012d")))
+  }
+
+  /** Parsed-manifest memo (ADVICE r14): manifest objects are immutable
+    * once committed, so a reader only ever needs to FETCH the manifests
+    * newer than what it last parsed. Keyed by qualified table URI;
+    * invalidated structurally (checkpoint changed, or the listing shows
+    * fewer manifests than memoized — a recreated table).
+    */
+  private final case class ManifestMemo(ckpt: Long, lastSeq: Long,
+      files: Vector[String])
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ManifestMemo]()
+
+  /** Test hook: drop every memo, forcing the next read to resolve cold
+    * (the fresh-process shape).
+    */
+  private[store] def clearManifestMemo(): Unit = manifestCache.clear()
 
   /** All relative file paths named by the visible manifest prefix, or
     * None when the table carries no `_manifests` dir (plain mode).
+    * One dir listing per call; only not-yet-memoized manifest objects
+    * are opened. A missing listed object (the GC lag-one race) triggers
+    * ONE full re-resolve from a fresh listing.
     */
   private[store] def manifestFiles(spark: SparkSession, path: String): Option[Seq[String]] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(root, ManifestsDir))) None
-    else Some(manifestVisiblePrefix(committedManifestSeqs(fs, root)).flatMap { seq =>
-      val in = fs.open(new Path(root, f"$ManifestsDir/m-$seq%012d"))
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      in.close()
-      new String(bytes.toByteArray, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
-    })
+    else {
+      val key = fs.makeQualified(root).toString
+      def resolveCached(): Vector[String] = {
+        val (ckpt, ms) = manifestNames(fs, root)
+        val visible = manifestVisiblePrefix(ms, ckpt)
+        val last = visible.lastOption.getOrElse(ckpt)
+        Option(manifestCache.get(key))
+          .filter(m => m.ckpt == ckpt && m.lastSeq <= last) match {
+          case Some(m) =>
+            val fresh = visible.filter(_ > m.lastSeq).flatMap(seq =>
+              readObject(fs, new Path(root, f"$ManifestsDir/m-$seq%012d")))
+            val files = m.files ++ fresh
+            manifestCache.put(key, ManifestMemo(ckpt, last, files))
+            files
+          case None =>
+            val files = resolveManifestFiles(fs, root)
+            manifestCache.put(key, ManifestMemo(ckpt, last, files))
+            files
+        }
+      }
+      Some(try resolveCached() catch {
+        case _: java.io.FileNotFoundException =>
+          // a checkpoint roll GC'd an object between our listing and the
+          // open — the fresh listing has the superseding checkpoint
+          manifestCache.remove(key)
+          resolveCached()
+      })
+    }
   }
 
   /** Best-effort purge of staging dirs a crashed append left behind —

@@ -67,6 +67,13 @@ object Service {
       // count 10× and larger replay chunks amortize each scan.
       ingestTriggerMs: Long = 1000L,
       serveChunkSize: Int = 50000,
+      // object-store-safe appends (EventsTable.appendManifested):
+      // visibility moves off the dir-listing rename order onto gapless
+      // numbered manifest commits — the mode to run when dataDir is an
+      // object store, where rename-order prefix closure degrades
+      // silently. Reads auto-detect, so serve/replay/retention/
+      // compaction compose unchanged. A table must stay in one mode.
+      manifestCommits: Boolean = false,
       // derived indexes the ticker keeps fresh alongside retention +
       // compaction (programmatic-composition only — no CLI flag: a
       // refresher is a closure over its corpus and build parameters)
@@ -121,7 +128,7 @@ object Service {
       trigger = org.apache.spark.sql.streaming.Trigger
         .ProcessingTime(config.ingestTriggerMs),
       cursorOverrideUs = config.overrideCursorUs, format = config.wsFormat,
-      metrics = registry)
+      metrics = registry, manifestCommits = config.manifestCommits)
 
     // serve: WebSocket subscribers against the same table; the serving
     // tail starts at the table's current head — history is the
@@ -197,6 +204,7 @@ object Service {
           c.copy(maintenanceIntervalMs = v.toLong)
         case Array("--ingest-trigger-ms", v)     => c.copy(ingestTriggerMs = v.toLong)
         case Array("--serve-chunk-size", v)      => c.copy(serveChunkSize = v.toInt)
+        case Array("--manifest-commits", v)      => c.copy(manifestCommits = v.toBoolean)
         case other => sys.error(s"unknown flag: ${other.mkString("=")}")
       }
     }

@@ -82,6 +82,61 @@ class LayoutSpec extends SparkSpec {
       "compacting a manifest table must neither lose rows nor resurrect orphans")
   }
 
+  test("manifest checkpoints: rolls bound the object count, GC never breaks readers, retention entries pruned") {
+    // ADVICE r14 (medium): without checkpoints every read parses every
+    // manifest ever committed — O(total appends). A roll folds the
+    // visible prefix into ONE object and GC's objects superseded by the
+    // PREVIOUS checkpoint (lag-one, so racing readers still resolve).
+    import org.apache.hadoop.fs.Path
+    val path = s"${tmpDir("manifest-ckpt")}/events"
+    val prevEvery = EventsTable.manifestCheckpointEvery
+    EventsTable.manifestCheckpointEvery = 3
+    try {
+      def us(h: Long, i: Long) = h * HourUs + i
+      def append(rows: Seq[Long]): Unit = EventsTable.appendManifested(
+        rows.toDF("time_us").withColumn("did", concat(lit("d"), col("time_us"))),
+        path)
+      // 8 appends → rolls after m-3 (c-3) and m-6 (c-6); at the c-6 roll
+      // m-1..m-3 (covered by c-3) are GC'd
+      val batches = (1 to 8).map(b => Seq(us(10, b), us(11, b)))
+      batches.foreach(append)
+      val root = new Path(path)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      def objectNames(): Seq[String] =
+        fs.listStatus(new Path(root, EventsTable.ManifestsDir))
+          .map(_.getPath.getName).sorted.toSeq
+      val names = objectNames()
+      assert(names.count(_.startsWith("c-")) == 2, s"two checkpoints expected: $names")
+      assert(!names.exists(n => n.startsWith("m-") && n.stripPrefix("m-").toLong <= 3),
+        s"manifests covered by the previous checkpoint must be GC'd: $names")
+      assert(names.count(_.startsWith("m-")) <= 2 * 3,
+        s"manifest objects must stay bounded by two roll intervals: $names")
+
+      // a COLD reader (fresh process: no memo) resolves checkpoint +
+      // tail manifests to the complete row set
+      EventsTable.clearManifestMemo()
+      val all = batches.flatten.sorted
+      assert(EventsTable.read(spark, path)
+        .select("time_us").as[Long].collect().sorted.toSeq == all)
+
+      // retention drops hour 10; the next roll prunes its entries from
+      // the checkpoint object so it stays bounded by the LIVE table
+      fs.delete(new Path(root, s"${EventsTable.PartitionCol}=10"), true)
+      append(Seq(us(11, 100))) // m-9 → rolls c-9
+      val ckpt9 = objectNames().filter(_.startsWith("c-")).max
+      assert(ckpt9 == f"c-${9L}%012d", s"roll at 9 expected, got $ckpt9")
+      val body = {
+        val in = fs.open(new Path(root, s"${EventsTable.ManifestsDir}/$ckpt9"))
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString; in.close(); s
+      }
+      assert(!body.contains(s"${EventsTable.PartitionCol}=10/"),
+        "checkpoint must prune entries under retention-dropped hours")
+      EventsTable.clearManifestMemo()
+      assert(EventsTable.read(spark, path).select("time_us").as[Long].collect().sorted.toSeq
+        == (batches.flatten.filter(_ >= 11 * HourUs) :+ us(11, 100)).sorted)
+    } finally EventsTable.manifestCheckpointEvery = prevEvery
+  }
+
   test("compaction collapses micro-batch appends into sorted files; rows identical") {
     val path = tmpDir("compact-table")
     // 8 micro-batch appends into hour 0, one into hour 1 (the open hour)

@@ -198,6 +198,88 @@ class ServiceSpec extends SparkSpec {
     }
   }
 
+  test("manifest-mode composed service: ingest → compaction → serve on one manifest table, exactly once") {
+    // VERDICT r14 #1: appendManifested existed as a primitive but the
+    // composed single-binary always ingested in rename-ordering mode.
+    // This twin runs the full loop — seeded aged history, manifested
+    // live ingest, the maintenance ticker compacting the closed
+    // manifest-mode hour mid-serve — and pins exactly-once delivery
+    // across the generation supersession.
+    val upstream = new WsTestKit.ReplayServer
+    val dataDir = tmpDir("service-manifest")
+    val tablePath = s"$dataDir/events"
+    def us(i: Int) =
+      java.time.Instant.parse(f"2024-09-05T08:$i%02d:00.000Z").toEpochMilli * 1000L
+    // seed a FRAGMENTED closed hour through the same batch pipeline the
+    // live ingest runs, in manifest mode (Soak.seedHour's shape): three
+    // separate appends so the hour genuinely compacts
+    var prevMax = 0L
+    (1 to 3).foreach { k =>
+      import graft.ingest.{Decode, Sequencer}
+      val decoded = Decode.decodeFrames(Decode.parseMixedFrames(
+        Seq(frame(k)).toDF("value")))
+      val seq = Sequencer.stamp(decoded, Seq("event_time_us", "did", "type"),
+        prevMax, nowUs = () => us(k))
+      EventsTable.appendManifested(seq.df, tablePath)
+      prevMax = seq.maxTimeUs
+    }
+    val seedHour = us(1) / EventsTable.HourUs
+    upstream.log = (4 to 6).map(i => us(i) -> frame(i)).toVector
+    var running: Service.Running = null
+    try {
+      running = Service.start(spark,
+        Service.Config(
+          wsUrl = s"ws://localhost:${upstream.port}/subscribe",
+          dataDir = dataDir,
+          eventTtlHours = 1e6, // retention runs every tick, drops nothing
+          maintenanceIntervalMs = 2000L,
+          staleAfterMs = 600000L,
+          manifestCommits = true))
+
+      // manifested live ingest lands the upstream events on top of the
+      // seeded history — and the table carries the manifest dir
+      eventually(90000)(EventsTable.read(spark, tablePath).count() >= 6)
+      val fs = new org.apache.hadoop.fs.Path(tablePath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$tablePath/${EventsTable.ManifestsDir}")),
+        "composed ingest must commit via manifests in manifest mode")
+
+      val client = new WsTestKit.Client(
+        s"ws://localhost:${running.servePort}/subscribe?cursor=0")
+      eventually(120000)(client.lines.size >= 6)
+
+      // the ticker compacts the closed manifest-mode seeded hour: a
+      // committed generation supersedes its manifest entries mid-serve
+      eventually(60000)(
+        graft.store.Compaction.committedGens(spark, tablePath).contains(seedHour))
+      assert(EventsTable.read(spark, tablePath).count() == 6,
+        "generation supersession must not change the visible rows")
+
+      // a LATE subscriber replays the post-compaction table: history
+      // exactly once through the generation, manifest tail included
+      val late = new WsTestKit.Client(
+        s"ws://localhost:${running.servePort}/subscribe?cursor=0")
+      eventually(120000)(late.lines.size >= 6)
+
+      // more live events keep flowing after the compaction
+      upstream.log = (4 to 8).map(i => us(i) -> frame(i)).toVector
+      eventually(120000)(client.lines.size >= 8 && late.lines.size >= 8)
+      Seq("early" -> client, "late" -> late).foreach { case (tag, c) =>
+        val got = c.lines.toArray(Array.empty[String]).toSeq
+        (1 to 8).foreach(i => assert(got.count(_.contains(s"did:plc:w$i")) == 1,
+          s"$tag subscriber must see event $i exactly once, got ${got.size} lines"))
+        val ts = c.timesUs
+        assert(ts == ts.sorted && ts.distinct.size == ts.size,
+          s"$tag subscriber order/uniqueness violated")
+      }
+      client.ws.abort(); late.ws.abort()
+    } finally {
+      if (running != null) running.close()
+      upstream.close()
+    }
+  }
+
   test("--ws-format=cbor: the service dials a binary DAG-CBOR upstream end to end") {
     // binary-frame upstream: the fake relay serves one self-contained
     // CBOR frame per event; everything downstream of the dial
