@@ -201,6 +201,13 @@ object Bench {
         graft.ext.Dedup.substringSpanWindowRows(docs, "doc_id", "text"),
       "dedup_candidates" ->
         graft.ext.Dedup.minhashLshPairs(docs, "doc_id", "text").count(),
+      // the auto-banding twin (VERDICT r14 #3): bandingFor grows the
+      // S-curve with the corpus, so THIS counter gates at ~linear
+      // (^1.3) where the fixed-knob one needs the all-pairs tripwire —
+      // the closed form's promise, calibrated here at both SFs every
+      // bench run
+      "dedup_candidates_auto" ->
+        graft.ext.Dedup.minhashLshPairsAuto(docs, "doc_id", "text", 0.8).count(),
       "dedup_edges" ->
         graft.ext.Dedup.verifyCandidates(docs, "doc_id", "text", threshold = 0.8)
           .count(),
@@ -226,7 +233,8 @@ object Bench {
     * count) still trips instantly, the inherent FP growth does not.
     */
   val StructuralExponent: Map[String, Double] =
-    Map("dedup_candidates" -> 2.0, "dedup_edges" -> 2.0)
+    Map("dedup_candidates" -> 2.0, "dedup_edges" -> 2.0,
+      "dedup_candidates_auto" -> 1.3)
       .withDefaultValue(1.05)
 
   /** Growth-budget violations: queries whose big-SF time exceeds

@@ -285,6 +285,70 @@ object ScaleSmoke {
       return
     }
 
+    if (args.headOption.contains("batchprobe")) {
+      // `runMain graft.ScaleSmoke batchprobe [nQueries]` — VERDICT r14
+      // #2 at retrieval-pipeline volume: >= 100k queries against an
+      // IVF-PQ index. N_q × rerank lands far above the broadcast gate,
+      // so both data joins take the SHUFFLE path (structurally checked:
+      // only the K-row centroid broadcast hint remains); a 2k-query
+      // sample re-probes through the forced-broadcast path and the
+      // per-query results must be identical (the same pin IndexSpec
+      // holds at fixture scale).
+      import org.apache.spark.sql.functions._
+      val nQ = args.lift(1).map(_.toLong).getOrElse(100000L)
+      val dim = 32
+      val nVecs = 100000L
+      val cells = 64 // ADC work = N_q × nprobe × (nVecs/cells) scored rows
+      def vecsOf(n: Long, seed: Long) = spark.range(0L, n, 1L, 32).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => pmod(xxhash64(col("id") * lit(seed + 131L) + i.cast("long")), lit(1000L)) / 1000.0)
+          .as("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("batchprobe-idx").toString
+      var t0 = System.nanoTime()
+      graft.ext.Similarity.buildIvfPq(vecsOf(nVecs, 0L), "vec_id", "embedding",
+        idx, k = cells, dim = dim, m = 8, ksub = 16)
+      println(f"[batchprobe] index built over $nVecs vectors in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+
+      val queries = vecsOf(nQ, 7L)
+      val big = graft.ext.Similarity.ivfPqProbeBatch(spark, idx, "vec_id",
+        "label", "embedding", queries, "vec_id", "embedding",
+        k = 10, nprobe = 4, rerank = 50)
+      val hints = big.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+      // centroids always broadcast (K rows); the probe set, the query
+      // re-attach, and the candidate set hint only under the gate — at
+      // 100k queries the candidate set (N_q × 50) is over and MUST be
+      // unhinted; at 1M queries everything shuffles
+      val expectedHints = 1 + (if (nQ * 4 <= 1000000L) 1 else 0) +
+        (if (nQ <= 1000000L) 1 else 0) + (if (nQ * 50 <= 1000000L) 1 else 0)
+      require(hints == expectedHints,
+        s"expected $expectedHints broadcast hints at nQ=$nQ, got $hints")
+      t0 = System.nanoTime()
+      val n = big.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[batchprobe] SHUFFLE path: $nQ queries -> $n results in $secs%.1fs " +
+        f"(${nQ / secs}%.0f q/s)")
+
+      // path equality on a 2k-query sample
+      val step = math.max(1L, nQ / 2000L)
+      val sample = queries.filter(col("vec_id") % step === 0)
+      def probe(maxRows: Long) = graft.ext.Similarity.ivfPqProbeBatch(spark,
+        idx, "vec_id", "label", "embedding", sample, "vec_id", "embedding",
+        k = 10, nprobe = 4, rerank = 50, broadcastMaxRows = maxRows)
+      val bc = probe(Long.MaxValue)
+      val sh = probe(0L)
+      val onlyBc = bc.exceptAll(sh).count()
+      val onlySh = sh.exceptAll(bc).count()
+      require(onlyBc == 0 && onlySh == 0,
+        s"paths diverge: $onlyBc rows only-broadcast, $onlySh only-shuffle")
+      println(s"[batchprobe] PASS: broadcast and shuffle paths identical over " +
+        s"${sample.count()} sampled queries")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("bpe")) {
       // `runMain graft.ScaleSmoke bpe [k] [sfDir]` — production-k BPE
       // learning (VERDICT r12 #2): k rounds with the checkpoint cadence,

@@ -257,23 +257,47 @@ object Bpe {
     }
     private val memos = new java.util.concurrent.ConcurrentHashMap[String, Memo]()
     private val lastUse = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    private val lastUseMs = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     private val tick = new java.util.concurrent.atomic.AtomicLong
+    /** A call idle longer than this is presumed finished and evictable.
+      * [[forCall]] runs per WORD, so an in-flight encode refreshes its
+      * recency continuously — it can only look idle if a single word
+      * takes multiple seconds to encode, which production-k skip-probing
+      * makes implausible.
+      */
+    val IdleEvictMs = 10000L
     /** Fetch (or create) the memo for one encode call. Above 8 live
       * calls, evict the LEAST-RECENTLY-USED other calls' memos down to
       * the cap — never the whole registry (ADVICE r13: `clear()` wiped
-      * concurrent in-flight encodes' memos, a thundering recompute).
-      * Recency is a monotonic counter, not wall time, so two calls in
-      * the same millisecond still order.
+      * concurrent in-flight encodes' memos, a thundering recompute) and
+      * NEVER a call used within [[IdleEvictMs]] (ADVICE r14: with > 8
+      * concurrent encodes, pure LRU let peers evict each other's LIVE
+      * memos, a bounded recompute storm; the racily-read size also let
+      * concurrent evictions overshoot — both now only ever hit idle
+      * calls). The 8-cap is therefore soft: with more than 8 genuinely
+      * concurrent encodes the registry holds one memo per LIVE call —
+      * bounded by real concurrency, which is the correct bound.
+      * Ordering among evictable (idle) calls is the monotonic counter,
+      * not wall time, so two calls idle since the same millisecond
+      * still order.
       */
     def forCall(id: String): Memo = {
       lastUse.put(id, java.lang.Long.valueOf(tick.incrementAndGet()))
+      val nowMs = System.currentTimeMillis()
+      val prevMs = lastUseMs.get(id)
+      if (prevMs == null || nowMs - prevMs.longValue > 1000L)
+        lastUseMs.put(id, java.lang.Long.valueOf(nowMs))
       if (memos.size > 8) {
         import scala.jdk.CollectionConverters._
+        val horizon = nowMs - IdleEvictMs
         val excess = memos.size - 8
         memos.keySet.asScala.filter(_ != id).toSeq
+          // evict only provably-idle calls; a missing ms entry is a
+          // just-created peer mid-registration — keep it
+          .filter(k => Option(lastUseMs.get(k)).exists(_.longValue < horizon))
           .sortBy(k => Option(lastUse.get(k)).map(_.longValue).getOrElse(0L))
           .take(excess)
-          .foreach { k => memos.remove(k); lastUse.remove(k) }
+          .foreach { k => memos.remove(k); lastUse.remove(k); lastUseMs.remove(k) }
       }
       memos.computeIfAbsent(id, _ => new Memo)
     }

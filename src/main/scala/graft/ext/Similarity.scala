@@ -881,19 +881,35 @@ object Similarity {
     * Plan shape: the K-row centroids and m·ksub-row codebooks fold to
     * broadcast/literal lookups exactly as in the single-query path;
     * the code scan is restricted to the BATCH'S probed-cell union via
-    * a broadcast hash join on the cell label (plan-time literal
-    * pruning needs per-query constants — for a batch, the probed-cell
-    * union IS the correct read set, and Spark's dynamic partition
-    * pruning applies the broadcast side to the partitioned scan).
-    * Every window is partitioned by qid — no global sorts anywhere.
+    * a hash join on the cell label — broadcast below `broadcastMaxRows`
+    * probe/candidate rows (plan-time literal pruning needs per-query
+    * constants — for a batch, the probed-cell union IS the correct read
+    * set, and Spark's dynamic partition pruning applies the broadcast
+    * side to the partitioned scan), shuffle above it (the size gate in
+    * the body). Every window is partitioned by qid — no global sorts
+    * anywhere.
     */
   def ivfPqProbeBatch(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, idCol: String, labelCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qVecCol: String,
       k: Int = 10, nprobe: Int = 2, rerank: Int = 50,
-      digits: Int = 6): DataFrame = {
+      digits: Int = 6, broadcastMaxRows: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1 && rerank >= k)
+    // The probe-set (N_q × nprobe) and candidate-set (N_q × rerank)
+    // broadcasts are SIZE-GATED, not assumed (VERDICT r14 #2, the
+    // decontam gate pattern, [[Dedup.contaminationFlags]]): both row
+    // counts are exact at plan time from one narrow count of the query
+    // frame, and a retrieval-pipeline batch (10⁵-10⁶ queries, each row
+    // carrying a dim-wide query vector) above `broadcastMaxRows` falls
+    // back to shuffle joins on the same keys — the cell-label join loses
+    // broadcast-driven partition pruning, which is moot at that volume
+    // (the probed-cell union of 10⁶ queries covers every cell). The two
+    // paths are result-identical (IndexSpec-pinned); only the exchange
+    // strategy differs.
+    val nq = queries.select(count(lit(1))).head().getLong(0)
+    def gated(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= broadcastMaxRows) broadcast(df) else df
     val qs = queries.select(col(qidCol).as("__qid"),
       toDoubleArr(col(qVecCol)).as("__qe"))
     val qn = qs.withColumn("__qn", {
@@ -917,7 +933,7 @@ object Similarity {
     val cbs = readPqCodebooks(spark, indexPath)
     val sub = cbs.head.head.size
     val codes = spark.read.parquet(s"$indexPath/codes")
-    val paired = codes.join(broadcast(probeSet),
+    val paired = codes.join(gated(probeSet, nq * nprobe),
       codes(labelCol) === probeSet("__cell"))
     // ADC per (query, code row): codeword vectors are m×ksub literal
     // arrays indexed by the stored code; the per-subspace dot runs
@@ -930,18 +946,26 @@ object Similarity {
     }.foldLeft(lit(0.0))(_ + _)
     val wCand = Window.partitionBy(col("__qid"))
       .orderBy(col("__adc").desc, col(idCol).asc)
+    // the rank window carries ONLY (qid, adc, cell, id) — never the
+    // dim-wide query vector: the scored stream is N_q × nprobe ×
+    // cellRows, the widest dataflow in the plan, and Spark's
+    // window-group-limit partial top-k buffers + exchange would
+    // otherwise haul dim×8 bytes per scored row. The vector re-attaches
+    // AFTER the top-rerank cut, where rows are N_q × rerank.
     val cand = paired
       .withColumn("__adc", pround(adcDot / (col("vnorm") * col("__qn")), digits))
+      .select(col("__qid"), col("__adc"), col("__cell"), col(idCol))
       .withColumn("__rn", row_number().over(wCand))
       .filter(col("__rn") <= rerank)
-      .select(col("__qid"), col("__qe"), col("__cell"), col(idCol))
+      .select(col("__qid"), col("__cell"), col(idCol))
+    val candQ = cand.join(gated(qn.select(col("__qid"), col("__qe")), nq), "__qid")
     // exact rerank: original vectors consulted only for the candidate
-    // ids, read through the same cell-pruning broadcast join
+    // ids, read through the same cell-pruning (gated) join
     val vecs = spark.read.parquet(s"$indexPath/vectors")
     val wTop = Window.partitionBy(col("__qid"))
       .orderBy(col("cos").desc, vecs(idCol).asc)
-    vecs.join(broadcast(cand),
-        vecs(labelCol) === cand("__cell") && vecs(idCol) === cand(idCol))
+    vecs.join(gated(candQ, nq * rerank),
+        vecs(labelCol) === candQ("__cell") && vecs(idCol) === candQ(idCol))
       .withColumn("cos", pround(
         dot(col("__qe"), toDoubleArr(vecs(vecCol))) /
           (l2Norm(toDoubleArr(vecs(vecCol))) * l2Norm(col("__qe"))), digits))

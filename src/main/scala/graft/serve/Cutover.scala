@@ -161,13 +161,13 @@ final class CutoverSession(
     * Snapshots are bounded: ≤ chunkSize rows (replay) or the ≤ ½ s
     * cutover window (gap-fill).
     */
-  private def snapshot(spark: SparkSession, df: DataFrame): (DataFrame, Option[Long]) = {
+  private def snapshot(spark: SparkSession, df: DataFrame): (DataFrame, Option[Long], Long) = {
     val rows = df.collect()
     val snap = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), df.schema)
     val ti = df.schema.fieldIndex("time_us")
     val maxUs = if (rows.isEmpty) None else Some(rows.iterator.map(_.getLong(ti)).max)
-    (snap, maxUs)
+    (snap, maxUs, rows.length.toLong)
   }
 
   def replayStep(spark: SparkSession, path: String, serverSeqUs: Long)(
@@ -195,12 +195,11 @@ final class CutoverSession(
       // hot (overshoot ≤ floor × sessions, see SnapshotBudget).
       val grant = pool.reserve(budget.toLong).toInt
       try {
-      val (chunk, chunkMax) =
+      val (chunk, chunkMax, scanned) =
         snapshot(spark, Replay.replayChunk(spark, path, cursor, grant))
       // refund the budget the chunk didn't fill (tail of the backlog,
       // or a pool-clamped grant): only scanned events consume playback
       // tokens
-      val scanned = chunk.count()
       playback.foreach(_.refund(budget - scanned))
       // "full" = the CHUNK SIZE was the binding limit: the scan filled an
       // un-paced, un-clamped grant. A pacing-limited grant (budget <
@@ -238,15 +237,17 @@ final class CutoverSession(
         // The gap-fill collect counts against the SAME pool as replay
         // chunks (ADVICE r13: N sessions cutting over simultaneously
         // otherwise hold N gap windows of driver rows outside the
-        // budget). The reserve estimate is a pruned count of the gap
-        // window; a concurrent append can land rows between the count
-        // and the collect, but that overshoot is one append batch, not
-        // a window — and the floor grant keeps the session live when
-        // the pool is hot, same as the chunk path.
-        val gapGrant = pool.reserve(gapDf.count())
-        val (gapAll, gapAllMax) =
-          try snapshot(spark, gapDf)
-          catch { case e: Throwable => pool.release(gapGrant); throw e }
+        // budget). Unlike a chunk, the window cannot be clamped — every
+        // surviving row must be delivered for exactly-once — so its size
+        // is only known AFTER the collect: book the ACTUAL row count
+        // (ADVICE r14: a clamped reserve against a pre-count under-
+        // reported reality by (count − grant), and the pre-count was an
+        // extra full scan of the window per cutover attempt). A hot pool
+        // can thus be exceeded by one ≤ ½ s gap window per cutting-over
+        // session — honest and bounded, and later reserves see the
+        // overshoot and clamp to the floor until it releases.
+        val (gapAll, gapAllMax, gapRows) = snapshot(spark, gapDf)
+        pool.book(gapRows)
         try {
         // Visibility barrier: serverSeqUs IS an observed event's
         // timestamp (the serving loop's live head), so a gap scan that
@@ -296,7 +297,7 @@ final class CutoverSession(
           cursorOpt = None // sub.cursor = nil (server.go:334-336)
           false
         }
-        } finally pool.release(gapGrant)
+        } finally pool.release(gapRows)
       } else {
         cursorOpt = Some(lastSeq + 1) // next chunk (server.go:327-330)
         true
@@ -435,6 +436,17 @@ object CutoverSession {
       }
       val _ = peakRows.getAndUpdate(p => math.max(p, used.get()))
       granted
+    }
+
+    /** Unconditionally account `n` rows ALREADY held on the driver (the
+      * true-up for collects whose size is only known afterwards — the
+      * cutover gap window). `used` may exceed `totalRows`; that is the
+      * honest view of an overshoot: subsequent [[reserve]]s see a hot
+      * pool and clamp to the floor until the booking releases.
+      */
+    def book(n: Long): Unit = {
+      used.addAndGet(math.max(0L, n))
+      val _ = peakRows.getAndUpdate(p => math.max(p, used.get()))
     }
 
     def release(n: Long): Unit = { used.addAndGet(-n); () }

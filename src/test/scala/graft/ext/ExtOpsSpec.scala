@@ -369,6 +369,57 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("bandingFor holds the threshold anchor; auto knobs keep candidate growth ~linear") {
+    // knob math (VERDICT r14 #3): r grows log2 with n, b solves the
+    // anchor (1/b)^(1/r) ≈ t from below
+    assert(Dedup.bandingFor(1000, 0.8) == (12, 3))  // r=4, b=ceil(0.8^-4)=3
+    assert(Dedup.bandingFor(16000, 0.8) == (48, 6)) // r=8, b=ceil(0.8^-8)=6
+    assert(Dedup.bandingFor(1000000000L, 0.8) == (180, 15), "r clamps at 12")
+    assert(Dedup.bandingFor(1, 0.8) == (12, 3), "clamped low")
+    for (n <- Seq(1000L, 16000L, 500000L); t <- Seq(0.7, 0.8, 0.9)) {
+      val (k, b) = Dedup.bandingFor(n, t)
+      val r = k / b
+      val anchor = math.pow(1.0 / b, 1.0 / r)
+      assert(anchor <= t + 1e-12 && anchor >= t - 0.1,
+        s"anchor $anchor strayed from threshold $t at n=$n")
+    }
+
+    // fixture family: 60-word docs over a 6-word vocab (high background
+    // similarity J≈0.15 — the regime where fixed-knob banding FP grows
+    // ~n²), every 20th doc an EXACT duplicate of its neighbor (the true
+    // pairs, linear by construction)
+    def fam(n: Long) = spark.range(0L, n, 1L, 16).selectExpr(
+      "id AS doc_id",
+      """array_join(transform(sequence(1, 60), i ->
+        |  element_at(split('alpha beta gamma delta epsilon zeta', ' '),
+        |    cast(1 + pmod(xxhash64((CASE WHEN id % 20 = 19 THEN id - 1 ELSE id END) * 31 + i), 6) AS int))), ' ')
+        |AS text""".stripMargin)
+    val (nSmall, nBig) = (800L, 6400L)
+    val ratio = nBig.toDouble / nSmall
+    def cands(n: Long, auto: Boolean): Long = {
+      val df = fam(n)
+      if (auto) Dedup.minhashLshPairsAuto(df, "doc_id", "text", 0.8).count()
+      else Dedup.minhashLshPairs(df, "doc_id", "text", 16, 4).count()
+    }
+    val fixedGrowth = cands(nBig, auto = false).toDouble / cands(nSmall, auto = false)
+    val autoGrowth = cands(nBig, auto = true).toDouble / cands(nSmall, auto = true)
+    info(f"candidate growth at ${ratio}%.0f× rows: fixed-knob $fixedGrowth%.1f×, auto $autoGrowth%.1f×")
+    assert(autoGrowth <= math.pow(ratio, 1.3),
+      f"auto-banding candidates grew $autoGrowth%.1f× on ${ratio}%.0f× rows — not ~linear")
+    assert(autoGrowth <= fixedGrowth + 1e-9,
+      "auto knobs must never produce steeper candidate growth than fixed knobs")
+
+    // banding is recall-only: the verified pair set is IDENTICAL under
+    // fixed and auto knobs (the exact-Jaccard verifier decides)
+    val big = fam(nBig)
+    val vFixed = Dedup.verifyCandidates(big, "doc_id", "text", 0.8)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    val vAuto = Dedup.verifyCandidatesAuto(big, "doc_id", "text", 0.8)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(vAuto == vFixed, "verified pairs must not depend on the banding knobs")
+    assert(vFixed.size >= (nBig / 20 - 5).toInt, "the injected duplicates must be found")
+  }
+
   test("shingles of docs shorter than n words are empty, not garbage") {
     val docs = Seq((1L, "only two"), (2L, "a b c d")).toDF("doc_id", "text")
     val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)

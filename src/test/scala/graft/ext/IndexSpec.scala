@@ -260,6 +260,25 @@ class IndexSpec extends SparkSpec {
     }
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
       "unpartitioned window in batch probe")
+
+    // VERDICT r14 #2 — the size gate: above broadcastMaxRows the probe
+    // and candidate sets take the SHUFFLE path (the broadcast hints are
+    // structurally absent from the analyzed plan), with per-query
+    // results identical to the broadcast path
+    val shuffled = Similarity.ivfPqProbeBatch(spark, idx, "vec_id", "label",
+      "embedding", emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 10, nprobe = 2, rerank = 50, broadcastMaxRows = 0L)
+    def hintCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    assert(hintCount(batch) >= 3, "gated-on plan must hint all three broadcasts")
+    assert(hintCount(shuffled) == 1,
+      "above the gate only the K-row centroid broadcast may remain hinted")
+    val shuffledGot = shuffled.as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._3, r._2)).map(r => (r._2, r._3)).toSeq).toMap
+    assert(shuffledGot == got,
+      "shuffle-path batch probe diverges from the broadcast path")
   }
 
   test("phraseProbe over a positional index matches the one-shot phraseSearch, pruned") {
