@@ -157,6 +157,7 @@ object SparkEntry {
     "ivf_pq_topk"        -> ExtQueries.ivfPqTopk _,
     "ivf_pq_residual"    -> ExtQueries.ivfPqResidual _,
     "ivf_pq_batch"       -> ExtQueries.ivfPqBatch _,
+    "ivf_pq_residual_batch" -> ExtQueries.ivfPqResidualBatch _,
     "bigram_logprob"     -> ExtQueries.bigramLogProb _,
     "unigram_logprob"    -> ExtQueries.unigramLogprob _,
     "quality_lang_gate"  -> ExtQueries.qualityLangGate _,
@@ -1154,6 +1155,7 @@ object SparkEntry {
     "ivf_pq_topk" -> graft.ext.Similarity.ivfPqOracleSql(dim = 64, m = 4, ksub = 16, k = 8),
     "ivf_pq_residual" -> graft.ext.Similarity.ivfPqResidualOracleSql(dim = 64, m = 4, ksub = 16, k = 8),
     "ivf_pq_batch" -> graft.ext.Similarity.ivfPqBatchOracleSql(dim = 64, m = 4, ksub = 16, k = 8, nQueries = 3),
+    "ivf_pq_residual_batch" -> graft.ext.Similarity.ivfPqResidualBatchOracleSql(dim = 64, m = 4, ksub = 16, k = 8, nQueries = 3),
     "phrase_search3" ->
       // 3-term anchor-align: term i joins on (doc, pos - i)
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -667,6 +667,26 @@ object ExtQueries {
       queryVec(spark, dir), k = 10, nprobe = 2, rerank = 50)
   }
 
+  /** E2 — RESIDUAL × BATCH (VERDICT r14 #4, the production pair:
+    * residual accuracy at the same bit budget × one-distributed-pass
+    * serving): [[Similarity.ivfPqProbeBatch]] auto-detects the
+    * [[Similarity.buildIvfPqResidual]] layout and joins the broadcast
+    * K-row quantizer for the per-(query, cell) q·c terms — the batch
+    * twin of the single probe's literal CASE. Corpus = vec_id ≥ 3,
+    * queries = vec_id < 3, windows all qid-partitioned; hash-gated by
+    * [[Similarity.ivfPqResidualBatchOracleSql]].
+    */
+  def ivfPqResidualBatch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val idx = IndexStore.ensure("ivfpqresb", spark, Seq(s"$dir/embeddings.parquet")) { tmp =>
+      Similarity.buildIvfPqResidual(emb.filter(col("vec_id") >= 3).drop("label"),
+        "vec_id", "embedding", tmp, k = 8, dim = 64, m = 4, ksub = 16)
+    }
+    Similarity.ivfPqProbeBatch(spark, idx, "vec_id", "label", "embedding",
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 10, nprobe = 2, rerank = 50)
+  }
+
   /** Multimodal — fixed 64-char payload chunking with per-chunk digest
     * ([[Multimodal.chunkPayload]] — the pre-decode chunking stage).
     */

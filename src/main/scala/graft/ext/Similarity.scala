@@ -910,6 +910,18 @@ object Similarity {
     val nq = queries.select(count(lit(1))).head().getLong(0)
     def gated(df: DataFrame, rows: Long): DataFrame =
       if (rows <= broadcastMaxRows) broadcast(df) else df
+    // RESIDUAL layout auto-detection (VERDICT r14 #4 — the production
+    // pair: residual accuracy × batch serving): a `quantizer` dir marks
+    // a [[buildIvfPqResidual]] index, whose codes quantize v − c(v) —
+    // every ADC score needs the per-(query, cell) q·c term added back.
+    // In the single probe that term is a literal CASE over ≤ nprobe
+    // labels; per-query literals don't exist in a batch, so it becomes
+    // a broadcast join against the K-row persisted quantizer, computed
+    // on the N_q × nprobe probe set (never the scored stream).
+    val residual = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexPath/quantizer")
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
     val qs = queries.select(col(qidCol).as("__qid"),
       toDoubleArr(col(qVecCol)).as("__qe"))
     val qn = qs.withColumn("__qn", {
@@ -925,11 +937,22 @@ object Similarity {
     // the lower label
     val wCell = Window.partitionBy(col("__qid"))
       .orderBy(col("__s").desc, col("__cell").asc)
-    val probeSet = qn.join(broadcast(cents))
+    val probeSetRaw = qn.join(broadcast(cents))
       .withColumn("__s", pround(dot(col("__c"), col("__qe")) / l2Norm(col("__c")), digits))
       .withColumn("__rn", row_number().over(wCell))
       .filter(col("__rn") <= nprobe)
       .select(col("__qid"), col("__qe"), col("__qn"), col("__cell"))
+    // residual: attach q·c(cell) per probed (query, cell) — a broadcast
+    // join against the K-row quantizer, the same sequential dim-order
+    // dot the single probe's driver-side qDot folds
+    val probeSet =
+      if (!residual) probeSetRaw
+      else probeSetRaw
+        .join(broadcast(spark.read.parquet(s"$indexPath/quantizer")
+          .select(col("j").cast("long").as("__qj"), toDoubleArr(col("c")).as("__qcv"))),
+          col("__cell").cast("long") === col("__qj"))
+        .withColumn("__qc", dot(col("__qcv"), col("__qe")))
+        .drop("__qj", "__qcv")
     val cbs = readPqCodebooks(spark, indexPath)
     val sub = cbs.head.head.size
     val codes = spark.read.parquet(s"$indexPath/codes")
@@ -939,11 +962,14 @@ object Similarity {
     // arrays indexed by the stored code; the per-subspace dot runs
     // against the query's slice — same sequential dim-order fold as
     // the single-query path's driver-side tables
+    // fold seed: the residual form's q·c base comes FIRST, matching the
+    // single probe's dotBase + Σ lookups addition order exactly (IEEE
+    // addition order is part of the hash-gated contract)
     val adcDot = cbs.zipWithIndex.map { case (cb, s) =>
       val table = array(cb.map(cw => array(cw.map(lit): _*)): _*)
       dot(slice(col("__qe"), lit(s * sub + 1), lit(sub)),
         element_at(table, (col(s"code_$s") + 1).cast("int")))
-    }.foldLeft(lit(0.0))(_ + _)
+    }.foldLeft(if (residual) col("__qc") else lit(0.0))(_ + _)
     val wCand = Window.partitionBy(col("__qid"))
       .orderBy(col("__adc").desc, col(idCol).asc)
     // the rank window carries ONLY (qid, adc, cell, id) — never the
@@ -1342,6 +1368,84 @@ object Similarity {
        |      JOIN assign a ON vn.vec_id = a.vec_id
        |      JOIN best b ON a.j = b.j
        |      JOIN qn ON qn.qid = b.qid
+       |      $tJoins) sc) WHERE rn <= $rerank),
+       |fulldims AS (SELECT unnest(range(0, (SELECT max(len(embedding)) FROM embeddings)))::BIGINT AS i),
+       |dd AS (SELECT c.qid, e.vec_id, (e.embedding[d.i + 1])::DOUBLE AS x, q.qe[d.i + 1] AS y
+       |       FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id
+       |            JOIN qs q ON q.qid = c.qid, fulldims d),
+       |scored AS (SELECT qid, vec_id,
+       |    floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 AS cos
+       |  FROM dd GROUP BY qid, vec_id)
+       |SELECT qid, vec_id, cos FROM (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored) WHERE rn <= $topk
+       |ORDER BY qid, vec_id""".stripMargin
+  }
+
+  /** DuckDB oracle twin of the RESIDUAL BATCH probe
+    * (`ivf_pq_residual_batch`): the [[ivfPqBatchOracleSql]] scaffold
+    * with [[ivfPqResidualOracleSql]]'s residual pieces — `rres`
+    * residuals, PQ learned over them (norms from the originals), and a
+    * per-(qid, cell) q·c table (`qcq`) joined into every ADC score —
+    * the production pair (residual accuracy × batch serving) in one
+    * hash-gated composition.
+    */
+  def ivfPqResidualBatchOracleSql(dim: Int, m: Int, ksub: Int, k: Int,
+      nQueries: Int, coarseIters: Int = 3, pqIters: Int = 3,
+      nprobe: Int = 2, rerank: Int = 50, topk: Int = 10): String = {
+    val sub = dim / m
+    val corpusWhere = s" WHERE vec_id >= $nQueries"
+    val learn = kmeansCtesGeneric("g",
+      s"SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings$corpusWhere",
+      k.toString, coarseIters, l2 = false)
+    val tables = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      s"""tq$s AS MATERIALIZED (SELECT q.qid, c.j,
+         |  list_reduce(list_transform(list_zip(q.qe[$lo:$hi], c.c), p -> p[1] * p[2]), (x, y) -> x + y) AS d
+         |  FROM s${s}c$pqIters c, qs q)""".stripMargin
+    }.mkString(",\n")
+    val encJoins = (0 until m).map(s => s"JOIN enc$s e$s USING (vec_id)").mkString(" ")
+    val tJoins = (0 until m)
+      .map(s => s"JOIN tq$s ON tq$s.qid = b.qid AND tq$s.j = e$s.code").mkString(" ")
+    val dotSum = (0 until m).map(s => s"tq$s.d").mkString(" + ")
+    s"""WITH $learn,
+       |qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < $nQueries),
+       |qn AS (SELECT qid, CASE WHEN n = 0 THEN 1.0 ELSE n END AS n FROM (
+       |  SELECT qid, sqrt(list_reduce(list_transform(qe, x -> x * x), (x, y) -> x + y)) AS n FROM qs)),
+       |assign AS MATERIALIZED (SELECT vec_id, e, j FROM (
+       |  SELECT v.vec_id, v.e, c.j,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${assignKey(l2 = false)},
+       |      c.j DESC) AS rn
+       |  FROM gv v, gc$coarseIters c) WHERE rn = 1),
+       |rres AS MATERIALIZED (SELECT a.vec_id,
+       |    list_transform(list_zip(a.e, c.c), p -> p[1] - p[2]) AS e
+       |  FROM assign a JOIN gc$coarseIters c ON a.j = c.j),
+       |${pqCtesFromView("rres", corpusWhere, dim, m, ksub, pqIters)},
+       |cdims AS (SELECT a.j, d.i, avg(a.e[d.i + 1]) AS c
+       |          FROM assign a, gdims d GROUP BY a.j, d.i),
+       |cscores AS (SELECT q.qid, cd.j,
+       |    floor((sum(cd.c * q.qe[cd.i + 1]) / sqrt(sum(cd.c * cd.c))) * 1e6 + 0.5) / 1e6 AS s
+       |  FROM cdims cd, qs q GROUP BY q.qid, cd.j),
+       |best AS (SELECT qid, j FROM (
+       |  SELECT qid, j, row_number() OVER (PARTITION BY qid ORDER BY s DESC, j) AS rn
+       |  FROM cscores) WHERE rn <= $nprobe),
+       |qcq AS (SELECT q.qid, c.j,
+       |    list_reduce(list_transform(list_zip(c.c, q.qe), p -> p[1] * p[2]), (x, y) -> x + y) AS d
+       |  FROM gc$coarseIters c, qs q),
+       |$tables,
+       |cand AS (SELECT qid, vec_id FROM (
+       |  SELECT sc.qid, sc.vec_id,
+       |    row_number() OVER (PARTITION BY sc.qid ORDER BY sc.adc_cos DESC, sc.vec_id) AS rn
+       |  FROM (SELECT b.qid, vn.vec_id,
+       |      floor(((qcq.d + $dotSum) / (vn.vnorm * qn.n)) * 1e6 + 0.5) / 1e6 AS adc_cos
+       |    FROM vn $encJoins
+       |      JOIN assign a ON vn.vec_id = a.vec_id
+       |      JOIN best b ON a.j = b.j
+       |      JOIN qn ON qn.qid = b.qid
+       |      JOIN qcq ON qcq.qid = b.qid AND qcq.j = a.j
        |      $tJoins) sc) WHERE rn <= $rerank),
        |fulldims AS (SELECT unnest(range(0, (SELECT max(len(embedding)) FROM embeddings)))::BIGINT AS i),
        |dd AS (SELECT c.qid, e.vec_id, (e.embedding[d.i + 1])::DOUBLE AS x, q.qe[d.i + 1] AS y

@@ -281,6 +281,37 @@ class IndexSpec extends SparkSpec {
       "shuffle-path batch probe diverges from the broadcast path")
   }
 
+  test("ivfPqProbeBatch over a RESIDUAL layout equals a loop of single residual probes") {
+    // VERDICT r14 #4 — residual × batch: the batch probe auto-detects
+    // the residual layout (the quantizer dir) and joins the broadcast
+    // K-row quantizer for per-(query, cell) q·c, reproducing the single
+    // probe's literal-CASE term EXACTLY, query by query
+    val emb = graft.Tables.embeddings(spark, sf)
+    val idx = tmpDir("idx-ivfpqres-batch")
+    Similarity.buildIvfPqResidual(emb.filter(col("vec_id") >= 3).drop("label"),
+      "vec_id", "embedding", idx, k = 8, dim = 64, m = 4, ksub = 16)
+    val batch = Similarity.ivfPqProbeBatch(spark, idx, "vec_id", "label",
+      "embedding", emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 10, nprobe = 2, rerank = 50)
+    val got = batch.as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._3, r._2)).map(r => (r._2, r._3)).toSeq).toMap
+    (0L to 2L).foreach { qid =>
+      val q = emb.filter(col("vec_id") === qid)
+        .select(Similarity.toDoubleArr(col("embedding"))).head().getSeq[Double](0).toSeq
+      val single = Similarity.ivfPqResidualProbe(spark, idx, "vec_id", "label",
+        "embedding", q, k = 10, nprobe = 2, rerank = 50)
+        .as[(Long, Double)].collect().toSeq
+      assert(got(qid) == single,
+        s"residual batch result for query $qid diverges from the single residual probe")
+    }
+    // windows stay qid-partitioned on the residual path too
+    val windows = batch.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "unpartitioned window in residual batch probe")
+  }
+
   test("phraseProbe over a positional index matches the one-shot phraseSearch, pruned") {
     // VERDICT r12 #5: gated beyond the simplest 2-term case — a 3-term
     // phrase (two anchor-align joins) and a repeated-token phrase
