@@ -113,9 +113,13 @@ object Classifier {
       (1 to epochs).foreach { _ =>
         val wDf = w.zipWithIndex.take(dim)
           .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("feature_idx", "w")
+        // every gradient-path sum is order-deterministic (VERDICT r14
+        // #5, Portable.dsum): exact decimal accumulation makes the
+        // learned weights bit-identical under ANY corpus partitioning —
+        // the hash gate no longer rests on a noise-vs-quantum margin
         val errs = feats
           .join(broadcast(wDf), "feature_idx")
-          .groupBy(col("__id")).agg(sum(col("w")).as("m0"))
+          .groupBy(col("__id")).agg(graft.util.Portable.dsum(col("w")).as("m0"))
           // right join keeps docs with no features (empty text): margin
           // is the bias alone
           .join(docs, Seq("__id"), "right_outer")
@@ -130,9 +134,9 @@ object Classifier {
               .as("err"))
           .cache()
         val grad = errs.join(feats, "__id")
-          .groupBy(col("feature_idx")).agg(sum(col("err")).as("g"))
+          .groupBy(col("feature_idx")).agg(graft.util.Portable.dsum(col("err")).as("g"))
           .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
-        val gBias = errs.agg(sum(col("err"))).head().getDouble(0)
+        val gBias = errs.agg(graft.util.Portable.dsum(col("err"))).head().getDouble(0)
         errs.unpersist()
         (0 until dim).foreach(i => w(i) = q(w(i) - lr / n * grad.getOrElse(i, 0.0)))
         w(dim) = q(w(dim) - lr / n * gBias)

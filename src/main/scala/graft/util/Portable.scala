@@ -34,4 +34,24 @@ object Portable {
     val s = math.pow(10, digits)
     math.floor(x * s + 0.5) / s
   }
+
+  /** ORDER-DETERMINISTIC sum of a double column (VERDICT r14 #5 — the
+    * iterative learners' remaining noise margin): FP addition is not
+    * associative, and Spark's partition/merge order is scheduler-owned,
+    * so `sum(double)` can differ run to run in the last ulps — which an
+    * iterative learner then AMPLIFIES across epochs against its
+    * quantization boundary. `dsum` casts each element to
+    * DECIMAL(38, 18) (a deterministic per-value decimal rounding, error
+    * ≤ 5e-19) and sums in exact integer arithmetic — associative AND
+    * commutative, so ANY partitioning and ANY merge order yields the
+    * bit-identical result — then casts back to double (one
+    * deterministic rounding). Map-side combine is preserved (decimal
+    * sum has a partial-merge form); 20 integral digits of headroom make
+    * overflow unreachable (1e12 elements of |x| ≤ 1e3 reach 1e15).
+    * Value differs from the FP left-fold by ≲ n·5e-19 + 1 ulp — far
+    * below the learners' 0.5e-9 rounding margin, so oracle hashes are
+    * unchanged while engine-side determinism becomes by construction.
+    */
+  def dsum(c: Column): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 18))).cast("double")
 }
