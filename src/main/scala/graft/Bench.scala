@@ -211,6 +211,21 @@ object Bench {
       "dedup_edges" ->
         graft.ext.Dedup.verifyCandidates(docs, "doc_id", "text", threshold = 0.8)
           .count(),
+      // star-contraction rounds over the verified edge set (VERDICT r14
+      // #6): deterministic in the edges (O(log n) by construction), so
+      // a CC-loop plan regression (extra rounds per run) shows here
+      // instantly even though the registered query takes the driver
+      // union-find path at fixture scale
+      "dedup_cc_rounds" -> {
+        import org.apache.spark.sql.functions.{greatest, least}
+        val verified = graft.ext.Dedup.verifyCandidates(docs, "doc_id", "text",
+          threshold = 0.8)
+        val oriented = verified.select(
+          greatest(col("doc_id_a"), col("doc_id_b")).as("src"),
+          least(col("doc_id_a"), col("doc_id_b")).as("dst"))
+          .filter(col("src") =!= col("dst")).distinct()
+        graft.ext.Dedup.starContraction(oriented)._2.toLong
+      },
       "car_decode_rows" ->
         graft.query.EventQueries.carDecode(spark, dir).count(),
       "bpe_encode_tokens" ->

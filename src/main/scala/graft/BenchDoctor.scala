@@ -105,6 +105,41 @@ object BenchDoctor {
       (times.toMap, segF.toSeq, segL.toSeq, segOf.toMap)
     }
 
+    // FOCUS mode (`runMain graft.BenchDoctor focus <reps> <name...>`):
+    // the per-query churn-vs-regression adjudicator — N interleaved
+    // single reps of just the named queries in one warmed JVM. The MIN
+    // is the churn-free estimate (JIT storms and GC pauses only ever
+    // ADD time); a min matching the historical clean reading says the
+    // bench's higher number was churn, a min at the elevated reading
+    // says the constant is real.
+    if (args.headOption.contains("focus")) {
+      val reps = args.lift(1).map(_.toInt).getOrElse(7)
+      val names = args.drop(2).toSeq
+      require(names.nonEmpty && names.forall(SparkEntry.queries.contains),
+        s"focus mode needs registered query names, got: ${names.mkString(",")}")
+      val samples = names.map(_ -> scala.collection.mutable.ListBuffer.empty[Double]).toMap
+      (1 to reps).foreach { rep =>
+        names.foreach { n =>
+          cleanSlate()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, sfDir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          samples(n) += sec
+          println(f"[doctor] rep $rep $n%-24s $sec%.2fs")
+        }
+      }
+      val cEnd = jvmCounters()
+      names.foreach { n =>
+        val xs = samples(n).sorted
+        println(f"[doctor] FOCUS $n%-24s min=${xs.head}%.2f " +
+          f"med=${xs(xs.size / 2)}%.2f max=${xs.last}%.2f over $reps reps")
+      }
+      println(s"[doctor] counters end: " +
+        cEnd.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.0f" }.mkString(" "))
+      spark.stop()
+      return
+    }
+
     val order = SparkEntry.queries.keys.toSeq
     val shuffled = new scala.util.Random(13).shuffle(order)
 
