@@ -210,14 +210,19 @@ object Soak {
             : CompletionStage[_] = {
           partial.append(data)
           if (last) {
-            val line = partial.toString; partial.setLength(0)
+            val msg = partial.toString; partial.setLength(0)
             val nowUs = System.currentTimeMillis() * 1000L
-            (for {
-              n <- nRe.findFirstMatchIn(line)
-              t <- tRe.findFirstMatchIn(line)
-              sw <- swRe.findFirstMatchIn(line)
-            } yield add(n.group(1).toLong, t.group(1).toLong,
-              nowUs - sw.group(1).toLong)) getOrElse { parseFailures += 1 }
+            // frameBatch messages carry n line-delimited events; the
+            // default wire is one per message (events have no raw
+            // newlines, so the split is a no-op there)
+            msg.split("\n").withFilter(_.nonEmpty).foreach { line =>
+              (for {
+                n <- nRe.findFirstMatchIn(line)
+                t <- tRe.findFirstMatchIn(line)
+                sw <- swRe.findFirstMatchIn(line)
+              } yield add(n.group(1).toLong, t.group(1).toLong,
+                nowUs - sw.group(1).toLong)) getOrElse { parseFailures += 1 }
+            }
           }
           w.request(1)
           null
@@ -258,11 +263,15 @@ object Soak {
 
   def run(spark: SparkSession, minutes: Int, ratePerSec: Int,
       ingestTriggerMs: Long = 1000L, multiEdge: Boolean = false,
-      manifestMode: Boolean = false): Unit = {
+      manifestMode: Boolean = false, frameBatch: Int = 1): Unit = {
     val durMs = minutes * 60000L
     println(s"[soak] ${minutes}m at $ratePerSec ev/s, local[${spark.sparkContext.defaultParallelism}]" +
       s", trigger=${ingestTriggerMs}ms" + (if (multiEdge) ", MULTI-EDGE" else "") +
-      (if (manifestMode) ", MANIFEST-COMMITS" else ""))
+      (if (manifestMode) ", MANIFEST-COMMITS" else "") +
+      (if (frameBatch > 1) s", frameBatch=$frameBatch" else ""))
+    // subscriber URL suffix: the frameBatch wire extension (n events
+    // per WS frame, line-delimited; Subscriber splits)
+    val fbArg = if (frameBatch > 1) s"&frameBatch=$frameBatch" else ""
     val dataDir = java.nio.file.Files.createTempDirectory("graft-soak").toString
     val tablePath = s"$dataDir/events"
 
@@ -324,7 +333,10 @@ object Soak {
     def deriveDocs(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       rows.select(
         col("time_us").as("doc_id"),
-        concat_ws(" ", col("did"), col("collection"), col("rkey")).as("text"),
+        // the persisted log holds the WIRE schema: collection/rkey are
+        // nested under commit (null for non-commit events — concat_ws
+        // skips nulls)
+        concat_ws(" ", col("did"), col("commit.collection"), col("commit.rkey")).as("text"),
         col("time_us").as("vec_id"),
         transform(sequence(lit(0), lit(15)),
           i => pmod(xxhash64(col("did"), col("time_us"), i), lit(1000L)) / 1000.0)
@@ -370,7 +382,7 @@ object Soak {
       registry = registry,
       onStale = _ => staleFired.incrementAndGet())
 
-    val subA = new Subscriber(s"ws://localhost:${running.servePort}/subscribe?cursor=0")
+    val subA = new Subscriber(s"ws://localhost:${running.servePort}/subscribe?cursor=0$fbArg")
 
     // MULTI-EDGE posture (VERDICT r11 #6): a second independent serve
     // edge over the SAME table — own streaming tail, own checkpoint,
@@ -391,7 +403,7 @@ object Soak {
     }
     var edge2: graft.serve.SocketServe.Server = if (multiEdge) startEdge("edge2") else null
     var subC: Subscriber =
-      if (multiEdge) new Subscriber(s"ws://localhost:${edge2.port}/subscribe?cursor=0")
+      if (multiEdge) new Subscriber(s"ws://localhost:${edge2.port}/subscribe?cursor=0$fbArg")
       else null
     var edge2Killed = false
     var subCAtKill: (Array[Long], Array[Long], Array[Long]) = null
@@ -424,12 +436,13 @@ object Soak {
       val elapsed = (System.currentTimeMillis() - t0) / 1000
       val h = health.last
       println(f"[soak] +${elapsed}s gen=${fire.generated} subA=${subA.size} " +
-        f"fds=${h._2} threads=${h._3} heapMB=${h._4 / 1048576}")
+        f"fds=${h._2} threads=${h._3} heapMB=${h._4 / 1048576} " +
+        f"ticks=${refreshTicks.get()}")
       // the late subscriber joins AFTER at least one maintenance pass
       // (retention trim + compaction behind it): never before the
       // ticker's first 120 s fire, whatever the soak duration
       if (subB == null && elapsed >= math.max(150, math.min(300, durMs / 1000 * 6 / 10)))
-        subB = new Subscriber(s"ws://localhost:${running.servePort}/subscribe?cursor=0")
+        subB = new Subscriber(s"ws://localhost:${running.servePort}/subscribe?cursor=0$fbArg")
       // multi-edge lifecycle: kill edge2 at ~35%, restart at ~55% with a
       // fresh checkpoint + late subscriber
       if (multiEdge && !edge2Killed && elapsed >= durMs / 1000 * 35 / 100) {
@@ -441,7 +454,7 @@ object Soak {
       if (multiEdge && edge2Killed && edge3 == null &&
           elapsed >= math.max(durMs / 1000 * 55 / 100, 160)) {
         edge3 = startEdge("edge3")
-        subD = new Subscriber(s"ws://localhost:${edge3.port}/subscribe?cursor=0")
+        subD = new Subscriber(s"ws://localhost:${edge3.port}/subscribe?cursor=0$fbArg")
         subDJoinSeq = seedCount + fire.generated // events after this are subD's live tail
         println(s"[soak] edge3 (restarted edge) up at +${elapsed}s, late subscriber attached")
       }
@@ -459,11 +472,18 @@ object Soak {
         try {
           val live = deriveDocs(EventsTable.read(spark, tablePath)
             .filter(col("time_us") > h1Prev).limit(1000))
+          // marker embedding: IN the corpus value range [0,1) — PQ codes
+          // cannot represent an out-of-distribution magnitude, so an
+          // all-100s marker would be crushed by its own stored norm at
+          // the ADC stage and never reach the rerank — but in a
+          // DIRECTION no hash-uniform vector takes (alternating
+          // high/low), so the exact rerank puts it at cos = 1.0 top-1
           val marker = spark.range(1).select(
             lit(MarkerId).as("doc_id"),
             lit("soakzebra soakquagga").as("text"),
             lit(MarkerId).as("vec_id"),
-            array((0 until 16).map(_ => lit(100.0)): _*).as("embedding"))
+            array((0 until 16).map(i =>
+              lit(if (i % 2 == 0) 0.95 else 0.05)): _*).as("embedding"))
           live.unionByName(marker).write.parquet(s"$corpusDir/part=1")
           corpusAppended = true
           ticksAtAppend = refreshTicks.get()
@@ -482,15 +502,27 @@ object Soak {
           val posIds = graft.ext.Retrieval.phraseProbe(spark, lastPosPath.get(),
             "doc_id", Seq("soakzebra", "soakquagga"))
             .select("doc_id").collect().map(_.getLong(0)).toSet
+          val q = (0 until 16).map(i => if (i % 2 == 0) 0.95 else 0.05)
+          // generous rerank: this probe verifies FRESHNESS (the marker
+          // entered the index), not ADC ranking resolution — at 50 the
+          // marker's post-quantization edge sinks below the crowd's
+          // upper tail once the probed cells hold ~1500 rows (measured:
+          // repro-scale pass, soak-scale miss); the exact rerank then
+          // puts it at cos = 1.0 top-1 whenever it reaches the
+          // candidate set
           val ivfIds = graft.ext.Similarity.ivfPqProbe(spark, lastIvfPath.get(),
-            "vec_id", "label", "embedding", Seq.fill(16)(100.0),
-            k = 5, nprobe = 2, rerank = 50)
+            "vec_id", "label", "embedding", q,
+            k = 5, nprobe = 4, rerank = 2000)
             .collect().map(_.getLong(0)).toSet
           if (posIds.contains(MarkerId) && ivfIds.contains(MarkerId)) {
             indexVerified = true
             println(s"[soak] index refresh verified at +${elapsed}s: " +
               "both probes see the mid-run marker doc")
-          }
+          } else
+            println(s"[soak] index probe miss at +${elapsed}s: " +
+              s"pos=${posIds.contains(MarkerId)}(${posIds.size}) " +
+              s"ivf=${ivfIds.contains(MarkerId)}(${ivfIds.size}) " +
+              s"posPath=${lastPosPath.get()} ivfPath=${lastIvfPath.get()}")
         } catch { case e: Throwable =>
           println(s"[soak] index probe failed (will retry): $e")
         }
@@ -705,9 +737,19 @@ object Soak {
     printCensus("end of soak")
 
     // fd/thread stability: last quarter vs first quarter
-    val quarters = health.toList.splitAt(health.size / 4)
-    val firstQ = quarters._1
-    val lastQ = health.toList.takeRight(math.max(1, health.size / 4))
+    // baseline = the SECOND quarter: the first quarter predates the
+    // first maintenance tick (retention/compaction/index refreshers at
+    // +120 s), so its fd/thread counts lack a whole steady-state
+    // subsystem and a one-time activation step reads as "growth" (a
+    // round-15 run failed by exactly 1 fd this way). A real leak still
+    // trips: it grows monotonically, so last-quarter max exceeds ANY
+    // earlier quarter's budget.
+    val q = math.max(1, health.size / 4)
+    val firstQ = health.toList.slice(q, 2 * q) match {
+      case Nil => health.toList.take(q)
+      case xs => xs
+    }
+    val lastQ = health.toList.takeRight(q)
     def maxOf(f: ((Long, Int, Int, Long)) => Int, xs: List[(Long, Int, Int, Long)]) =
       xs.map(f).max
     if (firstQ.nonEmpty) {

@@ -114,7 +114,14 @@ object WsTestKit {
         override def onText(w: WebSocket, data: CharSequence, last: Boolean)
             : CompletionStage[_] = {
           partial.append(data)
-          if (last) { lines.add(partial.toString); partial.setLength(0) }
+          if (last) {
+            // a frameBatch subscriber receives n line-delimited events
+            // per message; the default wire is one line per message and
+            // events never contain raw newlines, so splitting is safe
+            // for both
+            partial.toString.split("\n").filter(_.nonEmpty).foreach(lines.add)
+            partial.setLength(0)
+          }
           w.request(1)
           null
         }

@@ -68,6 +68,62 @@ class WebSocketServeSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("frameBatch subscriber: events coalesce into multi-event frames, delivered exactly once") {
+    // VERDICT r14 #8 — the opt-in wire extension: frameBatch=n
+    // coalesces up to n line-delimited events per TEXT frame. A raw
+    // frame reader proves coalescing really happened (frames < events);
+    // the line-splitting client proves the event stream is unchanged —
+    // same order, same payloads, exactly once. Default-wire subscribers
+    // are untouched (the first test pins one-frame-per-event behavior
+    // implicitly via per-message counts).
+    val table = tmpDir("ws-batch-table")
+    EventsTable.append((1 to 200).map(i => (i * 1000L, s"did:plc:u${i % 5}", "app.graft.doc"))
+      .toDF("time_us", "did", "collection"), table)
+    val tail = spark.readStream.format("graft-replay")
+      .option("path", table).option("cursor", "500000").load()
+    val server = WebSocketServe.start(tail, table, tmpDir("ws-batch-ckpt"))
+    try {
+      // raw RFC 6455 reader: handshake, then count frames AND events
+      val sock = new java.net.Socket("localhost", server.port)
+      val out = sock.getOutputStream
+      out.write(("GET /subscribe?cursor=0&frameBatch=50 HTTP/1.1\r\nHost: localhost\r\n" +
+        "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+        "Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n" +
+        "Sec-WebSocket-Version: 13\r\n\r\n").getBytes("US-ASCII"))
+      out.flush()
+      val in = new java.io.BufferedInputStream(sock.getInputStream, 1 << 16)
+      val head = new StringBuilder
+      while (head.length < 4 || head.substring(head.length - 4) != "\r\n\r\n")
+        head.append(in.read().toChar)
+      assert(head.toString.startsWith("HTTP/1.1 101"), head.toString.take(100))
+      var frames = 0
+      val events = scala.collection.mutable.ListBuffer.empty[String]
+      sock.setSoTimeout(60000)
+      while (events.size < 200) {
+        val b0 = in.read()
+        assert(b0 == 0x81, s"expected FIN|TEXT, got $b0")
+        val l0 = in.read() & 0x7f
+        val len =
+          if (l0 < 126) l0
+          else if (l0 == 126) (in.read() << 8) | in.read()
+          else (0 until 8).foldLeft(0)((a, _) => (a << 8) | in.read())
+        val buf = new Array[Byte](len)
+        var off = 0
+        while (off < len) off += in.read(buf, off, len - off)
+        frames += 1
+        events ++= new String(buf, "UTF-8").split("\n").filter(_.nonEmpty)
+      }
+      sock.close()
+      assert(events.size == 200, s"expected 200 events, got ${events.size}")
+      assert(frames <= 200 / 10,
+        s"frameBatch=50 must coalesce (got $frames frames for 200 events)")
+      val times = events.map(e => """"time_us":(\d+)""".r
+        .findFirstMatchIn(e).get.group(1).toLong).toSeq
+      assert(times == (1 to 200).map(_ * 1000L),
+        "batched wire must carry the same events in the same order, exactly once")
+    } finally server.close()
+  }
+
   test("non-websocket request is rejected with 400") {
     val table = tmpDir("ws-serve-rej-table")
     EventsTable.append(Seq((1000L, "did:plc:u1", "app.graft.doc"))
