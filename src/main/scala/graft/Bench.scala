@@ -320,7 +320,10 @@ object Bench {
       // below measure the serve shape
       "quality_lr_train", "quality_lr_score", "quality_lr_bigram",
       "pq_codes", "pq_adc_topk", "pq_rerank_topk", "ivf_pq_topk",
-      "ivf_pq_residual", "ivf_pq_batch")
+      "ivf_pq_residual", "ivf_pq_batch", "ivf_pq_residual_batch",
+      // round 15: the SQ8 / BQ compression-ladder rungs — min/max and
+      // mean-threshold learns, paid here like every index build
+      "sq8_topk", "bq_hamming_topk")
     val indexBuildSec = {
       val t0 = System.nanoTime()
       probeOnly.foreach { n =>

@@ -383,6 +383,104 @@ object ScaleSmoke {
       return
     }
 
+    if (args.headOption.contains("ladder")) {
+      // `runMain graft.ScaleSmoke ladder [nVecs]` — the compression
+      // ladder at memory-bandwidth scale: 1M vectors × dim 64, measure
+      // the FIRST-PASS cost of each rung (exact brute / SQ8 8-bit ADC /
+      // BQ 1-bit Hamming) plus the exact-rerank finish, the on-disk
+      // bytes each first pass scans, and recall@10 vs the brute answer.
+      // The point of the ladder: the first pass is bandwidth-bound, so
+      // scan time should track bytes/vector — BQ (8 B/vec) is the shape
+      // billion-vector stores run as their candidate pass.
+      import org.apache.spark.sql.functions._
+      val nVecs = args.lift(1).map(_.toLong).getOrElse(1000000L)
+      val dim = 64
+      val vecs = spark.range(0L, nVecs, 1L, 32).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => pmod(xxhash64(col("id") * lit(131L) + i.cast("long")), lit(1000L)) / 1000.0)
+          .as("embedding"))
+      val raw = java.nio.file.Files.createTempDirectory("ladder-raw").toString
+      vecs.write.mode("overwrite").parquet(s"$raw/vectors")
+      val corpus = spark.read.parquet(s"$raw/vectors")
+      val q = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Double](0).toSeq
+
+      def dirBytes(p: String): Long = {
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.getContentSummary(path).getLength
+      }
+      def timed(body: => Unit): Double = {
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }
+        runs.min
+      }
+
+      // rung 0: exact brute over the raw doubles (the correctness anchor)
+      var truth: Seq[Long] = Seq.empty
+      val bruteSec = timed {
+        truth = corpus
+          .select(col("vec_id"), graft.ext.Similarity.cosineTo(q, "embedding").as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10).select("vec_id").as[Long](spark.implicits.newLongEncoder)
+          .collect().toSeq
+      }
+      val rawB = dirBytes(s"$raw/vectors")
+      println(f"[ladder] n=$nVecs dim=$dim | brute: ${bruteSec}%.2fs, " +
+        f"scans ${rawB / 1e6}%.0f MB (${rawB.toDouble / nVecs}%.0f B/vec), recall 1.000")
+
+      def recall(ids: Seq[Long]): Double =
+        ids.toSet.intersect(truth.toSet).size / 10.0
+
+      // rung 1: SQ8 — 8-bit/dim affine codes + stored norm
+      val sq8 = java.nio.file.Files.createTempDirectory("ladder-sq8").toString
+      var t0 = System.nanoTime()
+      graft.ext.Similarity.buildSq8(corpus, "vec_id", "embedding", sq8, dim = dim)
+      println(f"[ladder] sq8 build ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      var sq8Ids: Seq[Long] = Seq.empty
+      val sq8Sec = timed {
+        sq8Ids = graft.ext.Similarity.sq8AdcRerank(spark, sq8, corpus, "vec_id",
+          "embedding", q, k = 10, rerank = 100)
+          .select("vec_id").as[Long](spark.implicits.newLongEncoder).collect().toSeq
+      }
+      val sq8B = dirBytes(s"$sq8/codes")
+      println(f"[ladder] sq8: ${sq8Sec}%.2fs, scans ${sq8B / 1e6}%.0f MB " +
+        f"(${sq8B.toDouble / nVecs}%.0f B/vec), recall ${recall(sq8Ids)}%.3f")
+
+      // rung 2: BQ — 1-bit/dim sign words, integer Hamming first pass
+      val bq = java.nio.file.Files.createTempDirectory("ladder-bq").toString
+      t0 = System.nanoTime()
+      graft.ext.Similarity.buildBq(corpus, "vec_id", "embedding", bq, dim = dim)
+      println(f"[ladder] bq build ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      var bqIds: Seq[Long] = Seq.empty
+      val bqSec = timed {
+        bqIds = graft.ext.Similarity.bqHammingRerank(spark, bq, corpus, "vec_id",
+          "embedding", q, k = 10, rerank = 100)
+          .select("vec_id").as[Long](spark.implicits.newLongEncoder).collect().toSeq
+      }
+      val bqB = dirBytes(s"$bq/words")
+      println(f"[ladder] bq: ${bqSec}%.2fs, scans ${bqB / 1e6}%.0f MB " +
+        f"(${bqB.toDouble / nVecs}%.0f B/vec), recall ${recall(bqIds)}%.3f")
+      // uniform-random vectors are the adversarial case for 1-bit codes
+      // (no cluster structure — the true top-10's cosine gap vs rank
+      // 1000 is tiny, below 64 sign bits' resolution); the rerank knob
+      // is the recovery lever, at first-pass cost unchanged
+      Seq(1000, 10000).foreach { r =>
+        val ids = graft.ext.Similarity.bqHammingRerank(spark, bq, corpus,
+          "vec_id", "embedding", q, k = 10, rerank = r)
+          .select("vec_id").as[Long](spark.implicits.newLongEncoder).collect().toSeq
+        println(f"[ladder] bq rerank=$r: recall ${recall(ids)}%.3f")
+      }
+      Seq(raw, sq8, bq).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("bpe")) {
       // `runMain graft.ScaleSmoke bpe [k] [sfDir]` — production-k BPE
       // learning (VERDICT r12 #2): k rounds with the checkpoint cadence,

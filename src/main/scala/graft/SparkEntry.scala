@@ -158,6 +158,8 @@ object SparkEntry {
     "ivf_pq_residual"    -> ExtQueries.ivfPqResidual _,
     "ivf_pq_batch"       -> ExtQueries.ivfPqBatch _,
     "ivf_pq_residual_batch" -> ExtQueries.ivfPqResidualBatch _,
+    "sq8_topk"           -> ExtQueries.sq8Topk _,
+    "bq_hamming_topk"    -> ExtQueries.bqHammingTopk _,
     "bigram_logprob"     -> ExtQueries.bigramLogProb _,
     "unigram_logprob"    -> ExtQueries.unigramLogprob _,
     "quality_lang_gate"  -> ExtQueries.qualityLangGate _,
@@ -1156,6 +1158,8 @@ object SparkEntry {
     "ivf_pq_residual" -> graft.ext.Similarity.ivfPqResidualOracleSql(dim = 64, m = 4, ksub = 16, k = 8),
     "ivf_pq_batch" -> graft.ext.Similarity.ivfPqBatchOracleSql(dim = 64, m = 4, ksub = 16, k = 8, nQueries = 3),
     "ivf_pq_residual_batch" -> graft.ext.Similarity.ivfPqResidualBatchOracleSql(dim = 64, m = 4, ksub = 16, k = 8, nQueries = 3),
+    "sq8_topk" -> graft.ext.Similarity.sq8OracleSql(dim = 64),
+    "bq_hamming_topk" -> graft.ext.Similarity.bqOracleSql(dim = 64),
     "phrase_search3" ->
       // 3-term anchor-align: term i joins on (doc, pos - i)
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -323,6 +323,42 @@ object ExtQueries {
       queryVec(spark, dir))
   }
 
+  /** E2 — SQ8 scalar-quantized ADC + exact re-rank
+    * ([[Similarity.buildSq8]]/[[Similarity.sq8AdcRerank]]): the
+    * 8-bit/dim rung of the compression ladder — per-dim affine codes
+    * learned from one exact min/max pass (no iterative FP anywhere),
+    * probe scans the 4×-smaller codes table, raw vectors consulted only
+    * for the rerank ids. Probe-only: the build pays once per corpus
+    * snapshot behind [[IndexStore.ensure]].
+    */
+  def sq8Topk(spark: SparkSession, dir: String): DataFrame = {
+    val idx = IndexStore.ensure("sq8", spark, Seq(s"$dir/embeddings.parquet")) { tmp =>
+      Similarity.buildSq8(
+        Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", tmp, dim = 64)
+    }
+    Similarity.sq8AdcRerank(spark, idx,
+      Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", queryVec(spark, dir))
+  }
+
+  /** E2 — binary-quantization Hamming + exact re-rank
+    * ([[Similarity.buildBq]]/[[Similarity.bqHammingRerank]]): the
+    * 1-bit/dim rung — mean-centered sign bits packed 32/word, integer
+    * popcount(xor) candidate scan (zero FP before the rerank join).
+    * Probe-only behind [[IndexStore.ensure]].
+    */
+  def bqHammingTopk(spark: SparkSession, dir: String): DataFrame = {
+    val idx = IndexStore.ensure("bq1", spark, Seq(s"$dir/embeddings.parquet")) { tmp =>
+      Similarity.buildBq(
+        Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", tmp, dim = 64)
+    }
+    Similarity.bqHammingRerank(spark, idx,
+      Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", queryVec(spark, dir))
+  }
+
   /** E3 — TRAINED quality classifier, learning phase
     * ([[Classifier.train]]): 3 epochs of full-batch logistic regression
     * over hashed token features; returns the weight table (bias at

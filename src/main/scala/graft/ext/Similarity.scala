@@ -1763,4 +1763,380 @@ object Similarity {
       .agg(avg(col("v")).as("c"))
       .groupBy(col(labelCol))
       .agg(pround(sqrt(sum(col("c") * col("c"))), 6).as("centroid_norm"))
+
+  // ------------------------------------------------------------------
+  // Scalar quantization (SQ8) — the 8-bit/dim rung of the ANN ladder
+  // ------------------------------------------------------------------
+
+  /** SQ8 scalar-quantization index (FAISS `ScalarQuantizer` QT_8bit
+    * shape): per-dimension affine 8-bit codes — code_d = round((v_d −
+    * min_d) / step_d) with step_d = (max_d − min_d)/255, learned from
+    * ONE corpus pass of per-dim min/max. Unlike the PQ family there is
+    * NO iterative FP in the learner: min/max are exact order-independent
+    * aggregates, 1e-9-quantized like every learner, so the oracle twin
+    * is exact BY CONSTRUCTION (not by noise margin). The encode is one
+    * map-only codegen projection — dim×4 B → dim bytes (4×), the middle
+    * rung between BQ's 1 bit/dim and the raw vectors; recall at this
+    * budget is near-lossless, vs PQ which buys 20×+ at real recall
+    * loss. Layout: `$path/params` (i, mn, mx) — a dim-row table — and
+    * `$path/codes` (id, codes, vnorm ‖v‖ for the cosine denominator).
+    *
+    * 100 TB posture: train is one scan + a dim-group aggregate; encode
+    * is embarrassingly parallel and shuffle-free; every probe scans the
+    * 4×-smaller codes table and touches the raw vectors only for the
+    * `rerank` id-equi-join, exactly like [[pqAdcRerank]].
+    */
+  def buildSq8(df: DataFrame, idCol: String, vecCol: String, path: String,
+      dim: Int): Unit = {
+    val prm = sq8Params(df, idCol, vecCol, dim)
+    writeSq8Params(df.sparkSession, prm, path)
+    sq8EncodeTo(df, idCol, vecCol, prm, s"$path/codes")
+  }
+
+  /** The SQ8 learner alone: per-dim (i, mn, mx), exact order-independent
+    * aggregates 1e-9-quantized — a dim-row driver collect. Exposed so
+    * the incremental lifecycle can learn once and freeze.
+    */
+  def sq8Params(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int): Seq[(Int, Double, Double)] = {
+    val rows = df
+      .select(posexplode(toDoubleArr(col(vecCol))).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(pround(min(col("x")), 9).as("mn"), pround(max(col("x")), 9).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    require(rows.size == dim, s"params rows ${rows.size} != dim $dim")
+    rows
+  }
+
+  private def writeSq8Params(spark: org.apache.spark.sql.SparkSession,
+      prm: Seq[(Int, Double, Double)], path: String): Unit = {
+    import spark.implicits._
+    prm.toDF("i", "mn", "mx").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  private def sq8Steps(prm: Seq[(Int, Double, Double)]): Seq[Double] =
+    prm.map(r => (r._3 - r._2) / 255.0)
+
+  /** Encode `df` against frozen params into `$dst` — one map-only
+    * codegen projection. Clamp AFTER the floor, exactly as the oracle's
+    * greatest/least — the 1e-9 quantization of min can push
+    * (v − mn)/st a hair outside [0, 255] at the corpus extremes (and
+    * incremental appends may fall anywhere: out-of-range vectors clamp
+    * to the edge code, the standard frozen-learner trade).
+    */
+  private def sq8EncodeTo(df: DataFrame, idCol: String, vecCol: String,
+      prm: Seq[(Int, Double, Double)], dst: String): Unit = {
+    val mns = prm.map(_._2)
+    val sts = sq8Steps(prm)
+    val v = toDoubleArr(col(vecCol))
+    val codes = array(prm.indices.map { d =>
+      if (sts(d) == 0.0) lit(0L)
+      else greatest(lit(0.0), least(lit(255.0),
+        floor((element_at(v, d + 1) - lit(mns(d))) / lit(sts(d)) + lit(0.5))))
+        .cast("long")
+    }: _*)
+    df.select(col(idCol), codes.as("codes"),
+        pround(sqrt(dot(v, v)), 9).as("vnorm"))
+      .write.mode("overwrite").parquet(dst)
+  }
+
+  /** Per-partition SQ8 encode against FROZEN params — the incremental
+    * refresh unit, same policy as [[buildPqPart]]: appending an hour
+    * encodes ONLY that hour; params move only on a periodic full
+    * rebuild.
+    */
+  def buildSq8Part(df: DataFrame, idCol: String, vecCol: String,
+      prm: Seq[(Int, Double, Double)], path: String): Unit =
+    sq8EncodeTo(df, idCol, vecCol, prm, s"$path/codes")
+
+  /** Merge committed per-partition SQ8 indexes into a probe-ready
+    * [[buildSq8]]-layout index — codes merge by FILE COPY (zero reads,
+    * zero shuffles), the frozen params are written once.
+    */
+  def mergeSq8(spark: org.apache.spark.sql.SparkSession,
+      prm: Seq[(Int, Double, Double)], partPaths: Seq[String],
+      path: String): Unit = {
+    copyIndexParts(spark, partPaths, "codes", path)
+    writeSq8Params(spark, prm, path)
+  }
+
+  /** Incremental SQ8 index for an append-only partitioned corpus — the
+    * lifecycle twin of [[ensureIncrementalPq]].
+    */
+  def ensureIncrementalSq8(spark: org.apache.spark.sql.SparkSession,
+      kind: String, sourceDir: String, idCol: String, vecCol: String,
+      prm: Seq[(Int, Double, Double)]): String =
+    IndexStore.ensureIncremental(kind, spark, sourceDir) { (part, tmp) =>
+      buildSq8Part(spark.read.parquet(part), idCol, vecCol, prm, tmp)
+    } { (parts, tmp) => mergeSq8(spark, prm, parts, tmp) }
+
+  /** File-copy merge of one subtable (`sub`) from each part index into
+    * `$path/$sub/part=N` — the shared shape of every frozen-learner
+    * merge ([[mergePq]] precedent).
+    */
+  private def copyIndexParts(spark: org.apache.spark.sql.SparkSession,
+      partPaths: Seq[String], sub: String, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    partPaths.zipWithIndex.foreach { case (pp, i) =>
+      val src = new org.apache.hadoop.fs.Path(s"$pp/$sub")
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$sub/part=$i")
+      val fs = src.getFileSystem(conf)
+      fs.mkdirs(dst.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    }
+  }
+
+  /** The learned per-dim affine params back off a [[buildSq8]] index —
+    * (mins, steps), each dim-long; a dim-row driver read (an index
+    * lookup, not a data collect). step is derived here as
+    * (mx − mn)/255.0 so the probe and the oracle compute the identical
+    * IEEE expression.
+    */
+  def readSq8Params(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[Double], Seq[Double]) = {
+    val rows = spark.read.parquet(s"$path/params").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    (rows.map(_._2).toSeq, rows.map(r => (r._3 - r._2) / 255.0).toSeq)
+  }
+
+  /** SQ8 ADC + exact re-rank: each code row scores as
+    * Σ_d q_d·(mn_d + code_d·step_d) — the reconstruction dot, unrolled
+    * into a codegen'd literal fold (q, mn, step are all driver
+    * literals; only the code byte is per-row) — normalized by the
+    * stored ‖v‖, top-`rerank` candidates, raw vectors consulted only
+    * for those ids. Term order is the dim order in BOTH engines, so
+    * the fold is bit-deterministic.
+    */
+  def sq8AdcRerank(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, vectors: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int = 10, rerank: Int = 50,
+      digits: Int = 6): DataFrame = {
+    val (mns, sts) = readSq8Params(spark, indexPath)
+    require(mns.size == query.size, s"dim ${mns.size} != query ${query.size}")
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val safeQ = if (qNorm > 0) qNorm else 1.0
+    // native loop expression — IEEE-identical to the dim-order literal
+    // fold (and to the oracle's ordered list_reduce), but ~0.3 KB of
+    // generated code instead of ~260 expression nodes per row
+    val approxDot = ecol(graft.functions.Sq8Adc(eexpr(col("codes")),
+      query.toArray, mns.toArray, sts.toArray))
+    val cand = spark.read.parquet(s"$indexPath/codes")
+      .select(col(idCol),
+        pround(approxDot / (col("vnorm") * lit(safeQ)), digits).as("adc_cos"))
+      .orderBy(col("adc_cos").desc, col(idCol))
+      .limit(rerank)
+      .select(col(idCol))
+    vectors.join(broadcast(cand), idCol)
+      .select(col(idCol), cosineTo(query, vecCol).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB oracle twin of the full SQ8 chain (`sq8_topk`): per-dim
+    * min/max (1e-9-quantized) over the corpus minus the query vector,
+    * affine encode with the same floor-then-clamp, ADC as an ordered
+    * per-dim fold (list_reduce over `list(t ORDER BY i)` ≡ the Spark
+    * side's dim-order literal fold), top-`rerank`, exact cosine rerank.
+    */
+  def sq8OracleSql(dim: Int, rerank: Int = 50, topk: Int = 10): String =
+    s"""WITH qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+       |qn AS (SELECT CASE WHEN n = 0 THEN 1.0 ELSE n END AS n FROM (
+       |  SELECT sqrt(list_reduce(list_transform(qe, x -> x * x), (x, y) -> x + y)) AS n FROM qv)),
+       |dims AS (SELECT unnest(range(0, $dim))::BIGINT AS i),
+       |dx AS MATERIALIZED (SELECT e.vec_id, d.i, (e.embedding[d.i + 1])::DOUBLE AS x
+       |  FROM embeddings e, dims d WHERE e.vec_id != 0),
+       |prm AS MATERIALIZED (SELECT i,
+       |    floor(min(x) * 1e9 + 0.5) / 1e9 AS mn,
+       |    (floor(max(x) * 1e9 + 0.5) / 1e9 - floor(min(x) * 1e9 + 0.5) / 1e9) / 255.0 AS st
+       |  FROM dx GROUP BY i),
+       |enc AS MATERIALIZED (SELECT dx.vec_id, dx.i,
+       |    CASE WHEN p.st = 0 THEN 0.0
+       |         ELSE greatest(0.0, least(255.0, floor((dx.x - p.mn) / p.st + 0.5))) END AS cd
+       |  FROM dx JOIN prm p USING (i)),
+       |vn AS (SELECT vec_id,
+       |  floor(sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (x, y) -> x + y)) * 1e9 + 0.5) / 1e9 AS vnorm
+       |  FROM embeddings WHERE vec_id != 0),
+       |terms AS (SELECT e.vec_id, e.i,
+       |    qv.qe[e.i + 1] * (p.mn + e.cd * p.st) AS t
+       |  FROM enc e JOIN prm p USING (i), qv),
+       |adc AS (SELECT vec_id,
+       |    list_reduce(list(t ORDER BY i), (x, y) -> x + y) AS d
+       |  FROM terms GROUP BY vec_id),
+       |cand AS (SELECT a.vec_id,
+       |    floor((a.d / (vn.vnorm * (SELECT n FROM qn))) * 1e6 + 0.5) / 1e6 AS adc_cos
+       |  FROM adc a JOIN vn USING (vec_id)
+       |  ORDER BY adc_cos DESC, a.vec_id LIMIT $rerank),
+       |dd AS (SELECT e.vec_id, (e.embedding[d.i + 1])::DOUBLE AS x, qv.qe[d.i + 1] AS y
+       |       FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, dims d, qv)
+       |SELECT vec_id,
+       |       floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 AS cos
+       |FROM dd GROUP BY vec_id
+       |ORDER BY cos DESC, vec_id LIMIT $topk""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Binary quantization (BQ) — the 1-bit/dim rung of the ANN ladder
+  // ------------------------------------------------------------------
+
+  /** Binary-quantization index: one bit per dimension — bit_d =
+    * (v_d > thr_d) with thr_d the per-dim corpus MEAN (mean-centering,
+    * the classic sign-binarization after centering; Charikar 2002's
+    * hyperplane LSH degenerates to exactly this when the hyperplanes
+    * are the coordinate axes through the centroid). Bits pack 32 per
+    * BIGINT word (32, not 64 — both engines then stay inside non-sign
+    * bit territory and the packing sum is small-integer exact), so a
+    * 64-dim vector is 2 longs = 16 B, 16× under SQ8 and 32× under raw.
+    * The threshold mean uses [[graft.util.Portable.dsum]] — exact
+    * decimal accumulation, order-deterministic — then the usual 1e-9
+    * quantization, so the learned params are engine-portable the same
+    * way every other learner's are. Layout: `$path/params` (i, thr),
+    * `$path/words` (id, words).
+    *
+    * 100 TB posture: candidate generation is integer-only — a scan of
+    * the 32×-smaller words table computing Σ popcount(xor) per row
+    * (top-`rerank` via per-partition heaps, no global sort, NO floating
+    * point at all until the exact rerank join) — the memory-bandwidth
+    * shape modern vector stores use for billion-vector first-pass
+    * filtering.
+    */
+  def buildBq(df: DataFrame, idCol: String, vecCol: String, path: String,
+      dim: Int): Unit = {
+    val thr = bqThresholds(df, idCol, vecCol, dim)
+    writeBqParams(df.sparkSession, thr, path)
+    df.select(col(idCol), bqWords(toDoubleArr(col(vecCol)), thr).as("words"))
+      .write.mode("overwrite").parquet(s"$path/words")
+  }
+
+  /** The BQ learner alone: per-dim decimal-exact mean thresholds
+    * ([[graft.util.Portable.dsum]], 1e-9-quantized) — a dim-row driver
+    * collect, exposed for the incremental lifecycle's learn-once.
+    */
+  def bqThresholds(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int): Seq[Double] = {
+    val rows = df
+      .select(posexplode(toDoubleArr(col(vecCol))).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(pround(graft.util.Portable.dsum(col("x")) / count(lit(1)), 9).as("thr"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+      .map(_._2).toSeq
+    require(rows.size == dim, s"params rows ${rows.size} != dim $dim")
+    rows
+  }
+
+  private def writeBqParams(spark: org.apache.spark.sql.SparkSession,
+      thr: Seq[Double], path: String): Unit = {
+    import spark.implicits._
+    thr.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "thr")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Per-partition BQ binarize against FROZEN thresholds — the
+    * incremental refresh unit (map-only; appended vectors binarize
+    * against the learned means, which move only on a full rebuild).
+    */
+  def buildBqPart(df: DataFrame, idCol: String, vecCol: String,
+      thr: Seq[Double], path: String): Unit =
+    df.select(col(idCol), bqWords(toDoubleArr(col(vecCol)), thr).as("words"))
+      .write.mode("overwrite").parquet(s"$path/words")
+
+  /** Merge committed per-partition BQ indexes — words by file copy,
+    * frozen thresholds written once.
+    */
+  def mergeBq(spark: org.apache.spark.sql.SparkSession, thr: Seq[Double],
+      partPaths: Seq[String], path: String): Unit = {
+    copyIndexParts(spark, partPaths, "words", path)
+    writeBqParams(spark, thr, path)
+  }
+
+  /** Incremental BQ index — the lifecycle twin of
+    * [[ensureIncrementalSq8]].
+    */
+  def ensureIncrementalBq(spark: org.apache.spark.sql.SparkSession,
+      kind: String, sourceDir: String, idCol: String, vecCol: String,
+      thr: Seq[Double]): String =
+    IndexStore.ensureIncremental(kind, spark, sourceDir) { (part, tmp) =>
+      buildBqPart(spark.read.parquet(part), idCol, vecCol, thr, tmp)
+    } { (parts, tmp) => mergeBq(spark, thr, parts, tmp) }
+
+  /** The learned per-dim thresholds back off a [[buildBq]] index. */
+  def readBqParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Double] =
+    spark.read.parquet(s"$path/params").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2).toSeq
+
+  /** Pack (v_d > thr_d) bits 32-per-long — a codegen'd integer fold,
+    * no shuffle, no UDF.
+    */
+  private def bqWords(v: Column, thr: Seq[Double]): Column = {
+    val nw = (thr.size + 31) / 32
+    array((0 until nw).map { w =>
+      (0 until 32).filter(b => w * 32 + b < thr.size).foldLeft(lit(0L)) { (acc, b) =>
+        val d = w * 32 + b
+        acc + when(element_at(v, d + 1) > lit(thr(d)), lit(1L << b)).otherwise(lit(0L))
+      }
+    }: _*)
+  }
+
+  /** BQ Hamming + exact re-rank: the query binarizes driver-side
+    * against the same thresholds, candidates rank by
+    * Σ_w popcount(word_w XOR qword_w) ascending (integer-exact — zero
+    * FP in the first pass), ties to the lower id, and the raw vectors
+    * are consulted only for the `rerank` winners.
+    */
+  def bqHammingRerank(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, vectors: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int = 10, rerank: Int = 50): DataFrame = {
+    val thr = readBqParams(spark, indexPath)
+    require(thr.size == query.size, s"dim ${thr.size} != query ${query.size}")
+    val nw = (thr.size + 31) / 32
+    val qw = (0 until nw).map { w =>
+      (0 until 32).filter(b => w * 32 + b < thr.size).foldLeft(0L) { (acc, b) =>
+        val d = w * 32 + b
+        if (query(d) > thr(d)) acc | (1L << b) else acc
+      }
+    }
+    val ham = (0 until nw).foldLeft(lit(0L)) { (acc, w) =>
+      acc + bit_count(element_at(col("words"), w + 1).bitwiseXOR(lit(qw(w))))
+    }
+    val cand = spark.read.parquet(s"$indexPath/words")
+      .select(col(idCol), ham.as("hamming"))
+      .orderBy(col("hamming").asc, col(idCol))
+      .limit(rerank)
+      .select(col(idCol))
+    vectors.join(broadcast(cand), idCol)
+      .select(col(idCol), cosineTo(query, vecCol).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB oracle twin of the full BQ chain (`bq_hamming_topk`):
+    * per-dim decimal-exact mean thresholds over the corpus minus the
+    * query, 32-bit word packing via an integer CASE sum, Hamming =
+    * Σ bit_count(xor) (integer-exact end to end), top-`rerank` by
+    * (hamming, vec_id), exact cosine rerank.
+    */
+  def bqOracleSql(dim: Int, rerank: Int = 50, topk: Int = 10): String =
+    s"""WITH qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+       |dims AS (SELECT unnest(range(0, $dim))::BIGINT AS i),
+       |dx AS MATERIALIZED (SELECT e.vec_id, d.i, (e.embedding[d.i + 1])::DOUBLE AS x
+       |  FROM embeddings e, dims d WHERE e.vec_id != 0),
+       |prm AS MATERIALIZED (SELECT i,
+       |    floor((sum(x::DECIMAL(38,18))::DOUBLE / count(*)) * 1e9 + 0.5) / 1e9 AS thr
+       |  FROM dx GROUP BY i),
+       |wrd AS MATERIALIZED (SELECT vec_id, (i // 32)::BIGINT AS w,
+       |    sum(CASE WHEN x > thr THEN (1::BIGINT << (i % 32)::INT) ELSE 0 END)::BIGINT AS wv
+       |  FROM dx JOIN prm USING (i) GROUP BY vec_id, w),
+       |qw AS (SELECT (d.i // 32)::BIGINT AS w,
+       |    sum(CASE WHEN qv.qe[d.i + 1] > p.thr THEN (1::BIGINT << (d.i % 32)::INT) ELSE 0 END)::BIGINT AS wv
+       |  FROM dims d JOIN prm p USING (i), qv GROUP BY w),
+       |hm AS (SELECT vec_id, sum(bit_count(xor(wrd.wv, qw.wv)))::BIGINT AS hamming
+       |  FROM wrd JOIN qw USING (w) GROUP BY vec_id),
+       |cand AS (SELECT vec_id FROM hm ORDER BY hamming ASC, vec_id LIMIT $rerank),
+       |dd AS (SELECT e.vec_id, (e.embedding[d.i + 1])::DOUBLE AS x, qv.qe[d.i + 1] AS y
+       |       FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, dims d, qv)
+       |SELECT vec_id,
+       |       floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 AS cos
+       |FROM dd GROUP BY vec_id
+       |ORDER BY cos DESC, vec_id LIMIT $topk""".stripMargin
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native vector math for the embedding operators (build brief E2).
   *
@@ -151,6 +151,102 @@ case class VecNorm(child: Expression) extends UnaryExpression {
          |  $sum += $v * $v;
          |}
          |if (!${ev.isNull}) ${ev.value} = java.lang.Math.sqrt($sum);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `sq8_adc(codes)` — the SQ8 reconstruction dot
+  * Σ_d q_d · (mn_d + code_d · step_d) over an `array<long|int>` code
+  * row, with the query / per-dim affine params bound as driver-side
+  * constants (they are literals of the probe, not data).
+  *
+  * Why an Expression and not the unrolled literal fold the first probe
+  * used: at dim 64 the fold is ~260 Catalyst nodes PER ROW-EXPRESSION —
+  * the generated method blows past JIT-friendly size (measured 9× slower
+  * than the brute scan it is supposed to beat at 1M vectors). This is
+  * the same tight primitive loop as [[VecDot]], with term order and
+  * grouping IEEE-identical to the fold (and to the DuckDB oracle's
+  * `list_reduce(list(t ORDER BY i))`): acc += q[d]*(mn[d]+(double)c[d]*st[d])
+  * in dim order, so `sq8_topk`'s oracle hash is unchanged.
+  *
+  * Null semantics: null array → null; any null element → null; length
+  * mismatch vs the bound params → null.
+  */
+case class Sq8Adc(child: Expression, q: Array[Double], mn: Array[Double],
+    st: Array[Double]) extends UnaryExpression {
+  import VectorExpressions._
+
+  require(q.length == mn.length && q.length == st.length,
+    s"param arrays disagree: q=${q.length} mn=${mn.length} st=${st.length}")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq8_adc"
+
+  private def codeElemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) | ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (codeElemOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<long|int> argument, got " +
+        child.dataType.catalogString)
+
+  private def codeGet(arr: ArrayData, i: Int): Double =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case IntegerType => arr.getInt(i).toDouble
+      case _           => arr.getLong(i).toDouble
+    }
+
+  private def genCodeGet(arr: String, i: String): String =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case _           => s"(double) $arr.getLong($i)"
+    }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != q.length) return null
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      sum += q(i) * (mn(i) + codeGet(x, i) * st(i))
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val qRef = ctx.addReferenceObj("sq8q", q, "double[]")
+      val mnRef = ctx.addReferenceObj("sq8mn", mn, "double[]")
+      val stRef = ctx.addReferenceObj("sq8st", st, "double[]")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val nullCheck =
+        if (containsNull(child.dataType))
+          s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $qRef.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $sum += $qRef[$i] * ($mnRef[$i] + ${genCodeGet(a, i)} * $stRef[$i]);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $sum;
+         |}
        """.stripMargin
     })
 

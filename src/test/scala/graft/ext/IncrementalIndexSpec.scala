@@ -267,6 +267,63 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(probe(i2) == probe(mono2))
   }
 
+  test("incremental SQ8 + BQ (frozen params): append encodes one partition; probes equal monolithic") {
+    val all = ClusterFixture.clustered(spark, 600, 24, 6).cache()
+    val src = tmpDir("inc-sq8bq-src")
+    all.filter(col("vec_id") % 3 === 0).drop("label").write.parquet(s"$src/part=0")
+    all.filter(col("vec_id") % 3 === 1).drop("label").write.parquet(s"$src/part=1")
+    val initial = all.filter(col("vec_id") % 3 =!= 2).drop("label")
+    // learn once on the initial corpus, freeze (the one-pass exact
+    // learners — identical to what buildSq8/buildBq would derive)
+    val prm = Similarity.sq8Params(initial, "vec_id", "embedding", dim = 24)
+    val thr = Similarity.bqThresholds(initial, "vec_id", "embedding", dim = 24)
+    val q = all.filter(col("vec_id") === 0)
+      .select(Similarity.toDoubleArr(col("embedding"))).head().getSeq[Double](0).toSeq
+
+    def probeSq8(idx: String): Seq[(Long, Double)] =
+      Similarity.sq8AdcRerank(spark, idx, all.drop("label"), "vec_id",
+        "embedding", q, k = 10, rerank = 60).as[(Long, Double)].collect().toSeq
+    def probeBq(idx: String): Seq[(Long, Double)] =
+      Similarity.bqHammingRerank(spark, idx, all.drop("label"), "vec_id",
+        "embedding", q, k = 10, rerank = 60).as[(Long, Double)].collect().toSeq
+
+    def incSq8(): String =
+      Similarity.ensureIncrementalSq8(spark, "incsq8", src, "vec_id", "embedding", prm)
+    def incBq(): String =
+      Similarity.ensureIncrementalBq(spark, "incbq", src, "vec_id", "embedding", thr)
+
+    val s1 = incSq8()
+    assert(incSq8() == s1) // idempotent cache hit
+    val b1 = incBq()
+    assert(incBq() == b1)
+    // monolithic twins over the same corpus: the one-pass learners are
+    // deterministic, so buildSq8/buildBq relearn identical params and
+    // the probes must agree exactly
+    val monoS = tmpDir("inc-sq8-mono")
+    Similarity.buildSq8(initial, "vec_id", "embedding", monoS, dim = 24)
+    assert(probeSq8(s1) == probeSq8(monoS))
+    val monoB = tmpDir("inc-bq-mono")
+    Similarity.buildBq(initial, "vec_id", "embedding", monoB, dim = 24)
+    assert(probeBq(b1) == probeBq(monoB))
+
+    // --- a new hour arrives: only that partition encodes (frozen params)
+    all.filter(col("vec_id") % 3 === 2).drop("label").write.parquet(s"$src/part=2")
+    val s2 = incSq8()
+    val b2 = incBq()
+    assert(s2 != s1 && b2 != b1)
+    // monolithic-with-frozen-params twins over the combined corpus
+    val monoS2p = tmpDir("inc-sq8-mono2-part")
+    Similarity.buildSq8Part(all.drop("label"), "vec_id", "embedding", prm, monoS2p)
+    val monoS2 = tmpDir("inc-sq8-mono2")
+    Similarity.mergeSq8(spark, prm, Seq(monoS2p), monoS2)
+    assert(probeSq8(s2) == probeSq8(monoS2))
+    val monoB2p = tmpDir("inc-bq-mono2-part")
+    Similarity.buildBqPart(all.drop("label"), "vec_id", "embedding", thr, monoB2p)
+    val monoB2 = tmpDir("inc-bq-mono2")
+    Similarity.mergeBq(spark, thr, Seq(monoB2p), monoB2)
+    assert(probeBq(b2) == probeBq(monoB2))
+  }
+
   test("incremental IVF (frozen quantizer): append assigns one partition; probe equals monolithic") {
     val all = ClusterFixture.clustered(spark, 600, 24, 6).cache()
     val src = tmpDir("inc-ivf-src")

@@ -312,6 +312,48 @@ class IndexSpec extends SparkSpec {
       "unpartitioned window in residual batch probe")
   }
 
+  test("SQ8 / BQ index lifecycle: dim-row params, full-corpus codes, self-query tops at cos 1.0") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val rest = emb.filter(col("vec_id") =!= 0).cache()
+    val n = rest.count()
+    val q7 = rest.filter(col("vec_id") === 7)
+      .select(Similarity.toDoubleArr(col("embedding"))).head().getSeq[Double](0).toSeq
+
+    val sq8 = tmpDir("idx-sq8")
+    Similarity.buildSq8(rest, "vec_id", "embedding", sq8, dim = 64)
+    assert(spark.read.parquet(s"$sq8/params").count() == 64)
+    val codes = spark.read.parquet(s"$sq8/codes")
+    assert(codes.count() == n)
+    // 8-bit affine codes: every dim clamps into [0, 255]
+    assert(codes.filter(exists(col("codes"), c => c < 0 || c > 255)).count() == 0)
+    val probe = Similarity.sq8AdcRerank(spark, sq8, rest, "vec_id", "embedding", q7)
+    // self-query: SQ8 reconstruction ranks the vector itself first at
+    // exact cos 1.0 after the rerank
+    val top = probe.as[(Long, Double)].collect()
+    assert(top.head == ((7L, 1.0)), s"sq8 self-query top: ${top.head}")
+    // candidate pass scans the codes table; params fold to driver
+    // literals (an index lookup, never a per-row join)
+    val roots = fileScans(probe).flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(roots.exists(_.contains("codes")) && !roots.exists(_.contains("params")),
+      s"unexpected scans: $roots")
+
+    val bq = tmpDir("idx-bq")
+    Similarity.buildBq(rest, "vec_id", "embedding", bq, dim = 64)
+    assert(spark.read.parquet(s"$bq/params").count() == 64)
+    val words = spark.read.parquet(s"$bq/words")
+    assert(words.count() == n)
+    // 32-bit packing: every word stays inside non-sign small-long range
+    assert(words.filter(exists(col("words"), w => w < 0 || w >= (1L << 32))).count() == 0)
+    // self-query at rerank=corpus (plumbing, not selectivity — Hamming-0
+    // ties inside a tight cluster can outnumber a small rerank budget;
+    // RecallSpec owns the quality floor)
+    val topBq = Similarity.bqHammingRerank(spark, bq, rest, "vec_id", "embedding",
+      q7, rerank = n.toInt).as[(Long, Double)].collect()
+    assert(topBq.head == ((7L, 1.0)), s"bq self-query top: ${topBq.head}")
+    rest.unpersist()
+    ()
+  }
+
   test("phraseProbe over a positional index matches the one-shot phraseSearch, pruned") {
     // VERDICT r12 #5: gated beyond the simplest 2-term case — a 3-term
     // phrase (two anchor-align joins) and a repeated-token phrase

@@ -144,6 +144,32 @@ class RecallSpec extends SparkSpec {
     ()
   }
 
+  test("compression ladder: SQ8 rerank near-lossless >= 0.9; BQ 1-bit + rerank >= its floor") {
+    // The three-rung memory ladder at a glance (per 32-dim vector):
+    // BQ 4 B (1 bit/dim), PQ 4 B + norm (codewords), SQ8 32 B + norm
+    // (8 bits/dim), raw 128 B. SQ8's affine reconstruction is
+    // near-lossless, so its ADC ordering is already almost the exact
+    // ordering — the rerank floor matches PQ's 0.9. BQ throws away all
+    // magnitude — candidates are sign-pattern matches — but
+    // rerank > cluster size repairs rank resolution the same way it
+    // does for PQ.
+    val sq8 = tmpDir("recall-sq8")
+    Similarity.buildSq8(corpus, "vec_id", "embedding", sq8, Dims)
+    val rSq8 = meanRecall { (qid, q) =>
+      dropSelf(Similarity.sq8AdcRerank(spark, sq8, corpus, "vec_id",
+        "embedding", q, k = TopK + 1, rerank = 100), qid)
+    }
+    val bq = tmpDir("recall-bq")
+    Similarity.buildBq(corpus, "vec_id", "embedding", bq, Dims)
+    val rBq = meanRecall { (qid, q) =>
+      dropSelf(Similarity.bqHammingRerank(spark, bq, corpus, "vec_id",
+        "embedding", q, k = TopK + 1, rerank = 100), qid)
+    }
+    info(f"sq8 rerank(100) recall@$TopK = $rSq8%.3f; bq hamming+rerank(100) = $rBq%.3f")
+    assert(rSq8 >= 0.9, f"SQ8 rerank recall $rSq8%.3f below floor")
+    assert(rBq >= 0.7, f"BQ rerank recall $rBq%.3f below floor")
+  }
+
   test("IVF probe (planted labels) nprobe=2 recall@10 >= 0.8") {
     val idx = tmpDir("recall-ivf")
     Similarity.buildIvf(corpus, "vec_id", "label", "embedding", idx)

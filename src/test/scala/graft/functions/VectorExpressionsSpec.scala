@@ -63,6 +63,37 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(run("CODEGEN_ONLY").toSeq == run("NO_CODEGEN").toSeq)
   }
 
+  test("sq8_adc: native loop ≡ the unrolled literal fold, codegen ≡ interpreted") {
+    import org.apache.spark.sql.graft.Bridge.{column => ecol, expression => eexpr}
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    val df = Seq.tabulate(50)(i =>
+      (i.toLong, Array.tabulate(dim)(j => ((i * 31 + j * 7) % 256).toLong)))
+      .toDF("id", "codes")
+    val q = Array.tabulate(dim)(_ => rnd.nextDouble() * 2 - 1)
+    val mn = Array.tabulate(dim)(_ => rnd.nextDouble() - 0.5)
+    val st = Array.tabulate(dim)(_ => rnd.nextDouble() / 255.0)
+    // the unrolled literal fold the probe used before the native expr —
+    // the IEEE reference the expression must match bit-for-bit
+    val fold = (0 until dim).foldLeft(lit(0.0)) { (acc, d) =>
+      acc + lit(q(d)) * (lit(mn(d)) +
+        element_at(col("codes"), d + 1).cast("double") * lit(st(d)))
+    }
+    val native = ecol(Sq8Adc(eexpr(col("codes")), q, mn, st))
+    def run(codegen: String): Seq[(Long, Double, Double)] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try df.select(col("id"), native.as("a"), fold.as("b"))
+        .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    val cg = run("CODEGEN_ONLY")
+    assert(cg == run("NO_CODEGEN"))
+    cg.foreach { case (id, a, b) => assert(a == b, s"row $id: native $a != fold $b") }
+    // length mismatch → null (a 32-dim code row against 64-dim params)
+    val short = Seq((1L, Array.tabulate(32)(_.toLong))).toDF("id", "codes")
+    assert(short.select(ecol(Sq8Adc(eexpr(col("codes")), q, mn, st))).head().isNullAt(0))
+  }
+
   test("registered for SQL: vec_dot/vec_norm resolve by name") {
     GraftFunctions.register(spark)
     Seq((1L, Array(3.0f, 4.0f))).toDF("id", "v").createOrReplaceTempView("vecs")
