@@ -166,11 +166,43 @@ object SparkEntry {
     "shard_assign"       -> ExtQueries.shardAssign _,
     "char_entropy"       -> ExtQueries.charEntropy _,
     "source_caps"        -> ExtQueries.sourceCaps _,
+    "mixture_sample"     -> ExtQueries.mixtureSample _,
+    "dsir_weights"       -> ExtQueries.dsirWeights _,
+    "dsir_sample"        -> ExtQueries.dsirSample _,
     "vocab_zipf"         -> ExtQueries.vocabZipf _,
     "dedup_reps"         -> ExtQueries.dedupReps _,
     "dedup_reps_quality" -> ExtQueries.dedupRepsQuality _,
     "semdedup_prune"     -> ExtQueries.semdedupPrune _,
   )
+
+  /** DSIR oracle twin (Xie 2023): per-occurrence hashed-unigram buckets,
+    * add-one-smoothed target/raw bucket counts, per-term 1e-9-quantized
+    * log-ratio, decimal-exact doc sum — composed by `dsir_weights`
+    * (CTEs + select) and `dsir_sample` (CTEs + weights-as-CTE + the
+    * Gumbel-top-k select).
+    */
+  private val DsirWeightsSql: String =
+    """WITH occ AS MATERIALIZED (
+      |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS b
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+      |tocc AS MATERIALIZED (
+      |  SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS b
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      |        WHERE source IN ('src0', 'src1', 'src2', 'src3'))),
+      |tc AS (SELECT b, count(*)::BIGINT AS ct_t FROM tocc GROUP BY b),
+      |rc AS (SELECT b, count(*)::BIGINT AS ct_r FROM occ GROUP BY b),
+      |tot AS (SELECT (SELECT count(*)::BIGINT FROM tocc) AS n_t,
+      |               (SELECT count(*)::BIGINT FROM occ) AS n_r),
+      |term AS (SELECT occ.doc_id,
+      |    floor((ln(coalesce(tc.ct_t, 0) + 1.0) - ln(rc.ct_r + 1.0)
+      |         + ln(tot.n_r + 4096.0) - ln(tot.n_t + 4096.0)) * 1e9 + 0.5) / 1e9 AS t
+      |  FROM occ JOIN rc USING (b) LEFT JOIN tc USING (b), tot)""".stripMargin
+
+  private val DsirWeightsSelect: String =
+    """
+      |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+      |  floor(sum(t::DECIMAL(38,18))::DOUBLE * 1e6 + 0.5) / 1e6 AS dsir_w
+      |FROM term GROUP BY doc_id""".stripMargin
 
   /** Shared CTE chain producing the LSH-verified near-dup pairs
     * (`verified(doc_a, doc_b, jaccard)`) — composed by `dedup_verified`
@@ -1253,6 +1285,28 @@ object SparkEntry {
          |                                ORDER BY quality DESC, doc_id) AS rank
          |      FROM q)
          |SELECT doc_id, source, quality, rank FROM r WHERE rank <= 15""".stripMargin,
+    "mixture_sample" ->
+      // token-budget mixture: per-source running token total in id-hash
+      // order, cut at the source's budget (even-numbered sources 600,
+      // odd 300) — integer-exact end to end
+      """WITH t AS (SELECT doc_id, source,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= CASE WHEN substr(source, 4)::INT % 2 = 0
+        |                         THEN 600 ELSE 300 END""".stripMargin,
+    "dsir_weights" -> (DsirWeightsSql + DsirWeightsSelect),
+    "dsir_sample" ->
+      (DsirWeightsSql +
+        """, w AS (""" + DsirWeightsSelect + """)
+          |SELECT doc_id, dsir_w,
+          |  floor((dsir_w - ln(-ln(((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 0.5) / 4294967296.0)))) * 1e6 + 0.5) / 1e6 AS gumbel_key
+          |FROM w ORDER BY gumbel_key DESC, doc_id LIMIT 50""".stripMargin),
     "char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
         |cc AS (SELECT doc_id, ch, count(*)::DOUBLE AS c FROM ch GROUP BY doc_id, ch)

@@ -450,6 +450,37 @@ object ExtQueries {
       .select(col("doc_id"), col("source"), col("quality"), col("rank"))
   }
 
+  /** E3 — token-budget mixture construction
+    * ([[Sampling.mixtureByBudget]]): even-numbered sources get a
+    * 600-token budget, odd-numbered 300 — the per-source mixing weights
+    * of a training run, resolved to an actual doc set.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val evenSrc = substring(col("source"), 4, 10).cast("int") % 2 === 0
+    Sampling.mixtureByBudget(
+      docs.select(col("doc_id"), col("source"), col("text")),
+      "source", "doc_id",
+      size(split(col("text"), " ")).cast("long"),
+      when(evenSrc, lit(600L)).otherwise(lit(300L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** E3 — DSIR importance weights ([[Dsir.weights]]): every doc scored
+    * against the "curated" target slice (sources src0-src3) over 4096
+    * hashed-unigram buckets.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    Dsir.weights(Tables.documents(spark, dir),
+      col("source").isin("src0", "src1", "src2", "src3"),
+      "doc_id", "text", buckets = 4096)
+
+  /** E3 — DSIR Gumbel-top-k resample ([[Dsir.sampleTopK]]): 50 docs
+    * drawn ∝ exp(w) from the [[dsirWeights]] table, deterministically.
+    */
+  def dsirSample(spark: SparkSession, dir: String): DataFrame =
+    Dsir.sampleTopK(dsirWeights(spark, dir), "doc_id", "dsir_w", k = 50)
+
   /** E3 — character-distribution entropy per doc (gibberish signal,
     * [[TextStats.charEntropy]]).
     */

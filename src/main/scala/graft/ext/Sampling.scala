@@ -50,6 +50,29 @@ object Sampling {
       .filter(col("rank") <= n)
   }
 
+  /** Token-budget mixture construction — the mixing step that turns
+    * per-source weights into an actual training corpus (the
+    * Dolma/RedPajama recipe: "take N_s tokens from source s"): each
+    * stratum keeps its docs in deterministic id-hash order until the
+    * stratum's token budget is exhausted — a doc is kept iff the
+    * running token total THROUGH it stays ≤ `budget` (a per-row
+    * expression, so budgets can differ per stratum). Integer arithmetic
+    * end to end; one shuffle on the stratum, and the window never
+    * crosses strata, so the plan scales with the largest source, not
+    * the corpus.
+    */
+  def mixtureByBudget(df: DataFrame, strataCol: String, idCol: String,
+      tokensCol: org.apache.spark.sql.Column,
+      budget: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(Dedup.h32(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", tokensCol.cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Deterministic shard assignment for training-data export: shard =
     * id-hash mod `nShards`, with per-shard accounting (docs, summed
     * weight, id checksum). Hash sharding is what makes the export
