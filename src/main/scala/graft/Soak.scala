@@ -351,8 +351,14 @@ object Soak {
       graft.ext.Similarity.withCellLabels(part0, "vec_id", "embedding", soakCents),
       "vec_id", graft.ext.Similarity.toDoubleArr(col("embedding")),
       dim = 16, m = 4, ksub = 8)
+    // round 15: the SQ8/BQ rungs refresh on the same ticker — every
+    // persisted index family the engine ships ages with the corpus
+    val soakSq8 = graft.ext.Similarity.sq8Params(part0, "vec_id", "embedding", dim = 16)
+    val soakBqThr = graft.ext.Similarity.bqThresholds(part0, "vec_id", "embedding", dim = 16)
     val lastPosPath = new java.util.concurrent.atomic.AtomicReference[String]
     val lastIvfPath = new java.util.concurrent.atomic.AtomicReference[String]
+    val lastSq8Path = new java.util.concurrent.atomic.AtomicReference[String]
+    val lastBqPath = new java.util.concurrent.atomic.AtomicReference[String]
     val refreshTicks = new java.util.concurrent.atomic.AtomicInteger
 
     val staleFired = new java.util.concurrent.atomic.AtomicInteger
@@ -378,6 +384,16 @@ object Soak {
             val p = graft.ext.Similarity.ensureIncrementalIvfPq(
               s, "soakivfpq", corpusDir, "vec_id", "embedding", soakCents, soakCbs)
             lastIvfPath.set(p); p
+          }),
+          Service.IndexRefresh("soak-sq8", { s =>
+            val p = graft.ext.Similarity.ensureIncrementalSq8(
+              s, "soaksq8", corpusDir, "vec_id", "embedding", soakSq8)
+            lastSq8Path.set(p); p
+          }),
+          Service.IndexRefresh("soak-bq", { s =>
+            val p = graft.ext.Similarity.ensureIncrementalBq(
+              s, "soakbq", corpusDir, "vec_id", "embedding", soakBqThr)
+            lastBqPath.set(p); p
           }))),
       registry = registry,
       onStale = _ => staleFired.incrementAndGet())
@@ -514,14 +530,27 @@ object Soak {
             "vec_id", "label", "embedding", q,
             k = 5, nprobe = 4, rerank = 2000)
             .collect().map(_.getLong(0)).toSet
-          if (posIds.contains(MarkerId) && ivfIds.contains(MarkerId)) {
+          // SQ8/BQ freshness: same marker, exact-rerank probes over the
+          // refreshed code tables (the corpus read supplies the rerank
+          // vectors; same generous rerank as the IVF probe)
+          val corpusAll = spark.read.parquet(corpusDir)
+            .select(col("vec_id"), col("embedding"))
+          val sq8Ids = graft.ext.Similarity.sq8AdcRerank(spark, lastSq8Path.get(),
+            corpusAll, "vec_id", "embedding", q, k = 5, rerank = 2000)
+            .collect().map(_.getLong(0)).toSet
+          val bqIds = graft.ext.Similarity.bqHammingRerank(spark, lastBqPath.get(),
+            corpusAll, "vec_id", "embedding", q, k = 5, rerank = 2000)
+            .collect().map(_.getLong(0)).toSet
+          if (posIds.contains(MarkerId) && ivfIds.contains(MarkerId) &&
+              sq8Ids.contains(MarkerId) && bqIds.contains(MarkerId)) {
             indexVerified = true
             println(s"[soak] index refresh verified at +${elapsed}s: " +
-              "both probes see the mid-run marker doc")
+              "all four probes (positional/IVF-PQ/SQ8/BQ) see the mid-run marker doc")
           } else
             println(s"[soak] index probe miss at +${elapsed}s: " +
               s"pos=${posIds.contains(MarkerId)}(${posIds.size}) " +
               s"ivf=${ivfIds.contains(MarkerId)}(${ivfIds.size}) " +
+              s"sq8=${sq8Ids.contains(MarkerId)} bq=${bqIds.contains(MarkerId)} " +
               s"posPath=${lastPosPath.get()} ivfPath=${lastIvfPath.get()}")
         } catch { case e: Throwable =>
           println(s"[soak] index probe failed (will retry): $e")
@@ -616,7 +645,7 @@ object Soak {
       check(corpusAppended, "mid-run corpus part was never appended (maintenance never seen?)")
       check(indexVerified,
         "post-append probes never saw the marker doc: the registered " +
-          "refreshers did not keep the positional/IVF-PQ indexes fresh")
+          "refreshers did not keep the positional/IVF-PQ/SQ8/BQ indexes fresh")
     }
 
     // manifest mode: commits checkpointed and GC'd — the object count a
