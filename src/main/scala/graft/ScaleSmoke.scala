@@ -383,6 +383,15 @@ object ScaleSmoke {
       return
     }
 
+    if (args.headOption.contains("corpus")) {
+      // `runMain graft.ScaleSmoke corpus [nDocs]` — the full corpus
+      // pipeline alone, in a clean JVM: the 10M-doc geometry measured
+      // without the event sections' leftover cache/broadcast footprint
+      corpusPipelineSection(spark, args.lift(1).map(_.toLong).getOrElse(2000000L))
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("ladder")) {
       // `runMain graft.ScaleSmoke ladder [nVecs]` — the compression
       // ladder at memory-bandwidth scale: 1M vectors × dim 64, measure
@@ -936,68 +945,8 @@ object ScaleSmoke {
     // prefix: a corpus-constant two-word prefix leaves the adjacent
     // shingle one word of entropy and decontam false-flags a third of
     // the corpus through it.
-    {
-      val nDocs = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DOCS", "2000000").toLong
-      // twin offset 0.9N+1: NOT divisible by the bench moduli (50, 5)
-      // below — an offset the modulus divides would map every bench
-      // doc's twin back onto the bench side and no real contamination
-      // would ever cross the boundary (the measurement would be
-      // vacuous, all noise)
-      val seed = pmod(col("id"), lit((nDocs * 9) / 10 + 1))
-      def word(k: Int) = concat(lit("w"), pmod(hash(seed * 60 + k), lit(100000)))
-      val tokens = (0 until 10).map(word) ++ Seq(lit("the")) ++
-        (10 until 40).map(word) ++ Seq(lit("and")) ++ (40 until 60).map(word)
-      val corpus = spark.range(nDocs).select(
-        col("id").as("doc_id"),
-        concat_ws(" ", tokens: _*).as("text"),
-        element_at(array(lit("en"), lit("de"), lit("fr"), lit("es"), lit("pt")),
-          (pmod(hash(col("id") + 3), lit(5)) + 1).cast("int")).as("lang"),
-        concat(lit("src"), pmod(col("id"), lit(8))).as("source"))
-        .withColumn("n_chars", length(col("text")))
-      val srcDir = java.nio.file.Files.createTempDirectory("graft-corpus-src").toString
-      corpus.write.mode("overwrite").parquet(s"$srcDir/docs")
-      val outDir = java.nio.file.Files.createTempDirectory("graft-corpus-out").toString
-      val ckptDir = java.nio.file.Files.createTempDirectory("graft-corpus-ckpt").toString
-      val t = System.nanoTime()
-      val stages = graft.ext.CorpusPipeline.runOn(spark,
-        spark.read.parquet(s"$srcDir/docs"), outDir,
-        checkpointDir = Some(ckptDir))
-      val sec = (System.nanoTime() - t) / 1e9
-      stages.foreach { s =>
-        println(f"[scale]   ${s.stage}%-15s ${s.docsIn}%8d → ${s.docsOut}%8d docs")
-      }
-      println(f"[scale] full corpus pipeline over $nDocs docs (durable checkpoints): " +
-        f"$sec%.1fs = ${nDocs / sec / 1000}%.0fk docs/s end-to-end")
-
-      // decontam broadcast growth-gate: the probe side is the bench's
-      // DISTINCT shingle hashes — grow the bench 10× and confirm the
-      // broadcast payload grows with the BENCH (sub-linear in it, by
-      // shingle dedup), never with the corpus, and that the size gate
-      // would switch to the shuffle join before an unbounded bench
-      // OOMs the executors. Flag counts here = true seed twins of
-      // bench docs (the 60-bit hash's false-flag floor is ~1e-10; the
-      // 32-bit floor this operator abandoned measured ~17% at the
-      // 200k-doc bench).
-      val src = spark.read.parquet(s"$srcDir/docs")
-      Seq(50L, 5L).foreach { mod => // 2% and 20% of the corpus as "bench"
-        val bench = src.filter(col("doc_id") % mod === 0)
-        val benchSh = graft.ext.Dedup.shingles(bench, "doc_id", "text", 3)
-          .select(graft.ext.Dedup.h60(col("shingle")).as("s")).distinct().count()
-        val t1 = System.nanoTime()
-        val flagged = graft.ext.Dedup.contaminationFlags(
-          src.filter(col("doc_id") % mod =!= 0), bench, "doc_id", "text").count()
-        println(f"[scale] decontam bench=1/$mod of $nDocs docs: " +
-          f"${benchSh / 1000}%dk distinct bench shingles broadcast " +
-          f"(~${benchSh * 8 / 1024 / 1024}%d MB of hashed longs), $flagged flagged, " +
-          f"${(System.nanoTime() - t1) / 1e9}%.1fs")
-      }
-      // release the block's multi-GB /tmp footprint (the pipeline
-      // already emptied ckptDir itself)
-      Seq(srcDir, outDir, ckptDir).foreach { d =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      }
-    }
+    corpusPipelineSection(spark,
+      sys.env.getOrElse("SPARK_GRAFT_CORPUS_DOCS", "2000000").toLong)
 
     val big = spark.range(10000000).select(
       col("id").as("arrival"), concat(lit("d"), col("id") % 97).as("did"))
@@ -1054,4 +1003,79 @@ object ScaleSmoke {
 
     spark.stop()
   }
+
+  /** The full corpus-pipeline measurement (also runnable standalone as
+    * `runMain graft.ScaleSmoke corpus [nDocs]` — a clean JVM, so the
+    * 10M-doc geometry is not competing with the event sections' leftover
+    * cache/broadcast footprint).
+    */
+  private def corpusPipelineSection(spark: SparkSession, nDocs: Long): Unit = {
+      // twin offset 0.9N+1: NOT divisible by the bench moduli (50, 5)
+      // below — an offset the modulus divides would map every bench
+      // doc's twin back onto the bench side and no real contamination
+      // would ever cross the boundary (the measurement would be
+      // vacuous, all noise)
+      val seed = pmod(col("id"), lit((nDocs * 9) / 10 + 1))
+      def word(k: Int) = concat(lit("w"), pmod(hash(seed * 60 + k), lit(100000)))
+      val tokens = (0 until 10).map(word) ++ Seq(lit("the")) ++
+        (10 until 40).map(word) ++ Seq(lit("and")) ++ (40 until 60).map(word)
+      val corpus = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", tokens: _*).as("text"),
+        element_at(array(lit("en"), lit("de"), lit("fr"), lit("es"), lit("pt")),
+          (pmod(hash(col("id") + 3), lit(5)) + 1).cast("int")).as("lang"),
+        concat(lit("src"), pmod(col("id"), lit(8))).as("source"))
+        .withColumn("n_chars", length(col("text")))
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-corpus-src").toString
+      corpus.write.mode("overwrite").parquet(s"$srcDir/docs")
+      val outDir = java.nio.file.Files.createTempDirectory("graft-corpus-out").toString
+      val ckptDir = java.nio.file.Files.createTempDirectory("graft-corpus-ckpt").toString
+      val t = System.nanoTime()
+      val stages = graft.ext.CorpusPipeline.runOn(spark,
+        spark.read.parquet(s"$srcDir/docs"), outDir,
+        checkpointDir = Some(ckptDir))
+      val sec = (System.nanoTime() - t) / 1e9
+      stages.foreach { s =>
+        println(f"[scale]   ${s.stage}%-15s ${s.docsIn}%8d → ${s.docsOut}%8d docs")
+      }
+      println(f"[scale] full corpus pipeline over $nDocs docs (durable checkpoints): " +
+        f"$sec%.1fs = ${nDocs / sec / 1000}%.0fk docs/s end-to-end")
+
+      // decontam broadcast growth-gate: the probe side is the bench's
+      // DISTINCT shingle hashes — grow the bench 10× and confirm the
+      // broadcast payload grows with the BENCH (sub-linear in it, by
+      // shingle dedup), never with the corpus, and that the size gate
+      // would switch to the shuffle join before an unbounded bench
+      // OOMs the executors. Flag counts here = true seed twins of
+      // bench docs (the 60-bit hash's false-flag floor is ~1e-10; the
+      // 32-bit floor this operator abandoned measured ~17% at the
+      // 200k-doc bench).
+      // the gate demo is BENCH-size-driven (broadcast payload ∝ bench
+      // shingles); the corpus side is capped at 2M docs so the 20%-bench
+      // case stays inside an 8 GB driver even when the pipeline above
+      // ran at 10M (measured: the 1/5 bench at 10M docs ≈ 120M probe
+      // shingles OOM'd the default heap — the gate's shuffle path needs
+      // executor memory the single-JVM geometry doesn't have)
+      val src = spark.read.parquet(s"$srcDir/docs")
+        .filter(col("doc_id") < math.min(nDocs, 2000000L))
+      Seq(50L, 5L).foreach { mod => // 2% and 20% of the corpus as "bench"
+        val bench = src.filter(col("doc_id") % mod === 0)
+        val benchSh = graft.ext.Dedup.shingles(bench, "doc_id", "text", 3)
+          .select(graft.ext.Dedup.h60(col("shingle")).as("s")).distinct().count()
+        val t1 = System.nanoTime()
+        val flagged = graft.ext.Dedup.contaminationFlags(
+          src.filter(col("doc_id") % mod =!= 0), bench, "doc_id", "text").count()
+        println(f"[scale] decontam bench=1/$mod of $nDocs docs: " +
+          f"${benchSh / 1000}%dk distinct bench shingles broadcast " +
+          f"(~${benchSh * 8 / 1024 / 1024}%d MB of hashed longs), $flagged flagged, " +
+          f"${(System.nanoTime() - t1) / 1e9}%.1fs")
+      }
+      // release the block's multi-GB /tmp footprint (the pipeline
+      // already emptied ckptDir itself)
+      Seq(srcDir, outDir, ckptDir).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+  }
+
 }

@@ -26,11 +26,16 @@ import graft.Tables
   *      connected components → keep each cluster's representative;
   *   5. decontamination: drop docs sharing any 3-gram with the held-out
   *      benchmark set (broadcast probe);
-  *   6. PII scrubbing: typed redaction over the surviving corpus (run
+  *   6. DSIR selection (Xie 2023): keep a Gumbel-drawn exp(w)-weighted
+  *      share of the clean corpus against the curated target slice —
+  *      percentile-gated, never a driver top-k;
+  *   7. PII scrubbing: typed redaction over the surviving corpus (run
   *      late — no cycles spent scrubbing docs other stages drop);
-  *   7. sequence packing: per-source contiguous token packing into
+  *   8. mixture construction: each source trimmed to its token budget
+  *      (corpus-average mass × `mixShare`) in deterministic hash order;
+  *   9. sequence packing: per-source contiguous token packing into
   *      fixed budgets;
-  *   8. deterministic hash-shard export with a manifest.
+  *   10. deterministic hash-shard export with a manifest.
   *
   * Stage ORDER is the scale argument: stages 1-2 are narrow scans /
   * single-shuffle aggregates that typically drop most of a web corpus,
@@ -92,7 +97,11 @@ object CorpusPipeline {
     */
   def runOn(spark: SparkSession, docs: DataFrame, outDir: String,
       packBudget: Long = 512L, nShards: Int = 16,
-      checkpointDir: Option[String] = None): Seq[Stage] = {
+      checkpointDir: Option[String] = None,
+      dsirTarget: org.apache.spark.sql.Column =
+        col("source").isin("src0", "src1", "src2", "src3"),
+      dsirKeep: Double = 0.8,
+      mixShare: Double = 1.0): Seq[Stage] = {
     val acc = scala.collection.mutable.ListBuffer.empty[Stage]
     // the raw input is counted once; it is deliberately NOT cached — at
     // corpus scale the source parquet re-scan (column-pruned, pushed
@@ -114,9 +123,19 @@ object CorpusPipeline {
           val written = spark.read.parquet(path) // lineage ends HERE
           (written, written.count()) // columnless scan: metadata only
         case None =>
-          val cached = f(in)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          (cached, cached.count()) // materializes: this stage's ONLY execution
+          // persist AND truncate lineage: a stage's logical plan embeds
+          // every upstream stage once PER REFERENCE to its input, and
+          // self-referencing stages (the LSH verify anti-join, DSIR's
+          // bucket-count joins) multiply the tree — by stage 10 the
+          // analyzed plan is exponential (measured: OOM just building a
+          // plan string at fixture scale). localCheckpoint materializes
+          // the stage once into executor storage (memory, spilling to
+          // disk) and RE-ROOTS the plan there — the cached-mode twin of
+          // the durable checkpoint's parquet read-back below. Freed by
+          // the ContextCleaner once the successor stage is materialized
+          // and the reference drops.
+          val cached = f(in).localCheckpoint(true)
+          (cached, cached.count()) // reads the materialized blocks
       }
       acc += Stage(name, prevCount, n)
       prevCached.foreach(_.unpersist(false))
@@ -180,15 +199,45 @@ object CorpusPipeline {
       corpus.join(contaminated, Seq("doc_id"), "left_anti")
     }
 
-    // 6. PII scrubbing — typed redaction on the survivors only
-    val scrubbed = staged("pii_redact", decontaminated) { d =>
+    // 6. DSIR selection — keep the `dsirKeep` share of the clean corpus
+    // drawn ∝ exp(importance weight) against the curated target slice
+    // (Xie 2023): the "make the crawl look like the curated corpus"
+    // step, run BEFORE scrubbing so PII cycles are spent on keepers
+    // only. The share gate is a percentile threshold, not a limit — no
+    // driver TakeOrdered at corpus scale.
+    val selected = staged("dsir_select", decontaminated) { d =>
+      val w = Dsir.weights(d, dsirTarget, "doc_id", "text")
+      d.join(Dsir.sampleByShare(w, "doc_id", "dsir_w", keep = dsirKeep)
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    }
+
+    // 7. PII scrubbing — typed redaction on the survivors only
+    val scrubbed = staged("pii_redact", selected) { d =>
       d.drop("text")
         .join(TextStats.redactPii(d, "doc_id", "text")
           .select(col("doc_id"), col("redacted").as("text")), "doc_id")
     }
 
-    // 7. sequence packing — contiguous per-source fixed-budget packs
-    val packed = staged("sequence_pack", scrubbed) { d =>
+    // 8. mixture construction — each source trimmed to `mixShare` × the
+    // corpus-average token mass (the Dolma/RedPajama mixing step): an
+    // over-crawled source cannot dominate the final mix, small sources
+    // keep everything. Budget derives from the corpus itself — two
+    // scalars off one aggregate — so the stage is self-scaling.
+    val mixed = staged("mixture", scrubbed) { d =>
+      val st = d.agg(
+        sum(size(split(col("text"), " ")).cast("long")).as("t"),
+        countDistinct(col("source")).as("s")).head()
+      val budget = math.max(1L,
+        (st.getLong(0) * mixShare / math.max(1L, st.getLong(1))).toLong)
+      d.join(Sampling.mixtureByBudget(
+        d.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks")),
+        "source", "doc_id", col("toks"), lit(budget))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    }
+
+    // 9. sequence packing — contiguous per-source fixed-budget packs
+    val packed = staged("sequence_pack", mixed) { d =>
       d.join(
         TextStats.sequencePack(d, "doc_id", "text", groupCol = "source",
           budget = packBudget)
@@ -196,7 +245,7 @@ object CorpusPipeline {
         "doc_id")
     }
 
-    // 8. shard export — hash-sharded parquet + manifest. Writers are
+    // 10. shard export — hash-sharded parquet + manifest. Writers are
     // per-shard independent; placement is a pure row-local function.
     // Both writes read the cached `packed`; the export count is taken
     // from the WRITTEN shards (footer row counts, no data scan), never

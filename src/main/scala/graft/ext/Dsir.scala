@@ -68,13 +68,33 @@ object Dsir {
     * same property every sampler in [[Sampling]] has).
     */
   def sampleTopK(weights: DataFrame, idCol: String, wCol: String,
-      k: Int): DataFrame = {
-    // u ∈ (0, 1): (h32 + 0.5) / 2^32; g = −ln(−ln u)
-    val u = (Dedup.h32(col(idCol).cast("string")).cast("double") + lit(0.5)) /
-      lit(4294967296.0)
-    val key = pround(col(wCol) + -log(-log(u)), 6)
-    weights.select(col(idCol), col(wCol), key.as("gumbel_key"))
+      k: Int): DataFrame =
+    weights.select(col(idCol), col(wCol), gumbelKey(idCol, wCol).as("gumbel_key"))
       .orderBy(col("gumbel_key").desc, col(idCol))
       .limit(k)
+
+  /** The Gumbel-perturbed ranking key: w + Gumbel(u), u a deterministic
+    * id-hash uniform in (0, 1) — (h32 + 0.5) / 2^32; g = −ln(−ln u).
+    */
+  def gumbelKey(idCol: String, wCol: String): Column = {
+    val u = (Dedup.h32(col(idCol).cast("string")).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    pround(col(wCol) + -log(-log(u)), 6)
+  }
+
+  /** Share-based resampling — keep the top `keep` fraction by
+    * Gumbel-perturbed weight. The scale twin of [[sampleTopK]]: a
+    * `limit(0.8·N)` is a driver-side TakeOrdered at corpus scale, so
+    * this form gates on the exact (1−keep) percentile instead — one
+    * aggregate + a broadcast threshold join, fully distributed.
+    */
+  def sampleByShare(weights: DataFrame, idCol: String, wCol: String,
+      keep: Double): DataFrame = {
+    require(keep > 0 && keep <= 1, s"keep must be in (0,1], got $keep")
+    TextStats.percentileGate(
+      weights.withColumn("gumbel_key", gumbelKey(idCol, wCol))
+        .withColumn("__all", lit(0)),
+      "__all", "gumbel_key", q = 1 - keep, thrDigits = Some(6))
+      .drop("__all")
   }
 }
