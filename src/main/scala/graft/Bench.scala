@@ -322,8 +322,9 @@ object Bench {
       "pq_codes", "pq_adc_topk", "pq_rerank_topk", "ivf_pq_topk",
       "ivf_pq_residual", "ivf_pq_batch", "ivf_pq_residual_batch",
       // round 15: the SQ8 / BQ compression-ladder rungs — min/max and
-      // mean-threshold learns, paid here like every index build
-      "sq8_topk", "bq_hamming_topk")
+      // mean-threshold learns, paid here like every index build — and
+      // the DSIR weight table (per-snapshot token fan-out, persisted)
+      "sq8_topk", "bq_hamming_topk", "dsir_weights", "dsir_sample")
     val indexBuildSec = {
       val t0 = System.nanoTime()
       probeOnly.foreach { n =>

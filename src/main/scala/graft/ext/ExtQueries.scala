@@ -468,18 +468,32 @@ object ExtQueries {
 
   /** E3 — DSIR importance weights ([[Dsir.weights]]): every doc scored
     * against the "curated" target slice (sources src0-src3) over 4096
-    * hashed-unigram buckets.
+    * hashed-unigram buckets. Weights persist once per corpus snapshot
+    * via [[IndexStore.ensure]] (the `qlr` pattern): scoring is paid in
+    * `index_build_sec`, and the resample below reads the table instead
+    * of recomputing the token fan-out.
     */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =
-    Dsir.weights(Tables.documents(spark, dir),
-      col("source").isin("src0", "src1", "src2", "src3"),
-      "doc_id", "text", buckets = 4096)
+    dsirWeightsFor(spark, dir)
+
+  private def dsirWeightsFor(spark: SparkSession, dir: String): DataFrame = {
+    val path = IndexStore.ensure("dsirw", spark, Seq(s"$dir/documents.parquet")) { tmp =>
+      Dsir.weights(Tables.documents(spark, dir),
+        col("source").isin("src0", "src1", "src2", "src3"),
+        "doc_id", "text", buckets = 4096)
+        // one row per doc (~16 B) — corpus-sized, so written at the
+        // corpus's parallelism, NOT coalesced like the 257-row qlr table
+        .write.mode("overwrite").parquet(s"$tmp/weights")
+    }
+    spark.read.parquet(s"$path/weights")
+  }
 
   /** E3 — DSIR Gumbel-top-k resample ([[Dsir.sampleTopK]]): 50 docs
-    * drawn ∝ exp(w) from the [[dsirWeights]] table, deterministically.
+    * drawn ∝ exp(w) from the persisted [[dsirWeights]] table,
+    * deterministically.
     */
   def dsirSample(spark: SparkSession, dir: String): DataFrame =
-    Dsir.sampleTopK(dsirWeights(spark, dir), "doc_id", "dsir_w", k = 50)
+    Dsir.sampleTopK(dsirWeightsFor(spark, dir), "doc_id", "dsir_w", k = 50)
 
   /** E3 — character-distribution entropy per doc (gibberish signal,
     * [[TextStats.charEntropy]]).

@@ -42,6 +42,19 @@ class DeterminismSpec extends SparkSpec {
       "learned PQ codebooks moved under repartitioning")
   }
 
+  test("SQ8 params and BQ thresholds are bit-identical under 3 repartitionings") {
+    val emb = graft.Tables.embeddings(spark, sf).drop("label")
+    // sq8: min/max are order-free by algebra; bq: means go through dsum
+    val sq8 = layouts(emb, "vec_id")
+      .map(v => Similarity.sq8Params(v, "vec_id", "embedding", dim = 64))
+    assert(sq8(1) == sq8.head && sq8(2) == sq8.head,
+      "SQ8 affine params moved under repartitioning")
+    val thr = layouts(emb, "vec_id")
+      .map(v => Similarity.bqThresholds(v, "vec_id", "embedding", dim = 64))
+    assert(thr(1) == thr.head && thr(2) == thr.head,
+      "BQ mean thresholds moved under repartitioning")
+  }
+
   test("LR weights (unigram and bigram) are bit-identical under 3 repartitionings") {
     val docs = graft.Tables.documents(spark, sf)
     for (bigrams <- Seq(false, true)) {
