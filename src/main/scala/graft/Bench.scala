@@ -324,7 +324,8 @@ object Bench {
       // round 15: the SQ8 / BQ compression-ladder rungs — min/max and
       // mean-threshold learns, paid here like every index build — and
       // the DSIR weight table (per-snapshot token fan-out, persisted)
-      "sq8_topk", "bq_hamming_topk", "dsir_weights", "dsir_sample")
+      "sq8_topk", "ivf_sq8_topk", "bq_hamming_topk",
+      "dsir_weights", "dsir_sample")
     val indexBuildSec = {
       val t0 = System.nanoTime()
       probeOnly.foreach { n =>

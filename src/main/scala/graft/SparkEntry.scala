@@ -159,6 +159,7 @@ object SparkEntry {
     "ivf_pq_batch"       -> ExtQueries.ivfPqBatch _,
     "ivf_pq_residual_batch" -> ExtQueries.ivfPqResidualBatch _,
     "sq8_topk"           -> ExtQueries.sq8Topk _,
+    "ivf_sq8_topk"       -> ExtQueries.ivfSq8Topk _,
     "bq_hamming_topk"    -> ExtQueries.bqHammingTopk _,
     "bigram_logprob"     -> ExtQueries.bigramLogProb _,
     "unigram_logprob"    -> ExtQueries.unigramLogprob _,
@@ -1191,6 +1192,7 @@ object SparkEntry {
     "ivf_pq_batch" -> graft.ext.Similarity.ivfPqBatchOracleSql(dim = 64, m = 4, ksub = 16, k = 8, nQueries = 3),
     "ivf_pq_residual_batch" -> graft.ext.Similarity.ivfPqResidualBatchOracleSql(dim = 64, m = 4, ksub = 16, k = 8, nQueries = 3),
     "sq8_topk" -> graft.ext.Similarity.sq8OracleSql(dim = 64),
+    "ivf_sq8_topk" -> graft.ext.Similarity.ivfSq8OracleSql(dim = 64, k = 8),
     "bq_hamming_topk" -> graft.ext.Similarity.bqOracleSql(dim = 64),
     "phrase_search3" ->
       // 3-term anchor-align: term i joins on (doc, pos - i)

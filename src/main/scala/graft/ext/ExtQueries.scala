@@ -691,6 +691,22 @@ object ExtQueries {
     * coarse cells × (4 × 16)-codeword PQ, built once per corpus
     * snapshot.
     */
+  /** E2 — COMPOSED IVF-SQ8 probe ([[Similarity.buildIvfSq8]] /
+    * [[Similarity.ivfSq8Probe]]): the FAISS "IVF,SQ8" pairing — coarse
+    * cells × per-dim affine 8-bit codes, probe pruned to ≤ nprobe cells
+    * on both the code scan and the rerank read. Probe-only behind
+    * [[IndexStore.ensure]].
+    */
+  def ivfSq8Topk(spark: SparkSession, dir: String): DataFrame = {
+    val idx = IndexStore.ensure("ivfsq8", spark, Seq(s"$dir/embeddings.parquet")) { tmp =>
+      Similarity.buildIvfSq8(
+        Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0).drop("label"),
+        "vec_id", "embedding", tmp, k = 8, dim = 64)
+    }
+    Similarity.ivfSq8Probe(spark, idx, "vec_id", "label", "embedding",
+      queryVec(spark, dir), k = 10, nprobe = 2, rerank = 50)
+  }
+
   private def ivfPqIndexFor(spark: SparkSession, dir: String): String =
     IndexStore.ensure("ivfpq", spark, Seq(s"$dir/embeddings.parquet")) { tmp =>
       Similarity.buildIvfPq(

@@ -684,6 +684,60 @@ object Similarity {
       .limit(k)
   }
 
+  /** COMPOSED IVF-SQ8 index (the FAISS "IVF,SQ8" shape — the other
+    * standard quantization×partitioning pairing next to IVF-PQ): a
+    * learned coarse quantizer partitions per-dim affine 8-bit codes BY
+    * CELL. Same layout contract as [[buildIvfPq]] (`centroids` +
+    * cell-partitioned `vectors` via [[buildIvf]]) with SQ8 `params` +
+    * cell-partitioned `codes`; probes prune both data reads to ≤ nprobe
+    * cells. vs IVF-PQ: ~dim bytes/vector instead of m, but near-lossless
+    * ADC (8-bit affine) — the rung for corpora where PQ's rerank budget
+    * is the bottleneck rather than memory.
+    */
+  def buildIvfSq8(df: DataFrame, idCol: String, vecCol: String, path: String,
+      k: Int, dim: Int, coarseIters: Int = 3): Unit = {
+    val cents = kmeansCentroids(df, idCol, vecCol, k, coarseIters)
+    val labeled = withCellLabels(df, idCol, vecCol, cents)
+    buildIvf(labeled, idCol, "label", vecCol, path)
+    val prm = sq8Params(df, idCol, vecCol, dim)
+    writeSq8Params(df.sparkSession, prm, path)
+    sq8EncodeTo(labeled, idCol, vecCol, prm, s"$path/codes", keep = Seq("label"))
+  }
+
+  /** ANN probe over a [[buildIvfSq8]] index — the [[ivfPqProbe]] shape
+    * with the SQ8 reconstruction dot ([[graft.functions.Sq8Adc]], the
+    * native loop) as the first pass: rank cells from the K-row
+    * centroids, ADC-scan ONLY the nprobe best cells' codes
+    * (partition-pruned), exact-rerank against the cell-pruned vectors.
+    */
+  def ivfSq8Probe(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      idCol: String, labelCol: String, vecCol: String, query: Seq[Double],
+      k: Int = 10, nprobe: Int = 2, rerank: Int = 50, digits: Int = 6): DataFrame = {
+    require(nprobe >= 1 && rerank >= k)
+    val cells = rankIndexCells(spark, indexPath, query, digits).take(nprobe)
+    def pruned(table: String): DataFrame = {
+      val df = spark.read.parquet(s"$indexPath/$table")
+      val t = df.schema(df.schema.fieldIndex(labelCol)).dataType
+      df.filter(col(labelCol).isin(cells.map(c => lit(c).cast(t)): _*))
+    }
+    val (mns, sts) = readSq8Params(spark, indexPath)
+    require(mns.size == query.size, s"dim ${mns.size} != query ${query.size}")
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val safeQ = if (qNorm > 0) qNorm else 1.0
+    val adc = ecol(graft.functions.Sq8Adc(eexpr(col("codes")),
+      query.toArray, mns.toArray, sts.toArray))
+    val cand = pruned("codes")
+      .select(col(idCol), pround(adc / (col("vnorm") * lit(safeQ)), digits).as("adc_cos"))
+      .orderBy(col("adc_cos").desc, col(idCol))
+      .limit(rerank)
+      .select(col(idCol))
+    pruned("vectors")
+      .join(broadcast(cand), idCol)
+      .select(col(idCol), cosineTo(query, vecCol, digits).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Per-partition COMPOSED IVF-PQ build against a FROZEN coarse
     * quantizer and FROZEN PQ codebooks — the incremental-refresh unit
     * of [[buildIvfPq]]: one assignment pass + one encode projection
@@ -737,6 +791,42 @@ object Similarity {
     IndexStore.ensureIncremental(kind, spark, sourceDir) { (part, tmp) =>
       buildIvfPqPart(spark.read.parquet(part), idCol, vecCol, centroids, cbs, tmp)
     } { (parts, tmp) => mergeIvfPq(spark, cbs, parts, tmp) }
+
+  /** Per-partition COMPOSED IVF-SQ8 build against a FROZEN coarse
+    * quantizer and FROZEN SQ8 params — the incremental-refresh unit of
+    * [[buildIvfSq8]]: one assignment pass + one encode projection.
+    */
+  def buildIvfSq8Part(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], prm: Seq[(Int, Double, Double)],
+      path: String): Unit = {
+    buildIvfPart(df, idCol, vecCol, centroids, path)
+    sq8EncodeTo(withCellLabels(df, idCol, vecCol, centroids), idCol, vecCol,
+      prm, s"$path/codes", keep = Seq("label"))
+  }
+
+  /** Merge committed per-partition IVF-SQ8 indexes — vectors + combined
+    * centroid means via [[mergeIvf]], codes by file copy, frozen params
+    * written once ([[mergeIvfPq]]'s shape).
+    */
+  def mergeIvfSq8(spark: org.apache.spark.sql.SparkSession,
+      prm: Seq[(Int, Double, Double)], partPaths: Seq[String],
+      path: String): Unit = {
+    mergeIvf(spark, partPaths, path)
+    copyIndexParts(spark, partPaths, "codes", path)
+    writeSq8Params(spark, prm, path)
+  }
+
+  /** Incremental COMPOSED IVF-SQ8 — the [[ensureIncrementalIvfPq]]
+    * lifecycle with SQ8 codes: appending an hour assigns + encodes only
+    * that hour, merge is file copies + the K-row centroid re-derivation,
+    * probe ≡ monolithic under the same frozen learners.
+    */
+  def ensureIncrementalIvfSq8(spark: org.apache.spark.sql.SparkSession,
+      kind: String, sourceDir: String, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], prm: Seq[(Int, Double, Double)]): String =
+    IndexStore.ensureIncremental(kind, spark, sourceDir) { (part, tmp) =>
+      buildIvfSq8Part(spark.read.parquet(part), idCol, vecCol, centroids, prm, tmp)
+    } { (parts, tmp) => mergeIvfSq8(spark, prm, parts, tmp) }
 
   /** RESIDUAL IVF-ADC (classic Jégou 2011 §V IVFADC — the depth the
     * non-residual [[buildIvfPq]] deliberately deferred): PQ codes
@@ -1235,6 +1325,69 @@ object Similarity {
        |dd AS (SELECT e.vec_id, (e.embedding[d.i + 1])::DOUBLE AS x, qv.qe[d.i + 1] AS y
        |       FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id,
        |            fulldims d, qv)
+       |SELECT vec_id,
+       |       floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 AS cos
+       |FROM dd GROUP BY vec_id
+       |ORDER BY cos DESC, vec_id LIMIT $topk""".stripMargin
+  }
+
+  /** DuckDB oracle twin of the COMPOSED IVF-SQ8 chain (`ivf_sq8_topk`):
+    * the [[ivfPqOracleSql]] cell scaffold (quantized k-means unroll →
+    * assign → derived-centroid cell scores → best nprobe) composed with
+    * the [[sq8OracleSql]] encode/ADC CTEs — the candidate scan is the
+    * ordered per-dim fold restricted to vectors assigned to the probed
+    * cells, then the exact rerank. Every learner is individually
+    * 1e-9-quantized, so the composition hash-matches like the rest.
+    */
+  def ivfSq8OracleSql(dim: Int, k: Int, coarseIters: Int = 3,
+      nprobe: Int = 2, rerank: Int = 50, topk: Int = 10): String = {
+    val learn = kmeansCtesGeneric("g",
+      "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id != 0",
+      k.toString, coarseIters, l2 = false)
+    s"""WITH $learn,
+       |qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+       |qn AS (SELECT CASE WHEN n = 0 THEN 1.0 ELSE n END AS n FROM (
+       |  SELECT sqrt(list_reduce(list_transform(qe, x -> x * x), (x, y) -> x + y)) AS n FROM qv)),
+       |dims AS (SELECT unnest(range(0, $dim))::BIGINT AS i),
+       |dx AS MATERIALIZED (SELECT e.vec_id, d.i, (e.embedding[d.i + 1])::DOUBLE AS x
+       |  FROM embeddings e, dims d WHERE e.vec_id != 0),
+       |prm AS MATERIALIZED (SELECT i,
+       |    floor(min(x) * 1e9 + 0.5) / 1e9 AS mn,
+       |    (floor(max(x) * 1e9 + 0.5) / 1e9 - floor(min(x) * 1e9 + 0.5) / 1e9) / 255.0 AS st
+       |  FROM dx GROUP BY i),
+       |enc AS MATERIALIZED (SELECT dx.vec_id, dx.i,
+       |    CASE WHEN p.st = 0 THEN 0.0
+       |         ELSE greatest(0.0, least(255.0, floor((dx.x - p.mn) / p.st + 0.5))) END AS cd
+       |  FROM dx JOIN prm p USING (i)),
+       |vn AS (SELECT vec_id,
+       |  floor(sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (x, y) -> x + y)) * 1e9 + 0.5) / 1e9 AS vnorm
+       |  FROM embeddings WHERE vec_id != 0),
+       |assign AS MATERIALIZED (SELECT vec_id, e, j FROM (
+       |  SELECT v.vec_id, v.e, c.j,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${assignKey(l2 = false)},
+       |      c.j DESC) AS rn
+       |  FROM gv v, gc$coarseIters c) WHERE rn = 1),
+       |cdims AS (SELECT a.j, d.i, avg(a.e[d.i + 1]) AS c
+       |          FROM assign a, gdims d GROUP BY a.j, d.i),
+       |cscores AS (SELECT cd.j,
+       |    floor((sum(cd.c * qv.qe[cd.i + 1]) / sqrt(sum(cd.c * cd.c))) * 1e6 + 0.5) / 1e6 AS s
+       |  FROM cdims cd, qv GROUP BY cd.j),
+       |best AS (SELECT j FROM cscores ORDER BY s DESC, j LIMIT $nprobe),
+       |terms AS (SELECT e.vec_id, e.i,
+       |    qv.qe[e.i + 1] * (p.mn + e.cd * p.st) AS t
+       |  FROM enc e JOIN prm p USING (i), qv),
+       |adc AS (SELECT vec_id,
+       |    list_reduce(list(t ORDER BY i), (x, y) -> x + y) AS d
+       |  FROM terms GROUP BY vec_id),
+       |cand AS (SELECT a2.vec_id,
+       |    floor((a2.d / (vn.vnorm * (SELECT n FROM qn))) * 1e6 + 0.5) / 1e6 AS adc_cos
+       |  FROM adc a2 JOIN vn USING (vec_id)
+       |    JOIN assign a ON a2.vec_id = a.vec_id
+       |    JOIN best b ON a.j = b.j
+       |  ORDER BY adc_cos DESC, a2.vec_id LIMIT $rerank),
+       |dd AS (SELECT e.vec_id, (e.embedding[d.i + 1])::DOUBLE AS x, qv.qe[d.i + 1] AS y
+       |       FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, dims d, qv)
        |SELECT vec_id,
        |       floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 AS cos
        |FROM dd GROUP BY vec_id
@@ -1827,7 +1980,8 @@ object Similarity {
     * to the edge code, the standard frozen-learner trade).
     */
   private def sq8EncodeTo(df: DataFrame, idCol: String, vecCol: String,
-      prm: Seq[(Int, Double, Double)], dst: String): Unit = {
+      prm: Seq[(Int, Double, Double)], dst: String,
+      keep: Seq[String] = Nil): Unit = {
     val mns = prm.map(_._2)
     val sts = sq8Steps(prm)
     val v = toDoubleArr(col(vecCol))
@@ -1837,9 +1991,10 @@ object Similarity {
         floor((element_at(v, d + 1) - lit(mns(d))) / lit(sts(d)) + lit(0.5))))
         .cast("long")
     }: _*)
-    df.select(col(idCol), codes.as("codes"),
-        pround(sqrt(dot(v, v)), 9).as("vnorm"))
-      .write.mode("overwrite").parquet(dst)
+    val out = df.select(Seq(col(idCol), codes.as("codes"),
+      pround(sqrt(dot(v, v)), 9).as("vnorm")) ++ keep.map(col): _*)
+    val w = out.write.mode("overwrite")
+    (if (keep.nonEmpty) w.partitionBy(keep: _*) else w).parquet(dst)
   }
 
   /** Per-partition SQ8 encode against FROZEN params — the incremental

@@ -210,6 +210,39 @@ class IncrementalIndexSpec extends SparkSpec {
     }
   }
 
+  test("incremental composed IVF-SQ8: append builds one partition; pruned probe equals monolithic") {
+    val all = ClusterFixture.clustered(spark, 600, 24, 6).cache()
+    val src = tmpDir("inc-ivfsq8-src")
+    all.filter(col("vec_id") % 3 === 0).drop("label").write.parquet(s"$src/part=0")
+    all.filter(col("vec_id") % 3 === 1).drop("label").write.parquet(s"$src/part=1")
+    val initial = all.filter(col("vec_id") % 3 =!= 2).drop("label")
+    val cents = Similarity.kmeansCentroids(initial, "vec_id", "embedding", 6, 3)
+    val prm = Similarity.sq8Params(initial, "vec_id", "embedding", dim = 24)
+
+    def ensureInc(): String =
+      Similarity.ensureIncrementalIvfSq8(spark, "incivfsq8", src,
+        "vec_id", "embedding", cents, prm)
+    val q = all.filter(col("vec_id") === 0)
+      .select(Similarity.toDoubleArr(col("embedding"))).head().getSeq[Double](0).toSeq
+    def probe(idx: String): Seq[(Long, Double)] =
+      Similarity.ivfSq8Probe(spark, idx, "vec_id", "label", "embedding", q,
+        k = 10, nprobe = 2, rerank = 60).as[(Long, Double)].collect().toSeq
+    def mono(df: org.apache.spark.sql.DataFrame, tag: String): String = {
+      val part = tmpDir(s"inc-ivfsq8-$tag-part"); val out = tmpDir(s"inc-ivfsq8-$tag")
+      Similarity.buildIvfSq8Part(df, "vec_id", "embedding", cents, prm, part)
+      Similarity.mergeIvfSq8(spark, prm, Seq(part), out)
+      out
+    }
+
+    val i1 = ensureInc()
+    assert(ensureInc() == i1) // idempotent cache hit
+    assert(probe(i1) == probe(mono(initial, "m1")))
+    all.filter(col("vec_id") % 3 === 2).drop("label").write.parquet(s"$src/part=2")
+    val i2 = ensureInc()
+    assert(i2 != i1)
+    assert(probe(i2) == probe(mono(all.drop("label"), "m2")))
+  }
+
   test("incremental RESIDUAL IVF-PQ: append encodes one partition's residuals; probe equals monolithic") {
     val all = ClusterFixture.clustered(spark, 600, 24, 6).cache()
     val src = tmpDir("inc-ivfpqres-src")

@@ -207,6 +207,33 @@ class IndexSpec extends SparkSpec {
     assert(probe.count() == 10)
   }
 
+  test("ivfSq8Probe: both data reads pruned to <= nprobe cells, no corpus scan") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toDoubleArr(col("embedding"))).head().getSeq[Double](0).toSeq
+    val idx = tmpDir("idx-ivfsq8-plan")
+    Similarity.buildIvfSq8(emb.filter(col("vec_id") =!= 0).drop("label"),
+      "vec_id", "embedding", idx, k = 8, dim = 64)
+    val probe = Similarity.ivfSq8Probe(spark, idx, "vec_id", "label", "embedding",
+      q, k = 10, nprobe = 2, rerank = 50)
+    val scans = fileScans(probe)
+    assert(scans.nonEmpty)
+    val roots = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(roots.forall(_.contains(idx)), s"non-index scans: $roots")
+    Seq("codes", "vectors").foreach { table =>
+      val ts = scans.filter(
+        _.relation.location.rootPaths.exists(_.toString.contains(table)))
+      assert(ts.nonEmpty && ts.forall(_.partitionFilters.nonEmpty),
+        s"$table scan is not partition-pruned")
+      ts.foreach { scan =>
+        val probedDirs = scan.relation.location
+          .listFiles(scan.partitionFilters, scan.dataFilters).size
+        assert(probedDirs <= 2, s"$table probe lists $probedDirs partitions, wanted <= nprobe")
+      }
+    }
+    assert(probe.count() == 10)
+  }
+
   test("ivfPqResidualProbe: both data reads pruned to <= nprobe cells, no corpus scan") {
     val emb = graft.Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") === 0)

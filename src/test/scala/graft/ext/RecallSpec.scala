@@ -101,6 +101,21 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.9, f"IVF-ADC composed recall $r%.3f below floor")
   }
 
+  test("IVF-SQ8 composed probe nprobe=2 + rerank holds recall@10 >= 0.9") {
+    // the 8-bit rung of the composed family: near-lossless ADC means
+    // the cell pruning is the only recall loss — the composed floor
+    // must match the flat SQ8's, not degrade to the coarse quantizer's
+    val idx = tmpDir("recall-ivfsq8")
+    Similarity.buildIvfSq8(corpus.drop("label"), "vec_id", "embedding", idx,
+      k = K, dim = Dims)
+    val r = meanRecall { (qid, q) =>
+      dropSelf(Similarity.ivfSq8Probe(spark, idx, "vec_id", "label", "embedding",
+        q, k = TopK + 1, nprobe = 2, rerank = 100), qid)
+    }
+    info(f"ivf-sq8 nprobe=2 rerank=100 recall@$TopK = $r%.3f")
+    assert(r >= 0.9, f"IVF-SQ8 composed recall $r%.3f below floor")
+  }
+
   test("residual IVF-ADC: residual codes rank within a cluster where raw codes cannot; composed >= 0.9") {
     // The classic Jégou 2011 IVFADC: codes quantize v − c(v), so the
     // same 4-byte budget spends its codewords on the within-cell
