@@ -383,6 +383,42 @@ object ScaleSmoke {
       return
     }
 
+    if (args.headOption.contains("assignbench")) {
+      // `runMain graft.ScaleSmoke assignbench [nVecs] [k]` — A/B the two
+      // k-means assignment forms at production K×dim (the ladder's
+      // IVF-SQ8 build measured 23 min at 1M×64/K=64 — learner-bound):
+      // the literal argmax embeds K×dim constants in one codegen'd
+      // projection; the broadcast-join form pays a groupBy instead.
+      import org.apache.spark.sql.functions._
+      val nVecs = args.lift(1).map(_.toLong).getOrElse(1000000L)
+      val k = args.lift(2).map(_.toInt).getOrElse(64)
+      val dim = 64
+      val vecs = spark.range(0L, nVecs, 1L, 32).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => pmod(xxhash64(col("id") * lit(131L) + i.cast("long")), lit(1000L)) / 1000.0)
+          .as("embedding")).cache()
+      vecs.count()
+      val cents = (0 until k).map(j =>
+        (0 until dim).map(d => ((j * dim + d) % 997) / 997.0: Double).toSeq)
+      def timed(tag: String)(body: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = body
+        println(f"[assign] $tag: ${(System.nanoTime() - t0) / 1e9}%.1fs ($n rows)")
+      }
+      timed(s"literal argmax K=$k") {
+        vecs.withColumn("label",
+          graft.ext.Similarity.assignCell("embedding", cents))
+          .groupBy("label").count().count()
+      }
+      timed(s"broadcast-join K=$k") {
+        graft.ext.Similarity.assignCellsJoin(vecs, "vec_id", "embedding", cents)
+          .groupBy("label").count().count()
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("corpus")) {
       // `runMain graft.ScaleSmoke corpus [nDocs]` — the full corpus
       // pipeline alone, in a clean JVM: the 10M-doc geometry measured
@@ -482,7 +518,25 @@ object ScaleSmoke {
           .select("vec_id").as[Long](spark.implicits.newLongEncoder).collect().toSeq
         println(f"[ladder] bq rerank=$r: recall ${recall(ids)}%.3f")
       }
-      Seq(raw, sq8, bq).foreach { d =>
+
+      // the composed rung: IVF-SQ8 — cell pruning turns the full-corpus
+      // scan into nprobe/K of it; at 64 cells / nprobe 4 the first pass
+      // touches ~6% of the code bytes every flat rung above must read
+      val ivf = java.nio.file.Files.createTempDirectory("ladder-ivfsq8").toString
+      t0 = System.nanoTime()
+      graft.ext.Similarity.buildIvfSq8(corpus, "vec_id", "embedding", ivf,
+        k = 64, dim = dim)
+      println(f"[ladder] ivf-sq8 build ${(System.nanoTime() - t0) / 1e9}%.1fs (64 cells)")
+      var ivfIds: Seq[Long] = Seq.empty
+      val ivfSec = timed {
+        ivfIds = graft.ext.Similarity.ivfSq8Probe(spark, ivf, "vec_id", "label",
+          "embedding", q, k = 10, nprobe = 4, rerank = 100)
+          .select("vec_id").as[Long](spark.implicits.newLongEncoder).collect().toSeq
+      }
+      println(f"[ladder] ivf-sq8 nprobe=4/64: ${ivfSec}%.2fs " +
+        f"(scans ~${sq8B * 4 / 64 / 1e6}%.0f MB of the ${sq8B / 1e6}%.0f MB codes), " +
+        f"recall ${recall(ivfIds)}%.3f")
+      Seq(raw, sq8, bq, ivf).foreach { d =>
         val p = new org.apache.hadoop.fs.Path(d)
         p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
       }

@@ -272,12 +272,16 @@ object Similarity {
   }
 
   /** Cell labels attached to every row, picking the assignment form by
-    * K: the codegen'd literal argmax under [[LiteralAssignMaxK]] cells,
-    * the broadcast-join form above it.
+    * the CONSTANT COUNT K×dim (not K alone): the codegen'd literal
+    * argmax under [[LiteralAssignMaxConsts]] embedded constants, the
+    * broadcast-join form above it. The two are spec-pinned
+    * result-identical (same 1e-9 quantization, same tie rule), so the
+    * switch is purely physical.
     */
   def withCellLabels(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], labelCol: String = "label"): DataFrame =
-    if (centroids.size <= LiteralAssignMaxK)
+    if (centroids.size.toLong *
+        centroids.headOption.map(_.size).getOrElse(0) <= LiteralAssignMaxConsts)
       df.withColumn(labelCol, assignCell(vecCol, centroids))
     else df.drop(labelCol) // REPLACE like withColumn — never a duplicate column
       .join(
@@ -285,11 +289,17 @@ object Similarity {
           .withColumnRenamed("label", labelCol),
         idCol)
 
-  /** Above this many cells, assignment switches from K literal
-    * expressions (one giant codegen'd projection) to the broadcast
-    * centroid-table join.
+  /** Above this many embedded constants (K × dim) the literal argmax's
+    * generated projection falls out of JIT-compiled execution — the
+    * same cliff the unrolled SQ8 fold hit (`Sq8Adc` scaladoc).
+    * Measured at 1M vectors, dim 64, K=64 (4096 constants): literal
+    * 274 s vs broadcast-join 2.5 s — a 110× cliff. The previous gate
+    * counted cells only (256), which let a dim-64 corpus embed 16k
+    * constants. 1024 keeps every oracle-fixture learner (K≤16 at
+    * dim 64, K≤42 at dim 24) on the literal path, so pinned plans and
+    * hashes are unchanged.
     */
-  val LiteralAssignMaxK = 256
+  val LiteralAssignMaxConsts = 1024L
 
   /** Default `nprobe` for an `nCells`-cell IVF index at a target
     * recall — the closed form calibrated on the planted-cluster
