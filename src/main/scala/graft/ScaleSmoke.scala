@@ -419,6 +419,38 @@ object ScaleSmoke {
       return
     }
 
+    if (args.headOption.contains("mixture")) {
+      // `runMain graft.ScaleSmoke mixture [nDocs]` — VERDICT r15 #1 at
+      // the adversarial geometry: ALL docs in ONE source (the dominant-
+      // crawl case where the old per-stratum running-sum window became
+      // a single-task sort of the corpus). The two-phase prefix sum
+      // must spread the running total across (stratum, chunk) groups:
+      // chunks=1 reproduces the old single-task shape, chunks=1024 is
+      // the shipped default — same rows, same budget cut, and the
+      // wall-clock gap IS the parallelism reclaimed.
+      import org.apache.spark.sql.functions._
+      val nDocs = args.lift(1).map(_.toLong).getOrElse(10000000L)
+      val docs = spark.range(0L, nDocs, 1L, 32).select(
+        col("id").as("doc_id"), lit("crawl").as("source"),
+        (pmod(xxhash64(col("id") * 31L), lit(200L)) + 20L).as("toks")).cache()
+      docs.count()
+      // budget = half the corpus token mass — the filter keeps ~half,
+      // so the running sum is computed for every row either way
+      val budget = docs.agg(sum(col("toks"))).head().getLong(0) / 2
+      Seq(1, 32, 1024).foreach { c =>
+        val secs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val kept = graft.ext.Sampling.mixtureByBudget(
+            docs, "source", "doc_id", col("toks"), lit(budget), chunks = c).count()
+          ((System.nanoTime() - t0) / 1e9, kept)
+        }
+        println(f"[mixture] docs=$nDocs chunks=$c kept=${secs.head._2} sec=${secs.map(_._1).min}%.2f")
+      }
+      docs.unpersist()
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("corpus")) {
       // `runMain graft.ScaleSmoke corpus [nDocs]` — the full corpus
       // pipeline alone, in a clean JVM: the 10M-doc geometry measured

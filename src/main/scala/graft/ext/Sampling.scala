@@ -57,20 +57,56 @@ object Sampling {
     * stratum's token budget is exhausted — a doc is kept iff the
     * running token total THROUGH it stays ≤ `budget` (a per-row
     * expression, so budgets can differ per stratum). Integer arithmetic
-    * end to end; one shuffle on the stratum, and the window never
-    * crosses strata, so the plan scales with the largest source, not
-    * the corpus.
+    * end to end.
+    *
+    * Scale shape — two-phase prefix sum, NOT one per-stratum running
+    * window (which would sort the whole of a stratum through ONE task;
+    * the dominant source of a real pretraining mix is most of the
+    * corpus). The id-hash h is uniform on [0, 2^32), so
+    * `chunk = ⌊h·C / 2^32⌋` splits every stratum into C contiguous,
+    * near-equal slices of its hash order — deterministically, row-
+    * locally, with no range sampling and no partition-id coupling:
+    *   1. per-(stratum, chunk) token subtotals — one map-side-combined
+    *      aggregation, output ≤ strata·C rows;
+    *   2. exclusive-prefix offsets over that TINY table (a window over
+    *      ≤ C rows per stratum — the only stratum-wide window left, and
+    *      it never sees corpus rows);
+    *   3. offsets broadcast-joined back; the corpus-side running sum is
+    *      a window keyed by (stratum, chunk), so no task ever sorts
+    *      more than ~1/C of a stratum.
+    * Long addition is associative, so cum_tokens is bit-identical to
+    * the single-window form at any C — pick C ≈ stratum_bytes / 256 MB
+    * for the target scale (the offsets table stays ≤ strata·C rows,
+    * a few MB even at C = 64k).
     */
   def mixtureByBudget(df: DataFrame, strataCol: String, idCol: String,
       tokensCol: org.apache.spark.sql.Column,
-      budget: org.apache.spark.sql.Column): DataFrame = {
+      budget: org.apache.spark.sql.Column,
+      chunks: Int = 1024): DataFrame = {
+    require(chunks > 0 && chunks <= (1 << 20), s"chunks in [1, 2^20], got $chunks")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(Dedup.h32(col(idCol).cast("string")), col(idCol))
+    // h < 2^32 and C ≤ 2^20, so h·C < 2^52: exact in a double, and the
+    // divisor is a power of two — the floor is exact.
+    val keyed = df
+      .withColumn("n_tokens", tokensCol.cast("long"))
+      .withColumn("__mix_h", Dedup.h32(col(idCol).cast("string")))
+      .withColumn("__mix_c",
+        floor(col("__mix_h") * lit(chunks.toLong) / lit(4294967296.0)).cast("int"))
+    val subs = keyed.groupBy(col(strataCol), col("__mix_c"))
+      .agg(sum(col("n_tokens")).as("__mix_t"))
+    val wOff = Window.partitionBy(col(strataCol)).orderBy(col("__mix_c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = subs
+      .withColumn("__mix_off", coalesce(sum(col("__mix_t")).over(wOff), lit(0L)))
+      .drop("__mix_t")
+    val wLoc = Window.partitionBy(col(strataCol), col("__mix_c"))
+      .orderBy(col("__mix_h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("n_tokens", tokensCol.cast("long"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    keyed
+      .join(broadcast(offs), Seq(strataCol, "__mix_c"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wLoc) + col("__mix_off"))
       .filter(col("cum_tokens") <= budget)
+      .drop("__mix_h", "__mix_c", "__mix_off")
   }
 
   /** Deterministic shard assignment for training-data export: shard =

@@ -73,4 +73,38 @@ class DsirSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().toSeq
     assert(out.sortBy(_._1) == again.sortBy(_._1))
   }
+
+  test("mixture plan pin: no corpus-side window is keyed by the stratum alone") {
+    // the 100 TB property: the running-sum window over corpus rows must
+    // be keyed by (stratum, chunk) — a per-stratum-only window would
+    // funnel the dominant source through ONE task. The only
+    // stratum-only window allowed is the offsets prefix, which sits
+    // ABOVE the (stratum, chunk) aggregate and never sees corpus rows.
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val df = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("toks"))
+    val out = Sampling.mixtureByBudget(df, "source", "doc_id", col("toks"), lit(12L))
+    val wins = out.queryExecution.optimizedPlan.collect { case w: Window => w }
+    assert(wins.size == 2, s"expected offsets + corpus windows, got ${wins.size}")
+    wins.foreach { w =>
+      val ordersOnChunk =
+        w.orderSpec.map(_.child.references.map(_.name).toSet) == Seq(Set("__mix_c"))
+      // the offsets prefix (orders by chunk id, sees ≤ strata·C agg
+      // rows) may key on the stratum alone; the corpus-side running
+      // sum (orders by hash, id) must carry the chunk in its key
+      if (!ordersOnChunk)
+        assert(w.partitionSpec.size >= 2,
+          s"corpus-side window keyed by ${w.partitionSpec.map(_.sql).mkString(",")} — " +
+            "single-stratum window back in the mixture path")
+    }
+    // and the chunked form still equals the logical single-window spec
+    // at a chunk count that forces multi-chunk strata
+    val fine = Sampling.mixtureByBudget(df, "source", "doc_id", col("toks"),
+        lit(12L), chunks = 4)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val coarse = Sampling.mixtureByBudget(df, "source", "doc_id", col("toks"),
+        lit(12L), chunks = 1)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fine == coarse, "chunked prefix sum diverged from the single-chunk form")
+  }
 }
