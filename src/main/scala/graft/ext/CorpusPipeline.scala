@@ -108,7 +108,13 @@ object CorpusPipeline {
     // down) is cheaper than caching 100 TB, and only stage 1 and the
     // decontam benchmark filter read it
     var prevCount = docs.count()
-    var prevCached: Option[DataFrame] = None
+    // the PREVIOUS stage's materialized checkpoint blocks, freed
+    // explicitly once its successor is materialized: Dataset.unpersist
+    // is a cache-manager call and a NO-OP for localCheckpoint blocks
+    // (RDD-level storage), and the stage vals live until runOn returns
+    // — without this every stage's blocks stay resident for the whole
+    // run instead of the intended ~2 stages
+    var prevBlocks: Option[org.apache.spark.rdd.RDD[_]] = None
     var prevCkpt: Option[String] = None
     def rmCkpt(p: String): Unit = {
       val path = new org.apache.hadoop.fs.Path(p)
@@ -131,17 +137,25 @@ object CorpusPipeline {
           // plan string at fixture scale). localCheckpoint materializes
           // the stage once into executor storage (memory, spilling to
           // disk) and RE-ROOTS the plan there — the cached-mode twin of
-          // the durable checkpoint's parquet read-back below. Freed by
-          // the ContextCleaner once the successor stage is materialized
-          // and the reference drops.
+          // the durable checkpoint's parquet read-back below. Tradeoff
+          // (cached mode only): checkpoint blocks are non-replicated
+          // and non-recomputable, so an executor loss mid-pipeline is
+          // fail-fatal — route large multi-tenant runs through the
+          // durable `checkpointDir` branch, which recovers from the
+          // written parquet.
           val cached = f(in).localCheckpoint(true)
           (cached, cached.count()) // reads the materialized blocks
       }
       acc += Stage(name, prevCount, n)
-      prevCached.foreach(_.unpersist(false))
+      prevBlocks.foreach(_.unpersist(false))
       prevCkpt.foreach(rmCkpt)
       if (checkpointDir.isDefined) prevCkpt = Some(s"${checkpointDir.get}/$name")
-      else prevCached = Some(out)
+      else
+        // the checkpointed RDD itself (the LogicalRDD the re-rooted
+        // plan reads) — the handle unpersist must be called on
+        prevBlocks = out.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }
       prevCount = n
       out
     }
@@ -258,7 +272,7 @@ object CorpusPipeline {
       .write.mode("overwrite").parquet(s"$outDir/manifest")
     acc += Stage("shard_export", prevCount,
       spark.read.parquet(s"$outDir/shards").count())
-    prevCached.foreach(_.unpersist(false))
+    prevBlocks.foreach(_.unpersist(false))
     prevCkpt.foreach(rmCkpt)
 
     acc.toList

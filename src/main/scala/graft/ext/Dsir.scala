@@ -45,8 +45,8 @@ object Dsir {
     val tgtCts = tgt.groupBy("b").agg(count(lit(1)).as("ct_t"))
     val rawCts = occ.groupBy("b").agg(count(lit(1)).as("ct_r"))
     // corpus totals: two single-row aggregates, broadcast scalar joins
-    val totals = tgt.agg(count(lit(1)).as("n_t"))
-      .crossJoin(occ.agg(count(lit(1)).as("n_r")))
+    val totals = broadcast(tgt.agg(count(lit(1)).as("n_t")))
+      .crossJoin(broadcast(occ.agg(count(lit(1)).as("n_r"))))
     val term = pround(
       log(col("ct_t") + lit(1.0)) - log(col("ct_r") + lit(1.0)) +
         log(col("n_r") + lit(buckets.toDouble)) -
@@ -85,8 +85,12 @@ object Dsir {
   /** Share-based resampling — keep the top `keep` fraction by
     * Gumbel-perturbed weight. The scale twin of [[sampleTopK]]: a
     * `limit(0.8·N)` is a driver-side TakeOrdered at corpus scale, so
-    * this form gates on the exact (1−keep) percentile instead — one
-    * aggregate + a broadcast threshold join, fully distributed.
+    * this form gates on the exact (1−keep) percentile instead. The
+    * gate's threshold is found by distributed order statistics over
+    * the 1e-6-quantized key histogram ([[TextStats.percentileGate]]) —
+    * even though this call has a single stratum, no task ever holds
+    * more than the distinct-key count (grid-bounded), never a
+    * value-per-row buffer.
     */
   def sampleByShare(weights: DataFrame, idCol: String, wCol: String,
       keep: Double): DataFrame = {

@@ -735,7 +735,7 @@ object Similarity {
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     val safeQ = if (qNorm > 0) qNorm else 1.0
     val adc = ecol(graft.functions.Sq8Adc(eexpr(col("codes")),
-      query.toArray, mns.toArray, sts.toArray))
+      query, mns, sts))
     val cand = pruned("codes")
       .select(col(idCol), pround(adc / (col("vnorm") * lit(safeQ)), digits).as("adc_cos"))
       .orderBy(col("adc_cos").desc, col(idCol))
@@ -2086,7 +2086,7 @@ object Similarity {
     // fold (and to the oracle's ordered list_reduce), but ~0.3 KB of
     // generated code instead of ~260 expression nodes per row
     val approxDot = ecol(graft.functions.Sq8Adc(eexpr(col("codes")),
-      query.toArray, mns.toArray, sts.toArray))
+      query, mns, sts))
     val cand = spark.read.parquet(s"$indexPath/codes")
       .select(col(idCol),
         pround(approxDot / (col("vnorm") * lit(safeQ)), digits).as("adc_cos"))

@@ -225,13 +225,25 @@ object TextStats {
     * their stratum's `q`-quantile (exact linear-interpolated, matching
     * ANSI percentile_cont) — "top 30% quality per language", the
     * mixture-aware form of quality filtering (a global cutoff would
-    * empty low-scoring languages entirely). Plan: one partial-agged
-    * aggregate computes a threshold row per stratum (stratum-count
-    * rows, so it broadcasts), then the gate is a broadcast-join filter
-    * — the corpus is scanned twice but never shuffled. At 100 TB the
-    * exact percentile over each stratum is itself a sort-based
-    * aggregate; swap in approx_percentile when ±ε on the cutoff is
-    * acceptable.
+    * empty low-scoring languages entirely).
+    *
+    * Scale shape: the threshold is found by ORDER STATISTICS over a
+    * histogram, never by `percentile` (whose final aggregation buffer
+    * is one value→count map per stratum — a single-task memory hotspot
+    * when a stratum is most of the corpus, e.g. [[Dsir.sampleByShare]]'s
+    * single "__all" group). Here the per-(stratum, value) counting is
+    * an ordinary distributed aggregate; only the cumulative scan that
+    * locates the two order statistics around rank q·(n−1) runs per
+    * stratum, over DISTINCT-VALUE rows — bounded by the value grid
+    * (gated values are pround-ed, so a few 10⁶ rows at worst), not by
+    * corpus rows. The threshold table is stratum-count rows and
+    * broadcasts; the gate is a broadcast-join filter — the corpus is
+    * scanned twice but never shuffled.
+    *
+    * Interpolation reproduces Spark's `percentile` bit-for-bit
+    * ((hi−pos)·v_lo + (pos−lo)·v_hi, the lower value when the rank
+    * lands on it or both order stats share a value), so this rewrite
+    * changed no oracle hash.
     *
     * `thrDigits`: when the gated values live on a fixed decimal grid
     * (e.g. pround-ed scores), round the threshold to that grid too.
@@ -244,9 +256,43 @@ object TextStats {
     */
   def percentileGate(df: DataFrame, strataCol: String, valueCol: String,
       q: Double, thrDigits: Option[Int] = None): DataFrame = {
-    val raw = percentile(col(valueCol), lit(q))
-    val thr = df.groupBy(col(strataCol))
-      .agg(thrDigits.fold(raw)(d => pround(raw, d)).as("__thr"))
+    import org.apache.spark.sql.expressions.Window
+    // group on the double view of the value — the same widening
+    // Spark's percentile applies before interpolating
+    val cts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(strataCol), col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col(strataCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(strataCol))
+    val pos = lit(q) * (col("__n") - 1).cast("double")
+    val loI = floor(pos).cast("long")
+    val hiI = ceil(pos).cast("long")
+    // a value's count block covers order-statistic ranks
+    // [__cum - __c, __cum - 1]; pick the value whose block holds each
+    // of the two ranks around pos
+    def statAt(rank: Column): Column =
+      max(when(col("__cum") - col("__c") <= rank && rank < col("__cum"), col("__v")))
+    val thr = cts
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__pos", pos)
+      .withColumn("__loI", loI)
+      .withColumn("__hiI", hiI)
+      .groupBy(col(strataCol))
+      .agg(
+        statAt(col("__loI")).as("__vLo"),
+        statAt(col("__hiI")).as("__vHi"),
+        first(col("__pos")).as("__p"),
+        first(col("__loI")).as("__lo"),
+        first(col("__hiI")).as("__hi"))
+      .select(col(strataCol), {
+        val interp = when(col("__lo") === col("__hi") || col("__vLo") === col("__vHi"),
+            col("__vLo"))
+          .otherwise((col("__hi").cast("double") - col("__p")) * col("__vLo") +
+            (col("__p") - col("__lo").cast("double")) * col("__vHi"))
+        thrDigits.fold(interp)(d => pround(interp, d)).as("__thr")
+      })
     df.join(broadcast(thr), strataCol)
       .filter(col(valueCol) >= col("__thr"))
       .drop("__thr")

@@ -174,13 +174,24 @@ case class VecNorm(child: Expression) extends UnaryExpression {
   *
   * Null semantics: null array → null; any null element → null; length
   * mismatch vs the bound params → null.
+  *
+  * The params are `Seq[Double]` (not arrays) so the case-class
+  * equals/hashCode compare CONTENTS: two probes binding the same
+  * query/codebook canonicalize equal, keeping Catalyst subexpression
+  * elimination and exchange/plan reuse live (an `Array` field compares
+  * by reference and silently defeats both). eval/codegen read the
+  * lazily-materialized primitive arrays — no per-row boxing.
   */
-case class Sq8Adc(child: Expression, q: Array[Double], mn: Array[Double],
-    st: Array[Double]) extends UnaryExpression {
+case class Sq8Adc(child: Expression, q: Seq[Double], mn: Seq[Double],
+    st: Seq[Double]) extends UnaryExpression {
   import VectorExpressions._
 
   require(q.length == mn.length && q.length == st.length,
     s"param arrays disagree: q=${q.length} mn=${mn.length} st=${st.length}")
+
+  @transient private lazy val qArr: Array[Double] = q.toArray
+  @transient private lazy val mnArr: Array[Double] = mn.toArray
+  @transient private lazy val stArr: Array[Double] = st.toArray
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -212,12 +223,12 @@ case class Sq8Adc(child: Expression, q: Array[Double], mn: Array[Double],
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
-    if (n != q.length) return null
+    if (n != qArr.length) return null
     var sum = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i)) return null
-      sum += q(i) * (mn(i) + codeGet(x, i) * st(i))
+      sum += qArr(i) * (mnArr(i) + codeGet(x, i) * stArr(i))
       i += 1
     }
     sum
@@ -225,9 +236,9 @@ case class Sq8Adc(child: Expression, q: Array[Double], mn: Array[Double],
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val qRef = ctx.addReferenceObj("sq8q", q, "double[]")
-      val mnRef = ctx.addReferenceObj("sq8mn", mn, "double[]")
-      val stRef = ctx.addReferenceObj("sq8st", st, "double[]")
+      val qRef = ctx.addReferenceObj("sq8q", qArr, "double[]")
+      val mnRef = ctx.addReferenceObj("sq8mn", mnArr, "double[]")
+      val stRef = ctx.addReferenceObj("sq8st", stArr, "double[]")
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")

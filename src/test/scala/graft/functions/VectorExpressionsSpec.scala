@@ -92,6 +92,16 @@ class VectorExpressionsSpec extends SparkSpec {
     // length mismatch → null (a 32-dim code row against 64-dim params)
     val short = Seq((1L, Array.tabulate(32)(_.toLong))).toDF("id", "codes")
     assert(short.select(ecol(Sq8Adc(eexpr(col("codes")), q, mn, st))).head().isNullAt(0))
+    // params compare structurally: two probes binding equal-content
+    // params (distinct backing arrays) must canonicalize equal, or
+    // Catalyst CSE / exchange reuse silently dies
+    // (shared child: Spark 4 column nodes embed a stack-trace Origin,
+    // so two col("codes") never compare equal — the params are what
+    // this pin is about)
+    val sharedChild = eexpr(col("codes"))
+    val a = Sq8Adc(sharedChild, q.clone(), mn.clone(), st.clone())
+    val b = Sq8Adc(sharedChild, q.clone(), mn.clone(), st.clone())
+    assert(a == b && a.hashCode == b.hashCode && a.semanticEquals(b))
   }
 
   test("registered for SQL: vec_dot/vec_norm resolve by name") {
