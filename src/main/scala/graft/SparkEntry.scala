@@ -161,6 +161,9 @@ object SparkEntry {
     "sq8_topk"           -> ExtQueries.sq8Topk _,
     "ivf_sq8_topk"       -> ExtQueries.ivfSq8Topk _,
     "bq_hamming_topk"    -> ExtQueries.bqHammingTopk _,
+    "sq8_batch"          -> ExtQueries.sq8Batch _,
+    "ivf_sq8_batch"      -> ExtQueries.ivfSq8Batch _,
+    "bq_hamming_batch"   -> ExtQueries.bqHammingBatch _,
     "bigram_logprob"     -> ExtQueries.bigramLogProb _,
     "unigram_logprob"    -> ExtQueries.unigramLogprob _,
     "quality_lang_gate"  -> ExtQueries.qualityLangGate _,
@@ -1194,6 +1197,9 @@ object SparkEntry {
     "sq8_topk" -> graft.ext.Similarity.sq8OracleSql(dim = 64),
     "ivf_sq8_topk" -> graft.ext.Similarity.ivfSq8OracleSql(dim = 64, k = 8),
     "bq_hamming_topk" -> graft.ext.Similarity.bqOracleSql(dim = 64),
+    "sq8_batch" -> graft.ext.Similarity.sq8BatchOracleSql(dim = 64, nQueries = 3),
+    "ivf_sq8_batch" -> graft.ext.Similarity.ivfSq8BatchOracleSql(dim = 64, k = 8, nQueries = 3),
+    "bq_hamming_batch" -> graft.ext.Similarity.bqBatchOracleSql(dim = 64, nQueries = 3),
     "phrase_search3" ->
       // 3-term anchor-align: term i joins on (doc, pos - i)
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

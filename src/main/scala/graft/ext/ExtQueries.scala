@@ -359,6 +359,55 @@ object ExtQueries {
       "vec_id", "embedding", queryVec(spark, dir))
   }
 
+  /** E2 — BATCH SQ8 ([[Similarity.sq8ProbeBatch]]): 3 queries ADC-score
+    * the codes table and exact-rerank in ONE distributed pass — the
+    * flat-rung serving shape (VERDICT r15 #2: batch probes were
+    * PQ-only). Corpus = vec_id ≥ 3, queries = vec_id < 3; every window
+    * qid-partitioned; hash-gated by the per-qid-joined SQ8 unroll.
+    */
+  def sq8Batch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val idx = IndexStore.ensure("sq8b", spark, Seq(s"$dir/embeddings.parquet")) { tmp =>
+      Similarity.buildSq8(emb.filter(col("vec_id") >= 3),
+        "vec_id", "embedding", tmp, dim = 64)
+    }
+    Similarity.sq8ProbeBatch(spark, idx, emb.filter(col("vec_id") >= 3),
+      "vec_id", "embedding", emb.filter(col("vec_id") < 3), "vec_id",
+      "embedding", k = 10, rerank = 50)
+  }
+
+  /** E2 — BATCH composed IVF-SQ8 ([[Similarity.ivfSq8ProbeBatch]]):
+    * per-query cell ranking + the codes scan restricted to the batch's
+    * probed-cell union + exact rerank, all in one distributed pass;
+    * hash-gated by the k-means × SQ8 per-qid composition.
+    */
+  def ivfSq8Batch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val idx = IndexStore.ensure("ivfsq8b", spark, Seq(s"$dir/embeddings.parquet")) { tmp =>
+      Similarity.buildIvfSq8(emb.filter(col("vec_id") >= 3).drop("label"),
+        "vec_id", "embedding", tmp, k = 8, dim = 64)
+    }
+    Similarity.ivfSq8ProbeBatch(spark, idx, "vec_id", "label", "embedding",
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 10, nprobe = 2, rerank = 50)
+  }
+
+  /** E2 — BATCH BQ ([[Similarity.bqProbeBatch]]): queries binarize
+    * in-plan against the frozen thresholds, every (query, words row)
+    * pair scores integer-exact Hamming, per-qid rank + exact rerank —
+    * one pass, zero FP before the rerank join.
+    */
+  def bqHammingBatch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val idx = IndexStore.ensure("bqb", spark, Seq(s"$dir/embeddings.parquet")) { tmp =>
+      Similarity.buildBq(emb.filter(col("vec_id") >= 3),
+        "vec_id", "embedding", tmp, dim = 64)
+    }
+    Similarity.bqProbeBatch(spark, idx, emb.filter(col("vec_id") >= 3),
+      "vec_id", "embedding", emb.filter(col("vec_id") < 3), "vec_id",
+      "embedding", k = 10, rerank = 50)
+  }
+
   /** E3 — TRAINED quality classifier, learning phase
     * ([[Classifier.train]]): 3 epochs of full-batch logistic regression
     * over hashed token features; returns the weight table (bias at

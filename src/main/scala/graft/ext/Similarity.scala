@@ -1007,7 +1007,7 @@ object Similarity {
     // strategy differs.
     val nq = queries.select(count(lit(1))).head().getLong(0)
     def gated(df: DataFrame, rows: Long): DataFrame =
-      if (rows <= broadcastMaxRows) broadcast(df) else df
+      sizeGated(df, rows, broadcastMaxRows)
     // RESIDUAL layout auto-detection (VERDICT r14 #4 — the production
     // pair: residual accuracy × batch serving): a `quantizer` dir marks
     // a [[buildIvfPqResidual]] index, whose codes quantize v − c(v) —
@@ -1020,26 +1020,9 @@ object Similarity {
       val p = new org.apache.hadoop.fs.Path(s"$indexPath/quantizer")
       p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
     }
-    val qs = queries.select(col(qidCol).as("__qid"),
-      toDoubleArr(col(qVecCol)).as("__qe"))
-    val qn = qs.withColumn("__qn", {
-      val n = sqrt(dot(col("__qe"), col("__qe")))
-      when(n === 0.0, lit(1.0)).otherwise(n)
-    })
-    val cents = spark.read.parquet(s"$indexPath/centroids")
-      .select(col(labelCol).as("__cell"), toDoubleArr(col("centroid")).as("__c"))
-    // per-query cell ranking — the distributed twin of
-    // [[rankIndexCells]]: score = rounded dot/|c| (the query norm is
-    // constant per query and cancels), NaN (zero-norm centroid) sorts
-    // greatest in Spark exactly as in the driver-side sort, ties to
-    // the lower label
-    val wCell = Window.partitionBy(col("__qid"))
-      .orderBy(col("__s").desc, col("__cell").asc)
-    val probeSetRaw = qn.join(broadcast(cents))
-      .withColumn("__s", pround(dot(col("__c"), col("__qe")) / l2Norm(col("__c")), digits))
-      .withColumn("__rn", row_number().over(wCell))
-      .filter(col("__rn") <= nprobe)
-      .select(col("__qid"), col("__qe"), col("__qn"), col("__cell"))
+    val qn = batchQueryFrame(queries, qidCol, qVecCol)
+    val probeSetRaw = batchCellProbeSet(spark, indexPath, labelCol, qn,
+      nprobe, digits)
     // residual: attach q·c(cell) per probed (query, cell) — a broadcast
     // join against the K-row quantizer, the same sequential dim-order
     // dot the single probe's driver-side qDot folds
@@ -1096,6 +1079,211 @@ object Similarity {
       .withColumn("__rn", row_number().over(wTop))
       .filter(col("__rn") <= k)
       .select(col("__qid").as("qid"), vecs(idCol).as(idCol), col("cos"))
+  }
+
+  /** The shared query frame of every batch probe: (qid, double-widened
+    * vector, zero-guarded norm) — the distributed twin of the single
+    * probes' driver-side `safeQ`.
+    */
+  private def batchQueryFrame(queries: DataFrame, qidCol: String,
+      qVecCol: String): DataFrame =
+    queries.select(col(qidCol).as("__qid"), toDoubleArr(col(qVecCol)).as("__qe"))
+      .withColumn("__qn", {
+        val n = sqrt(dot(col("__qe"), col("__qe")))
+        when(n === 0.0, lit(1.0)).otherwise(n)
+      })
+
+  /** The size gate every batch-probe join goes through (VERDICT r14
+    * #2): broadcast at ≤ `maxRows` (row counts exact at plan time),
+    * shuffle join on the same keys above — result-identical, only the
+    * exchange strategy differs.
+    */
+  private def sizeGated(df: DataFrame, rows: Long, maxRows: Long): DataFrame =
+    if (rows <= maxRows) broadcast(df) else df
+
+  /** Per-query cell ranking — the distributed twin of
+    * [[rankIndexCells]], shared by every composed batch probe: score =
+    * rounded dot/|c| (the query norm is constant per query and
+    * cancels), NaN (zero-norm centroid) sorts greatest in Spark
+    * exactly as in the driver-side sort, ties to the lower label.
+    * Output: (__qid, __qe, __qn, __cell), ≤ nprobe cells per query.
+    */
+  private def batchCellProbeSet(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, labelCol: String, qn: DataFrame, nprobe: Int,
+      digits: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .select(col(labelCol).as("__cell"), toDoubleArr(col("centroid")).as("__c"))
+    val wCell = Window.partitionBy(col("__qid"))
+      .orderBy(col("__s").desc, col("__cell").asc)
+    qn.join(broadcast(cents))
+      .withColumn("__s", pround(dot(col("__c"), col("__qe")) / l2Norm(col("__c")), digits))
+      .withColumn("__rn", row_number().over(wCell))
+      .filter(col("__rn") <= nprobe)
+      .select(col("__qid"), col("__qe"), col("__qn"), col("__cell"))
+  }
+
+  /** mn_d + code_d·step_d over a codes row — the SQ8 reconstruction
+    * array the batch probes dot against PER-ROW query vectors (a batch
+    * has no driver-literal query, so [[graft.functions.Sq8Adc]]'s bound
+    * params don't apply). `dot(q, sq8Recon(codes))` performs the
+    * identical IEEE sequence as the single probe's fused loop — compute
+    * mn+code·st, multiply by q_d, accumulate in dim order — so batch ≡
+    * single bit-for-bit (IndexSpec-pinned).
+    */
+  private def sq8Recon(codes: Column, mns: Seq[Double],
+      sts: Seq[Double]): Column = {
+    val mnA = array(mns.map(lit): _*)
+    val stA = array(sts.map(lit): _*)
+    transform(codes, (x, i) =>
+      element_at(mnA, i + 1) + x.cast("double") * element_at(stA, i + 1))
+  }
+
+  /** The shared exact-rerank tail of the flat batch probes: candidates
+    * (__qid, id) re-attach their query vector, join the raw `vectors`
+    * by id, score exact cosine, and keep top-`k` per qid — every join
+    * size-gated, every window qid-partitioned.
+    */
+  private def batchExactRerank(vectors: DataFrame, cand: DataFrame,
+      qn: DataFrame, idCol: String, vecCol: String, k: Int, digits: Int,
+      nq: Long, rerank: Int, broadcastMaxRows: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val candQ = cand.join(
+      sizeGated(qn.select(col("__qid"), col("__qe")), nq, broadcastMaxRows), "__qid")
+    val wTop = Window.partitionBy(col("__qid"))
+      .orderBy(col("cos").desc, vectors(idCol).asc)
+    vectors.join(sizeGated(candQ, nq * rerank, broadcastMaxRows),
+        vectors(idCol) === candQ(idCol))
+      .withColumn("cos", pround(
+        dot(col("__qe"), toDoubleArr(vectors(vecCol))) /
+          (l2Norm(toDoubleArr(vectors(vecCol))) * l2Norm(col("__qe"))), digits))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as("qid"), vectors(idCol).as(idCol), col("cos"))
+  }
+
+  /** BATCH form of [[sq8AdcRerank]] — N queries ADC-score the codes
+    * table and exact-rerank in ONE distributed pass instead of N
+    * driver-looped jobs. The first pass is a full codes scan PER QUERY
+    * (the flat SQ8 rung's contract; the cell-pruned form is
+    * [[ivfSq8ProbeBatch]]): the gated query frame joins the scan as a
+    * broadcast nested-loop below `broadcastMaxRows` queries — above
+    * it, the flat rung's all-pairs scan is the wrong tool and the IVF
+    * composition is the answer, not a shuffled cartesian. Rank windows
+    * are qid-partitioned and carry only (qid, score, id) — Spark's
+    * window-group-limit keeps ≤ rerank rows per (partition, qid)
+    * ahead of the exchange, so no task ever sorts a query's full
+    * corpus. Results ≡ a loop of single probes, bit-for-bit
+    * ([[sq8Recon]]; IndexSpec-pinned).
+    */
+  def sq8ProbeBatch(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qVecCol: String,
+      k: Int = 10, rerank: Int = 50, digits: Int = 6,
+      broadcastMaxRows: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rerank >= k)
+    val nq = queries.select(count(lit(1))).head().getLong(0)
+    val qn = batchQueryFrame(queries, qidCol, qVecCol)
+    val (mns, sts) = readSq8Params(spark, indexPath)
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    val adc = dot(col("__qe"), sq8Recon(col("codes"), mns, sts))
+    val wCand = Window.partitionBy(col("__qid"))
+      .orderBy(col("__adc").desc, col(idCol).asc)
+    val cand = codes.crossJoin(sizeGated(qn, nq, broadcastMaxRows))
+      .withColumn("__adc", pround(adc / (col("vnorm") * col("__qn")), digits))
+      .select(col("__qid"), col("__adc"), col(idCol))
+      .withColumn("__rn", row_number().over(wCand))
+      .filter(col("__rn") <= rerank)
+      .select(col("__qid"), col(idCol))
+    batchExactRerank(vectors, cand, qn, idCol, vecCol, k, digits,
+      nq, rerank, broadcastMaxRows)
+  }
+
+  /** BATCH form of [[ivfSq8Probe]] — the [[ivfPqProbeBatch]] shape
+    * over the composed IVF-SQ8 layout: per-query cell ranking against
+    * the broadcast K-row centroids, the codes scan restricted to the
+    * batch's probed-cell union via the size-gated cell join, ADC =
+    * dot(q, [[sq8Recon]]) per (query, code row), qid-windowed
+    * top-rerank carrying only (qid, adc, cell, id), exact rerank
+    * against the cell-pruned vectors. Bit-identical to a loop of
+    * single probes (IndexSpec-pinned).
+    */
+  def ivfSq8ProbeBatch(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, idCol: String, labelCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qVecCol: String,
+      k: Int = 10, nprobe: Int = 2, rerank: Int = 50,
+      digits: Int = 6, broadcastMaxRows: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1 && rerank >= k)
+    val nq = queries.select(count(lit(1))).head().getLong(0)
+    val qn = batchQueryFrame(queries, qidCol, qVecCol)
+    val probeSet = batchCellProbeSet(spark, indexPath, labelCol, qn,
+      nprobe, digits)
+    val (mns, sts) = readSq8Params(spark, indexPath)
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    val paired = codes.join(sizeGated(probeSet, nq * nprobe, broadcastMaxRows),
+      codes(labelCol) === probeSet("__cell"))
+    val adcDot = dot(col("__qe"), sq8Recon(col("codes"), mns, sts))
+    val wCand = Window.partitionBy(col("__qid"))
+      .orderBy(col("__adc").desc, col(idCol).asc)
+    val cand = paired
+      .withColumn("__adc", pround(adcDot / (col("vnorm") * col("__qn")), digits))
+      .select(col("__qid"), col("__adc"), col("__cell"), col(idCol))
+      .withColumn("__rn", row_number().over(wCand))
+      .filter(col("__rn") <= rerank)
+      .select(col("__qid"), col("__cell"), col(idCol))
+    val candQ = cand.join(
+      sizeGated(qn.select(col("__qid"), col("__qe")), nq, broadcastMaxRows), "__qid")
+    val vecs = spark.read.parquet(s"$indexPath/vectors")
+    val wTop = Window.partitionBy(col("__qid"))
+      .orderBy(col("cos").desc, vecs(idCol).asc)
+    vecs.join(sizeGated(candQ, nq * rerank, broadcastMaxRows),
+        vecs(labelCol) === candQ("__cell") && vecs(idCol) === candQ(idCol))
+      .withColumn("cos", pround(
+        dot(col("__qe"), toDoubleArr(vecs(vecCol))) /
+          (l2Norm(toDoubleArr(vecs(vecCol))) * l2Norm(col("__qe"))), digits))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as("qid"), vecs(idCol).as(idCol), col("cos"))
+  }
+
+  /** BATCH form of [[bqHammingRerank]] — N queries binarize IN-PLAN
+    * against the frozen thresholds ([[bqWords]] over the per-row query
+    * vector — the distributed twin of the single probe's driver-side
+    * packing), every (query, words row) pair scores
+    * Σ_w popcount(word ⊕ qword) via an integer-only zip_with/aggregate
+    * (zero FP before the rerank, the rung's memory-bandwidth
+    * contract), qid-windowed top-rerank ascending, exact cosine
+    * rerank. Integer arithmetic is order-independent, so batch ≡ a
+    * loop of single probes exactly (IndexSpec-pinned).
+    */
+  def bqProbeBatch(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qVecCol: String,
+      k: Int = 10, rerank: Int = 50, digits: Int = 6,
+      broadcastMaxRows: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rerank >= k)
+    val nq = queries.select(count(lit(1))).head().getLong(0)
+    val thr = readBqParams(spark, indexPath)
+    val qn = batchQueryFrame(queries, qidCol, qVecCol)
+      .withColumn("__qw", bqWords(col("__qe"), thr))
+    val words = spark.read.parquet(s"$indexPath/words")
+    val ham = aggregate(
+      zip_with(col("words"), col("__qw"), (a, b) => bit_count(a.bitwiseXOR(b))),
+      lit(0L), (acc, x) => acc + x)
+    val wCand = Window.partitionBy(col("__qid"))
+      .orderBy(col("__ham").asc, col(idCol).asc)
+    val cand = words.crossJoin(
+        sizeGated(qn.select(col("__qid"), col("__qw")), nq, broadcastMaxRows))
+      .withColumn("__ham", ham)
+      .select(col("__qid"), col("__ham"), col(idCol))
+      .withColumn("__rn", row_number().over(wCand))
+      .filter(col("__rn") <= rerank)
+      .select(col("__qid"), col(idCol))
+    batchExactRerank(vectors, cand, qn, idCol, vecCol, k, digits,
+      nq, rerank, broadcastMaxRows)
   }
 
   /** Parametric CTE chain for the quantized k-means unroll: `vSql`
@@ -2304,4 +2492,154 @@ object Similarity {
        |       floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 AS cos
        |FROM dd GROUP BY vec_id
        |ORDER BY cos DESC, vec_id LIMIT $topk""".stripMargin
+
+  /** The shared per-qid tail of every flat batch oracle: exact cosine
+    * over the candidates, top-`topk` per qid.
+    */
+  private def batchRerankTailSql(topk: Int): String =
+    s"""scored AS (SELECT qid, vec_id,
+       |    floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 AS cos
+       |  FROM dd GROUP BY qid, vec_id)
+       |SELECT qid, vec_id, cos FROM (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored) WHERE rn <= $topk
+       |ORDER BY qid, vec_id""".stripMargin
+
+  /** DuckDB oracle twin of the BATCH SQ8 probe (`sq8_batch`): the
+    * [[sq8OracleSql]] scaffold with every per-query scalar turned into
+    * a per-qid join — queries are `vec_id < nQueries`, the corpus the
+    * rest; the ADC fold, candidate rank, and exact rerank all window
+    * PARTITION BY qid. Same quantized learner, so the batch
+    * composition hash-matches exactly like the single-query form.
+    */
+  def sq8BatchOracleSql(dim: Int, nQueries: Int, rerank: Int = 50,
+      topk: Int = 10): String =
+    s"""WITH qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < $nQueries),
+       |qn AS (SELECT qid, CASE WHEN n = 0 THEN 1.0 ELSE n END AS n FROM (
+       |  SELECT qid, sqrt(list_reduce(list_transform(qe, x -> x * x), (x, y) -> x + y)) AS n FROM qs)),
+       |dims AS (SELECT unnest(range(0, $dim))::BIGINT AS i),
+       |dx AS MATERIALIZED (SELECT e.vec_id, d.i, (e.embedding[d.i + 1])::DOUBLE AS x
+       |  FROM embeddings e, dims d WHERE e.vec_id >= $nQueries),
+       |prm AS MATERIALIZED (SELECT i,
+       |    floor(min(x) * 1e9 + 0.5) / 1e9 AS mn,
+       |    (floor(max(x) * 1e9 + 0.5) / 1e9 - floor(min(x) * 1e9 + 0.5) / 1e9) / 255.0 AS st
+       |  FROM dx GROUP BY i),
+       |enc AS MATERIALIZED (SELECT dx.vec_id, dx.i,
+       |    CASE WHEN p.st = 0 THEN 0.0
+       |         ELSE greatest(0.0, least(255.0, floor((dx.x - p.mn) / p.st + 0.5))) END AS cd
+       |  FROM dx JOIN prm p USING (i)),
+       |vn AS (SELECT vec_id,
+       |  floor(sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (x, y) -> x + y)) * 1e9 + 0.5) / 1e9 AS vnorm
+       |  FROM embeddings WHERE vec_id >= $nQueries),
+       |terms AS (SELECT q.qid, e.vec_id, e.i,
+       |    q.qe[e.i + 1] * (p.mn + e.cd * p.st) AS t
+       |  FROM enc e JOIN prm p USING (i), qs q),
+       |adc AS (SELECT qid, vec_id,
+       |    list_reduce(list(t ORDER BY i), (x, y) -> x + y) AS d
+       |  FROM terms GROUP BY qid, vec_id),
+       |cand AS (SELECT qid, vec_id FROM (
+       |  SELECT a.qid, a.vec_id,
+       |    row_number() OVER (PARTITION BY a.qid ORDER BY
+       |      floor((a.d / (vn.vnorm * qn.n)) * 1e6 + 0.5) / 1e6 DESC, a.vec_id) AS rn
+       |  FROM adc a JOIN vn USING (vec_id) JOIN qn ON qn.qid = a.qid) WHERE rn <= $rerank),
+       |dd AS (SELECT c.qid, e.vec_id, (e.embedding[d.i + 1])::DOUBLE AS x, q.qe[d.i + 1] AS y
+       |       FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id
+       |            JOIN qs q ON q.qid = c.qid, dims d),
+       |${batchRerankTailSql(topk)}""".stripMargin
+
+  /** DuckDB oracle twin of the BATCH IVF-SQ8 probe (`ivf_sq8_batch`):
+    * the [[ivfSq8OracleSql]] scaffold per-qid — cell ranking, the ADC
+    * fold, and both rank windows PARTITION BY qid; the k-means and SQ8
+    * learners are the same quantized unrolls, so the composition
+    * hash-matches.
+    */
+  def ivfSq8BatchOracleSql(dim: Int, k: Int, nQueries: Int,
+      coarseIters: Int = 3, nprobe: Int = 2, rerank: Int = 50,
+      topk: Int = 10): String = {
+    val learn = kmeansCtesGeneric("g",
+      s"SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= $nQueries",
+      k.toString, coarseIters, l2 = false)
+    s"""WITH $learn,
+       |qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < $nQueries),
+       |qn AS (SELECT qid, CASE WHEN n = 0 THEN 1.0 ELSE n END AS n FROM (
+       |  SELECT qid, sqrt(list_reduce(list_transform(qe, x -> x * x), (x, y) -> x + y)) AS n FROM qs)),
+       |dims AS (SELECT unnest(range(0, $dim))::BIGINT AS i),
+       |dx AS MATERIALIZED (SELECT e.vec_id, d.i, (e.embedding[d.i + 1])::DOUBLE AS x
+       |  FROM embeddings e, dims d WHERE e.vec_id >= $nQueries),
+       |prm AS MATERIALIZED (SELECT i,
+       |    floor(min(x) * 1e9 + 0.5) / 1e9 AS mn,
+       |    (floor(max(x) * 1e9 + 0.5) / 1e9 - floor(min(x) * 1e9 + 0.5) / 1e9) / 255.0 AS st
+       |  FROM dx GROUP BY i),
+       |enc AS MATERIALIZED (SELECT dx.vec_id, dx.i,
+       |    CASE WHEN p.st = 0 THEN 0.0
+       |         ELSE greatest(0.0, least(255.0, floor((dx.x - p.mn) / p.st + 0.5))) END AS cd
+       |  FROM dx JOIN prm p USING (i)),
+       |vn AS (SELECT vec_id,
+       |  floor(sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (x, y) -> x + y)) * 1e9 + 0.5) / 1e9 AS vnorm
+       |  FROM embeddings WHERE vec_id >= $nQueries),
+       |assign AS MATERIALIZED (SELECT vec_id, e, j FROM (
+       |  SELECT v.vec_id, v.e, c.j,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${assignKey(l2 = false)},
+       |      c.j DESC) AS rn
+       |  FROM gv v, gc$coarseIters c) WHERE rn = 1),
+       |cdims AS (SELECT a.j, d.i, avg(a.e[d.i + 1]) AS c
+       |          FROM assign a, gdims d GROUP BY a.j, d.i),
+       |cscores AS (SELECT q.qid, cd.j,
+       |    floor((sum(cd.c * q.qe[cd.i + 1]) / sqrt(sum(cd.c * cd.c))) * 1e6 + 0.5) / 1e6 AS s
+       |  FROM cdims cd, qs q GROUP BY q.qid, cd.j),
+       |best AS (SELECT qid, j FROM (
+       |  SELECT qid, j, row_number() OVER (PARTITION BY qid ORDER BY s DESC, j) AS rn
+       |  FROM cscores) WHERE rn <= $nprobe),
+       |terms AS (SELECT q.qid, e.vec_id, e.i,
+       |    q.qe[e.i + 1] * (p.mn + e.cd * p.st) AS t
+       |  FROM enc e JOIN prm p USING (i), qs q),
+       |adc AS (SELECT qid, vec_id,
+       |    list_reduce(list(t ORDER BY i), (x, y) -> x + y) AS d
+       |  FROM terms GROUP BY qid, vec_id),
+       |cand AS (SELECT qid, vec_id FROM (
+       |  SELECT a2.qid, a2.vec_id,
+       |    row_number() OVER (PARTITION BY a2.qid ORDER BY
+       |      floor((a2.d / (vn.vnorm * qn.n)) * 1e6 + 0.5) / 1e6 DESC, a2.vec_id) AS rn
+       |  FROM adc a2 JOIN vn ON a2.vec_id = vn.vec_id
+       |    JOIN assign a ON a2.vec_id = a.vec_id
+       |    JOIN best b ON a.j = b.j AND b.qid = a2.qid
+       |    JOIN qn ON qn.qid = a2.qid) WHERE rn <= $rerank),
+       |dd AS (SELECT c.qid, e.vec_id, (e.embedding[d.i + 1])::DOUBLE AS x, q.qe[d.i + 1] AS y
+       |       FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id
+       |            JOIN qs q ON q.qid = c.qid, dims d),
+       |${batchRerankTailSql(topk)}""".stripMargin
+  }
+
+  /** DuckDB oracle twin of the BATCH BQ probe (`bq_hamming_batch`):
+    * per-qid query-word packing (the same integer CASE sum as the
+    * corpus side), Hamming = Σ bit_count(xor) per (qid, vec_id) —
+    * integer-exact end to end — and per-qid rank windows.
+    */
+  def bqBatchOracleSql(dim: Int, nQueries: Int, rerank: Int = 50,
+      topk: Int = 10): String =
+    s"""WITH qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < $nQueries),
+       |dims AS (SELECT unnest(range(0, $dim))::BIGINT AS i),
+       |dx AS MATERIALIZED (SELECT e.vec_id, d.i, (e.embedding[d.i + 1])::DOUBLE AS x
+       |  FROM embeddings e, dims d WHERE e.vec_id >= $nQueries),
+       |prm AS MATERIALIZED (SELECT i,
+       |    floor((sum(x::DECIMAL(38,18))::DOUBLE / count(*)) * 1e9 + 0.5) / 1e9 AS thr
+       |  FROM dx GROUP BY i),
+       |wrd AS MATERIALIZED (SELECT vec_id, (i // 32)::BIGINT AS w,
+       |    sum(CASE WHEN x > thr THEN (1::BIGINT << (i % 32)::INT) ELSE 0 END)::BIGINT AS wv
+       |  FROM dx JOIN prm USING (i) GROUP BY vec_id, w),
+       |qw AS (SELECT q.qid, (d.i // 32)::BIGINT AS w,
+       |    sum(CASE WHEN q.qe[d.i + 1] > p.thr THEN (1::BIGINT << (d.i % 32)::INT) ELSE 0 END)::BIGINT AS wv
+       |  FROM dims d JOIN prm p USING (i), qs q GROUP BY q.qid, w),
+       |hm AS (SELECT qw.qid, wrd.vec_id, sum(bit_count(xor(wrd.wv, qw.wv)))::BIGINT AS hamming
+       |  FROM wrd JOIN qw USING (w) GROUP BY qw.qid, wrd.vec_id),
+       |cand AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY hamming ASC, vec_id) AS rn
+       |  FROM hm) WHERE rn <= $rerank),
+       |dd AS (SELECT c.qid, e.vec_id, (e.embedding[d.i + 1])::DOUBLE AS x, q.qe[d.i + 1] AS y
+       |       FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id
+       |            JOIN qs q ON q.qid = c.qid, dims d),
+       |${batchRerankTailSql(topk)}""".stripMargin
 }

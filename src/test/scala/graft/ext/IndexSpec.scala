@@ -308,6 +308,77 @@ class IndexSpec extends SparkSpec {
       "shuffle-path batch probe diverges from the broadcast path")
   }
 
+  test("sq8/ivfSq8/bq batch probes equal loops of single probes; windows qid-partitioned") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") >= 3).drop("label")
+    val queriesDf = emb.filter(col("vec_id") < 3)
+    def queryOf(qid: Long): Seq[Double] = emb.filter(col("vec_id") === qid)
+      .select(Similarity.toDoubleArr(col("embedding"))).head().getSeq[Double](0).toSeq
+    def byQid(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Double)]] =
+      df.as[(Long, Long, Double)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(r => (-r._3, r._2)).map(r => (r._2, r._3)).toSeq).toMap
+    def pinQidWindows(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val wins = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+        s"unpartitioned window in $tag batch probe")
+    }
+
+    val sq8 = tmpDir("idx-sq8-batch")
+    Similarity.buildSq8(corpus, "vec_id", "embedding", sq8, dim = 64)
+    val sq8Batch = Similarity.sq8ProbeBatch(spark, sq8, corpus, "vec_id",
+      "embedding", queriesDf, "vec_id", "embedding", k = 10, rerank = 50)
+    val sq8Got = byQid(sq8Batch)
+    pinQidWindows(sq8Batch, "sq8")
+    (0L to 2L).foreach { qid =>
+      val single = Similarity.sq8AdcRerank(spark, sq8, corpus, "vec_id",
+        "embedding", queryOf(qid), k = 10, rerank = 50)
+        .as[(Long, Double)].collect().toSeq
+      assert(sq8Got(qid) == single, s"sq8 batch diverges from single probe for $qid")
+    }
+    // shuffle path (gate forced off) must be result-identical
+    assert(byQid(Similarity.sq8ProbeBatch(spark, sq8, corpus, "vec_id",
+      "embedding", queriesDf, "vec_id", "embedding", k = 10, rerank = 50,
+      broadcastMaxRows = 0L)) == sq8Got, "sq8 shuffle path diverges")
+
+    val ivfSq8 = tmpDir("idx-ivfsq8-batch")
+    Similarity.buildIvfSq8(corpus, "vec_id", "embedding", ivfSq8,
+      k = 8, dim = 64)
+    val ivfBatch = Similarity.ivfSq8ProbeBatch(spark, ivfSq8, "vec_id",
+      "label", "embedding", queriesDf, "vec_id", "embedding",
+      k = 10, nprobe = 2, rerank = 50)
+    val ivfGot = byQid(ivfBatch)
+    pinQidWindows(ivfBatch, "ivfSq8")
+    (0L to 2L).foreach { qid =>
+      val single = Similarity.ivfSq8Probe(spark, ivfSq8, "vec_id", "label",
+        "embedding", queryOf(qid), k = 10, nprobe = 2, rerank = 50)
+        .as[(Long, Double)].collect().toSeq
+      assert(ivfGot(qid) == single, s"ivfSq8 batch diverges from single probe for $qid")
+    }
+    assert(byQid(Similarity.ivfSq8ProbeBatch(spark, ivfSq8, "vec_id",
+      "label", "embedding", queriesDf, "vec_id", "embedding",
+      k = 10, nprobe = 2, rerank = 50, broadcastMaxRows = 0L)) == ivfGot,
+      "ivfSq8 shuffle path diverges")
+
+    val bq = tmpDir("idx-bq-batch")
+    Similarity.buildBq(corpus, "vec_id", "embedding", bq, dim = 64)
+    val bqBatch = Similarity.bqProbeBatch(spark, bq, corpus, "vec_id",
+      "embedding", queriesDf, "vec_id", "embedding", k = 10, rerank = 50)
+    val bqGot = byQid(bqBatch)
+    pinQidWindows(bqBatch, "bq")
+    (0L to 2L).foreach { qid =>
+      val single = Similarity.bqHammingRerank(spark, bq, corpus, "vec_id",
+        "embedding", queryOf(qid), k = 10, rerank = 50)
+        .as[(Long, Double)].collect().toSeq
+      assert(bqGot(qid) == single, s"bq batch diverges from single probe for $qid")
+    }
+    assert(byQid(Similarity.bqProbeBatch(spark, bq, corpus, "vec_id",
+      "embedding", queriesDf, "vec_id", "embedding", k = 10, rerank = 50,
+      broadcastMaxRows = 0L)) == bqGot, "bq shuffle path diverges")
+  }
+
   test("ivfPqProbeBatch over a RESIDUAL layout equals a loop of single residual probes") {
     // VERDICT r14 #4 — residual × batch: the batch probe auto-detects
     // the residual layout (the quantizer dir) and joins the broadcast
