@@ -164,6 +164,8 @@ object SparkEntry {
     "sq8_batch"          -> ExtQueries.sq8Batch _,
     "ivf_sq8_batch"      -> ExtQueries.ivfSq8Batch _,
     "bq_hamming_batch"   -> ExtQueries.bqHammingBatch _,
+    "ivf_bq_topk"        -> ExtQueries.ivfBqTopk _,
+    "ivf_bq_batch"       -> ExtQueries.ivfBqBatch _,
     "bigram_logprob"     -> ExtQueries.bigramLogProb _,
     "unigram_logprob"    -> ExtQueries.unigramLogprob _,
     "quality_lang_gate"  -> ExtQueries.qualityLangGate _,
@@ -1200,6 +1202,8 @@ object SparkEntry {
     "sq8_batch" -> graft.ext.Similarity.sq8BatchOracleSql(dim = 64, nQueries = 3),
     "ivf_sq8_batch" -> graft.ext.Similarity.ivfSq8BatchOracleSql(dim = 64, k = 8, nQueries = 3),
     "bq_hamming_batch" -> graft.ext.Similarity.bqBatchOracleSql(dim = 64, nQueries = 3),
+    "ivf_bq_topk" -> graft.ext.Similarity.ivfBqOracleSql(dim = 64, k = 8),
+    "ivf_bq_batch" -> graft.ext.Similarity.ivfBqBatchOracleSql(dim = 64, k = 8, nQueries = 3),
     "phrase_search3" ->
       // 3-term anchor-align: term i joins on (doc, pos - i)
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -359,6 +359,37 @@ object ExtQueries {
       "vec_id", "embedding", queryVec(spark, dir))
   }
 
+  /** E2 — composed IVF-BQ ([[Similarity.buildIvfBq]] /
+    * [[Similarity.ivfBqProbe]], VERDICT r15 #3 — the billion-vector
+    * first-pass shape): cell-pruned sign-bit words, integer-exact
+    * Hamming over ≤ nprobe cells, exact rerank; hash-gated by the
+    * k-means unroll × sign-bit CTE composition.
+    */
+  def ivfBqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val idx = IndexStore.ensure("ivfbq", spark, Seq(s"$dir/embeddings.parquet")) { tmp =>
+      Similarity.buildIvfBq(
+        Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0).drop("label"),
+        "vec_id", "embedding", tmp, k = 8, dim = 64)
+    }
+    Similarity.ivfBqProbe(spark, idx, "vec_id", "label", "embedding",
+      queryVec(spark, dir), k = 10, nprobe = 2, rerank = 50)
+  }
+
+  /** E2 — BATCH composed IVF-BQ ([[Similarity.ivfBqProbeBatch]]):
+    * per-query cell ranking + the words scan restricted to the batch's
+    * probed-cell union + integer Hamming + exact rerank, one pass.
+    */
+  def ivfBqBatch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val idx = IndexStore.ensure("ivfbqb", spark, Seq(s"$dir/embeddings.parquet")) { tmp =>
+      Similarity.buildIvfBq(emb.filter(col("vec_id") >= 3).drop("label"),
+        "vec_id", "embedding", tmp, k = 8, dim = 64)
+    }
+    Similarity.ivfBqProbeBatch(spark, idx, "vec_id", "label", "embedding",
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 10, nprobe = 2, rerank = 50)
+  }
+
   /** E2 — BATCH SQ8 ([[Similarity.sq8ProbeBatch]]): 3 queries ADC-score
     * the codes table and exact-rerank in ONE distributed pass — the
     * flat-rung serving shape (VERDICT r15 #2: batch probes were

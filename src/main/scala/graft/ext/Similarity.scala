@@ -1106,7 +1106,8 @@ object Similarity {
     * rounded dot/|c| (the query norm is constant per query and
     * cancels), NaN (zero-norm centroid) sorts greatest in Spark
     * exactly as in the driver-side sort, ties to the lower label.
-    * Output: (__qid, __qe, __qn, __cell), ≤ nprobe cells per query.
+    * Output: the query frame's columns plus __cell, ≤ nprobe cells per
+    * query.
     */
   private def batchCellProbeSet(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, labelCol: String, qn: DataFrame, nprobe: Int,
@@ -1120,7 +1121,7 @@ object Similarity {
       .withColumn("__s", pround(dot(col("__c"), col("__qe")) / l2Norm(col("__c")), digits))
       .withColumn("__rn", row_number().over(wCell))
       .filter(col("__rn") <= nprobe)
-      .select(col("__qid"), col("__qe"), col("__qn"), col("__cell"))
+      .select(qn.columns.map(col).toSeq :+ col("__cell"): _*)
   }
 
   /** mn_d + code_d·step_d over a codes row — the SQ8 reconstruction
@@ -2463,6 +2464,160 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------------------------
+  // Composed IVF-BQ — cell-pruned sign-bit codes (the billion-vector
+  // first-pass shape: the standard first filter at that scale is
+  // exactly Hamming over binary codes restricted to the probed cells)
+  // ------------------------------------------------------------------
+
+  /** COMPOSED IVF-BQ index: a learned coarse quantizer partitions the
+    * BQ sign-bit words BY CELL. Layout contract = [[buildIvfPq]]'s
+    * (`centroids` + cell-partitioned `vectors` via [[buildIvf]]) with
+    * BQ `params` + cell-partitioned `words`. Probes prune BOTH data
+    * reads to ≤ nprobe cells — the first pass touches
+    * ~corpus·nprobe/K words rows at 1 bit/dim (8× under the IVF-SQ8
+    * composition's bytes); the recall cost of 1-bit codes is absorbed
+    * by the exact rerank (RecallSpec floor).
+    */
+  def buildIvfBq(df: DataFrame, idCol: String, vecCol: String, path: String,
+      k: Int, dim: Int, coarseIters: Int = 3): Unit = {
+    val cents = kmeansCentroids(df, idCol, vecCol, k, coarseIters)
+    val labeled = withCellLabels(df, idCol, vecCol, cents)
+    buildIvf(labeled, idCol, "label", vecCol, path)
+    val thr = bqThresholds(df, idCol, vecCol, dim)
+    writeBqParams(df.sparkSession, thr, path)
+    labeled.select(col(idCol), bqWords(toDoubleArr(col(vecCol)), thr).as("words"),
+        col("label"))
+      .write.mode("overwrite").partitionBy("label").parquet(s"$path/words")
+  }
+
+  /** ANN probe over a [[buildIvfBq]] index — the [[ivfSq8Probe]] shape
+    * with integer-exact Hamming as the first pass: rank cells from the
+    * K-row centroids, Σ popcount(xor) over ONLY the nprobe best cells'
+    * words (partition-pruned; zero FP before the rerank join),
+    * exact-rerank against the cell-pruned vectors.
+    */
+  def ivfBqProbe(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      idCol: String, labelCol: String, vecCol: String, query: Seq[Double],
+      k: Int = 10, nprobe: Int = 2, rerank: Int = 50, digits: Int = 6): DataFrame = {
+    require(nprobe >= 1 && rerank >= k)
+    val cells = rankIndexCells(spark, indexPath, query, digits).take(nprobe)
+    def pruned(table: String): DataFrame = {
+      val df = spark.read.parquet(s"$indexPath/$table")
+      val t = df.schema(df.schema.fieldIndex(labelCol)).dataType
+      df.filter(col(labelCol).isin(cells.map(c => lit(c).cast(t)): _*))
+    }
+    val thr = readBqParams(spark, indexPath)
+    require(thr.size == query.size, s"dim ${thr.size} != query ${query.size}")
+    val nw = (thr.size + 31) / 32
+    val qw = (0 until nw).map { w =>
+      (0 until 32).filter(b => w * 32 + b < thr.size).foldLeft(0L) { (acc, b) =>
+        val d = w * 32 + b
+        if (query(d) > thr(d)) acc | (1L << b) else acc
+      }
+    }
+    val ham = (0 until nw).foldLeft(lit(0L)) { (acc, w) =>
+      acc + bit_count(element_at(col("words"), w + 1).bitwiseXOR(lit(qw(w))))
+    }
+    val cand = pruned("words")
+      .select(col(idCol), ham.as("hamming"))
+      .orderBy(col("hamming").asc, col(idCol))
+      .limit(rerank)
+      .select(col(idCol))
+    pruned("vectors")
+      .join(broadcast(cand), idCol)
+      .select(col(idCol), cosineTo(query, vecCol, digits).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** BATCH form of [[ivfBqProbe]] — per-query cell ranking, the words
+    * scan restricted to the batch's probed-cell union via the
+    * size-gated cell join, integer-only Hamming per (query, words
+    * row), qid-windowed top-rerank ascending, exact rerank against the
+    * cell-pruned vectors. Bit-identical to a loop of single probes
+    * (integer first pass; IndexSpec-pinned).
+    */
+  def ivfBqProbeBatch(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, idCol: String, labelCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qVecCol: String,
+      k: Int = 10, nprobe: Int = 2, rerank: Int = 50,
+      digits: Int = 6, broadcastMaxRows: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1 && rerank >= k)
+    val nq = queries.select(count(lit(1))).head().getLong(0)
+    val thr = readBqParams(spark, indexPath)
+    val qn = batchQueryFrame(queries, qidCol, qVecCol)
+      .withColumn("__qw", bqWords(col("__qe"), thr))
+    val probeSet = batchCellProbeSet(spark, indexPath, labelCol, qn,
+      nprobe, digits)
+      .select(col("__qid"), col("__qw"), col("__cell"))
+    val words = spark.read.parquet(s"$indexPath/words")
+    val paired = words.join(sizeGated(probeSet, nq * nprobe, broadcastMaxRows),
+      words(labelCol) === probeSet("__cell"))
+    val ham = aggregate(
+      zip_with(col("words"), col("__qw"), (a, b) => bit_count(a.bitwiseXOR(b))),
+      lit(0L), (acc, x) => acc + x)
+    val wCand = Window.partitionBy(col("__qid"))
+      .orderBy(col("__ham").asc, col(idCol).asc)
+    val cand = paired
+      .withColumn("__ham", ham)
+      .select(col("__qid"), col("__ham"), col("__cell"), col(idCol))
+      .withColumn("__rn", row_number().over(wCand))
+      .filter(col("__rn") <= rerank)
+      .select(col("__qid"), col("__cell"), col(idCol))
+    val candQ = cand.join(
+      sizeGated(qn.select(col("__qid"), col("__qe")), nq, broadcastMaxRows), "__qid")
+    val vecs = spark.read.parquet(s"$indexPath/vectors")
+    val wTop = Window.partitionBy(col("__qid"))
+      .orderBy(col("cos").desc, vecs(idCol).asc)
+    vecs.join(sizeGated(candQ, nq * rerank, broadcastMaxRows),
+        vecs(labelCol) === candQ("__cell") && vecs(idCol) === candQ(idCol))
+      .withColumn("cos", pround(
+        dot(col("__qe"), toDoubleArr(vecs(vecCol))) /
+          (l2Norm(toDoubleArr(vecs(vecCol))) * l2Norm(col("__qe"))), digits))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as("qid"), vecs(idCol).as(idCol), col("cos"))
+  }
+
+  /** Per-partition COMPOSED IVF-BQ build against a FROZEN coarse
+    * quantizer and FROZEN thresholds — the incremental-refresh unit of
+    * [[buildIvfBq]]: one assignment pass + one binarize projection.
+    */
+  def buildIvfBqPart(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], thr: Seq[Double], path: String): Unit = {
+    buildIvfPart(df, idCol, vecCol, centroids, path)
+    withCellLabels(df, idCol, vecCol, centroids)
+      .select(col(idCol), bqWords(toDoubleArr(col(vecCol)), thr).as("words"),
+        col("label"))
+      .write.mode("overwrite").partitionBy("label").parquet(s"$path/words")
+  }
+
+  /** Merge committed per-partition IVF-BQ indexes — vectors + combined
+    * centroid means via [[mergeIvf]], words by file copy, frozen
+    * thresholds written once ([[mergeIvfSq8]]'s shape).
+    */
+  def mergeIvfBq(spark: org.apache.spark.sql.SparkSession, thr: Seq[Double],
+      partPaths: Seq[String], path: String): Unit = {
+    mergeIvf(spark, partPaths, path)
+    copyIndexParts(spark, partPaths, "words", path)
+    writeBqParams(spark, thr, path)
+  }
+
+  /** Incremental COMPOSED IVF-BQ — the [[ensureIncrementalIvfSq8]]
+    * lifecycle with sign-bit words: appending an hour assigns +
+    * binarizes only that hour, merge is file copies + the K-row
+    * centroid re-derivation, probe ≡ monolithic under the same frozen
+    * learners.
+    */
+  def ensureIncrementalIvfBq(spark: org.apache.spark.sql.SparkSession,
+      kind: String, sourceDir: String, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], thr: Seq[Double]): String =
+    IndexStore.ensureIncremental(kind, spark, sourceDir) { (part, tmp) =>
+      buildIvfBqPart(spark.read.parquet(part), idCol, vecCol, centroids, thr, tmp)
+    } { (parts, tmp) => mergeIvfBq(spark, thr, parts, tmp) }
+
   /** DuckDB oracle twin of the full BQ chain (`bq_hamming_topk`):
     * per-dim decimal-exact mean thresholds over the corpus minus the
     * query, 32-bit word packing via an integer CASE sum, Hamming =
@@ -2642,4 +2797,106 @@ object Similarity {
        |       FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id
        |            JOIN qs q ON q.qid = c.qid, dims d),
        |${batchRerankTailSql(topk)}""".stripMargin
+
+  /** DuckDB oracle twin of the composed IVF-BQ chain (`ivf_bq_topk`):
+    * the [[ivfSq8OracleSql]] scaffold with the BQ pieces — decimal-
+    * exact mean thresholds, 32-bit word packing, integer Hamming — and
+    * candidates restricted to the nprobe best cells of the k-means
+    * unroll before the exact rerank.
+    */
+  def ivfBqOracleSql(dim: Int, k: Int, coarseIters: Int = 3,
+      nprobe: Int = 2, rerank: Int = 50, topk: Int = 10): String = {
+    val learn = kmeansCtesGeneric("g",
+      "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id != 0",
+      k.toString, coarseIters, l2 = false)
+    s"""WITH $learn,
+       |qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+       |dims AS (SELECT unnest(range(0, $dim))::BIGINT AS i),
+       |dx AS MATERIALIZED (SELECT e.vec_id, d.i, (e.embedding[d.i + 1])::DOUBLE AS x
+       |  FROM embeddings e, dims d WHERE e.vec_id != 0),
+       |prm AS MATERIALIZED (SELECT i,
+       |    floor((sum(x::DECIMAL(38,18))::DOUBLE / count(*)) * 1e9 + 0.5) / 1e9 AS thr
+       |  FROM dx GROUP BY i),
+       |wrd AS MATERIALIZED (SELECT vec_id, (i // 32)::BIGINT AS w,
+       |    sum(CASE WHEN x > thr THEN (1::BIGINT << (i % 32)::INT) ELSE 0 END)::BIGINT AS wv
+       |  FROM dx JOIN prm USING (i) GROUP BY vec_id, w),
+       |qw AS (SELECT (d.i // 32)::BIGINT AS w,
+       |    sum(CASE WHEN qv.qe[d.i + 1] > p.thr THEN (1::BIGINT << (d.i % 32)::INT) ELSE 0 END)::BIGINT AS wv
+       |  FROM dims d JOIN prm p USING (i), qv GROUP BY w),
+       |assign AS MATERIALIZED (SELECT vec_id, e, j FROM (
+       |  SELECT v.vec_id, v.e, c.j,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${assignKey(l2 = false)},
+       |      c.j DESC) AS rn
+       |  FROM gv v, gc$coarseIters c) WHERE rn = 1),
+       |cdims AS (SELECT a.j, d.i, avg(a.e[d.i + 1]) AS c
+       |          FROM assign a, gdims d GROUP BY a.j, d.i),
+       |cscores AS (SELECT cd.j,
+       |    floor((sum(cd.c * qv.qe[cd.i + 1]) / sqrt(sum(cd.c * cd.c))) * 1e6 + 0.5) / 1e6 AS s
+       |  FROM cdims cd, qv GROUP BY cd.j),
+       |best AS (SELECT j FROM cscores ORDER BY s DESC, j LIMIT $nprobe),
+       |hm AS (SELECT vec_id, sum(bit_count(xor(wrd.wv, qw.wv)))::BIGINT AS hamming
+       |  FROM wrd JOIN qw USING (w) GROUP BY vec_id),
+       |cand AS (SELECT hm.vec_id
+       |  FROM hm JOIN assign a ON hm.vec_id = a.vec_id
+       |    JOIN best b ON a.j = b.j
+       |  ORDER BY hamming ASC, hm.vec_id LIMIT $rerank),
+       |dd AS (SELECT e.vec_id, (e.embedding[d.i + 1])::DOUBLE AS x, qv.qe[d.i + 1] AS y
+       |       FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, dims d, qv)
+       |SELECT vec_id,
+       |       floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 AS cos
+       |FROM dd GROUP BY vec_id
+       |ORDER BY cos DESC, vec_id LIMIT $topk""".stripMargin
+  }
+
+  /** DuckDB oracle twin of the BATCH IVF-BQ probe (`ivf_bq_batch`):
+    * [[ivfBqOracleSql]] per-qid — query-word packing, cell ranking,
+    * Hamming, and both rank windows PARTITION BY qid.
+    */
+  def ivfBqBatchOracleSql(dim: Int, k: Int, nQueries: Int,
+      coarseIters: Int = 3, nprobe: Int = 2, rerank: Int = 50,
+      topk: Int = 10): String = {
+    val learn = kmeansCtesGeneric("g",
+      s"SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= $nQueries",
+      k.toString, coarseIters, l2 = false)
+    s"""WITH $learn,
+       |qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < $nQueries),
+       |dims AS (SELECT unnest(range(0, $dim))::BIGINT AS i),
+       |dx AS MATERIALIZED (SELECT e.vec_id, d.i, (e.embedding[d.i + 1])::DOUBLE AS x
+       |  FROM embeddings e, dims d WHERE e.vec_id >= $nQueries),
+       |prm AS MATERIALIZED (SELECT i,
+       |    floor((sum(x::DECIMAL(38,18))::DOUBLE / count(*)) * 1e9 + 0.5) / 1e9 AS thr
+       |  FROM dx GROUP BY i),
+       |wrd AS MATERIALIZED (SELECT vec_id, (i // 32)::BIGINT AS w,
+       |    sum(CASE WHEN x > thr THEN (1::BIGINT << (i % 32)::INT) ELSE 0 END)::BIGINT AS wv
+       |  FROM dx JOIN prm USING (i) GROUP BY vec_id, w),
+       |qw AS (SELECT q.qid, (d.i // 32)::BIGINT AS w,
+       |    sum(CASE WHEN q.qe[d.i + 1] > p.thr THEN (1::BIGINT << (d.i % 32)::INT) ELSE 0 END)::BIGINT AS wv
+       |  FROM dims d JOIN prm p USING (i), qs q GROUP BY q.qid, w),
+       |assign AS MATERIALIZED (SELECT vec_id, e, j FROM (
+       |  SELECT v.vec_id, v.e, c.j,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${assignKey(l2 = false)},
+       |      c.j DESC) AS rn
+       |  FROM gv v, gc$coarseIters c) WHERE rn = 1),
+       |cdims AS (SELECT a.j, d.i, avg(a.e[d.i + 1]) AS c
+       |          FROM assign a, gdims d GROUP BY a.j, d.i),
+       |cscores AS (SELECT q.qid, cd.j,
+       |    floor((sum(cd.c * q.qe[cd.i + 1]) / sqrt(sum(cd.c * cd.c))) * 1e6 + 0.5) / 1e6 AS s
+       |  FROM cdims cd, qs q GROUP BY q.qid, cd.j),
+       |best AS (SELECT qid, j FROM (
+       |  SELECT qid, j, row_number() OVER (PARTITION BY qid ORDER BY s DESC, j) AS rn
+       |  FROM cscores) WHERE rn <= $nprobe),
+       |hm AS (SELECT qw.qid, wrd.vec_id, sum(bit_count(xor(wrd.wv, qw.wv)))::BIGINT AS hamming
+       |  FROM wrd JOIN qw USING (w) GROUP BY qw.qid, wrd.vec_id),
+       |cand AS (SELECT qid, vec_id FROM (
+       |  SELECT hm.qid, hm.vec_id,
+       |    row_number() OVER (PARTITION BY hm.qid ORDER BY hm.hamming ASC, hm.vec_id) AS rn
+       |  FROM hm JOIN assign a ON hm.vec_id = a.vec_id
+       |    JOIN best b ON a.j = b.j AND b.qid = hm.qid) WHERE rn <= $rerank),
+       |dd AS (SELECT c.qid, e.vec_id, (e.embedding[d.i + 1])::DOUBLE AS x, q.qe[d.i + 1] AS y
+       |       FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id
+       |            JOIN qs q ON q.qid = c.qid, dims d),
+       |${batchRerankTailSql(topk)}""".stripMargin
+  }
 }

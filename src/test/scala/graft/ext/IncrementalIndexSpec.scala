@@ -243,6 +243,50 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(probe(i2) == probe(mono(all.drop("label"), "m2")))
   }
 
+  test("incremental composed IVF-BQ: append builds one partition; pruned probe equals monolithic") {
+    val all = ClusterFixture.clustered(spark, 600, 24, 6).cache()
+    val src = tmpDir("inc-ivfbq-src")
+    all.filter(col("vec_id") % 3 === 0).drop("label").write.parquet(s"$src/part=0")
+    all.filter(col("vec_id") % 3 === 1).drop("label").write.parquet(s"$src/part=1")
+    val initial = all.filter(col("vec_id") % 3 =!= 2).drop("label")
+    val cents = Similarity.kmeansCentroids(initial, "vec_id", "embedding", 6, 3)
+    val thr = Similarity.bqThresholds(initial, "vec_id", "embedding", dim = 24)
+
+    def ensureInc(): String =
+      Similarity.ensureIncrementalIvfBq(spark, "incivfbq", src,
+        "vec_id", "embedding", cents, thr)
+    val q = all.filter(col("vec_id") === 0)
+      .select(Similarity.toDoubleArr(col("embedding"))).head().getSeq[Double](0).toSeq
+    def probe(idx: String): Seq[(Long, Double)] =
+      Similarity.ivfBqProbe(spark, idx, "vec_id", "label", "embedding", q,
+        k = 10, nprobe = 2, rerank = 60).as[(Long, Double)].collect().toSeq
+    def mono(df: org.apache.spark.sql.DataFrame, tag: String): String = {
+      val part = tmpDir(s"inc-ivfbq-$tag-part"); val out = tmpDir(s"inc-ivfbq-$tag")
+      Similarity.buildIvfBqPart(df, "vec_id", "embedding", cents, thr, part)
+      Similarity.mergeIvfBq(spark, thr, Seq(part), out)
+      out
+    }
+
+    val i1 = ensureInc()
+    assert(ensureInc() == i1) // idempotent cache hit
+    assert(probe(i1) == probe(mono(initial, "m1")))
+    all.filter(col("vec_id") % 3 === 2).drop("label").write.parquet(s"$src/part=2")
+    val i2 = ensureInc()
+    assert(i2 != i1)
+    assert(probe(i2) == probe(mono(all.drop("label"), "m2")))
+    // the merged multi-part layout still partition-prunes words+vectors
+    val scans = Similarity.ivfBqProbe(spark, i2, "vec_id", "label",
+      "embedding", q, k = 10, nprobe = 2, rerank = 60)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    Seq("words", "vectors").foreach { t =>
+      val ts = scans.filter(_.relation.location.rootPaths.exists(_.toString.contains(t)))
+      assert(ts.nonEmpty && ts.forall(_.partitionFilters.nonEmpty),
+        s"$t scan not pruned over the merged layout")
+    }
+  }
+
   test("incremental RESIDUAL IVF-PQ: append encodes one partition's residuals; probe equals monolithic") {
     val all = ClusterFixture.clustered(spark, 600, 24, 6).cache()
     val src = tmpDir("inc-ivfpqres-src")

@@ -234,6 +234,33 @@ class IndexSpec extends SparkSpec {
     assert(probe.count() == 10)
   }
 
+  test("ivfBqProbe: both data reads pruned to <= nprobe cells, no corpus scan") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toDoubleArr(col("embedding"))).head().getSeq[Double](0).toSeq
+    val idx = tmpDir("idx-ivfbq-plan")
+    Similarity.buildIvfBq(emb.filter(col("vec_id") =!= 0).drop("label"),
+      "vec_id", "embedding", idx, k = 8, dim = 64)
+    val probe = Similarity.ivfBqProbe(spark, idx, "vec_id", "label", "embedding",
+      q, k = 10, nprobe = 2, rerank = 50)
+    val scans = fileScans(probe)
+    assert(scans.nonEmpty)
+    val roots = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(roots.forall(_.contains(idx)), s"non-index scans: $roots")
+    Seq("words", "vectors").foreach { table =>
+      val ts = scans.filter(
+        _.relation.location.rootPaths.exists(_.toString.contains(table)))
+      assert(ts.nonEmpty && ts.forall(_.partitionFilters.nonEmpty),
+        s"$table scan is not partition-pruned")
+      ts.foreach { scan =>
+        val probedDirs = scan.relation.location
+          .listFiles(scan.partitionFilters, scan.dataFilters).size
+        assert(probedDirs <= 2, s"$table probe lists $probedDirs partitions, wanted <= nprobe")
+      }
+    }
+    assert(probe.count() == 10)
+  }
+
   test("ivfPqResidualProbe: both data reads pruned to <= nprobe cells, no corpus scan") {
     val emb = graft.Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") === 0)
@@ -377,6 +404,25 @@ class IndexSpec extends SparkSpec {
     assert(byQid(Similarity.bqProbeBatch(spark, bq, corpus, "vec_id",
       "embedding", queriesDf, "vec_id", "embedding", k = 10, rerank = 50,
       broadcastMaxRows = 0L)) == bqGot, "bq shuffle path diverges")
+
+    val ivfBq = tmpDir("idx-ivfbq-batch")
+    Similarity.buildIvfBq(corpus, "vec_id", "embedding", ivfBq,
+      k = 8, dim = 64)
+    val ivfBqBatch = Similarity.ivfBqProbeBatch(spark, ivfBq, "vec_id",
+      "label", "embedding", queriesDf, "vec_id", "embedding",
+      k = 10, nprobe = 2, rerank = 50)
+    val ivfBqGot = byQid(ivfBqBatch)
+    pinQidWindows(ivfBqBatch, "ivfBq")
+    (0L to 2L).foreach { qid =>
+      val single = Similarity.ivfBqProbe(spark, ivfBq, "vec_id", "label",
+        "embedding", queryOf(qid), k = 10, nprobe = 2, rerank = 50)
+        .as[(Long, Double)].collect().toSeq
+      assert(ivfBqGot(qid) == single, s"ivfBq batch diverges from single probe for $qid")
+    }
+    assert(byQid(Similarity.ivfBqProbeBatch(spark, ivfBq, "vec_id",
+      "label", "embedding", queriesDf, "vec_id", "embedding",
+      k = 10, nprobe = 2, rerank = 50, broadcastMaxRows = 0L)) == ivfBqGot,
+      "ivfBq shuffle path diverges")
   }
 
   test("ivfPqProbeBatch over a RESIDUAL layout equals a loop of single residual probes") {

@@ -116,6 +116,23 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.9, f"IVF-SQ8 composed recall $r%.3f below floor")
   }
 
+  test("IVF-BQ composed probe nprobe=2 + rerank holds recall@10 >= its floor") {
+    // the 1-bit rung of the composed family: losses compound — cell
+    // pruning (the coarse quantizer) × sign-only candidates (the flat
+    // BQ floor is 0.7) — but rerank > cluster size repairs rank
+    // resolution inside the probed cells, so the composed floor holds
+    // the flat BQ's
+    val idx = tmpDir("recall-ivfbq")
+    Similarity.buildIvfBq(corpus.drop("label"), "vec_id", "embedding", idx,
+      k = K, dim = Dims)
+    val r = meanRecall { (qid, q) =>
+      dropSelf(Similarity.ivfBqProbe(spark, idx, "vec_id", "label", "embedding",
+        q, k = TopK + 1, nprobe = 2, rerank = 100), qid)
+    }
+    info(f"ivf-bq nprobe=2 rerank=100 recall@$TopK = $r%.3f")
+    assert(r >= 0.7, f"IVF-BQ composed recall $r%.3f below floor")
+  }
+
   test("residual IVF-ADC: residual codes rank within a cluster where raw codes cannot; composed >= 0.9") {
     // The classic Jégou 2011 IVFADC: codes quantize v − c(v), so the
     // same 4-byte budget spends its codewords on the within-cell
