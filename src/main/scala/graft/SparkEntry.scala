@@ -174,6 +174,7 @@ object SparkEntry {
     "source_caps"        -> ExtQueries.sourceCaps _,
     "mixture_sample"     -> ExtQueries.mixtureSample _,
     "dsir_weights"       -> ExtQueries.dsirWeights _,
+    "dsir_weights_bigram" -> ExtQueries.dsirWeightsBigram _,
     "dsir_sample"        -> ExtQueries.dsirSample _,
     "vocab_zipf"         -> ExtQueries.vocabZipf _,
     "dedup_reps"         -> ExtQueries.dedupReps _,
@@ -209,6 +210,37 @@ object SparkEntry {
       |SELECT doc_id, count(*)::BIGINT AS n_tokens,
       |  floor(sum(t::DECIMAL(38,18))::DOUBLE * 1e6 + 0.5) / 1e6 AS dsir_w
       |FROM term GROUP BY doc_id""".stripMargin
+
+  /** [[DsirWeightsSql]] over hashed unigram ∪ BIGRAM features: the
+    * token stream is every word plus every "w_i w_i+1" pair (the
+    * constant numbers table + length filter — DuckDB 1.0 cannot
+    * lateral-join range against a column), hashed into the same 4096
+    * buckets. Everything downstream is byte-identical to the unigram
+    * chain.
+    */
+  private val DsirWeightsBigramSql: String =
+    """WITH wl AS MATERIALIZED (
+      |  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+      |toks AS MATERIALIZED (
+      |  SELECT doc_id, source, unnest(l) AS tok FROM wl
+      |  UNION ALL
+      |  SELECT doc_id, source, l[i] || ' ' || l[i+1] AS tok
+      |  FROM wl, (SELECT unnest(range(1, 1000)) AS i) n
+      |  WHERE i + 1 <= len(l)),
+      |occ AS MATERIALIZED (
+      |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS b
+      |  FROM toks),
+      |tocc AS MATERIALIZED (
+      |  SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS b
+      |  FROM toks WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+      |tc AS (SELECT b, count(*)::BIGINT AS ct_t FROM tocc GROUP BY b),
+      |rc AS (SELECT b, count(*)::BIGINT AS ct_r FROM occ GROUP BY b),
+      |tot AS (SELECT (SELECT count(*)::BIGINT FROM tocc) AS n_t,
+      |               (SELECT count(*)::BIGINT FROM occ) AS n_r),
+      |term AS (SELECT occ.doc_id,
+      |    floor((ln(coalesce(tc.ct_t, 0) + 1.0) - ln(rc.ct_r + 1.0)
+      |         + ln(tot.n_r + 4096.0) - ln(tot.n_t + 4096.0)) * 1e9 + 0.5) / 1e9 AS t
+      |  FROM occ JOIN rc USING (b) LEFT JOIN tc USING (b), tot)""".stripMargin
 
   /** Shared CTE chain producing the LSH-verified near-dup pairs
     * (`verified(doc_a, doc_b, jaccard)`) — composed by `dedup_verified`
@@ -1313,6 +1345,7 @@ object SparkEntry {
         |WHERE cum_tokens <= CASE WHEN substr(source, 4)::INT % 2 = 0
         |                         THEN 600 ELSE 300 END""".stripMargin,
     "dsir_weights" -> (DsirWeightsSql + DsirWeightsSelect),
+    "dsir_weights_bigram" -> (DsirWeightsBigramSql + DsirWeightsSelect),
     "dsir_sample" ->
       (DsirWeightsSql +
         """, w AS (""" + DsirWeightsSelect + """)

@@ -28,20 +28,40 @@ import graft.util.Portable.{dsum, pround}
   */
 object Dsir {
 
-  /** One row per token occurrence, hashed into [0, buckets). */
+  /** One row per feature occurrence, hashed into [0, buckets). With
+    * `bigrams`, features are unigrams ∪ word bigrams ("a b" tokens) in
+    * the SAME bucket space — Xie et al.'s hashed n-gram form, via one
+    * `zip_with` over the split array (the
+    * [[Classifier.hashedNgramFeatures]] precedent; occurrences keep
+    * MULTIPLICITY here — DSIR counts, a classifier's bag doesn't).
+    * Word order enters through the bigrams: templated text whose
+    * unigram bags are identical to the target's separates only there.
+    */
   private def occurrences(df: DataFrame, textCol: String,
-      buckets: Int, keep: Column*): DataFrame =
-    df.select(keep :+ explode(split(col(textCol), " ")).as("tok"): _*)
+      buckets: Int, bigrams: Boolean, keep: Column*): DataFrame = {
+    val toks =
+      if (!bigrams) explode(split(col(textCol), " "))
+      else {
+        val w = split(col(textCol), " ")
+        val tail = greatest(size(w) - 1, lit(0))
+        explode(concat(w, zip_with(slice(w, lit(1), tail), slice(w, lit(2), tail),
+          (a, b) => concat(a, lit(" "), b))))
+      }
+    df.select(keep :+ toks.as("tok"): _*)
       .select(keep :+ pmod(Dedup.h32(col("tok")), lit(buckets.toLong)).as("b"): _*)
+  }
 
   /** Per-document DSIR importance weight of every doc in `docs` against
     * the target slice `docs.filter(targetPred)` (e.g. the curated
-    * sources). Output: (idCol, n_tokens, dsir_w).
+    * sources). Output: (idCol, n_tokens, dsir_w). `bigrams` switches
+    * the feature space to hashed unigrams ∪ bigrams (see
+    * [[occurrences]]); n_tokens then counts features, not words.
     */
   def weights(docs: DataFrame, targetPred: Column, idCol: String,
-      textCol: String, buckets: Int = 4096): DataFrame = {
-    val occ = occurrences(docs, textCol, buckets, col(idCol))
-    val tgt = occurrences(docs.filter(targetPred), textCol, buckets)
+      textCol: String, buckets: Int = 4096,
+      bigrams: Boolean = false): DataFrame = {
+    val occ = occurrences(docs, textCol, buckets, bigrams, col(idCol))
+    val tgt = occurrences(docs.filter(targetPred), textCol, buckets, bigrams)
     val tgtCts = tgt.groupBy("b").agg(count(lit(1)).as("ct_t"))
     val rawCts = occ.groupBy("b").agg(count(lit(1)).as("ct_r"))
     // corpus totals: two single-row aggregates, broadcast scalar joins

@@ -568,6 +568,24 @@ object ExtQueries {
     spark.read.parquet(s"$path/weights")
   }
 
+  /** E3 — DSIR weights over hashed unigram ∪ BIGRAM features
+    * ([[Dsir.weights]] with `bigrams = true`, VERDICT r15 #4 — Xie et
+    * al.'s actual feature space): word order enters through "a b"
+    * tokens hashed into the same bucket space, so templated text whose
+    * unigram bag matches the target separates where the unigram form
+    * is structurally blind (DsirSpec pins this). Same persistence
+    * pattern as [[dsirWeights]].
+    */
+  def dsirWeightsBigram(spark: SparkSession, dir: String): DataFrame = {
+    val path = IndexStore.ensure("dsirwb", spark, Seq(s"$dir/documents.parquet")) { tmp =>
+      Dsir.weights(Tables.documents(spark, dir),
+        col("source").isin("src0", "src1", "src2", "src3"),
+        "doc_id", "text", buckets = 4096, bigrams = true)
+        .write.mode("overwrite").parquet(s"$tmp/weights")
+    }
+    spark.read.parquet(s"$path/weights")
+  }
+
   /** E3 — DSIR Gumbel-top-k resample ([[Dsir.sampleTopK]]): 50 docs
     * drawn ∝ exp(w) from the persisted [[dsirWeights]] table,
     * deterministically.

@@ -47,6 +47,38 @@ class DsirSpec extends SparkSpec {
     assert(s.size == 10 && s == sample(13))
   }
 
+  test("bigram features separate templated text where unigram bags are blind") {
+    // target cycles "alpha beta gamma"; the background speaks the SAME
+    // WORDS in reversed order ("gamma beta alpha") — identical unigram
+    // bags, DISJOINT bigram sets (a 2-word alternation would put both
+    // orders in every doc). Probe 900 uses target word order, probe
+    // 901 background order: the unigram scorer must tie them (bag
+    // equality), the bigram scorer must separate them.
+    val tpl = {
+      val t = (0 until 20).map(i => (i.toLong, "alpha beta gamma alpha beta gamma", "tgt"))
+      val bg = (100 until 160).map(i => (i.toLong, "gamma beta alpha gamma beta alpha", "web"))
+      val probes = Seq(
+        (900L, "alpha beta gamma alpha beta gamma", "web"),
+        (901L, "gamma beta alpha gamma beta alpha", "web"))
+      (t ++ bg ++ probes).toDF("doc_id", "text", "source")
+    }
+    def score(bigrams: Boolean): Map[Long, Double] =
+      Dsir.weights(tpl, col("source") === "tgt", "doc_id", "text",
+        bigrams = bigrams)
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val uni = score(bigrams = false)
+    val bi = score(bigrams = true)
+    assert(uni(900L) == uni(901L),
+      s"unigram bags are identical by construction, got ${uni(900L)} vs ${uni(901L)}")
+    assert(bi(900L) > bi(901L) + 1.0,
+      s"bigram features must separate word order: ${bi(900L)} vs ${bi(901L)}")
+    // and determinism under repartitioning holds for the bigram space
+    val again = Dsir.weights(tpl.repartition(13), col("source") === "tgt",
+      "doc_id", "text", bigrams = true)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(bi == again)
+  }
+
   test("mixtureByBudget keeps exactly the id-hash-order prefix under each budget") {
     val df = docs.select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("toks"), col("text"))
