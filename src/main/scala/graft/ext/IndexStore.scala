@@ -47,7 +47,13 @@ import org.apache.spark.sql.SparkSession
   */
 object IndexStore {
 
-  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // Bounded (VERDICT r15 #7): one lock object per index path EVER
+  // ensured is a slow leak in a long-lived service JVM. An evicted
+  // lock's path just mints a fresh object on its next ensure; if that
+  // races a still-running builder holding the old object, the
+  // cross-process lock FILE (`$path.lock`) still serializes them —
+  // in-process locking is a fast path, never the correctness boundary.
+  private val locks = new graft.util.LruCache[String, Object](1024)
 
   /** Index store root. Resolution order: system property
     * `graft.index.dir` (tests point this at an isolated temp root),
@@ -124,7 +130,7 @@ object IndexStore {
     require(!kind.contains("-"), s"index kind must not contain '-': $kind")
     val fp = fingerprint(spark, sources)
     val path = s"$root/$kind-$fp"
-    val lock = locks.computeIfAbsent(path, _ => new Object)
+    val lock = locks.getOrElseUpdate(path)(new Object)
     lock.synchronized {
       val p = new Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -336,16 +336,26 @@ object EventsTable {
     * newer than what it last parsed. Keyed by qualified table URI;
     * invalidated structurally (checkpoint changed, or the listing shows
     * fewer manifests than memoized — a recreated table).
+    *
+    * BOUNDED (VERDICT r15 #7): a long-lived service JVM that churns
+    * through many tables must not keep a memo per table it EVER read —
+    * the LRU cap (`graft.manifestMemo.maxTables`, default 64 tables)
+    * evicts the least recently read table's memo; its next read
+    * re-resolves cold from the checkpoint (1 checkpoint + ≤2 intervals,
+    * the fresh-process shape).
     */
   private final case class ManifestMemo(ckpt: Long, lastSeq: Long,
       files: Vector[String])
-  private val manifestCache =
-    new java.util.concurrent.ConcurrentHashMap[String, ManifestMemo]()
+  private val manifestCache = new graft.util.LruCache[String, ManifestMemo](
+    sys.props.get("graft.manifestMemo.maxTables").map(_.toInt).getOrElse(64))
 
   /** Test hook: drop every memo, forcing the next read to resolve cold
     * (the fresh-process shape).
     */
   private[store] def clearManifestMemo(): Unit = manifestCache.clear()
+
+  /** Test hook: the memo's live entry count (the bounded-cache pin). */
+  private[store] def manifestMemoSize: Int = manifestCache.size
 
   /** All relative file paths named by the visible manifest prefix, or
     * None when the table carries no `_manifests` dir (plain mode).
@@ -364,7 +374,7 @@ object EventsTable {
         val (ckpt, ms) = manifestNames(fs, root)
         val visible = manifestVisiblePrefix(ms, ckpt)
         val last = visible.lastOption.getOrElse(ckpt)
-        Option(manifestCache.get(key))
+        manifestCache.get(key)
           .filter(m => m.ckpt == ckpt && m.lastSeq <= last) match {
           case Some(m) =>
             val fresh = visible.filter(_ > m.lastSeq).flatMap(seq =>

@@ -389,4 +389,29 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS t_dim_bkt")
     }
   }
+
+  test("manifest memo is bounded: churning many tables never grows past the LRU cap") {
+    // VERDICT r15 #7: a long-lived service JVM that reads N tables over
+    // its life must hold memos for at most the cap (default 64), and an
+    // EVICTED table's next read must still resolve correctly (cold,
+    // from the checkpoint + interval objects — the fresh-process shape).
+    EventsTable.clearManifestMemo()
+    val base = tmpDir("memo-churn")
+    val n = 80
+    val paths = (0 until n).map { i =>
+      val path = s"$base/t$i/events"
+      EventsTable.appendManifested(
+        Seq(i * HourUs + 1L).toDF("time_us")
+          .withColumn("did", concat(lit("d"), col("time_us"))),
+        path)
+      path
+    }
+    paths.foreach(p => EventsTable.read(spark, p).count())
+    assert(EventsTable.manifestMemoSize <= 64,
+      s"memo grew to ${EventsTable.manifestMemoSize} entries over $n tables")
+    // table 0's memo was evicted by the churn; its read is cold and right
+    assert(EventsTable.read(spark, paths.head)
+      .select("time_us").as[Long].head() == 1L)
+    assert(EventsTable.manifestMemoSize <= 64)
+  }
 }
