@@ -336,7 +336,8 @@ object Bench {
       "ivf_bq_topk", "ivf_bq_batch", "dsir_weights_bigram")
     val cacheBase = sys.env.getOrElse("SPARK_GRAFT_INDEX_CACHE",
       "/tmp/graft-bench-index-cache")
-    val sfKey = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val sfKey =
+      s"e${graft.ext.IndexStore.LayoutEpoch}-${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
     val marker = new java.io.File(s"$cacheBase/$sfKey.marker")
     val cachedRoot = new java.io.File(s"$cacheBase/$sfKey")
     val indexBuildSec =

@@ -33,6 +33,9 @@ object ScaleSmoke {
       // splitting are part of the engine's scale posture
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // the soak runs the composed service: FAIR scheduling keeps the
+      // replay pump's pool from starving behind live micro-batch jobs
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.experimental.extraOptimizations =
@@ -461,21 +464,43 @@ object ScaleSmoke {
     }
 
     if (args.headOption.contains("ladder")) {
-      // `runMain graft.ScaleSmoke ladder [nVecs]` — the compression
-      // ladder at memory-bandwidth scale: 1M vectors × dim 64, measure
-      // the FIRST-PASS cost of each rung (exact brute / SQ8 8-bit ADC /
+      // `runMain graft.ScaleSmoke ladder [nVecs] [dim] [dense]` — the
+      // compression ladder at memory-bandwidth scale: measure the
+      // FIRST-PASS cost of each rung (exact brute / SQ8 8-bit ADC /
       // BQ 1-bit Hamming) plus the exact-rerank finish, the on-disk
       // bytes each first pass scans, and recall@10 vs the brute answer.
       // The point of the ladder: the first pass is bandwidth-bound, so
-      // scan time should track bytes/vector — BQ (8 B/vec) is the shape
-      // billion-vector stores run as their candidate pass.
+      // scan time should track bytes/vector — BQ (1 bit/dim) is the
+      // shape billion-vector stores run as their candidate pass.
+      //
+      // `dense` (VERDICT r15 #8) switches to REAL-embedding geometry:
+      // full-mantissa random values (parquet dictionary encoding
+      // collapses the default 1000-point grid to ~1.3 B/dim and snappy
+      // still shaved 4.6x off a 2^24 grid's trailing-zero mantissa
+      // bytes; at 2^52 the raw table actually weighs its 8 B/dim).
+      // Run `ladder 1000000 768 dense` for the PERF table where scan
+      // bytes track wall-clock.
       import org.apache.spark.sql.functions._
       val nVecs = args.lift(1).map(_.toLong).getOrElse(1000000L)
-      val dim = 64
+      val dim = args.lift(2).map(_.toInt).getOrElse(64)
+      val dense = args.contains("dense")
+      val grid = if (dense) 4503599627370496L else 1000L
+      // wide incompressible array columns overflow the vectorized
+      // reader's per-batch reservation at the default 4096 rows
+      // (dim 768 × 8 B × batch hits WritableColumnVector's contiguous
+      // cap on the PLAIN-encoded path; the dictionary path the 1000-
+      // point grid takes never sees it) — the documented workaround is
+      // a smaller columnar batch
+      if (dense) spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", 512)
+      // hash stride MUST exceed dim: at stride 131 and dim 768, vector
+      // id's dims 131.. are vector id+1's dims 0.. SHIFTED — consecutive
+      // rows then share 83% of their bytes and snappy "compresses" the
+      // incompressible geometry 4x (observed: 200 B/vec SQ8 codes where
+      // random bytes weigh 789)
       val vecs = spark.range(0L, nVecs, 1L, 32).select(
         col("id").as("vec_id"),
         transform(sequence(lit(0), lit(dim - 1)),
-          i => pmod(xxhash64(col("id") * lit(131L) + i.cast("long")), lit(1000L)) / 1000.0)
+          i => pmod(xxhash64(col("id") * lit(1000003L) + i.cast("long")), lit(grid)) / grid.toDouble)
           .as("embedding"))
       val raw = java.nio.file.Files.createTempDirectory("ladder-raw").toString
       vecs.write.mode("overwrite").parquet(s"$raw/vectors")
@@ -505,7 +530,7 @@ object ScaleSmoke {
           .collect().toSeq
       }
       val rawB = dirBytes(s"$raw/vectors")
-      println(f"[ladder] n=$nVecs dim=$dim | brute: ${bruteSec}%.2fs, " +
+      println(f"[ladder] n=$nVecs dim=$dim grid=$grid | brute: ${bruteSec}%.2fs, " +
         f"scans ${rawB / 1e6}%.0f MB (${rawB.toDouble / nVecs}%.0f B/vec), recall 1.000")
 
       def recall(ids: Seq[Long]): Double =
@@ -523,7 +548,16 @@ object ScaleSmoke {
           .select("vec_id").as[Long](spark.implicits.newLongEncoder).collect().toSeq
       }
       val sq8B = dirBytes(s"$sq8/codes")
-      println(f"[ladder] sq8: ${sq8Sec}%.2fs, scans ${sq8B / 1e6}%.0f MB " +
+      // first pass alone: the bandwidth-bound half (the full probe's
+      // exact rerank broadcast-joins the RAW vectors table — an
+      // unpruned corpus-width scan that dominates at large N; the
+      // composed IVF rungs prune that read to <= nprobe cells)
+      val sq8FirstSec = timed {
+        graft.ext.Similarity.sq8Candidates(spark, sq8, "vec_id", q, rerank = 100)
+          .collect()
+      }
+      println(f"[ladder] sq8: ${sq8Sec}%.2fs (first pass ${sq8FirstSec}%.2fs), " +
+        f"scans ${sq8B / 1e6}%.0f MB " +
         f"(${sq8B.toDouble / nVecs}%.0f B/vec), recall ${recall(sq8Ids)}%.3f")
 
       // rung 2: BQ — 1-bit/dim sign words, integer Hamming first pass
@@ -538,7 +572,12 @@ object ScaleSmoke {
           .select("vec_id").as[Long](spark.implicits.newLongEncoder).collect().toSeq
       }
       val bqB = dirBytes(s"$bq/words")
-      println(f"[ladder] bq: ${bqSec}%.2fs, scans ${bqB / 1e6}%.0f MB " +
+      val bqFirstSec = timed {
+        graft.ext.Similarity.bqCandidates(spark, bq, "vec_id", q, rerank = 100)
+          .collect()
+      }
+      println(f"[ladder] bq: ${bqSec}%.2fs (first pass ${bqFirstSec}%.2fs), " +
+        f"scans ${bqB / 1e6}%.0f MB " +
         f"(${bqB.toDouble / nVecs}%.0f B/vec), recall ${recall(bqIds)}%.3f")
       // uniform-random vectors are the adversarial case for 1-bit codes
       // (no cluster structure — the true top-10's cosine gap vs rank
@@ -553,7 +592,19 @@ object ScaleSmoke {
 
       // the composed rung: IVF-SQ8 — cell pruning turns the full-corpus
       // scan into nprobe/K of it; at 64 cells / nprobe 4 the first pass
-      // touches ~6% of the code bytes every flat rung above must read
+      // touches ~6% of the code bytes every flat rung above must read.
+      // Skipped in dense mode: this section measures the FLAT rungs'
+      // bandwidth shape; the pruning factor is geometry-independent and
+      // pinned structurally by IndexSpec, and a dim-768 k-means build
+      // would dominate the section's wall clock for no new signal.
+      if (dense) {
+        Seq(raw, sq8, bq).foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        }
+        spark.stop()
+        return
+      }
       val ivf = java.nio.file.Files.createTempDirectory("ladder-ivfsq8").toString
       t0 = System.nanoTime()
       graft.ext.Similarity.buildIvfSq8(corpus, "vec_id", "embedding", ivf,

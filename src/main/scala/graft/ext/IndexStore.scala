@@ -47,6 +47,16 @@ import org.apache.spark.sql.SparkSession
   */
 object IndexStore {
 
+  /** Bumped whenever a persisted index LAYOUT changes incompatibly
+    * (e.g. SQ8 codes array<long> → binary in round 16): consumers that
+    * cache committed indexes across process lifetimes (the bench's
+    * census cache) key their roots on it, so a layout change never
+    * serves stale-schema tables to new probe code. IndexStore itself
+    * fingerprints only SOURCES — within one layout epoch that is the
+    * correct, sufficient key.
+    */
+  val LayoutEpoch = 2
+
   // Bounded (VERDICT r15 #7): one lock object per index path EVER
   // ensured is a slow leak in a long-lived service JVM. An evicted
   // lock's path just mints a fresh object on its next ensure; if that
@@ -86,6 +96,12 @@ object IndexStore {
   def fingerprint(spark: SparkSession, sources: Seq[String]): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val md = java.security.MessageDigest.getInstance("MD5")
+    // the layout epoch is part of the identity: bumping it makes every
+    // existing committed index read as superseded — a persistent root
+    // (the machine-global default, a cluster's shared GRAFT_INDEX_DIR)
+    // must never serve an old-layout table to new probe code, and the
+    // normal gcStale sweep reclaims the stale dirs after the rebuild
+    md.update(s"layout:$LayoutEpoch;".getBytes("UTF-8"))
     def walk(fs: FileSystem, base: Path, p: Path): Unit =
       fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
         val rel = st.getPath.toString.stripPrefix(base.toString)

@@ -734,7 +734,7 @@ object Similarity {
     require(mns.size == query.size, s"dim ${mns.size} != query ${query.size}")
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     val safeQ = if (qNorm > 0) qNorm else 1.0
-    val adc = ecol(graft.functions.Sq8Adc(eexpr(col("codes")),
+    val adc = ecol(graft.functions.Sq8AdcBytes(eexpr(col("codes")),
       query, mns, sts))
     val cand = pruned("codes")
       .select(col(idCol), pround(adc / (col("vnorm") * lit(safeQ)), digits).as("adc_cos"))
@@ -1124,22 +1124,6 @@ object Similarity {
       .select(qn.columns.map(col).toSeq :+ col("__cell"): _*)
   }
 
-  /** mn_d + code_d·step_d over a codes row — the SQ8 reconstruction
-    * array the batch probes dot against PER-ROW query vectors (a batch
-    * has no driver-literal query, so [[graft.functions.Sq8Adc]]'s bound
-    * params don't apply). `dot(q, sq8Recon(codes))` performs the
-    * identical IEEE sequence as the single probe's fused loop — compute
-    * mn+code·st, multiply by q_d, accumulate in dim order — so batch ≡
-    * single bit-for-bit (IndexSpec-pinned).
-    */
-  private def sq8Recon(codes: Column, mns: Seq[Double],
-      sts: Seq[Double]): Column = {
-    val mnA = array(mns.map(lit): _*)
-    val stA = array(sts.map(lit): _*)
-    transform(codes, (x, i) =>
-      element_at(mnA, i + 1) + x.cast("double") * element_at(stA, i + 1))
-  }
-
   /** The shared exact-rerank tail of the flat batch probes: candidates
     * (__qid, id) re-attach their query vector, join the raw `vectors`
     * by id, score exact cosine, and keep top-`k` per qid — every join
@@ -1175,7 +1159,8 @@ object Similarity {
     * window-group-limit keeps ≤ rerank rows per (partition, qid)
     * ahead of the exchange, so no task ever sorts a query's full
     * corpus. Results ≡ a loop of single probes, bit-for-bit
-    * ([[sq8Recon]]; IndexSpec-pinned).
+    * ([[graft.functions.Sq8AdcVec]]'s fused loop matches
+    * [[graft.functions.Sq8AdcBytes]] term-for-term; IndexSpec-pinned).
     */
   def sq8ProbeBatch(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, vectors: DataFrame, idCol: String, vecCol: String,
@@ -1188,7 +1173,8 @@ object Similarity {
     val qn = batchQueryFrame(queries, qidCol, qVecCol)
     val (mns, sts) = readSq8Params(spark, indexPath)
     val codes = spark.read.parquet(s"$indexPath/codes")
-    val adc = dot(col("__qe"), sq8Recon(col("codes"), mns, sts))
+    val adc = ecol(graft.functions.Sq8AdcVec(
+      eexpr(col("codes")), eexpr(col("__qe")), mns, sts))
     val wCand = Window.partitionBy(col("__qid"))
       .orderBy(col("__adc").desc, col(idCol).asc)
     val cand = codes.crossJoin(sizeGated(qn, nq, broadcastMaxRows))
@@ -1205,7 +1191,7 @@ object Similarity {
     * over the composed IVF-SQ8 layout: per-query cell ranking against
     * the broadcast K-row centroids, the codes scan restricted to the
     * batch's probed-cell union via the size-gated cell join, ADC =
-    * dot(q, [[sq8Recon]]) per (query, code row), qid-windowed
+    * [[graft.functions.Sq8AdcVec]] per (query, code row), qid-windowed
     * top-rerank carrying only (qid, adc, cell, id), exact rerank
     * against the cell-pruned vectors. Bit-identical to a loop of
     * single probes (IndexSpec-pinned).
@@ -1225,7 +1211,8 @@ object Similarity {
     val codes = spark.read.parquet(s"$indexPath/codes")
     val paired = codes.join(sizeGated(probeSet, nq * nprobe, broadcastMaxRows),
       codes(labelCol) === probeSet("__cell"))
-    val adcDot = dot(col("__qe"), sq8Recon(col("codes"), mns, sts))
+    val adcDot = ecol(graft.functions.Sq8AdcVec(
+      eexpr(col("codes")), eexpr(col("__qe")), mns, sts))
     val wCand = Window.partitionBy(col("__qid"))
       .orderBy(col("__adc").desc, col(idCol).asc)
     val cand = paired
@@ -2177,6 +2164,13 @@ object Similarity {
     * (v − mn)/st a hair outside [0, 255] at the corpus extremes (and
     * incremental appends may fall anywhere: out-of-range vectors clamp
     * to the edge code, the standard frozen-learner trade).
+    *
+    * Codes persist BINARY-PACKED ([[graft.functions.Sq8Pack]], 1 byte
+    * per dim): the earlier `array<long>` layout decoded to 8 B/dim in
+    * memory — the dense 1M×768 ladder measured that "compressed" first
+    * pass SLOWER than the brute scan it undercuts on disk. Code VALUES
+    * are unchanged (bytes read back unsigned), so every oracle hash and
+    * probe score is identical.
     */
   private def sq8EncodeTo(df: DataFrame, idCol: String, vecCol: String,
       prm: Seq[(Int, Double, Double)], dst: String,
@@ -2190,7 +2184,8 @@ object Similarity {
         floor((element_at(v, d + 1) - lit(mns(d))) / lit(sts(d)) + lit(0.5))))
         .cast("long")
     }: _*)
-    val out = df.select(Seq(col(idCol), codes.as("codes"),
+    val packed = ecol(graft.functions.Sq8Pack(eexpr(codes)))
+    val out = df.select(Seq(col(idCol), packed.as("codes"),
       pround(sqrt(dot(v, v)), 9).as("vnorm")) ++ keep.map(col): _*)
     val w = out.write.mode("overwrite")
     (if (keep.nonEmpty) w.partitionBy(keep: _*) else w).parquet(dst)
@@ -2267,6 +2262,23 @@ object Similarity {
       indexPath: String, vectors: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int = 10, rerank: Int = 50,
       digits: Int = 6): DataFrame = {
+    val cand = sq8Candidates(spark, indexPath, idCol, query, rerank, digits)
+      .select(col(idCol))
+    vectors.join(broadcast(cand), idCol)
+      .select(col(idCol), cosineTo(query, vecCol).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The SQ8 FIRST PASS alone — the codes scan + ADC rank, top-`rerank`
+    * (id, adc_cos). Exposed as its own primitive: it is the
+    * bandwidth-bound half the rung is sold on, the ladder times it
+    * separately, and a serving tier that keeps raw vectors elsewhere
+    * (the common disaggregated layout) consumes exactly this.
+    */
+  def sq8Candidates(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, idCol: String, query: Seq[Double],
+      rerank: Int = 50, digits: Int = 6): DataFrame = {
     val (mns, sts) = readSq8Params(spark, indexPath)
     require(mns.size == query.size, s"dim ${mns.size} != query ${query.size}")
     val qNorm = math.sqrt(query.map(x => x * x).sum)
@@ -2274,18 +2286,13 @@ object Similarity {
     // native loop expression — IEEE-identical to the dim-order literal
     // fold (and to the oracle's ordered list_reduce), but ~0.3 KB of
     // generated code instead of ~260 expression nodes per row
-    val approxDot = ecol(graft.functions.Sq8Adc(eexpr(col("codes")),
+    val approxDot = ecol(graft.functions.Sq8AdcBytes(eexpr(col("codes")),
       query, mns, sts))
-    val cand = spark.read.parquet(s"$indexPath/codes")
+    spark.read.parquet(s"$indexPath/codes")
       .select(col(idCol),
         pround(approxDot / (col("vnorm") * lit(safeQ)), digits).as("adc_cos"))
       .orderBy(col("adc_cos").desc, col(idCol))
       .limit(rerank)
-      .select(col(idCol))
-    vectors.join(broadcast(cand), idCol)
-      .select(col(idCol), cosineTo(query, vecCol).as("cos"))
-      .orderBy(col("cos").desc, col(idCol))
-      .limit(k)
   }
 
   /** DuckDB oracle twin of the full SQ8 chain (`sq8_topk`): per-dim
@@ -2441,6 +2448,22 @@ object Similarity {
   def bqHammingRerank(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, vectors: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int = 10, rerank: Int = 50): DataFrame = {
+    val cand = bqCandidates(spark, indexPath, idCol, query, rerank)
+      .select(col(idCol))
+    vectors.join(broadcast(cand), idCol)
+      .select(col(idCol), cosineTo(query, vecCol).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The BQ FIRST PASS alone — the integer-only Hamming scan over the
+    * words table, top-`rerank` (id, hamming) ascending. The
+    * memory-bandwidth candidate pass the rung is sold on, timed
+    * separately by the ladder ([[sq8Candidates]]'s twin).
+    */
+  def bqCandidates(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, idCol: String, query: Seq[Double],
+      rerank: Int = 50): DataFrame = {
     val thr = readBqParams(spark, indexPath)
     require(thr.size == query.size, s"dim ${thr.size} != query ${query.size}")
     val nw = (thr.size + 31) / 32
@@ -2453,15 +2476,10 @@ object Similarity {
     val ham = (0 until nw).foldLeft(lit(0L)) { (acc, w) =>
       acc + bit_count(element_at(col("words"), w + 1).bitwiseXOR(lit(qw(w))))
     }
-    val cand = spark.read.parquet(s"$indexPath/words")
+    spark.read.parquet(s"$indexPath/words")
       .select(col(idCol), ham.as("hamming"))
       .orderBy(col("hamming").asc, col(idCol))
       .limit(rerank)
-      .select(col(idCol))
-    vectors.join(broadcast(cand), idCol)
-      .select(col(idCol), cosineTo(query, vecCol).as("cos"))
-      .orderBy(col("cos").desc, col(idCol))
-      .limit(k)
   }
 
   // ------------------------------------------------------------------

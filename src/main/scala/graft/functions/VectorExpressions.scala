@@ -264,3 +264,203 @@ case class Sq8Adc(child: Expression, q: Seq[Double], mn: Seq[Double],
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `sq8_pack(codes)` — an `array<long|int>` of 8-bit code values
+  * (pre-clamped to [0, 255] by the encoder) packed into BINARY, one
+  * byte per dimension. THE load-bearing layout decision of the SQ8
+  * rung at real-embedding geometry: stored as `array<long>`, a dim-768
+  * code row decodes to 8 B/dim in memory — the SAME traffic as the raw
+  * doubles it was supposed to undercut, and the dense 1M×768 ladder
+  * measured the "compressed" first pass SLOWER than brute. One byte
+  * per dim on disk AND in memory restores the 8× the rung is sold on.
+  * Null semantics: null array → null; null element → null.
+  */
+case class Sq8Pack(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq8_pack"
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) | ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<long|int> argument, got " +
+        child.dataType.catalogString)
+
+  private def isInt: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == IntegerType
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = if (isInt) x.getInt(i).toLong else x.getLong(i)
+      out(i) = (v & 0xFFL).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val get = if (isInt) s"$a.getInt($i)" else s"$a.getLong($i)"
+      val nullCheck =
+        if (VectorExpressions.containsNull(child.dataType))
+          s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |final int $n = $a.numElements();
+         |final byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
+         |  $out[$i] = (byte) ($get & 0xFFL);
+         |}
+         |if (!${ev.isNull}) ${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** [[Sq8Adc]] over BINARY-packed codes ([[Sq8Pack]] layout): the same
+  * fused reconstruction dot — acc += q[d]·(mn[d] + byte[d]·st[d]) in
+  * dim order, bytes read UNSIGNED — so probe scores over the packed
+  * layout are bit-identical to the array form's (and to the oracle's
+  * ordered fold, whose code VALUES are unchanged by packing).
+  */
+case class Sq8AdcBytes(child: Expression, q: Seq[Double], mn: Seq[Double],
+    st: Seq[Double]) extends UnaryExpression {
+
+  require(q.length == mn.length && q.length == st.length,
+    s"param arrays disagree: q=${q.length} mn=${mn.length} st=${st.length}")
+
+  @transient private lazy val qArr: Array[Double] = q.toArray
+  @transient private lazy val mnArr: Array[Double] = mn.toArray
+  @transient private lazy val stArr: Array[Double] = st.toArray
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq8_adc_bytes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary argument, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    if (x.length != qArr.length) return null
+    var sum = 0.0
+    var i = 0
+    while (i < x.length) {
+      sum += qArr(i) * (mnArr(i) + (x(i) & 0xFF).toDouble * stArr(i))
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val qRef = ctx.addReferenceObj("sq8q", qArr, "double[]")
+      val mnRef = ctx.addReferenceObj("sq8mn", mnArr, "double[]")
+      val stRef = ctx.addReferenceObj("sq8st", stArr, "double[]")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |if ($a.length != $qRef.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $a.length; $i++) {
+         |    $sum += $qRef[$i] * ($mnRef[$i] + (double) ($a[$i] & 0xFF) * $stRef[$i]);
+         |  }
+         |  ${ev.value} = $sum;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The BATCH twin of [[Sq8AdcBytes]]: the query vector is a PER-ROW
+  * `array<float|double>` column (a batch has no driver-literal query),
+  * the affine params stay bound. Identical IEEE sequence — compute
+  * mn + byte·st, multiply by q_d, accumulate in dim order — so batch
+  * probes ≡ loops of single probes bit-for-bit.
+  */
+case class Sq8AdcVec(left: Expression, right: Expression, mn: Seq[Double],
+    st: Seq[Double]) extends BinaryExpression {
+  import VectorExpressions._
+
+  require(mn.length == st.length,
+    s"param arrays disagree: mn=${mn.length} st=${st.length}")
+
+  @transient private lazy val mnArr: Array[Double] = mn.toArray
+  @transient private lazy val stArr: Array[Double] = st.toArray
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq8_adc_vec"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == org.apache.spark.sql.types.BinaryType &&
+        elemOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (binary, array<float|double>) arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.length != mnArr.length || y.numElements() != x.length) return null
+    var sum = 0.0
+    var i = 0
+    while (i < x.length) {
+      if (y.isNullAt(i)) return null
+      sum += evalGet(y, right.dataType, i) *
+        (mnArr(i) + (x(i) & 0xFF).toDouble * stArr(i))
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val mnRef = ctx.addReferenceObj("sq8mn", mnArr, "double[]")
+      val stRef = ctx.addReferenceObj("sq8st", stArr, "double[]")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      val nullCheck =
+        if (containsNull(right.dataType))
+          s"if ($b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |if ($a.length != $mnRef.length || $b.numElements() != $a.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $a.length; $i++) {
+         |    $nullCheck
+         |    $sum += ${genGet(b, right.dataType, i)} * ($mnRef[$i] + (double) ($a[$i] & 0xFF) * $stRef[$i]);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $sum;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -468,8 +468,11 @@ class IndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$sq8/params").count() == 64)
     val codes = spark.read.parquet(s"$sq8/codes")
     assert(codes.count() == n)
-    // 8-bit affine codes: every dim clamps into [0, 255]
-    assert(codes.filter(exists(col("codes"), c => c < 0 || c > 255)).count() == 0)
+    // binary-packed 8-bit codes: exactly one byte per dim (the byte
+    // range IS [0, 255] read unsigned — the clamp is structural)
+    assert(codes.schema("codes").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(codes.filter(length(col("codes")) =!= 64).count() == 0)
     val probe = Similarity.sq8AdcRerank(spark, sq8, rest, "vec_id", "embedding", q7)
     // self-query: SQ8 reconstruction ranks the vector itself first at
     // exact cos 1.0 after the rerank

@@ -104,6 +104,55 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(a == b && a.hashCode == b.hashCode && a.semanticEquals(b))
   }
 
+  test("sq8 binary packing: pack→adc_bytes ≡ array adc; vec twin ≡ literal twin; codegen ≡ interpreted") {
+    import org.apache.spark.sql.graft.Bridge.{column => ecol, expression => eexpr}
+    val dim = 48
+    val rnd = new scala.util.Random(11)
+    val df = Seq.tabulate(40)(i =>
+      (i.toLong, Array.tabulate(dim)(j => ((i * 17 + j * 13) % 256).toLong),
+        Array.tabulate(dim)(j => math.sin(i + j))))
+      .toDF("id", "codes", "qe")
+    val q = Array.tabulate(dim)(_ => rnd.nextDouble() * 2 - 1)
+    val mn = Array.tabulate(dim)(_ => rnd.nextDouble() - 0.5)
+    val st = Array.tabulate(dim)(_ => rnd.nextDouble() / 255.0)
+    val packed = ecol(Sq8Pack(eexpr(col("codes"))))
+    // packed bytes round-trip unsigned: 255 stays 255
+    val arr = ecol(Sq8Adc(eexpr(col("codes")), q, mn, st))
+    val bytes = ecol(Sq8AdcBytes(eexpr(packed), q, mn, st))
+    // per-row query twin: Sq8AdcVec over the row's own qe column must
+    // equal Sq8AdcBytes when that qe is bound as the literal
+    def run(codegen: String): Seq[(Long, Double, Double, Double)] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try df.select(col("id"), arr.as("a"), bytes.as("b"),
+          ecol(Sq8AdcVec(eexpr(packed), eexpr(col("qe")), mn, st)).as("v"))
+        .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    val cg = run("CODEGEN_ONLY")
+    assert(cg == run("NO_CODEGEN"))
+    cg.foreach { case (id, a, b, _) =>
+      assert(a == b, s"row $id: packed adc $b != array adc $a") }
+    // the vec twin against the per-row qe equals a per-row literal bind
+    val rows = df.select(col("id"), col("codes"), col("qe"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Long](1).toArray, r.getSeq[Double](2).toArray))
+    val vGot = cg.map(r => r._1 -> r._4).toMap
+    rows.foreach { case (id, codes, qe) =>
+      val expect = {
+        var s = 0.0; var d = 0
+        while (d < dim) { s += qe(d) * (mn(d) + codes(d).toDouble * st(d)); d += 1 }
+        s
+      }
+      assert(vGot(id) == expect, s"row $id: vec twin ${vGot(id)} != $expect")
+    }
+    // length mismatch → null on both binary forms
+    val short = Seq((1L, Array.tabulate(8)(_.toLong), Array.tabulate(8)(_.toDouble)))
+      .toDF("id", "codes", "qe")
+    val shortPacked = ecol(Sq8Pack(eexpr(col("codes"))))
+    assert(short.select(ecol(Sq8AdcBytes(eexpr(shortPacked), q, mn, st))).head().isNullAt(0))
+    assert(short.select(ecol(Sq8AdcVec(eexpr(shortPacked), eexpr(col("qe")), mn, st))).head().isNullAt(0))
+  }
+
   test("registered for SQL: vec_dot/vec_norm resolve by name") {
     GraftFunctions.register(spark)
     Seq((1L, Array(3.0f, 4.0f))).toDF("id", "v").createOrReplaceTempView("vecs")
