@@ -359,6 +359,7 @@ object Soak {
     val lastIvfPath = new java.util.concurrent.atomic.AtomicReference[String]
     val lastSq8Path = new java.util.concurrent.atomic.AtomicReference[String]
     val lastBqPath = new java.util.concurrent.atomic.AtomicReference[String]
+    val lastIvfBqPath = new java.util.concurrent.atomic.AtomicReference[String]
     val refreshTicks = new java.util.concurrent.atomic.AtomicInteger
 
     val staleFired = new java.util.concurrent.atomic.AtomicInteger
@@ -394,6 +395,14 @@ object Soak {
             val p = graft.ext.Similarity.ensureIncrementalBq(
               s, "soakbq", corpusDir, "vec_id", "embedding", soakBqThr)
             lastBqPath.set(p); p
+          }),
+          // round 16: the composed IVF-BQ family ages with the corpus
+          // on the same ticker (frozen coarse quantizer + frozen
+          // thresholds, like every other maintenance refresher)
+          Service.IndexRefresh("soak-ivfbq", { s =>
+            val p = graft.ext.Similarity.ensureIncrementalIvfBq(
+              s, "soakivfbq", corpusDir, "vec_id", "embedding", soakCents, soakBqThr)
+            lastIvfBqPath.set(p); p
           }))),
       registry = registry,
       onStale = _ => staleFired.incrementAndGet())
@@ -438,6 +447,8 @@ object Soak {
 
     val t0 = System.currentTimeMillis()
     var subB: Subscriber = null
+    var subBJoinedAt = -1L
+    var subBCaughtAt = -1L
     var staleAtGenEnd = -1
     var maintenanceSeen = false
     // mid-run corpus growth: a live-derived part + a marker doc whose
@@ -452,13 +463,35 @@ object Soak {
       val elapsed = (System.currentTimeMillis() - t0) / 1000
       val h = health.last
       println(f"[soak] +${elapsed}s gen=${fire.generated} subA=${subA.size} " +
+        f"subB=${if (subB == null) -1 else subB.size} " +
         f"fds=${h._2} threads=${h._3} heapMB=${h._4 / 1048576} " +
         f"ticks=${refreshTicks.get()}")
       // the late subscriber joins AFTER at least one maintenance pass
       // (retention trim + compaction behind it): never before the
-      // ticker's first 120 s fire, whatever the soak duration
-      if (subB == null && elapsed >= math.max(150, math.min(300, durMs / 1000 * 6 / 10)))
+      // ticker's first 120 s fire, whatever the soak duration. Capped
+      // at 240 s: catch-up DURING generation needs replay ≈
+      // backlog/window + live_rate, and a 60%-of-the-run join makes
+      // that bar grow with soak length for no extra signal (the
+      // measured fair-pool replay rate is ~28k ev/s against a 12k
+      // live stream; a 240 s join at 8 min needs ~24k)
+      if (subB == null && elapsed >= math.max(150, math.min(240, durMs / 1000 * 6 / 10))) {
         subB = new Subscriber(s"ws://localhost:${running.servePort}/subscribe?cursor=0$fbArg")
+        subBJoinedAt = elapsed
+      }
+      // contended-replay convergence (VERDICT r15 #6): the late joiner
+      // must catch up WHILE generation runs, not in the post-gen drain.
+      // "Caught up" = its position matches the FROM-START subscriber's
+      // within ~1 s of events (subA carries both seed hours, subB only
+      // the retention survivor — hence the seedPerHour offset; measuring
+      // against subA nets out the shared in-flight delivery lag, which
+      // at 12k ev/s is several seconds for BOTH subscribers).
+      if (subB != null && subBCaughtAt < 0 &&
+          subB.size + seedPerHour >= subA.size - ratePerSec) {
+        subBCaughtAt = elapsed
+        println(f"[soak] late subscriber CAUGHT UP at +${elapsed}s " +
+          f"(joined +${subBJoinedAt}s, ${subB.size} events, replay window " +
+          f"${elapsed - subBJoinedAt}s against live at $ratePerSec ev/s)")
+      }
       // multi-edge lifecycle: kill edge2 at ~35%, restart at ~55% with a
       // fresh checkpoint + late subscriber
       if (multiEdge && !edge2Killed && elapsed >= durMs / 1000 * 35 / 100) {
@@ -541,16 +574,21 @@ object Soak {
           val bqIds = graft.ext.Similarity.bqHammingRerank(spark, lastBqPath.get(),
             corpusAll, "vec_id", "embedding", q, k = 5, rerank = 2000)
             .collect().map(_.getLong(0)).toSet
+          val ivfBqIds = graft.ext.Similarity.ivfBqProbe(spark, lastIvfBqPath.get(),
+            "vec_id", "label", "embedding", q, k = 5, nprobe = 4, rerank = 2000)
+            .collect().map(_.getLong(0)).toSet
           if (posIds.contains(MarkerId) && ivfIds.contains(MarkerId) &&
-              sq8Ids.contains(MarkerId) && bqIds.contains(MarkerId)) {
+              sq8Ids.contains(MarkerId) && bqIds.contains(MarkerId) &&
+              ivfBqIds.contains(MarkerId)) {
             indexVerified = true
-            println(s"[soak] index refresh verified at +${elapsed}s: " +
-              "all four probes (positional/IVF-PQ/SQ8/BQ) see the mid-run marker doc")
+            println(s"[soak] index refresh verified at +${elapsed}s: all five " +
+              "probes (positional/IVF-PQ/SQ8/BQ/IVF-BQ) see the mid-run marker doc")
           } else
             println(s"[soak] index probe miss at +${elapsed}s: " +
               s"pos=${posIds.contains(MarkerId)}(${posIds.size}) " +
               s"ivf=${ivfIds.contains(MarkerId)}(${ivfIds.size}) " +
               s"sq8=${sq8Ids.contains(MarkerId)} bq=${bqIds.contains(MarkerId)} " +
+              s"ivfbq=${ivfBqIds.contains(MarkerId)} " +
               s"posPath=${lastPosPath.get()} ivfPath=${lastIvfPath.get()}")
         } catch { case e: Throwable =>
           println(s"[soak] index probe failed (will retry): $e")
@@ -645,7 +683,7 @@ object Soak {
       check(corpusAppended, "mid-run corpus part was never appended (maintenance never seen?)")
       check(indexVerified,
         "post-append probes never saw the marker doc: the registered " +
-          "refreshers did not keep the positional/IVF-PQ/SQ8/BQ indexes fresh")
+          "refreshers did not keep the positional/IVF-PQ/SQ8/BQ/IVF-BQ indexes fresh")
     }
 
     // manifest mode: commits checkpointed and GC'd — the object count a
@@ -692,6 +730,15 @@ object Soak {
       check(seedB == seedPerHour,
         s"late subscriber replayed $seedB seed events; expected exactly the " +
           s"$seedPerHour survivors of retention (H-1)")
+      // fairness verdict (VERDICT r15 #6): given a generation window of
+      // >= 150 s after joining, the replay pool's fair share must have
+      // converged the joiner BEFORE generation stopped — catch-up in
+      // the post-gen drain is the starved-FIFO shape this checks against
+      val genWindow = durMs / 1000 - subBJoinedAt
+      check(subBCaughtAt > 0 || genWindow < 150,
+        s"late subscriber never caught up during generation (joined " +
+          s"+${subBJoinedAt}s, generation ran to +${durMs / 1000}s — a " +
+          s"${genWindow}s window at $ratePerSec ev/s)")
       // its live window is contiguous to the end
       val liveB = nsB.filter(_ >= seedCount).sorted
       check(liveB.isEmpty || liveB.last == expectA - 1,

@@ -216,6 +216,11 @@ object Service {
       .appName("graft-service")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
+      // FAIR scheduling: replay-pump jobs (pool "graft-replay", set
+      // per-step in Cutover.replayStep) share task slots with the live
+      // micro-batch instead of queuing behind it — a late joiner
+      // catches up DURING generation (VERDICT r15 #6)
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     val running = start(spark, config, onStale = { stalled =>
       // the reference's self-kill: exit nonzero, the orchestrator
