@@ -248,18 +248,26 @@ class ServeJobSpec extends SparkSpec {
         next += 5
         q.processAllAvailable() // ≥1 interval consumed per round
       }
-      // the replay pump drains its backlog on its own thread; under a
-      // CPU-saturated parallel suite 4 rounds of wall time may not be
-      // enough pump ticks — wait for cutover, bounded (all events are
-      // already in the table, so this converges on any schedule)
-      // 180 s: a churn-loaded parallel suite has been observed to stall
-      // the pump past 60 s (round-14 flake, ~1-in-3 under repeated
-      // serve-package runs on a degraded box); on failure dump the
-      // session's breadcrumb trace — the round-9 lesson that turns a
-      // flake report into a diagnosis
+      // ServeJob steps replay ONCE PER MICRO-BATCH (the reference
+      // interleaves its replay goroutine with Emit) — and an idle
+      // ProcessingTime stream fires no batches, so if the scheduler
+      // packs the 4 data rounds into exactly 4 batches the 5-step
+      // backlog can never drain, whatever the deadline (the round-14/16
+      // "stalled pump" flake was exactly this: 4 chunk traces, then
+      // silence). Keep live traffic flowing while the replayer
+      // converges — the production idle case is covered by
+      // SocketServe's dedicated pump thread, which this query-only
+      // surface deliberately lacks. Replay gains chunkSize(18) rows per
+      // batch vs +1 live row, so this converges fast on any schedule;
+      // on failure dump the session's breadcrumb trace.
       val deadline = System.currentTimeMillis() + 180000
-      while (sessions("replayer").replaying && System.currentTimeMillis() < deadline)
-        Thread.sleep(100)
+      while (sessions("replayer").replaying && System.currentTimeMillis() < deadline) {
+        in.addData(rows(next until next + 1))
+        EventsTable.append(rows(next until next + 1).toDF("time_us", "did", "collection"), table)
+        next += 1
+        q.processAllAvailable()
+        Thread.sleep(50)
+      }
       assert(!sessions("replayer").replaying,
         "replayer never cut over; trace:\n  " + String.join("\n  ",
           sessions("replayer").trace))
