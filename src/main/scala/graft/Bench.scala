@@ -336,10 +336,28 @@ object Bench {
       "ivf_bq_topk", "ivf_bq_batch", "dsir_weights_bigram")
     val cacheBase = sys.env.getOrElse("SPARK_GRAFT_INDEX_CACHE",
       "/tmp/graft-bench-index-cache")
-    val sfKey =
-      s"e${graft.ext.IndexStore.LayoutEpoch}-${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    // the key carries (layout epoch, exact sfDir, census membership):
+    // an md5 suffix keeps distinct dirs that sanitize identically from
+    // sharing a root, and a census change (a new probe-only query)
+    // mints a FRESH root so the recorded time is always a fully cold
+    // build of exactly this census — never a partially-warm remeasure
+    val sfKey = {
+      val id = java.security.MessageDigest.getInstance("MD5")
+        .digest((sfDir + "|" + probeOnly.mkString(",")).getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      s"e${graft.ext.IndexStore.LayoutEpoch}-${sfDir.replaceAll("[^A-Za-z0-9]", "_")}-$id"
+    }
     val marker = new java.io.File(s"$cacheBase/$sfKey.marker")
     val cachedRoot = new java.io.File(s"$cacheBase/$sfKey")
+    def buildCensus(): Boolean = {
+      var allOk = true
+      probeOnly.foreach { n =>
+        SparkEntry.queries.get(n).foreach(fn =>
+          try fn(spark, sfDir).count()
+          catch { case _: Throwable => allOk = false })
+      }
+      allOk
+    }
     val indexBuildSec =
       if (cacheBase.nonEmpty && marker.exists() && cachedRoot.isDirectory) {
         System.setProperty("graft.index.dir", cachedRoot.toString)
@@ -347,10 +365,7 @@ object Bench {
         // a changed corpus rebuilds here (untimed — it is not a cold
         // census, and the marker's figure is replaced below only on a
         // cold run)
-        probeOnly.foreach { n =>
-          SparkEntry.queries.get(n).foreach(fn =>
-            try fn(spark, sfDir).count() catch { case _: Throwable => () })
-        }
+        buildCensus()
         new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toDouble
       } else {
         val freshRoot =
@@ -359,12 +374,12 @@ object Bench {
           else { cachedRoot.mkdirs(); cachedRoot.toString }
         System.setProperty("graft.index.dir", freshRoot)
         val t0 = System.nanoTime()
-        probeOnly.foreach { n =>
-          SparkEntry.queries.get(n).foreach(fn =>
-            try fn(spark, sfDir).count() catch { case _: Throwable => () })
-        }
+        val allOk = buildCensus()
         val sec = (System.nanoTime() - t0) / 1e9
-        if (cacheBase.nonEmpty)
+        // a census with ANY failed build must not leave a marker: a
+        // disk-full first run would otherwise record its near-zero
+        // "build time" and replay it forever
+        if (cacheBase.nonEmpty && allOk)
           java.nio.file.Files.write(marker.toPath,
             f"$sec%.3f".getBytes("UTF-8"))
         sec

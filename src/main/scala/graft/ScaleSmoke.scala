@@ -482,7 +482,8 @@ object ScaleSmoke {
       // bytes track wall-clock.
       import org.apache.spark.sql.functions._
       val nVecs = args.lift(1).map(_.toLong).getOrElse(1000000L)
-      val dim = args.lift(2).map(_.toInt).getOrElse(64)
+      // `ladder <n> dense` (dim omitted) must not NumberFormatException
+      val dim = args.lift(2).filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(64)
       val dense = args.contains("dense")
       val grid = if (dense) 4503599627370496L else 1000L
       // wide incompressible array columns overflow the vectorized

@@ -595,6 +595,16 @@ object Soak {
         }
       }
     }
+    // final catch-up sample at the generation boundary: convergence is
+    // otherwise only observable at 15 s loop ticks, and a joiner that
+    // closes the gap between the last tick and generation end would be
+    // recorded as never-caught-up (a spurious verdict failure)
+    if (subB != null && subBCaughtAt < 0 &&
+        subB.size + seedPerHour >= subA.size - ratePerSec) {
+      subBCaughtAt = durMs / 1000
+      println(s"[soak] late subscriber CAUGHT UP at generation end " +
+        s"(final boundary sample; joined +${subBJoinedAt}s)")
+    }
     staleAtGenEnd = staleFired.get()
     stopGen = true
     // join before reading the count: the generator may be mid-burst

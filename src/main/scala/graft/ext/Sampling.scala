@@ -102,8 +102,14 @@ object Sampling {
     val wLoc = Window.partitionBy(col(strataCol), col("__mix_c"))
       .orderBy(col("__mix_h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the offsets table is strata·C rows: broadcast it at the default
+    // chunk counts (a few MB), but past 8k chunks a large-strata mix
+    // could push it into driver-memory territory — fall back to a plain
+    // join on (stratum, chunk), a balanced shuffle (the same size gate
+    // discipline as the batch ANN probes)
+    val offsJoin = if (chunks <= 8192) broadcast(offs) else offs
     keyed
-      .join(broadcast(offs), Seq(strataCol, "__mix_c"))
+      .join(offsJoin, Seq(strataCol, "__mix_c"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(wLoc) + col("__mix_off"))
       .filter(col("cum_tokens") <= budget)
       .drop("__mix_h", "__mix_c", "__mix_off")

@@ -1065,20 +1065,10 @@ object Similarity {
       .withColumn("__rn", row_number().over(wCand))
       .filter(col("__rn") <= rerank)
       .select(col("__qid"), col("__cell"), col(idCol))
-    val candQ = cand.join(gated(qn.select(col("__qid"), col("__qe")), nq), "__qid")
     // exact rerank: original vectors consulted only for the candidate
-    // ids, read through the same cell-pruning (gated) join
-    val vecs = spark.read.parquet(s"$indexPath/vectors")
-    val wTop = Window.partitionBy(col("__qid"))
-      .orderBy(col("cos").desc, vecs(idCol).asc)
-    vecs.join(gated(candQ, nq * rerank),
-        vecs(labelCol) === candQ("__cell") && vecs(idCol) === candQ(idCol))
-      .withColumn("cos", pround(
-        dot(col("__qe"), toDoubleArr(vecs(vecCol))) /
-          (l2Norm(toDoubleArr(vecs(vecCol))) * l2Norm(col("__qe"))), digits))
-      .withColumn("__rn", row_number().over(wTop))
-      .filter(col("__rn") <= k)
-      .select(col("__qid").as("qid"), vecs(idCol).as(idCol), col("cos"))
+    // ids, read through the same cell-pruning (size-gated) join
+    batchCellExactRerank(spark, indexPath, labelCol, cand, qn,
+      idCol, vecCol, k, digits, nq, rerank, broadcastMaxRows)
   }
 
   /** The shared query frame of every batch probe: (qid, double-widened
@@ -1092,6 +1082,22 @@ object Similarity {
         val n = sqrt(dot(col("__qe"), col("__qe")))
         when(n === 0.0, lit(1.0)).otherwise(n)
       })
+
+  /** Every single probe `require`s its query dimension against the
+    * learned params and throws; the batch twins would otherwise fail
+    * SILENTLY (a mismatched per-row vector nulls the score or
+    * zero-pads the word packing — plausible-looking garbage ranks).
+    * One narrow aggregate over the query frame closes the gap: all
+    * rows must carry exactly the index's dimension.
+    */
+  private def requireQueryDim(queries: DataFrame, qVecCol: String,
+      dim: Int): Unit = {
+    val row = queries
+      .agg(min(size(col(qVecCol))), max(size(col(qVecCol)))).head()
+    require(!row.isNullAt(0) && row.getInt(0) == dim && row.getInt(1) == dim,
+      s"query vectors must all be dim $dim, got " +
+        s"[${row.get(0)}, ${row.get(1)}]")
+  }
 
   /** The size gate every batch-probe join goes through (VERDICT r14
     * #2): broadcast at ≤ `maxRows` (row counts exact at plan time),
@@ -1147,6 +1153,32 @@ object Similarity {
       .select(col("__qid").as("qid"), vectors(idCol).as(idCol), col("cos"))
   }
 
+  /** The shared exact-rerank tail of the COMPOSED batch probes:
+    * candidates (__qid, __cell, id) re-attach their query vector, join
+    * the CELL-PRUNED vectors on (cell, id), score exact cosine, keep
+    * top-`k` per qid — every join size-gated, every window
+    * qid-partitioned ([[batchExactRerank]]'s cell-pruned twin).
+    */
+  private def batchCellExactRerank(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, labelCol: String, cand: DataFrame, qn: DataFrame,
+      idCol: String, vecCol: String, k: Int, digits: Int,
+      nq: Long, rerank: Int, broadcastMaxRows: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val candQ = cand.join(
+      sizeGated(qn.select(col("__qid"), col("__qe")), nq, broadcastMaxRows), "__qid")
+    val vecs = spark.read.parquet(s"$indexPath/vectors")
+    val wTop = Window.partitionBy(col("__qid"))
+      .orderBy(col("cos").desc, vecs(idCol).asc)
+    vecs.join(sizeGated(candQ, nq * rerank, broadcastMaxRows),
+        vecs(labelCol) === candQ("__cell") && vecs(idCol) === candQ(idCol))
+      .withColumn("cos", pround(
+        dot(col("__qe"), toDoubleArr(vecs(vecCol))) /
+          (l2Norm(toDoubleArr(vecs(vecCol))) * l2Norm(col("__qe"))), digits))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as("qid"), vecs(idCol).as(idCol), col("cos"))
+  }
+
   /** BATCH form of [[sq8AdcRerank]] — N queries ADC-score the codes
     * table and exact-rerank in ONE distributed pass instead of N
     * driver-looped jobs. The first pass is a full codes scan PER QUERY
@@ -1172,6 +1204,7 @@ object Similarity {
     val nq = queries.select(count(lit(1))).head().getLong(0)
     val qn = batchQueryFrame(queries, qidCol, qVecCol)
     val (mns, sts) = readSq8Params(spark, indexPath)
+    requireQueryDim(queries, qVecCol, mns.size)
     val codes = spark.read.parquet(s"$indexPath/codes")
     val adc = ecol(graft.functions.Sq8AdcVec(
       eexpr(col("codes")), eexpr(col("__qe")), mns, sts))
@@ -1208,6 +1241,7 @@ object Similarity {
     val probeSet = batchCellProbeSet(spark, indexPath, labelCol, qn,
       nprobe, digits)
     val (mns, sts) = readSq8Params(spark, indexPath)
+    requireQueryDim(queries, qVecCol, mns.size)
     val codes = spark.read.parquet(s"$indexPath/codes")
     val paired = codes.join(sizeGated(probeSet, nq * nprobe, broadcastMaxRows),
       codes(labelCol) === probeSet("__cell"))
@@ -1221,19 +1255,8 @@ object Similarity {
       .withColumn("__rn", row_number().over(wCand))
       .filter(col("__rn") <= rerank)
       .select(col("__qid"), col("__cell"), col(idCol))
-    val candQ = cand.join(
-      sizeGated(qn.select(col("__qid"), col("__qe")), nq, broadcastMaxRows), "__qid")
-    val vecs = spark.read.parquet(s"$indexPath/vectors")
-    val wTop = Window.partitionBy(col("__qid"))
-      .orderBy(col("cos").desc, vecs(idCol).asc)
-    vecs.join(sizeGated(candQ, nq * rerank, broadcastMaxRows),
-        vecs(labelCol) === candQ("__cell") && vecs(idCol) === candQ(idCol))
-      .withColumn("cos", pround(
-        dot(col("__qe"), toDoubleArr(vecs(vecCol))) /
-          (l2Norm(toDoubleArr(vecs(vecCol))) * l2Norm(col("__qe"))), digits))
-      .withColumn("__rn", row_number().over(wTop))
-      .filter(col("__rn") <= k)
-      .select(col("__qid").as("qid"), vecs(idCol).as(idCol), col("cos"))
+    batchCellExactRerank(spark, indexPath, labelCol, cand, qn,
+      idCol, vecCol, k, digits, nq, rerank, broadcastMaxRows)
   }
 
   /** BATCH form of [[bqHammingRerank]] — N queries binarize IN-PLAN
@@ -1255,6 +1278,7 @@ object Similarity {
     require(rerank >= k)
     val nq = queries.select(count(lit(1))).head().getLong(0)
     val thr = readBqParams(spark, indexPath)
+    requireQueryDim(queries, qVecCol, thr.size)
     val qn = batchQueryFrame(queries, qidCol, qVecCol)
       .withColumn("__qw", bqWords(col("__qe"), thr))
     val words = spark.read.parquet(s"$indexPath/words")
@@ -2466,21 +2490,32 @@ object Similarity {
       rerank: Int = 50): DataFrame = {
     val thr = readBqParams(spark, indexPath)
     require(thr.size == query.size, s"dim ${thr.size} != query ${query.size}")
+    spark.read.parquet(s"$indexPath/words")
+      .select(col(idCol), bqHammingLit(bqPackQuery(query, thr)).as("hamming"))
+      .orderBy(col("hamming").asc, col(idCol))
+      .limit(rerank)
+  }
+
+  /** Driver-side sign-bit packing of a query against frozen thresholds
+    * — the literal twin of the in-plan [[bqWords]].
+    */
+  private def bqPackQuery(query: Seq[Double], thr: Seq[Double]): Seq[Long] = {
     val nw = (thr.size + 31) / 32
-    val qw = (0 until nw).map { w =>
+    (0 until nw).map { w =>
       (0 until 32).filter(b => w * 32 + b < thr.size).foldLeft(0L) { (acc, b) =>
         val d = w * 32 + b
         if (query(d) > thr(d)) acc | (1L << b) else acc
       }
     }
-    val ham = (0 until nw).foldLeft(lit(0L)) { (acc, w) =>
+  }
+
+  /** Σ_w popcount(words_w ⊕ qw_w) over a stored words row, the query
+    * words as literals — integer-exact, word order irrelevant.
+    */
+  private def bqHammingLit(qw: Seq[Long]): Column =
+    qw.indices.foldLeft(lit(0L)) { (acc, w) =>
       acc + bit_count(element_at(col("words"), w + 1).bitwiseXOR(lit(qw(w))))
     }
-    spark.read.parquet(s"$indexPath/words")
-      .select(col(idCol), ham.as("hamming"))
-      .orderBy(col("hamming").asc, col(idCol))
-      .limit(rerank)
-  }
 
   // ------------------------------------------------------------------
   // Composed IVF-BQ — cell-pruned sign-bit codes (the billion-vector
@@ -2527,18 +2562,8 @@ object Similarity {
     }
     val thr = readBqParams(spark, indexPath)
     require(thr.size == query.size, s"dim ${thr.size} != query ${query.size}")
-    val nw = (thr.size + 31) / 32
-    val qw = (0 until nw).map { w =>
-      (0 until 32).filter(b => w * 32 + b < thr.size).foldLeft(0L) { (acc, b) =>
-        val d = w * 32 + b
-        if (query(d) > thr(d)) acc | (1L << b) else acc
-      }
-    }
-    val ham = (0 until nw).foldLeft(lit(0L)) { (acc, w) =>
-      acc + bit_count(element_at(col("words"), w + 1).bitwiseXOR(lit(qw(w))))
-    }
     val cand = pruned("words")
-      .select(col(idCol), ham.as("hamming"))
+      .select(col(idCol), bqHammingLit(bqPackQuery(query, thr)).as("hamming"))
       .orderBy(col("hamming").asc, col(idCol))
       .limit(rerank)
       .select(col(idCol))
@@ -2565,6 +2590,7 @@ object Similarity {
     require(nprobe >= 1 && rerank >= k)
     val nq = queries.select(count(lit(1))).head().getLong(0)
     val thr = readBqParams(spark, indexPath)
+    requireQueryDim(queries, qVecCol, thr.size)
     val qn = batchQueryFrame(queries, qidCol, qVecCol)
       .withColumn("__qw", bqWords(col("__qe"), thr))
     val probeSet = batchCellProbeSet(spark, indexPath, labelCol, qn,
@@ -2584,19 +2610,8 @@ object Similarity {
       .withColumn("__rn", row_number().over(wCand))
       .filter(col("__rn") <= rerank)
       .select(col("__qid"), col("__cell"), col(idCol))
-    val candQ = cand.join(
-      sizeGated(qn.select(col("__qid"), col("__qe")), nq, broadcastMaxRows), "__qid")
-    val vecs = spark.read.parquet(s"$indexPath/vectors")
-    val wTop = Window.partitionBy(col("__qid"))
-      .orderBy(col("cos").desc, vecs(idCol).asc)
-    vecs.join(sizeGated(candQ, nq * rerank, broadcastMaxRows),
-        vecs(labelCol) === candQ("__cell") && vecs(idCol) === candQ(idCol))
-      .withColumn("cos", pround(
-        dot(col("__qe"), toDoubleArr(vecs(vecCol))) /
-          (l2Norm(toDoubleArr(vecs(vecCol))) * l2Norm(col("__qe"))), digits))
-      .withColumn("__rn", row_number().over(wTop))
-      .filter(col("__rn") <= k)
-      .select(col("__qid").as("qid"), vecs(idCol).as(idCol), col("cos"))
+    batchCellExactRerank(spark, indexPath, labelCol, cand, qn,
+      idCol, vecCol, k, digits, nq, rerank, broadcastMaxRows)
   }
 
   /** Per-partition COMPOSED IVF-BQ build against a FROZEN coarse
