@@ -14,7 +14,15 @@ class CorpusPipelineSpec extends SparkSpec {
 
   test("stages shrink monotonically; export round-trips; manifest consistent") {
     val out = tmpDir("corpus-pipeline")
+    // cached mode materializes each stage via localCheckpoint; the
+    // checkpointed RDDs must be freed EXPLICITLY as successors land
+    // (Dataset.unpersist is a no-op for checkpoint blocks — ADVICE r15:
+    // all 10 stages' blocks stayed resident for the whole run). Pin:
+    // no pipeline RDD remains registered after runOn returns.
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val stages = CorpusPipeline.run(spark, sf, out, nShards = 4)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty, s"stage checkpoint blocks still registered: $leaked")
 
     val byName = stages.map(s => s.stage -> s).toMap
     assert(stages.map(_.stage) == Seq("quality_gates", "exact_dedup", "boilerplate",
