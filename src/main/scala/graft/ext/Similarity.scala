@@ -1094,7 +1094,10 @@ object Similarity {
       dim: Int): Unit = {
     val row = queries
       .agg(min(size(col(qVecCol))), max(size(col(qVecCol)))).head()
-    require(!row.isNullAt(0) && row.getInt(0) == dim && row.getInt(1) == dim,
+    // an empty batch is valid (probes return empty); only NON-empty
+    // frames must carry the index's dimension uniformly
+    require(row.isNullAt(0) ||
+        (row.getInt(0) == dim && row.getInt(1) == dim),
       s"query vectors must all be dim $dim, got " +
         s"[${row.get(0)}, ${row.get(1)}]")
   }

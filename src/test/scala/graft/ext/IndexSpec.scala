@@ -234,6 +234,25 @@ class IndexSpec extends SparkSpec {
     assert(probe.count() == 10)
   }
 
+  test("batch probes guard the query dimension; an empty batch returns empty") {
+    // the single probes require() their dim against the learned params;
+    // the batch twins must fail the same way instead of silently
+    // ranking nulled/zero-padded scores (round-16 self-review finding)
+    val emb = graft.Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") >= 3).drop("label")
+    val idx = tmpDir("idx-sq8-guard")
+    Similarity.buildSq8(corpus, "vec_id", "embedding", idx, dim = 64)
+    val bad = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), slice(col("embedding"), 1, 32).as("embedding"))
+    intercept[IllegalArgumentException] {
+      Similarity.sq8ProbeBatch(spark, idx, corpus, "vec_id", "embedding",
+        bad, "vec_id", "embedding")
+    }
+    val empty = emb.filter(col("vec_id") < 0)
+    assert(Similarity.sq8ProbeBatch(spark, idx, corpus, "vec_id", "embedding",
+      empty, "vec_id", "embedding").count() == 0)
+  }
+
   test("ivfBqProbe: both data reads pruned to <= nprobe cells, no corpus scan") {
     val emb = graft.Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") === 0)
