@@ -267,6 +267,16 @@ object Bench {
       else None
     }
 
+  /** Wipe a failed census root so the next cold build is genuinely
+    * cold (a timed build over leftover partial indexes would record an
+    * understated `index_build_sec`).
+    */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val smallDir = sys.env.getOrElse("SPARK_GRAFT_GROWTH_DIR", "/root/testdata/sf0.01")
@@ -358,32 +368,55 @@ object Bench {
       }
       allOk
     }
-    val indexBuildSec =
-      if (cacheBase.nonEmpty && marker.exists() && cachedRoot.isDirectory) {
+    // a corrupt or unparsable marker (crash mid-write, a pre-fix
+    // locale-formatted figure) must fall back to the cold path, not
+    // permanently break warm runs: delete it and remeasure
+    val warmSec: Option[Double] =
+      if (cacheBase.nonEmpty && marker.exists() && cachedRoot.isDirectory)
+        try Some(new String(
+          java.nio.file.Files.readAllBytes(marker.toPath)).trim.toDouble)
+        catch { case _: NumberFormatException => marker.delete(); None }
+      else None
+    val indexBuildSec = warmSec match {
+      case Some(sec) =>
         System.setProperty("graft.index.dir", cachedRoot.toString)
         // re-ensure against the live fingerprints: warm = footer reads,
         // a changed corpus rebuilds here (untimed — it is not a cold
         // census, and the marker's figure is replaced below only on a
         // cold run)
         buildCensus()
-        new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toDouble
-      } else {
+        sec
+      case None =>
         val freshRoot =
           if (cacheBase.isEmpty)
             java.nio.file.Files.createTempDirectory("graft-bench-index").toString
-          else { cachedRoot.mkdirs(); cachedRoot.toString }
+          else {
+            // a prior FAILED cold census (allOk=false → no marker) may
+            // have left partially-built indexes here; timing a build on
+            // top of them would persist a partially-warm figure as the
+            // "fully cold" index_build_sec — wipe the root first
+            if (cachedRoot.exists()) deleteRecursively(cachedRoot)
+            cachedRoot.mkdirs(); cachedRoot.toString
+          }
         System.setProperty("graft.index.dir", freshRoot)
         val t0 = System.nanoTime()
         val allOk = buildCensus()
         val sec = (System.nanoTime() - t0) / 1e9
         // a census with ANY failed build must not leave a marker: a
         // disk-full first run would otherwise record its near-zero
-        // "build time" and replay it forever
-        if (cacheBase.nonEmpty && allOk)
-          java.nio.file.Files.write(marker.toPath,
-            f"$sec%.3f".getBytes("UTF-8"))
+        // "build time" and replay it forever. Locale-independent format
+        // + write-then-rename so a crash never leaves a corrupt marker
+        if (cacheBase.nonEmpty && allOk) {
+          val tmp = new java.io.File(marker.getParentFile, marker.getName + ".tmp")
+          java.nio.file.Files.write(tmp.toPath,
+            String.format(java.util.Locale.ROOT, "%.3f",
+              Double.box(sec)).getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp.toPath, marker.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
         sec
-      }
+    }
 
     // calibration phase 1: machine speed + per-job scheduler latency
     // before any timed query

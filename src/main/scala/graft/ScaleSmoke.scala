@@ -454,6 +454,40 @@ object ScaleSmoke {
       return
     }
 
+    if (args.headOption.contains("gate")) {
+      // `runMain graft.ScaleSmoke gate [nDocs]` — VERDICT r16 #1 at the
+      // adversarial geometry: percentileGate with ONE constant stratum
+      // ([[graft.ext.Dsir.sampleByShare]]'s "__all" group) over a
+      // ≥10M-doc corpus whose values are 1e-6-quantized — maximal
+      // distinct-value histogram, the case where the old
+      // partitionBy(stratum) cumulative window ran ONE task. chunks=1
+      // reproduces that shape; chunks=256 is the shipped default. Same
+      // kept count either way (long addition is associative) — the
+      // wall-clock gap IS the parallelism reclaimed.
+      import org.apache.spark.sql.functions._
+      val nDocs = args.lift(1).map(_.toLong).getOrElse(10000000L)
+      val docs = spark.range(0L, nDocs, 1L, 32).select(
+        col("id").as("doc_id"), lit("__all").as("s"),
+        // ~uniform on [0, 10) at 1e-7 quantization — the Gumbel-key
+        // shape where nearly every doc's value is distinct → the
+        // histogram is ~nDocs rows, every one through the cum window
+        (pmod(xxhash64(col("id") * 131L), lit(100000000L)).cast("double") / 1e7)
+          .as("v")).cache()
+      docs.count()
+      Seq(1, 32, 256).foreach { c =>
+        val secs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val kept = graft.ext.TextStats.percentileGate(
+            docs, "s", "v", q = 0.7, chunks = c).count()
+          ((System.nanoTime() - t0) / 1e9, kept)
+        }
+        println(f"[gate] docs=$nDocs chunks=$c kept=${secs.head._2} sec=${secs.map(_._1).min}%.2f")
+      }
+      docs.unpersist()
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("corpus")) {
       // `runMain graft.ScaleSmoke corpus [nDocs]` — the full corpus
       // pipeline alone, in a clean JVM: the 10M-doc geometry measured

@@ -1036,6 +1036,11 @@ object Similarity {
         .drop("__qj", "__qcv")
     val cbs = readPqCodebooks(spark, indexPath)
     val sub = cbs.head.head.size
+    // ADVICE r16: the PQ batch (and its residual path) was the one
+    // batch probe missing the dimension guard — a mismatched per-row
+    // vector slices/zip_withs to null ADC scores that sort NULLS LAST
+    // into plausible-looking garbage ranks
+    requireQueryDim(queries, qVecCol, cbs.length * sub)
     val codes = spark.read.parquet(s"$indexPath/codes")
     val paired = codes.join(gated(probeSet, nq * nprobe),
       codes(labelCol) === probeSet("__cell"))
@@ -1092,8 +1097,14 @@ object Similarity {
     */
   private def requireQueryDim(queries: DataFrame, qVecCol: String,
       dim: Int): Unit = {
+    // min/max skip nulls, so a null query vector would slip through
+    // the dimension check and silently score null downstream — count
+    // them explicitly so they fail as loudly as a wrong dimension
     val row = queries
-      .agg(min(size(col(qVecCol))), max(size(col(qVecCol)))).head()
+      .agg(min(size(col(qVecCol))), max(size(col(qVecCol))),
+        count(when(col(qVecCol).isNull, lit(1)))).head()
+    require(row.getLong(2) == 0L,
+      s"query batch contains ${row.getLong(2)} null vectors in $qVecCol")
     // an empty batch is valid (probes return empty); only NON-empty
     // frames must carry the index's dimension uniformly
     require(row.isNullAt(0) ||

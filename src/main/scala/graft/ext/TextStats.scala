@@ -232,13 +232,13 @@ object TextStats {
     * is one value→count map per stratum — a single-task memory hotspot
     * when a stratum is most of the corpus, e.g. [[Dsir.sampleByShare]]'s
     * single "__all" group). Here the per-(stratum, value) counting is
-    * an ordinary distributed aggregate; only the cumulative scan that
-    * locates the two order statistics around rank q·(n−1) runs per
-    * stratum, over DISTINCT-VALUE rows — bounded by the value grid
-    * (gated values are pround-ed, so a few 10⁶ rows at worst), not by
-    * corpus rows. The threshold table is stratum-count rows and
-    * broadcasts; the gate is a broadcast-join filter — the corpus is
-    * scanned twice but never shuffled.
+    * an ordinary distributed aggregate, and the cumulative scan that
+    * locates the two order statistics around rank q·(n−1) runs CHUNKED
+    * (two-phase prefix sum, see below) so no task ever sorts more than
+    * ~1/C of a stratum's DISTINCT-VALUE histogram. Three corpus passes
+    * total — boundary learn, histogram, gate — each map-side-combined
+    * or a broadcast-join filter; the corpus itself is never shuffled.
+    * The threshold table is stratum-count rows and broadcasts.
     *
     * Interpolation reproduces Spark's `percentile` bit-for-bit
     * ((hi−pos)·v_lo + (pos−lo)·v_hi, the lower value when the rank
@@ -255,16 +255,73 @@ object TextStats {
     * thresholds to the grid makes the cut deterministic.
     */
   def percentileGate(df: DataFrame, strataCol: String, valueCol: String,
-      q: Double, thrDigits: Option[Int] = None): DataFrame = {
+      q: Double, thrDigits: Option[Int] = None,
+      chunks: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(chunks > 0 && chunks <= 65536, s"chunks in [1, 65536], got $chunks")
     // group on the double view of the value — the same widening
     // Spark's percentile applies before interpolating
     val cts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(strataCol), col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__c"))
-    val wCum = Window.partitionBy(col(strataCol)).orderBy(col("__v"))
+    // Two-phase chunked prefix sum (the [[Sampling.mixtureByBudget]]
+    // pattern, VERDICT r16 #1): the naive cumulative window
+    // partitionBy(stratum).orderBy(__v) sorts a stratum's WHOLE
+    // distinct-value histogram through one task — with
+    // [[Dsir.sampleByShare]]'s constant "__all" stratum that is one
+    // task over up to ~10⁷ quantized-key rows. Unlike the mixture's
+    // hash chunks, the scan here must follow VALUE order, so chunk
+    // boundaries are learned: per-stratum percentile_approx over the
+    // histogram gives ~equal-count, value-contiguous slices. The
+    // boundaries are COLLECTED once and re-enter the plan as literals —
+    // a K·C-value driver read (the adjudicated centroid/param shape) —
+    // because a nondeterministic sketch-merge re-executed on two plan
+    // branches could chunk the subtotal and scan sides differently.
+    // Chunking never changes results: long addition is associative, so
+    // __cum per row is identical for ANY value-contiguous chunking
+    // (every oracle hash held through this rewrite).
+    val bndAgg = cts.groupBy(col(strataCol))
+      .agg(percentile_approx(col("__v"),
+        array((1 until math.max(chunks, 2)).map(i =>
+          lit(i.toDouble / chunks)): _*),
+        lit(2048)).as("__b"))
+    val bndRows = if (chunks == 1) Array.empty[org.apache.spark.sql.Row]
+      else bndAgg.collect()
+    // chunk = count of learned boundaries strictly below __v — monotone
+    // in __v (value-contiguous) and a row-local codegen scan
+    // ([[graft.functions.CountLess]]; the HOF fold it replaces is
+    // CodegenFallback and dominated the gate at C≥256) against the
+    // broadcast boundary table (one expression at any strata count; a
+    // null-stratum group misses the join and lands whole in chunk 0)
+    val keyed =
+      if (bndRows.isEmpty) cts.withColumn("__ck", lit(0))
+      else {
+        val bdf = df.sparkSession.createDataFrame(
+          java.util.Arrays.asList(bndRows: _*), bndAgg.schema)
+        cts.join(broadcast(bdf), Seq(strataCol), "left")
+          .withColumn("__ck", coalesce(
+            graft.functions.GraftFunctions.count_less(col("__b"), col("__v")),
+            lit(0)))
+          .drop("__b")
+      }
+    // phase 1: per-(stratum, chunk) count subtotals — one map-side-
+    // combined aggregate, ≤ strata·C rows out
+    val subs = keyed.groupBy(col(strataCol), col("__ck"))
+      .agg(sum(col("__c")).as("__t"))
+    // phase 2: exclusive-prefix offsets + stratum totals over that TINY
+    // table — the only stratum-wide window left, and it never sees
+    // histogram rows (≤ C rows per stratum)
+    val wOff = Window.partitionBy(col(strataCol)).orderBy(col("__ck"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = subs
+      .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .drop("__t")
+    val ns = subs.groupBy(col(strataCol)).agg(sum(col("__t")).as("__n"))
+    // phase 3: chunk-local running sums — no task scans more than ~1/C
+    // of a stratum's histogram
+    val wCum = Window.partitionBy(col(strataCol), col("__ck"))
+      .orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col(strataCol))
     val pos = lit(q) * (col("__n") - 1).cast("double")
     val loI = floor(pos).cast("long")
     val hiI = ceil(pos).cast("long")
@@ -273,9 +330,10 @@ object TextStats {
     // of the two ranks around pos
     def statAt(rank: Column): Column =
       max(when(col("__cum") - col("__c") <= rank && rank < col("__cum"), col("__v")))
-    val thr = cts
-      .withColumn("__cum", sum(col("__c")).over(wCum))
-      .withColumn("__n", sum(col("__c")).over(wAll))
+    val thr = keyed
+      .join(broadcast(offs), Seq(strataCol, "__ck"))
+      .join(broadcast(ns), Seq(strataCol))
+      .withColumn("__cum", sum(col("__c")).over(wCum) + col("__off"))
       .withColumn("__pos", pos)
       .withColumn("__loI", loI)
       .withColumn("__hiI", hiI)

@@ -36,6 +36,9 @@ object GraftFunctions {
     ("vec_norm",
       new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
       (args: Seq[Expression]) => VecNorm(args.head)),
+    ("count_less",
+      new ExpressionInfo(classOf[CountLess].getName, "count_less"),
+      (args: Seq[Expression]) => CountLess(args(0), args(1))),
     ("cbor_to_json",
       new ExpressionInfo(classOf[CborToJson].getName, "cbor_to_json"),
       (args: Seq[Expression]) => CborToJson(args.head)),
@@ -59,6 +62,8 @@ object GraftFunctions {
   def did_valid(c: Column): Column = column(DidValid(expression(c)))
   def vec_dot(a: Column, b: Column): Column = column(VecDot(expression(a), expression(b)))
   def vec_norm(c: Column): Column = column(VecNorm(expression(c)))
+  def count_less(arr: Column, v: Column): Column =
+    column(CountLess(expression(arr), expression(v)))
   def cbor_to_json(c: Column): Column = column(CborToJson(expression(c)))
   def json_to_cbor(c: Column): Column = column(JsonToCbor(expression(c)))
   def xrpc_frame_to_json(c: Column): Column = column(XrpcFrameToJson(expression(c)))

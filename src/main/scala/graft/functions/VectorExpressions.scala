@@ -464,3 +464,68 @@ case class Sq8AdcVec(left: Expression, right: Expression, mn: Seq[Double],
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** `count_less(arr, v)` — the number of elements of `arr` strictly
+  * below `v`: the chunk-assignment primitive of
+  * [[graft.ext.TextStats.percentileGate]]'s two-phase prefix sum
+  * (count of learned boundaries below a histogram value — monotone in
+  * `v`, so chunks are value-contiguous). The equivalent
+  * `aggregate(arr, 0, (acc, b) -> acc + if(v > b, 1, 0))` HOF is
+  * CodegenFallback (see the file header) and linear-interpreted: at
+  * C=256 boundaries × 10⁷ histogram rows it dominated the gate's
+  * wall clock. This is a tight primitive loop inside
+  * WholeStageCodegen. Null semantics: null array or null value → null;
+  * a null ELEMENT → null (matching the HOF, whose null accumulator
+  * poisons the fold).
+  */
+case class CountLess(left: Expression, right: Expression) extends BinaryExpression {
+  import VectorExpressions._
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "count_less"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && right.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, double), got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val v = b.asInstanceOf[Double]
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      if (evalGet(arr, left.dataType, i) < v) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val nullCheck =
+        if (containsNull(left.dataType))
+          s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |final int $n = $a.numElements();
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
+         |  if (${genGet(a, left.dataType, i)} < $b) $c++;
+         |}
+         |if (!${ev.isNull}) ${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

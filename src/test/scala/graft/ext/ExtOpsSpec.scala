@@ -287,6 +287,41 @@ class ExtOpsSpec extends SparkSpec {
     assert(kept == Set(("a", 8.0), ("a", 9.0), ("a", 10.0), ("b", 300.0)))
   }
 
+  test("percentileGate plan pin: no stratum-only window in the gate path") {
+    // the 100 TB property (VERDICT r16 #1): the cumulative scan over
+    // the distinct-value histogram must be keyed by (stratum, chunk) —
+    // a stratum-only window funnels sampleByShare's constant "__all"
+    // stratum through ONE task. The only stratum-only window allowed is
+    // the offsets prefix, which orders by chunk id and sees ≤ C
+    // subtotal rows per stratum, never histogram rows.
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val docs = graft.Tables.documents(spark, sf)
+    val scored = TextStats.qualityScore(docs, "doc_id", "text")
+      .withColumn("s", lit("__all"))
+    val out = TextStats.percentileGate(scored, "s", "quality", q = 0.7)
+    val wins = out.queryExecution.optimizedPlan.collect { case w: Window => w }
+    assert(wins.size == 2, s"expected offsets + chunk-local windows, got ${wins.size}")
+    wins.foreach { w =>
+      val ordersOnChunk =
+        w.orderSpec.map(_.child.references.map(_.name).toSet) == Seq(Set("__ck"))
+      // (a constant stratum is folded out of the partition spec by the
+      // optimizer — the invariant is that the chunk key remains)
+      if (!ordersOnChunk)
+        assert(w.partitionSpec.flatMap(_.references.map(_.name)).contains("__ck"),
+          s"histogram-side window keyed by ${w.partitionSpec.map(_.sql).mkString(",")} — " +
+            "stratum-only window back in the gate path")
+    }
+    // chunked form ≡ the single-chunk (logical single-window) form at a
+    // chunk count that forces multi-chunk strata — long addition is
+    // associative, so the kept set is invariant under chunking
+    val fine = TextStats.percentileGate(scored, "s", "quality", q = 0.7, chunks = 4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val coarse = TextStats.percentileGate(scored, "s", "quality", q = 0.7, chunks = 1)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(fine.nonEmpty && fine == coarse,
+      "chunked percentile gate diverged from the single-chunk form")
+  }
+
   test("percentileGate thrDigits snaps the cutoff to the value grid") {
     // 10 values on a 1e-1 grid; p70 = 0.1 + 0.7·0.9 = 0.73 exactly
     // between grid points → rounding to 1 digit snaps the threshold to

@@ -49,6 +49,26 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(nullArr.select(vec_norm(col("v"))).head().isNullAt(0))
   }
 
+  test("count_less counts boundaries below v; null array/element -> null") {
+    import GraftFunctions.count_less
+    val df = Seq((1L, Array(0.25, 0.5, 0.75), 0.6),
+      (2L, Array(0.25, 0.5, 0.75), 0.1),
+      (3L, Array(0.25, 0.5, 0.75), 0.5), // strict: boundary == v not counted
+      (4L, Array(0.25, 0.5, 0.75), 2.0)).toDF("id", "b", "v")
+    val out = df.select(col("id"), count_less(col("b"), col("v")))
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 2, 2L -> 0, 3L -> 1, 4L -> 3))
+    val nullArr = Seq((1L, Option.empty[Array[Double]], 0.5)).toDF("id", "b", "v")
+    assert(nullArr.select(count_less(col("b"), col("v"))).head().isNullAt(0))
+    val nullElem = Seq((1L, Array[java.lang.Double](0.25, null), 0.5)).toDF("id", "b", "v")
+    assert(nullElem.select(count_less(col("b"), col("v"))).head().isNullAt(0))
+    // interpreted path agrees (the codegen/interpreted parity contract)
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(df.select(count_less(col("b"), col("v"))).as[Int].collect().toSeq ==
+      Seq(2, 0, 1, 3))
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("codegen and interpreted paths agree bit-for-bit") {
     val df = Seq.tabulate(50)(i =>
       (i.toLong, Array.tabulate(64)(j => (math.sin(i * 64 + j) * 100).toFloat)))
