@@ -424,7 +424,8 @@ object Soak {
       graft.serve.WebSocketServe.start(tail, tablePath,
         s"$dataDir/checkpoints/serve-$tag",
         metrics = new Metrics.Registry, maxSubRate = Some(1e9),
-        replayChunkSize = 50000)
+        replayChunkSize = 50000,
+        replayThrottle = Some(new graft.serve.ReplayThrottle()))
     }
     var edge2: graft.serve.SocketServe.Server = if (multiEdge) startEdge("edge2") else null
     var subC: Subscriber =

@@ -208,7 +208,8 @@ object SocketServe extends org.apache.spark.internal.Logging {
       transport: Transport = LineTransport,
       maxSubRate: Option[Double] = None,
       port: Int = 0,
-      replayChunkSize: Int = 10000): Server = {
+      replayChunkSize: Int = 10000,
+      replayThrottle: Option[ReplayThrottle] = None): Server = {
     val serverSocket = new ServerSocket(port)
     val conns = scala.collection.concurrent.TrieMap.empty[String, Conn]
     val counter = new java.util.concurrent.atomic.AtomicInteger
@@ -369,7 +370,11 @@ object SocketServe extends org.apache.spark.internal.Logging {
         try {
           val replaying =
             conns.readOnlySnapshot().values.filter(_.session.replaying).toSeq.sortBy(_.name)
-          if (replaying.nonEmpty) {
+          // adaptive share (VERDICT r16 #2): when live delivery lag is
+          // over target, the throttle admits only a fraction of pump
+          // ticks — replay degrades to slow catch-up instead of
+          // saturating the box until S21 drops a compliant client
+          if (replaying.nonEmpty && replayThrottle.forall(_.stepAllowed())) {
             ServeJob.onPool(replaying, fanOutWidth) { conn =>
               try conn.synchronized {
                 // the head is read INSIDE the lock, right before the
@@ -431,15 +436,24 @@ object SocketServe extends org.apache.spark.internal.Logging {
             // live head + the emit-loop counters (server.go:71,80 counts
             // each serialized event and its bytes once, before fan-out)
             lastHeadUs.getAndAccumulate(frames.last.timeUs, math.max)
+            // live delivery lag at the serving edge: emit wall-clock −
+            // the batch's newest event time (its time_us is the ingest
+            // sequencer's wall-clock stamp) — the signal the adaptive
+            // replay share governs on
+            replayThrottle.foreach(_.observeLive(nowUs() - frames.last.timeUs))
             eventsEmitted.add(frames.length.toDouble)
             bytesEmitted.add(frames.iterator.map(f =>
               f.wire.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
               .sum.toDouble)
           }
+          // one throttle decision per micro-batch covers every
+          // replaying conn this batch would step (same admission
+          // granularity as the pump's per-tick decision)
+          val batchStepAllowed = replayThrottle.forall(_.stepAllowed())
           ServeJob.onPool(active, fanOutWidth) { conn =>
             try conn.synchronized { // excludes the replay pump per conn
               // head read inside the lock — see the pump's note
-              if (conn.session.replaying)
+              if (conn.session.replaying && batchStepAllowed)
                 try conn.session.replayStep(replaySession, tablePath, lastHeadUs.get())(
                   view => writeView(conn, view))
                 catch {

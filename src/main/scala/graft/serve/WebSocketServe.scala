@@ -41,10 +41,11 @@ object WebSocketServe {
       metrics: Metrics.Registry = Metrics.default,
       maxSubRate: Option[Double] = None,
       port: Int = 0,
-      replayChunkSize: Int = 10000): SocketServe.Server =
+      replayChunkSize: Int = 10000,
+      replayThrottle: Option[ReplayThrottle] = None): SocketServe.Server =
     SocketServe.start(events, tablePath, checkpointDir, fanOutWidth,
       trigger, nowUs, writeTimeoutMs, metrics, WsTransport, maxSubRate, port,
-      replayChunkSize)
+      replayChunkSize, replayThrottle)
 
   private[serve] object WsTransport extends SocketServe.Transport {
 

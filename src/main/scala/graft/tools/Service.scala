@@ -77,7 +77,13 @@ object Service {
       // derived indexes the ticker keeps fresh alongside retention +
       // compaction (programmatic-composition only — no CLI flag: a
       // refresher is a closure over its corpus and build parameters)
-      indexRefreshers: Seq[IndexRefresh] = Nil)
+      indexRefreshers: Seq[IndexRefresh] = Nil,
+      // adaptive replay share (VERDICT r16 #2): replay steps back off
+      // when live delivery lag exceeds this target, so a late joiner
+      // near the box's saturation point degrades to slow catch-up
+      // instead of tipping live delivery into the slow-consumer drop.
+      // ≤0 disables (the fixed FAIR share only).
+      replayTargetLagUs: Long = 2000000L)
 
   /** A running service; `close()` tears everything down in reverse
     * start order.
@@ -147,7 +153,10 @@ object Service {
     val server = WebSocketServe.start(tail, tablePath,
       s"${config.dataDir}/checkpoints/serve",
       metrics = registry, maxSubRate = Some(config.maxSubRate),
-      port = config.listenPort, replayChunkSize = config.serveChunkSize)
+      port = config.listenPort, replayChunkSize = config.serveChunkSize,
+      replayThrottle = if (config.replayTargetLagUs > 0)
+        Some(new graft.serve.ReplayThrottle(config.replayTargetLagUs))
+      else None)
 
     // maintenance ticker: TTL trim + closed-hour compaction on one
     // thread, the staleness check on ANOTHER — a multi-minute
@@ -205,6 +214,7 @@ object Service {
         case Array("--ingest-trigger-ms", v)     => c.copy(ingestTriggerMs = v.toLong)
         case Array("--serve-chunk-size", v)      => c.copy(serveChunkSize = v.toInt)
         case Array("--manifest-commits", v)      => c.copy(manifestCommits = v.toBoolean)
+        case Array("--replay-target-lag-us", v)  => c.copy(replayTargetLagUs = v.toLong)
         case other => sys.error(s"unknown flag: ${other.mkString("=")}")
       }
     }
