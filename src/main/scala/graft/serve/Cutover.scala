@@ -216,7 +216,32 @@ final class CutoverSession(
       val grant = pool.reserve(budget.toLong).toInt
       try {
       val (chunk, chunkMax, scanned) =
-        snapshot(spark, Replay.replayChunk(spark, path, cursor, grant))
+        try snapshot(spark, Replay.replayChunk(spark, path, cursor, grant))
+        catch {
+          // A FAILED chunk snapshot must shrink the appetite, not retry
+          // forever at the same size (observed: a grown 400k chunk's
+          // TakeOrdered collect returns each task's LOCAL top-`grant`,
+          // and at ~30 scan tasks the serialized results crossed
+          // spark.driver.maxResultSize — every retry then failed
+          // identically and the session stalled for the rest of the
+          // soak, because the underfull-decay only sees chunks that
+          // SUCCEED). Halve toward the configured size and retry next
+          // tick; regrowth is gated on full successful chunks, so a
+          // halving on a merely-transient failure self-corrects. At the
+          // floor the failure is structural — surface it to the
+          // caller's transient/drop handling instead of looping.
+          case e: Throwable if effChunk > chunkSize =>
+            playback.foreach(_.refund(budget))
+            effChunk = math.max(chunkSize.toLong, effChunk.toLong / 2L).toInt
+            // without these resets the very next tick re-grows off the
+            // STALE full-chunk/lag pair and re-fails at the same size
+            prevLagUs = Long.MinValue
+            lastChunkFull = false
+            traced(s"chunk snapshot failed, decay eff=$effChunk: ${e.getMessage}")
+            logWarning(s"replay chunk snapshot failed at grant=$grant; " +
+              s"halving effective chunk to $effChunk and retrying next tick", e)
+            return true
+        }
       // refund the budget the chunk didn't fill (tail of the backlog,
       // or a pool-clamped grant): only scanned events consume playback
       // tokens

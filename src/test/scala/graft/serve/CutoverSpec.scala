@@ -118,6 +118,61 @@ class CutoverSpec extends SparkSpec {
     assert(delivered.toSeq == delivered.toSeq.sorted, "delivery order not monotonic")
   }
 
+  test("adaptive chunk: a failing snapshot halves the chunk instead of retrying forever") {
+    // the 16k-soak stall: a grown chunk's TakeOrdered collect blew
+    // spark.driver.maxResultSize, every retry failed identically at the
+    // same size, and the session sat at one cursor for the rest of the
+    // run — the underfull-decay only ever sees chunks that SUCCEED.
+    // A failed snapshot must shrink the appetite toward the configured
+    // size, and at the floor surface the error instead of looping.
+    val path = tmpDir("cutover-faildecay")
+    append(path, 1 to 60)
+    var serverSeq = 60 * Step
+    val session = new CutoverSession(
+      Subscribe.SubscriberSpec(), startCursorUs = 1 * Step, chunkSize = 4)
+    val delivered = ArrayBuffer.empty[Long]
+    // a few starved ticks grow the chunk (same shape as the growth test)
+    var liveNext = 61
+    while (session.effectiveChunk < 16 && session.replaying) {
+      session.replayStep(spark, path, serverSeq)(df => delivered ++= collectUs(df))
+      // 12 new events per tick: faster than chunk 4 and 8, so growth
+      // reaches 16 before the session can cut over
+      val batch = liveNext until liveNext + 12
+      append(path, batch)
+      serverSeq = batch.last * Step
+      liveNext += 12
+    }
+    assert(session.effectiveChunk >= 16, "fixture failed to grow the chunk")
+    // a path whose read/scan throws: snapshot fails, chunk halves, the
+    // step reports "still replaying" and the cursor does not move
+    val bad = java.nio.file.Files.createTempFile("graft-bad-table", ".bin")
+    java.nio.file.Files.write(bad, Array.fill[Byte](64)(7))
+    val grown = session.effectiveChunk
+    assert(session.replayStep(spark, bad.toString, serverSeq)(_ => ()))
+    assert(session.effectiveChunk == grown / 2,
+      s"expected ${grown / 2} after one failure, got ${session.effectiveChunk}")
+    // repeated failures walk down to the configured floor...
+    while (session.effectiveChunk > 4)
+      assert(session.replayStep(spark, bad.toString, serverSeq)(_ => ()))
+    // ...and AT the floor the failure propagates (persistent breakage is
+    // the caller's transient/drop decision, not an infinite silent loop)
+    intercept[Throwable] {
+      session.replayStep(spark, bad.toString, serverSeq)(_ => ())
+    }
+    // recovery: against the real table the session still finishes its
+    // replay exactly-once (the failed steps consumed nothing)
+    var ticks = 0
+    while (session.replaying && ticks < 200) {
+      ticks += 1
+      session.replayStep(spark, path, serverSeq)(df => delivered ++= collectUs(df))
+    }
+    assert(!session.replaying, "session never cut over after recovery")
+    val expected = (1L until liveNext).map(_ * Step)
+    assert(delivered.toSet == expected.toSet && delivered.size == delivered.toSet.size,
+      s"lost=${(expected.toSet -- delivered.toSet).size} " +
+        s"dup=${delivered.size - delivered.toSet.size}")
+  }
+
   test("adaptive chunk: a shrinking lag never triggers growth") {
     // static backlog, no live producer: lag shrinks every step, so the
     // session must drain at exactly the configured chunk size
