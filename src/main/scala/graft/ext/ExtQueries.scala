@@ -293,6 +293,47 @@ object ExtQueries {
     }
   }
 
+  /** The OPQ index path last ensured in this JVM — read back at oracle
+    * DUMP time by [[opqOracleSqlLive]] (Verify runs queries first, then
+    * evaluates `SparkEntry.oracleSql`): the learned rotation has no SQL
+    * re-derivation (Procrustes/SVD), so its 1e-9-quantized values enter
+    * the oracle as literals read from the persisted index.
+    */
+  private val lastOpqIndex = new java.util.concurrent.atomic.AtomicReference[String]
+
+  /** E2 — OPQ: learned orthogonal rotation + PQ + exact rerank (Ge et
+    * al. CVPR 2013; [[Similarity.buildOpq]]/[[Similarity.opqRerank]]) —
+    * the accuracy rung above plain PQ at the same bit budget.
+    * Probe-only: the alternating rotation/codebook learn pays once per
+    * corpus snapshot behind [[IndexStore.ensure]].
+    */
+  def opqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val idx = IndexStore.ensure("opq", spark, Seq(s"$dir/embeddings.parquet")) { tmp =>
+      Similarity.buildOpq(
+        Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", tmp, dim = 64, m = 4, ksub = 16)
+    }
+    lastOpqIndex.set(idx)
+    Similarity.opqRerank(spark, idx,
+      Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", queryVec(spark, dir))
+  }
+
+  /** The `opq_topk` oracle, built at dump time from the rotation the
+    * query's own build persisted. A filtered verify that never ran
+    * `opq_topk` has no rotation to embed — emit a trivially-empty SQL
+    * (the compare already fails on that query's missing parquet; the
+    * dump itself must not throw).
+    */
+  def opqOracleSqlLive(): String =
+    Option(lastOpqIndex.get()) match {
+      case Some(idx) =>
+        val spark = SparkSession.active
+        Similarity.opqOracleSql(
+          Similarity.readOpqRotation(spark, idx), dim = 64, m = 4, ksub = 16)
+      case None => "SELECT 1 AS x WHERE false"
+    }
+
   def pqCodes(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"${pqIndexFor(spark, dir, corpusOnly = false)}/codes")
 

@@ -624,6 +624,276 @@ object Similarity {
       buildPqPart(spark.read.parquet(part), idCol, vecCol, cbs, tmp)
     } { (parts, tmp) => mergePq(spark, cbs, parts, tmp) }
 
+  // ----------------------------------------------------------------
+  // OPQ — Optimized Product Quantization (Ge et al., CVPR 2013,
+  // "Optimized Product Quantization for Approximate Nearest Neighbor
+  // Search", the non-parametric solution §4): learn an ORTHOGONAL
+  // rotation R so that PQ quantization of R·x loses less than PQ of x
+  // — the standard accuracy lever at the same bit budget when the
+  // data's correlation structure straddles subspace boundaries
+  // (faiss's "OPQnn,PQmm" pretransform). Alternating optimization:
+  //   (a) fix R: learn PQ codebooks + codes on the rotated vectors;
+  //   (b) fix the codes' reconstructions Y: R = argmin ‖R X − Y‖_F
+  //       over orthogonal R — the orthogonal Procrustes problem,
+  //       solved by R = U Vᵀ from the SVD U Σ Vᵀ of M = Σᵣ yᵣ xᵣᵀ.
+  // Determinism: M accumulates via Portable.dsum (associative decimal
+  // sum — bit-identical under any partitioning), the SVD is a fixed-
+  // sweep one-sided Jacobi on the driver (pure sequential FP —
+  // deterministic given M), and R quantizes at 1e-9 like every other
+  // learned parameter. The rotation learn itself has no SQL twin (no
+  // SVD in an oracle CTE); the 1e-9-quantized R enters the DuckDB
+  // oracle as LITERALS, beyond which the ENTIRE rotate → PQ-learn →
+  // encode → ADC → exact-rerank chain is re-derived in SQL
+  // ([[opqOracleSql]]) — the learn is pinned instead by OpqSpec
+  // (orthogonality, partition-invariance, recall ≥ plain PQ on a
+  // correlated fixture).
+  // ----------------------------------------------------------------
+
+  /** The rotation as a row expression: rotatedᵢ = pround(Σⱼ Rᵢⱼ vⱼ, 9),
+    * one native [[dot]] per output coordinate against a literal row —
+    * a map-only codegen projection, the same shape at 100 TB as
+    * [[pqEncode]] (the rotate rides into the encode pass; the rotated
+    * corpus is never materialized).
+    */
+  def rotateExpr(vec: Column, r: Seq[Seq[Double]]): Column =
+    array(r.map(row => pround(dot(vec, array(row.map(lit): _*)), 9)): _*)
+
+  /** Driver-side twin of [[rotateExpr]] for the query vector — the
+    * same sequential j-ascending fold and 1e-9 quantization, so the
+    * rotated query is bit-identical to what the oracle's CTE computes.
+    */
+  def rotateQuery(q: Seq[Double], r: Seq[Seq[Double]]): Seq[Double] =
+    r.map { row =>
+      var s = 0.0
+      var j = 0
+      while (j < row.length) { s += row(j) * q(j); j += 1 }
+      graft.util.Portable.proundD(s, 9)
+    }
+
+  /** Learn the OPQ rotation by `opqIters` rounds of alternating
+    * optimization over a deterministic hash-sample of ≤ `sampleCap`
+    * vectors (rotation learning is statistics estimation — faiss
+    * trains OPQ on a sample too; the FINAL codebooks and every code
+    * are learned/encoded over the FULL corpus by [[buildOpq]], and
+    * those are what the oracle re-derives). Returns the d×d rotation,
+    * every entry 1e-9-quantized.
+    */
+  def learnOpqRotation(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ksub: Int, pqIters: Int = 3, opqIters: Int = 2,
+      sampleCap: Int = 65536): Seq[Seq[Double]] = {
+    import graft.util.Portable.{dsum, proundD}
+    val n = df.count()
+    val every = math.max(1L, n / sampleCap)
+    val sample =
+      if (every == 1L) df
+      else df.filter(pmod(graft.ext.Dedup.h32(col(idCol).cast("string")),
+        lit(every)) === 0)
+    var r: Seq[Seq[Double]] = (0 until dim).map(i =>
+      (0 until dim).map(j => if (i == j) 1.0 else 0.0))
+    (1 to opqIters).foreach { _ =>
+      val rot = rotateExpr(col(vecCol), r)
+      val cbs = pqCodebooksOf(sample, idCol, rot, dim, m, ksub, pqIters)
+      // reconstruction of the rotated vector from its codes: per
+      // subspace, the assigned codeword — concat gives ŷ ∈ ℝᵈ
+      val sub = dim / m
+      val recon = concat(cbs.zipWithIndex.map { case (cb, s) =>
+        val table = array(cb.map(cw => array(cw.map(lit): _*)): _*)
+        element_at(table,
+          (assignCellL2(slice(rot, lit(s * sub + 1), lit(sub)), cb) + 1).cast("int"))
+      }: _*)
+      // M = Σᵣ ŷᵣ xᵣᵀ (d×d), accumulated as d² keyed decimal sums —
+      // map-side combined, bit-identical under any partitioning
+      val mRows = sample
+        .select(toDoubleArr(col(vecCol)).as("__x"), recon.as("__y"))
+        .select(posexplode(col("__y")).as(Seq("i", "yi")), col("__x"))
+        .select(col("i"), col("yi"), posexplode(col("__x")).as(Seq("j", "xj")))
+        .groupBy(col("i"), col("j"))
+        .agg(dsum(col("yi") * col("xj")).as("m"))
+        .collect()
+      val mm = Array.ofDim[Double](dim, dim)
+      mRows.foreach(row => mm(row.getInt(0))(row.getInt(1)) = row.getDouble(2))
+      r = procrustesRotation(mm).map(_.map(proundD(_, 9)).toSeq).toSeq
+    }
+    r
+  }
+
+  /** Orthogonal Procrustes: R = U Vᵀ of M = U Σ Vᵀ, via deterministic
+    * one-sided Jacobi SVD (fixed sweep order p<q, tolerance + bounded
+    * sweeps — both functions of M alone, so the result is bit-stable
+    * across runs). Rank-deficient M (σⱼ ≈ 0 — unreachable on real
+    * data, handled anyway): the undefined U columns complete by
+    * Gram-Schmidt against the standard basis in index order, keeping R
+    * orthogonal and the completion deterministic.
+    */
+  private[ext] def procrustesRotation(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = m.length
+    // column-major copies: a(k)(j) = column j of M; v accumulates the
+    // right rotations (columns of V)
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def colDot(x: Array[Array[Double]], p: Int, q: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { s += x(i)(p) * x(i)(q); i += 1 }
+      s
+    }
+    var sweep = 0
+    var rotated = true
+    while (rotated && sweep < 64) {
+      rotated = false
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val app = colDot(a, p, p)
+          val aqq = colDot(a, q, q)
+          val apq = colDot(a, p, q)
+          if (math.abs(apq) > 1e-15 * math.sqrt(app * aqq) + 1e-300) {
+            rotated = true
+            // Jacobi rotation zeroing the (p,q) column inner product
+            val tau = (aqq - app) / (2.0 * apq)
+            val t = math.signum(tau) match {
+              case 0.0 => 1.0 / (tau + math.sqrt(1.0 + tau * tau))
+              case sg  => sg / (math.abs(tau) + math.sqrt(1.0 + tau * tau))
+            }
+            val c = 1.0 / math.sqrt(1.0 + t * t)
+            val s = c * t
+            var i = 0
+            while (i < d) {
+              val ap = a(i)(p); val aq = a(i)(q)
+              a(i)(p) = c * ap - s * aq
+              a(i)(q) = s * ap + c * aq
+              val vp = v(i)(p); val vq = v(i)(q)
+              v(i)(p) = c * vp - s * vq
+              v(i)(q) = s * vp + c * vq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    // A = U Σ: normalize columns; complete zero columns against the
+    // standard basis (deterministic index order)
+    val u = Array.ofDim[Double](d, d)
+    (0 until d).foreach { j =>
+      val norm = math.sqrt(colDot(a, j, j))
+      if (norm > 1e-12) {
+        var i = 0
+        while (i < d) { u(i)(j) = a(i)(j) / norm; i += 1 }
+      } else {
+        // Gram-Schmidt e_b against the filled columns, first b that
+        // survives; filled-left-to-right makes the completion unique
+        var b = 0
+        var done = false
+        while (!done && b < d) {
+          val w = Array.tabulate(d)(i => if (i == b) 1.0 else 0.0)
+          (0 until j).foreach { jj =>
+            var pr = 0.0; var i = 0
+            while (i < d) { pr += u(i)(jj) * w(i); i += 1 }
+            i = 0
+            while (i < d) { w(i) -= pr * u(i)(jj); i += 1 }
+          }
+          val wn = math.sqrt(w.map(x => x * x).sum)
+          if (wn > 0.5) {
+            var i = 0
+            while (i < d) { u(i)(j) = w(i) / wn; i += 1 }
+            done = true
+          }
+          b += 1
+        }
+      }
+    }
+    // R = U Vᵀ
+    Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0; var k = 0
+      while (k < d) { s += u(i)(k) * v(j)(k); k += 1 }
+      s
+    }
+  }
+
+  /** Persist the OPQ index family: `$path/rotation` — the d×d learned
+    * rotation as (i, r) rows; `$path/codebooks` / `$path/codes` — the
+    * [[buildPq]] layout, codebooks learned on and codes encoding the
+    * ROTATED corpus, each row's stored norm still ‖v‖ of the ORIGINAL
+    * vector (the cosine denominator; rotation preserves it up to the
+    * 1e-9 quantization, and using the original keeps the exact-rerank
+    * contract identical to every other rung).
+    */
+  def buildOpq(df: DataFrame, idCol: String, vecCol: String, path: String,
+      dim: Int, m: Int, ksub: Int, pqIters: Int = 3, opqIters: Int = 2): Unit = {
+    val r = learnOpqRotation(df, idCol, vecCol, dim, m, ksub, pqIters, opqIters)
+    writeOpqRotation(df.sparkSession, r, path)
+    val rot = rotateExpr(col(vecCol), r)
+    val cbs = pqCodebooksOf(df, idCol, rot, dim, m, ksub, pqIters)
+    writePqCodebooks(df.sparkSession, cbs, path)
+    pqEncodeOf(df, idCol, rot, toDoubleArr(col(vecCol)), cbs)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  private def writeOpqRotation(spark: org.apache.spark.sql.SparkSession,
+      r: Seq[Seq[Double]], path: String): Unit = {
+    import spark.implicits._
+    r.zipWithIndex.map { case (row, i) => (i, row) }.toDF("i", "r")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/rotation")
+  }
+
+  /** The learned rotation back off a [[buildOpq]] index — a d-row
+    * driver read; parquet doubles roundtrip exactly.
+    */
+  def readOpqRotation(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$path/rotation").collect()
+      .map(row => row.getInt(0) -> row.getSeq[Double](1).toSeq)
+      .sortBy(_._1).map(_._2).toSeq
+
+  /** OPQ probe: rotate the query (driver-side d² fold), ADC over the
+    * rotated-space codes picks `rerank` candidates, exact cosine over
+    * the ORIGINAL vectors and ORIGINAL query ranks the final k — the
+    * [[pqAdcRerank]] composition with the rotation folded in. The code
+    * scan never touches raw vectors; the rerank is an id-equi-join.
+    */
+  def opqRerank(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      vectors: DataFrame, idCol: String, vecCol: String, query: Seq[Double],
+      k: Int = 10, rerank: Int = 50, digits: Int = 6): DataFrame = {
+    val r = readOpqRotation(spark, indexPath)
+    val cbs = readPqCodebooks(spark, indexPath)
+    val qRot = rotateQuery(query, r)
+    val cand = pqAdcTopK(spark.read.parquet(s"$indexPath/codes"), idCol,
+      cbs, qRot, rerank, digits).select(col(idCol))
+    vectors.join(broadcast(cand), idCol)
+      .select(col(idCol), cosineTo(query, vecCol, digits).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Per-partition OPQ encode against a FROZEN rotation + codebooks —
+    * the incremental refresh unit ([[buildPqPart]] with the rotate
+    * folded into the encode pass).
+    */
+  def buildOpqPart(df: DataFrame, idCol: String, vecCol: String,
+      r: Seq[Seq[Double]], cbs: Seq[Seq[Seq[Double]]], path: String): Unit =
+    pqEncodeOf(df, idCol, rotateExpr(col(vecCol), r),
+      toDoubleArr(col(vecCol)), cbs)
+      .write.mode("overwrite").parquet(s"$path/codes")
+
+  /** Incremental OPQ index for an append-only partitioned corpus:
+    * frozen-rotation + frozen-codebook per-partition encodes, file-copy
+    * merge — the lifecycle twin of [[ensureIncrementalPq]], with the
+    * rotation persisted alongside the codebooks at merge time.
+    */
+  def ensureIncrementalOpq(spark: org.apache.spark.sql.SparkSession, kind: String,
+      sourceDir: String, idCol: String, vecCol: String,
+      r: Seq[Seq[Double]], cbs: Seq[Seq[Seq[Double]]]): String =
+    IndexStore.ensureIncremental(kind, spark, sourceDir) { (part, tmp) =>
+      buildOpqPart(spark.read.parquet(part), idCol, vecCol, r, cbs, tmp)
+    } { (parts, tmp) =>
+      mergePq(spark, cbs, parts, tmp)
+      writeOpqRotation(spark, r, tmp)
+    }
+
   /** IVF-ADC composed index (Jégou et al. 2011 §V's IVFADC shape,
     * non-residual form — VERDICT r13 #1): ONE learned coarse quantizer
     * ([[kmeansCentroids]], quantized spherical k-means) splits the
@@ -1455,6 +1725,61 @@ object Similarity {
        |  floor((($dotSum) / (vn.vnorm * (SELECT n FROM qn))) * 1e6 + 0.5) / 1e6 AS adc_cos
        |FROM vn $encJoins $tJoins
        |ORDER BY adc_cos DESC, vn.vec_id LIMIT $topk""".stripMargin
+  }
+
+  /** Oracle twin of the OPQ chain (`opq_topk`). The 1e-9-quantized
+    * learned rotation enters as LITERALS (one flat d² DOUBLE[] — the
+    * Procrustes/SVD learn has no SQL twin; see the OPQ section
+    * comment); everything downstream is re-derived in DuckDB: the
+    * rotated corpus view (per-coordinate sequential zip-fold, 1e-9-
+    * quantized — bit-identical to [[rotateExpr]]), the m per-subspace
+    * L2-k-means chains + encode over it ([[pqCtesFromView]]), the ADC
+    * lookup tables against the rotated query, top-`rerank` candidates,
+    * and the exact cosine rerank over the ORIGINAL vectors and query.
+    */
+  def opqOracleSql(r: Seq[Seq[Double]], dim: Int, m: Int, ksub: Int,
+      iters: Int = 3, rerank: Int = 50, topk: Int = 10): String = {
+    val sub = dim / m
+    val rr = r.flatten.mkString("[", ", ", "]")
+    // rotated, quantized coordinate for (row alias v, coord index d.i)
+    def rotCoord(vecSql: String): String =
+      s"floor(list_reduce(list_transform(list_zip(" +
+        s"(SELECT rr FROM rot)[d.i*$dim + 1 : d.i*$dim + $dim], $vecSql), " +
+        s"p -> p[1] * p[2]), (x, y) -> x + y) * 1e9 + 0.5) / 1e9"
+    val tables = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      s"""t$s AS MATERIALIZED (SELECT c.j,
+         |  list_reduce(list_transform(list_zip(c.c, (SELECT qe[$lo:$hi] FROM qv)), p -> p[1] * p[2]), (x, y) -> x + y) AS d
+         |  FROM s${s}c$iters c)""".stripMargin
+    }.mkString(",\n")
+    val encJoins = (0 until m).map(s => s"JOIN enc$s e$s USING (vec_id)").mkString(" ")
+    val tJoins = (0 until m).map(s => s"JOIN t$s ON e$s.code = t$s.j").mkString(" ")
+    val dotSum = (0 until m).map(s => s"t$s.d").mkString(" + ")
+    s"""WITH rot AS MATERIALIZED (SELECT $rr::DOUBLE[] AS rr),
+       |rdims AS MATERIALIZED (SELECT unnest(range(0, $dim))::BIGINT AS i),
+       |rv AS MATERIALIZED (SELECT vec_id, list(s ORDER BY i) AS e FROM (
+       |  SELECT v.vec_id, d.i, ${rotCoord("v.embedding::DOUBLE[]")} AS s
+       |  FROM embeddings v, rdims d WHERE v.vec_id != 0) GROUP BY vec_id),
+       |${pqCtesFromView("rv", " WHERE vec_id != 0", dim, m, ksub, iters)},
+       |q0 AS MATERIALIZED (SELECT embedding::DOUBLE[] AS qe0 FROM embeddings WHERE vec_id = 0),
+       |qv AS MATERIALIZED (SELECT list(s ORDER BY i) AS qe FROM (
+       |  SELECT d.i, ${rotCoord("(SELECT qe0 FROM q0)")} AS s FROM rdims d)),
+       |qn AS (SELECT CASE WHEN n = 0 THEN 1.0 ELSE n END AS n FROM (
+       |  SELECT sqrt(list_reduce(list_transform(qe, x -> x * x), (x, y) -> x + y)) AS n FROM qv)),
+       |$tables,
+       |cand AS (SELECT vn.vec_id,
+       |    floor((($dotSum) / (vn.vnorm * (SELECT n FROM qn))) * 1e6 + 0.5) / 1e6 AS adc_cos
+       |  FROM vn $encJoins $tJoins
+       |  ORDER BY adc_cos DESC, vn.vec_id LIMIT $rerank),
+       |fulldims AS (SELECT unnest(range(0, (SELECT max(len(embedding)) FROM embeddings)))::BIGINT AS i),
+       |dd AS (SELECT e.vec_id, (e.embedding[d.i + 1])::DOUBLE AS x, q0.qe0[d.i + 1] AS y
+       |       FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id,
+       |            fulldims d, q0)
+       |SELECT vec_id,
+       |       floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 AS cos
+       |FROM dd GROUP BY vec_id
+       |ORDER BY cos DESC, vec_id LIMIT $topk""".stripMargin
   }
 
   /** Oracle twin of the ADC + exact-rerank chain (`pq_rerank_topk`):
