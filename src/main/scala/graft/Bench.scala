@@ -343,7 +343,10 @@ object Bench {
       "dsir_weights", "dsir_sample",
       // round 16: the batch-probe and IVF-BQ family + bigram DSIR
       "sq8_batch", "ivf_sq8_batch", "bq_hamming_batch",
-      "ivf_bq_topk", "ivf_bq_batch", "dsir_weights_bigram")
+      "ivf_bq_topk", "ivf_bq_batch", "dsir_weights_bigram",
+      // round 17: OPQ — the rotation + codebook learn is the build,
+      // the timed query is probe-only like every other index rung
+      "opq_topk")
     val cacheBase = sys.env.getOrElse("SPARK_GRAFT_INDEX_CACHE",
       "/tmp/graft-bench-index-cache")
     // the key carries (layout epoch, exact sfDir, census membership):
@@ -661,6 +664,15 @@ object Bench {
     val gsCompact = growth.map { case (k, (s, b, _)) =>
       "\"" + k + "\":" + jnum(b / math.max(s, 1e-9), 2)
     }.mkString("{", ",", "}")
+    // multimodal stand-in share (VERDICT r16 #6): a fixed decode census
+    // — 200 real PNG/JPEG encodes + 20 undecodable blobs — so the
+    // honest-fallback fraction is a TRACKED number every run; the exact
+    // counts are additionally spec-gated (decodeCensus contract 200/220)
+    val (mmDecoded, mmTotal) =
+      try graft.ext.Multimodal.decodeCensus(spark)
+      catch { case _: Throwable => (-1L, -1L) }
+    val mmShare = if (mmTotal > 0) mmDecoded.toDouble / mmTotal else -1.0
+
     val line = {
       val lineBudget = 1700 // < 2000-char tail − sbt prefix/suffix lines
       // norm_v tags the value_norm scheme (ADVICE r11): v3 (round 13) =
@@ -671,7 +683,7 @@ object Bench {
       // value_norm compares are only meaningful within one scheme
       // version.
       val head = s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","value_norm":${jnum(valueNorm, 2)},"norm_v":3,"noise_factor":${jnum(noiseFactor, 2)},"job_lat_ms":${jnum(jobLatSec * 1000, 1)},"n_queries":${results.size},"queries":{"""
-      val tailFmt = s"""},"queries_omitted":NNN,"index_build_sec":${jnum(indexBuildSec, 2)},"growth":$gsCompact,"sf":"$sfDir"}"""
+      val tailFmt = s"""},"queries_omitted":NNN,"index_build_sec":${jnum(indexBuildSec, 2)},"mm_decoded_share":${jnum(mmShare, 3)},"growth":$gsCompact,"sf":"$sfDir"}"""
       var used = head.length + tailFmt.length
       val kept = scala.collection.mutable.ListBuffer.empty[String]
       val bySlowest = results.toSeq.sortBy(-_._2)
@@ -682,7 +694,7 @@ object Bench {
         else omitted += 1
       }
       head + kept.mkString(",") +
-        s"""},"queries_omitted":$omitted,"index_build_sec":${jnum(indexBuildSec, 2)},"growth":$gsCompact,"sf":"$sfDir"}"""
+        s"""},"queries_omitted":$omitted,"index_build_sec":${jnum(indexBuildSec, 2)},"mm_decoded_share":${jnum(mmShare, 3)},"growth":$gsCompact,"sf":"$sfDir"}"""
     }
     println(line)
     // Machine-readable full-precision copy, free of sbt's [info]/[error]
@@ -711,7 +723,7 @@ object Bench {
       structural.toSeq.sorted
         .map { case (k, (s, b, _)) => "\"" + k + "\":[" + s + "," + b + "]" }
         .mkString("{", ",", "}")
-    },"index_build_sec":$indexBuildSec,"probe_only":${
+    },"index_build_sec":$indexBuildSec,"mm_decoded":[$mmDecoded,$mmTotal],"probe_only":${
       probeOnly.map("\"" + _ + "\"").mkString("[", ",", "]")
     },"median_estimator":${
       medianed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

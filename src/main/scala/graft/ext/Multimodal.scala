@@ -22,6 +22,33 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Deterministic decode census (VERDICT r16 #6): a fixed synthetic
+    * corpus — 200 genuinely decodable images (real [[PixelCodec]] PNG
+    * and [[JpegCodec]] JPEG encodes of deterministic rasters) plus 20
+    * known-undecodable blobs — pushed through [[decodeFeatures]].
+    * Returns (decoded, total); the contract is exactly (200, 220).
+    * Bench publishes the share every run (`mm_decoded_share`) and a
+    * spec pins the exact counts, so a codec regression that silently
+    * flips real decodes to digest stand-ins moves a tracked number and
+    * fails a gate instead of hiding behind the honest-fallback flag.
+    */
+  def decodeCensus(spark: org.apache.spark.sql.SparkSession): (Long, Long) = {
+    import spark.implicits._
+    def img(i: Int): Array[Byte] = {
+      val w = 8 + i % 9
+      val h = 8 + (i / 2) % 9
+      val rgb = Array.tabulate(w * h * 3)(j => ((i * 31 + j * 7) % 256).toByte)
+      val im = PixelCodec.RgbImage(w, h, rgb)
+      if (i % 2 == 0) PixelCodec.encodePng(im) else JpegCodec.encode(im)
+    }
+    val good = (0 until 200).map(i => (i.toLong, img(i)))
+    val bad = (200 until 220).map(i =>
+      (i.toLong, Array.tabulate[Byte](64)(j => ((i * 31 + j) % 127).toByte)))
+    val r = decodeFeatures((good ++ bad).toDF("id", "payload"), "payload")
+      .agg(count(when(col("decoded"), lit(1))), count(lit(1))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Fixed-window payload chunking: one row per `chunkSize`-char window
     * of the payload, with per-chunk length and digest — the chunking
     * stage an audio/video pipeline runs before per-chunk decode (byte

@@ -462,6 +462,37 @@ class ExtOpsSpec extends SparkSpec {
     assert(sh == Set((2L, "a b c"), (2L, "b c d"))) // doc 1 yields none
   }
 
+  test("decode census contract: 200 real decodes, 20 honest stand-ins, exactly") {
+    // the tracked-number gate (VERDICT r16 #6): bench publishes this
+    // census's share every run; a codec regression that silently flips
+    // a real decode to a digest stand-in changes the counts and fails
+    // HERE rather than hiding behind the honest-fallback flag
+    assert(Multimodal.decodeCensus(spark) == ((200L, 220L)))
+  }
+
+  test("flat batch probes log the corpus x nq steer above the threshold") {
+    val docsDir = java.nio.file.Files.createTempDirectory("graft-flatguard").toString
+    val emb = graft.Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0)
+    Similarity.buildSq8(emb, "vec_id", "embedding", docsDir, dim = 64)
+    val queries = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val before = Similarity.FlatBatchGuard.fired.get()
+    // silent at the default 10^9 threshold on a fixture-sized corpus...
+    Similarity.sq8ProbeBatch(spark, docsDir, emb, "vec_id", "embedding",
+      queries, "qid", "qvec").count()
+    assert(Similarity.FlatBatchGuard.fired.get() == before,
+      "guard fired below threshold")
+    // ...and fires once the scored-row estimate crosses it
+    System.setProperty("graft.flatbatch.warn.rows", "1")
+    try {
+      Similarity.sq8ProbeBatch(spark, docsDir, emb, "vec_id", "embedding",
+        queries, "qid", "qvec").count()
+      assert(Similarity.FlatBatchGuard.fired.get() == before + 1,
+        "guard did not fire above threshold")
+    } finally System.clearProperty("graft.flatbatch.warn.rows")
+  }
+
   test("multimodal metadata + stubbed batch decode plumbing") {
     val df = Seq(
       (1L, Array[Byte](0x42, 0x4d, 1, 2, 3)), // "BM" magic
