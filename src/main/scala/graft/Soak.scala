@@ -355,11 +355,19 @@ object Soak {
     // persisted index family the engine ships ages with the corpus
     val soakSq8 = graft.ext.Similarity.sq8Params(part0, "vec_id", "embedding", dim = 16)
     val soakBqThr = graft.ext.Similarity.bqThresholds(part0, "vec_id", "embedding", dim = 16)
+    // round 17: the OPQ rung — frozen rotation + rotated-space
+    // codebooks, learned once on part 0 like every other learner
+    val soakOpqRot = graft.ext.Similarity.learnOpqRotation(
+      part0, "vec_id", "embedding", dim = 16, m = 4, ksub = 8, pqIters = 2, opqIters = 1)
+    val soakOpqCbs = graft.ext.Similarity.pqCodebooksOf(part0, "vec_id",
+      graft.ext.Similarity.rotateExpr(col("embedding"), soakOpqRot),
+      dim = 16, m = 4, ksub = 8, iters = 2)
     val lastPosPath = new java.util.concurrent.atomic.AtomicReference[String]
     val lastIvfPath = new java.util.concurrent.atomic.AtomicReference[String]
     val lastSq8Path = new java.util.concurrent.atomic.AtomicReference[String]
     val lastBqPath = new java.util.concurrent.atomic.AtomicReference[String]
     val lastIvfBqPath = new java.util.concurrent.atomic.AtomicReference[String]
+    val lastOpqPath = new java.util.concurrent.atomic.AtomicReference[String]
     val refreshTicks = new java.util.concurrent.atomic.AtomicInteger
 
     val staleFired = new java.util.concurrent.atomic.AtomicInteger
@@ -403,7 +411,16 @@ object Soak {
             val p = graft.ext.Similarity.ensureIncrementalIvfBq(
               s, "soakivfbq", corpusDir, "vec_id", "embedding", soakCents, soakBqThr)
             lastIvfBqPath.set(p); p
-          }))),
+          }),
+          // round 17: the OPQ family ages with the corpus on the same
+          // ticker (frozen rotation + codebooks; appended parts encode
+          // against them, like every other maintenance refresher)
+          Service.IndexRefresh("soak-opq", { s =>
+            val p = graft.ext.Similarity.ensureIncrementalOpq(
+              s, "soakopq", corpusDir, "vec_id", "embedding", soakOpqRot, soakOpqCbs)
+            lastOpqPath.set(p); p
+          })),
+        indexJanitor = true),
       registry = registry,
       onStale = _ => staleFired.incrementAndGet())
 
@@ -578,18 +595,21 @@ object Soak {
           val ivfBqIds = graft.ext.Similarity.ivfBqProbe(spark, lastIvfBqPath.get(),
             "vec_id", "label", "embedding", q, k = 5, nprobe = 4, rerank = 2000)
             .collect().map(_.getLong(0)).toSet
+          val opqIds = graft.ext.Similarity.opqRerank(spark, lastOpqPath.get(),
+            corpusAll, "vec_id", "embedding", q, k = 5, rerank = 2000)
+            .collect().map(_.getLong(0)).toSet
           if (posIds.contains(MarkerId) && ivfIds.contains(MarkerId) &&
               sq8Ids.contains(MarkerId) && bqIds.contains(MarkerId) &&
-              ivfBqIds.contains(MarkerId)) {
+              ivfBqIds.contains(MarkerId) && opqIds.contains(MarkerId)) {
             indexVerified = true
-            println(s"[soak] index refresh verified at +${elapsed}s: all five " +
-              "probes (positional/IVF-PQ/SQ8/BQ/IVF-BQ) see the mid-run marker doc")
+            println(s"[soak] index refresh verified at +${elapsed}s: all six " +
+              "probes (positional/IVF-PQ/SQ8/BQ/IVF-BQ/OPQ) see the mid-run marker doc")
           } else
             println(s"[soak] index probe miss at +${elapsed}s: " +
               s"pos=${posIds.contains(MarkerId)}(${posIds.size}) " +
               s"ivf=${ivfIds.contains(MarkerId)}(${ivfIds.size}) " +
               s"sq8=${sq8Ids.contains(MarkerId)} bq=${bqIds.contains(MarkerId)} " +
-              s"ivfbq=${ivfBqIds.contains(MarkerId)} " +
+              s"ivfbq=${ivfBqIds.contains(MarkerId)} opq=${opqIds.contains(MarkerId)} " +
               s"posPath=${lastPosPath.get()} ivfPath=${lastIvfPath.get()}")
         } catch { case e: Throwable =>
           println(s"[soak] index probe failed (will retry): $e")
@@ -694,7 +714,7 @@ object Soak {
       check(corpusAppended, "mid-run corpus part was never appended (maintenance never seen?)")
       check(indexVerified,
         "post-append probes never saw the marker doc: the registered " +
-          "refreshers did not keep the positional/IVF-PQ/SQ8/BQ/IVF-BQ indexes fresh")
+          "refreshers did not keep the positional/IVF-PQ/SQ8/BQ/IVF-BQ/OPQ indexes fresh")
     }
 
     // manifest mode: commits checkpointed and GC'd — the object count a

@@ -173,7 +173,7 @@ object IndexStore {
               val tmp = new Path(s"$path.build-${java.util.UUID.randomUUID().toString.take(8)}")
               try {
                 build(tmp.toString)
-                writeSources(fs, tmp, gcScope)
+                writeSources(fs, tmp, gcScope, sources)
                 fs.create(new Path(tmp, "_READY"), true).close()
                 // re-check immediately before the swap: if our lock was
                 // stolen as stale mid-build (a build that outran
@@ -308,15 +308,27 @@ object IndexStore {
     * corpus sharing the kind under a shared root, another process's
     * in-flight `.lock`/`.build-*`) is left strictly alone.
     */
-  private def writeSources(fs: FileSystem, dir: Path, sources: Seq[String]): Unit = {
-    val out = fs.create(new Path(dir, "_SOURCES"), true)
-    out.write(sources.sorted.mkString("\n").getBytes("UTF-8"))
-    out.close()
+  private def writeSources(fs: FileSystem, dir: Path, sources: Seq[String],
+      fpSources: Seq[String]): Unit = {
+    def put(name: String, vals: Seq[String]): Unit = {
+      val out = fs.create(new Path(dir, name), true)
+      out.write(vals.sorted.mkString("\n").getBytes("UTF-8"))
+      out.close()
+    }
+    put("_SOURCES", sources)
+    // the FINGERPRINT sources can differ from the GC identity (a merged
+    // incremental index fingerprints its partition set but belongs to
+    // the corpus dir) — the janitor's own-fingerprint liveness test
+    // needs the former; legacy dirs without it fall back to _SOURCES
+    put("_FP_SOURCES", fpSources)
   }
 
   private def readSources(fs: FileSystem, dir: Path): Option[Seq[String]] =
+    readManifest(fs, dir, "_SOURCES")
+
+  private def readManifest(fs: FileSystem, dir: Path, name: String): Option[Seq[String]] =
     try {
-      val in = fs.open(new Path(dir, "_SOURCES"))
+      val in = fs.open(new Path(dir, name))
       val bytes = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](4096)
       var n = in.read(buf)
@@ -336,6 +348,89 @@ object IndexStore {
     * no `_SOURCES` manifest (pre-manifest indexes can't be attributed;
     * sweep those once, manually, after upgrading).
     */
+  /** Root-wide store janitor (VERDICT r16 #4). [[gcStale]] is lag-one
+    * and per-(kind, corpus): it runs only when that kind is re-ensured
+    * against that corpus, so three classes of debris outlive it in a
+    * persistent root — (a) committed indexes whose fingerprint no
+    * longer matches their own sources (a LayoutEpoch bump, or a corpus
+    * rewritten and never re-ensured under this kind), (b) committed
+    * indexes of DELETED corpora (nothing will ever re-ensure them), and
+    * (c) crashed builders' `.build-*` temps and `.lock` files of kinds
+    * never ensured again, idle past the lock-wait budget. The janitor
+    * sweeps all three across EVERY kind under the root in one pass.
+    *
+    * Dry-run by default: returns `(path, reason)` for each candidate
+    * without deleting. Out of scope, exactly like [[gcStale]]:
+    * committed dirs with no `_SOURCES` manifest (unattributable),
+    * live locks/temps within the budget, the current-fingerprint index
+    * of any corpus, and foreign files under a shared root. Deleting a
+    * superseded-but-still-being-read index races its readers — the
+    * documented reader-vs-vacuum contract (the source those readers
+    * asked about is already gone or rewritten).
+    */
+  def janitor(spark: SparkSession, dryRun: Boolean = true): Seq[(String, String)] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Nil
+    val now = System.currentTimeMillis()
+    val victims = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // one fingerprint walk per distinct source set, not per index
+    val fpMemo = scala.collection.mutable.Map.empty[Seq[String], Option[String]]
+    // committed dirs deferred to the group pass: (kind, gc sources, path, fp)
+    val committed =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String], Path, String)]
+    fs.listStatus(rootPath).sortBy(_.getPath.getName).foreach { st =>
+      val name = st.getPath.getName
+      if (name.contains(".build-")) {
+        if (now - graft.util.FsIdle.newestMtime(fs, st.getPath, now) > lockWaitMs)
+          victims += st.getPath.toString -> "orphaned build temp past the lock budget"
+      } else if (name.endsWith(".lock")) {
+        // same staleness rule the loser-break protocol applies; a live
+        // builder slower than the budget already risks its lock broken
+        if (now - st.getModificationTime > lockWaitMs)
+          victims += st.getPath.toString -> "stale lock past the lock budget"
+      } else if (st.isDirectory && fs.exists(new Path(st.getPath, "_READY"))) {
+        readSources(fs, st.getPath).foreach { sources =>
+          val anyLive = sources.exists { src =>
+            scala.util.Try {
+              val sp = new Path(src)
+              sp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sp)
+            }.getOrElse(true) // unreadable source: assume live, keep
+          }
+          if (!anyLive)
+            victims += st.getPath.toString -> "all sources deleted"
+          else {
+            val kind = name.takeWhile(_ != '-')
+            committed += ((kind, sources, st.getPath, name.drop(kind.length + 1)))
+          }
+        }
+      }
+    }
+    // supersession across committed indexes, root-wide: within a
+    // (kind, GC-identity) group, a member is LIVE iff its own
+    // fingerprint sources still hash to its directory fingerprint;
+    // non-live members are reaped ONLY when the group has a live
+    // successor — the janitor never deletes the only copy (the next
+    // ensure supersedes-then-reaps, exactly like gcStale, and probes
+    // keep a servable index until then)
+    committed.groupBy(e => (e._1, e._2)).foreach { case (_, group) =>
+      val live = group.filter { case (_, sources, path, fp) =>
+        val fpSrc = readManifest(fs, path, "_FP_SOURCES").getOrElse(sources)
+        fpMemo.getOrElseUpdate(fpSrc,
+          scala.util.Try(fingerprint(spark, fpSrc)).toOption).contains(fp)
+      }
+      if (live.nonEmpty)
+        group.filterNot(live.contains).foreach { case (_, _, path, _) =>
+          victims += path.toString ->
+            "superseded fingerprint with a live successor (stale epoch or rewritten sources)"
+        }
+    }
+    if (!dryRun) victims.foreach { case (path, _) =>
+      scala.util.Try(fs.delete(new Path(path), true))
+    }
+    victims.toSeq
+  }
+
   private def gcStale(fs: FileSystem, kind: String, keepFp: String,
       gcScope: Seq[String]): Unit = {
     val rootPath = new Path(root)

@@ -78,6 +78,13 @@ object Service {
       // compaction (programmatic-composition only — no CLI flag: a
       // refresher is a closure over its corpus and build parameters)
       indexRefreshers: Seq[IndexRefresh] = Nil,
+      // opt-in index-store janitor (VERDICT r16 #4): each maintenance
+      // tick also sweeps IndexStore.root for debris the lag-one GC
+      // cannot reach — superseded-epoch trees with live successors,
+      // indexes of deleted corpora, crash-orphaned staging past the
+      // lock budget. Off by default: a shared root serving OTHER
+      // services' corpora should be swept by one designated owner.
+      indexJanitor: Boolean = false,
       // adaptive replay share (VERDICT r16 #2): replay steps back off
       // when live delivery lag exceeds this target, so a late joiner
       // near the box's saturation point degrades to slow catch-up
@@ -176,6 +183,17 @@ object Service {
         org.slf4j.LoggerFactory.getLogger(getClass)
           .warn(s"maintenance pass failed: ${e.getMessage}")
       }
+      if (config.indexJanitor)
+        try {
+          val swept = graft.ext.IndexStore.janitor(spark, dryRun = false)
+          if (swept.nonEmpty)
+            org.slf4j.LoggerFactory.getLogger(getClass).info(
+              s"index janitor reclaimed ${swept.size}: " +
+                swept.map { case (p, why) => s"$p ($why)" }.mkString("; "))
+        } catch { case e: Throwable =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"index janitor failed: ${e.getMessage}")
+        }
       // registered index refresh, isolated per index: one corpus whose
       // refresh throws (mid-append listing race, a TTL'd source) must
       // not starve the others or the next retention pass
@@ -215,6 +233,7 @@ object Service {
         case Array("--serve-chunk-size", v)      => c.copy(serveChunkSize = v.toInt)
         case Array("--manifest-commits", v)      => c.copy(manifestCommits = v.toBoolean)
         case Array("--replay-target-lag-us", v)  => c.copy(replayTargetLagUs = v.toLong)
+        case Array("--index-janitor", v)         => c.copy(indexJanitor = v.toBoolean)
         case other => sys.error(s"unknown flag: ${other.mkString("=")}")
       }
     }

@@ -84,6 +84,77 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("janitor: reclaims epoch debris, dead corpora, crash orphans — and nothing else") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(IndexStore.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def plantCommitted(name: String, sources: Seq[String],
+        fpSources: Option[Seq[String]], withSources: Boolean = true): Path = {
+      val dir = new Path(s"${IndexStore.root}/$name")
+      fs.mkdirs(dir)
+      def put(n: String, vals: Seq[String]): Unit = {
+        val out = fs.create(new Path(dir, n), true)
+        out.write(vals.sorted.mkString("\n").getBytes("UTF-8")); out.close()
+      }
+      if (withSources) put("_SOURCES", sources)
+      fpSources.foreach(put("_FP_SOURCES", _))
+      fs.create(new Path(dir, "_READY"), true).close()
+      dir
+    }
+    val src1 = tmpDir("jan-src1"); val src2 = tmpDir("jan-src2")
+    val src3 = tmpDir("jan-src3")
+    Seq(src1, src2, src3).foreach(d =>
+      Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(d))
+    // live index (current fingerprint) — must survive
+    val live = IndexStore.ensure("jan", spark, Seq(src1)) { tmp =>
+      Seq((1L, 1L)).toDF("k", "n").write.parquet(s"$tmp/t")
+    }
+    // stale-epoch sibling of the SAME corpus: wrong fingerprint, live
+    // successor exists — reaped
+    val staleEpoch = plantCommitted("jan-" + "0" * 32, Seq(src1), Some(Seq(src1)))
+    // committed index of a DELETED corpus — reaped
+    IndexStore.ensure("jandead", spark, Seq(src2)) { tmp =>
+      Seq((1L, 1L)).toDF("k", "n").write.parquet(s"$tmp/t")
+    }
+    val deadDir = new Path(fs.listStatus(new Path(IndexStore.root))
+      .map(_.getPath.toString).find(_.contains("/jandead-")).get)
+    fs.delete(new Path(src2), true)
+    // lone stale index (wrong fingerprint, NO live successor): the
+    // janitor must never delete the only copy
+    val lone = plantCommitted("janlone-" + "1" * 32, Seq(src3), Some(Seq(src3)))
+    // unattributable committed dir (no _SOURCES): out of scope
+    val foreign = plantCommitted("janforeign-" + "2" * 32, Nil, None, withSources = false)
+    // crash orphan + stale lock, idle past the (shrunken) budget
+    val orphan = new Path(s"${IndexStore.root}/jangone-deadbeef.build-cafe0000")
+    fs.mkdirs(orphan)
+    val staleLock = new Path(s"${IndexStore.root}/jangone-deadbeef.lock")
+    fs.create(staleLock, true).close()
+    val prevWait = System.getProperty("graft.index.lockWaitMs")
+    System.setProperty("graft.index.lockWaitMs", "1")
+    try {
+      Thread.sleep(5)
+      // dry run: right victims, nothing deleted
+      def noScheme(p: String) = p.stripPrefix("file:")
+      val dry = IndexStore.janitor(spark).map(v => noScheme(v._1)).toSet
+      assert(dry == Set(staleEpoch.toString, deadDir.toString,
+        orphan.toString, staleLock.toString).map(noScheme),
+        s"dry-run victims: $dry")
+      assert(fs.exists(staleEpoch) && fs.exists(deadDir) &&
+        fs.exists(orphan) && fs.exists(staleLock), "dry run must not delete")
+      // real run: exactly the victims gone, survivors intact
+      IndexStore.janitor(spark, dryRun = false)
+      assert(!fs.exists(staleEpoch) && !fs.exists(deadDir) &&
+        !fs.exists(orphan) && !fs.exists(staleLock))
+      assert(fs.exists(new Path(live)), "live index must survive")
+      assert(fs.exists(lone), "the only copy of a stale index must survive")
+      assert(fs.exists(foreign), "unattributable dirs are out of scope")
+      assert(IndexStore.janitor(spark).isEmpty, "second pass finds nothing")
+    } finally {
+      if (prevWait == null) System.clearProperty("graft.index.lockWaitMs")
+      else System.setProperty("graft.index.lockWaitMs", prevWait)
+    }
+  }
+
   test("gcStale spares a LIVE build: stale top-level mtime, fresh task-commit children") {
     val src = tmpDir("idx-gc-live")
     import spark.implicits._
