@@ -497,6 +497,151 @@ object ScaleSmoke {
       return
     }
 
+    if (args.headOption.contains("rehearsal")) {
+      // `runMain graft.ScaleSmoke rehearsal pipeline [nDocs]` /
+      // `runMain graft.ScaleSmoke rehearsal ann [nVecs]` — VERDICT r16
+      // #5, the 100×-shape rehearsal: the growth gates are per-query at
+      // sf0.01→sf0.1; this composes the SAME code paths two decades
+      // above them, once, and publishes per-stage wall-times so PERF.md
+      // can compare each stage's measured growth exponent at scale
+      // against the sf-gate's ^1.3 budget.
+      import org.apache.spark.sql.functions._
+      val mode = args.lift(1).getOrElse("pipeline")
+
+      if (mode == "pipeline") {
+        // the full 10-stage corpus pipeline in DURABLE-checkpoint mode
+        // (the 100 TB posture) at nDocs/10 and nDocs: two points AT
+        // scale → per-stage growth exponent log10(t_big/t_small); the
+        // sf gates predict ≤ 1.3 everywhere
+        val nDocs = args.lift(2).map(_.toLong).getOrElse(30000000L)
+        def runAt(n: Long): Seq[(String, Long, Long, Double)] = {
+          val seed = pmod(col("id"), lit((n * 9) / 10 + 1))
+          def word(k: Int) = concat(lit("w"), pmod(hash(seed * 60 + k), lit(100000)))
+          val tokens = (0 until 10).map(word) ++ Seq(lit("the")) ++
+            (10 until 40).map(word) ++ Seq(lit("and")) ++ (40 until 60).map(word)
+          val corpus = spark.range(n).select(
+            col("id").as("doc_id"),
+            concat_ws(" ", tokens: _*).as("text"),
+            element_at(array(lit("en"), lit("de"), lit("fr"), lit("es"), lit("pt")),
+              (pmod(hash(col("id") + 3), lit(5)) + 1).cast("int")).as("lang"),
+            concat(lit("src"), pmod(col("id"), lit(8))).as("source"))
+            .withColumn("n_chars", length(col("text")))
+          val srcDir = java.nio.file.Files.createTempDirectory("graft-rehearsal-src").toString
+          corpus.write.mode("overwrite").parquet(s"$srcDir/docs")
+          val outDir = java.nio.file.Files.createTempDirectory("graft-rehearsal-out").toString
+          val ckptDir = java.nio.file.Files.createTempDirectory("graft-rehearsal-ckpt").toString
+          val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+          val t0 = System.nanoTime()
+          val stages = graft.ext.CorpusPipeline.runOn(spark,
+            spark.read.parquet(s"$srcDir/docs"), outDir,
+            checkpointDir = Some(ckptDir),
+            onStage = (name, sec) => times(name) = sec)
+          val total = (System.nanoTime() - t0) / 1e9
+          println(f"[rehearsal] pipeline @ $n%d docs: $total%.1fs end-to-end " +
+            f"(${n / total / 1000}%.1fk docs/s, durable checkpoints)")
+          def rm(d: String): Unit = {
+            val p = new org.apache.hadoop.fs.Path(d)
+            p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true): Unit
+          }
+          Seq(srcDir, outDir, ckptDir).foreach(rm)
+          stages.map(st => (st.stage, st.docsIn, st.docsOut,
+            times.getOrElse(st.stage, -1.0)))
+        }
+        val small = runAt(nDocs / 10)
+        val big = runAt(nDocs)
+        println(f"[rehearsal] per-stage growth at ${nDocs / 10}%d → $nDocs%d docs " +
+          "(gate budget: exponent ≤ 1.3 per 10× rows):")
+        small.zip(big).foreach { case ((name, _, _, t1), (_, in2, out2, t2)) =>
+          val g = if (t1 > 0 && t2 > 0) math.log(t2 / t1) / math.log(10.0) else -1.0
+          println(f"[rehearsal]   $name%-16s in=$in2%11d out=$out2%11d " +
+            f"t_small=$t1%8.1fs t_big=$t2%8.1fs exponent=$g%5.2f" +
+            (if (g > 1.3) "  <-- OVER BUDGET" else ""))
+        }
+        spark.stop()
+        return
+      }
+
+      if (mode == "ann") {
+        // the batch ANN serving shape at ≥10M × 768 dense vectors: ONE
+        // shared IVF base (sampled coarse learn — quantizer statistics
+        // from a hash sample, the full corpus only pays the assignment
+        // pass once, inside the cell-partitioned vectors write), SQ8
+        // codes + BQ words over the same cells, single + 10k-query
+        // batch probes on each rung
+        val nVecs = args.lift(2).map(_.toLong).getOrElse(10000000L)
+        val dim = 768
+        val grid = 4503599627370496L
+        spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", 512)
+        val raw = java.nio.file.Files.createTempDirectory("graft-rehearsal-vec").toString
+        var t0 = System.nanoTime()
+        spark.range(0L, nVecs, 1L, 64).select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => pmod(xxhash64(col("id") * lit(1000003L) + i.cast("long")), lit(grid)) / grid.toDouble)
+            .as("embedding"))
+          .write.mode("overwrite").parquet(s"$raw/vectors")
+        def sec(since: Long): Double = (System.nanoTime() - since) / 1e9
+        def dirBytes(p: String): Long = {
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(spark.sessionState.newHadoopConf())
+            .getContentSummary(path).getLength
+        }
+        println(f"[rehearsal] gen $nVecs%d × $dim dense vectors: ${sec(t0)}%.1fs, " +
+          f"${dirBytes(s"$raw/vectors") / 1e9}%.1f GB")
+        val corpus = spark.read.parquet(s"$raw/vectors")
+        val k = 256
+        val idx = java.nio.file.Files.createTempDirectory("graft-rehearsal-ivf").toString
+        t0 = System.nanoTime()
+        val sample = corpus.filter(pmod(xxhash64(col("vec_id") * 31L), lit(50L)) === 0L)
+        val cents = graft.ext.Similarity.kmeansCentroids(sample, "vec_id", "embedding", k, 2)
+        println(f"[rehearsal] coarse k-means (K=$k, 2 iters, 1/50 sample): ${sec(t0)}%.1fs")
+        val bqIdx = java.nio.file.Files.createTempDirectory("graft-rehearsal-bq").toString
+        t0 = System.nanoTime()
+        graft.ext.Similarity.buildIvfSq8BqShared(corpus, "vec_id", "embedding",
+          idx, bqIdx, cents, dim)
+        println(f"[rehearsal] shared IVF base + SQ8 codes + BQ words: ${sec(t0)}%.1fs | " +
+          f"vectors ${dirBytes(s"$idx/vectors") / 1e9}%.1f GB, " +
+          f"codes ${dirBytes(s"$idx/codes") / 1e9}%.2f GB, " +
+          f"words ${dirBytes(s"$bqIdx/words") / 1e9}%.2f GB")
+        // probes: single-query latency, then the 10k-query batch
+        val q = corpus.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Double](0).toSeq
+        def timed(body: => Long): (Double, Long) = {
+          val runs = (1 to 2).map { _ =>
+            val t = System.nanoTime(); val n = body; ((System.nanoTime() - t) / 1e9, n)
+          }
+          runs.minBy(_._1)
+        }
+        val (sq8One, _) = timed(graft.ext.Similarity.ivfSq8Probe(spark, idx,
+          "vec_id", "label", "embedding", q, k = 10, nprobe = 8, rerank = 100).count())
+        val (bqOne, _) = timed(graft.ext.Similarity.ivfBqProbe(spark, bqIdx,
+          "vec_id", "label", "embedding", q, k = 10, nprobe = 8, rerank = 100,
+          vectorsDir = Some(idx)).count())
+        println(f"[rehearsal] single probe (nprobe=8, rerank=100, ~${nVecs / k * 8}%d " +
+          f"candidate rows): ivf-sq8 $sq8One%.2fs, ivf-bq $bqOne%.2fs")
+        val nq = 10000L
+        val queries = corpus.filter(col("vec_id") < nq)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val (sq8Batch, sq8Rows) = timed(graft.ext.Similarity.ivfSq8ProbeBatch(spark, idx,
+          "vec_id", "label", "embedding", queries, "qid", "qvec",
+          k = 10, nprobe = 8, rerank = 100).count())
+        println(f"[rehearsal] ivf-sq8 batch $nq queries: $sq8Batch%.1fs = " +
+          f"${nq / sq8Batch}%.0f q/s ($sq8Rows rows)")
+        val (bqBatch, bqRows) = timed(graft.ext.Similarity.ivfBqProbeBatch(spark, bqIdx,
+          "vec_id", "label", "embedding", queries, "qid", "qvec",
+          k = 10, nprobe = 8, rerank = 100, vectorsDir = Some(idx)).count())
+        println(f"[rehearsal] ivf-bq batch $nq queries: $bqBatch%.1fs = " +
+          f"${nq / bqBatch}%.0f q/s ($bqRows rows)")
+        def rm(d: String): Unit = {
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true): Unit
+        }
+        Seq(raw, idx, bqIdx).foreach(rm)
+        spark.stop()
+        return
+      }
+    }
+
     if (args.headOption.contains("ladder")) {
       // `runMain graft.ScaleSmoke ladder [nVecs] [dim] [dense]` — the
       // compression ladder at memory-bandwidth scale: measure the

@@ -101,7 +101,11 @@ object CorpusPipeline {
       dsirTarget: org.apache.spark.sql.Column =
         col("source").isin("src0", "src1", "src2", "src3"),
       dsirKeep: Double = 0.8,
-      mixShare: Double = 1.0): Seq[Stage] = {
+      mixShare: Double = 1.0,
+      // per-stage wall-clock callback (name, seconds) — the 100×-shape
+      // rehearsal derives per-stage growth exponents from it; a timing
+      // stays out of [[Stage]] so the accounting-equality pins hold
+      onStage: (String, Double) => Unit = (_, _) => ()): Seq[Stage] = {
     val acc = scala.collection.mutable.ListBuffer.empty[Stage]
     // the raw input is counted once; it is deliberately NOT cached — at
     // corpus scale the source parquet re-scan (column-pruned, pushed
@@ -122,6 +126,7 @@ object CorpusPipeline {
         .delete(path, true)
     }
     def staged(name: String, in: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
       val (out, n) = checkpointDir match {
         case Some(cp) =>
           val path = s"$cp/$name"
@@ -147,6 +152,7 @@ object CorpusPipeline {
           (cached, cached.count()) // reads the materialized blocks
       }
       acc += Stage(name, prevCount, n)
+      onStage(name, (System.nanoTime() - t0) / 1e9)
       prevBlocks.foreach(_.unpersist(false))
       prevCkpt.foreach(rmCkpt)
       if (checkpointDir.isDefined) prevCkpt = Some(s"${checkpointDir.get}/$name")

@@ -1328,9 +1328,18 @@ object Similarity {
     // vector slices/zip_withs to null ADC scores that sort NULLS LAST
     // into plausible-looking garbage ranks
     requireQueryDim(queries, qVecCol, cbs.length * sub)
-    val codes = spark.read.parquet(s"$indexPath/codes")
-    val paired = codes.join(gated(probeSet, nq * nprobe),
-      codes(labelCol) === probeSet("__cell"))
+    val codes = spreadForScore(spark.read.parquet(s"$indexPath/codes"))
+    // the (query, cell) probe set broadcasts NARROW — carrying the
+    // dim-wide query vector per probed cell multiplied the broadcast by
+    // nprobe × dim×8 B and blew spark.driver.maxResultSize at the 10k-
+    // query 768-dim rehearsal; the vector rides in via a second
+    // broadcast keyed by qid alone (one copy per query)
+    val probeNarrow = probeSet.select(
+      (col("__qid") +: col("__cell") +:
+        (if (residual) Seq(col("__qc")) else Nil)): _*)
+    val paired = codes.join(gated(probeNarrow, nq * nprobe),
+      codes(labelCol) === probeNarrow("__cell"))
+      .join(gated(qn, nq), "__qid")
     // ADC per (query, code row): codeword vectors are m×ksub literal
     // arrays indexed by the stored code; the per-subspace dot runs
     // against the query's slice — same sequential dim-order fold as
@@ -1343,19 +1352,15 @@ object Similarity {
       dot(slice(col("__qe"), lit(s * sub + 1), lit(sub)),
         element_at(table, (col(s"code_$s") + 1).cast("int")))
     }.foldLeft(if (residual) col("__qc") else lit(0.0))(_ + _)
-    val wCand = Window.partitionBy(col("__qid"))
-      .orderBy(col("__adc").desc, col(idCol).asc)
-    // the rank window carries ONLY (qid, adc, cell, id) — never the
+    // the top-k cut carries ONLY (qid, adc, cell, id) — never the
     // dim-wide query vector: the scored stream is N_q × nprobe ×
-    // cellRows, the widest dataflow in the plan, and Spark's
-    // window-group-limit partial top-k buffers + exchange would
-    // otherwise haul dim×8 bytes per scored row. The vector re-attaches
+    // cellRows, the widest dataflow in the plan. The vector re-attaches
     // AFTER the top-rerank cut, where rows are N_q × rerank.
-    val cand = paired
-      .withColumn("__adc", pround(adcDot / (col("vnorm") * col("__qn")), digits))
-      .select(col("__qid"), col("__adc"), col("__cell"), col(idCol))
-      .withColumn("__rn", row_number().over(wCand))
-      .filter(col("__rn") <= rerank)
+    val cand = topKPerQid(
+      paired
+        .withColumn("__adc", pround(adcDot / (col("vnorm") * col("__qn")), digits))
+        .select(col("__qid"), col("__adc"), col("__cell"), col(idCol)),
+      col("__adc"), keyDesc = true, rerank, idCol, Seq("__cell"))
       .select(col("__qid"), col("__cell"), col(idCol))
     // exact rerank: original vectors consulted only for the candidate
     // ids, read through the same cell-pruning (size-gated) join
@@ -1408,6 +1413,65 @@ object Similarity {
   private def sizeGated(df: DataFrame, rows: Long, maxRows: Long): DataFrame =
     if (rows <= maxRows) broadcast(df) else df
 
+  /** Spread a compressed code/word table across the executor cores
+    * before the batch scoring stage: the scored stream is
+    * codes × queries, but a BROADCAST probe join preserves the CODES
+    * read's partitioning — and a compressed rung's table is tiny on
+    * disk (1 B/dim, 1 bit/dim), so a corpus-scale batch can otherwise
+    * funnel billions of scored rows through one or two scan partitions
+    * (measured at the 100×-rehearsal geometry). One narrow exchange of
+    * the codes table buys full-width parallelism for the ADC/Hamming ×
+    * heap stage; skipped when the scan is already wide enough.
+    */
+  private def spreadForScore(df: DataFrame): DataFrame = {
+    val target = math.max(df.sparkSession.sparkContext.defaultParallelism,
+      df.rdd.getNumPartitions)
+    // unconditional REPARTITION_BY_NUM: AQE never coalesces it, so the
+    // scoring stage's width is GUARANTEED ≥ the executor cores — the
+    // one-off shuffle moves only the compressed table's bytes
+    df.repartition(target)
+  }
+
+  /** Sort-free per-query top-`k` candidate cut — the batch probes'
+    * widest dataflow. The previous form,
+    * `row_number().over(partitionBy(qid).orderBy(key, id)) <= k`, plans
+    * as a FULL SORT of the scored stream under the window: at the
+    * 100×-rehearsal geometry (10M×768 corpus, 10k-query batch, K=256)
+    * that is a multi-billion-row TimSort funneled through however many
+    * partitions the (small) codes table read produced — the 150k-vector
+    * smoke already spent 10+ minutes there. [[CollectTopK]] instead
+    * keeps a bounded per-(partition, qid) heap, combines MAP-SIDE, and
+    * shuffles only n_q × k survivors. The kept SET is identical:
+    * (key, id) is a strict total order (ids unique), so heap membership
+    * equals the window's rank cut exactly — IndexSpec pins batch ≡ a
+    * loop of single probes bit-for-bit across all five batch probes.
+    * `keyDesc` true keeps the largest keys (ADC cosine), false the
+    * smallest (Hamming); the tie-break is ALWAYS ascending id, encoded
+    * as a negated id under a descending key (ids must be >
+    * Long.MinValue — every id column here is a non-negative surrogate).
+    */
+  private def topKPerQid(scored: DataFrame, key: Column, keyDesc: Boolean,
+      k: Int, idCol: String, payload: Seq[String]): DataFrame = {
+    // the heap path only engages while the object-hash aggregate stays
+    // hash-based; the default sort-based fallback threshold is 128
+    // DISTINCT GROUPS — any real query batch exceeds it and the partial
+    // aggregate degenerates into a per-partition sort of the scored
+    // stream. Raising it is semantics-free; buffer memory is bounded at
+    // groups × k × 24 B per task (10k queries × 100 ≈ 24 MB).
+    scored.sparkSession.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 1 << 20)
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKScoreAgg(k, keyDesc))
+    val payloadCol = payload.headOption.map(col).getOrElse(lit(-1L))
+    scored
+      .groupBy(col("__qid"))
+      .agg(topk(key.cast("double"), col(idCol).cast("long"),
+        payloadCol.cast("long")).as("__topk"))
+      .select(col("__qid"), explode(col("__topk")).as("__e"))
+      .select(col("__qid") +: col("__e._1").as(idCol) +:
+        payload.headOption.map(n => col("__e._2").as(n)).toSeq: _*)
+  }
+
   /** Per-query cell ranking — the distributed twin of
     * [[rankIndexCells]], shared by every composed batch probe: score =
     * rounded dot/|c| (the query norm is constant per query and
@@ -1440,12 +1504,17 @@ object Similarity {
       qn: DataFrame, idCol: String, vecCol: String, k: Int, digits: Int,
       nq: Long, rerank: Int, broadcastMaxRows: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val candQ = cand.join(
-      sizeGated(qn.select(col("__qid"), col("__qe")), nq, broadcastMaxRows), "__qid")
+    // the candidate broadcast stays NARROW (qid, id) and the query
+    // vector attaches via its own per-qid broadcast AFTER the vectors
+    // join — a fat candQ (qe per candidate row) weighs n_q × rerank ×
+    // dim×8 B and blew spark.driver.maxResultSize at the rehearsal's
+    // 10k × 768 geometry (the row-count gate cannot see row width)
     val wTop = Window.partitionBy(col("__qid"))
       .orderBy(col("cos").desc, vectors(idCol).asc)
-    vectors.join(sizeGated(candQ, nq * rerank, broadcastMaxRows),
-        vectors(idCol) === candQ(idCol))
+    vectors.join(sizeGated(cand, nq * rerank, broadcastMaxRows),
+        vectors(idCol) === cand(idCol))
+      .join(sizeGated(qn.select(col("__qid"), col("__qe")), nq, broadcastMaxRows),
+        "__qid")
       .withColumn("cos", pround(
         dot(col("__qe"), toDoubleArr(vectors(vecCol))) /
           (l2Norm(toDoubleArr(vectors(vecCol))) * l2Norm(col("__qe"))), digits))
@@ -1465,13 +1534,15 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, digits: Int,
       nq: Long, rerank: Int, broadcastMaxRows: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val candQ = cand.join(
-      sizeGated(qn.select(col("__qid"), col("__qe")), nq, broadcastMaxRows), "__qid")
+    // narrow candidate broadcast + per-qid vector broadcast — see
+    // [[batchExactRerank]]'s note
     val vecs = spark.read.parquet(s"$indexPath/vectors")
     val wTop = Window.partitionBy(col("__qid"))
       .orderBy(col("cos").desc, vecs(idCol).asc)
-    vecs.join(sizeGated(candQ, nq * rerank, broadcastMaxRows),
-        vecs(labelCol) === candQ("__cell") && vecs(idCol) === candQ(idCol))
+    vecs.join(sizeGated(cand, nq * rerank, broadcastMaxRows),
+        vecs(labelCol) === cand("__cell") && vecs(idCol) === cand(idCol))
+      .join(sizeGated(qn.select(col("__qid"), col("__qe")), nq, broadcastMaxRows),
+        "__qid")
       .withColumn("cos", pround(
         dot(col("__qe"), toDoubleArr(vecs(vecCol))) /
           (l2Norm(toDoubleArr(vecs(vecCol))) * l2Norm(col("__qe"))), digits))
@@ -1532,18 +1603,15 @@ object Similarity {
     val qn = batchQueryFrame(queries, qidCol, qVecCol)
     val (mns, sts) = readSq8Params(spark, indexPath)
     requireQueryDim(queries, qVecCol, mns.size)
-    val codes = spark.read.parquet(s"$indexPath/codes")
+    val codes = spreadForScore(spark.read.parquet(s"$indexPath/codes"))
     FlatBatchGuard.check("sq8ProbeBatch", "ivfSq8ProbeBatch", codes.count(), nq)
     val adc = ecol(graft.functions.Sq8AdcVec(
       eexpr(col("codes")), eexpr(col("__qe")), mns, sts))
-    val wCand = Window.partitionBy(col("__qid"))
-      .orderBy(col("__adc").desc, col(idCol).asc)
-    val cand = codes.crossJoin(sizeGated(qn, nq, broadcastMaxRows))
-      .withColumn("__adc", pround(adc / (col("vnorm") * col("__qn")), digits))
-      .select(col("__qid"), col("__adc"), col(idCol))
-      .withColumn("__rn", row_number().over(wCand))
-      .filter(col("__rn") <= rerank)
-      .select(col("__qid"), col(idCol))
+    val cand = topKPerQid(
+      codes.crossJoin(sizeGated(qn, nq, broadcastMaxRows))
+        .withColumn("__adc", pround(adc / (col("vnorm") * col("__qn")), digits))
+        .select(col("__qid"), col("__adc"), col(idCol)),
+      col("__adc"), keyDesc = true, rerank, idCol, Nil)
     batchExactRerank(vectors, cand, qn, idCol, vecCol, k, digits,
       nq, rerank, broadcastMaxRows)
   }
@@ -1570,18 +1638,21 @@ object Similarity {
       nprobe, digits)
     val (mns, sts) = readSq8Params(spark, indexPath)
     requireQueryDim(queries, qVecCol, mns.size)
-    val codes = spark.read.parquet(s"$indexPath/codes")
-    val paired = codes.join(sizeGated(probeSet, nq * nprobe, broadcastMaxRows),
-      codes(labelCol) === probeSet("__cell"))
+    val codes = spreadForScore(spark.read.parquet(s"$indexPath/codes"))
+    // narrow (qid, cell) broadcast + per-qid vector broadcast — see
+    // ivfPqProbeBatch's note (the fat probe set blew maxResultSize)
+    val probeNarrow = probeSet.select(col("__qid"), col("__cell"))
+    val paired = codes
+      .join(sizeGated(probeNarrow, nq * nprobe, broadcastMaxRows),
+        codes(labelCol) === probeNarrow("__cell"))
+      .join(sizeGated(qn, nq, broadcastMaxRows), "__qid")
     val adcDot = ecol(graft.functions.Sq8AdcVec(
       eexpr(col("codes")), eexpr(col("__qe")), mns, sts))
-    val wCand = Window.partitionBy(col("__qid"))
-      .orderBy(col("__adc").desc, col(idCol).asc)
-    val cand = paired
-      .withColumn("__adc", pround(adcDot / (col("vnorm") * col("__qn")), digits))
-      .select(col("__qid"), col("__adc"), col("__cell"), col(idCol))
-      .withColumn("__rn", row_number().over(wCand))
-      .filter(col("__rn") <= rerank)
+    val cand = topKPerQid(
+      paired
+        .withColumn("__adc", pround(adcDot / (col("vnorm") * col("__qn")), digits))
+        .select(col("__qid"), col("__adc"), col("__cell"), col(idCol)),
+      col("__adc"), keyDesc = true, rerank, idCol, Seq("__cell"))
       .select(col("__qid"), col("__cell"), col(idCol))
     batchCellExactRerank(spark, indexPath, labelCol, cand, qn,
       idCol, vecCol, k, digits, nq, rerank, broadcastMaxRows)
@@ -1609,20 +1680,17 @@ object Similarity {
     requireQueryDim(queries, qVecCol, thr.size)
     val qn = batchQueryFrame(queries, qidCol, qVecCol)
       .withColumn("__qw", bqWords(col("__qe"), thr))
-    val words = spark.read.parquet(s"$indexPath/words")
+    val words = spreadForScore(spark.read.parquet(s"$indexPath/words"))
     FlatBatchGuard.check("bqProbeBatch", "ivfBqProbeBatch", words.count(), nq)
     val ham = aggregate(
       zip_with(col("words"), col("__qw"), (a, b) => bit_count(a.bitwiseXOR(b))),
       lit(0L), (acc, x) => acc + x)
-    val wCand = Window.partitionBy(col("__qid"))
-      .orderBy(col("__ham").asc, col(idCol).asc)
-    val cand = words.crossJoin(
-        sizeGated(qn.select(col("__qid"), col("__qw")), nq, broadcastMaxRows))
-      .withColumn("__ham", ham)
-      .select(col("__qid"), col("__ham"), col(idCol))
-      .withColumn("__rn", row_number().over(wCand))
-      .filter(col("__rn") <= rerank)
-      .select(col("__qid"), col(idCol))
+    val cand = topKPerQid(
+      words.crossJoin(
+          sizeGated(qn.select(col("__qid"), col("__qw")), nq, broadcastMaxRows))
+        .withColumn("__ham", ham)
+        .select(col("__qid"), col("__ham"), col(idCol)),
+      col("__ham"), keyDesc = false, rerank, idCol, Nil)
     batchExactRerank(vectors, cand, qn, idCol, vecCol, k, digits,
       nq, rerank, broadcastMaxRows)
   }
@@ -2928,6 +2996,43 @@ object Similarity {
       .write.mode("overwrite").partitionBy("label").parquet(s"$path/words")
   }
 
+  /** [[buildIvfSq8]] and [[buildIvfBq]] over ONE shared IVF base: the
+    * coarse centroids come from the caller (typically a sampled learn —
+    * quantizer statistics from a hash sample are the at-scale posture;
+    * the full corpus pays only the assignment pass, once, inside the
+    * cell-partitioned vectors write), and the SQ8 codes and BQ words
+    * are both map-only projections of the written vectors — so serving
+    * BOTH compressed rungs costs one assignment pass and one
+    * corpus-heavy vectors layout instead of two of each.
+    * [[ivfSq8Probe]]/[[ivfSq8ProbeBatch]] read `path` directly;
+    * [[ivfBqProbe]]/[[ivfBqProbeBatch]] read `bqPath` with
+    * `vectorsDir = Some(path)` for the rerank.
+    */
+  def buildIvfSq8BqShared(df: DataFrame, idCol: String, vecCol: String,
+      path: String, bqPath: String, cents: Seq[Seq[Double]], dim: Int): Unit = {
+    val labeled = withCellLabels(df, idCol, vecCol, cents)
+    buildIvf(labeled, idCol, "label", vecCol, path)
+    val fromDisk = df.sparkSession.read.parquet(s"$path/vectors")
+    val prm = sq8Params(df, idCol, vecCol, dim)
+    writeSq8Params(df.sparkSession, prm, path)
+    sq8EncodeTo(fromDisk, idCol, vecCol, prm, s"$path/codes", keep = Seq("label"))
+    // the BQ rung gets its own dir (its per-dim thresholds and the SQ8
+    // affine params share the `params` table name) holding params +
+    // words + a copy of the K-row centroids; the corpus-heavy vectors
+    // stay ONLY under `path` — probe with vectorsDir = Some(path)
+    val thr = bqThresholds(df, idCol, vecCol, dim)
+    writeBqParams(df.sparkSession, thr, bqPath)
+    fromDisk.select(col(idCol),
+        bqWords(toDoubleArr(col(vecCol)), thr).as("words"), col("label"))
+      .write.mode("overwrite").partitionBy("label").parquet(s"$bqPath/words")
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    val dst = new org.apache.hadoop.fs.Path(s"$bqPath/centroids")
+    val fs = src.getFileSystem(conf)
+    fs.delete(dst, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf): Unit
+  }
+
   /** ANN probe over a [[buildIvfBq]] index — the [[ivfSq8Probe]] shape
     * with integer-exact Hamming as the first pass: rank cells from the
     * K-row centroids, Σ popcount(xor) over ONLY the nprobe best cells'
@@ -2936,14 +3041,19 @@ object Similarity {
     */
   def ivfBqProbe(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       idCol: String, labelCol: String, vecCol: String, query: Seq[Double],
-      k: Int = 10, nprobe: Int = 2, rerank: Int = 50, digits: Int = 6): DataFrame = {
+      k: Int = 10, nprobe: Int = 2, rerank: Int = 50, digits: Int = 6,
+      // a SHARED-base deployment ([[buildIvfSq8BqShared]]) stores the
+      // corpus-heavy cell-partitioned vectors once; the BQ rung's own
+      // dir holds only params + words + the K-row centroids
+      vectorsDir: Option[String] = None): DataFrame = {
     require(nprobe >= 1 && rerank >= k)
     val cells = rankIndexCells(spark, indexPath, query, digits).take(nprobe)
-    def pruned(table: String): DataFrame = {
-      val df = spark.read.parquet(s"$indexPath/$table")
+    def prunedAt(root: String, table: String): DataFrame = {
+      val df = spark.read.parquet(s"$root/$table")
       val t = df.schema(df.schema.fieldIndex(labelCol)).dataType
       df.filter(col(labelCol).isin(cells.map(c => lit(c).cast(t)): _*))
     }
+    def pruned(table: String): DataFrame = prunedAt(indexPath, table)
     val thr = readBqParams(spark, indexPath)
     require(thr.size == query.size, s"dim ${thr.size} != query ${query.size}")
     val cand = pruned("words")
@@ -2951,7 +3061,7 @@ object Similarity {
       .orderBy(col("hamming").asc, col(idCol))
       .limit(rerank)
       .select(col(idCol))
-    pruned("vectors")
+    prunedAt(vectorsDir.getOrElse(indexPath), "vectors")
       .join(broadcast(cand), idCol)
       .select(col(idCol), cosineTo(query, vecCol, digits).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
@@ -2969,7 +3079,8 @@ object Similarity {
       indexPath: String, idCol: String, labelCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qVecCol: String,
       k: Int = 10, nprobe: Int = 2, rerank: Int = 50,
-      digits: Int = 6, broadcastMaxRows: Long = 1000000L): DataFrame = {
+      digits: Int = 6, broadcastMaxRows: Long = 1000000L,
+      vectorsDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1 && rerank >= k)
     val nq = queries.select(count(lit(1))).head().getLong(0)
@@ -2980,22 +3091,20 @@ object Similarity {
     val probeSet = batchCellProbeSet(spark, indexPath, labelCol, qn,
       nprobe, digits)
       .select(col("__qid"), col("__qw"), col("__cell"))
-    val words = spark.read.parquet(s"$indexPath/words")
+    val words = spreadForScore(spark.read.parquet(s"$indexPath/words"))
     val paired = words.join(sizeGated(probeSet, nq * nprobe, broadcastMaxRows),
       words(labelCol) === probeSet("__cell"))
     val ham = aggregate(
       zip_with(col("words"), col("__qw"), (a, b) => bit_count(a.bitwiseXOR(b))),
       lit(0L), (acc, x) => acc + x)
-    val wCand = Window.partitionBy(col("__qid"))
-      .orderBy(col("__ham").asc, col(idCol).asc)
-    val cand = paired
-      .withColumn("__ham", ham)
-      .select(col("__qid"), col("__ham"), col("__cell"), col(idCol))
-      .withColumn("__rn", row_number().over(wCand))
-      .filter(col("__rn") <= rerank)
+    val cand = topKPerQid(
+      paired
+        .withColumn("__ham", ham)
+        .select(col("__qid"), col("__ham"), col("__cell"), col(idCol)),
+      col("__ham"), keyDesc = false, rerank, idCol, Seq("__cell"))
       .select(col("__qid"), col("__cell"), col(idCol))
-    batchCellExactRerank(spark, indexPath, labelCol, cand, qn,
-      idCol, vecCol, k, digits, nq, rerank, broadcastMaxRows)
+    batchCellExactRerank(spark, vectorsDir.getOrElse(indexPath), labelCol,
+      cand, qn, idCol, vecCol, k, digits, nq, rerank, broadcastMaxRows)
   }
 
   /** Per-partition COMPOSED IVF-BQ build against a FROZEN coarse

@@ -84,6 +84,29 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("shared IVF base: SQ8 + BQ probes over one layout equal the separate builds") {
+    val emb = graft.Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0)
+    val q = graft.Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(Similarity.toDoubleArr(col("embedding"))).head().getSeq[Double](0).toSeq
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, 3)
+    val shared = tmpDir("ivf-shared"); val sharedBq = tmpDir("ivf-shared-bq")
+    Similarity.buildIvfSq8BqShared(emb, "vec_id", "embedding", shared, sharedBq,
+      cents, dim = 64)
+    val sq8Sep = tmpDir("ivf-sq8-sep"); val bqSep = tmpDir("ivf-bq-sep")
+    // the separate builds learn the same deterministic centroids
+    Similarity.buildIvfSq8(emb, "vec_id", "embedding", sq8Sep, k = 8, dim = 64)
+    Similarity.buildIvfBq(emb, "vec_id", "embedding", bqSep, k = 8, dim = 64)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    assert(rows(Similarity.ivfSq8Probe(spark, shared, "vec_id", "label", "embedding", q)) ==
+      rows(Similarity.ivfSq8Probe(spark, sq8Sep, "vec_id", "label", "embedding", q)),
+      "shared-base SQ8 probe diverged from the separate build")
+    assert(rows(Similarity.ivfBqProbe(spark, sharedBq, "vec_id", "label", "embedding", q,
+        vectorsDir = Some(shared))) ==
+      rows(Similarity.ivfBqProbe(spark, bqSep, "vec_id", "label", "embedding", q)),
+      "shared-base BQ probe diverged from the separate build")
+  }
+
   test("janitor: reclaims epoch debris, dead corpora, crash orphans — and nothing else") {
     import org.apache.hadoop.fs.Path
     val fs = new Path(IndexStore.root)
