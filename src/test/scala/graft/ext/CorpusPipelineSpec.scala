@@ -134,7 +134,11 @@ class CorpusPipelineSpec extends SparkSpec {
       // localCheckpoint materialization job per stage (the lineage
       // truncation that keeps 10 self-referencing stages from an
       // exponential logical plan). Measured 99 at 10 stages; 73 at 8.
-      assert(n <= 110, s"corpus pipeline ran $n jobs — stage lineage is re-executing")
+      // Round 17: percentileGate's two-phase prefix sum learns its
+      // chunk boundaries in a SEPARATE aggregation (percentile_approx
+      // collect) per gate call — a designed extra pass (VERDICT r16
+      // #1), not re-execution; measured 133 with the gates chunked.
+      assert(n <= 145, s"corpus pipeline ran $n jobs — stage lineage is re-executing")
       // and the accounting itself must be unchanged by how it is taken
       assert(stages.map(_.stage) == Seq("quality_gates", "exact_dedup", "boilerplate",
         "neardup_prune", "decontam", "dsir_select", "pii_redact", "mixture",
