@@ -572,23 +572,25 @@ object ScaleSmoke {
         val dim = 768
         val grid = 4503599627370496L
         spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", 512)
-        val raw = java.nio.file.Files.createTempDirectory("graft-rehearsal-vec").toString
+        // the corpus is generated ON THE FLY (deterministic hash of the
+        // id — each pass recomputes it): full-mantissa dim-768 doubles
+        // weigh 6.2 KB/vector, and materializing BOTH the raw table and
+        // the index's cell-partitioned copy would double the disk bill
+        // for no engine signal (the rehearsal measures the index + probe
+        // shapes, not parquet ingest IO — the ladder section covers scan
+        // economics)
         var t0 = System.nanoTime()
-        spark.range(0L, nVecs, 1L, 64).select(
+        val corpus = spark.range(0L, nVecs, 1L, 64).select(
           col("id").as("vec_id"),
           transform(sequence(lit(0), lit(dim - 1)),
             i => pmod(xxhash64(col("id") * lit(1000003L) + i.cast("long")), lit(grid)) / grid.toDouble)
             .as("embedding"))
-          .write.mode("overwrite").parquet(s"$raw/vectors")
         def sec(since: Long): Double = (System.nanoTime() - since) / 1e9
         def dirBytes(p: String): Long = {
           val path = new org.apache.hadoop.fs.Path(p)
           path.getFileSystem(spark.sessionState.newHadoopConf())
             .getContentSummary(path).getLength
         }
-        println(f"[rehearsal] gen $nVecs%d × $dim dense vectors: ${sec(t0)}%.1fs, " +
-          f"${dirBytes(s"$raw/vectors") / 1e9}%.1f GB")
-        val corpus = spark.read.parquet(s"$raw/vectors")
         val k = 256
         val idx = java.nio.file.Files.createTempDirectory("graft-rehearsal-ivf").toString
         t0 = System.nanoTime()
@@ -619,7 +621,7 @@ object ScaleSmoke {
           vectorsDir = Some(idx)).count())
         println(f"[rehearsal] single probe (nprobe=8, rerank=100, ~${nVecs / k * 8}%d " +
           f"candidate rows): ivf-sq8 $sq8One%.2fs, ivf-bq $bqOne%.2fs")
-        val nq = 10000L
+        val nq = args.lift(3).map(_.toLong).getOrElse(10000L)
         val queries = corpus.filter(col("vec_id") < nq)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val (sq8Batch, sq8Rows) = timed(graft.ext.Similarity.ivfSq8ProbeBatch(spark, idx,
@@ -636,7 +638,7 @@ object ScaleSmoke {
           val p = new org.apache.hadoop.fs.Path(d)
           p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true): Unit
         }
-        Seq(raw, idx, bqIdx).foreach(rm)
+        Seq(idx, bqIdx).foreach(rm)
         spark.stop()
         return
       }
