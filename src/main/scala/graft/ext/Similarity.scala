@@ -1265,14 +1265,16 @@ object Similarity {
     *
     * Plan shape: the K-row centroids and m·ksub-row codebooks fold to
     * broadcast/literal lookups exactly as in the single-query path;
-    * the code scan is restricted to the BATCH'S probed-cell union via
-    * a hash join on the cell label — broadcast below `broadcastMaxRows`
-    * probe/candidate rows (plan-time literal pruning needs per-query
-    * constants — for a batch, the probed-cell union IS the correct read
-    * set, and Spark's dynamic partition pruning applies the broadcast
-    * side to the partitioned scan), shuffle above it (the size gate in
-    * the body). Every window is partitioned by qid — no global sorts
-    * anywhere.
+    * the code scan is restricted to the BATCH'S probed-cell union by a
+    * LITERAL partition filter collected from the probe set (static
+    * pruning — per-query constants don't exist in a batch, but the
+    * union IS the correct read set, and pushing it as literals
+    * survives the [[spreadForScore]] repartition that blocks dynamic
+    * partition pruning; VERDICT r17 #1); per-query restriction within
+    * the union comes from the cell-label join — broadcast below
+    * `broadcastMaxRows` probe/candidate rows, shuffle above (the size
+    * gate in the body). Every window is partitioned by qid — no global
+    * sorts anywhere.
     */
   def ivfPqProbeBatch(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, idCol: String, labelCol: String, vecCol: String,
@@ -1328,7 +1330,15 @@ object Similarity {
     // vector slices/zip_withs to null ADC scores that sort NULLS LAST
     // into plausible-looking garbage ranks
     requireQueryDim(queries, qVecCol, cbs.length * sub)
-    val codes = spreadForScore(spark.read.parquet(s"$indexPath/codes"))
+    // static cell pruning BEFORE the spread (VERDICT r17 #1): the
+    // repartition between the scan and the probe join blocks dynamic
+    // partition pruning, so the probed-cell union is pushed as a
+    // literal partition filter on the scan itself
+    val cells = probedCellUnion(probeSetRaw)
+    val prunedRows = parquetRowCount(spark, s"$indexPath/codes", labelCol, cells)
+    val codes = spreadForScore(
+      cellUnionPruned(spark.read.parquet(s"$indexPath/codes"), labelCol, cells),
+      if (cells.isEmpty) 0L else prunedRows * nq * nprobe / cells.size)
     // the (query, cell) probe set broadcasts NARROW — carrying the
     // dim-wide query vector per probed cell multiplied the broadcast by
     // nprobe × dim×8 B and blew spark.driver.maxResultSize at the 10k-
@@ -1363,9 +1373,9 @@ object Similarity {
       col("__adc"), keyDesc = true, rerank, idCol, Seq("__cell"))
       .select(col("__qid"), col("__cell"), col(idCol))
     // exact rerank: original vectors consulted only for the candidate
-    // ids, read through the same cell-pruning (size-gated) join
-    batchCellExactRerank(spark, indexPath, labelCol, cand, qn,
-      idCol, vecCol, k, digits, nq, rerank, broadcastMaxRows)
+    // ids, read through the same union-pruned scan + (size-gated) join
+    heapScoped(batchCellExactRerank(spark, indexPath, labelCol, cand, qn,
+      idCol, vecCol, k, digits, nq, rerank, broadcastMaxRows, cells))
   }
 
   /** The shared query frame of every batch probe: (qid, double-widened
@@ -1421,15 +1431,92 @@ object Similarity {
     * funnel billions of scored rows through one or two scan partitions
     * (measured at the 100×-rehearsal geometry). One narrow exchange of
     * the codes table buys full-width parallelism for the ADC/Hamming ×
-    * heap stage; skipped when the scan is already wide enough.
+    * heap stage.
+    *
+    * Width is SIZED TO THE WORK, not unconditional (VERDICT r17 #2 —
+    * the r17 form repartitioned even a 3-query sf0.1 probe, paying a
+    * shuffle to parallelize half a second of scoring): the caller
+    * passes its scored-row estimate (pruned code rows × the per-query
+    * fan-out), one task absorbs [[SpreadRowsPerTask]] scored rows, and
+    * the repartition is SKIPPED whenever the (pruned) scan is already
+    * that wide — so a selective batch runs straight off the pruned
+    * read while a corpus-scale batch still gets executor-width
+    * REPARTITION_BY_NUM (AQE never coalesces it below the requested
+    * width).
     */
-  private def spreadForScore(df: DataFrame): DataFrame = {
-    val target = math.max(df.sparkSession.sparkContext.defaultParallelism,
-      df.rdd.getNumPartitions)
-    // unconditional REPARTITION_BY_NUM: AQE never coalesces it, so the
-    // scoring stage's width is GUARANTEED ≥ the executor cores — the
-    // one-off shuffle moves only the compressed table's bytes
-    df.repartition(target)
+  private def spreadForScore(df: DataFrame, scoredRows: Long): DataFrame = {
+    val target = math.min(
+      df.sparkSession.sparkContext.defaultParallelism.toLong,
+      scoredRows / SpreadRowsPerTask + 1).toInt
+    if (target <= df.rdd.getNumPartitions) df
+    else df.repartition(target)
+  }
+
+  /** ~0.2-2 s of ADC/Hamming work per scoring task — small enough to
+    * saturate the cluster at the rehearsal geometry (1.25e9 scored
+    * rows → full width), large enough that a fixture-scale batch
+    * (1e5-1e6 scored rows) never pays a repartition for sub-second
+    * work.
+    */
+  private val SpreadRowsPerTask = 2000000L
+
+  /** The batch's probed-cell UNION, collected driver-side — ≤
+    * min(n_q × nprobe, K) labels (the probe set is already computed;
+    * this is the batch twin of the single probes' [[rankIndexCells]]
+    * collect, an index lookup, never a data collect). The union feeds
+    * a LITERAL partition filter on every code/word/vector read
+    * (VERDICT r17 #1): static pruning at the scan, which the
+    * downstream [[spreadForScore]] repartition cannot block the way it
+    * blocked dynamic partition pruning through the probe join. A
+    * near-total union (rehearsal geometry: 10k queries × nprobe 8 over
+    * K=256 probes every cell) degenerates gracefully to the full scan.
+    */
+  private def probedCellUnion(probeSet: DataFrame): Seq[Any] =
+    probeSet.select(col("__cell")).distinct()
+      .collect().map(_.get(0)).toIndexedSeq
+
+  /** Literal `isin` partition filter over the collected cell union —
+    * the batch twin of the single probes' `pruned(table)` shape; the
+    * literals cast to the partition column's inferred type so pruning
+    * applies to the partition column directly. An EMPTY union (empty
+    * query batch) short-circuits to a false predicate.
+    */
+  private def cellUnionPruned(df: DataFrame, labelCol: String,
+      cells: Seq[Any]): DataFrame = {
+    if (cells.isEmpty) df.filter(lit(false))
+    else {
+      val t = df.schema(df.schema.fieldIndex(labelCol)).dataType
+      df.filter(col(labelCol).isin(cells.map(c => lit(c).cast(t)): _*))
+    }
+  }
+
+  /** Row count of a parquet table from its FILE FOOTERS — a
+    * driver-side metadata read, never a Spark job (ADVICE r17 #1: the
+    * flat-batch steer's `count()` re-ran the full scan-plus-shuffle
+    * per probe just to log an estimate). With `cells` given, only
+    * files under the union's `label=<cell>` partition dirs are
+    * footer-read — both the monolithic (`codes/label=N/`) and merged
+    * (`codes/part=N/label=N/`) layouts carry the dir at some depth.
+    */
+  private[ext] def parquetRowCount(spark: org.apache.spark.sql.SparkSession,
+      path: String, labelCol: String = null, cells: Seq[Any] = Nil): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val wanted = cells.map(c => s"/$labelCol=$c/").toArray
+    var total = 0L
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      if (!p.getName.startsWith("_") && !p.getName.startsWith(".") &&
+          (wanted.isEmpty || wanted.exists(p.toString.contains))) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        try total += r.getRecordCount finally r.close()
+      }
+    }
+    total
   }
 
   /** Sort-free per-query top-`k` candidate cut — the batch probes'
@@ -1446,20 +1533,22 @@ object Similarity {
     * equals the window's rank cut exactly — IndexSpec pins batch ≡ a
     * loop of single probes bit-for-bit across all five batch probes.
     * `keyDesc` true keeps the largest keys (ADC cosine), false the
-    * smallest (Hamming); the tie-break is ALWAYS ascending id, encoded
-    * as a negated id under a descending key (ids must be >
-    * Long.MinValue — every id column here is a non-negative surrogate).
+    * smallest (Hamming); [[graft.functions.TopKScoreAgg]] breaks key
+    * ties on ascending id in BOTH directions. The id (and payload)
+    * column must be integral — the heap buffer is a primitive long
+    * array, and a silent cast of a non-numeric id would rank
+    * null/garbage candidates (ADVICE r17 #3: fail fast instead).
     */
   private def topKPerQid(scored: DataFrame, key: Column, keyDesc: Boolean,
       k: Int, idCol: String, payload: Seq[String]): DataFrame = {
-    // the heap path only engages while the object-hash aggregate stays
-    // hash-based; the default sort-based fallback threshold is 128
-    // DISTINCT GROUPS — any real query batch exceeds it and the partial
-    // aggregate degenerates into a per-partition sort of the scored
-    // stream. Raising it is semantics-free; buffer memory is bounded at
-    // groups × k × 24 B per task (10k queries × 100 ≈ 24 MB).
-    scored.sparkSession.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 1 << 20)
+    (idCol +: payload).foreach { c =>
+      import org.apache.spark.sql.types._
+      val t = scored.schema(scored.schema.fieldIndex(c)).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+        s"topKPerQid needs an integral $c column (the heap carries " +
+          s"primitive longs); got $t — map non-numeric ids to a " +
+          "surrogate long first")
+    }
     val topk = org.apache.spark.sql.functions.udaf(
       new graft.functions.TopKScoreAgg(k, keyDesc))
     val payloadCol = payload.headOption.map(col).getOrElse(lit(-1L))
@@ -1471,6 +1560,27 @@ object Similarity {
       .select(col("__qid") +: col("__e._1").as(idCol) +:
         payload.headOption.map(n => col("__e._2").as(n)).toSeq: _*)
   }
+
+  /** Scope the heap aggregate's conf requirement to THIS probe
+    * (VERDICT r17 #2 / ADVICE r17 #2 — the r17 form mutated the
+    * caller's session): [[topKPerQid]]'s bounded heap only engages
+    * while the object-hash aggregate stays hash-based, and the default
+    * sort-based fallback threshold is 128 DISTINCT GROUPS — any real
+    * query batch exceeds it and the partial aggregate degenerates into
+    * a per-partition sort of the scored stream. Raising it is
+    * semantics-free and memory-bounded (groups × k × 24 B per task;
+    * 10k queries × 100 ≈ 24 MB), but it must not leak to unrelated
+    * aggregates (a user's million-group `collect_list` needs its spill
+    * fallback). So the finished probe plan REBINDS to a cloned session
+    * carrying the override: a Dataset action propagates its own
+    * session's conf, so the override applies exactly to this probe's
+    * execution and the caller's session is never touched
+    * (IndexSpec-pinned).
+    */
+  private def heapScoped(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.Bridge.withConfOverride(df,
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 20).toString)
 
   /** Per-query cell ranking — the distributed twin of
     * [[rankIndexCells]], shared by every composed batch probe: score =
@@ -1532,11 +1642,15 @@ object Similarity {
   private def batchCellExactRerank(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, labelCol: String, cand: DataFrame, qn: DataFrame,
       idCol: String, vecCol: String, k: Int, digits: Int,
-      nq: Long, rerank: Int, broadcastMaxRows: Long): DataFrame = {
+      nq: Long, rerank: Int, broadcastMaxRows: Long,
+      cells: Seq[Any]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // narrow candidate broadcast + per-qid vector broadcast — see
-    // [[batchExactRerank]]'s note
-    val vecs = spark.read.parquet(s"$indexPath/vectors")
+    // [[batchExactRerank]]'s note; the corpus-heavy vectors read is
+    // statically pruned to the probed-cell union (candidates can only
+    // come from probed cells), mirroring the single probes' rerank
+    val vecs = cellUnionPruned(spark.read.parquet(s"$indexPath/vectors"),
+      labelCol, cells)
     val wTop = Window.partitionBy(col("__qid"))
       .orderBy(col("cos").desc, vecs(idCol).asc)
     vecs.join(sizeGated(cand, nq * rerank, broadcastMaxRows),
@@ -1603,8 +1717,12 @@ object Similarity {
     val qn = batchQueryFrame(queries, qidCol, qVecCol)
     val (mns, sts) = readSq8Params(spark, indexPath)
     requireQueryDim(queries, qVecCol, mns.size)
-    val codes = spreadForScore(spark.read.parquet(s"$indexPath/codes"))
-    FlatBatchGuard.check("sq8ProbeBatch", "ivfSq8ProbeBatch", codes.count(), nq)
+    // footer-metadata census, not a count() job (ADVICE r17 #1) —
+    // shared by the steer and the spread's scored-row sizing
+    val corpusRows = parquetRowCount(spark, s"$indexPath/codes")
+    val codes = spreadForScore(spark.read.parquet(s"$indexPath/codes"),
+      corpusRows * nq)
+    FlatBatchGuard.check("sq8ProbeBatch", "ivfSq8ProbeBatch", corpusRows, nq)
     val adc = ecol(graft.functions.Sq8AdcVec(
       eexpr(col("codes")), eexpr(col("__qe")), mns, sts))
     val cand = topKPerQid(
@@ -1612,8 +1730,8 @@ object Similarity {
         .withColumn("__adc", pround(adc / (col("vnorm") * col("__qn")), digits))
         .select(col("__qid"), col("__adc"), col(idCol)),
       col("__adc"), keyDesc = true, rerank, idCol, Nil)
-    batchExactRerank(vectors, cand, qn, idCol, vecCol, k, digits,
-      nq, rerank, broadcastMaxRows)
+    heapScoped(batchExactRerank(vectors, cand, qn, idCol, vecCol, k, digits,
+      nq, rerank, broadcastMaxRows))
   }
 
   /** BATCH form of [[ivfSq8Probe]] — the [[ivfPqProbeBatch]] shape
@@ -1638,7 +1756,13 @@ object Similarity {
       nprobe, digits)
     val (mns, sts) = readSq8Params(spark, indexPath)
     requireQueryDim(queries, qVecCol, mns.size)
-    val codes = spreadForScore(spark.read.parquet(s"$indexPath/codes"))
+    // static cell pruning before the spread — VERDICT r17 #1, see
+    // ivfPqProbeBatch
+    val cells = probedCellUnion(probeSet)
+    val prunedRows = parquetRowCount(spark, s"$indexPath/codes", labelCol, cells)
+    val codes = spreadForScore(
+      cellUnionPruned(spark.read.parquet(s"$indexPath/codes"), labelCol, cells),
+      if (cells.isEmpty) 0L else prunedRows * nq * nprobe / cells.size)
     // narrow (qid, cell) broadcast + per-qid vector broadcast — see
     // ivfPqProbeBatch's note (the fat probe set blew maxResultSize)
     val probeNarrow = probeSet.select(col("__qid"), col("__cell"))
@@ -1654,8 +1778,8 @@ object Similarity {
         .select(col("__qid"), col("__adc"), col("__cell"), col(idCol)),
       col("__adc"), keyDesc = true, rerank, idCol, Seq("__cell"))
       .select(col("__qid"), col("__cell"), col(idCol))
-    batchCellExactRerank(spark, indexPath, labelCol, cand, qn,
-      idCol, vecCol, k, digits, nq, rerank, broadcastMaxRows)
+    heapScoped(batchCellExactRerank(spark, indexPath, labelCol, cand, qn,
+      idCol, vecCol, k, digits, nq, rerank, broadcastMaxRows, cells))
   }
 
   /** BATCH form of [[bqHammingRerank]] — N queries binarize IN-PLAN
@@ -1680,8 +1804,11 @@ object Similarity {
     requireQueryDim(queries, qVecCol, thr.size)
     val qn = batchQueryFrame(queries, qidCol, qVecCol)
       .withColumn("__qw", bqWords(col("__qe"), thr))
-    val words = spreadForScore(spark.read.parquet(s"$indexPath/words"))
-    FlatBatchGuard.check("bqProbeBatch", "ivfBqProbeBatch", words.count(), nq)
+    // footer-metadata census, not a count() job (ADVICE r17 #1)
+    val corpusRows = parquetRowCount(spark, s"$indexPath/words")
+    val words = spreadForScore(spark.read.parquet(s"$indexPath/words"),
+      corpusRows * nq)
+    FlatBatchGuard.check("bqProbeBatch", "ivfBqProbeBatch", corpusRows, nq)
     val ham = aggregate(
       zip_with(col("words"), col("__qw"), (a, b) => bit_count(a.bitwiseXOR(b))),
       lit(0L), (acc, x) => acc + x)
@@ -1691,8 +1818,8 @@ object Similarity {
         .withColumn("__ham", ham)
         .select(col("__qid"), col("__ham"), col(idCol)),
       col("__ham"), keyDesc = false, rerank, idCol, Nil)
-    batchExactRerank(vectors, cand, qn, idCol, vecCol, k, digits,
-      nq, rerank, broadcastMaxRows)
+    heapScoped(batchExactRerank(vectors, cand, qn, idCol, vecCol, k, digits,
+      nq, rerank, broadcastMaxRows))
   }
 
   /** Parametric CTE chain for the quantized k-means unroll: `vSql`
@@ -3091,7 +3218,13 @@ object Similarity {
     val probeSet = batchCellProbeSet(spark, indexPath, labelCol, qn,
       nprobe, digits)
       .select(col("__qid"), col("__qw"), col("__cell"))
-    val words = spreadForScore(spark.read.parquet(s"$indexPath/words"))
+    // static cell pruning before the spread — VERDICT r17 #1, see
+    // ivfPqProbeBatch
+    val cells = probedCellUnion(probeSet)
+    val prunedRows = parquetRowCount(spark, s"$indexPath/words", labelCol, cells)
+    val words = spreadForScore(
+      cellUnionPruned(spark.read.parquet(s"$indexPath/words"), labelCol, cells),
+      if (cells.isEmpty) 0L else prunedRows * nq * nprobe / cells.size)
     val paired = words.join(sizeGated(probeSet, nq * nprobe, broadcastMaxRows),
       words(labelCol) === probeSet("__cell"))
     val ham = aggregate(
@@ -3103,8 +3236,9 @@ object Similarity {
         .select(col("__qid"), col("__ham"), col("__cell"), col(idCol)),
       col("__ham"), keyDesc = false, rerank, idCol, Seq("__cell"))
       .select(col("__qid"), col("__cell"), col(idCol))
-    batchCellExactRerank(spark, vectorsDir.getOrElse(indexPath), labelCol,
-      cand, qn, idCol, vecCol, k, digits, nq, rerank, broadcastMaxRows)
+    heapScoped(batchCellExactRerank(spark, vectorsDir.getOrElse(indexPath),
+      labelCol, cand, qn, idCol, vecCol, k, digits, nq, rerank,
+      broadcastMaxRows, cells))
   }
 
   /** Per-partition COMPOSED IVF-BQ build against a FROZEN coarse

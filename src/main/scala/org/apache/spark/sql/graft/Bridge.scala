@@ -30,6 +30,28 @@ object Bridge {
   def waitListenerBusEmpty(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
 
+  /** Rebind a DataFrame's (already-analyzed) logical plan to another
+    * session sharing the same SparkContext — how the batch ANN probes
+    * scope their object-hash-aggregate conf override to a CLONED
+    * session instead of mutating the caller's (a Dataset action
+    * propagates ITS OWN session's conf to the execution, so the clone's
+    * override applies to the probe and nothing else).
+    */
+  def rebind(df: DataFrame, session: org.apache.spark.sql.SparkSession): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan)
+
+  /** [[rebind]] onto a fresh clone of the frame's own session carrying
+    * one conf override — `cloneSession` is `private[sql]`, hence here.
+    */
+  def withConfOverride(df: DataFrame, key: String, value: String): DataFrame = {
+    val s = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .cloneSession()
+    s.conf.set(key, value)
+    rebind(df, s)
+  }
+
   /** Rebuild a DataFrame with a transformed logical plan (the
     * `Dataset.ofRows` constructor is `private[sql]`) — how
     * [[graft.plans.Fence]] wraps a plan node around a frame.
