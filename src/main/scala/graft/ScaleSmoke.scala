@@ -561,6 +561,35 @@ object ScaleSmoke {
         return
       }
 
+      if (mode == "opq") {
+        // `runMain graft.ScaleSmoke rehearsal opq [nVecs]` — VERDICT
+        // r17 #5's measurement: the OPQ rotation learn at the
+        // production geometry (d=768, the 64k sample cap) after the M
+        // accumulation reshape from n·d² exploded rows to n·d rows of
+        // element-wise decimal sums. The arithmetic floor is unchanged
+        // (n·d² decimal products per iteration — that IS the statistic);
+        // what the reshape removes is the d²-keyed row traffic and
+        // group lookups around it.
+        val nVecs = args.lift(2).map(_.toLong).getOrElse(65536L)
+        val dim = 768
+        val grid = 4503599627370496L
+        val corpus = spark.range(0L, nVecs, 1L, 64).select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => pmod(xxhash64(col("id") * lit(1000003L) + i.cast("long")), lit(grid)) / grid.toDouble)
+            .as("embedding"))
+          .cache()
+        corpus.count() // generation off the clock
+        val t0 = System.nanoTime()
+        val r = graft.ext.Similarity.learnOpqRotation(corpus, "vec_id",
+          "embedding", dim, m = 8, ksub = 16, pqIters = 1, opqIters = 1)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[rehearsal] opq rotation learn @ $nVecs%d x $dim (m=8, ksub=16, " +
+          f"1 pq iter, 1 opq iter): $sec%.1fs (R ${r.size}x${r.head.size})")
+        spark.stop()
+        return
+      }
+
       if (mode == "ann") {
         // the batch ANN serving shape at ≥10M × 768 dense vectors: ONE
         // shared IVF base (sampled coarse learn — quantizer statistics
@@ -599,9 +628,21 @@ object ScaleSmoke {
         println(f"[rehearsal] coarse k-means (K=$k, 2 iters, 1/50 sample): ${sec(t0)}%.1fs")
         val bqIdx = java.nio.file.Files.createTempDirectory("graft-rehearsal-bq").toString
         t0 = System.nanoTime()
-        graft.ext.Similarity.buildIvfSq8BqShared(corpus, "vec_id", "embedding",
-          idx, bqIdx, cents, dim)
-        println(f"[rehearsal] shared IVF base + SQ8 codes + BQ words: ${sec(t0)}%.1fs | " +
+        // CELL-RANGE-CHUNKED shared build (VERDICT r17 #8): the one-shot
+        // buildIvfSq8BqShared write sorts the WHOLE corpus by cell inside
+        // the partitionBy writer — a transient spill copy that doubled
+        // the 24.6 GB vectors table and filled the disk at 8M. Here the
+        // dim-wide data never reorganizes: the assignment runs ONCE into
+        // a narrow (vec_id, label) table (~16 B/row), and the vectors
+        // write proceeds in CHUNKS of the cell range — each chunk
+        // regenerates the corpus on the fly (hash transforms, cheap),
+        // broadcast-joins its chunk's labels, and partitionBy-sorts only
+        // chunk-sized data (~1/8 of the corpus spill at a time). Peak
+        // disk = final artifacts + one chunk's spill.
+        graft.ext.Similarity.buildIvfSq8BqSharedChunked(corpus, "vec_id",
+          "embedding", idx, bqIdx, cents, dim, ranges = 8)
+        println(f"[rehearsal] shared IVF base (chunked) + SQ8 codes + BQ words: " +
+          f"${sec(t0)}%.1fs | " +
           f"vectors ${dirBytes(s"$idx/vectors") / 1e9}%.1f GB, " +
           f"codes ${dirBytes(s"$idx/codes") / 1e9}%.2f GB, " +
           f"words ${dirBytes(s"$bqIdx/words") / 1e9}%.2f GB")

@@ -362,12 +362,19 @@ object Soak {
     val soakOpqCbs = graft.ext.Similarity.pqCodebooksOf(part0, "vec_id",
       graft.ext.Similarity.rotateExpr(col("embedding"), soakOpqRot),
       dim = 16, m = 4, ksub = 8, iters = 2)
+    // round 18: the composed IVF-OPQ family — rotated-space coarse
+    // cells over the same frozen rotation + rotated codebooks
+    val soakIvfOpqCents = graft.ext.Similarity.kmeansCentroids(
+      part0.withColumn("__rv",
+        graft.ext.Similarity.rotateExpr(col("embedding"), soakOpqRot)),
+      "vec_id", "__rv", 4, 2)
     val lastPosPath = new java.util.concurrent.atomic.AtomicReference[String]
     val lastIvfPath = new java.util.concurrent.atomic.AtomicReference[String]
     val lastSq8Path = new java.util.concurrent.atomic.AtomicReference[String]
     val lastBqPath = new java.util.concurrent.atomic.AtomicReference[String]
     val lastIvfBqPath = new java.util.concurrent.atomic.AtomicReference[String]
     val lastOpqPath = new java.util.concurrent.atomic.AtomicReference[String]
+    val lastIvfOpqPath = new java.util.concurrent.atomic.AtomicReference[String]
     val refreshTicks = new java.util.concurrent.atomic.AtomicInteger
 
     val staleFired = new java.util.concurrent.atomic.AtomicInteger
@@ -419,6 +426,15 @@ object Soak {
             val p = graft.ext.Similarity.ensureIncrementalOpq(
               s, "soakopq", corpusDir, "vec_id", "embedding", soakOpqRot, soakOpqCbs)
             lastOpqPath.set(p); p
+          }),
+          // round 18: the composed IVF-OPQ family ages on the same
+          // ticker (frozen rotation + rotated-space coarse quantizer +
+          // rotated codebooks)
+          Service.IndexRefresh("soak-ivfopq", { s =>
+            val p = graft.ext.Similarity.ensureIncrementalIvfOpq(
+              s, "soakivfopq", corpusDir, "vec_id", "embedding",
+              soakOpqRot, soakIvfOpqCents, soakOpqCbs)
+            lastIvfOpqPath.set(p); p
           })),
         indexJanitor = true),
       registry = registry,
@@ -598,18 +614,24 @@ object Soak {
           val opqIds = graft.ext.Similarity.opqRerank(spark, lastOpqPath.get(),
             corpusAll, "vec_id", "embedding", q, k = 5, rerank = 2000)
             .collect().map(_.getLong(0)).toSet
+          val ivfOpqIds = graft.ext.Similarity.ivfOpqProbe(spark,
+            lastIvfOpqPath.get(), "vec_id", "label", "embedding", q,
+            k = 5, nprobe = 4, rerank = 2000)
+            .collect().map(_.getLong(0)).toSet
           if (posIds.contains(MarkerId) && ivfIds.contains(MarkerId) &&
               sq8Ids.contains(MarkerId) && bqIds.contains(MarkerId) &&
-              ivfBqIds.contains(MarkerId) && opqIds.contains(MarkerId)) {
+              ivfBqIds.contains(MarkerId) && opqIds.contains(MarkerId) &&
+              ivfOpqIds.contains(MarkerId)) {
             indexVerified = true
-            println(s"[soak] index refresh verified at +${elapsed}s: all six " +
-              "probes (positional/IVF-PQ/SQ8/BQ/IVF-BQ/OPQ) see the mid-run marker doc")
+            println(s"[soak] index refresh verified at +${elapsed}s: all seven " +
+              "probes (positional/IVF-PQ/SQ8/BQ/IVF-BQ/OPQ/IVF-OPQ) see the mid-run marker doc")
           } else
             println(s"[soak] index probe miss at +${elapsed}s: " +
               s"pos=${posIds.contains(MarkerId)}(${posIds.size}) " +
               s"ivf=${ivfIds.contains(MarkerId)}(${ivfIds.size}) " +
               s"sq8=${sq8Ids.contains(MarkerId)} bq=${bqIds.contains(MarkerId)} " +
               s"ivfbq=${ivfBqIds.contains(MarkerId)} opq=${opqIds.contains(MarkerId)} " +
+              s"ivfopq=${ivfOpqIds.contains(MarkerId)} " +
               s"posPath=${lastPosPath.get()} ivfPath=${lastIvfPath.get()}")
         } catch { case e: Throwable =>
           println(s"[soak] index probe failed (will retry): $e")

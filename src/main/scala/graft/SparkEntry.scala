@@ -160,6 +160,7 @@ object SparkEntry {
     "ivf_pq_residual_batch" -> ExtQueries.ivfPqResidualBatch _,
     "sq8_topk"           -> ExtQueries.sq8Topk _,
     "opq_topk"           -> ExtQueries.opqTopk _,
+    "ivf_opq_topk"       -> ExtQueries.ivfOpqTopk _,
     "ivf_sq8_topk"       -> ExtQueries.ivfSq8Topk _,
     "bq_hamming_topk"    -> ExtQueries.bqHammingTopk _,
     "sq8_batch"          -> ExtQueries.sq8Batch _,
@@ -1231,6 +1232,7 @@ object SparkEntry {
     "ivf_pq_residual_batch" -> graft.ext.Similarity.ivfPqResidualBatchOracleSql(dim = 64, m = 4, ksub = 16, k = 8, nQueries = 3),
     "sq8_topk" -> graft.ext.Similarity.sq8OracleSql(dim = 64),
     "opq_topk" -> graft.ext.ExtQueries.opqOracleSqlLive(),
+    "ivf_opq_topk" -> graft.ext.ExtQueries.ivfOpqOracleSqlLive(),
     "ivf_sq8_topk" -> graft.ext.Similarity.ivfSq8OracleSql(dim = 64, k = 8),
     "bq_hamming_topk" -> graft.ext.Similarity.bqOracleSql(dim = 64),
     "sq8_batch" -> graft.ext.Similarity.sq8BatchOracleSql(dim = 64, nQueries = 3),

@@ -334,6 +334,41 @@ object ExtQueries {
       case None => "SELECT 1 AS x WHERE false"
     }
 
+  /** The IVF-OPQ index path last ensured in this JVM — same dump-time
+    * rotation-literal contract as [[lastOpqIndex]].
+    */
+  private val lastIvfOpqIndex = new java.util.concurrent.atomic.AtomicReference[String]
+
+  /** E2 — composed IVF-OPQ (FAISS's "OPQ,IVF,PQ"; VERDICT r17 #6 —
+    * [[Similarity.buildIvfOpq]]/[[Similarity.ivfOpqProbe]]): the
+    * learned rotation ahead of the coarse quantizer, cells and codes
+    * both in rotated space, exact rerank over the cell-pruned
+    * originals. Probe-only behind [[IndexStore.ensure]].
+    */
+  def ivfOpqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val idx = IndexStore.ensure("ivfopq", spark, Seq(s"$dir/embeddings.parquet")) { tmp =>
+      Similarity.buildIvfOpq(
+        Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0).drop("label"),
+        "vec_id", "embedding", tmp, k = 8, dim = 64, m = 4, ksub = 16)
+    }
+    lastIvfOpqIndex.set(idx)
+    Similarity.ivfOpqProbe(spark, idx, "vec_id", "label", "embedding",
+      queryVec(spark, dir), k = 10, nprobe = 2, rerank = 50)
+  }
+
+  /** The `ivf_opq_topk` oracle, built at dump time from the persisted
+    * rotation — [[opqOracleSqlLive]]'s contract for the composed form.
+    */
+  def ivfOpqOracleSqlLive(): String =
+    Option(lastIvfOpqIndex.get()) match {
+      case Some(idx) =>
+        val spark = SparkSession.active
+        Similarity.ivfOpqOracleSql(
+          Similarity.readOpqRotation(spark, idx),
+          dim = 64, m = 4, ksub = 16, k = 8)
+      case None => "SELECT 1 AS x WHERE false"
+    }
+
   def pqCodes(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"${pqIndexFor(spark, dir, corpusOnly = false)}/codes")
 

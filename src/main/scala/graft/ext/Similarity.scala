@@ -649,14 +649,21 @@ object Similarity {
   // correlated fixture).
   // ----------------------------------------------------------------
 
-  /** The rotation as a row expression: rotatedᵢ = pround(Σⱼ Rᵢⱼ vⱼ, 9),
-    * one native [[dot]] per output coordinate against a literal row —
-    * a map-only codegen projection, the same shape at 100 TB as
+  /** The rotation as a row expression: rotatedᵢ = pround(Σⱼ Rᵢⱼ vⱼ, 9)
+    * — a map-only codegen projection, the same shape at 100 TB as
     * [[pqEncode]] (the rotate rides into the encode pass; the rotated
-    * corpus is never materialized).
+    * corpus is never materialized). Since round 18 this is ONE native
+    * expression carrying the matrix as a reference object
+    * ([[graft.functions.RotateVec]]): the previous literal form —
+    * `array(d × pround(dot(vec, lit-row)))` — embedded d² literal
+    * nodes in the plan, which at d=768 meant 145 MB serialized task
+    * binaries re-shipped on every job of the OPQ learn. Arithmetic is
+    * bit-identical (same sequential fold, same 1e-9 rounding), so
+    * every hash-gated fixture and the rotation-literal oracle SQL are
+    * unchanged (OpqSpec).
     */
   def rotateExpr(vec: Column, r: Seq[Seq[Double]]): Column =
-    array(r.map(row => pround(dot(vec, array(row.map(lit): _*)), 9)): _*)
+    ecol(graft.functions.RotateVec(eexpr(vec), r))
 
   /** Driver-side twin of [[rotateExpr]] for the query vector — the
     * same sequential j-ascending fold and 1e-9 quantization, so the
@@ -701,17 +708,39 @@ object Similarity {
         element_at(table,
           (assignCellL2(slice(rot, lit(s * sub + 1), lit(sub)), cb) + 1).cast("int"))
       }: _*)
-      // M = Σᵣ ŷᵣ xᵣᵀ (d×d), accumulated as d² keyed decimal sums —
-      // map-side combined, bit-identical under any partitioning
+      // M = Σᵣ ŷᵣ xᵣᵀ (d×d), accumulated as d keyed rows of d exact
+      // integer sums each — map-side combined, bit-identical under any
+      // partitioning. VERDICT r17 #5, two reshapes in one:
+      //   (a) TRAFFIC — the previous double-posexplode streamed n·d²
+      //       narrow rows (≈3.9e10 at d=768 under the 64k sample cap)
+      //       through one aggregation; exploding only over i and
+      //       summing the row yᵢ·x element-wise runs at n·d rows with
+      //       d² group lookups per vector collapsing to d.
+      //   (b) ARITHMETIC — each product QUANTIZES at the codebase-wide
+      //       1e-9 grid (the pround op sequence) and accumulates as an
+      //       EXACT LONG sum: associative and commutative like the
+      //       decimal(38,18) dsum it replaces, so the rotation learn
+      //       stays bit-stable under any partitioning (OpqSpec), but
+      //       pure codegen'd primitive ops — the decimal cast is
+      //       BigDecimal-backed and measured 40+ minutes for ONE
+      //       iteration at d=768 × 64k (3.9e10 casts); the long form
+      //       runs the same pass in seconds. M moves ≤ 5e-10 per
+      //       entry-term — noise to a Procrustes estimator whose R is
+      //       itself 1e-9-quantized; the oracle is unaffected either
+      //       way (R enters it as literals). Headroom: |yᵢ·xⱼ| ≤ 1e5
+      //       keeps Σ under 2⁶³ at the 64k cap — far above any real
+      //       embedding scale.
       val mRows = sample
         .select(toDoubleArr(col(vecCol)).as("__x"), recon.as("__y"))
         .select(posexplode(col("__y")).as(Seq("i", "yi")), col("__x"))
-        .select(col("i"), col("yi"), posexplode(col("__x")).as(Seq("j", "xj")))
-        .groupBy(col("i"), col("j"))
-        .agg(dsum(col("yi") * col("xj")).as("m"))
+        .groupBy(col("i"))
+        .agg(array((0 until dim).map(j =>
+          sum(floor(col("yi") * element_at(col("__x"), j + 1) * 1e9 + 0.5)
+            .cast("long"))): _*).as("mrow"))
         .collect()
       val mm = Array.ofDim[Double](dim, dim)
-      mRows.foreach(row => mm(row.getInt(0))(row.getInt(1)) = row.getDouble(2))
+      mRows.foreach(row => mm(row.getInt(0)) =
+        row.getSeq[Long](1).map(_ / 1e9).toArray)
       r = procrustesRotation(mm).map(_.map(proundD(_, 9)).toSeq).toSeq
     }
     r
@@ -908,6 +937,131 @@ object Similarity {
       buildOpqPart(spark.read.parquet(part), idCol, vecCol, r, cbs, tmp)
     } { (parts, tmp) =>
       mergePq(spark, cbs, parts, tmp)
+      writeOpqRotation(spark, r, tmp)
+    }
+
+  /** COMPOSED IVF-OPQ index — FAISS's standard "OPQ,IVF,PQ" pairing
+    * (VERDICT r17 #6): the learned orthogonal rotation sits AHEAD of
+    * the coarse quantizer, so BOTH the cell structure and the PQ
+    * codebooks live in rotated space — the rotation decorrelates and
+    * balances subspace variance for the PQ (Ge et al. CVPR 2013) while
+    * the coarse k-means sees the same geometry the codes quantize
+    * (rotation is orthogonal, so cosine cell structure is preserved up
+    * to the 1e-9 quantization). Layout = [[buildIvfPq]] plus
+    * `$path/rotation`:
+    *   - `$path/rotation` — the d×d learned rotation ([[buildOpq]])
+    *   - `$path/centroids` — per-cell means of the ROTATED vectors
+    *     (cell ranking happens in rotated space, against the rotated
+    *     query)
+    *   - `$path/vectors` — the ORIGINAL vectors, cell-partitioned (the
+    *     exact rerank scores the original query against originals —
+    *     the same contract as every other rung)
+    *   - `$path/codebooks` / `$path/codes` — PQ learned on and
+    *     encoding the rotated corpus; `vnorm` stays ‖v‖ of the
+    *     ORIGINAL vector (the cosine denominator)
+    */
+  def buildIvfOpq(df: DataFrame, idCol: String, vecCol: String, path: String,
+      k: Int, dim: Int, m: Int, ksub: Int, coarseIters: Int = 3,
+      pqIters: Int = 3, opqIters: Int = 2): Unit = {
+    val r = learnOpqRotation(df, idCol, vecCol, dim, m, ksub, pqIters, opqIters)
+    writeOpqRotation(df.sparkSession, r, path)
+    val rotated = df.withColumn("__rv", rotateExpr(col(vecCol), r))
+    val cents = kmeansCentroids(rotated, idCol, "__rv", k, coarseIters)
+    val labeled = withCellLabels(rotated, idCol, "__rv", cents)
+    // served centroids = per-cell means of the ROTATED vectors (the
+    // [[buildIvf]] derivation, in rotated space)
+    centroidComponents(labeled, "label", "__rv")
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    labeled.select(col(idCol), col(vecCol), col("label"))
+      .write.mode("overwrite").partitionBy("label").parquet(s"$path/vectors")
+    val cbs = pqCodebooksOf(df, idCol, rotateExpr(col(vecCol), r),
+      dim, m, ksub, pqIters)
+    writePqCodebooks(df.sparkSession, cbs, path)
+    pqEncodeOf(labeled, idCol, col("__rv"), toDoubleArr(col(vecCol)), cbs,
+      keep = Seq("label"))
+      .write.mode("overwrite").partitionBy("label").parquet(s"$path/codes")
+  }
+
+  /** ANN probe over a [[buildIvfOpq]] index — the [[ivfPqProbe]] shape
+    * with the query rotated once driver-side ([[rotateQuery]], the d²
+    * fold bit-identical to the oracle's CTE): cell ranking AND ADC run
+    * against the rotated query over rotated-space centroids/codes, the
+    * exact rerank scores the ORIGINAL query over the cell-pruned
+    * ORIGINAL vectors. Both data reads partition-pruned to ≤ nprobe
+    * cells (IndexSpec-pinned like the other composed rungs).
+    */
+  def ivfOpqProbe(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      idCol: String, labelCol: String, vecCol: String, query: Seq[Double],
+      k: Int = 10, nprobe: Int = 2, rerank: Int = 50, digits: Int = 6): DataFrame = {
+    require(nprobe >= 1 && rerank >= k)
+    val r = readOpqRotation(spark, indexPath)
+    require(r.size == query.size, s"dim ${r.size} != query ${query.size}")
+    val qRot = rotateQuery(query, r)
+    val cells = rankIndexCells(spark, indexPath, qRot, digits).take(nprobe)
+    def pruned(table: String): DataFrame = {
+      val df = spark.read.parquet(s"$indexPath/$table")
+      val t = df.schema(df.schema.fieldIndex(labelCol)).dataType
+      df.filter(col(labelCol).isin(cells.map(c => lit(c).cast(t)): _*))
+    }
+    val cand = pqAdcTopK(pruned("codes"), idCol,
+      readPqCodebooks(spark, indexPath), qRot, rerank, digits)
+      .select(col(idCol))
+    pruned("vectors")
+      .join(broadcast(cand), idCol)
+      .select(col(idCol), cosineTo(query, vecCol, digits).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Per-partition IVF-OPQ build against a FROZEN rotation, FROZEN
+    * coarse quantizer and FROZEN codebooks — the incremental-refresh
+    * unit of [[buildIvfOpq]]: one rotate+assign pass feeding the
+    * original-vector write, the mergeable rotated-space centroid
+    * partials ([[buildIvfPart]]'s exact summable form), and the
+    * rotated-code encode.
+    */
+  def buildIvfOpqPart(df: DataFrame, idCol: String, vecCol: String,
+      r: Seq[Seq[Double]], centroids: Seq[Seq[Double]],
+      cbs: Seq[Seq[Seq[Double]]], path: String): Unit = {
+    val labeled = withCellLabels(
+      df.withColumn("__rv", rotateExpr(col(vecCol), r)), idCol, "__rv", centroids)
+    labeled.select(col(idCol), col(vecCol), col("label"))
+      .write.mode("overwrite").partitionBy("label").parquet(s"$path/vectors")
+    labeled
+      .select(col("label"), posexplode(toDoubleArr(col("__rv"))).as(Seq("i", "v")))
+      .groupBy(col("label"), col("i"))
+      .agg(graft.util.Portable.dsum(col("v")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(
+        max(col("n")).as("n"),
+        transform(array_sort(collect_list(struct(col("i"), col("s")))),
+          x => x.getField("s")).as("sums"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroid_partial")
+    pqEncodeOf(labeled, idCol, col("__rv"), toDoubleArr(col(vecCol)), cbs,
+      keep = Seq("label"))
+      .write.mode("overwrite").partitionBy("label").parquet(s"$path/codes")
+  }
+
+  /** Incremental IVF-OPQ for an append-only partitioned corpus —
+    * frozen-rotation [[buildIvfOpqPart]] appends + the [[mergeIvfPq]]
+    * file-copy merge, with the rotation persisted at merge time
+    * ([[ensureIncrementalOpq]]'s lifecycle composed with
+    * [[ensureIncrementalIvfPq]]'s).
+    */
+  def ensureIncrementalIvfOpq(spark: org.apache.spark.sql.SparkSession,
+      kind: String, sourceDir: String, idCol: String, vecCol: String,
+      r: Seq[Seq[Double]], centroids: Seq[Seq[Double]],
+      cbs: Seq[Seq[Seq[Double]]]): String =
+    IndexStore.ensureIncremental(kind, spark, sourceDir) { (part, tmp) =>
+      buildIvfOpqPart(spark.read.parquet(part), idCol, vecCol, r, centroids,
+        cbs, tmp)
+    } { (parts, tmp) =>
+      mergeIvfPq(spark, cbs, parts, tmp)
       writeOpqRotation(spark, r, tmp)
     }
 
@@ -2011,6 +2165,80 @@ object Similarity {
        |cand AS (SELECT vn.vec_id,
        |    floor((($dotSum) / (vn.vnorm * (SELECT n FROM qn))) * 1e6 + 0.5) / 1e6 AS adc_cos
        |  FROM vn $encJoins $tJoins
+       |  ORDER BY adc_cos DESC, vn.vec_id LIMIT $rerank),
+       |fulldims AS (SELECT unnest(range(0, (SELECT max(len(embedding)) FROM embeddings)))::BIGINT AS i),
+       |dd AS (SELECT e.vec_id, (e.embedding[d.i + 1])::DOUBLE AS x, q0.qe0[d.i + 1] AS y
+       |       FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id,
+       |            fulldims d, q0)
+       |SELECT vec_id,
+       |       floor((sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))) * 1e6 + 0.5) / 1e6 AS cos
+       |FROM dd GROUP BY vec_id
+       |ORDER BY cos DESC, vec_id LIMIT $topk""".stripMargin
+  }
+
+  /** DuckDB oracle twin of the FULL IVF-OPQ chain (`ivf_opq_topk`) —
+    * [[opqOracleSql]]'s rotation scaffold composed with
+    * [[ivfPqOracleSql]]'s cell scaffold: the 1e-9-quantized learned
+    * rotation enters as LITERALS, the rotated corpus view `rv` feeds
+    * BOTH the coarse k-means unroll (cosine assign, prefix-`g` chain)
+    * and the m per-subspace PQ chains + encode, cells rank by the
+    * ROTATED query's cosine against per-cell means of rotated vectors,
+    * ADC restricts to vectors assigned to the nprobe best cells, and
+    * the exact rerank scores the ORIGINAL query over the ORIGINAL
+    * vectors. Every learner is individually 1e-9-quantized, so the
+    * composition hash-matches end to end.
+    */
+  def ivfOpqOracleSql(r: Seq[Seq[Double]], dim: Int, m: Int, ksub: Int,
+      k: Int, coarseIters: Int = 3, pqIters: Int = 3, nprobe: Int = 2,
+      rerank: Int = 50, topk: Int = 10): String = {
+    val sub = dim / m
+    val rr = r.flatten.mkString("[", ", ", "]")
+    def rotCoord(vecSql: String): String =
+      s"floor(list_reduce(list_transform(list_zip(" +
+        s"(SELECT rr FROM rot)[d.i*$dim + 1 : d.i*$dim + $dim], $vecSql), " +
+        s"p -> p[1] * p[2]), (x, y) -> x + y) * 1e9 + 0.5) / 1e9"
+    val learn = kmeansCtesGeneric("g", "SELECT vec_id, e FROM rv",
+      k.toString, coarseIters, l2 = false)
+    val tables = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      s"""t$s AS MATERIALIZED (SELECT c.j,
+         |  list_reduce(list_transform(list_zip(c.c, (SELECT qe[$lo:$hi] FROM qv)), p -> p[1] * p[2]), (x, y) -> x + y) AS d
+         |  FROM s${s}c$pqIters c)""".stripMargin
+    }.mkString(",\n")
+    val encJoins = (0 until m).map(s => s"JOIN enc$s e$s USING (vec_id)").mkString(" ")
+    val tJoins = (0 until m).map(s => s"JOIN t$s ON e$s.code = t$s.j").mkString(" ")
+    val dotSum = (0 until m).map(s => s"t$s.d").mkString(" + ")
+    s"""WITH rot AS MATERIALIZED (SELECT $rr::DOUBLE[] AS rr),
+       |rdims AS MATERIALIZED (SELECT unnest(range(0, $dim))::BIGINT AS i),
+       |rv AS MATERIALIZED (SELECT vec_id, list(s ORDER BY i) AS e FROM (
+       |  SELECT v.vec_id, d.i, ${rotCoord("v.embedding::DOUBLE[]")} AS s
+       |  FROM embeddings v, rdims d WHERE v.vec_id != 0) GROUP BY vec_id),
+       |$learn,
+       |${pqCtesFromView("rv", " WHERE vec_id != 0", dim, m, ksub, pqIters)},
+       |q0 AS MATERIALIZED (SELECT embedding::DOUBLE[] AS qe0 FROM embeddings WHERE vec_id = 0),
+       |qv AS MATERIALIZED (SELECT list(s ORDER BY i) AS qe FROM (
+       |  SELECT d.i, ${rotCoord("(SELECT qe0 FROM q0)")} AS s FROM rdims d)),
+       |qn AS (SELECT CASE WHEN n = 0 THEN 1.0 ELSE n END AS n FROM (
+       |  SELECT sqrt(list_reduce(list_transform(qe, x -> x * x), (x, y) -> x + y)) AS n FROM qv)),
+       |assign AS MATERIALIZED (SELECT vec_id, e, j FROM (
+       |  SELECT v.vec_id, v.e, c.j,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${assignKey(l2 = false)},
+       |      c.j DESC) AS rn
+       |  FROM gv v, gc$coarseIters c) WHERE rn = 1),
+       |cdims AS (SELECT a.j, d.i, avg(a.e[d.i + 1]) AS c
+       |          FROM assign a, gdims d GROUP BY a.j, d.i),
+       |cscores AS (SELECT cd.j,
+       |    floor((sum(cd.c * qv.qe[cd.i + 1]) / sqrt(sum(cd.c * cd.c))) * 1e6 + 0.5) / 1e6 AS s
+       |  FROM cdims cd, qv GROUP BY cd.j),
+       |best AS (SELECT j FROM cscores ORDER BY s DESC, j LIMIT $nprobe),
+       |$tables,
+       |cand AS (SELECT vn.vec_id,
+       |    floor((($dotSum) / (vn.vnorm * (SELECT n FROM qn))) * 1e6 + 0.5) / 1e6 AS adc_cos
+       |  FROM vn $encJoins $tJoins
+       |    JOIN assign a ON vn.vec_id = a.vec_id
+       |    JOIN best b ON a.j = b.j
        |  ORDER BY adc_cos DESC, vn.vec_id LIMIT $rerank),
        |fulldims AS (SELECT unnest(range(0, (SELECT max(len(embedding)) FROM embeddings)))::BIGINT AS i),
        |dd AS (SELECT e.vec_id, (e.embedding[d.i + 1])::DOUBLE AS x, q0.qe0[d.i + 1] AS y
@@ -3153,6 +3381,70 @@ object Similarity {
         bqWords(toDoubleArr(col(vecCol)), thr).as("words"), col("label"))
       .write.mode("overwrite").partitionBy("label").parquet(s"$bqPath/words")
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    val dst = new org.apache.hadoop.fs.Path(s"$bqPath/centroids")
+    val fs = src.getFileSystem(conf)
+    fs.delete(dst, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf): Unit
+  }
+
+  /** [[buildIvfSq8BqShared]] with the corpus-heavy vectors write
+    * CHUNKED over the cell range (VERDICT r17 #8): the one-shot form's
+    * partitionBy writer SORTS the whole corpus by cell per task — a
+    * transient spill that doubles the vectors table's footprint on
+    * local disk mid-write (the wall that capped the 100×-ANN rehearsal
+    * at 4M×768 on a 76 GB box). Here the dim-wide rows never
+    * reorganize all at once: the assignment runs ONCE into a narrow
+    * (id, label) table (`$path/assign`, ~16 B/row), then each of
+    * `ranges` passes re-evaluates the (lazily-defined) corpus,
+    * broadcast-joins its cell range's labels, and writes only
+    * chunk-sized data through the partition sorter — peak disk =
+    * final artifacts + one chunk's spill. Trade: `ranges` extra corpus
+    * evaluations (cheap for generated/columnar-pruned sources) buys an
+    * O(corpus)-smaller transient. Learners (per-dim SQ8 min/max, BQ
+    * decimal means, per-cell centroid means) are order-independent, so
+    * the served index is probe-identical to the one-shot build
+    * (IndexSpec-pinned).
+    */
+  def buildIvfSq8BqSharedChunked(df: DataFrame, idCol: String, vecCol: String,
+      path: String, bqPath: String, cents: Seq[Seq[Double]], dim: Int,
+      ranges: Int = 8): Unit = {
+    require(ranges >= 1)
+    val spark = df.sparkSession
+    val k = cents.size
+    withCellLabels(df, idCol, vecCol, cents)
+      .select(col(idCol), col("label"))
+      .write.mode("overwrite").parquet(s"$path/assign")
+    (0 until ranges).foreach { ri =>
+      val lo = ri * k / ranges
+      val hi = (ri + 1) * k / ranges
+      if (lo < hi) {
+        val chunkLabels = spark.read.parquet(s"$path/assign")
+          .filter(col("label") >= lo && col("label") < hi)
+        // narrow the corpus FIRST: a source carrying its own `label`
+        // column must not collide with the assignment's
+        df.select(col(idCol), col(vecCol))
+          .join(broadcast(chunkLabels), idCol)
+          .select(col(idCol), col(vecCol), col("label"))
+          .write.mode("append").partitionBy("label").parquet(s"$path/vectors")
+      }
+    }
+    val fromDisk = spark.read.parquet(s"$path/vectors")
+    centroidComponents(fromDisk, "label", vecCol)
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val prm = sq8Params(fromDisk, idCol, vecCol, dim)
+    writeSq8Params(spark, prm, path)
+    sq8EncodeTo(fromDisk, idCol, vecCol, prm, s"$path/codes", keep = Seq("label"))
+    val thr = bqThresholds(fromDisk, idCol, vecCol, dim)
+    writeBqParams(spark, thr, bqPath)
+    fromDisk.select(col(idCol),
+        bqWords(toDoubleArr(col(vecCol)), thr).as("words"), col("label"))
+      .write.mode("overwrite").partitionBy("label").parquet(s"$bqPath/words")
+    val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(s"$path/centroids")
     val dst = new org.apache.hadoop.fs.Path(s"$bqPath/centroids")
     val fs = src.getFileSystem(conf)

@@ -305,9 +305,18 @@ object TextStats {
           .drop("__b")
       }
     // phase 1: per-(stratum, chunk) count subtotals — one map-side-
-    // combined aggregate, ≤ strata·C rows out
-    val subs = keyed.groupBy(col(strataCol), col("__ck"))
+    // combined aggregate, ≤ strata·C rows out. The subtotal table is
+    // COLLECTED once and re-enters the plan as a literal frame (the
+    // same adjudicated shape as the boundary table above; ADVICE r17
+    // #5 — offs, ns and the thr join previously hung off the live
+    // aggregate as three plan branches, relying on exchange reuse to
+    // avoid re-running the keyed histogram per branch). With the
+    // literal re-entry the gate is exactly three corpus passes:
+    // boundary learn, subtotals, and the chunk-local scan.
+    val subsAgg = keyed.groupBy(col(strataCol), col("__ck"))
       .agg(sum(col("__c")).as("__t"))
+    val subs = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(subsAgg.collect(): _*), subsAgg.schema)
     // phase 2: exclusive-prefix offsets + stratum totals over that TINY
     // table — the only stratum-wide window left, and it never sees
     // histogram rows (≤ C rows per stratum)

@@ -529,3 +529,118 @@ case class CountLess(left: Expression, right: Expression) extends BinaryExpressi
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** `rotate_vec(v)` — the learned OPQ rotation applied in-plan:
+  * out[i] = floor((Σⱼ R[i][j]·v[j]) · 1e9 + 0.5) / 1e9, the exact
+  * arithmetic of the previous literal form (a [[VecDot]] against a
+  * literal row per output coordinate, `pround`ed at 1e-9 — sequential
+  * j-ascending fold, same IEEE op order), so results are bit-identical
+  * and the rotation-literal oracle SQL is unchanged.
+  *
+  * Why an Expression and not `array(d × pround(dot(v, lit-row)))`: at
+  * d=768 the literal form embeds d² = 589,824 literal nodes in the
+  * expression tree — measured 145 MB serialized task binaries PER
+  * k-means iteration of the OPQ learn (the whole plan re-ships every
+  * job), falling out of JIT the same way the unrolled SQ8 fold did.
+  * Here the matrix rides ONCE as a codegen reference object (4.7 MB of
+  * primitive doubles) and the rotate is a tight d² loop inside
+  * WholeStageCodegen.
+  *
+  * Null semantics: null input array, a null element, or a length
+  * mismatch against d → null OUTPUT ARRAY (the literal form produced a
+  * d-array of null components in those cases; no learner accepts
+  * either, and real corpora hit neither — the hash-gated fixtures are
+  * null-free and exact-dimension).
+  */
+case class RotateVec(child: Expression, r: Seq[Seq[Double]])
+    extends UnaryExpression {
+  import VectorExpressions._
+
+  require(r.nonEmpty && r.forall(_.size == r.size),
+    s"rotation must be square, got ${r.size} rows of ${r.headOption.map(_.size)}")
+
+  @transient private lazy val d: Int = r.size
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](d * d)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) { a(i * d + j) = r(i)(j); j += 1 }
+      i += 1
+    }
+    a
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "rotate_vec"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> argument, got " +
+        child.dataType.catalogString)
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != d) return null
+    val v = new Array[Double](d)
+    var j = 0
+    while (j < d) {
+      if (x.isNullAt(j)) return null
+      v(j) = evalGet(x, child.dataType, j)
+      j += 1
+    }
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      var s = 0.0
+      j = 0
+      while (j < d) { s += v(j) * flat(i * d + j); j += 1 }
+      out(i) = math.floor(s * 1e9 + 0.5) / 1e9
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val rRef = ctx.addReferenceObj("rotmat", flat, "double[]")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val dd = ctx.freshName("d")
+      val nullCheck =
+        if (containsNull(child.dataType))
+          s"if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $dd = $d;
+         |if ($a.numElements() != $dd) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $v = new double[$dd];
+         |  for (int $j = 0; $j < $dd; $j++) {
+         |    $nullCheck
+         |    $v[$j] = ${genGet(a, child.dataType, j)};
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double[] $out = new double[$dd];
+         |    for (int $i = 0; $i < $dd; $i++) {
+         |      double $s = 0.0;
+         |      for (int $j = 0; $j < $dd; $j++) {
+         |        $s += $v[$j] * $rRef[$i * $dd + $j];
+         |      }
+         |      $out[$i] = Math.floor($s * 1e9 + 0.5) / 1e9;
+         |    }
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -448,8 +448,16 @@ object SocketServe extends org.apache.spark.internal.Logging {
           }
           // one throttle decision per micro-batch covers every
           // replaying conn this batch would step (same admission
-          // granularity as the pump's per-tick decision)
-          val batchStepAllowed = replayThrottle.forall(_.stepAllowed())
+          // granularity as the pump's per-tick decision). The credit
+          // draw is LAZY — a batch with no replaying conn must not
+          // consume an admission the pump was owed (ADVICE r17 #4: the
+          // unconditional draw drifted the effective replay rate below
+          // the intended share under throttling). The pump and batch
+          // loop deliberately share ONE accumulator: both step the same
+          // sessions, and the share governs the TOTAL replay tick rate,
+          // whichever site fires it.
+          val batchStepAllowed = active.exists(_.session.replaying) &&
+            replayThrottle.forall(_.stepAllowed())
           ServeJob.onPool(active, fanOutWidth) { conn =>
             try conn.synchronized { // excludes the replay pump per conn
               // head read inside the lock — see the pump's note

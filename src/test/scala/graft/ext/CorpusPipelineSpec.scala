@@ -138,7 +138,12 @@ class CorpusPipelineSpec extends SparkSpec {
       // chunk boundaries in a SEPARATE aggregation (percentile_approx
       // collect) per gate call — a designed extra pass (VERDICT r16
       // #1), not re-execution; measured 133 with the gates chunked.
-      assert(n <= 145, s"corpus pipeline ran $n jobs — stage lineage is re-executing")
+      // Round 18 (ADVICE r17 #5): the gate's ≤ strata·C subtotal table
+      // now COLLECTS once and re-enters as literals — one explicit tiny
+      // job per gate call replaces the offs/ns/thr branches' reliance
+      // on exchange reuse (which AQE can silently break into full
+      // re-aggregations). Measured 149.
+      assert(n <= 152, s"corpus pipeline ran $n jobs — stage lineage is re-executing")
       // and the accounting itself must be unchanged by how it is taken
       assert(stages.map(_.stage) == Seq("quality_gates", "exact_dedup", "boilerplate",
         "neardup_prune", "decontam", "dsir_select", "pii_redact", "mixture",

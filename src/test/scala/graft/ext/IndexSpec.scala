@@ -107,6 +107,41 @@ class IndexSpec extends SparkSpec {
       "shared-base BQ probe diverged from the separate build")
   }
 
+  test("chunked shared build: probes equal the one-shot buildIvfSq8BqShared") {
+    // VERDICT r17 #8: the one-shot build's partitionBy sort transiently
+    // doubles the corpus-heavy vectors table on local disk — the wall
+    // that capped the ANN rehearsal at 4M×768. The chunked form
+    // reorganizes only a cell-range at a time; every learner it feeds
+    // is order-independent, so the served index must be
+    // probe-identical.
+    val emb = graft.Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0)
+    val q = graft.Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(Similarity.toDoubleArr(col("embedding"))).head().getSeq[Double](0).toSeq
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, 3)
+    val one = tmpDir("ivf-chunk-one"); val oneBq = tmpDir("ivf-chunk-one-bq")
+    Similarity.buildIvfSq8BqShared(emb, "vec_id", "embedding", one, oneBq,
+      cents, dim = 64)
+    val chk = tmpDir("ivf-chunk-many"); val chkBq = tmpDir("ivf-chunk-many-bq")
+    Similarity.buildIvfSq8BqSharedChunked(emb, "vec_id", "embedding", chk, chkBq,
+      cents, dim = 64, ranges = 3) // ranges not dividing K exercises the bounds
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    assert(rows(Similarity.ivfSq8Probe(spark, chk, "vec_id", "label", "embedding", q)) ==
+      rows(Similarity.ivfSq8Probe(spark, one, "vec_id", "label", "embedding", q)),
+      "chunked-build SQ8 probe diverged from the one-shot build")
+    assert(rows(Similarity.ivfBqProbe(spark, chkBq, "vec_id", "label", "embedding", q,
+        vectorsDir = Some(chk))) ==
+      rows(Similarity.ivfBqProbe(spark, oneBq, "vec_id", "label", "embedding", q,
+        vectorsDir = Some(one))),
+      "chunked-build BQ probe diverged from the one-shot build")
+    // and batch probes over the chunked layout work too (the batch
+    // scan pruning must tolerate the appended multi-file label dirs)
+    val queries = graft.Tables.embeddings(spark, sf).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    assert(Similarity.ivfSq8ProbeBatch(spark, chk, "vec_id", "label", "embedding",
+      queries, "qid", "qvec", k = 5, nprobe = 2, rerank = 20).count() > 0)
+  }
+
   test("janitor: reclaims epoch debris, dead corpora, crash orphans — and nothing else") {
     import org.apache.hadoop.fs.Path
     val fs = new Path(IndexStore.root)
@@ -345,6 +380,33 @@ class IndexSpec extends SparkSpec {
     val empty = emb.filter(col("vec_id") < 0)
     assert(Similarity.sq8ProbeBatch(spark, idx, corpus, "vec_id", "embedding",
       empty, "vec_id", "embedding").count() == 0)
+  }
+
+  test("ivfOpqProbe: both data reads pruned to <= nprobe cells, no corpus scan") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toDoubleArr(col("embedding"))).head().getSeq[Double](0).toSeq
+    val idx = tmpDir("idx-ivfopq-plan")
+    Similarity.buildIvfOpq(emb.filter(col("vec_id") =!= 0).drop("label"),
+      "vec_id", "embedding", idx, k = 8, dim = 64, m = 4, ksub = 16)
+    val probe = Similarity.ivfOpqProbe(spark, idx, "vec_id", "label", "embedding",
+      q, k = 10, nprobe = 2, rerank = 50)
+    val scans = fileScans(probe)
+    assert(scans.nonEmpty)
+    val roots = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(roots.forall(_.contains(idx)), s"non-index scans: $roots")
+    Seq("codes", "vectors").foreach { table =>
+      val ts = scans.filter(
+        _.relation.location.rootPaths.exists(_.toString.contains(table)))
+      assert(ts.nonEmpty && ts.forall(_.partitionFilters.nonEmpty),
+        s"$table scan is not partition-pruned")
+      ts.foreach { scan =>
+        val probedDirs = scan.relation.location
+          .listFiles(scan.partitionFilters, scan.dataFilters).size
+        assert(probedDirs <= 2, s"$table probe lists $probedDirs partitions, wanted <= nprobe")
+      }
+    }
+    assert(probe.count() == 10)
   }
 
   test("batch IVF probes: every data read statically pruned to the probed-cell union") {

@@ -153,6 +153,71 @@ class OpqSpec extends SparkSpec {
     assert(composed >= 0.85, f"OPQ composed recall $composed%.3f below 0.85")
   }
 
+  test("composed IVF-OPQ recall >= plain IVF-PQ on the correlated fixture") {
+    // VERDICT r17 #6 — the "OPQ,IVF,PQ" pairing: rotation ahead of the
+    // coarse quantizer. Rotation preserves inner products (orthogonal,
+    // up to the 1e-9 quantization), so the coarse cell structure
+    // tracks plain IVF-PQ's and the comparison isolates what the
+    // rotation buys the PQ codes — candidate quality inside the probed
+    // cells, exactly the flat OPQ-vs-PQ gain re-measured through the
+    // composed serving shape.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfopq-recall").toString
+    val idxCorpus = corpus.filter(col("vec_id") >= NQueries)
+    Similarity.buildIvfPq(idxCorpus, "vec_id", "embedding", s"$dir/ivfpq",
+      k = 8, dim = Dims, m = M, ksub = Ksub)
+    Similarity.buildIvfOpq(idxCorpus, "vec_id", "embedding", s"$dir/ivfopq",
+      k = 8, dim = Dims, m = M, ksub = Ksub)
+    def recallOf(probe: Seq[Double] => Seq[Long]): Double =
+      queries.map { case (_, q) =>
+        val exact = ids(Similarity.cosineTopK(idxCorpus, "vec_id", "embedding", q, TopK))
+        exact.toSet.intersect(probe(q).toSet).size.toDouble / exact.size
+      }.sum / queries.size
+    val pq = recallOf(q => ids(Similarity.ivfPqProbe(spark, s"$dir/ivfpq",
+      "vec_id", "label", "embedding", q, k = TopK, nprobe = 3, rerank = 50)))
+    val opq = recallOf(q => ids(Similarity.ivfOpqProbe(spark, s"$dir/ivfopq",
+      "vec_id", "label", "embedding", q, k = TopK, nprobe = 3, rerank = 50)))
+    info(f"composed recall@$TopK (nprobe=3, rerank=50): ivf-pq=$pq%.3f ivf-opq=$opq%.3f")
+    assert(opq >= pq,
+      f"IVF-OPQ recall $opq%.3f below plain IVF-PQ $pq%.3f")
+    // the absolute floor is capped by the COARSE quantizer's miss mass
+    // at nprobe=3 of 8 cells (shared by both rungs; measured ivf-pq
+    // 0.633, ivf-opq 0.758) — the comparative pin above is the
+    // rotation's claim, the floor just catches wholesale breakage
+    assert(opq >= 0.7, f"IVF-OPQ composed recall $opq%.3f below 0.7")
+  }
+
+  test("incremental frozen-learner IVF-OPQ equals the monolithic merge") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfopq-incr").toString
+    corpus.filter(col("vec_id") % 2 === 0).write.parquet(s"$base/corpus/p0")
+    corpus.filter(col("vec_id") % 2 === 1).write.parquet(s"$base/corpus/p1")
+    val rot = Similarity.learnOpqRotation(corpus, "vec_id", "embedding", Dims, M, Ksub)
+    val rotated = corpus.withColumn("__rv",
+      Similarity.rotateExpr(col("embedding"), rot))
+    val cents = Similarity.kmeansCentroids(rotated, "vec_id", "__rv", 8)
+    val cbs = Similarity.pqCodebooksOf(corpus, "vec_id",
+      Similarity.rotateExpr(col("embedding"), rot), Dims, M, Ksub)
+    val sysProp = System.getProperty("graft.index.dir")
+    System.setProperty("graft.index.dir", s"$base/indexes")
+    try {
+      val idx = Similarity.ensureIncrementalIvfOpq(spark, "ivfopqincr",
+        s"$base/corpus", "vec_id", "embedding", rot, cents, cbs)
+      val mono = s"$base/mono"
+      Similarity.buildIvfOpqPart(corpus, "vec_id", "embedding", rot, cents,
+        cbs, s"$mono/p")
+      Similarity.mergeIvfPq(spark, cbs, Seq(s"$mono/p"), mono)
+      Similarity.writeOpqRotation(spark, rot, mono)
+      val q = queries.head._2
+      val inc = Similarity.ivfOpqProbe(spark, idx, "vec_id", "label",
+        "embedding", q).collect().map(_.toString).toSeq
+      val mon = Similarity.ivfOpqProbe(spark, mono, "vec_id", "label",
+        "embedding", q).collect().map(_.toString).toSeq
+      assert(inc == mon, "incremental IVF-OPQ diverged from the monolithic merge")
+    } finally {
+      if (sysProp == null) System.clearProperty("graft.index.dir")
+      else System.setProperty("graft.index.dir", sysProp)
+    }
+  }
+
   test("incremental frozen-rotation lifecycle equals the monolithic index") {
     val base = java.nio.file.Files.createTempDirectory("graft-opq-incr").toString
     // a two-partition append-only corpus dir
