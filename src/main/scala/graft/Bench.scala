@@ -346,7 +346,11 @@ object Bench {
       "ivf_bq_topk", "ivf_bq_batch", "dsir_weights_bigram",
       // round 17: OPQ — the rotation + codebook learn is the build,
       // the timed query is probe-only like every other index rung
-      "opq_topk")
+      "opq_topk",
+      // round 18: composed IVF-OPQ — same contract; registering it here
+      // moves its rotation+quantizer+codebook learn into the measured
+      // census (the first timed rep was silently paying it before)
+      "ivf_opq_topk")
     val cacheBase = sys.env.getOrElse("SPARK_GRAFT_INDEX_CACHE",
       "/tmp/graft-bench-index-cache")
     // the key carries (layout epoch, exact sfDir, census membership):
