@@ -83,6 +83,18 @@ object Dedup {
   def hashedShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     rawShingles(df, idCol, textCol, n)
       .select(col(idCol), h32(col("shingle")).as("h"))
+      // partition by the DOC ID alone, then dedup: HashPartitioning(id)
+      // satisfies the distinct's ClusteredDistribution(id, h) AND every
+      // downstream per-doc consumer — the MinHash signature aggregate,
+      // the Jaccard size aggregate and the candidate-id semi-join all
+      // key on the id — so the whole per-doc half of the pipeline runs
+      // off ONE exchange where the (id, h)-partitioned distinct forced
+      // a second (and third) id-keyed exchange behind it (guide §2.4:
+      // two operations keyed the same way share one exchange). In-doc
+      // shingle repeats are rare (3-gram boilerplate inside one doc),
+      // so forgoing the (id, h) partial-aggregate combine costs ~no
+      // extra shuffle bytes.
+      .repartition(col(idCol))
       .distinct()
 
   private val MersennePrime = 2147483647L
@@ -170,7 +182,16 @@ object Dedup {
       s"${b}L, concat_ws(',', ${slots.mkString(", ")})"
     }.mkString(", ")
     val banded = sigs.selectExpr(idCol, s"stack($bands, $stackArgs) as (band, sig)")
-    banded.as("a")
+    // SHUFFLE the band self-join, never broadcast: a broadcast build
+    // side is a SECOND full execution of the shingle→distinct→signature
+    // pipeline (a BroadcastExchange cannot reuse the shuffle exchange
+    // the probe side reads), measured as the dominant duplicated stage
+    // at fixture scale — while at corpus scale the signature table is
+    // far past any broadcast threshold anyway, so the shuffle form is
+    // the only one that survives 100 TB. With both sides shuffled, the
+    // two (band, sig) exchanges are canonically identical and plan as
+    // ONE ReusedExchange: the signature pipeline executes exactly once.
+    banded.as("a").hint("shuffle_hash")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -327,6 +348,15 @@ object Dedup {
   def verifyCandidates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, k: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
     val sh = hashedShingles(df, idCol, textCol, shingleN)
+    // The candidate pair list is referenced THREE times downstream (the
+    // id explode plus the final semi-join, and the id set fans into the
+    // verify's three shC references) — and exchange reuse cannot
+    // collapse a broadcast reference with a shuffle one, so the lazy
+    // form re-executed the whole LSH pipeline per reference (measured:
+    // three parallel corpus-scan stages at fixture scale). Materialize
+    // it ONCE, eagerly: the pair list is the pipeline's OUTPUT volume
+    // (the same thing [[starContraction]] checkpoints every round), so
+    // the localCheckpoint is bounded by the candidate stream itself.
     val cands = lshPairsFromShingles(sh, idCol, k, bands)
     val ids = cands
       .select(explode(array(col(s"${idCol}_a"), col(s"${idCol}_b"))).as(idCol))
@@ -417,6 +447,18 @@ object Dedup {
   def substringSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minCount: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ONE exchange of the gram stream serves both consumers: the
+    // corpus-wide window count keys on h and the join back keys on h,
+    // but the lazy form could not share them — the count side's partial
+    // aggregate sat BELOW its exchange, making the two exchange inputs
+    // canonically different, so the explode + md5 gram pipeline executed
+    // (and shuffled) TWICE (measured as two parallel corpus-scan stages
+    // at fixture scale). Repartitioning the grams by h first puts both
+    // the groupBy (complete mode, clustering satisfied) and the join on
+    // top of the SAME shuffle: half the gram-stream shuffle bytes, one
+    // gram materialization (guide §2.4). The forgone map-side combine
+    // is ~free: globally duplicated grams are the minority by
+    // construction, so partial counts barely shrank the stream.
     val grams = df
       .select(col(idCol), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= n) // sequence(0, negative) would descend
@@ -424,6 +466,7 @@ object Dedup {
         s"transform(sequence(0, size(w) - $n)," +
           s" i -> concat_ws(' ', slice(w, i + 1, $n)))")).as(Seq("pos", "gram")))
       .select(col(idCol), col("pos"), h60(col("gram")).as("h"))
+      .repartition(col("h"))
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount).select(col("h"))
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
@@ -454,6 +497,7 @@ object Dedup {
     */
   def substringSpanWindowRows(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minCount: Int = 2): Long = {
+    // same shared-exchange shape as [[substringSpans]]
     val grams = df
       .select(col(idCol), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= n)
@@ -461,6 +505,7 @@ object Dedup {
         s"transform(sequence(0, size(w) - $n)," +
           s" i -> concat_ws(' ', slice(w, i + 1, $n)))")).as(Seq("pos", "gram")))
       .select(col(idCol), col("pos"), h60(col("gram")).as("h"))
+      .repartition(col("h"))
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount).select(col("h"))
     grams.join(dup, Seq("h")).count()
@@ -529,7 +574,14 @@ object Dedup {
   def contaminationFlags(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3,
       broadcastMaxShingles: Long = 50000000L): DataFrame = {
-    val benchSh = shingles(bench, idCol, textCol, shingleN)
+    // hash BEFORE the distinct on both sides (the [[hashedShingles]]
+    // argument, at h60's ~never collision odds): the corpus-side dedup
+    // shuffle carries 8-byte hashes instead of ~n-word shingle STRINGS,
+    // and partitioning it by the doc id alone lets the overlap count's
+    // groupBy reuse the same exchange (guide §2.3 "narrower types" +
+    // §2.4) — the string-keyed form paid a string-wide distinct shuffle
+    // AND a second id-keyed exchange for the count.
+    val benchSh = rawShingles(bench, idCol, textCol, shingleN)
       .select(h60(col("shingle")).as("s")).distinct()
     val benchShinglesUpper = bench.select(coalesce(
       sum(greatest(size(split(col(textCol), " ")) - (shingleN - 1), lit(0))),
@@ -537,8 +589,10 @@ object Dedup {
     val probeSide =
       if (benchShinglesUpper <= broadcastMaxShingles) broadcast(benchSh)
       else benchSh
-    shingles(corpus, idCol, textCol, shingleN)
+    rawShingles(corpus, idCol, textCol, shingleN)
       .select(col(idCol), h60(col("shingle")).as("s"))
+      .repartition(col(idCol))
+      .distinct()
       .join(probeSide, "s")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
@@ -578,25 +632,34 @@ object Dedup {
         s"connectedComponents requires integral id columns; '$c' is $dt — " +
           "map ids to longs (e.g. hash or dense-rank) before calling")
     }
-    // both directions in ONE scan of the (possibly expensive) pair
-    // pipeline — a union of two selects would evaluate it twice
-    // cached PRE-PARTITIONED on dst — the min-label loop joins
-    // edges.dst = labels.id every iteration, and a cached hash layout on
-    // the join key means only the (small) label side shuffles per round,
-    // not the 2|E| edge rows
-    val edges = pairs
-      .select(explode(array(
-        struct(col(aCol).as("src"), col(bCol).as("dst")),
-        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct().repartition(col("dst")).cache()
+    // Canonical ORIENTED edge set (src > dst, self-loop-free, distinct):
+    // exactly what both paths consume — the driver union-find is
+    // direction-agnostic and [[starContraction]] wants this orientation.
+    // The earlier form materialized the DOUBLED (both-direction) set and
+    // re-oriented it for the star path: one distinct over 2|E| rows plus
+    // a vestigial `repartition(dst)` exchange left over from the retired
+    // min-label loop — both gone (guide §2.4: a repartition nobody's key
+    // needs is a pure extra shuffle). Self-loop-only nodes drop out of
+    // BOTH paths exactly as before (the union-find never created a
+    // parent entry for them; the star path filtered src > dst).
+    val oriented = pairs
+      .select(greatest(col(aCol), col(bCol)).as("src"),
+        least(col(aCol), col(bCol)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().cache()
     // The verified-pair list is the SMALL product of near-dup detection
     // (LSH already pruned the corpus² space), so up to `driverThreshold`
-    // edges union-find runs at the driver — one collect of the pair
-    // list, zero iteration jobs; the same size-based reasoning as
-    // broadcasting a small join side. Above the threshold the
-    // distributed min-label loop below takes over unchanged.
-    if (edges.count() <= driverThreshold) {
+    // edges union-find runs at the driver — the same size-based
+    // reasoning as broadcasting a small join side. The gate and the
+    // collect are ONE capped action (collect threshold+1 rows: if the
+    // cap is not hit, the probe IS the full edge list), not a count()
+    // followed by a second collect job. Above the threshold the
+    // distributed star-contraction loop takes over on the cached set.
+    val cap = math.min(driverThreshold + 1L, Int.MaxValue.toLong).toInt
+    val probe = oriented
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .limit(cap).collect()
+    if (probe.length <= driverThreshold) {
       val spark = pairs.sparkSession
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -607,23 +670,20 @@ object Dedup {
         r
       }
       try {
-        edges.select(col("src").cast("long"), col("dst").cast("long"))
-          .collect().foreach { row =>
-            val (a, b) = (row.getLong(0), row.getLong(1))
-            val (ra, rb) = (find(a), find(b))
-            if (ra != rb) { // smaller root wins → comp = min id of cluster
-              if (ra < rb) parent(rb) = ra else parent(ra) = rb
-            }
+        probe.foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // smaller root wins → comp = min id of cluster
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
           }
+        }
         val ids = (parent.keySet ++ parent.values).toSeq
         import spark.implicits._
         return ids.map(id => (id, find(id))).toDF("id", "comp")
-      } finally edges.unpersist()
+      } finally oriented.unpersist()
     }
-    // the cached both-direction edge set already holds each undirected
-    // edge twice; src > dst selects the oriented copy for star rounds
-    try starContraction(edges.filter(col("src") > col("dst")), maxIter)._1
-    finally edges.unpersist()
+    try starContraction(oriented, maxIter)._1
+    finally oriented.unpersist()
   }
 
   /** Alternating large-star/small-star contraction over an ORIENTED
