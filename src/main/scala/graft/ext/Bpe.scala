@@ -178,8 +178,16 @@ object Bpe {
       var exhausted = false
       while (out.length < k && !exhausted) {
         val tRound = System.nanoTime()
-        val top = vocab
-          .select(explode(adjacentPairs(symExpr)).as("p"), col("freq"))
+        // The pending-merge fold is FENCED behind its own projection:
+        // [[adjacentPairs]] references its input four times (size ×2,
+        // slice ×2 over the split), and CollapseProject would inline
+        // the r-merge fold into every reference — a ~4-6× larger
+        // expression tree for the round's analysis/codegen and up to
+        // four fold evaluations per row. The fence pins "fold once,
+        // then reference the attribute" (graft.plans.Fence doc).
+        val top = graft.plans.Fence.wrap(
+            vocab.select(symExpr.as("__sy"), col("freq")))
+          .select(explode(adjacentPairs(col("__sy"))).as("p"), col("freq"))
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
           .agg(sum(col("freq")).as("cnt"))
           .orderBy(col("cnt").desc, col("l"), col("r"))

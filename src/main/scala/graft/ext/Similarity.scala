@@ -1448,7 +1448,6 @@ object Similarity {
     // (the probed-cell union of 10⁶ queries covers every cell). The two
     // paths are result-identical (IndexSpec-pinned); only the exchange
     // strategy differs.
-    val nq = queries.select(count(lit(1))).head().getLong(0)
     def gated(df: DataFrame, rows: Long): DataFrame =
       sizeGated(df, rows, broadcastMaxRows)
     // RESIDUAL layout auto-detection (VERDICT r14 #4 — the production
@@ -1482,8 +1481,9 @@ object Similarity {
     // ADVICE r16: the PQ batch (and its residual path) was the one
     // batch probe missing the dimension guard — a mismatched per-row
     // vector slices/zip_withs to null ADC scores that sort NULLS LAST
-    // into plausible-looking garbage ranks
-    requireQueryDim(queries, qVecCol, cbs.length * sub)
+    // into plausible-looking garbage ranks. The dim-check aggregate
+    // also carries the batch row count (one job, not two).
+    val nq = requireQueryDim(queries, qVecCol, cbs.length * sub)
     // static cell pruning BEFORE the spread (VERDICT r17 #1): the
     // repartition between the scan and the probe join blocks dynamic
     // partition pruning, so the probed-cell union is pushed as a
@@ -1552,13 +1552,17 @@ object Similarity {
     * rows must carry exactly the index's dimension.
     */
   private def requireQueryDim(queries: DataFrame, qVecCol: String,
-      dim: Int): Unit = {
+      dim: Int): Long = {
     // min/max skip nulls, so a null query vector would slip through
     // the dimension check and silently score null downstream — count
-    // them explicitly so they fail as loudly as a wrong dimension
+    // them explicitly so they fail as loudly as a wrong dimension.
+    // Returns the BATCH ROW COUNT from the same aggregate: every batch
+    // probe needs n_q for its broadcast size gates, and folding the
+    // count into this pass saves one whole Spark job per probe call
+    // (each batch probe paid a separate count job at construction).
     val row = queries
       .agg(min(size(col(qVecCol))), max(size(col(qVecCol))),
-        count(when(col(qVecCol).isNull, lit(1)))).head()
+        count(when(col(qVecCol).isNull, lit(1))), count(lit(1))).head()
     require(row.getLong(2) == 0L,
       s"query batch contains ${row.getLong(2)} null vectors in $qVecCol")
     // an empty batch is valid (probes return empty); only NON-empty
@@ -1567,6 +1571,7 @@ object Similarity {
         (row.getInt(0) == dim && row.getInt(1) == dim),
       s"query vectors must all be dim $dim, got " +
         s"[${row.get(0)}, ${row.get(1)}]")
+    row.getLong(3)
   }
 
   /** The size gate every batch-probe join goes through (VERDICT r14
@@ -1867,10 +1872,9 @@ object Similarity {
       broadcastMaxRows: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rerank >= k)
-    val nq = queries.select(count(lit(1))).head().getLong(0)
     val qn = batchQueryFrame(queries, qidCol, qVecCol)
     val (mns, sts) = readSq8Params(spark, indexPath)
-    requireQueryDim(queries, qVecCol, mns.size)
+    val nq = requireQueryDim(queries, qVecCol, mns.size)
     // footer-metadata census, not a count() job (ADVICE r17 #1) —
     // shared by the steer and the spread's scored-row sizing
     val corpusRows = parquetRowCount(spark, s"$indexPath/codes")
@@ -1904,12 +1908,11 @@ object Similarity {
       digits: Int = 6, broadcastMaxRows: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1 && rerank >= k)
-    val nq = queries.select(count(lit(1))).head().getLong(0)
     val qn = batchQueryFrame(queries, qidCol, qVecCol)
     val probeSet = batchCellProbeSet(spark, indexPath, labelCol, qn,
       nprobe, digits)
     val (mns, sts) = readSq8Params(spark, indexPath)
-    requireQueryDim(queries, qVecCol, mns.size)
+    val nq = requireQueryDim(queries, qVecCol, mns.size)
     // static cell pruning before the spread — VERDICT r17 #1, see
     // ivfPqProbeBatch
     val cells = probedCellUnion(probeSet)
@@ -1953,9 +1956,8 @@ object Similarity {
       broadcastMaxRows: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rerank >= k)
-    val nq = queries.select(count(lit(1))).head().getLong(0)
     val thr = readBqParams(spark, indexPath)
-    requireQueryDim(queries, qVecCol, thr.size)
+    val nq = requireQueryDim(queries, qVecCol, thr.size)
     val qn = batchQueryFrame(queries, qidCol, qVecCol)
       .withColumn("__qw", bqWords(col("__qe"), thr))
     // footer-metadata census, not a count() job (ADVICE r17 #1)
@@ -3502,9 +3504,8 @@ object Similarity {
       vectorsDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1 && rerank >= k)
-    val nq = queries.select(count(lit(1))).head().getLong(0)
     val thr = readBqParams(spark, indexPath)
-    requireQueryDim(queries, qVecCol, thr.size)
+    val nq = requireQueryDim(queries, qVecCol, thr.size)
     val qn = batchQueryFrame(queries, qidCol, qVecCol)
       .withColumn("__qw", bqWords(col("__qe"), thr))
     val probeSet = batchCellProbeSet(spark, indexPath, labelCol, qn,
