@@ -1484,23 +1484,26 @@ object Similarity {
     // into plausible-looking garbage ranks. The dim-check aggregate
     // also carries the batch row count (one job, not two).
     val nq = requireQueryDim(queries, qVecCol, cbs.length * sub)
-    // static cell pruning BEFORE the spread (VERDICT r17 #1): the
-    // repartition between the scan and the probe join blocks dynamic
-    // partition pruning, so the probed-cell union is pushed as a
-    // literal partition filter on the scan itself
-    val cells = probedCellUnion(probeSetRaw)
-    val prunedRows = parquetRowCount(spark, s"$indexPath/codes", labelCol, cells)
-    val codes = spreadForScore(
-      cellUnionPruned(spark.read.parquet(s"$indexPath/codes"), labelCol, cells),
-      if (cells.isEmpty) 0L else prunedRows * nq * nprobe / cells.size)
     // the (query, cell) probe set broadcasts NARROW — carrying the
     // dim-wide query vector per probed cell multiplied the broadcast by
     // nprobe × dim×8 B and blew spark.driver.maxResultSize at the 10k-
     // query 768-dim rehearsal; the vector rides in via a second
-    // broadcast keyed by qid alone (one copy per query)
-    val probeNarrow = probeSet.select(
-      (col("__qid") +: col("__cell") +:
-        (if (residual) Seq(col("__qc")) else Nil)): _*)
+    // broadcast keyed by qid alone (one copy per query). Collected once
+    // as literals under the broadcast gate ([[literalProbeSet]]), which
+    // also yields the probed-cell union without a second job.
+    val (probeNarrow, cells) = literalProbeSet(
+      probeSet.select(
+        (col("__qid") +: col("__cell") +:
+          (if (residual) Seq(col("__qc")) else Nil)): _*),
+      nq * nprobe, broadcastMaxRows)
+    // static cell pruning BEFORE the spread (VERDICT r17 #1): the
+    // repartition between the scan and the probe join blocks dynamic
+    // partition pruning, so the probed-cell union is pushed as a
+    // literal partition filter on the scan itself
+    val prunedRows = parquetRowCount(spark, s"$indexPath/codes", labelCol, cells)
+    val codes = spreadForScore(
+      cellUnionPruned(spark.read.parquet(s"$indexPath/codes"), labelCol, cells),
+      if (cells.isEmpty) 0L else prunedRows * nq * nprobe / cells.size)
     val paired = codes.join(gated(probeNarrow, nq * nprobe),
       codes(labelCol) === probeNarrow("__cell"))
       .join(gated(qn, nq), "__qid")
@@ -1633,6 +1636,28 @@ object Similarity {
   private def probedCellUnion(probeSet: DataFrame): Seq[Any] =
     probeSet.select(col("__cell")).distinct()
       .collect().map(_.get(0)).toIndexedSeq
+
+  /** Collect the NARROW probe set once and re-enter it as a literal
+    * frame, deriving the probed-cell union from the same rows: below
+    * the broadcast gate (n_q × nprobe rows — the exact bound the
+    * broadcast already accepts) the probe-set plan used to execute
+    * TWICE per batch probe, once for [[probedCellUnion]]'s collect and
+    * once to build the probe join's broadcast; the literal form pays
+    * one execution and zero extra jobs for the union. Above the gate
+    * (a shuffle-join batch) nothing is collected — the lazy frame and
+    * the separate union collect are kept, since the probe set is then
+    * too large to hold driver-side by the same reasoning that disables
+    * its broadcast.
+    */
+  private def literalProbeSet(probeNarrow: DataFrame, rows: Long,
+      maxRows: Long): (DataFrame, Seq[Any]) =
+    if (rows <= maxRows) {
+      val collected = probeNarrow.collect()
+      val ci = probeNarrow.schema.fieldIndex("__cell")
+      val cells: Seq[Any] = collected.map(_.get(ci)).distinct.toIndexedSeq
+      (probeNarrow.sparkSession.createDataFrame(
+        java.util.Arrays.asList(collected: _*), probeNarrow.schema), cells)
+    } else (probeNarrow, probedCellUnion(probeNarrow))
 
   /** Literal `isin` partition filter over the collected cell union —
     * the batch twin of the single probes' `pruned(table)` shape; the
@@ -1913,16 +1938,19 @@ object Similarity {
       nprobe, digits)
     val (mns, sts) = readSq8Params(spark, indexPath)
     val nq = requireQueryDim(queries, qVecCol, mns.size)
+    // narrow (qid, cell) broadcast + per-qid vector broadcast — see
+    // ivfPqProbeBatch's note (the fat probe set blew maxResultSize);
+    // collected once as literals under the broadcast gate, yielding the
+    // cell union without a second job ([[literalProbeSet]])
+    val (probeNarrow, cells) = literalProbeSet(
+      probeSet.select(col("__qid"), col("__cell")), nq * nprobe,
+      broadcastMaxRows)
     // static cell pruning before the spread — VERDICT r17 #1, see
     // ivfPqProbeBatch
-    val cells = probedCellUnion(probeSet)
     val prunedRows = parquetRowCount(spark, s"$indexPath/codes", labelCol, cells)
     val codes = spreadForScore(
       cellUnionPruned(spark.read.parquet(s"$indexPath/codes"), labelCol, cells),
       if (cells.isEmpty) 0L else prunedRows * nq * nprobe / cells.size)
-    // narrow (qid, cell) broadcast + per-qid vector broadcast — see
-    // ivfPqProbeBatch's note (the fat probe set blew maxResultSize)
-    val probeNarrow = probeSet.select(col("__qid"), col("__cell"))
     val paired = codes
       .join(sizeGated(probeNarrow, nq * nprobe, broadcastMaxRows),
         codes(labelCol) === probeNarrow("__cell"))
@@ -3508,18 +3536,21 @@ object Similarity {
     val nq = requireQueryDim(queries, qVecCol, thr.size)
     val qn = batchQueryFrame(queries, qidCol, qVecCol)
       .withColumn("__qw", bqWords(col("__qe"), thr))
-    val probeSet = batchCellProbeSet(spark, indexPath, labelCol, qn,
-      nprobe, digits)
-      .select(col("__qid"), col("__qw"), col("__cell"))
+    // the probe set carries the packed query words (dim/32 longs per
+    // row, n_q × nprobe rows) — collected once as literals under the
+    // broadcast gate, yielding the cell union without a second job
+    val (probeLit, cells) = literalProbeSet(
+      batchCellProbeSet(spark, indexPath, labelCol, qn, nprobe, digits)
+        .select(col("__qid"), col("__qw"), col("__cell")),
+      nq * nprobe, broadcastMaxRows)
     // static cell pruning before the spread — VERDICT r17 #1, see
     // ivfPqProbeBatch
-    val cells = probedCellUnion(probeSet)
     val prunedRows = parquetRowCount(spark, s"$indexPath/words", labelCol, cells)
     val words = spreadForScore(
       cellUnionPruned(spark.read.parquet(s"$indexPath/words"), labelCol, cells),
       if (cells.isEmpty) 0L else prunedRows * nq * nprobe / cells.size)
-    val paired = words.join(sizeGated(probeSet, nq * nprobe, broadcastMaxRows),
-      words(labelCol) === probeSet("__cell"))
+    val paired = words.join(sizeGated(probeLit, nq * nprobe, broadcastMaxRows),
+      words(labelCol) === probeLit("__cell"))
     val ham = aggregate(
       zip_with(col("words"), col("__qw"), (a, b) => bit_count(a.bitwiseXOR(b))),
       lit(0L), (acc, x) => acc + x)
