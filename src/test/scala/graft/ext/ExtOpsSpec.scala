@@ -291,26 +291,22 @@ class ExtOpsSpec extends SparkSpec {
     // the 100 TB property (VERDICT r16 #1): the cumulative scan over
     // the distinct-value histogram must be keyed by (stratum, chunk) —
     // a stratum-only window funnels sampleByShare's constant "__all"
-    // stratum through ONE task. The only stratum-only window allowed is
-    // the offsets prefix, which orders by chunk id and sees ≤ C
-    // subtotal rows per stratum, never histogram rows.
+    // stratum through ONE task. Since the round-18 literal-re-entry
+    // rework (ADVICE r17 #5) the threshold is computed at CONSTRUCTION
+    // time (chunk-keyed windows inside bounded collects over the
+    // materialized histogram) and the RETURNED frame is one corpus pass
+    // against the literal broadcast threshold table — so the pin is now
+    // stronger: the gate's returned plan must contain NO window node at
+    // all. A stratum-only window regressing into the returned path
+    // trips this immediately.
     import org.apache.spark.sql.catalyst.plans.logical.Window
     val docs = graft.Tables.documents(spark, sf)
     val scored = TextStats.qualityScore(docs, "doc_id", "text")
       .withColumn("s", lit("__all"))
     val out = TextStats.percentileGate(scored, "s", "quality", q = 0.7)
     val wins = out.queryExecution.optimizedPlan.collect { case w: Window => w }
-    assert(wins.size == 2, s"expected offsets + chunk-local windows, got ${wins.size}")
-    wins.foreach { w =>
-      val ordersOnChunk =
-        w.orderSpec.map(_.child.references.map(_.name).toSet) == Seq(Set("__ck"))
-      // (a constant stratum is folded out of the partition spec by the
-      // optimizer — the invariant is that the chunk key remains)
-      if (!ordersOnChunk)
-        assert(w.partitionSpec.flatMap(_.references.map(_.name)).contains("__ck"),
-          s"histogram-side window keyed by ${w.partitionSpec.map(_.sql).mkString(",")} — " +
-            "stratum-only window back in the gate path")
-    }
+    assert(wins.isEmpty,
+      s"expected a window-free gate plan (threshold enters as literals), got ${wins.size}")
     // chunked form ≡ the single-chunk (logical single-window) form at a
     // chunk count that forces multi-chunk strata — long addition is
     // associative, so the kept set is invariant under chunking
