@@ -49,6 +49,19 @@ object PlanDump {
           trace ::= f"    job ${je.jobId}%4d  $dt%8.1f ms  ${s._2}"
         }
       }
+      // stage-level: tasks, wall, summed executor run time — tells a
+      // serial stage (1 task / compile-bound) from a wide one at a glance
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        if (tracing) {
+          val si = sc.stageInfo
+          val wall = (for {s <- si.submissionTime; c <- si.completionTime}
+            yield c - s).getOrElse(-1L)
+          val run = si.taskMetrics.executorRunTime
+          trace ::= f"      stage ${si.stageId}%4d  ${si.numTasks}%4d tasks  " +
+            f"wall $wall%6d ms  exec $run%6d ms  ${si.name.takeWhile(_ != '(')}"
+        }
+      }
     })
 
     val planOut = sys.env.get("SPARK_GRAFT_PLAN_OUT")

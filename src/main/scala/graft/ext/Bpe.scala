@@ -114,6 +114,13 @@ object Bpe {
   private def spacedSyms(word: Column): Column =
     concat(lit(" "), array_join(split(word, ""), " "), lit(" "))
 
+  /** The spaced `(s, freq)` vocabulary frame [[learnMerges]] loops over
+    * — factored out for the spec's forced-path twins (driver vs
+    * distributed equivalence pin).
+    */
+  private[ext] def spacedVocab(df: DataFrame, textCol: String): DataFrame =
+    wordVocab(df, textCol).select(spacedSyms(col("word")).as("s"), col("freq"))
+
   /** Exact greedy left-to-right application of one merge (see the
     * two-pass and self-pair arguments in the object doc). `lhs`/`rhs`
     * are driver values, so the self-pair branch costs nothing at plan
@@ -154,23 +161,58 @@ object Bpe {
     */
   val FoldEncodeMaxMerges = 64
 
+  /** Vocab-row gate for the DRIVER-side learn in [[learnMerges]]: a
+    * pre-token vocabulary at or under this many distinct words is
+    * collected once and the merge loop runs in-memory — the classical
+    * BPE learner (Sennrich et al. 2016 learn over the word-frequency
+    * table, with incremental pair-count maintenance), and the same
+    * size-gated driver-path shape as [[Dedup.connectedComponents]]'
+    * union-find (collect the provably SMALL product, never the corpus).
+    * Why: each distributed round is one aggregate + argmax collect —
+    * 2 Spark jobs + a fresh plan analysis/codegen per round, ~150-250 ms
+    * of fixed cost per merge regardless of data size, k rounds deep and
+    * inherently sequential. Driver-side the k=12 oracle-gated learn is
+    * sub-millisecond per round. At ~1M rows the collect is ≤ ~150 MB;
+    * above the gate the distributed loop below is unchanged (the path a
+    * 100 TB corpus' sub-billion-row vocabulary takes). Both paths are
+    * merge-for-merge identical (BpeSpec pins the equivalence, incl. the
+    * self-pair run and astral-plane fixtures).
+    */
+  val DriverLearnMaxVocab = 1000000
+
   /** Learn up to `k` merges over `df.textCol`'s pre-token vocabulary.
     * Stops early if no adjacent pair remains (every word fused to one
     * symbol). Deterministic: ties break to the lexicographically
-    * smallest (lhs, rhs). `checkpointEvery` bounds both the per-round
-    * re-apply cost and the expression depth (object doc); the result is
-    * identical at any cadence — materialization only changes WHERE the
-    * already-applied fold is evaluated, never its value (BpeSpec pins
-    * cadence-invariance).
+    * smallest (lhs, rhs) in UTF-8 byte order — Spark's string ordering,
+    * reproduced exactly by the driver path. `checkpointEvery` bounds
+    * both the per-round re-apply cost and the expression depth (object
+    * doc); the result is identical at any cadence — materialization
+    * only changes WHERE the already-applied fold is evaluated, never
+    * its value (BpeSpec pins cadence-invariance).
     */
   def learnMerges(df: DataFrame, textCol: String, k: Int,
       checkpointEvery: Int = CheckpointEveryMerges,
       onRound: (Int, Double) => Unit = (_, _) => ()): Seq[Merge] = {
     require(k >= 1, "k must be positive")
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
-    var vocab = wordVocab(df, textCol)
-      .select(spacedSyms(col("word")).as("s"), col("freq"))
-      .cache()
+    // one capped action both sizes the vocab and, under the gate, IS the
+    // full vocab (the connectedComponents probe shape): the driver path
+    // then runs the whole loop with zero further Spark jobs
+    val vocabDf = spacedVocab(df, textCol)
+    val probe = vocabDf.limit(DriverLearnMaxVocab + 1).collect()
+    if (probe.length <= DriverLearnMaxVocab)
+      return learnMergesDriver(
+        probe.map(r => (r.getString(0), r.getLong(1))), k, onRound)
+    learnMergesDistributed(vocabDf, k, checkpointEvery, onRound)
+  }
+
+  /** The distributed merge loop — the above-the-gate path, and the
+    * spec's forced-path twin for the driver/distributed equivalence pin.
+    */
+  private[ext] def learnMergesDistributed(vocabDf: DataFrame, k: Int,
+      checkpointEvery: Int = CheckpointEveryMerges,
+      onRound: (Int, Double) => Unit = (_, _) => ()): Seq[Merge] = {
+    var vocab = vocabDf.cache()
     try {
       val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
       var symExpr: Column = col("s")
@@ -216,6 +258,96 @@ object Bpe {
       }
       out.toSeq
     } finally { vocab.unpersist(); () }
+  }
+
+  /** Spark's string sort order is unsigned UTF-8 byte order
+    * (UTF8String.compareTo), which differs from Java's UTF-16
+    * `String.compareTo` for supplementary-plane symbols — the driver
+    * learn's tiebreak must reproduce it exactly (BpeSpec's astral-plane
+    * fixture covers the divergence).
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Below-the-gate in-memory learn over the collected `(spaced syms,
+    * freq)` vocabulary — the classical fast BPE learner: pair counts
+    * maintained INCREMENTALLY (a merge re-indexes only the words the
+    * winning pair occurs in, via the pair → word-index posting sets),
+    * so k rounds cost O(k · affected words), not k full vocab scans.
+    * Merge application is [[greedyPass]] — the exact same routine the
+    * iterative encoder uses, already pinned equivalent to the column
+    * fold (BpeSpec cross-path equivalence) — and the argmax breaks
+    * count ties to the UTF-8-byte-smallest (lhs, rhs), Spark's string
+    * order. Long counts are exact integers on both paths, so the merge
+    * sequences are identical by induction: same tokenization → same
+    * pair counts → same argmax → same greedy application.
+    */
+  private[ext] def learnMergesDriver(vocab: Array[(String, Long)], k: Int,
+      onRound: (Int, Double) => Unit = (_, _) => ()): Seq[Merge] = {
+    val words = vocab.map { case (s, _) =>
+      val t = s.trim
+      if (t.isEmpty) Array.empty[String] else t.split(" ")
+    }
+    val freqs = vocab.map(_._2)
+    val counts = new java.util.HashMap[(String, String), Long]()
+    // posting sets: pair -> indexes of words where it occurs adjacently
+    // (kept as a superset — stale members no-op at apply time)
+    val postings = new java.util.HashMap[(String, String), java.util.BitSet]()
+    def reindex(i: Int, sign: Long): Unit = {
+      val w = words(i)
+      var j = 0
+      while (j + 1 < w.length) {
+        val p = (w(j), w(j + 1))
+        val c = counts.getOrDefault(p, 0L) + sign * freqs(i)
+        if (c == 0L) counts.remove(p) else counts.put(p, c)
+        if (sign > 0)
+          postings.computeIfAbsent(p, _ => new java.util.BitSet()).set(i)
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < words.length) { reindex(i, 1L); i += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    while (out.length < k && !counts.isEmpty) {
+      val tRound = System.nanoTime()
+      var bestP: (String, String) = null
+      var bestC = Long.MinValue
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue
+        if (c > bestC || (c == bestC && {
+          val p = e.getKey
+          utf8Less(p._1, bestP._1) ||
+            (p._1 == bestP._1 && utf8Less(p._2, bestP._2))
+        })) { bestC = c; bestP = e.getKey }
+      }
+      val affected = postings.remove(bestP)
+      if (affected != null) {
+        var w = affected.nextSetBit(0)
+        while (w >= 0) {
+          // stale members (the pair no longer adjacent there) subtract
+          // and re-add identical contributions — a no-op by arithmetic
+          reindex(w, -1L)
+          words(w) = greedyPass(words(w), bestP._1, bestP._2)
+          reindex(w, 1L)
+          w = affected.nextSetBit(w + 1)
+        }
+      }
+      out += Merge(out.length + 1, bestP._1, bestP._2, bestC)
+      onRound(out.length, (System.nanoTime() - tRound) / 1e9)
+    }
+    out.toSeq
   }
 
   /** The learned merge table as a DataFrame:
@@ -316,17 +448,22 @@ object Bpe {
     * to fold into an expression tree. Serializable; the memo is fetched
     * per-executor through [[WordMemo]] by `callId`.
     */
+  /** One exact greedy left-to-right application of merge (l, r) over a
+    * symbol array — shared by the iterative encoder AND the driver-side
+    * learner (same routine, same pinned equivalence to the column fold).
+    */
+  private[ext] def greedyPass(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
   private final class IterativeEncoder(merges: Seq[Merge], callId: String)
       extends Serializable {
-    private def greedyPass(syms: Array[String], l: String, r: String): Array[String] = {
-      val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
-      var i = 0
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
-        else { out += syms(i); i += 1 }
-      }
-      out.toArray
-    }
     private def encodeUncached(word: String): String = {
       // initial symbols: one per CODE POINT — Spark's split(w, "")
       // never splits inside a surrogate pair, while Java String.split

@@ -94,6 +94,14 @@ object Dedup {
       // shingle repeats are rare (3-gram boilerplate inside one doc),
       // so forgoing the (id, h) partial-aggregate combine costs ~no
       // extra shuffle bytes.
+      //
+      // Deliberately NOT widened ahead of the explode (the round-18
+      // spread that pays off in [[substringSpans]]/[[chunkDedup]]): the
+      // exploded stream here has MANY consumers, and a pre-explode
+      // exchange stacked under this one defeated AQE's stage reuse —
+      // the explode re-ran once per consumer (measured: dedup_verified
+      // 2.7 s → 3.3-8.3 s across the variants). The single post-explode
+      // exchange keeps the explode executed exactly once.
       .repartition(col(idCol))
       .distinct()
 
@@ -391,7 +399,13 @@ object Dedup {
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
       chunkWords: Int = 10, boilerplateK: Int = 3): DataFrame = {
     val c = chunkWords
-    val chunks = df
+    // id-keyed spread ahead of the chunk explode (guide §2.5 via
+    // [[graft.util.Scans.spread]]): the explode + h60 runs at executor
+    // width instead of the single-row-group scan's one task, and the
+    // reassembly groupBy(id) reuses the same partitioning when the
+    // boilerplate join broadcasts (its usual shape), dropping its
+    // exchange.
+    val chunks = graft.util.Scans.spread(df, col(idCol))
       .select(col(idCol), split(col(textCol), " ").as("w"))
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(0, cast(ceil(size(w) / $c.0D) as int) - 1)," +
@@ -459,7 +473,15 @@ object Dedup {
     // gram materialization (guide §2.4). The forgone map-side combine
     // is ~free: globally duplicated grams are the minority by
     // construction, so partial counts barely shrank the stream.
-    val grams = df
+    // spread the docs BEFORE the window explode (guide §2.5 via
+    // [[graft.util.Scans.spread]]): the fixture corpus is one parquet
+    // row group, so the n-gram explode + md5 — the operator's dominant
+    // row-local work — otherwise runs in the scan stage's single task.
+    // One tiny explicit-width exchange of raw docs buys executor-width
+    // gram hashing; the gram stream's single consumer is the
+    // repartition(h) exchange below, so no reuse hazard, and at corpus
+    // scale the scan is already wide and the spread is the identity.
+    val grams = graft.util.Scans.spread(df, col(idCol))
       .select(col(idCol), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= n) // sequence(0, negative) would descend
       .select(col(idCol), posexplode(expr(
@@ -497,8 +519,8 @@ object Dedup {
     */
   def substringSpanWindowRows(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minCount: Int = 2): Long = {
-    // same shared-exchange shape as [[substringSpans]]
-    val grams = df
+    // same shared-exchange + pre-explode spread shape as [[substringSpans]]
+    val grams = graft.util.Scans.spread(df, col(idCol))
       .select(col(idCol), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col(idCol), posexplode(expr(

@@ -256,6 +256,20 @@ object TextStats {
     * where Spark and DuckDB disagreed on 4 rows. Rounding both sides'
     * thresholds to the grid makes the cut deterministic.
     */
+  /** Histogram-row gate for the DRIVER-side threshold in
+    * [[percentileGate]]: at or under this many (stratum, value, count)
+    * rows the histogram is collected once and the order statistics +
+    * interpolation run in-memory — one Spark action at construction
+    * instead of four (boundary learn, subtotal collect, threshold scan,
+    * checkpoint), the same size-gated driver-path shape as
+    * [[Bpe.DriverLearnMaxVocab]] and the dedup union-find. The
+    * arithmetic is the distributed form's exact IEEE op sequence
+    * (verified by the chunking-invariance spec, which crosses the gate).
+    * Above the gate the chunked two-phase prefix sum below is unchanged
+    * — the 100 TB path for near-distinct value distributions.
+    */
+  val DriverGateMaxHistogram = 2000000
+
   def percentileGate(df: DataFrame, strataCol: String, valueCol: String,
       q: Double, thrDigits: Option[Int] = None,
       chunks: Int = 256): DataFrame = {
@@ -263,6 +277,39 @@ object TextStats {
     require(chunks > 0 && chunks <= 65536, s"chunks in [1, 65536], got $chunks")
     // group on the double view of the value — the same widening
     // Spark's percentile applies before interpolating.
+    val ctsPlan = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(strataCol), col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    // one capped action both sizes the histogram and, under the gate,
+    // IS the histogram: thresholds then compute driver-side with zero
+    // further jobs (exact same order-statistic + interpolation ops)
+    val probe = ctsPlan.limit(DriverGateMaxHistogram + 1).collect()
+    if (probe.length <= DriverGateMaxHistogram) {
+      val thrRows = driverThresholds(probe, q, thrDigits)
+      val thrDf = df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(thrRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          ctsPlan.schema.head,
+          org.apache.spark.sql.types.StructField("__thr",
+            org.apache.spark.sql.types.DoubleType))))
+      return df.join(broadcast(thrDf), strataCol)
+        .filter(col(valueCol) >= col("__thr"))
+        .drop("__thr")
+    }
+    percentileGateDistributed(df, strataCol, valueCol, q, thrDigits, chunks)
+  }
+
+  /** The above-the-gate chunked machinery — and the spec's forced-path
+    * twin for the driver/distributed equivalence pin (the gated entry
+    * point takes the driver path at any fixture-sized histogram).
+    */
+  private[ext] def percentileGateDistributed(df: DataFrame, strataCol: String,
+      valueCol: String, q: Double, thrDigits: Option[Int] = None,
+      chunks: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ctsPlan = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(strataCol), col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
     // MATERIALIZED once (eager localCheckpoint): the histogram is
     // consumed by three separate actions — the boundary learn's
     // percentile_approx collect, the subtotal collect, and the
@@ -274,10 +321,7 @@ object TextStats {
     // scores; worst-case the distinct-value count, which phase 3 was
     // already sized for) and cuts the gate to TWO corpus passes total:
     // this histogram pass and the final broadcast-threshold filter.
-    val cts = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(strataCol), col(valueCol).cast("double").as("__v"))
-      .agg(count(lit(1)).as("__c"))
-      .localCheckpoint(true)
+    val cts = ctsPlan.localCheckpoint(true)
     // Two-phase chunked prefix sum (the [[Sampling.mixtureByBudget]]
     // pattern, VERDICT r16 #1): the naive cumulative window
     // partitionBy(stratum).orderBy(__v) sorts a stratum's WHOLE
@@ -388,6 +432,41 @@ object TextStats {
     df.join(broadcast(thrDf), strataCol)
       .filter(col(valueCol) >= col("__thr"))
       .drop("__thr")
+  }
+
+  /** Below-the-gate in-memory twin of the chunked threshold machinery:
+    * per stratum, sort the (value, count) histogram, locate the two
+    * order statistics around rank q·(n−1), interpolate with the EXACT
+    * distributed op sequence — pos = q · (n−1).toDouble, lo = ⌊pos⌋,
+    * hi = ⌈pos⌉, (hi − pos)·v_lo + (pos − lo)·v_hi with the v_lo
+    * short-circuits — and apply the same [[graft.util.Portable.proundD]]
+    * grid snap. Long counts are exact; doubles follow IEEE identically
+    * on both paths (the chunking-invariance spec crosses the gate).
+    */
+  private def driverThresholds(hist: Array[org.apache.spark.sql.Row],
+      q: Double, thrDigits: Option[Int]): Array[org.apache.spark.sql.Row] = {
+    val byStratum = hist.groupBy(r => r.get(0))
+    byStratum.iterator.map { case (s, rows) =>
+      val vc = rows.map(r => (r.getDouble(1), r.getLong(2)))
+        .sortWith((a, b) => java.lang.Double.compare(a._1, b._1) < 0)
+      val n = vc.iterator.map(_._2).sum
+      val pos = q * (n - 1).toDouble
+      val lo = math.floor(pos).toLong
+      val hi = math.ceil(pos).toLong
+      var cum = 0L
+      var vLo = Double.NaN
+      var vHi = Double.NaN
+      vc.foreach { case (v, c) =>
+        cum += c
+        if (cum - c <= lo && lo < cum) vLo = v
+        if (cum - c <= hi && hi < cum) vHi = v
+      }
+      val interp =
+        if (lo == hi || vLo == vHi) vLo
+        else (hi.toDouble - pos) * vLo + (pos - lo.toDouble) * vHi
+      val t = thrDigits.fold(interp)(d => graft.util.Portable.proundD(interp, d))
+      org.apache.spark.sql.Row(s, t)
+    }.toArray
   }
 
   /** PII pattern set shared with the oracle: every pattern is valid and

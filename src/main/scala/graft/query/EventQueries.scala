@@ -138,7 +138,18 @@ object EventQueries {
         to_json(struct(
           lit("#account").as("t"), did.as("did"), col("event_id").as("seq"),
           rfc3339.as("time"), lit(true).as("active"), lit("active").as("status"))))
-    val raw = Tables.events(spark, dir).select(frame.as("value"))
+    // spread the events ahead of the synth+parse+decode chain (guide
+    // §2.5): the fixture table is one parquet row group, so the chain —
+    // to_json + from_json + the decode projections, the query's entire
+    // cost — otherwise runs in the scan's single task. One tiny
+    // id-keyed exchange of the three source columns buys executor-width
+    // decode; the chain stays one codegen stage after it, and at corpus
+    // scale the scan is already wide so the repartition degenerates to
+    // the same narrow shape.
+    val raw = graft.util.Scans.spread(
+        Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("ts")),
+        col("event_id"))
+      .select(frame.as("value"))
     Decode.decodeFrames(Decode.parseMixedFrames(raw))
       .groupBy(col("type"))
       .agg(

@@ -105,13 +105,42 @@ class BpeSpec extends SparkSpec {
 
   test("learnMerges is checkpoint-cadence-invariant (production-k path)") {
     // materialization only changes where the applied fold is evaluated,
-    // never its value: a cadence of 2 must learn the identical sequence
-    val base = Bpe.learnMerges(toyDocs, "text", 6)
-    val ck = Bpe.learnMerges(toyDocs, "text", 6, checkpointEvery = 2)
+    // never its value: a cadence of 2 must learn the identical sequence.
+    // Forced onto the DISTRIBUTED twin — the gated entry point takes the
+    // driver path at fixture size, where cadence doesn't exist.
+    val vocab = Bpe.spacedVocab(toyDocs, "text")
+    val base = Bpe.learnMergesDistributed(vocab, 6)
+    val ck = Bpe.learnMergesDistributed(vocab, 6, checkpointEvery = 2)
     assert(ck == base)
-    val run = Seq((1L, "aaaaa bbbb")).toDF("doc_id", "text")
-    assert(Bpe.learnMerges(run, "text", 5, checkpointEvery = 1) ==
-      Bpe.learnMerges(run, "text", 5))
+    val run = Bpe.spacedVocab(Seq((1L, "aaaaa bbbb")).toDF("doc_id", "text"), "text")
+    assert(Bpe.learnMergesDistributed(run, 5, checkpointEvery = 1) ==
+      Bpe.learnMergesDistributed(run, 5))
+  }
+
+  test("driver-gated learn is merge-for-merge identical to the distributed loop") {
+    // the round-18 size gate (DriverLearnMaxVocab): below it the whole
+    // merge loop runs in-memory over the collected vocabulary; the two
+    // paths must agree on EVERY fixture family — count ties, self-pair
+    // runs (the greedy-application trap), and astral-plane symbols,
+    // where Spark's UTF-8-byte string order diverges from Java's UTF-16
+    // compareTo (U+FFFD sorts AFTER U+1D11E in UTF-16 but BEFORE it in
+    // UTF-8 — the driver tiebreak must reproduce Spark's order)
+    val astral = Seq(
+      (1L, "𝄞z �z"),
+      (2L, "𝄞z �z aaaa")).toDF("doc_id", "text")
+    val fixtures = Seq(
+      (toyDocs, 6),
+      (Seq((1L, "aaaaa"), (2L, "aaaaaa bb ab")).toDF("doc_id", "text"), 5),
+      (astral, 4))
+    fixtures.foreach { case (df, k) =>
+      val vocab = Bpe.spacedVocab(df, "text")
+      val dist = Bpe.learnMergesDistributed(vocab, k)
+      val drv = Bpe.learnMergesDriver(
+        vocab.collect().map(r => (r.getString(0), r.getLong(1))), k)
+      assert(drv == dist, s"driver/distributed divergence on $dist vs $drv")
+      // and the gated entry point (fixture-sized → driver path) agrees
+      assert(Bpe.learnMerges(df, "text", k) == dist)
+    }
   }
 
   test("iterative encoder is path-equivalent to the column fold") {

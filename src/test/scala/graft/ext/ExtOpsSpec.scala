@@ -307,15 +307,23 @@ class ExtOpsSpec extends SparkSpec {
     val wins = out.queryExecution.optimizedPlan.collect { case w: Window => w }
     assert(wins.isEmpty,
       s"expected a window-free gate plan (threshold enters as literals), got ${wins.size}")
-    // chunked form ≡ the single-chunk (logical single-window) form at a
-    // chunk count that forces multi-chunk strata — long addition is
-    // associative, so the kept set is invariant under chunking
-    val fine = TextStats.percentileGate(scored, "s", "quality", q = 0.7, chunks = 4)
+    // the gated (driver-threshold) entry point ≡ the distributed
+    // chunked machinery, at a chunk count that forces multi-chunk
+    // strata AND at the single-chunk (logical single-window) form —
+    // long addition is associative and both sides run the identical
+    // IEEE interpolation ops, so the kept set crosses the size gate
+    // unchanged
+    val gated = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val fine = TextStats.percentileGateDistributed(scored, "s", "quality",
+        q = 0.7, chunks = 4)
       .select("doc_id").as[Long].collect().sorted.toSeq
-    val coarse = TextStats.percentileGate(scored, "s", "quality", q = 0.7, chunks = 1)
+    val coarse = TextStats.percentileGateDistributed(scored, "s", "quality",
+        q = 0.7, chunks = 1)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(fine.nonEmpty && fine == coarse,
       "chunked percentile gate diverged from the single-chunk form")
+    assert(gated == fine,
+      "driver-threshold gate diverged from the distributed machinery")
   }
 
   test("percentileGate thrDigits snaps the cutoff to the value grid") {
