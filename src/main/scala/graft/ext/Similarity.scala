@@ -339,7 +339,14 @@ object Similarity {
     * its previous centroid so K is stable.
     */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 5): Seq[Seq[Double]] = {
+      k: Int, iters: Int = 5): Seq[Seq[Double]] =
+    kmeansCentroidsGated(df, idCol, vecCol, k, iters, DriverKmeansMaxComponents)
+
+  /** [[kmeansCentroids]] with an explicit driver-gate cap — the spec's
+    * forced-path hook (cap 0 forces the distributed loop).
+    */
+  private[ext] def kmeansCentroidsGated(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int, maxComponents: Long): Seq[Seq[Double]] = {
     require(k >= 1 && iters >= 0)
     // 1e-9 quantization of init components, per-iteration means, and
     // (in assignCell) argmax scores: corpus-order summation noise
@@ -363,6 +370,18 @@ object Similarity {
       .orderBy(md5(col("__id")), col("__id"))
       .limit(k)
       .collect().map(_.getSeq[Double](1).map(q)).toIndexedSeq
+    // size-gated driver loop (the Bpe.DriverLearnMaxVocab shape): below
+    // the component cap the assignment + quantized mean run in-memory
+    // over one collected pass — k-means is k · iters corpus passes of
+    // 2-3 Spark jobs each otherwise, all fixed scheduling/codegen cost
+    // at fixture scale. Arithmetic is op-identical (KmeansPathSpec pins
+    // driver ≡ distributed); above the cap the distributed loop below
+    // is unchanged.
+    driverVectors(df, toDoubleArr(col(vecCol)), cents, maxComponents) match {
+      case Some(vecs) =>
+        return kmeansDriverLoop(vecs, cents, iters, l2 = false)
+      case None => ()
+    }
     (1 to iters).foreach { _ =>
       val next = centroidComponents(
         withCellLabels(df, idCol, vecCol, cents, "__cell"), "__cell", vecCol)
@@ -371,6 +390,93 @@ object Similarity {
           s => s.getField("c")).as("centroid"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).map(q).toSeq).toMap
       cents = cents.indices.map(j => next.getOrElse(j, cents(j)))
+    }
+    cents.map(_.toSeq)
+  }
+
+  /** Component cap for the driver-side k-means loop: rows × dim at or
+    * under this collects (≤ ~256 MB of doubles) and learns in-memory;
+    * above it the distributed loop runs — 150k × 768 rehearsal
+    * geometries and real corpora stay distributed.
+    */
+  val DriverKmeansMaxComponents: Long = 32L * 1024 * 1024
+
+  /** One capped collect of the vectors when they fit the driver gate
+    * (None above the gate). The row cap derives from the learned
+    * dimension so the cap is on COMPONENTS, not rows.
+    */
+  private def driverVectors(df: DataFrame, vec: Column,
+      cents: IndexedSeq[Seq[Double]],
+      maxComponents: Long): Option[Array[Array[Double]]] = {
+    val dim = cents.headOption.map(_.size).getOrElse(0)
+    if (dim == 0) return None
+    val rowCap = math.min(maxComponents / dim, Int.MaxValue.toLong - 1).toInt
+    if (rowCap <= 0) return None
+    val rows = df.select(vec.as("__v")).limit(rowCap + 1).collect()
+    if (rows.length > rowCap) None
+    else Some(rows.map(_.getSeq[Double](0).toArray))
+  }
+
+  /** In-memory twin of the quantized k-means iteration — the EXACT op
+    * sequence of the distributed loop: per vector, the argmax over
+    * cells of the 1e-9-rounded score ([[assignCell]]'s cosine form /
+    * [[assignCellL2]]'s reduced-L2 form — sequential dim-order dots,
+    * [[graft.util.Portable.proundD]], ties to the HIGHER cell, NaN
+    * greatest, exactly the struct-max rule); per (cell, dim), the mean
+    * as exact DECIMAL(38,18) sum → double → / count → 1e-9 quantize
+    * ([[graft.util.Portable.dsum]]'s cast chain: BigDecimal.valueOf =
+    * the shortest-repr conversion Spark's double→decimal cast uses,
+    * HALF_UP at scale 18), with the empty-cell carry. KmeansPathSpec
+    * pins bit-identity against the distributed loop on both metrics.
+    */
+  private[ext] def kmeansDriverLoop(vecs: Array[Array[Double]],
+      init: IndexedSeq[Seq[Double]], iters: Int, l2: Boolean): Seq[Seq[Double]] = {
+    def q(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    var cents = init
+    val dim = init.headOption.map(_.size).getOrElse(0)
+    (1 to iters).foreach { _ =>
+      val k = cents.length
+      val sums = Array.fill(k, dim)(java.math.BigDecimal.ZERO)
+      val cnts = new Array[Long](k)
+      val carr = cents.map(_.toArray).toArray
+      // per-cell constants, both the same sequential folds the literal
+      // codegen bakes in driver-side
+      val norms = carr.map { c =>
+        val n = math.sqrt(c.map(x => x * x).sum); if (n > 0) n else 1.0
+      }
+      val csqs = carr.map(_.map(x => x * x).sum)
+      vecs.foreach { v =>
+        var bj = -1
+        var bs = 0.0
+        var j = 0
+        while (j < k) {
+          val c = carr(j)
+          var d = 0.0
+          var i = 0
+          while (i < dim) { d += v(i) * c(i); i += 1 }
+          val s =
+            if (l2) -graft.util.Portable.proundD(-2.0 * d + csqs(j), 9)
+            else graft.util.Portable.proundD(d / norms(j), 9)
+          // struct-max: higher score wins, ties → higher cell index,
+          // NaN greatest (java.lang.Double.compare's total order)
+          if (bj < 0 || java.lang.Double.compare(s, bs) >= 0) { bs = s; bj = j }
+          j += 1
+        }
+        cnts(bj) += 1
+        var i = 0
+        while (i < dim) {
+          sums(bj)(i) = sums(bj)(i).add(java.math.BigDecimal.valueOf(v(i))
+            .setScale(18, java.math.RoundingMode.HALF_UP))
+          i += 1
+        }
+      }
+      cents = cents.indices.map { j =>
+        if (cnts(j) == 0L) cents(j)
+        else {
+          val n = cnts(j).toDouble
+          (0 until dim).map(i => q(sums(j)(i).doubleValue() / n))
+        }
+      }
     }
     cents.map(_.toSeq)
   }
@@ -410,7 +516,14 @@ object Similarity {
     * [[assignCellL2]] metric) — the PQ sub-quantizer learner.
     */
   def kmeansCentroidsL2(df: DataFrame, idCol: String, vecCol: Column,
-      k: Int, iters: Int = 3): Seq[Seq[Double]] = {
+      k: Int, iters: Int = 3): Seq[Seq[Double]] =
+    kmeansCentroidsL2Gated(df, idCol, vecCol, k, iters, DriverKmeansMaxComponents)
+
+  /** [[kmeansCentroidsL2]] with an explicit driver-gate cap — the
+    * spec's forced-path hook (cap 0 forces the distributed loop).
+    */
+  private[ext] def kmeansCentroidsL2Gated(df: DataFrame, idCol: String,
+      vecCol: Column, k: Int, iters: Int, maxComponents: Long): Seq[Seq[Double]] = {
     require(k >= 1 && iters >= 0)
     def q(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
     var cents: IndexedSeq[Seq[Double]] = df
@@ -418,6 +531,12 @@ object Similarity {
       .orderBy(md5(col("__id")), col("__id"))
       .limit(k)
       .collect().map(_.getSeq[Double](1).map(q)).toIndexedSeq
+    // same size-gated driver loop as [[kmeansCentroids]], L2 metric
+    driverVectors(df, toDoubleArr(vecCol), cents, maxComponents) match {
+      case Some(vecs) =>
+        return kmeansDriverLoop(vecs, cents, iters, l2 = true)
+      case None => ()
+    }
     (1 to iters).foreach { _ =>
       val next = centroidComponents(
         df.withColumn("__cell", assignCellL2(toDoubleArr(vecCol), cents))
