@@ -177,14 +177,31 @@ object Dedup {
     * shuffle) has ONE canonical subtree in the final plan and Spark's
     * exchange reuse executes it once for every consumer.
     */
+  /** The `k` MinHash min-aggregates over a hashed shingle column. */
+  private def minhashCols(k: Int): Seq[Column] = (0 until k).map { j =>
+    min((col("h") * (2 * j + 1) + j * 7919 + 1) % MersennePrime).as(s"mh$j")
+  }
+
   private[ext] def lshPairsFromShingles(sh: DataFrame, idCol: String,
       k: Int = 16, bands: Int = 4): DataFrame = {
+    val mins = minhashCols(k)
+    lshPairsFromSigs(
+      sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*), idCol, k, bands)
+  }
+
+  /** The band-bucket self-join over an already-aggregated signature
+    * table (id, mh0..mh{k-1}[, extra cols]) — factored from
+    * [[lshPairsFromShingles]] so [[verifyCandidates]] can feed it the
+    * SAME per-doc aggregate that carries its verify arrays: the shingle
+    * pipeline then has exactly ONE consumer (AQE's exchange-stage reuse
+    * demonstrably does not bridge the self-join-shaped references — the
+    * explode + md5 executed twice, measured ~0.6-0.9 s per extra run at
+    * sf0.1).
+    */
+  private[ext] def lshPairsFromSigs(sigs: DataFrame, idCol: String,
+      k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    val minCols = (0 until k).map { j =>
-      min((col("h") * (2 * j + 1) + j * 7919 + 1) % MersennePrime).as(s"mh$j")
-    }
-    val sigs = sh.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
     val stackArgs = (0 until bands).map { b =>
       val slots = (0 until rows).map(r => s"mh${b * rows + r}")
       s"${b}L, concat_ws(',', ${slots.mkString(", ")})"
@@ -356,22 +373,34 @@ object Dedup {
   def verifyCandidates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, k: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
     val sh = hashedShingles(df, idCol, textCol, shingleN)
-    // The candidate pair list is referenced THREE times downstream (the
-    // id explode plus the final semi-join, and the id set fans into the
-    // verify's three shC references) — and exchange reuse cannot
-    // collapse a broadcast reference with a shuffle one, so the lazy
-    // form re-executed the whole LSH pipeline per reference (measured:
-    // three parallel corpus-scan stages at fixture scale). Materialize
-    // it ONCE, eagerly: the pair list is the pipeline's OUTPUT volume
-    // (the same thing [[starContraction]] checkpoints every round), so
-    // the localCheckpoint is bounded by the candidate stream itself.
-    val cands = lshPairsFromShingles(sh, idCol, k, bands)
-    val ids = cands
-      .select(explode(array(col(s"${idCol}_a"), col(s"${idCol}_b"))).as(idCol))
-      .distinct()
-    val shC = sh.join(ids, Seq(idCol), "left_semi").withColumnRenamed("h", "shingle")
-    jaccardFromShingles(shC, idCol, threshold)
-      .join(cands, Seq(s"${idCol}_a", s"${idCol}_b"), "left_semi")
+    // ONE per-doc aggregate carries BOTH stages' needs: the k MinHash
+    // mins (the candidate generator's signature) and the sorted distinct
+    // hash array (the verifier's Jaccard set — row-local, bounded by doc
+    // length, the same shape [[ppjoinFromShingles]]' docs aggregate
+    // already collects). The shingle explode + md5 pipeline therefore
+    // has exactly ONE consumer and executes exactly once — the earlier
+    // form re-read `sh` for the verify side and AQE's exchange-stage
+    // reuse does not bridge self-join-shaped references (measured: the
+    // explode ran twice, ~0.6-0.9 s per extra run at sf0.1). The verify
+    // is then two id-keyed joins of the candidate pairs against this
+    // aggregate: size(array_intersect) over distinct-element sorted
+    // arrays IS the pair-count the shingle-collision join computed —
+    // identical n_common, identical rounded Jaccard, identical rows.
+    val mins = minhashCols(k)
+    val docs = sh.groupBy(col(idCol)).agg(
+      sort_array(collect_list(col("h"))).as("hs"), mins: _*)
+    val cands = lshPairsFromSigs(docs, idCol, k, bands)
+    val dA = docs.select(col(idCol).as(s"${idCol}_a"),
+      size(col("hs")).cast("long").as("n_a"), col("hs").as("hs_a"))
+    val dB = docs.select(col(idCol).as(s"${idCol}_b"),
+      size(col("hs")).cast("long").as("n_b"), col("hs").as("hs_b"))
+    cands.join(dA, s"${idCol}_a").join(dB, s"${idCol}_b")
+      .withColumn("n_common",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jaccard", pround(col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
   }
 
   /** Sub-document boilerplate removal (the C4/CCNet line-level dedup,
