@@ -272,7 +272,15 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3): DataFrame =
-    ppjoinFromShingles(hashedShingles(df, idCol, textCol, shingleN),
+    // the RAW (pre-distinct) hashed stream: ppjoin partitions by the
+    // shingle hash and dedups there — one flat exchange instead of
+    // [[hashedShingles]]' id-keyed one with a second h-keyed exchange
+    // stacked on top, which AQE's stage reuse demonstrably cannot
+    // bridge across the pipeline's multiple references (the explode +
+    // md5 re-ran per consumer; see ppjoinFromShingles)
+    ppjoinFromShingles(
+      rawShingles(df, idCol, textCol, shingleN)
+        .select(col(idCol), h32(col("shingle")).as("h")),
       idCol, threshold)
 
   /** The ppjoin core of [[ngramJaccardPairs]] over an already-hashed
@@ -286,10 +294,32 @@ object Dedup {
       threshold: Double): DataFrame = {
     val t = threshold
     val te = t - 5e-5 // effective PRUNING threshold — see scaladoc above
-    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // ONE h-keyed exchange — placed DIRECTLY over the explode chain, no
+    // exchange stacked below it — serves the in-doc dedup
+    // (HashPartitioning(h) satisfies the (id, h) distinct's clustering),
+    // the document-frequency count AND the join back (the
+    // [[substringSpans]] shared-exchange shape). Stacked exchanges are
+    // one measured reuse-killer (with the id-keyed [[hashedShingles]]
+    // exchange underneath, the explode + md5 ran once per consumer);
+    // per-branch COLUMN PRUNING is the other — the df-count branch
+    // prunes to (h) and the join branch keeps (id, h), pushing two
+    // DIFFERENT projections below the exchange, so the two stage
+    // subtrees stop being canonically equal and AQE materializes both.
+    // The [[graft.plans.Fence]] pins one subtree for every consumer
+    // (its inputs are already minimal — id and h), making the exchange
+    // reusable: the explode + md5 runs exactly once.
+    val shH = graft.plans.Fence.wrap(sh.repartition(col("h")).distinct())
+    val dfreq = shH.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // one aggregation yields both the rarity-ranked prefix source and
-    // the verify arrays; docs are row-local (bounded shingle counts)
-    val docs = sh.join(dfreq, "h")
+    // the verify arrays; docs are row-local (bounded shingle counts).
+    // The aggregate is ANCHORED on an explicit id-keyed exchange: the
+    // docs table is referenced four ways (prefix explode ×2 sides,
+    // verify ×2 sides), and AQE's stage reuse bridges aliased references
+    // only when they sit directly on one exchange (the verifyCandidates
+    // shape) — without the anchor each reference re-ran the whole
+    // join + explode chain (measured: two extra ~1 s stages at sf0.1).
+    val docs = shH.join(dfreq, "h")
+      .repartition(col(idCol))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("byRarity"))
       .withColumn("n", size(col("byRarity")))
@@ -510,14 +540,20 @@ object Dedup {
     // gram hashing; the gram stream's single consumer is the
     // repartition(h) exchange below, so no reuse hazard, and at corpus
     // scale the scan is already wide and the spread is the identity.
-    val grams = graft.util.Scans.spread(df, col(idCol))
-      .select(col(idCol), split(col(textCol), " ").as("w"))
-      .filter(size(col("w")) >= n) // sequence(0, negative) would descend
-      .select(col(idCol), posexplode(expr(
-        s"transform(sequence(0, size(w) - $n)," +
-          s" i -> concat_ws(' ', slice(w, i + 1, $n)))")).as(Seq("pos", "gram")))
-      .select(col(idCol), col("pos"), h60(col("gram")).as("h"))
-      .repartition(col("h"))
+    // FENCED (the ppjoin lesson): the dup-count branch prunes the gram
+    // stream to (h) while the join branch keeps (id, pos, h) — two
+    // different projections below the shared h-exchange make the stage
+    // subtrees canonically unequal and the explode + md5 runs once per
+    // branch. The fence pins one subtree; the exchange reuses.
+    val grams = graft.plans.Fence.wrap(
+      graft.util.Scans.spread(df, col(idCol))
+        .select(col(idCol), split(col(textCol), " ").as("w"))
+        .filter(size(col("w")) >= n) // sequence(0, negative) would descend
+        .select(col(idCol), posexplode(expr(
+          s"transform(sequence(0, size(w) - $n)," +
+            s" i -> concat_ws(' ', slice(w, i + 1, $n)))")).as(Seq("pos", "gram")))
+        .select(col(idCol), col("pos"), h60(col("gram")).as("h"))
+        .repartition(col("h")))
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount).select(col("h"))
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
@@ -548,15 +584,17 @@ object Dedup {
     */
   def substringSpanWindowRows(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minCount: Int = 2): Long = {
-    // same shared-exchange + pre-explode spread shape as [[substringSpans]]
-    val grams = graft.util.Scans.spread(df, col(idCol))
-      .select(col(idCol), split(col(textCol), " ").as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col(idCol), posexplode(expr(
-        s"transform(sequence(0, size(w) - $n)," +
-          s" i -> concat_ws(' ', slice(w, i + 1, $n)))")).as(Seq("pos", "gram")))
-      .select(col(idCol), col("pos"), h60(col("gram")).as("h"))
-      .repartition(col("h"))
+    // same fenced shared-exchange + pre-explode spread shape as
+    // [[substringSpans]]
+    val grams = graft.plans.Fence.wrap(
+      graft.util.Scans.spread(df, col(idCol))
+        .select(col(idCol), split(col(textCol), " ").as("w"))
+        .filter(size(col("w")) >= n)
+        .select(col(idCol), posexplode(expr(
+          s"transform(sequence(0, size(w) - $n)," +
+            s" i -> concat_ws(' ', slice(w, i + 1, $n)))")).as(Seq("pos", "gram")))
+        .select(col(idCol), col("pos"), h60(col("gram")).as("h"))
+        .repartition(col("h")))
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount).select(col("h"))
     grams.join(dup, Seq("h")).count()
