@@ -696,11 +696,14 @@ object Similarity {
     * roundtrip exactly, so the values are bit-identical to the learn.
     */
   def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[Seq[Seq[Double]]] =
-    spark.read.parquet(s"$path/codebooks").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+      path: String): Seq[Seq[Seq[Double]]] = {
+    import graft.util.SmallParquet
+    SmallParquet.rows(spark, s"$path/codebooks", Seq("s", "j", "c"))
+      .map(r => (SmallParquet.int(r(0)), SmallParquet.int(r(1)),
+        SmallParquet.darr(r(2))))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toSeq)
+  }
 
   /** Per-partition PQ encode against FROZEN codebooks — the incremental
     * refresh unit: appending an hour encodes ONLY that hour (one
@@ -1009,10 +1012,12 @@ object Similarity {
     * driver read; parquet doubles roundtrip exactly.
     */
   def readOpqRotation(spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[Seq[Double]] =
-    spark.read.parquet(s"$path/rotation").collect()
-      .map(row => row.getInt(0) -> row.getSeq[Double](1).toSeq)
+      path: String): Seq[Seq[Double]] = {
+    import graft.util.SmallParquet
+    SmallParquet.rows(spark, s"$path/rotation", Seq("i", "r"))
+      .map(row => SmallParquet.int(row(0)) -> SmallParquet.darr(row(1)))
       .sortBy(_._1).map(_._2).toSeq
+  }
 
   /** OPQ probe: rotate the query (driver-side d² fold), ADC over the
     * rotated-space codes picks `rerank` candidates, exact cosine over
@@ -1452,10 +1457,12 @@ object Similarity {
   }
 
   private[ext] def readQuantizer(spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[Seq[Double]] =
-    spark.read.parquet(s"$path/quantizer").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      path: String): Seq[Seq[Double]] = {
+    import graft.util.SmallParquet
+    SmallParquet.rows(spark, s"$path/quantizer", Seq("j", "c"))
+      .map(r => SmallParquet.int(r(0)) -> SmallParquet.darr(r(1)))
       .sortBy(_._1).map(_._2).toSeq
+  }
 
   /** Probe over a [[buildIvfPqResidual]] index: same pruned shape as
     * [[ivfPqProbe]] (rank cells from the K-row table, ADC over ONLY the
@@ -2952,11 +2959,14 @@ object Similarity {
     */
   def rankIndexCells(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       query: Seq[Double], digits: Int = 6): Seq[Any] = {
-    val ranked = spark.read.parquet(s"$indexPath/centroids").collect().map { r =>
-      val c = r.getSeq[Double](1)
+    // positional (label, centroid) — the label column's NAME varies by
+    // build entry point, its position does not
+    val ranked = graft.util.SmallParquet.rows(spark,
+      s"$indexPath/centroids", Nil).map { r =>
+      val c = graft.util.SmallParquet.darr(r(1))
       var dot = 0.0; var nn = 0.0; var i = 0
       while (i < c.length) { dot += c(i) * query(i); nn += c(i) * c(i); i += 1 }
-      (r.get(0), graft.util.Portable.proundD(dot / math.sqrt(nn), digits))
+      (r(0), graft.util.Portable.proundD(dot / math.sqrt(nn), digits))
     }
     // score desc, label asc — the same order the inline form's
     // orderBy(score.desc, label) produces (numeric labels numerically).
@@ -3001,7 +3011,8 @@ object Similarity {
       idCol: String, labelCol: String, vecCol: String,
       query: Seq[Double], k: Int = 10, targetRecall: Double = 0.9,
       digits: Int = 6): DataFrame = {
-    val nCells = spark.read.parquet(s"$indexPath/centroids").count().toInt
+    // K-row footer count, zero Spark jobs (the parquetRowCount shape)
+    val nCells = parquetRowCount(spark, s"$indexPath/centroids").toInt
     ivfProbe(spark, indexPath, idCol, labelCol, vecCol, query, k,
       nprobe = nprobeFor(nCells, targetRecall), digits)
   }
@@ -3225,9 +3236,11 @@ object Similarity {
     */
   def readSq8Params(spark: org.apache.spark.sql.SparkSession,
       path: String): (Seq[Double], Seq[Double]) = {
-    val rows = spark.read.parquet(s"$path/params").collect()
-      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
-    (rows.map(_._2).toSeq, rows.map(r => (r._3 - r._2) / 255.0).toSeq)
+    import graft.util.SmallParquet
+    val rows = SmallParquet.rows(spark, s"$path/params", Seq("i", "mn", "mx"))
+      .map(r => (SmallParquet.int(r(0)), SmallParquet.dbl(r(1)),
+        SmallParquet.dbl(r(2)))).sortBy(_._1)
+    (rows.map(_._2), rows.map(r => (r._3 - r._2) / 255.0))
   }
 
   /** SQ8 ADC + exact re-rank: each code row scores as
@@ -3402,9 +3415,12 @@ object Similarity {
 
   /** The learned per-dim thresholds back off a [[buildBq]] index. */
   def readBqParams(spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[Double] =
-    spark.read.parquet(s"$path/params").collect()
-      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2).toSeq
+      path: String): Seq[Double] = {
+    import graft.util.SmallParquet
+    SmallParquet.rows(spark, s"$path/params", Seq("i", "thr"))
+      .map(r => (SmallParquet.int(r(0)), SmallParquet.dbl(r(1))))
+      .sortBy(_._1).map(_._2)
+  }
 
   /** Pack (v_d > thr_d) bits 32-per-long — a codegen'd integer fold,
     * no shuffle, no UDF.
