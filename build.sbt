@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked output passes through UNPREFIXED: sbt's default LoggedOutput
+// decorates every stdout line with `[info] ` — which breaks the round
+// driver's bench contract ("prints ONE JSON line"): the captured tail
+// shows the line as `[info] {"metric":...}` and it has parsed as null
+// in every BENCH_rNN.json (rounds 1-18), even in round 18 where the
+// complete valid-JSON line sat inside the capture window. StdoutOutput
+// forwards the child's stdout/stderr to sbt's own streams verbatim, so
+// the bench line reaches the driver starting with `{`.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

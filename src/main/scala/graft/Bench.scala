@@ -665,9 +665,6 @@ object Bench {
     val gsFull = growth.map { case (k, (s, b, r)) =>
       f"""\"$k\":{\"small_sec\":$s,\"big_sec\":$b,\"rows_ratio\":$r,\"growth\":${b / math.max(s, 1e-9)}%.2f}"""
     }.mkString("{", ",", "}")
-    val gsCompact = growth.map { case (k, (s, b, _)) =>
-      "\"" + k + "\":" + jnum(b / math.max(s, 1e-9), 2)
-    }.mkString("{", ",", "}")
     // multimodal stand-in share (VERDICT r16 #6): a fixed decode census
     // — 200 real PNG/JPEG encodes + 20 undecodable blobs — so the
     // honest-fallback fraction is a TRACKED number every run; the exact
@@ -678,7 +675,26 @@ object Bench {
     val mmShare = if (mmTotal > 0) mmDecoded.toDouble / mmTotal else -1.0
 
     val line = {
-      val lineBudget = 1700 // < 2000-char tail − sbt prefix/suffix lines
+      // The driver captures a ~2000-char TAIL of the run's output and
+      // parses the JSON line out of it (measured from every
+      // BENCH_rNN.json `tail` field, rounds 1-18). Two things have kept
+      // `parsed: null` for 18 rounds: (a) rounds 1-17 the line overran
+      // the window and its HEAD was cut off mid-JSON; (b) round 18 the
+      // line fit and was valid JSON but carried sbt's `[info] ` logger
+      // prefix — so the parser never saw a line that starts with `{`.
+      // Fix (b) lives in build.sbt (`run / outputStrategy :=
+      // StdoutOutput`: the forked stdout passes through unprefixed);
+      // fix (a) is this budget. All 146 query names CANNOT fit — the
+      // full map measures ~3.1 kB at 2 dp (names dominate, ~16 chars
+      // mean) against a 2000-char window that must also hold sbt's
+      // trailing `[success] Total time: …` line — so per-query times
+      // print slowest-first until the budget is reached and
+      // `queries_omitted` counts the sub-second tail that didn't fit
+      // (the FULL map is always in BENCH.json, committed). The `growth`
+      // ratios moved to BENCH.json-only (VERDICT r18 #2): the gate
+      // itself still runs in-process (`violations` below) — stdout just
+      // no longer spends ~350 chars repeating its inputs.
+      //
       // norm_v tags the value_norm scheme (ADVICE r11): v3 (round 13) =
       // per-query division by the larger of the two BRACKETING probe
       // signals at 4-query segments; v2 (rounds 11-12) divided by the
@@ -686,8 +702,9 @@ object Bench {
       // was total / a single run-level noise_factor. Cross-round
       // value_norm compares are only meaningful within one scheme
       // version.
+      val lineBudget = 1850 // 2000-char tail − the trailing [success] line
       val head = s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","value_norm":${jnum(valueNorm, 2)},"norm_v":3,"noise_factor":${jnum(noiseFactor, 2)},"job_lat_ms":${jnum(jobLatSec * 1000, 1)},"n_queries":${results.size},"queries":{"""
-      val tailFmt = s"""},"queries_omitted":NNN,"index_build_sec":${jnum(indexBuildSec, 2)},"mm_decoded_share":${jnum(mmShare, 3)},"growth":$gsCompact,"sf":"$sfDir"}"""
+      val tailFmt = s"""},"queries_omitted":NNN,"index_build_sec":${jnum(indexBuildSec, 2)},"mm_decoded_share":${jnum(mmShare, 3)},"sf":"$sfDir"}"""
       var used = head.length + tailFmt.length
       val kept = scala.collection.mutable.ListBuffer.empty[String]
       val bySlowest = results.toSeq.sortBy(-_._2)
@@ -698,9 +715,8 @@ object Bench {
         else omitted += 1
       }
       head + kept.mkString(",") +
-        s"""},"queries_omitted":$omitted,"index_build_sec":${jnum(indexBuildSec, 2)},"mm_decoded_share":${jnum(mmShare, 3)},"growth":$gsCompact,"sf":"$sfDir"}"""
+        s"""},"queries_omitted":$omitted,"index_build_sec":${jnum(indexBuildSec, 2)},"mm_decoded_share":${jnum(mmShare, 3)},"sf":"$sfDir"}"""
     }
-    println(line)
     // Machine-readable full-precision copy, free of sbt's [info]/[error]
     // line prefixes. Default is RELATIVE to the working directory so any
     // checkout works; SPARK_GRAFT_BENCH_OUT overrides.
@@ -735,7 +751,11 @@ object Bench {
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")).toAbsolutePath
     java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
+    // stop BEFORE printing the contract line: any WARN Spark emits
+    // during shutdown then lands above the line, not between it and the
+    // end of the captured tail window
     spark.stop()
+    println(line)
     if (errors.nonEmpty || violations.nonEmpty) {
       errors.foreach { case (n, e) => System.err.println(s"[bench] $n failed: $e") }
       violations.foreach(v => System.err.println(s"[bench] superlinear growth: $v"))

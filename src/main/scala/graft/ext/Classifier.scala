@@ -53,7 +53,7 @@ object Classifier {
     * standard cross-engine hash (README portability rules).
     */
   private def featIdx(token: Column, dim: Int): Column =
-    pmod(conv(substring(md5(token), 1, 8), 16, 10).cast("long"), lit(dim.toLong))
+    pmod(graft.functions.GraftFunctions.md5_prefix(token, 8), lit(dim.toLong))
 
   /** Distinct (id, feature_idx) pairs — binary presence features. */
   def hashedFeatures(df: DataFrame, idCol: String, textCol: String,

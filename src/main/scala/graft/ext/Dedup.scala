@@ -26,18 +26,25 @@ import graft.util.Portable.pround
   */
 object Dedup {
 
-  /** Portable 32-bit string hash (md5-hex prefix as long). */
-  def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  /** Portable 32-bit string hash (md5-hex prefix as long).
+    *
+    * Was `conv(substring(md5(c), 1, 8), 16, 10).cast("long")`; the
+    * native [[graft.functions.Md5Prefix]] computes the SAME value —
+    * spec-pinned against the conv form — without materializing the
+    * 32-char hex string and re-parsing its prefix as base-16 text per
+    * value (VERDICT r18 #4: the hex round-trip was ~a third of the
+    * serial shingle-hash stage under the dedup family).
+    */
+  def h32(c: Column): Column = graft.functions.GraftFunctions.md5_prefix(c, 8)
 
   /** Portable 60-bit string hash (15 md5-hex chars as long). 15 chars —
     * not 16 — so the value stays below 2^60: a full 16-char prefix can
     * exceed 2^63 and lands in BIGINT sign-bit territory, where Spark and
     * SQL engines diverge on overflow behavior. 60 bits keeps every
     * shift/mask/sum below the sign bit on both sides of the oracle.
+    * Native md5-prefix — see [[h32]].
     */
-  def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def h60(c: Column): Column = graft.functions.GraftFunctions.md5_prefix(c, 15)
 
   /** Exact dedup on a content digest: one row per distinct content with
     * the minimum id as canonical and the copy count.

@@ -47,7 +47,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => JsonToCbor(args.head)),
     ("xrpc_frame_to_json",
       new ExpressionInfo(classOf[XrpcFrameToJson].getName, "xrpc_frame_to_json"),
-      (args: Seq[Expression]) => XrpcFrameToJson(args.head)))
+      (args: Seq[Expression]) => XrpcFrameToJson(args.head)),
+    ("md5_prefix",
+      new ExpressionInfo(classOf[Md5Prefix].getName, "md5_prefix"),
+      (args: Seq[Expression]) =>
+        Md5Prefix(args(0), args(1).eval().asInstanceOf[Number].intValue)))
 
   /** Idempotently register all graft functions on a live session. */
   def register(spark: SparkSession): Unit =
@@ -67,4 +71,6 @@ object GraftFunctions {
   def cbor_to_json(c: Column): Column = column(CborToJson(expression(c)))
   def json_to_cbor(c: Column): Column = column(JsonToCbor(expression(c)))
   def xrpc_frame_to_json(c: Column): Column = column(XrpcFrameToJson(expression(c)))
+  def md5_prefix(c: Column, nibbles: Int): Column =
+    column(Md5Prefix(expression(c), nibbles))
 }
