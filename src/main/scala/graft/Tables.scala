@@ -23,10 +23,30 @@ object Tables {
     * be exact and identical to DuckDB's epoch_us(ts) on the same file, so
     * load() pins the conf itself rather than trusting every entrypoint.
     */
+  /** Inferred schema per fixture path, memoized for the life of the JVM
+    * (guide §1.2 — job count): `spark.read.parquet` without a schema
+    * runs a footer-inference Spark job at EVERY read, so each of the
+    * 146 bench queries paid 1-2 ~40-80 ms driver jobs just to re-learn
+    * the schema of an immutable fixture file. The memo holds exactly
+    * what inference returned on the first read (same session confs), so
+    * `read.schema(...)` is byte-identical to the inferred path with
+    * zero jobs. Fixture paths are immutable for a JVM's lifetime —
+    * this caches METADATA of the input, never results.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   private def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val cached = schemaCache.get(path)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.putIfAbsent(path, df.schema)
+      df
+    }
   }
 
   private def tsType(df: DataFrame): Option[DataType] =

@@ -1031,7 +1031,7 @@ object Similarity {
     val r = readOpqRotation(spark, indexPath)
     val cbs = readPqCodebooks(spark, indexPath)
     val qRot = rotateQuery(query, r)
-    val cand = pqAdcTopK(spark.read.parquet(s"$indexPath/codes"), idCol,
+    val cand = pqAdcTopK(readIdx(spark, s"$indexPath/codes"), idCol,
       cbs, qRot, rerank, digits).select(col(idCol))
     vectors.join(broadcast(cand), idCol)
       .select(col(idCol), cosineTo(query, vecCol, digits).as("cos"))
@@ -1127,7 +1127,7 @@ object Similarity {
     val qRot = rotateQuery(query, r)
     val cells = rankIndexCells(spark, indexPath, qRot, digits).take(nprobe)
     def pruned(table: String): DataFrame = {
-      val df = spark.read.parquet(s"$indexPath/$table")
+      val df = readIdx(spark, s"$indexPath/$table")
       val t = df.schema(df.schema.fieldIndex(labelCol)).dataType
       df.filter(col(labelCol).isin(cells.map(c => lit(c).cast(t)): _*))
     }
@@ -1245,7 +1245,7 @@ object Similarity {
     require(nprobe >= 1 && rerank >= k)
     val cells = rankIndexCells(spark, indexPath, query, digits).take(nprobe)
     def pruned(table: String): DataFrame = {
-      val df = spark.read.parquet(s"$indexPath/$table")
+      val df = readIdx(spark, s"$indexPath/$table")
       val t = df.schema(df.schema.fieldIndex(labelCol)).dataType
       df.filter(col(labelCol).isin(cells.map(c => lit(c).cast(t)): _*))
     }
@@ -1291,7 +1291,7 @@ object Similarity {
     require(nprobe >= 1 && rerank >= k)
     val cells = rankIndexCells(spark, indexPath, query, digits).take(nprobe)
     def pruned(table: String): DataFrame = {
-      val df = spark.read.parquet(s"$indexPath/$table")
+      val df = readIdx(spark, s"$indexPath/$table")
       val t = df.schema(df.schema.fieldIndex(labelCol)).dataType
       df.filter(col(labelCol).isin(cells.map(c => lit(c).cast(t)): _*))
     }
@@ -1480,7 +1480,7 @@ object Similarity {
     val cells = rankIndexCells(spark, indexPath, query, digits).take(nprobe)
     val quant = readQuantizer(spark, indexPath)
     def pruned(table: String): DataFrame = {
-      val df = spark.read.parquet(s"$indexPath/$table")
+      val df = readIdx(spark, s"$indexPath/$table")
       val t = df.schema(df.schema.fieldIndex(labelCol)).dataType
       df.filter(col(labelCol).isin(cells.map(c => lit(c).cast(t)): _*))
     }
@@ -1588,71 +1588,121 @@ object Similarity {
       val p = new org.apache.hadoop.fs.Path(s"$indexPath/quantizer")
       p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
     }
-    val qn = batchQueryFrame(queries, qidCol, qVecCol)
-    val probeSetRaw = batchCellProbeSet(spark, indexPath, labelCol, qn,
-      nprobe, digits)
-    // residual: attach q·c(cell) per probed (query, cell) — a broadcast
-    // join against the K-row quantizer, the same sequential dim-order
-    // dot the single probe's driver-side qDot folds
-    val probeSet =
-      if (!residual) probeSetRaw
-      else probeSetRaw
-        .join(broadcast(spark.read.parquet(s"$indexPath/quantizer")
-          .select(col("j").cast("long").as("__qj"), toDoubleArr(col("c")).as("__qcv"))),
-          col("__cell").cast("long") === col("__qj"))
-        .withColumn("__qc", dot(col("__qcv"), col("__qe")))
-        .drop("__qj", "__qcv")
     val cbs = readPqCodebooks(spark, indexPath)
     val sub = cbs.head.head.size
     // ADVICE r16: the PQ batch (and its residual path) was the one
     // batch probe missing the dimension guard — a mismatched per-row
     // vector slices/zip_withs to null ADC scores that sort NULLS LAST
-    // into plausible-looking garbage ranks. The dim-check aggregate
-    // also carries the batch row count (one job, not two).
-    val nq = requireQueryDim(queries, qVecCol, cbs.length * sub)
+    // into plausible-looking garbage ranks. Below the literal-query
+    // gate the guard runs driver-side on the one collected batch.
+    val (qn, nq, qrows) = literalQueryFrame(queries, qidCol, qVecCol,
+      cbs.length * sub, broadcastMaxRows)
     // the (query, cell) probe set broadcasts NARROW — carrying the
     // dim-wide query vector per probed cell multiplied the broadcast by
     // nprobe × dim×8 B and blew spark.driver.maxResultSize at the 10k-
     // query 768-dim rehearsal; the vector rides in via a second
-    // broadcast keyed by qid alone (one copy per query). Collected once
-    // as literals under the broadcast gate ([[literalProbeSet]]), which
-    // also yields the probed-cell union without a second job.
-    val (probeNarrow, cells) = literalProbeSet(
-      probeSet.select(
-        (col("__qid") +: col("__cell") +:
-          (if (residual) Seq(col("__qc")) else Nil)): _*),
-      nq * nprobe, broadcastMaxRows)
+    // broadcast keyed by qid alone (one copy per query). Below the
+    // literal-query gate the whole probe set is driver arithmetic
+    // ([[driverCellProbeSet]] — zero Spark jobs, residual q·c folded
+    // exactly as the single probe's qDot); above it, the distributed
+    // window plan + [[literalProbeSet]] as before.
+    // per-query ADC dot TABLES fold driver-side below the gate — the
+    // exact m×ksub-literal shape the SINGLE probe has always used
+    // ([[pqAdcTopK]]'s `tables`), one per collected query: the scored
+    // stream then needs neither the dim-wide __qe nor the m×ksub×sub
+    // codebook literals (whose per-run plan/codegen cost dominated the
+    // probe's driver gaps), and the qn join drops out of the widest
+    // dataflow entirely. Entry s of table m is VecDot's sequential
+    // fold of the query's slice against codeword s — bit-identical to
+    // the in-plan dot(slice(__qe), element_at(table, code)) it replaces
+    // (multiplication operand order aside, which IEEE rounds
+    // identically); __qn replicates [[literalQueryFrame]]'s
+    // zero-guarded norm.
+    val adcTablesOf: Array[Double] => (Seq[Seq[Double]], Double) = { qe =>
+      val tabs = cbs.zipWithIndex.map { case (cb, s) =>
+        cb.map { cw =>
+          var d = 0.0; var i = 0
+          while (i < sub) { d += qe(s * sub + i) * cw(i); i += 1 }
+          d
+        }
+      }
+      var n2 = 0.0; var i = 0
+      while (i < qe.length) { n2 += qe(i) * qe(i); i += 1 }
+      val n = math.sqrt(n2)
+      (tabs, if (n == 0.0) 1.0 else n)
+    }
+    val (probeNarrow, cells) = qrows.flatMap { rows =>
+      driverCellProbeSet(spark, indexPath, rows, nprobe, digits,
+        qn.schema("__qid").dataType,
+        residualQuant =
+          if (residual) Some(readQuantizer(spark, indexPath)) else None,
+        adcTables = Some(adcTablesOf))
+    }.getOrElse {
+      val probeSetRaw = batchCellProbeSet(spark, indexPath, labelCol, qn,
+        nprobe, digits)
+      // residual: attach q·c(cell) per probed (query, cell) — a
+      // broadcast join against the K-row quantizer, the same sequential
+      // dim-order dot the single probe's driver-side qDot folds
+      val probeSet =
+        if (!residual) probeSetRaw
+        else probeSetRaw
+          .join(broadcast(readIdx(spark, s"$indexPath/quantizer")
+            .select(col("j").cast("long").as("__qj"), toDoubleArr(col("c")).as("__qcv"))),
+            col("__cell").cast("long") === col("__qj"))
+          .withColumn("__qc", dot(col("__qcv"), col("__qe")))
+          .drop("__qj", "__qcv")
+      literalProbeSet(
+        probeSet.select(
+          (col("__qid") +: col("__cell") +:
+            (if (residual) Seq(col("__qc")) else Nil)): _*),
+        nq * nprobe, broadcastMaxRows)
+    }
     // static cell pruning BEFORE the spread (VERDICT r17 #1): the
     // repartition between the scan and the probe join blocks dynamic
     // partition pruning, so the probed-cell union is pushed as a
     // literal partition filter on the scan itself
-    val prunedRows = parquetRowCount(spark, s"$indexPath/codes", labelCol, cells)
+    val (prunedRows, prunedSizes) =
+      parquetCensus(spark, s"$indexPath/codes", labelCol, cells)
     val codes = spreadForScore(
-      cellUnionPruned(spark.read.parquet(s"$indexPath/codes"), labelCol, cells),
-      if (cells.isEmpty) 0L else prunedRows * nq * nprobe / cells.size)
-    val paired = codes.join(gated(probeNarrow, nq * nprobe),
-      codes(labelCol) === probeNarrow("__cell"))
-      .join(gated(qn, nq), "__qid")
-    // ADC per (query, code row): codeword vectors are m×ksub literal
-    // arrays indexed by the stored code; the per-subspace dot runs
-    // against the query's slice — same sequential dim-order fold as
-    // the single-query path's driver-side tables
-    // fold seed: the residual form's q·c base comes FIRST, matching the
-    // single probe's dotBase + Σ lookups addition order exactly (IEEE
-    // addition order is part of the hash-gated contract)
-    val adcDot = cbs.zipWithIndex.map { case (cb, s) =>
-      val table = array(cb.map(cw => array(cw.map(lit): _*)): _*)
-      dot(slice(col("__qe"), lit(s * sub + 1), lit(sub)),
-        element_at(table, (col(s"code_$s") + 1).cast("int")))
-    }.foldLeft(if (residual) col("__qc") else lit(0.0))(_ + _)
+      cellUnionPruned(readIdx(spark, s"$indexPath/codes"), labelCol, cells),
+      if (cells.isEmpty) 0L else prunedRows * nq * nprobe / cells.size,
+      prunedSizes)
     // the top-k cut carries ONLY (qid, adc, cell, id) — never the
     // dim-wide query vector: the scored stream is N_q × nprobe ×
     // cellRows, the widest dataflow in the plan. The vector re-attaches
     // AFTER the top-rerank cut, where rows are N_q × rerank.
+    // fold seed: the residual form's q·c base comes FIRST, matching the
+    // single probe's dotBase + Σ lookups addition order exactly (IEEE
+    // addition order is part of the hash-gated contract)
+    val scored =
+      if (probeNarrow.schema.fieldNames.contains("__tab")) {
+        // literal path: per-query dot tables ride the probe frame —
+        // ADC is m table lookups per row, no qn join in the stream
+        val adcDot = (0 until cbs.length).map { s =>
+          element_at(element_at(col("__tab"), lit(s + 1)),
+            (col(s"code_$s") + 1).cast("int"))
+        }.foldLeft(if (residual) col("__qc") else lit(0.0))(_ + _)
+        codes.join(gated(probeNarrow, nq * nprobe),
+          codes(labelCol) === probeNarrow("__cell"))
+          .withColumn("__adc",
+            pround(adcDot / (col("vnorm") * col("__qn")), digits))
+      } else {
+        // distributed path: ADC per (query, code row) — codeword
+        // vectors are m×ksub literal arrays indexed by the stored code;
+        // the per-subspace dot runs against the query's slice
+        val adcDot = cbs.zipWithIndex.map { case (cb, s) =>
+          val table = array(cb.map(cw => array(cw.map(lit): _*)): _*)
+          dot(slice(col("__qe"), lit(s * sub + 1), lit(sub)),
+            element_at(table, (col(s"code_$s") + 1).cast("int")))
+        }.foldLeft(if (residual) col("__qc") else lit(0.0))(_ + _)
+        codes.join(gated(probeNarrow, nq * nprobe),
+          codes(labelCol) === probeNarrow("__cell"))
+          .join(gated(qn, nq), "__qid")
+          .withColumn("__adc",
+            pround(adcDot / (col("vnorm") * col("__qn")), digits))
+      }
     val cand = topKPerQid(
-      paired
-        .withColumn("__adc", pround(adcDot / (col("vnorm") * col("__qn")), digits))
-        .select(col("__qid"), col("__adc"), col("__cell"), col(idCol)),
+      scored.select(col("__qid"), col("__adc"), col("__cell"), col(idCol)),
       col("__adc"), keyDesc = true, rerank, idCol, Seq("__cell"))
       .select(col("__qid"), col("__cell"), col(idCol))
     // exact rerank: original vectors consulted only for the candidate
@@ -1703,6 +1753,29 @@ object Similarity {
     row.getLong(3)
   }
 
+  /** Memoized-schema read of an index TABLE (guide §1.2 — job count):
+    * a schemaless `spark.read.parquet` runs a footer-inference Spark
+    * job on every call, so each probe construction paid 1-3 ~50 ms
+    * driver jobs re-learning the schema of an immutable table. Index
+    * roots are content-addressed (fingerprint-keyed store) or
+    * write-once temp dirs, so a path's schema never changes within a
+    * JVM; the memo holds exactly what inference returned on the first
+    * read. Probe-side reads only — builders read freshly written
+    * unique temp paths where a memo buys nothing.
+    */
+  private val idxSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+  private def readIdx(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val cached = idxSchemaCache.get(path)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      idxSchemaCache.putIfAbsent(path, df.schema)
+      df
+    }
+  }
+
   /** The size gate every batch-probe join goes through (VERDICT r14
     * #2): broadcast at ≤ `maxRows` (row counts exact at plan time),
     * shuffle join on the same keys above — result-identical, only the
@@ -1732,11 +1805,18 @@ object Similarity {
     * REPARTITION_BY_NUM (AQE never coalesces it below the requested
     * width).
     */
-  private def spreadForScore(df: DataFrame, scoredRows: Long): DataFrame = {
+  private def spreadForScore(df: DataFrame, scoredRows: Long,
+      fileSizes: Seq[Long]): DataFrame = {
     val target = math.min(
       df.sparkSession.sparkContext.defaultParallelism.toLong,
       scoredRows / SpreadRowsPerTask + 1).toInt
-    if (target <= df.rdd.getNumPartitions) df
+    // scan width estimated from the census's (pruned) file sizes —
+    // FilePartition's split/packing formula replicated driver-side, so
+    // the check costs no physical-planning pass (VERDICT r18 #8); the
+    // estimate only decides whether the repartition is skippable, never
+    // a result
+    if (target <= graft.util.Scans.estimateScanPartitions(
+        df.sparkSession, fileSizes)) df
     else df.repartition(target)
   }
 
@@ -1785,6 +1865,174 @@ object Similarity {
         java.util.Arrays.asList(collected: _*), probeNarrow.schema), cells)
     } else (probeNarrow, probedCellUnion(probeNarrow))
 
+  /** Byte budget for collecting a query batch driver-side
+    * ([[literalQueryFrame]]); row gate = bytes / (dim × 8). Overridable
+    * for specs via `graft.batchquery.collect.maxbytes` (forcing the
+    * distributed path with a tiny budget).
+    */
+  private def queryCollectMaxBytes: Long =
+    sys.props.get("graft.batchquery.collect.maxbytes").map(_.toLong)
+      .getOrElse(64L << 20)
+
+  /** Collect the query batch ONCE under a driver-size gate and re-enter
+    * it as a LITERAL frame — below the gate every downstream broadcast
+    * of the queries is a LocalTableScan (zero Spark jobs to
+    * materialize: `ConvertToLocalRelation` folds the projections and
+    * `BroadcastExchange.executeCollect` over a local relation launches
+    * nothing), and the dim guard runs driver-side on the same collected
+    * rows. That replaces the 2-3 separate executions of the query scan
+    * each batch probe paid: one [[requireQueryDim]] job plus one
+    * broadcast job per `qn` consumer (the scoring join and the rerank
+    * join each rebuilt it). The gate is BYTE-aware, not row-aware
+    * ([[batchExactRerank]]'s maxResultSize lesson — row-count gates
+    * cannot see row width): vectors weigh dim×8 B/row. Above the gate,
+    * or when a vector carries null ELEMENTS (only the null-propagating
+    * in-plan expressions score those correctly), nothing changes — the
+    * distributed [[batchQueryFrame]] + [[requireQueryDim]] path runs
+    * as before. Both paths are result-identical: the collected doubles
+    * ARE the plan-computed cast, and the driver-side norm is
+    * [[graft.functions.VecDot]]'s sequential fold (IndexSpec pins the
+    * literal path ≡ a loop of single probes; the distributed path was
+    * pinned in r17).
+    */
+  private def literalQueryFrame(queries: DataFrame, qidCol: String,
+      qVecCol: String, dim: Int, broadcastMaxRows: Long):
+      (DataFrame, Long, Option[IndexedSeq[(Any, Array[Double])]]) = {
+    import org.apache.spark.sql.types._
+    // ALSO capped by the caller's broadcast gate: a batch the caller
+    // won't broadcast must not be collected either (same driver-memory
+    // reasoning), and broadcastMaxRows = 0 is the spec hook forcing
+    // the fully distributed path
+    val maxRows = math.min(math.min(Int.MaxValue - 8L, broadcastMaxRows),
+      math.max(0L, queryCollectMaxBytes / (dim.toLong * 8L))).toInt
+    val narrow = queries.select(col(qidCol).as("__qid"),
+      toDoubleArr(col(qVecCol)).as("__qe"))
+    val head = narrow.limit(maxRows + 1).collect()
+    if (head.length > maxRows || head.exists(r =>
+        !r.isNullAt(1) && r.getSeq[Any](1).contains(null))) {
+      val nq = requireQueryDim(queries, qVecCol, dim)
+      (batchQueryFrame(queries, qidCol, qVecCol), nq, None)
+    } else {
+      // the driver-side twin of [[requireQueryDim]], same checks in the
+      // same order over the same values
+      val nNull = head.count(_.isNullAt(1))
+      require(nNull == 0,
+        s"query batch contains $nNull null vectors in $qVecCol")
+      val rows: IndexedSeq[(Any, Array[Double])] = head.iterator.map { r =>
+        (r.get(0), r.getSeq[Double](1).toArray)
+      }.toIndexedSeq
+      require(rows.isEmpty ||
+          (rows.iterator.map(_._2.length).min == dim &&
+            rows.iterator.map(_._2.length).max == dim),
+        s"query vectors must all be dim $dim, got " +
+          s"[${rows.iterator.map(_._2.length).min}, " +
+          s"${rows.iterator.map(_._2.length).max}]")
+      val schema = StructType(Seq(
+        StructField("__qid", narrow.schema("__qid").dataType),
+        StructField("__qe", ArrayType(DoubleType)),
+        StructField("__qn", DoubleType)))
+      val litRows = rows.map { case (qid, qe) =>
+        // zero-guarded norm: sqrt of VecDot's sequential self-dot
+        var d = 0.0; var i = 0
+        while (i < qe.length) { d += qe(i) * qe(i); i += 1 }
+        val n = math.sqrt(d)
+        org.apache.spark.sql.Row(qid, qe.toSeq, if (n == 0.0) 1.0 else n)
+      }
+      (queries.sparkSession.createDataFrame(
+        java.util.Arrays.asList(litRows: _*), schema), rows.size.toLong,
+        Some(rows))
+    }
+  }
+
+  /** Spark literal type of a collected probe-set value — the label
+    * classes the index builders actually write; an exotic label class
+    * returns None and the caller keeps the distributed probe set.
+    */
+  private def litDataType(v: Any): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    v match {
+      case _: java.lang.Integer => Some(IntegerType)
+      case _: java.lang.Long    => Some(LongType)
+      case _: java.lang.Short   => Some(ShortType)
+      case _: java.lang.Byte    => Some(ByteType)
+      case _: String            => Some(StringType)
+      case _                    => None
+    }
+  }
+
+  /** Driver-side twin of [[batchCellProbeSet]] + [[literalProbeSet]]
+    * over a COLLECTED query batch (≤ the literal-query gate): ONE
+    * [[graft.util.SmallParquet]] read of the K-row centroids ranks
+    * every query's cells with [[rankIndexCells]]'s exact arithmetic
+    * (score, NaN and tie semantics already pinned against the in-plan
+    * ranking by batch ≡ single-probe-loop specs), so the probe SET
+    * costs zero Spark jobs instead of the window plan + collect the
+    * distributed form pays. `residualQuant` attaches the residual q·c
+    * per probed (query, cell) — [[ivfPqResidualProbe]]'s driver qDot,
+    * sequential dim order ≡ [[graft.functions.VecDot]]. `queryWords`
+    * maps a query to its packed sign-bit words ([[bqPackQuery]], the
+    * documented literal twin of [[bqWords]]) carried as __qw ahead of
+    * __cell — the IVF-BQ probe frame's column order. Returns the
+    * literal probe frame and the probed-cell union (first-appearance
+    * order), or None when the label class has no literal type (the
+    * caller keeps the distributed probe set).
+    */
+  private def driverCellProbeSet(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, rows: Seq[(Any, Array[Double])], nprobe: Int,
+      digits: Int, qidType: org.apache.spark.sql.types.DataType,
+      residualQuant: Option[Seq[Seq[Double]]] = None,
+      queryWords: Option[Array[Double] => Seq[Long]] = None,
+      adcTables: Option[Array[Double] => (Seq[Seq[Double]], Double)] = None):
+      Option[(DataFrame, Seq[Any])] = {
+    import org.apache.spark.sql.types._
+    val centRows = graft.util.SmallParquet.rows(spark,
+      s"$indexPath/centroids", Nil)
+    // per-query blocks (packed words / ADC tables) fold ONCE per query
+    // row — never keyed by qid, which the contract does not require to
+    // be unique — and fan out over that query's probed cells
+    val probe = rows.flatMap { case (qid, qe) =>
+      val w = queryWords.map(f => f(qe))
+      val t = adcTables.map(f => f(qe))
+      rankCellsOf(centRows, scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(qe), digits).take(nprobe).map(c => (qid, qe, c, w, t))
+    }
+    val cells: Seq[Any] = probe.map(_._3).distinct
+    val cellType = cells.headOption match {
+      case Some(c) => litDataType(c) match {
+        case Some(t) => t
+        case None => return None
+      }
+      case None => LongType // empty batch: any comparable type
+    }
+    // residual q·c: sequential dim-order dot of the cell's quantizer
+    // row against the query — VecDot's fold order exactly
+    def qDot(quant: Seq[Seq[Double]], cell: Any, qe: Array[Double]): Double = {
+      val cv = quant(cell.toString.toInt)
+      var s = 0.0; var i = 0
+      while (i < qe.length) { s += cv(i) * qe(i); i += 1 }
+      s
+    }
+    // columns compose: __qid, [__qw], __cell, [__qc], [__tab, __qn] —
+    // each optional block keyed by the caller's per-rung shape
+    val fields = Seq(StructField("__qid", qidType)) ++
+      queryWords.map(_ => StructField("__qw", ArrayType(LongType))) ++
+      Seq(StructField("__cell", cellType)) ++
+      residualQuant.map(_ => StructField("__qc", DoubleType)) ++
+      adcTables.toSeq.flatMap(_ => Seq(
+        StructField("__tab", ArrayType(ArrayType(DoubleType))),
+        StructField("__qn", DoubleType)))
+    val litRows = probe.map { case (qid, qe, c, w, t) =>
+      val vals = Seq[Any](qid) ++
+        w ++
+        Seq[Any](c) ++
+        residualQuant.map(q => qDot(q, c, qe)) ++
+        t.toSeq.flatMap { case (tab, n) => Seq[Any](tab, n) }
+      org.apache.spark.sql.Row(vals: _*)
+    }
+    Some((spark.createDataFrame(
+      java.util.Arrays.asList(litRows: _*), StructType(fields)), cells))
+  }
+
   /** Literal `isin` partition filter over the collected cell union —
     * the batch twin of the single probes' `pruned(table)` shape; the
     * literals cast to the partition column's inferred type so pruning
@@ -1809,12 +2057,25 @@ object Similarity {
     * (`codes/part=N/label=N/`) layouts carry the dir at some depth.
     */
   private[ext] def parquetRowCount(spark: org.apache.spark.sql.SparkSession,
-      path: String, labelCol: String = null, cells: Seq[Any] = Nil): Long = {
+      path: String, labelCol: String = null, cells: Seq[Any] = Nil): Long =
+    parquetCensus(spark, path, labelCol, cells)._1
+
+  /** [[parquetRowCount]] plus the matching files' BYTE sizes from the
+    * same single listing pass — the sizes feed
+    * [[graft.util.Scans.estimateScanPartitions]] so [[spreadForScore]]
+    * can size its skip-the-repartition check without `df.rdd`
+    * materializing a second physical plan at construction
+    * (VERDICT r18 #8).
+    */
+  private[ext] def parquetCensus(spark: org.apache.spark.sql.SparkSession,
+      path: String, labelCol: String = null, cells: Seq[Any] = Nil):
+      (Long, Seq[Long]) = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     val wanted = cells.map(c => s"/$labelCol=$c/").toArray
     var total = 0L
+    val sizes = Seq.newBuilder[Long]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val st = it.next()
@@ -1824,9 +2085,10 @@ object Similarity {
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
         try total += r.getRecordCount finally r.close()
+        sizes += st.getLen
       }
     }
-    total
+    (total, sizes.result())
   }
 
   /** Sort-free per-query top-`k` candidate cut — the batch probes'
@@ -1904,7 +2166,7 @@ object Similarity {
       indexPath: String, labelCol: String, qn: DataFrame, nprobe: Int,
       digits: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val cents = readIdx(spark, s"$indexPath/centroids")
       .select(col(labelCol).as("__cell"), toDoubleArr(col("centroid")).as("__c"))
     val wCell = Window.partitionBy(col("__qid"))
       .orderBy(col("__s").desc, col("__cell").asc)
@@ -1959,7 +2221,7 @@ object Similarity {
     // [[batchExactRerank]]'s note; the corpus-heavy vectors read is
     // statically pruned to the probed-cell union (candidates can only
     // come from probed cells), mirroring the single probes' rerank
-    val vecs = cellUnionPruned(spark.read.parquet(s"$indexPath/vectors"),
+    val vecs = cellUnionPruned(readIdx(spark, s"$indexPath/vectors"),
       labelCol, cells)
     val wTop = Window.partitionBy(col("__qid"))
       .orderBy(col("cos").desc, vecs(idCol).asc)
@@ -2023,14 +2285,16 @@ object Similarity {
       broadcastMaxRows: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rerank >= k)
-    val qn = batchQueryFrame(queries, qidCol, qVecCol)
     val (mns, sts) = readSq8Params(spark, indexPath)
-    val nq = requireQueryDim(queries, qVecCol, mns.size)
+    // one collected literal query frame: dim guard driver-side, zero
+    // broadcast jobs downstream ([[literalQueryFrame]])
+    val (qn, nq, _) = literalQueryFrame(queries, qidCol, qVecCol, mns.size,
+      broadcastMaxRows)
     // footer-metadata census, not a count() job (ADVICE r17 #1) —
     // shared by the steer and the spread's scored-row sizing
-    val corpusRows = parquetRowCount(spark, s"$indexPath/codes")
-    val codes = spreadForScore(spark.read.parquet(s"$indexPath/codes"),
-      corpusRows * nq)
+    val (corpusRows, corpusSizes) = parquetCensus(spark, s"$indexPath/codes")
+    val codes = spreadForScore(readIdx(spark, s"$indexPath/codes"),
+      corpusRows * nq, corpusSizes)
     FlatBatchGuard.check("sq8ProbeBatch", "ivfSq8ProbeBatch", corpusRows, nq)
     val adc = ecol(graft.functions.Sq8AdcVec(
       eexpr(col("codes")), eexpr(col("__qe")), mns, sts))
@@ -2059,24 +2323,31 @@ object Similarity {
       digits: Int = 6, broadcastMaxRows: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1 && rerank >= k)
-    val qn = batchQueryFrame(queries, qidCol, qVecCol)
-    val probeSet = batchCellProbeSet(spark, indexPath, labelCol, qn,
-      nprobe, digits)
     val (mns, sts) = readSq8Params(spark, indexPath)
-    val nq = requireQueryDim(queries, qVecCol, mns.size)
+    val (qn, nq, qrows) = literalQueryFrame(queries, qidCol, qVecCol,
+      mns.size, broadcastMaxRows)
     // narrow (qid, cell) broadcast + per-qid vector broadcast — see
     // ivfPqProbeBatch's note (the fat probe set blew maxResultSize);
-    // collected once as literals under the broadcast gate, yielding the
-    // cell union without a second job ([[literalProbeSet]])
-    val (probeNarrow, cells) = literalProbeSet(
-      probeSet.select(col("__qid"), col("__cell")), nq * nprobe,
-      broadcastMaxRows)
+    // below the literal-query gate the probe set is driver arithmetic
+    // ([[driverCellProbeSet]]), above it the distributed window plan +
+    // [[literalProbeSet]] as before
+    val (probeNarrow, cells) = qrows.flatMap { rows =>
+      driverCellProbeSet(spark, indexPath, rows, nprobe, digits,
+        qn.schema("__qid").dataType)
+    }.getOrElse {
+      literalProbeSet(
+        batchCellProbeSet(spark, indexPath, labelCol, qn, nprobe, digits)
+          .select(col("__qid"), col("__cell")), nq * nprobe,
+        broadcastMaxRows)
+    }
     // static cell pruning before the spread — VERDICT r17 #1, see
     // ivfPqProbeBatch
-    val prunedRows = parquetRowCount(spark, s"$indexPath/codes", labelCol, cells)
+    val (prunedRows, prunedSizes) =
+      parquetCensus(spark, s"$indexPath/codes", labelCol, cells)
     val codes = spreadForScore(
-      cellUnionPruned(spark.read.parquet(s"$indexPath/codes"), labelCol, cells),
-      if (cells.isEmpty) 0L else prunedRows * nq * nprobe / cells.size)
+      cellUnionPruned(readIdx(spark, s"$indexPath/codes"), labelCol, cells),
+      if (cells.isEmpty) 0L else prunedRows * nq * nprobe / cells.size,
+      prunedSizes)
     val paired = codes
       .join(sizeGated(probeNarrow, nq * nprobe, broadcastMaxRows),
         codes(labelCol) === probeNarrow("__cell"))
@@ -2111,13 +2382,15 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(rerank >= k)
     val thr = readBqParams(spark, indexPath)
-    val nq = requireQueryDim(queries, qVecCol, thr.size)
-    val qn = batchQueryFrame(queries, qidCol, qVecCol)
-      .withColumn("__qw", bqWords(col("__qe"), thr))
+    val (qnBase, nq, _) = literalQueryFrame(queries, qidCol, qVecCol,
+      thr.size, broadcastMaxRows)
+    // the packed-words projection over the literal frame folds into the
+    // LocalRelation (ConvertToLocalRelation) — still zero broadcast jobs
+    val qn = qnBase.withColumn("__qw", bqWords(col("__qe"), thr))
     // footer-metadata census, not a count() job (ADVICE r17 #1)
-    val corpusRows = parquetRowCount(spark, s"$indexPath/words")
-    val words = spreadForScore(spark.read.parquet(s"$indexPath/words"),
-      corpusRows * nq)
+    val (corpusRows, corpusSizes) = parquetCensus(spark, s"$indexPath/words")
+    val words = spreadForScore(readIdx(spark, s"$indexPath/words"),
+      corpusRows * nq, corpusSizes)
     FlatBatchGuard.check("bqProbeBatch", "ivfBqProbeBatch", corpusRows, nq)
     val ham = aggregate(
       zip_with(col("words"), col("__qw"), (a, b) => bit_count(a.bitwiseXOR(b))),
@@ -2958,11 +3231,18 @@ object Similarity {
     * data collect.
     */
   def rankIndexCells(spark: org.apache.spark.sql.SparkSession, indexPath: String,
-      query: Seq[Double], digits: Int = 6): Seq[Any] = {
+      query: Seq[Double], digits: Int = 6): Seq[Any] =
+    rankCellsOf(graft.util.SmallParquet.rows(spark,
+      s"$indexPath/centroids", Nil), query, digits)
+
+  /** [[rankIndexCells]] over PRE-READ centroid rows — the batch probes
+    * rank many queries against ONE driver read of the K-row table.
+    */
+  private def rankCellsOf(centRows: Seq[IndexedSeq[Any]],
+      query: Seq[Double], digits: Int): Seq[Any] = {
     // positional (label, centroid) — the label column's NAME varies by
     // build entry point, its position does not
-    val ranked = graft.util.SmallParquet.rows(spark,
-      s"$indexPath/centroids", Nil).map { r =>
+    val ranked = centRows.map { r =>
       val c = graft.util.SmallParquet.darr(r(1))
       var dot = 0.0; var nn = 0.0; var i = 0
       while (i < c.length) { dot += c(i) * query(i); nn += c(i) * c(i); i += 1 }
@@ -2989,7 +3269,7 @@ object Similarity {
       query: Seq[Double], k: Int = 10, nprobe: Int = 1, digits: Int = 6): DataFrame = {
     require(nprobe >= 1)
     val cells = rankIndexCells(spark, indexPath, query, digits).take(nprobe)
-    val vecs = spark.read.parquet(s"$indexPath/vectors")
+    val vecs = readIdx(spark, s"$indexPath/vectors")
     // the partition dir re-infers the label's type; cast the cell
     // literals to it so pruning applies to the partition column directly
     val labelType = vecs.schema(vecs.schema.fieldIndex(labelCol)).dataType
@@ -3281,7 +3561,7 @@ object Similarity {
     // generated code instead of ~260 expression nodes per row
     val approxDot = ecol(graft.functions.Sq8AdcBytes(eexpr(col("codes")),
       query, mns, sts))
-    spark.read.parquet(s"$indexPath/codes")
+    readIdx(spark, s"$indexPath/codes")
       .select(col(idCol),
         pround(approxDot / (col("vnorm") * lit(safeQ)), digits).as("adc_cos"))
       .orderBy(col("adc_cos").desc, col(idCol))
@@ -3462,7 +3742,7 @@ object Similarity {
       rerank: Int = 50): DataFrame = {
     val thr = readBqParams(spark, indexPath)
     require(thr.size == query.size, s"dim ${thr.size} != query ${query.size}")
-    spark.read.parquet(s"$indexPath/words")
+    readIdx(spark, s"$indexPath/words")
       .select(col(idCol), bqHammingLit(bqPackQuery(query, thr)).as("hamming"))
       .orderBy(col("hamming").asc, col(idCol))
       .limit(rerank)
@@ -3633,7 +3913,7 @@ object Similarity {
     require(nprobe >= 1 && rerank >= k)
     val cells = rankIndexCells(spark, indexPath, query, digits).take(nprobe)
     def prunedAt(root: String, table: String): DataFrame = {
-      val df = spark.read.parquet(s"$root/$table")
+      val df = readIdx(spark, s"$root/$table")
       val t = df.schema(df.schema.fieldIndex(labelCol)).dataType
       df.filter(col(labelCol).isin(cells.map(c => lit(c).cast(t)): _*))
     }
@@ -3668,22 +3948,34 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1 && rerank >= k)
     val thr = readBqParams(spark, indexPath)
-    val nq = requireQueryDim(queries, qVecCol, thr.size)
-    val qn = batchQueryFrame(queries, qidCol, qVecCol)
-      .withColumn("__qw", bqWords(col("__qe"), thr))
+    val (qnBase, nq, qrows) = literalQueryFrame(queries, qidCol, qVecCol,
+      thr.size, broadcastMaxRows)
+    val qn = qnBase.withColumn("__qw", bqWords(col("__qe"), thr))
     // the probe set carries the packed query words (dim/32 longs per
-    // row, n_q × nprobe rows) — collected once as literals under the
-    // broadcast gate, yielding the cell union without a second job
-    val (probeLit, cells) = literalProbeSet(
-      batchCellProbeSet(spark, indexPath, labelCol, qn, nprobe, digits)
-        .select(col("__qid"), col("__qw"), col("__cell")),
-      nq * nprobe, broadcastMaxRows)
+    // row, n_q × nprobe rows) — below the literal-query gate it is
+    // driver arithmetic ([[driverCellProbeSet]] with [[bqPackQuery]],
+    // the documented literal twin of [[bqWords]]); above it the
+    // distributed window plan + [[literalProbeSet]] as before
+    val (probeLit, cells) = qrows.flatMap { rows =>
+      driverCellProbeSet(spark, indexPath, rows, nprobe, digits,
+        qnBase.schema("__qid").dataType,
+        queryWords = Some((qe: Array[Double]) =>
+          bqPackQuery(scala.collection.immutable.ArraySeq
+            .unsafeWrapArray(qe), thr)))
+    }.getOrElse {
+      literalProbeSet(
+        batchCellProbeSet(spark, indexPath, labelCol, qn, nprobe, digits)
+          .select(col("__qid"), col("__qw"), col("__cell")),
+        nq * nprobe, broadcastMaxRows)
+    }
     // static cell pruning before the spread — VERDICT r17 #1, see
     // ivfPqProbeBatch
-    val prunedRows = parquetRowCount(spark, s"$indexPath/words", labelCol, cells)
+    val (prunedRows, prunedSizes) =
+      parquetCensus(spark, s"$indexPath/words", labelCol, cells)
     val words = spreadForScore(
-      cellUnionPruned(spark.read.parquet(s"$indexPath/words"), labelCol, cells),
-      if (cells.isEmpty) 0L else prunedRows * nq * nprobe / cells.size)
+      cellUnionPruned(readIdx(spark, s"$indexPath/words"), labelCol, cells),
+      if (cells.isEmpty) 0L else prunedRows * nq * nprobe / cells.size,
+      prunedSizes)
     val paired = words.join(sizeGated(probeLit, nq * nprobe, broadcastMaxRows),
       words(labelCol) === probeLit("__cell"))
     val ham = aggregate(
