@@ -671,27 +671,51 @@ object Dedup {
       idCol: String, textCol: String, shingleN: Int = 3,
       broadcastMaxShingles: Long = 50000000L): DataFrame = {
     // hash BEFORE the distinct on both sides (the [[hashedShingles]]
-    // argument, at h60's ~never collision odds): the corpus-side dedup
-    // shuffle carries 8-byte hashes instead of ~n-word shingle STRINGS,
-    // and partitioning it by the doc id alone lets the overlap count's
-    // groupBy reuse the same exchange (guide §2.3 "narrower types" +
-    // §2.4) — the string-keyed form paid a string-wide distinct shuffle
-    // AND a second id-keyed exchange for the count.
+    // argument, at h60's ~never collision odds): every corpus-side
+    // exchange carries 8-byte hashes instead of ~n-word shingle STRINGS
+    // (guide §2.3 "narrower types").
     val benchSh = rawShingles(bench, idCol, textCol, shingleN)
       .select(h60(col("shingle")).as("s")).distinct()
     val benchShinglesUpper = bench.select(coalesce(
       sum(greatest(size(split(col(textCol), " ")) - (shingleN - 1), lit(0))),
       lit(0L))).head().getLong(0)
-    val probeSide =
-      if (benchShinglesUpper <= broadcastMaxShingles) broadcast(benchSh)
-      else benchSh
-    rawShingles(corpus, idCol, textCol, shingleN)
+    // the corpus text spreads to executor width BEFORE the shingle
+    // explode (guide §2.5 — the explode+md5 otherwise runs at the scan's
+    // partition count, a serial stage at bench scale; width-gated
+    // identity on a corpus-scale scan), keyed by the doc id so the
+    // spread exchange carries each (id, text) row once — FEWER bytes
+    // than the post-explode (id, hash) shuffle it replaces (~6 B/word of
+    // text vs 16 B/shingle of hash pairs).
+    val corpusSh = rawShingles(
+      graft.util.Scans.spread(corpus.select(col(idCol), col(textCol)),
+        col(idCol)),
+      idCol, textCol, shingleN)
       .select(col(idCol), h60(col("shingle")).as("s"))
-      .repartition(col(idCol))
-      .distinct()
-      .join(probeSide, "s")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_overlap"))
+    if (benchShinglesUpper <= broadcastMaxShingles) {
+      // broadcast path: the bench probe FILTERS in the explode stage, so
+      // the id-keyed exchange ahead of the distinct+count carries ONLY
+      // matching (id, s) pairs — on a clean corpus nearly nothing
+      // (guide §2.3 "shuffle fewer bytes": filter before the exchange).
+      // distinct ≡ join-then-distinct because the bench side is a set.
+      // The count's groupBy reuses the distinct's id-clustering (§2.4).
+      corpusSh.join(broadcast(benchSh), "s")
+        .repartition(col(idCol))
+        .distinct()
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_overlap"))
+    } else {
+      // shuffle fallback (a "benchmark" that is really a second corpus):
+      // dedup (id, s) BEFORE the s-keyed join shuffle — repeated
+      // shingles inside a doc must not pay the join exchange twice.
+      // Flag-identical to the broadcast path (spec-pinned); only the
+      // exchange strategy differs.
+      corpusSh
+        .repartition(col(idCol))
+        .distinct()
+        .join(benchSh, "s")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_overlap"))
+    }
   }
 
   /** Connected components over a near-dup pair list: every doc gets
@@ -951,20 +975,23 @@ object Dedup {
 
   /** 60-bit SimHash signature per document (word-count weighted; see
     * [[h60]] for why 60 bits and not 64). The 60 per-bit contribution
-    * sums run as PARALLEL aggregates in one pass over the word counts —
-    * not an explode(0..59) that would push 60× the rows through an
-    * extra shuffle (same restructuring that took MinHash from 2.6 s to
-    * 1.1 s in round 1). Bit math identical to the oracle's CASE-sum
+    * sums run as PARALLEL aggregates in one pass over the word
+    * OCCURRENCES — not an explode(0..59) that would push 60× the rows
+    * through an extra shuffle (same restructuring that took MinHash
+    * from 2.6 s to 1.1 s in round 1), and not the earlier
+    * per-(id, word) count pass either: the bit sums are INTEGER
+    * arithmetic, so Σ_distinct cnt_w·sign_w(b) ≡ Σ_occurrence sign(b)
+    * exactly, and the (id, word) exchange vanishes (guide §2.4) — ONE
+    * id-keyed exchange carrying 60 partial longs per doc is the whole
+    * shuffle at any scale. Bit math identical to the oracle's CASE-sum
     * form.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bitSums = (0 until 60).map { b =>
-      sum(col("cnt") * (expr(s"shiftright(h, $b) % 2") * 2 - 1)).as(s"s$b")
+      sum(expr(s"shiftright(h, $b) % 2") * 2 - 1).as(s"s$b")
     }
     df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
-      .groupBy(col(idCol), col("word"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col(idCol), col("cnt"), h60(col("word")).as("h"))
+      .select(col(idCol), h60(col("word")).as("h"))
       .groupBy(col(idCol))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol),

@@ -310,18 +310,27 @@ object TextStats {
     val ctsPlan = df.filter(col(valueCol).isNotNull)
       .groupBy(col(strataCol), col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__c"))
-    // MATERIALIZED once (eager localCheckpoint): the histogram is
-    // consumed by three separate actions — the boundary learn's
-    // percentile_approx collect, the subtotal collect, and the
+    // MATERIALIZED once (persist, computed by the first action): the
+    // histogram is consumed by three separate actions — the boundary
+    // learn's percentile_approx collect, the subtotal collect, and the
     // threshold scan inside the gated query — and exchange reuse never
-    // spans separate executions, so the lazy form re-ran the corpus
-    // histogram pass per action (measured: three ~equal corpus scans at
-    // fixture scale). The checkpoint is bounded by the histogram itself
-    // (≤ strata × distinct values — e.g. ≤ 10⁴/stratum for pround(4)
-    // scores; worst-case the distinct-value count, which phase 3 was
-    // already sized for) and cuts the gate to TWO corpus passes total:
-    // this histogram pass and the final broadcast-threshold filter.
-    val cts = ctsPlan.localCheckpoint(true)
+    // spans separate executions, so the unmaterialized form re-ran the
+    // corpus histogram pass per action (measured: three ~equal corpus
+    // scans at fixture scale). MEMORY_AND_DISK persist rather than the
+    // earlier eager localCheckpoint(true) (VERDICT r18 #6): a
+    // checkpoint TRUNCATES lineage, so one executor loss mid-gate lost
+    // the histogram blocks unrecoverably and killed the query — wrong
+    // default posture at 100 TB, where the gate runs for minutes on
+    // preemptible fleets. Persist keeps the lineage: a lost block
+    // recomputes from the corpus scan, the gate merely slows down. The
+    // cached footprint is bounded by the histogram itself (≤ strata ×
+    // distinct values — e.g. ≤ 10⁴/stratum for pround(4) scores;
+    // worst-case the distinct-value count, which phase 3 was already
+    // sized for), spills to disk past memory, and still cuts the gate
+    // to TWO corpus passes total: this histogram pass and the final
+    // broadcast-threshold filter.
+    val cts = ctsPlan.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Two-phase chunked prefix sum (the [[Sampling.mixtureByBudget]]
     // pattern, VERDICT r16 #1): the naive cumulative window
     // partitionBy(stratum).orderBy(__v) sorts a stratum's WHOLE
