@@ -270,6 +270,10 @@ object CorpusPipeline {
     // Both writes read the cached `packed`; the export count is taken
     // from the WRITTEN shards (footer row counts, no data scan), never
     // by re-running the lineage behind the write.
+    // timed through the same onStage callback as every other stage —
+    // the rehearsal's growth table previously reported shard_export as
+    // untimed (-1.0) because only the staged() helper fired the callback
+    val tExport = System.nanoTime()
     val sharded = packed.withColumn("shard",
       Dedup.h32(col("doc_id").cast("string")) % nShards)
     sharded.write.mode("overwrite").partitionBy("shard")
@@ -278,6 +282,7 @@ object CorpusPipeline {
       .write.mode("overwrite").parquet(s"$outDir/manifest")
     acc += Stage("shard_export", prevCount,
       spark.read.parquet(s"$outDir/shards").count())
+    onStage("shard_export", (System.nanoTime() - tExport) / 1e9)
     prevBlocks.foreach(_.unpersist(false))
     prevCkpt.foreach(rmCkpt)
 
