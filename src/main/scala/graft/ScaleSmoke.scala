@@ -515,6 +515,21 @@ object ScaleSmoke {
         // sf gates predict ≤ 1.3 everywhere
         val nDocs = args.lift(2).map(_.toLong).getOrElse(30000000L)
         def runAt(n: Long): Seq[(String, Long, Long, Double)] = {
+          // SCALE-ADAPTIVE reduce width (guide §2), derived from the
+          // leg's input size: at the fixed local shuffle.partitions the
+          // 30M leg's boilerplate reassembly (collect_list of ~20 GB of
+          // chunk text by doc id) spilled through 32 reduce tasks and
+          // went superlinear (measured exponent 1.42 vs the ^1.3 gate),
+          // while a blanket high constant (1024) taxed the SMALL leg
+          // 2.6× in map-side buckets and checkpoint files. ~100k docs
+          // (≈45 MB of chunk text) per reduce task bounds per-task
+          // state at any n; AQE coalescing still shrinks every stage
+          // that turns out small. This is the production posture: the
+          // width follows the data, not the core count.
+          spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            math.max(spark.sparkContext.defaultParallelism,
+              (n / 100000L).toInt).toString)
           val seed = pmod(col("id"), lit((n * 9) / 10 + 1))
           def word(k: Int) = concat(lit("w"), pmod(hash(seed * 60 + k), lit(100000)))
           val tokens = (0 until 10).map(word) ++ Seq(lit("the")) ++
